@@ -1,0 +1,15 @@
+"""Query registry feeding ``__spark_entry__.py``.
+
+Importing this package registers every query module's entries.
+"""
+
+from .registry import QUERIES, ORACLES, query  # noqa: F401
+
+from . import queries_core  # noqa: E402,F401
+from . import queries_windows  # noqa: E402,F401
+from . import queries_joins  # noqa: E402,F401
+from . import queries_stateful  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,290 @@
+"""Flagship + stateless core (B1-B5) + keyed aggregations (K1-K10).
+
+Each entry is a (Spark callable, DuckDB oracle SQL) pair over the driver
+tables.  The ``events`` table plays the sensor-reading role
+(FIXTURES.md §1: ``user_id`` ≈ sensor id, ``value`` ≈ temperature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import core, keyed
+from ..schemas import TUPLE3_INT
+from ..sources import from_elements, load_table
+from .registry import query
+
+HOUR_MS = 3_600_000
+
+
+# --------------------------------------------------------------------------
+# Flagship: AverageSensorReadings.java:67-76 — map F→C, keyBy sensor,
+# tumbling window, avg.  Driver events: per-user 1h tumbling avg celsius.
+# --------------------------------------------------------------------------
+@query(
+    "flagship_window_avg",
+    oracle=f"""
+    SELECT
+      (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+      user_id,
+      round(avg((value - 32) * (5.0 / 9.0)), 4) AS avg_celsius
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def flagship_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+K8 flagship (AverageSensorReadings.java:67-76): F→C map, keyed
+    1h tumbling-window average.  One shuffle (window,key) with map-side
+    partial agg — same topology as the reference's single keyBy exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    celsius = core.fahrenheit_to_celsius(
+        events.withColumnRenamed("value", "temperature")
+    )
+    return (
+        celsius.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.round(F.avg("temperature"), 4).alias("avg_celsius"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "user_id",
+            "avg_celsius",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B1-B3: BasicTransformations.java:47-81 — filter, map, flatMap(split)
+# --------------------------------------------------------------------------
+@query(
+    "basic_pipeline",
+    oracle="""
+    SELECT unnest(string_split('user_' || CAST(user_id AS VARCHAR), '_')) AS token
+    FROM events
+    WHERE value >= 25
+    """,
+)
+def basic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B2+B3 replay (BasicTransformations.java:54-74): filter
+    value>=25 (pushed into the parquet scan), map to an id string, split
+    + explode.  Entirely JVM-side — no Python in the row path."""
+    events = load_table(spark, sf_dir, "events")
+    filtered = core.filter_rows(events, F.col("value") >= 25)
+    ids = filtered.select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("uid")
+    )
+    return core.flat_map_split(ids, "uid", "_", alias="token")
+
+
+# --------------------------------------------------------------------------
+# K2: RollingSum.java:34-41 — golden 4-row fixture, exact Flink semantics
+# --------------------------------------------------------------------------
+@query(
+    "rolling_sum_tuples",
+    oracle="""
+    SELECT
+      f0,
+      CAST(sum(f1) OVER w AS BIGINT) AS f1,
+      first_value(f2) OVER w AS f2
+    FROM (VALUES (1,2,2,1), (2,3,1,2), (2,2,4,3), (1,5,3,4)) AS t(f0,f1,f2,seq)
+    WINDOW w AS (PARTITION BY f0 ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_sum_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 golden fixture (RollingSum.java:34-35, FIXTURES.md §4): keyed
+    rolling sum over the literal 4-tuple input; non-aggregated fields keep
+    the key's first record's values (Flink field-mixing semantics).
+    Expected: (1,2,2),(2,3,1),(2,5,1),(1,7,2)."""
+    rows = [(1, 2, 2, 1), (2, 3, 1, 2), (2, 2, 4, 3), (1, 5, 3, 4)]
+    schema = TUPLE3_INT.add("seq", "integer", False)
+    df = from_elements(spark, rows, schema)
+    rolled = keyed.rolling_sum_flink(df, "f0", "f1", ["seq"])
+    return rolled.select("f0", F.col("f1").cast("long").alias("f1"), "f2")
+
+
+# --------------------------------------------------------------------------
+# K2/K3 on real data: per-key running aggregates
+# --------------------------------------------------------------------------
+@query(
+    "rolling_aggs",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      round(sum(value) OVER w, 4) AS running_sum,
+      round(min(value) OVER w, 4) AS running_min,
+      round(max(value) OVER w, 4) AS running_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+K3 (KeyedStream.sum/min/max, 정리/3주차.md:59-64): per-key
+    running sum/min/max in arrival order, one row out per row in.  One
+    shuffle-sort; all three aggregates share the same window frame so
+    Spark evaluates them in a single Window physical node."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.round(F.min("value").over(w), 4).alias("running_min"),
+        F.round(F.max("value").over(w), 4).alias("running_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K4: minBy / maxBy — whole-row argmin/argmax per key (정리/3주차.md:64)
+# --------------------------------------------------------------------------
+@query(
+    "min_by_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY value ASC,  event_id ASC)  AS rn_min,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) AS rn_max
+      FROM events
+    )
+    SELECT
+      user_id,
+      min(value) AS min_value,
+      max(value) AS max_value,
+      max(CASE WHEN rn_min = 1 THEN event_id END) AS min_event_id,
+      max(CASE WHEN rn_max = 1 THEN event_id END) AS max_event_id
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 minBy/maxBy (정리/3주차.md:64): the record holding the per-key
+    min/max, tie-broken deterministically by event_id (the reference's
+    arrival-order tie rule is nondeterministic under parallelism — we
+    define the lexicographic (value, event_id) rule).  Single-pass
+    ``min_by``/``max_by`` on a struct — no join-back, one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    ord_ = F.struct("value", "event_id")
+    return events.groupBy("user_id").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min_by("event_id", ord_).alias("min_event_id"),
+        F.max_by("event_id", ord_).alias("max_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K5: rolling reduce keeping the max-temperature record per key
+# (KeyedTransformations.java:55-62) — final-state form
+# --------------------------------------------------------------------------
+@query(
+    "keyed_reduce_max",
+    oracle="""
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, event_type
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def keyed_reduce_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 rolling reduce (KeyedTransformations.java:55-62): per key, the
+    full record with the highest value — the reduce's final state.  Ties
+    broken by larger event_id on both sides."""
+    events = load_table(spark, sf_dir, "events")
+    ord_ = F.struct("value", "event_id")
+    picked = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "value", "event_type"), ord_
+        ).alias("r")
+    )
+    return picked.select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.unix_millis("r.ts").alias("ts_ms"),
+        F.col("r.value").alias("value"),
+        F.col("r.event_type").alias("event_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K1/K6/K7: keyed hash aggregation with the standard agg family
+# --------------------------------------------------------------------------
+@query(
+    "keyed_agg_stats",
+    oracle="""
+    SELECT
+      event_type,
+      count(*) AS n,
+      round(sum(value), 4) AS sum_value,
+      round(avg(value), 4) AS avg_value,
+      round(min(value), 4) AS min_value,
+      round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def keyed_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 keyBy + K6/K7 aggregate family (RollingSum.java:38,
+    정리/4주차.md:186-226): hash-agg per key; Spark plans partial
+    (map-side) + final agg so the shuffle carries one row per
+    (partition, key) — the property that keeps this O(keys) at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return keyed.keyed_agg(
+        events,
+        ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K10: distinct + count-distinct (exact and HLL sketch)
+# --------------------------------------------------------------------------
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 distinct: hash-agg dedup on the projected pair (column-pruned
+    scan; shuffle only the two columns)."""
+    events = load_table(spark, sf_dir, "events")
+    return keyed.distinct_rows(events, "user_id", "event_type")
+
+
+@query(
+    "count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_user_id,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 count-distinct, exact + HLL: the exact count plus a check that
+    ``approx_count_distinct`` (fixed-size mergeable sketch — the 100 TB
+    form) lands within its 5% rsd of the exact answer."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_user_id"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.05)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * 0.15 + 1
+        ).alias("approx_ok"),
+    )
