@@ -1,1 +1,115 @@
-"""Placeholder — filled in as operators land."""
+"""Stateful/process-function patterns (SURVEY.md §2.5) — batch twins.
+
+Each query here is the deterministic, oracle-checkable batch form of a
+keyed-state pattern; the true streaming implementations (value state via
+``transformWithStateInPandas`` / ``applyInPandasWithState``) live in
+:mod:`..streaming.stateful` and are tested for equivalence against these
+batch twins in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "temp_delta_alert",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts, value,
+        lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+           round(value - prev, 4) AS diff
+    FROM lagged
+    WHERE abs(value - prev) > 50
+    """,
+)
+def temp_delta_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 keyed ValueState pattern (정리/5주차.md:24-54): remember the
+    previous value per key, alert when |Δ| exceeds a threshold (1.7 in
+    the notes; 50 here to fit the events value range).  Batch twin =
+    ``lag`` over the per-key ordered window — one shuffle-sort, identical
+    final answer to the streaming ValueState form."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.withColumn("prev", F.lag("value").over(w))
+    return lagged.filter(F.abs(F.col("value") - F.col("prev")) > 50).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.round(F.col("value") - F.col("prev"), 4).alias("diff"),
+    )
+
+
+@query(
+    "rising_value_alert",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts, value,
+        lag(value, 1) OVER w AS prev1,
+        lag(value, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+    FROM lagged
+    WHERE value > prev1 AND prev1 > prev2
+    """,
+)
+def rising_value_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 ProcessFunction + timer pattern (정리/4주차.md:102-125 —
+    the book's 'temperature keeps rising' warning): emit when a key's
+    value rises across 3 consecutive events.  The streaming form keeps
+    last-two-values in ValueState with an event-time timer; the batch
+    twin is a double ``lag`` over one window (single sort, both lags
+    share the frame)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("prev1"),
+        F.lag("value", 2).over(w).alias("prev2"),
+    )
+    return lagged.filter(
+        (F.col("value") > F.col("prev1")) & (F.col("prev1") > F.col("prev2"))
+    ).select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "value"
+    )
+
+
+@query(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type,
+      min(event_id) FILTER (WHERE rn = 1) AS event_id,
+      min(epoch_ms(ts)) AS first_ts_ms
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    GROUP BY user_id, event_type
+    """,
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7 keyed-state dedup (ValueState 'seen' flag with TTL in
+    streaming): keep each key's FIRST event by (ts, event_id).
+    Deterministic alternative to ``dropDuplicates`` (whose pick is
+    arrival-order-dependent, like the reference's rolling reduce):
+    single-pass ``min_by`` on the struct — one shuffle, no sort."""
+    events = load_table(spark, sf_dir, "events")
+    ord_ = F.struct("ts", "event_id")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min_by("event_id", ord_).alias("event_id"),
+        F.unix_millis(F.min("ts")).alias("first_ts_ms"),
+    )

@@ -1,1 +1,193 @@
-"""Placeholder — filled in as operators land."""
+"""Window operators (SURVEY.md §2.4 W1-W8) as oracle-checked queries.
+
+All event-time; the processing-time variants (W1) share the same code
+path with an ingest-time column, so the event-time checks cover both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import windows
+from ..sources import load_table
+from .registry import query
+
+MIN15_MS = 900_000
+HOUR_MS = 3_600_000
+GAP_MS = 1_800_000  # 30 min session gap
+
+
+@query(
+    "tumbling_window_stats",
+    oracle=f"""
+    SELECT
+      (epoch_ms(ts) // {MIN15_MS}) * {MIN15_MS} AS window_start_ms,
+      event_type,
+      count(*) AS n,
+      round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 tumbling windows (AverageSensorReadings.java:74,
+    정리/4주차.md:160-162): 15-min buckets per event_type.  The window
+    struct is computed map-side; one (window,key) shuffle with partial
+    agg."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        windows.tumbling(events, "ts", "15 minutes", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_avg",
+    oracle=f"""
+    SELECT
+      (epoch_ms(ts) // {MIN15_MS}) * {MIN15_MS} - i * {MIN15_MS} AS window_start_ms,
+      event_type,
+      count(*) AS n,
+      round(avg(value), 4) AS avg_value
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 sliding window (정리/4주차.md:164-166): 1-hour windows sliding
+    every 15 min — each row lands in size/slide = 4 windows.  Spark
+    expands the buckets map-side (no pre-shuffle fan-out of the input
+    file itself); the oracle reproduces the epoch-aligned starts with a
+    generate_series cross join."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        windows.sliding(events, "ts", "1 hour", "15 minutes", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {GAP_MS} * 1000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT
+      user_id,
+      min(epoch_ms(ts)) AS session_start_ms,
+      max(epoch_ms(ts)) + {GAP_MS} AS session_end_ms,
+      count(*) AS n_events,
+      round(sum(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 session windows (정리/4주차.md:168-171): native
+    ``session_window(ts, gap)`` per user — gap-merged variable windows.
+    The oracle is the lag+cumsum sessionization (the batch twin from
+    :func:`..operators.windows.sessionize`), proving the two forms agree.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        windows.session(events, "ts", "30 minutes", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("session_start_ms"),
+            F.unix_millis("session_window.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "count_window_sum",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+        (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+          // 10 AS count_window_id
+      FROM events
+    )
+    SELECT user_id, count_window_id,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, count_window_id
+    """,
+)
+def count_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 count windows (정리/1주차.md:152) — no native Spark streaming
+    equivalent (SURVEY §7.3): batch form buckets every 10 records per key
+    in (ts, event_id) arrival order via row_number.  Streaming twin uses
+    ListState in :mod:`..streaming.stateful`."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = windows.count_window(events, ["user_id"], ["ts", "event_id"], 10)
+    return bucketed.groupBy("user_id", "count_window_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@query(
+    "late_data_split",
+    oracle="""
+    WITH m AS (SELECT max(epoch_us(ts)) / 1000000.0 - 3600 AS wm FROM events)
+    SELECT
+      CASE WHEN epoch_us(ts) / 1000000.0 >= wm THEN 'on_time' ELSE 'late' END
+        AS branch,
+      count(*) AS n,
+      count(DISTINCT user_id) AS n_users
+    FROM events, m
+    GROUP BY 1
+    """,
+)
+def late_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 late-data side output (.sideOutputLateData, 정리/4주차.md:
+    339-345): split on the bounded-out-of-orderness watermark
+    (max(ts) - 1 hour; 5 s in the reference, SensorTimeAssigner.java:33
+    — scaled to the events table's minute-level cadence).  The 1-row
+    watermark aggregate re-joins via broadcast, not a driver collect."""
+    events = load_table(spark, sf_dir, "events")
+    on_time, late = windows.split_late(events, "ts", 3600.0)
+    branch = lambda df, tag: df.groupBy().agg(  # noqa: E731
+        F.lit(tag).alias("branch"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return branch(on_time, "on_time").unionByName(branch(late, "late"))
