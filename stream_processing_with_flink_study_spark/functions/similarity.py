@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  full corpus — exact, one pass over the corpus, no shuffle of the big
+  side; the baseline and the verify stage.
+- LSH-bucketed ANN (random hyperplanes): deterministic seeded planes,
+  sign-bucket join — candidate generation cost ~corpus×planes, the
+  scale path when the query set is large too.
+
+Dot products are pure ``zip_with``/``aggregate`` column expressions
+(JVM-side); a vectorized pandas-UDF variant would only win for very
+wide vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-cross-join queries × corpus, rank
+    per query with a deterministic (sim desc, id) tie-break.  The corpus
+    never shuffles; the window partitions by query id, so the rank
+    reduction parallelizes across queries.
+    Output: (q_id, n_id, cosine_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup).  Plain
+    O(n²) band for bounded inputs; behind LSH buckets (below) for scale.
+    Output: (id_a, id_b, cosine_sim)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded Gaussian) — shipped as a
+    broadcast literal, identical on every executor and across runs."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: per table t, bucket =
+    concatenated signs of ``n_planes`` fixed plane dot products.
+    Output has one row per (input row, table): columns ``table``,
+    ``bucket``.  OR-amplification across tables is what buys recall —
+    collision prob for angle θ is 1 - (1 - (1-θ/π)^planes)^tables."""
+    bit_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t * 1000)
+        bits = [
+            F.when(
+                dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, "1"
+            ).otherwise("0")
+            for p in planes
+        ]
+        bit_cols.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
+        )
+    return df.withColumn("tb", F.explode(F.array(*bit_cols))).select(
+        *df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = corpus rows sharing any (table, bucket)
+    with the query (OR-amplified multi-table LSH), then exact cosine rank
+    within candidates.  Cost ~ corpus×tables bucket rows instead of
+    |Q|×|C| products; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    qb = lsh_sign_buckets(
+        queries, dim, n_planes, n_tables, vec_col=vec_col
+    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "table", "bucket")
+    cb = lsh_sign_buckets(
+        corpus, dim, n_planes, n_tables, vec_col=vec_col
+    ).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "table", "bucket")
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .distinct()  # collapse multi-table collisions before scoring
+    )
+    scored = cand.select(
+        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All functions here are pure column expressions (JVM-side, whole-stage
+codegen, zero Python in the row path) — at 100 TB these run at scan
+speed with no shuffle.  Hashing uses md5 (bit-identical in every engine,
+which keeps the DuckDB oracles exact); the per-document work is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: lowercase, whitespace split.  The BPE-ish regex mirrors
+# the classic pre-tokenizer: letter runs | digit runs | single symbol.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via regexp — a cheap proxy for BPE token
+    budgeting at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — the unit of MinHash /
+    Jaccard dedup.  Pure array expression: slice+concat_ws over a
+    sequence, no explode until the caller decides to."""
+    t = tokens(col)
+    seq = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    shingled = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    # guard: sequence(1, x) with x < 1 DESCENDS ([1,0,...]) instead of
+    # being empty, and slice(_, 0, _) throws — short texts get no shingles
+    return F.when(F.size(t) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    in_list = F.filter(t, lambda x: x.isin(*STOPWORDS))
+    return F.size(in_list) / F.greatest(F.size(t), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def mean_token_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    no_space = F.length(F.regexp_replace(c, r"\s+", ""))
+    return no_space / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic (length / punctuation / stopword
+    signals, the standard pre-training filters).  Higher is better;
+    range roughly [0, 1]."""
+    n_tok = token_count(col).cast("double")
+    length_term = F.least(n_tok / 100.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 10.0, F.lit(1.0))
+    return (0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-token language-ID heuristic: score a handful of
+    high-frequency function words per language and pick the argmax
+    (deterministic tie order en > de > es).  An n-gram profile model
+    distills to exactly this shape — marker lookups + argmax — which is
+    what matters for the engine plumbing."""
+    t = tokens(col)
+    en = F.size(F.filter(t, lambda x: x.isin("the", "and", "of", "is")))
+    de = F.size(F.filter(t, lambda x: x.isin("der", "und", "das", "ist")))
+    es = F.size(F.filter(t, lambda x: x.isin("el", "los", "de", "es")))
+    return (
+        F.when((en >= de) & (en >= es), "en")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text — the exact-dedup key (content-defined, order-sensitive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash as a '0'/'1' string.
+
+    Bit i is the sign of sum over tokens of ±1, where a token votes +1
+    iff hex digit i of md5(token) has its top nibble bit set (digit >=
+    '8').  Pure per-row array aggregation — no explode, no shuffle; the
+    oracle reproduces it bit-for-bit via the same md5 digits.
+    """
+    t = tokens(col)
+
+    def _vote(i: int):
+        # closure factory: pyspark counts lambda params, so a default-arg
+        # capture (lambda acc, x, i=i) would mis-declare a 3-arg merge fn
+        return lambda acc, x: acc + F.when(
+            F.substring(F.md5(x), i, 1) >= "8", 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(F.aggregate(t, F.lit(0), _vote(i)) > 0, "1").otherwise("0")
+        for i in range(1, 33)
+    ]
+    return F.concat(*bits)

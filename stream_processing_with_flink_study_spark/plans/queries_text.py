@@ -1,1 +1,382 @@
-"""Placeholder — filled in as operators land."""
+"""Training-data pipeline operators (north-star extensions, SURVEY §7.2
+step 9): dedup family, similarity search, text analysis, multimodal
+plumbing — all over the driver's ``documents`` / ``embeddings`` tables.
+
+Near-dup queries plant their own ground truth: the corpus is documents
+UNION a perturbed copy (first token dropped, doc_id + 1_000_000) of
+every 20th doc, so LSH/Jaccard must (and do) recover exactly those
+pairs.  Exact-dedup plants verbatim copies at doc_id + 2_000_000.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup, multimodal, similarity, text
+from ..sources import load_table
+from .registry import query
+
+NUM_PERM = dedup.DEFAULT_NUM_PERM
+BANDS = dedup.DEFAULT_BANDS
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+# --------------------------------------------------------------------------
+# shared corpus builders (Spark + SQL twins)
+# --------------------------------------------------------------------------
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-dup copies (drop first token) of every 20th doc."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    perturbed = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(perturbed)
+
+
+_NEAR_DUP_CORPUS_SQL = """
+  corpus AS (
+    SELECT doc_id, lower(trim(text)) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(tokens[2:], ' ')
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents WHERE doc_id % 20 = 0
+    )
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+      unnest(list_transform(
+        generate_series(1, greatest(len(tokens) - 2, 0)),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tokens
+          FROM corpus)
+  )
+"""
+
+_MINHASH_AGGS_SQL = ",\n      ".join(
+    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(NUM_PERM)
+)
+_BAND_UNION_SQL = "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {b} AS band_idx, md5({cols}) AS h FROM sig".format(
+        b=b,
+        cols=" || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(BANDS)
+)
+
+_JACCARD_TAIL_SQL = """
+  common AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+    FROM shingles sa
+    JOIN shingles sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on the normalized-text fingerprint) over
+    a corpus with planted verbatim duplicates — every 10th doc appears
+    twice and must collapse to one keep_id with n_dups=2.  One shuffle on
+    a 32-byte key regardless of document size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(docs.unionByName(copies), "text", "doc_id")
+
+
+@query(
+    "minhash_lsh_near_dup",
+    oracle=f"""
+    WITH {_NEAR_DUP_CORPUS_SQL.strip().rstrip()},
+    sig AS (
+      SELECT doc_id,
+      {_MINHASH_AGGS_SQL}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_UNION_SQL}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.h = b.h
+                  AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL_SQL.strip()}
+    SELECT c.id_a, c.id_b, c.n_common, a.n_sh AS n_a, b.n_sh AS n_b,
+           round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) AS jaccard
+    FROM common c
+    JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+    JOIN sizes a ON c.id_a = a.doc_id
+    JOIN sizes b ON c.id_b = b.doc_id
+    WHERE round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.5
+    """,
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (shingle → 16 md5-min permutations
+    → 4 LSH bands → band-bucket self-join → exact-Jaccard verify ≥ 0.5)
+    over the planted near-dup corpus.
+
+    Scale shape: signatures are ONE groupBy over exploded shingles;
+    candidate generation joins on (band, hash) — never pairwise; the
+    exact Jaccard verify touches candidate pairs only."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sh = dedup.doc_shingles(corpus, "text", "doc_id")
+    sig = dedup.minhash_signatures(corpus, "text", "doc_id")
+    cands = dedup.lsh_candidate_pairs(sig, "doc_id")
+    return dedup.jaccard_pairs(sh, "doc_id", 0.5, candidates=cands)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_NEAR_DUP_CORPUS_SQL.strip()},
+    {_JACCARD_TAIL_SQL.strip()}
+    SELECT c.id_a, c.id_b, c.n_common, a.n_sh AS n_a, b.n_sh AS n_b,
+           round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) AS jaccard
+    FROM common c
+    JOIN sizes a ON c.id_a = a.doc_id
+    JOIN sizes b ON c.id_b = b.doc_id
+    WHERE round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup via inverted index (explode shingles,
+    self-join on shingle, count intersection) — no LSH pre-filter, the
+    exhaustive baseline the LSH recall is judged against."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sh = dedup.doc_shingles(corpus, "text", "doc_id")
+    return dedup.jaccard_pairs(sh, "doc_id", 0.5)
+
+
+_SIMHASH_BITS_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(tokens, t -> "
+    f"CASE WHEN substr(md5(t), {i}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for i in range(1, 33)
+)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents
+    )
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — per-row array aggregation over md5
+    digit votes, zero shuffle (near-dup candidates then bucket on
+    fingerprint prefixes / Hamming balls)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.simhash32("text").alias("simhash"))
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+      len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+      len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')) AS n_bpe_ish,
+      length(text) AS n_chars_raw
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces — the
+    corpus token-budget pass; pure projection at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_count("text").cast("long").alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens,
+        greatest(length(text), 1) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+      round(len(list_filter(tokens,
+        x -> x IN {text.STOPWORDS!r})) * 1.0
+        / greatest(len(tokens), 1), 4) AS stop_ratio,
+      round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+        / n_chars, 4) AS punct_ratio,
+      round(
+        0.4 * least(len(tokens) / 100.0, 1.0)
+      + 0.3 * least((len(list_filter(tokens, x -> x IN {text.STOPWORDS!r}))
+                     * 1.0 / greatest(len(tokens), 1)) * 5.0, 1.0)
+      + 0.3 * (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                     * 1.0 / n_chars) * 10.0, 1.0)), 4) AS quality
+    FROM t
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length / stopword / punctuation signals — the
+    standard pre-training heuristics), one pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(text.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(text.quality_score("text"), 4).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_pred",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(tokens, x -> x IN ('the','and','of','is'))) AS en,
+        len(list_filter(tokens, x -> x IN ('der','und','das','ist'))) AS de,
+        len(list_filter(tokens, x -> x IN ('el','los','de','es'))) AS es
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN en >= de AND en >= es THEN 'en'
+           WHEN de >= es THEN 'de'
+           ELSE 'es' END AS pred_lang,
+      (CASE WHEN en >= de AND en >= es THEN 'en'
+            WHEN de >= es THEN 'de'
+            ELSE 'es' END) = lang AS label_match
+    FROM scores
+    """,
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-token scoring (the n-gram-profile shape
+    distilled to its engine skeleton): argmax over per-language marker
+    hits, deterministic tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id("text")
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("label_match"),
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 10),
+    scored AS MATERIALIZED (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(q.q_vec::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, n_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline): 10 query
+    vectors broadcast against the corpus; exact, deterministic tie-break
+    by neighbor id.  The corpus side never shuffles — rank reduction
+    partitions by query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.3) over a vec_id%10
+    sample — the verify-stage primitive behind LSH-bucketed dedup."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return similarity.near_dup_pairs(emb, 0.3)
+
+
+@query("ann_lsh_topk")  # planes are numpy-seeded → not SQL-expressible
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets: candidates only from
+    matching sign-buckets, then exact cosine rank.  Recall vs brute force
+    is asserted in tests/test_similarity.py; rows-only check here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_lsh(emb, queries, dim=64, k=5)
+
+
+@query(
+    "binary_meta",
+    oracle="""
+    SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      ascii(substr(text, 1, 1)) AS first_byte,
+      octet_length(encode(text)) % 640 AS fake_width,
+      (ascii(substr(text, 1, 1)) * 4) % 480 AS fake_height
+    FROM documents
+    """,
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text → binary payload column → Arrow-batched
+    mapInPandas 'decode' (deterministic fake; real codecs plug into
+    functions/multimodal.decode_stub).  Exercises the schema, batch
+    iteration and partitioning of the media path end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs)
+    out = multimodal.fake_decode_meta(payload)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.col("first_byte").cast("int").alias("first_byte"),
+        F.col("fake_width").cast("int").alias("fake_width"),
+        F.col("fake_height").cast("int").alias("fake_height"),
+    )
