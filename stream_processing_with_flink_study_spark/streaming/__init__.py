@@ -1,0 +1,45 @@
+"""Structured Streaming surface: sources (S4-S7), streaming twins of
+the batch queries, stateful process functions (P1-P7), sinks (O1-O8),
+and the AvailableNow equivalence runner (SURVEY.md §5.3)."""
+
+from .pipelines import (
+    basic_pipeline_stream,
+    rolling_sum_stream,
+    run_available_now,
+    windowed_avg_stream,
+)
+from .sinks import (
+    IdempotentKeyedUpsert,
+    console_sink,
+    foreach_batch_sink,
+    kafka_sink,
+    parquet_sink,
+    two_phase_commit_writer,
+)
+from .sources import file_stream, kafka_stream, memory_batches_stream
+from .stateful import (
+    count_window_sum,
+    dedup_first,
+    keyed_rolling_reduce,
+    temp_delta_alerts,
+)
+
+__all__ = [
+    "IdempotentKeyedUpsert",
+    "basic_pipeline_stream",
+    "console_sink",
+    "count_window_sum",
+    "dedup_first",
+    "file_stream",
+    "foreach_batch_sink",
+    "kafka_sink",
+    "kafka_stream",
+    "keyed_rolling_reduce",
+    "memory_batches_stream",
+    "parquet_sink",
+    "rolling_sum_stream",
+    "run_available_now",
+    "temp_delta_alerts",
+    "two_phase_commit_writer",
+    "windowed_avg_stream",
+]

@@ -1,0 +1,97 @@
+"""Streaming twins of the headline batch queries + the AvailableNow
+runner used by the streaming–batch equivalence tests (SURVEY.md §5.3:
+Structured Streaming's core invariant replaces Flink's "event time ⇒
+deterministic results", ``정리/4주차.md:8-9``).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_available_now(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with
+    ``Trigger.AvailableNow`` (PROCESS_ONCE semantics) into a memory sink
+    and return the sink table as a bounded DataFrame.
+
+    The memory sink is the engine's test oracle boundary: what it holds
+    after termination is exactly the stream's emitted output, so
+    ``run_available_now(streaming_twin) == batch_query`` is the
+    equivalence contract.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def windowed_avg_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    value: str = "amount",
+    size: str = "5 seconds",
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Flagship streaming twin (``AverageSensorReadings.java:67-76``):
+    watermarked keyed tumbling-window average.  State: one accumulator
+    per (key, window), evicted when the watermark passes window end —
+    the same fire-and-purge lifecycle as ``정리/4주차.md:293-297``.
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, size), key)
+        .agg(
+            F.avg(value).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("w_start"),
+            F.unix_millis(F.col("window.end")).alias("w_end"),
+            key,
+            F.round("avg_value", 4).alias("avg_value"),
+            "n",
+        )
+    )
+
+
+def rolling_sum_stream(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Rolling per-key sum (K2, ``RollingSum.java:39``), streaming form:
+    ``groupBy(keys).sum`` in **update** output mode emits a refreshed
+    running total per key per micro-batch — Flink's per-record emission
+    micro-batched; the final value is identical (SURVEY §7.3 gap 1).
+    Run with ``output_mode="update"``; the last row per key is the
+    rolling result.
+    """
+    return df.groupBy(*keys).agg(
+        F.sum(value).alias("rolling_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def basic_pipeline_stream(readings: DataFrame) -> DataFrame:
+    """Streaming form of BasicTransformations (filter ≥25 °F→°C map →
+    id-split flatMap; ``BasicTransformations.java:47-81``) — fully
+    stateless, so append mode and a 1:1 match with the batch twin."""
+    return (
+        readings.filter(F.col("temperature") >= 25.0)
+        .withColumn("celsius", F.round((F.col("temperature") - 32.0) * 5.0 / 9.0, 4))
+        .select(
+            F.explode(F.split(F.col("id"), "_")).alias("token"),
+            "ts",
+            "celsius",
+        )
+    )

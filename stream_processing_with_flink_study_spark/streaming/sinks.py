@@ -1,0 +1,144 @@
+"""Streaming sinks (SURVEY.md §2.8 O1-O8).
+
+Built-ins cover O1-O3 (console / kafka / file — Spark's file sink
+already stage-then-commits a manifest per micro-batch, subsuming the
+reference's WAL sink O7 and two-phase part-file commit O3,
+``정리/6주차.md:122-147, 287-332``).  This module adds the two patterns
+that need engine code:
+
+- :class:`IdempotentKeyedUpsert` — O6 exactly-once-by-rerun: a
+  ``foreachBatch`` MERGE keyed on (deterministic key, batchId), readable
+  merge-on-read.  Reprocessing a batch overwrites the same files.
+- :func:`two_phase_commit_writer` — O8 (``정리/6주차.md:334-401``):
+  write to a staging dir at pre-commit, atomic-rename to the final dir
+  at commit, mirroring the reference's TwoPhaseCommitSinkFunction file
+  sink (its commit is the same rename, ``정리/6주차.md:380-387``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def console_sink(sdf: DataFrame, output_mode: str = "append", **options):
+    """O1 print() (``BasicTransformations.java:81``)."""
+    return sdf.writeStream.format("console").outputMode(output_mode).options(**options)
+
+
+def parquet_sink(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+):
+    """O3 streaming file sink: exactly-once via per-batch manifest commit;
+    ``maxRecordsPerFile`` ≈ the reference's 128 MB/60 s rolling policy
+    (``정리/6주차.md:143-144``)."""
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    return w
+
+
+def kafka_sink(sdf: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str):
+    """O2 Kafka producer sink (at-least-once; ``정리/6주차.md:56-93``).
+    Expects ``key``/``value`` string or binary columns."""
+    return (
+        sdf.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+class IdempotentKeyedUpsert:
+    """O6 idempotent keyed upsert over a parquet directory.
+
+    ``writer`` appends each micro-batch under ``batch=<id>`` using an
+    overwrite of that batch's own directory — re-running a failed batch
+    replaces its previous partial output (deterministic key + overwrite
+    target = the reference's idempotency conditions,
+    ``정리/6주차.md:276-279``).  ``read`` resolves upserts
+    merge-on-read: latest (batch, event-time) wins per key — an O(1)
+    window rank, no driver-side merge loop, so reads scale with
+    executors not with history length.
+    """
+
+    def __init__(self, path: str, key_cols: list[str], ts_col: str):
+        self.path = path
+        self.key_cols = key_cols
+        self.ts_col = ts_col
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(self.path, f"batch={batch_id}")
+                )
+            )
+
+        return write
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.option("basePath", self.path).parquet(
+            os.path.join(self.path, "batch=*")
+        )
+        rank = F.row_number().over(
+            Window.partitionBy(*self.key_cols).orderBy(
+                F.col("batch").desc(), F.col(self.ts_col).desc()
+            )
+        )
+        return df.withColumn("_rn", rank).filter("_rn = 1").drop("_rn", "batch")
+
+
+def two_phase_commit_writer(
+    final_dir: str, staging_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """O8 transactional file sink: stage the micro-batch's files under
+    ``staging_dir/batch-<id>`` (pre-commit), then atomically rename into
+    ``final_dir`` (commit).  A batch re-run after a crash between the
+    two steps finds the final dir present and skips — readers only ever
+    see fully committed batches."""
+    os.makedirs(final_dir, exist_ok=True)
+    os.makedirs(staging_dir, exist_ok=True)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(final_dir, f"batch-{batch_id}")
+        if os.path.exists(final):  # already committed: idempotent skip
+            return
+        stage = os.path.join(staging_dir, f"batch-{batch_id}")
+        if os.path.exists(stage):  # crashed pre-commit: retry cleanly
+            shutil.rmtree(stage)
+        batch_df.write.mode("overwrite").parquet(stage)
+        os.rename(stage, final)  # the commit (atomic on one filesystem)
+
+    return write
+
+
+def foreach_batch_sink(
+    sdf: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """O5/O6/O8 carrier: ``foreachBatch`` with checkpointed batch ids —
+    the engine's SinkFunction.invoke() surface (``정리/6주차.md:245-274``);
+    exactly-once end-to-end when ``fn`` is idempotent or transactional."""
+    return (
+        sdf.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+    )

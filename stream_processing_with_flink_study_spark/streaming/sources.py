@@ -1,0 +1,108 @@
+"""Streaming sources (SURVEY.md §2.1 S4, S5, S7 — the unbounded half).
+
+Spark's file source is inherently PROCESS_CONTINUOUSLY
+(``정리/6주차.md:95-120``); ``Trigger.AvailableNow`` is the
+PROCESS_ONCE twin.  Kafka options mirror the reference's consumer
+start-position modes (``정리/6주차.md:50-54``); offsets live in the
+Spark checkpoint, matching Flink's checkpoint-not-Kafka-commit behavior
+(``정리/6주차.md:47``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Monitor ``path`` for new files (``env.readFile`` with
+    PROCESS_CONTINUOUSLY, ``정리/6주차.md:101-120``).  Streaming file
+    sources require an explicit schema — no inference race at runtime.
+
+    ``max_files_per_trigger`` is the backpressure knob (≈ Flink
+    credit-based flow control for this source, ``정리/2주차.md:70-83``)
+    and, under ``Trigger.AvailableNow``, the micro-batch slicer the
+    equivalence/late-data tests use to replay history in stages.
+    """
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    value_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Kafka source (S4, ``정리/6주차.md:33-54``): subscribes ``topics``,
+    start position per ``starting_offsets`` (``earliest``/``latest``/a
+    JSON offset map — the reference's start-mode menu at
+    ``정리/6주차.md:50-54``).  ``value_schema`` applies a JSON
+    deserialization schema to the message value (≈ Flink's
+    ``DeserializationSchema``).  Requires the spark-sql-kafka package on
+    the classpath at submit time.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    df = reader.load()
+    if value_schema is None:
+        return df
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "timestamp",
+    ).select("key", "v.*", "timestamp")
+
+
+def memory_batches_stream(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    path: str,
+    schema: T.StructType | None = None,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Bounded replay source: write each batch DataFrame as one parquet
+    file under ``path`` (named so lexicographic order = batch order),
+    then stream them back ``files_per_trigger`` at a time.  The engine's
+    ``env.fromElements`` streaming twin — used by the equivalence and
+    late-data tests to control micro-batch boundaries deterministically.
+    """
+    for i, b in enumerate(batches):
+        d = f"{path}/b{i:05d}"
+        b.coalesce(1).write.mode("append").parquet(d)
+        # the file source replays oldest-mtime-first: pin mtimes so batch
+        # order is deterministic even when writes land in the same tick
+        for root, _, files in os.walk(d):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_600_000_000 + i, 1_600_000_000 + i))
+    first = schema or batches[0].schema
+    return file_stream(
+        spark,
+        f"{path}/b*",
+        schema=first,
+        max_files_per_trigger=files_per_trigger,
+    )

@@ -1,0 +1,231 @@
+"""Streaming–batch equivalence (SURVEY.md §5.3) + sink-pattern tests.
+
+Each streaming twin replayed with ``Trigger.AvailableNow`` over the
+events table (split into two micro-batches so state genuinely crosses a
+batch boundary) must equal its oracle-checked batch query.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark import streaming as S
+from stream_processing_with_flink_study_spark.plans import QUERIES
+from stream_processing_with_flink_study_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    p = df.toPandas() if not isinstance(df, pd.DataFrame) else df
+    p = p[sorted(p.columns)]
+    return p.sort_values(list(p.columns), ignore_index=True)
+
+
+def assert_df_equal(a, b) -> None:
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(a), _sorted_pdf(b), check_dtype=False, check_exact=False, rtol=1e-9
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_SMALL, "events").cache()
+
+
+@pytest.fixture()
+def two_batch_stream(spark, events, tmp_path):
+    """events split at the median ts into two replayed micro-batches."""
+    mid = events.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    b0 = events.filter(F.col("ts") <= F.lit(mid))
+    b1 = events.filter(F.col("ts") > F.lit(mid))
+    return S.memory_batches_stream(
+        spark, [b0, b1], str(tmp_path / "src"), files_per_trigger=1
+    )
+
+
+def test_windowed_avg_equivalence(spark, events, two_batch_stream, tmp_path):
+    sdf = S.windowed_avg_stream(
+        two_batch_stream, ts="ts", key="user_id", value="value",
+        size="1 hour", watermark="1 minute",
+    )
+    got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
+    want = (
+        events.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis("window.start").alias("w_start"),
+            F.unix_millis("window.end").alias("w_end"),
+            "user_id",
+            F.round("avg_value", 4).alias("avg_value"),
+            "n",
+        )
+    )
+    assert_df_equal(got, want)
+
+
+def test_basic_pipeline_stateless_append(spark, events, two_batch_stream, tmp_path):
+    readings = two_batch_stream.select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("id"),
+        "ts",
+        F.col("value").alias("temperature"),
+    )
+    got = S.run_available_now(
+        S.basic_pipeline_stream(readings), str(tmp_path / "ck"), "append"
+    )
+    want = S.basic_pipeline_stream(
+        events.select(
+            F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("id"),
+            "ts",
+            F.col("value").alias("temperature"),
+        )
+    )
+    assert_df_equal(got, want)
+
+
+def test_temp_delta_alerts_equivalence(spark, events, two_batch_stream, tmp_path):
+    keyed = two_batch_stream.withColumn("id", F.col("user_id").cast("string"))
+    got = S.run_available_now(
+        S.temp_delta_alerts(
+            keyed, key="id", ts="ts", value="value", threshold=50.0,
+            order_by=["ts", "event_id"],
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    want = QUERIES["temp_delta_alert"](spark, SF_SMALL).select(
+        F.col("user_id").cast("string").alias("id"),
+        "ts_ms",
+        "value",
+        F.col("diff").alias("delta"),
+    )
+    assert_df_equal(got, want)
+
+
+def test_dedup_first_equivalence(spark, events, two_batch_stream, tmp_path):
+    keyed = two_batch_stream.select(
+        F.col("user_id").cast("string").alias("user_id"), "event_type", "ts"
+    )
+    got = S.run_available_now(
+        S.dedup_first(keyed, ["user_id", "event_type"], ts="ts"),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    want = QUERIES["dedup_first_event"](spark, SF_SMALL).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+        "first_ts_ms",
+    )
+    assert_df_equal(got, want)
+
+
+def test_count_window_sum_complete_buckets(spark, events, two_batch_stream, tmp_path):
+    keyed = two_batch_stream.withColumn("id", F.col("user_id").cast("string"))
+    got = S.run_available_now(
+        S.count_window_sum(keyed, key="id", ts="ts", value="value", n=10),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    want = (
+        events.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("window_idx", (F.col("rn") / 10).cast("long"))
+        .groupBy(F.col("user_id").cast("string").alias("id"), "window_idx")
+        .agg(F.round(F.sum("value"), 4).alias("win_sum"), F.count(F.lit(1)).alias("win_n"))
+        .filter(F.col("win_n") == 10)
+    )
+    # ties on ts within a key may order differently between the streaming
+    # handler and row_number — compare bucket counts and totals per key
+    g, wnt = _sorted_pdf(got), _sorted_pdf(want)
+    assert list(g["id"]) == list(wnt["id"])
+    assert list(g["window_idx"]) == list(wnt["window_idx"])
+    assert g["win_sum"].sum() == pytest.approx(wnt["win_sum"].sum(), rel=1e-9)
+
+
+def test_keyed_rolling_reduce_final_state(spark, events, two_batch_stream, tmp_path):
+    keyed = two_batch_stream.withColumn("id", F.col("user_id").cast("string"))
+    got = S.run_available_now(
+        S.keyed_rolling_reduce(keyed, key="id", ts="ts", value="value"),
+        str(tmp_path / "ck"),
+        "update",
+    )
+    # update mode re-emits on change: the max emission per key = final state
+    final = got.groupBy("id").agg(F.max("max_value").alias("max_value"))
+    want = events.groupBy(F.col("user_id").cast("string").alias("id")).agg(
+        F.max("value").alias("max_value")
+    )
+    assert_df_equal(final, want)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """W7/W8: a row arriving below the watermark must not change its
+    (already finalized) window — ``정리/1주차.md:174-192`` semantics."""
+    from datetime import datetime, timezone
+
+    t = lambda h, m, s: datetime(2024, 1, 1, h, m, s, tzinfo=timezone.utc)
+    mk = lambda rows: spark.createDataFrame(rows, "id string, ts timestamp, v double")
+    b0 = mk([("a", t(0, 0, 1), 1.0), ("a", t(1, 0, 0), 2.0)])
+    b1 = mk([("a", t(1, 0, 1), 3.0)])  # advances the filter's watermark
+    late = mk([("a", t(0, 0, 2), 100.0)])  # < watermark once b1 commits
+    # NB: the input-side late filter uses the PREVIOUS batch's watermark
+    # (one batch behind state eviction), hence the b1 spacer batch
+    sdf = S.memory_batches_stream(spark, [b0, b1, late], str(tmp_path / "src"))
+    agg = (
+        sdf.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "5 seconds"), "id")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("window.start").alias("w"), "id", "s", "n")
+    )
+    got = S.run_available_now(agg, str(tmp_path / "ck"), "append").toPandas()
+    first = got[got.w == 1704067200000]
+    assert len(first) == 1 and first.iloc[0].n == 1 and first.iloc[0].s == 1.0
+
+
+def test_two_phase_commit_sink(spark, tmp_path):
+    final, staging = str(tmp_path / "final"), str(tmp_path / "stage")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    b0, b1 = mk([("a", 1), ("b", 2)]), mk([("a", 3)])
+    sdf = S.memory_batches_stream(spark, [b0, b1], str(tmp_path / "src"))
+    writer = S.two_phase_commit_writer(final, staging)
+    q = S.foreach_batch_sink(sdf, writer, str(tmp_path / "ck")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    committed = sorted(os.listdir(final))
+    assert committed == ["batch-0", "batch-1"]
+    assert os.listdir(staging) == []  # nothing left pre-commit
+    total = spark.read.parquet(f"{final}/batch-*")
+    assert total.count() == 3
+    # idempotent re-run of an already-committed batch: no-op
+    writer(b1, 1)
+    assert spark.read.parquet(f"{final}/batch-*").count() == 3
+
+
+def test_idempotent_keyed_upsert(spark, tmp_path):
+    sink = S.IdempotentKeyedUpsert(str(tmp_path / "up"), ["k"], "ts")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, ts long, v double")
+    w = sink.writer()
+    w(mk([("a", 1, 10.0), ("b", 1, 20.0)]), 0)
+    w(mk([("a", 2, 11.0)]), 1)
+    got = {r.k: r.v for r in sink.read(spark).collect()}
+    assert got == {"a": 11.0, "b": 20.0}
+    w(mk([("a", 2, 11.0)]), 1)  # re-run same batch: unchanged
+    assert {r.k: r.v for r in sink.read(spark).collect()} == got
+
+
+def test_generator_streams_build(spark):
+    from stream_processing_with_flink_study_spark.sources import (
+        sensor_readings_stream,
+        smoke_level_stream,
+    )
+
+    sensors = sensor_readings_stream(spark)
+    smoke = smoke_level_stream(spark)
+    assert sensors.isStreaming and smoke.isStreaming
+    assert [f.name for f in sensors.schema.fields] == ["id", "ts", "temperature"]
+    assert [f.name for f in smoke.schema.fields] == ["ts", "level"]
