@@ -19,10 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, word_shingles
+from .text import fingerprint, tokens, word_shingles
 
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4  # 4 rows per band with 16 perms
+CHUNKS_PER_MD5 = 4  # one 128-bit md5 yields four 32-bit (8-hex) hashes
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -39,42 +40,70 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
+    """Distinct (id, shingle) pairs — the inverted-index input.
+
+    Tokenizes in its own projection so the shingling lambda sees a bound
+    array attribute (see the perf note on :func:`..functions.text.word_shingles`)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        toks.select(
+            F.col(id_col), F.explode(word_shingles(F.col("_toks"), n)).alias("shingle")
+        )
         .distinct()
     )
 
 
 def minhash_signatures(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     num_perm: int = DEFAULT_NUM_PERM,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: permutation s is simulated by
-    ``min(md5(s || '|' || shingle))`` over the doc's distinct shingles —
-    md5 keeps it engine-portable and string-min is a plain aggregate, so
-    all ``num_perm`` mins compute in ONE groupBy pass (single shuffle)."""
-    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    """MinHash signature per document.
+
+    Permutation ``s`` is simulated by ``min`` over the doc's distinct
+    shingles of an 8-hex-char slice of a salted md5: slice ``s % 4`` of
+    ``md5((s // 4) || '|' || shingle)`` — one 128-bit md5 funds four
+    independent 32-bit permutations, so 16 perms cost 4 md5 calls per
+    shingle, not 16.  The md5s are projected once BEFORE the groupBy
+    (no per-aggregate rehash) and all mins compute in ONE pass (single
+    shuffle).  Pass ``shingles`` to reuse an already-built
+    (id, shingle) set instead of re-exploding the corpus.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text_col, id_col, shingle_n)
+    )
+    n_salts = (num_perm + CHUNKS_PER_MD5 - 1) // CHUNKS_PER_MD5
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_salts)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(
+            F.substring(
+                F.col(f"h{s // CHUNKS_PER_MD5}"), (s % CHUNKS_PER_MD5) * 8 + 1, 8
+            )
+        ).alias(f"mh{s}")
         for s in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     signatures: DataFrame,
     id_col: str,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature; docs sharing any
-    band hash become a candidate pair.  The self-join key is
-    (band_idx, band_hash) — cardinality ~docs×bands, never pairwise.
-    Output: (id_a, id_b) distinct with id_a < id_b."""
+    """Band-hash each signature: one row per (doc, band) with the band's
+    combined hash — the LSH bucket assignment.  Output: (id, band_idx, h)."""
     rows = num_perm // bands
     band_cols = [
         F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
@@ -83,7 +112,7 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = signatures.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -94,6 +123,25 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band_idx", "bh.h")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame | None = None,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become a candidate pair.
+    The self-join key is (band_idx, band_hash) — cardinality ~docs×bands,
+    never pairwise.  Pass ``buckets`` (from :func:`lsh_band_buckets`) to
+    reuse an existing bucket assignment within one plan.
+    Output: (id_a, id_b) distinct with id_a < id_b."""
+    stacked = (
+        buckets
+        if buckets is not None
+        else lsh_band_buckets(signatures, id_col, num_perm, bands)
+    )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -111,17 +159,50 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_docs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Docs appearing in any bucket shared with another doc — exactly the
+    docs that occur in some candidate pair, derived WITHOUT the pair
+    join: count distinct docs per bucket, keep buckets with ≥2.  One agg
+    over the bucket rows; used to pre-filter the verify stage."""
+    hot = (
+        buckets.groupBy("band_idx", "h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("band_idx", "h")
+    )
+    return (
+        buckets.join(F.broadcast(hot), ["band_idx", "h"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
+    candidate_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: self-join distinct
     (id, shingle) on shingle, count the intersection, derive the union
-    from per-doc sizes.  With ``candidates`` given (e.g. from LSH), the
-    join is semi-filtered to candidate pairs first — the verify stage.
+    from per-doc sizes.  With LSH outputs given, the shingle set is
+    semi-joined down to ``candidate_docs`` BEFORE the pairwise join —
+    the whole point of LSH is that the verify stage never touches
+    non-candidate docs — and the resulting pairs are inner-filtered to
+    exactly the ``candidates`` pairs.  Derive ``candidate_docs`` via
+    :func:`lsh_candidate_docs` (an agg, not the pair join) so each LSH
+    stage has a single consumer and the whole dedup is ONE Spark plan.
     Output: (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    if candidate_docs is not None:
+        shingles = shingles.join(F.broadcast(candidate_docs), id_col, "left_semi")
+    elif candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("sa")
     b = shingles.alias("sb")
@@ -138,7 +219,7 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+        common = common.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     # no broadcast hint: `common` (surviving pairs) is usually the small

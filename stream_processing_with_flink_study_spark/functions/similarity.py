@@ -17,8 +17,11 @@ wide vectors.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -119,21 +122,34 @@ def lsh_sign_buckets(
     concatenated signs of ``n_planes`` fixed plane dot products.
     Output has one row per (input row, table): columns ``table``,
     ``bucket``.  OR-amplification across tables is what buys recall —
-    collision prob for angle θ is 1 - (1 - (1-θ/π)^planes)^tables."""
-    bit_cols = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + t * 1000)
-        bits = [
-            F.when(
-                dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, "1"
-            ).otherwise("0")
-            for p in planes
-        ]
-        bit_cols.append(
-            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
-        )
-    return df.withColumn("tb", F.explode(F.array(*bit_cols))).select(
-        *df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    collision prob for angle θ is 1 - (1 - (1-θ/π)^planes)^tables.
+
+    All tables' signs come from ONE Arrow-batched numpy matmul
+    ``(batch, dim) @ (dim, tables*planes)`` inside a pandas UDF — the
+    plane matrix is a closure constant shipped to executors once; the
+    per-element higher-order-function form costs ~100× more on wide
+    vectors."""
+    planes_all = np.concatenate(
+        [hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
+    )  # (tables*planes, dim)
+
+    @pandas_udf(ArrayType(StringType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (mat @ planes_all.T) >= 0  # (n, tables*planes)
+        chars = np.where(signs, "1", "0")
+        per_table = []
+        for t in range(n_tables):
+            seg = chars[:, t * n_planes : (t + 1) * n_planes]
+            joined = seg[:, 0]
+            for j in range(1, n_planes):
+                joined = np.char.add(joined, seg[:, j])
+            per_table.append(joined)
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    return df.select(
+        *df.columns,
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
 
 
@@ -151,21 +167,37 @@ def ann_topk_lsh(
     with the query (OR-amplified multi-table LSH), then exact cosine rank
     within candidates.  Cost ~ corpus×tables bucket rows instead of
     |Q|×|C| products; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    The multi-table dedup runs on bare (q_id, n_id) pairs — never
+    shuffle the vectors through a distinct; they re-attach afterwards
+    (queries broadcast, corpus joined on id)."""
     qb = lsh_sign_buckets(
         queries, dim, n_planes, n_tables, vec_col=vec_col
-    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "table", "bucket")
+    ).select(F.col(id_col).alias("q_id"), "table", "bucket")
     cb = lsh_sign_buckets(
         corpus, dim, n_planes, n_tables, vec_col=vec_col
-    ).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "table", "bucket")
+    ).select(F.col(id_col).alias("n_id"), "table", "bucket")
     cand = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_vec", "n_vec")
+        .select("q_id", "n_id")
         .distinct()  # collapse multi-table collisions before scoring
     )
-    scored = cand.select(
-        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+    scored = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+            "n_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+                )
+            ),
+            "q_id",
+        )
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (

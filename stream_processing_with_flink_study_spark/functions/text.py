@@ -38,9 +38,16 @@ def bpe_ish_count(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> — the unit of MinHash /
-    Jaccard dedup.  Pure array expression: slice+concat_ws over a
-    sequence, no explode until the caller decides to."""
-    t = tokens(col)
+    Jaccard dedup.
+
+    PERFORMANCE: pass a column that is ALREADY a materialized token
+    array (project :func:`tokens` first).  A raw-text column works but
+    re-tokenizes per shingle position — lambda bodies in Catalyst
+    higher-order functions re-evaluate outer non-attribute expressions
+    on every element, turning O(tokens) into O(tokens·|text|).
+    :func:`..functions.dedup.doc_shingles` does the two-step projection.
+    """
+    t = col if isinstance(col, Column) else F.col(col)
     seq = F.sequence(F.lit(1), F.size(t) - (n - 1))
     shingled = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     # guard: sequence(1, x) with x < 1 DESCENDS ([1,0,...]) instead of
@@ -109,20 +116,22 @@ def simhash32(col: Column | str) -> Column:
 
     Bit i is the sign of sum over tokens of ±1, where a token votes +1
     iff hex digit i of md5(token) has its top nibble bit set (digit >=
-    '8').  Pure per-row array aggregation — no explode, no shuffle; the
-    oracle reproduces it bit-for-bit via the same md5 digits.
+    '8').  Single pass: md5 once per token (via transform), then ONE
+    array-accumulator aggregate carries all 32 vote counters — not 32
+    separate aggregates each re-hashing every token.  Pure per-row
+    expression — no explode, no shuffle; the oracle reproduces it
+    bit-for-bit via the same md5 digits.
     """
-    t = tokens(col)
-
-    def _vote(i: int):
-        # closure factory: pyspark counts lambda params, so a default-arg
-        # capture (lambda acc, x, i=i) would mis-declare a 3-arg merge fn
-        return lambda acc, x: acc + F.when(
-            F.substring(F.md5(x), i, 1) >= "8", 1
-        ).otherwise(-1)
-
-    bits = [
-        F.when(F.aggregate(t, F.lit(0), _vote(i)) > 0, "1").otherwise("0")
-        for i in range(1, 33)
-    ]
-    return F.concat(*bits)
+    hashes = F.transform(tokens(col), lambda x: F.md5(x))
+    token_votes = lambda h: F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: F.when(F.substring(h, i, F.lit(1)) >= "8", 1).otherwise(-1),
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(acc, token_votes(h), lambda a, v: a + v),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), ""
+    )

@@ -62,8 +62,11 @@ _NEAR_DUP_CORPUS_SQL = """
   )
 """
 
+_CHUNKS = dedup.CHUNKS_PER_MD5
 _MINHASH_AGGS_SQL = ",\n      ".join(
-    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(NUM_PERM)
+    f"min(substr(md5('{s // _CHUNKS}|' || shingle), {(s % _CHUNKS) * 8 + 1}, 8))"
+    f" AS mh{s}"
+    for s in range(NUM_PERM)
 )
 _BAND_UNION_SQL = "\n    UNION ALL\n".join(
     "    SELECT doc_id, {b} AS band_idx, md5({cols}) AS h FROM sig".format(
@@ -148,10 +151,19 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation joins on (band, hash) — never pairwise; the
     exact Jaccard verify touches candidate pairs only."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    sh = dedup.doc_shingles(corpus, "text", "doc_id")
-    sig = dedup.minhash_signatures(corpus, "text", "doc_id")
-    cands = dedup.lsh_candidate_pairs(sig, "doc_id")
-    return dedup.jaccard_pairs(sh, "doc_id", 0.5, candidates=cands)
+    # the shingle set and the bucket assignment each feed 3+ downstream
+    # branches; without materialization the lineage re-expands in every
+    # branch (40+ duplicate scans, no exchange reuse across the broadcast
+    # subtrees).  Eager persist (memory-and-disk, spills at scale) before
+    # fan-out keeps the whole dedup at one scan + one shuffle per stage.
+    sh = dedup.doc_shingles(corpus, "text", "doc_id").persist()
+    sh.count()
+    sig = dedup.minhash_signatures(None, "text", "doc_id", shingles=sh)
+    buckets = dedup.lsh_band_buckets(sig, "doc_id").persist()
+    buckets.count()
+    cands = dedup.lsh_candidate_pairs(buckets=buckets, id_col="doc_id")
+    docs = dedup.lsh_candidate_docs(buckets, "doc_id")
+    return dedup.jaccard_pairs(sh, "doc_id", 0.5, candidates=cands, candidate_docs=docs)
 
 
 @query(
