@@ -11,5 +11,6 @@ from . import queries_joins  # noqa: E402,F401
 from . import queries_stateful  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_ext  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

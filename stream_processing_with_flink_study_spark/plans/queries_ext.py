@@ -1,0 +1,295 @@
+"""Coverage extensions for the remaining SURVEY.md §2 rows: side
+outputs (P3/M7), async-lookup enrichment (P10), custom UDAF (K7),
+holistic window function (K8), trigger-style emission (W6), batch set
+ops (M1 family), and two more TPC-H-shaped queries (q10/q14 analogues
+on the driver's schema).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "side_output_route",
+    oracle="""
+    SELECT CASE WHEN value > 80 THEN 'high'
+                WHEN value < 20 THEN 'low'
+                ELSE 'mid' END AS route,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def side_output_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 side outputs / M7 split-select (``정리/4주차.md:127-140``,
+    ``정리/3주차.md:82-84``): one operator routing each record to a
+    tagged output.  Batch form: a single-pass CASE tag + groupBy (the N
+    filtered branches share one scan); the streaming form is N filtered
+    writers off one stream (operators.core docs).  Summarized per route
+    so the oracle pins every branch's content."""
+    events = load_table(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("value") > 80, "high")
+        .when(F.col("value") < 20, "low")
+        .otherwise("mid")
+    )
+    return (
+        events.withColumn("route", route)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "async_lookup_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id % 150 = c.c_custkey % 150
+                   AND c.c_custkey <= 150
+    GROUP BY 1
+    """,
+)
+def async_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 async I/O (``정리/6주차.md:403-418``): per-record external
+    lookups become a broadcast join against the (small) lookup table —
+    the Spark-native answer to AsyncFunction; no per-row RPCs, the dim
+    ships to every executor once.  Keyed on a mod-150 surrogate so every
+    scale factor hits the same dimension slice."""
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select(
+            (F.col("c_custkey") % 150).alias("k"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.withColumn("k", F.col("user_id") % 150)
+        .join(F.broadcast(dim), "k")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 4)
+             AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 AggregateFunction / custom UDAC (``정리/4주차.md:201-226``):
+    quantity-weighted average discount as a grouped-agg pandas UDF —
+    the acc-based UDAF contract (add/merge/getResult) rides Arrow
+    batches; Spark still does partial aggregation per partition before
+    the shuffle of the (tiny) per-group frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def wavg(d: pd.Series, q: pd.Series) -> float:
+        return float((d * q).sum() / q.sum())
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_discount", "l_quantity"), 4).alias("wavg_discount")
+    )
+
+
+@query(
+    "holistic_window_median",
+    oracle="""
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+           event_type,
+           round(median(value), 4) AS median_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def holistic_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 ProcessWindowFunction (``정리/4주차.md:228-271``,
+    ``AverageSensorReadings.java:88-113``): a holistic aggregate that
+    needs the window's full element set — median via ``applyInPandas``
+    over (window, key) groups, the engine's buffer-all-then-evaluate
+    path.  Interpolated median matches DuckDB's ``median`` exactly.
+    Day windows: holistic groups should be FEW AND FAT — per-group
+    Python/Arrow overhead amortizes over group size, and a holistic fn
+    on thousands of 3-row groups is the wrong tool anyway."""
+    events = load_table(spark, sf_dir, "events")
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start_ms": [int(pdf["window_start_ms"].iloc[0])],
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [round(float(pdf["value"].median()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    bucketed = events.select(
+        ((F.unix_millis("ts") / 86_400_000).cast("long") * 86_400_000).alias(
+            "window_start_ms"
+        ),
+        "event_type",
+        "value",
+    )
+    return bucketed.groupBy("window_start_ms", "event_type").applyInPandas(
+        median_fn,
+        "window_start_ms long, event_type string, median_value double, n long",
+    )
+
+
+@query(
+    "global_window_every_n",
+    oracle="""
+    SELECT user_id, rn AS n_events, run_sum
+    FROM (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             round(sum(value) OVER w, 4) AS run_sum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE rn % 25 = 0
+    """,
+)
+def global_window_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 global window + count Trigger (``정리/4주차.md:286-311``):
+    all of a key's events form one window and a custom trigger FIREs
+    every 25 elements without purging.  Batch twin: running aggregates
+    filtered to every 25th row — emission points and emitted state match
+    the trigger semantics exactly."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.round(F.sum("value").over(w), 4).alias("run_sum"),
+        )
+        .filter(F.col("rn") % 25 == 0)
+        .select("user_id", F.col("rn").alias("n_events"), "run_sum")
+    )
+
+
+@query(
+    "set_ops_users",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 50
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'click' AND value > 50
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+    )
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1's batch set-op family (union covered by union_streams):
+    INTERSECT / EXCEPT over per-type key sets — big-ticket purchasers
+    who also clicked big but never hit a severe error.  Three pruned
+    scans of one table; Catalyst plans the set ops as left-semi /
+    left-anti hash joins."""
+    events = load_table(spark, sf_dir, "events")
+    by = lambda t, v: (
+        events.filter((F.col("event_type") == t) & (F.col("value") > v)).select(
+            "user_id"
+        )
+    )
+    return (
+        by("purchase", 50)
+        .intersect(by("click", 50))
+        .exceptAll(by("error", 90).distinct())
+        .distinct()
+    )
+
+
+@query(
+    "tpch_q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: revenue lost to returned items per customer.
+    lineitem⋈orders shuffles on orderkey (the two big tables); customer
+    and nation broadcast.  The returnflag filter pushes into the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: promo revenue share — conditional aggregation
+    over a broadcast lineitem⋈part join collapsing to one row (partial
+    aggs do almost all the work map-side; the final exchange moves two
+    doubles per partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
