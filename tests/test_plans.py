@@ -1,0 +1,93 @@
+"""Plan-quality gates: pushdown, pruning, broadcast and Python-path
+assertions on key queries — the properties that decide whether a plan
+survives a 100× scale-up, checked statically so regressions fail fast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stream_processing_with_flink_study_spark import plans
+
+from .conftest import SF_SMALL
+
+
+def fplan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark):
+    def get(name: str) -> str:
+        return fplan(plans.QUERIES[name](spark, SF_SMALL))
+
+    return get
+
+
+def test_filter_pushdown_reaches_scan(plan_of):
+    """tpch_q6's date/discount/quantity filters must appear in
+    PushedFilters, not only in a post-scan Filter node."""
+    plan = plan_of("tpch_q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning_reaches_scan(plan_of):
+    """token_stats projects 2 of documents' columns — the scan schema
+    must not include the rest (lang, url, ...)."""
+    plan = plan_of("token_stats")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_small_dims_broadcast(plan_of):
+    """tpch_q10: customer and nation join as broadcasts; only the
+    lineitem⋈orders join may shuffle."""
+    plan = plan_of("tpch_q10_returned_revenue")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+
+
+def test_lookup_join_is_broadcast_not_shuffle(plan_of):
+    """async_lookup_enrich: the dim lookup must not shuffle the events
+    side — broadcast join, no SortMergeJoin anywhere."""
+    plan = plan_of("async_lookup_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_row_at_a_time_python(spark):
+    """No query may plan BatchEvalPython (row-at-a-time Python UDF) —
+    Python stages must be Arrow-vectorized (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas)."""
+    offenders = []
+    for name in sorted(plans.QUERIES):
+        plan = fplan(plans.QUERIES[name](spark, SF_SMALL))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_stateless_pipelines_have_no_shuffle(plan_of):
+    """basic_pipeline (filter/map/flatMap) is narrow-only: zero
+    exchanges — whole pipeline fuses into one codegen stage."""
+    plan = plan_of("basic_pipeline")
+    assert "Exchange" not in plan
+    # formatted mode marks codegen stages with '*' + "[codegen id : N]"
+    assert "codegen id" in plan
+
+
+def test_flagship_single_shuffle(plan_of):
+    """The flagship windowed agg shuffles exactly once (partial agg
+    map-side, final agg post-exchange) — Flink's one keyBy exchange."""
+    plan = plan_of("flagship_window_avg")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_avg" in plan or "partial_average" in plan.lower()
