@@ -4,9 +4,15 @@ and the AvailableNow equivalence runner (SURVEY.md §5.3)."""
 
 from .pipelines import (
     basic_pipeline_stream,
+    interval_join_stream,
     rolling_sum_stream,
     run_available_now,
     windowed_avg_stream,
+)
+from .process import (
+    count_window_sum_tws,
+    rocksdb_conf,
+    running_max,
 )
 from .sinks import (
     IdempotentKeyedUpsert,
@@ -29,16 +35,20 @@ __all__ = [
     "basic_pipeline_stream",
     "console_sink",
     "count_window_sum",
+    "count_window_sum_tws",
     "dedup_first",
     "file_stream",
     "foreach_batch_sink",
+    "interval_join_stream",
     "kafka_sink",
     "kafka_stream",
     "keyed_rolling_reduce",
     "memory_batches_stream",
     "parquet_sink",
+    "rocksdb_conf",
     "rolling_sum_stream",
     "run_available_now",
+    "running_max",
     "temp_delta_alerts",
     "two_phase_commit_writer",
     "windowed_avg_stream",

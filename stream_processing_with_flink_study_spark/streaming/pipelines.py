@@ -82,6 +82,33 @@ def rolling_sum_stream(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    ts_left: str,
+    ts_right: str,
+    lower: str,
+    upper: str,
+    watermark: str = "10 seconds",
+    key_right: str | None = None,
+) -> DataFrame:
+    """M5 stream–stream interval join (``정리/4주차.md:313-323``): same
+    key and ``right.ts ∈ [left.ts + lower, left.ts + upper]``.  Both
+    sides carry watermarks and the range condition bounds join state —
+    rows older than (watermark − |lower|) evict, exactly Flink's
+    interval-join state lifecycle."""
+    key_right = key_right or key_left
+    lw = left.withWatermark(ts_left, watermark)
+    rw = right.withWatermark(ts_right, watermark)
+    cond = (
+        (lw[key_left] == rw[key_right])
+        & (rw[ts_right] >= lw[ts_left] + F.expr(f"INTERVAL {lower}"))
+        & (rw[ts_right] <= lw[ts_left] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def basic_pipeline_stream(readings: DataFrame) -> DataFrame:
     """Streaming form of BasicTransformations (filter ≥25 °F→°C map →
     id-split flatMap; ``BasicTransformations.java:47-81``) — fully

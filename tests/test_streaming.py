@@ -229,3 +229,107 @@ def test_generator_streams_build(spark):
     assert sensors.isStreaming and smoke.isStreaming
     assert [f.name for f in sensors.schema.fields] == ["id", "ts", "temperature"]
     assert [f.name for f in smoke.schema.fields] == ["ts", "level"]
+
+
+def test_interval_join_stream_equivalence(spark, events, tmp_path):
+    """M5 streaming: purchases joined to errors within [-5m, +5m] per
+    user — final emitted matches equal the batch band join."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    sp = S.memory_batches_stream(spark, [purchases], str(tmp_path / "p"))
+    se = S.memory_batches_stream(spark, [errors], str(tmp_path / "e"))
+    joined = S.interval_join_stream(
+        sp, se, "user_id", "p_ts", "e_ts", "-5 minutes", "5 minutes",
+        watermark="1 minute", key_right="e_user",
+    ).select("user_id", "p_ts", "e_ts", "p_value")
+    got = S.run_available_now(joined, str(tmp_path / "ck"), "append")
+    want = purchases.join(
+        errors,
+        (purchases.user_id == errors.e_user)
+        & (errors.e_ts >= purchases.p_ts - F.expr("INTERVAL 5 minutes"))
+        & (errors.e_ts <= purchases.p_ts + F.expr("INTERVAL 5 minutes")),
+    ).select("user_id", "p_ts", "e_ts", "p_value")
+    assert_df_equal(got, want)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# transformWithStateInPandas spawns a Python driver worker that needs
+# google.protobuf (state-server protocol); absent in this container.
+# The applyInPandasWithState operators above cover the same semantics.
+tws = pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState needs google.protobuf"
+)
+
+
+@pytest.fixture()
+def rocksdb(spark):
+    """transformWithStateInPandas needs the RocksDB state store; restore
+    the default provider afterwards so other tests keep HDFS-backed."""
+    from stream_processing_with_flink_study_spark.streaming.process import (
+        ROCKSDB_PROVIDER,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+@tws
+def test_transform_with_state_running_max(spark, events, two_batch_stream, tmp_path, rocksdb):
+    keyed = two_batch_stream.select(
+        F.col("user_id").cast("string").alias("id"), "ts", "value"
+    )
+    got = S.run_available_now(
+        S.running_max(keyed, "id", "value"), str(tmp_path / "ck"), "update"
+    )
+    final = got.groupBy("key").agg(F.max("max_value").alias("max_value"))
+    want = events.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.max("value").alias("max_value")
+    )
+    assert_df_equal(final, want)
+
+
+@tws
+def test_transform_with_state_count_window(spark, events, two_batch_stream, tmp_path, rocksdb):
+    keyed = two_batch_stream.select(
+        F.col("user_id").cast("string").alias("id"), "ts", "value"
+    )
+    got = S.run_available_now(
+        S.count_window_sum_tws(keyed, "id", "ts", "value", n=10),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    # bucket totals per key must match the applyInPandasWithState form's
+    # invariants: every bucket full, per-key totals = sum of first
+    # 10*floor(n/10) values by (ts) order
+    agg = got.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("win_n").alias("rows_covered")
+    )
+    per_key = {r.key: (r.n_buckets, r.rows_covered) for r in agg.collect()}
+    counts = {
+        str(r.user_id): r.c
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for k, c in counts.items():
+        expect_buckets = c // 10
+        if expect_buckets:
+            assert per_key[k] == (expect_buckets, expect_buckets * 10)
+        else:
+            assert k not in per_key
