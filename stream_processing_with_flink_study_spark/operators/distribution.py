@@ -46,3 +46,58 @@ def partition_by_key(df: DataFrame, *cols: str | Column, n: int | None = None) -
 def partition_by_range(df: DataFrame, *cols: str | Column, n: int | None = None) -> DataFrame:
     """D6 range form — sorted/partition-pruned output layouts."""
     return df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
+
+
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe two-stage aggregation: salt the key with a random
+    bucket, pre-aggregate per (key, salt), then merge per key.
+
+    A hot key that would pin one reducer is spread over
+    ``salt_buckets`` partial aggregates; the merge stage handles
+    ``salt_buckets`` rows per key regardless of skew.  Only algebraic
+    aggregates decompose this way — ``aggs`` maps output name →
+    (fn, column) with fn ∈ sum/count/min/max (count merges as sum).
+    AQE's skew-join handling covers the join-side analogue; this is the
+    groupBy-side tool for when a single key dominates (e.g. one URL at
+    30% of a 100 TB crawl).
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{name}: non-algebraic agg {fn!r} cannot be salted")
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[_PARTIAL[fn](c).alias(name) for name, (fn, c) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_MERGE[fn](name).alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """D6's durable form: persist a table hash-bucketed (and optionally
+    sorted) by key so later equi-joins/aggs on that key need NO exchange
+    — the co-located-join layout for fact tables that join repeatedly
+    (lineitem⋈orders at 100 TB amortizes its shuffle exactly once, at
+    write time).  Catalyst proves co-partitioning from catalog metadata;
+    see tests/test_distribution.py for the shuffle-free join assertion.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -61,3 +61,58 @@ def test_broadcast_hint_plans_broadcast_join(spark):
         D.broadcast_hint(dim), events.user_id == dim.c_custkey
     )
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    got = D.salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "total": ("sum", "value"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+        },
+        salt_buckets=8,
+    )
+    want = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    g = {r.event_type: (r.n, round(r.total, 6), r.lo, r.hi) for r in got.collect()}
+    w = {r.event_type: (r.n, round(r.total, 6), r.lo, r.hi) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    import pytest as _pytest
+
+    events = load_table(spark, SF_SMALL, "events")
+    with _pytest.raises(ValueError):
+        D.salted_agg(events, ["event_type"], {"m": ("median", "value")})
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan contains no
+    Exchange — bucketing replaces the runtime shuffle."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    D.bucketed_write(li, "li_b", ["l_orderkey"], 4)
+    D.bucketed_write(orders, "ord_b", ["o_orderkey"], 4)
+    try:
+        # disable broadcast so the join must prove co-partitioning (at
+        # real scale neither side would broadcast anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("li_b"), spark.table("ord_b")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
