@@ -16,7 +16,7 @@ sensor; we reproduce its distribution with a deterministic hash-seeded
 walk: step k for sensor s uses ``randn``-like values derived from
 ``xxhash64(s, k)``, summed over a bounded trailing horizon.  Exact
 per-step state is available via the stateful operators
-(:mod:`..operators.stateful`) when required; the batch twin for all
+(:mod:`..streaming.stateful`) when required; the batch twin for all
 correctness checks is the driver's ``events`` table (FIXTURES.md §1).
 """
 

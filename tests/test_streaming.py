@@ -333,3 +333,31 @@ def test_transform_with_state_count_window(spark, events, two_batch_stream, tmp_
             assert per_key[k] == (expect_buckets, expect_buckets * 10)
         else:
             assert k not in per_key
+
+
+def test_session_window_stream_equivalence(spark, events, two_batch_stream, tmp_path):
+    """W4 streaming session windows (complete mode) equal the batch
+    session_window aggregation on the same data."""
+    sdf = (
+        two_batch_stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .select(
+            F.unix_millis("session_window.start").alias("w_start"),
+            "user_id",
+            "n",
+            "s",
+        )
+    )
+    got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
+    want = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .select(
+            F.unix_millis("session_window.start").alias("w_start"),
+            "user_id",
+            "n",
+            "s",
+        )
+    )
+    assert_df_equal(got, want)
