@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import core, keyed
 from ..schemas import TUPLE3_INT
@@ -97,7 +98,11 @@ def rolling_sum_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key's first record's values (Flink field-mixing semantics).
     Expected: (1,2,2),(2,3,1),(2,5,1),(1,7,2)."""
     rows = [(1, 2, 2, 1), (2, 3, 1, 2), (2, 2, 4, 3), (1, 5, 3, 4)]
-    schema = TUPLE3_INT.add("seq", "integer", False)
+    # StructType.add MUTATES the receiver — build a copy, or every call
+    # appends another field to the shared module-level schema
+    schema = T.StructType(
+        [*TUPLE3_INT.fields, T.StructField("seq", T.IntegerType(), False)]
+    )
     df = from_elements(spark, rows, schema)
     rolled = keyed.rolling_sum_flink(df, "f0", "f1", ["seq"])
     return rolled.select("f0", F.col("f1").cast("long").alias("f1"), "f2")

@@ -184,10 +184,19 @@ def late_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     — scaled to the events table's minute-level cadence).  The 1-row
     watermark aggregate re-joins via broadcast, not a driver collect."""
     events = load_table(spark, sf_dir, "events")
-    on_time, late = windows.split_late(events, "ts", 3600.0)
-    branch = lambda df, tag: df.groupBy().agg(  # noqa: E731
-        F.lit(tag).alias("branch"),
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
+    with_wm = windows.with_bounded_watermark(events, "ts", 3600.0)
+    # one pass: tag the branch instead of materializing two filtered
+    # pipelines (halves scans and exchanges; the two-DataFrame form for
+    # true side-output routing is operators.windows.split_late)
+    branch = F.when(
+        F.col("ts").cast("double") >= F.col("wm"), "on_time"
+    ).otherwise("late")
+    return (
+        with_wm.withColumn("branch", branch)
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("branch", "n", "n_users")
     )
-    return branch(on_time, "on_time").unionByName(branch(late, "late"))
