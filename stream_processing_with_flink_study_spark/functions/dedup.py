@@ -39,18 +39,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input.
+def doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs — the inverted-index input; distinct by
+    default (required for exact Jaccard counts).
+
+    ``distinct=False`` skips the corpus-wide shuffle of shingle strings —
+    correct whenever the consumer is duplicate-insensitive (MinHash
+    ``min``), which at 100 TB turns the signature stage's only big
+    exchange into a map-side-combined (doc, partial-mins) shuffle.
 
     Tokenizes in its own projection so the shingling lambda sees a bound
     array attribute (see the perf note on :func:`..functions.text.word_shingles`)."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    return (
-        toks.select(
-            F.col(id_col), F.explode(word_shingles(F.col("_toks"), n)).alias("shingle")
-        )
-        .distinct()
+    out = toks.select(
+        F.col(id_col), F.explode(word_shingles(F.col("_toks"), n)).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -71,11 +77,16 @@ def minhash_signatures(
     (no per-aggregate rehash) and all mins compute in ONE pass (single
     shuffle).  Pass ``shingles`` to reuse an already-built
     (id, shingle) set instead of re-exploding the corpus.
+
+    When building its own shingles it skips the distinct — ``min`` is
+    duplicate-insensitive, and with no distinct the groupBy's map-side
+    partial aggregation means the only exchange carries one partial
+    signature per (doc, partition), not the shingle strings themselves.
     """
     sh = (
         shingles
         if shingles is not None
-        else doc_shingles(df, text_col, id_col, shingle_n)
+        else doc_shingles(df, text_col, id_col, shingle_n, distinct=False)
     )
     n_salts = (num_perm + CHUNKS_PER_MD5 - 1) // CHUNKS_PER_MD5
     hashed = sh.select(
@@ -183,6 +194,7 @@ def jaccard_pairs(
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
     candidate_docs: DataFrame | None = None,
+    prefiltered: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: self-join distinct
     (id, shingle) on shingle, count the intersection, derive the union
@@ -193,8 +205,12 @@ def jaccard_pairs(
     exactly the ``candidates`` pairs.  Derive ``candidate_docs`` via
     :func:`lsh_candidate_docs` (an agg, not the pair join) so each LSH
     stage has a single consumer and the whole dedup is ONE Spark plan.
+    ``prefiltered=True`` says the caller already restricted ``shingles``
+    to candidate docs — skip the semi-join, keep the pair filter.
     Output: (id_a, id_b, n_common, n_a, n_b, jaccard)."""
-    if candidate_docs is not None:
+    if prefiltered:
+        pass
+    elif candidate_docs is not None:
         shingles = shingles.join(F.broadcast(candidate_docs), id_col, "left_semi")
     elif candidates is not None:
         cand_ids = (

@@ -184,11 +184,12 @@ def ann_topk_lsh(
         .select("q_id", "n_id")
         .distinct()  # collapse multi-table collisions before scoring
     )
+    # corpus is the big side: join it TO the (tiny, |Q|-bounded) candidate
+    # set with a broadcast, so the corpus vectors never shuffle — without
+    # the hint this was a full hash exchange of every embedding
     scored = (
-        cand.join(
-            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
-            "n_id",
-        )
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        .join(F.broadcast(cand), "n_id")
         .join(
             F.broadcast(
                 queries.select(

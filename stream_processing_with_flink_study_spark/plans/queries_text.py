@@ -147,23 +147,31 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 4 LSH bands → band-bucket self-join → exact-Jaccard verify ≥ 0.5)
     over the planted near-dup corpus.
 
-    Scale shape: signatures are ONE groupBy over exploded shingles;
-    candidate generation joins on (band, hash) — never pairwise; the
-    exact Jaccard verify touches candidate pairs only."""
+    Scale shape: the signature stage explodes shingles WITHOUT a
+    distinct, so its groupBy's map-side partial aggregation makes the
+    only corpus-wide exchange one partial signature per (doc, partition)
+    — the shingle strings themselves never shuffle; candidate generation
+    joins (band, hash) keys only — never pairwise; the distinct-shingle
+    inverted index for the exact-Jaccard verify is built from candidate
+    docs alone, so the expensive distinct + self-join never see the ~95%
+    of the corpus LSH already cleared."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    # the shingle set and the bucket assignment each feed 3+ downstream
-    # branches; without materialization the lineage re-expands in every
-    # branch (40+ duplicate scans, no exchange reuse across the broadcast
-    # subtrees).  Eager persist (memory-and-disk, spills at scale) before
-    # fan-out keeps the whole dedup at one scan + one shuffle per stage.
-    sh = dedup.doc_shingles(corpus, "text", "doc_id").persist()
-    sh.count()
-    sig = dedup.minhash_signatures(None, "text", "doc_id", shingles=sh)
+    sig = dedup.minhash_signatures(corpus, "text", "doc_id")
+    # buckets fan out to three consumers (pair join ×2, hot-bucket agg);
+    # eager persist pins the signature job so the branches reuse it
+    # instead of re-expanding lineage (4 rows/doc — tiny to cache)
     buckets = dedup.lsh_band_buckets(sig, "doc_id").persist()
     buckets.count()
     cands = dedup.lsh_candidate_pairs(buckets=buckets, id_col="doc_id")
     docs = dedup.lsh_candidate_docs(buckets, "doc_id")
-    return dedup.jaccard_pairs(sh, "doc_id", 0.5, candidates=cands, candidate_docs=docs)
+    # the candidate shingle set feeds three consumers inside jaccard_pairs
+    # (self-join ×2 + sizes) — persist it or the semi-join + explode +
+    # distinct lineage re-runs per consumer
+    sh = dedup.doc_shingles(
+        corpus.join(F.broadcast(docs), "doc_id", "left_semi"), "text", "doc_id"
+    ).persist()
+    sh.count()
+    return dedup.jaccard_pairs(sh, "doc_id", 0.5, candidates=cands, prefiltered=True)
 
 
 @query(

@@ -70,12 +70,13 @@ def main() -> None:
     t["corpus_build"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    sh = dedup.doc_shingles(corpus, "text", "doc_id").persist()
-    n_shingles = sh.count()
+    n_shingles = dedup.doc_shingles(
+        corpus, "text", "doc_id", distinct=False
+    ).count()
     t["shingles"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    sig = dedup.minhash_signatures(None, "text", "doc_id", shingles=sh)
+    sig = dedup.minhash_signatures(corpus, "text", "doc_id")
     buckets = dedup.lsh_band_buckets(sig, "doc_id").persist()
     buckets.count()
     t["signatures_buckets"] = round(time.perf_counter() - t0, 2)
@@ -83,8 +84,11 @@ def main() -> None:
     t0 = time.perf_counter()
     cands = dedup.lsh_candidate_pairs(buckets=buckets, id_col="doc_id")
     docs = dedup.lsh_candidate_docs(buckets, "doc_id")
+    sh = dedup.doc_shingles(
+        corpus.join(F.broadcast(docs), "doc_id", "left_semi"), "text", "doc_id"
+    )
     pairs = dedup.jaccard_pairs(
-        sh, "doc_id", 0.5, candidates=cands, candidate_docs=docs
+        sh, "doc_id", 0.5, candidates=cands, prefiltered=True
     )
     n_pairs = pairs.count()
     t["candidates_verify"] = round(time.perf_counter() - t0, 2)
