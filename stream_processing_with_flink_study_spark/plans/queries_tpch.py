@@ -205,6 +205,273 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_priority_semi",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): order counts by priority
+    for orders with at least one returned line.  The semi join shuffles
+    only the two key columns (lineitem projected to l_orderkey before the
+    exchange) and emits each order at most once — no dedup stage."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ntz_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ntz_lit("1997-01-01"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery → pre-aggregated
+    self-join): revenue from small-quantity lines of one brand.  The
+    per-part average is computed ONLY over the brand's lines (restricting
+    to a partkey subset cannot change that part's own average), so both
+    passes over lineitem are brand-pruned by the broadcast part filter
+    before any exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li_brand = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    )
+    lim = li_brand.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li_brand.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(lim), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .groupBy()
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           o.o_totalprice, big.sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (IN-subquery on a HAVING aggregate): top customers
+    holding orders above 250 total units.  lineitem aggregates FIRST
+    (map-side partials, one shuffle on l_orderkey); only the ~1% of
+    orders surviving the HAVING join onward, with customer broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ntz_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctive band predicates across
+    both join sides): broadcast-join part, then one OR-of-ANDs filter.
+    Catalyst extracts the common l_quantity bounds (1..30) as a
+    scan-level pushdown even though the full predicate needs both
+    tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        joined.filter(clause)
+        .groupBy()
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT p.p_partkey, p.p_name, l.l_suppkey,
+             l.l_extendedprice / l.l_quantity AS unit_price
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size = 15
+    ), best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY p_partkey ORDER BY unit_price, l_suppkey) AS rn
+      FROM offers
+    )
+    SELECT b.p_partkey, b.p_name, s.s_name,
+           floor(b.unit_price * 10000 + 0.5) / 10000 AS best_unit_price
+    FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE rn = 1
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (per-group argmin over a supply relation): the
+    cheapest supplier per size-15 part, unit price from observed lines.
+    Part prunes via broadcast BEFORE the window, so the rank shuffle only
+    carries the filtered offers; tie-break (unit_price, suppkey) matches
+    the oracle's ORDER BY exactly — IEEE division gives bit-identical
+    doubles in both engines.  The output rounding is the explicit
+    ``floor(x*1e4 + 0.5)/1e4`` formula on BOTH sides: Spark's
+    BigDecimal-exact ``round`` and DuckDB's float ``round`` disagree on
+    half-up boundaries like 26.24125."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000).alias(
+                "best_unit_price"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_cust,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-07-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS → anti join):
+    above-average-balance customers with no recent order.  The global
+    average is a 1-row aggregate broadcast back via crossJoin — never a
+    driver-side collect; the anti join shuffles only (custkey) pairs.
+    The threshold is rounded to 4dp on BOTH sides so engine-specific
+    float summation order can't flip a boundary row."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .groupBy()
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+    recent = o.filter(F.col("o_orderdate") >= ntz_lit("1998-07-01")).select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "top_spenders_per_segment",
     oracle="""
     WITH spend AS (

@@ -76,6 +76,47 @@ def test_no_row_at_a_time_python(spark):
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
 
 
+def test_semi_join_projects_keys_only(plan_of):
+    """tpch_q4: the EXISTS plans as LeftSemi and the lineitem side's
+    scan schema is pruned to the join key + filter column."""
+    plan = plan_of("tpch_q4_priority_semi")
+    assert "LeftSemi" in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_schemas = [s for s in m if "l_orderkey" in s]
+    assert li_schemas and all(
+        {c.split(":")[0] for c in s.split(",")} == {"l_orderkey", "l_returnflag"}
+        for s in li_schemas
+    ), plan
+
+
+def test_q17_both_passes_brand_pruned(plan_of):
+    """tpch_q17: both lineitem passes (limit agg + probe) join the
+    broadcast brand-part filter before any exchange — no SortMergeJoin."""
+    plan = plan_of("tpch_q17_small_qty_revenue")
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+
+
+def test_q2_window_input_is_pruned(plan_of):
+    """tpch_q2: the rank window runs AFTER the broadcast part filter —
+    the window's exchange partitions by p_partkey, no sort-merge join
+    appears, and the rn==1 filter pushes down as WindowGroupLimit
+    (per-partition top-1 BEFORE the exchange, so the shuffle carries one
+    row per (part, map partition))."""
+    plan = plan_of("tpch_q2_min_cost_supplier")
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"hashpartitioning\(p_partkey", plan), plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q22_anti_join_and_no_collect(plan_of):
+    """tpch_q22: NOT EXISTS plans as LeftAnti; the scalar average enters
+    via a broadcast (nested-loop on the 1-row side), not a collect."""
+    plan = plan_of("tpch_q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_stateless_pipelines_have_no_shuffle(plan_of):
     """basic_pipeline (filter/map/flatMap) is narrow-only: zero
     exchanges — whole pipeline fuses into one codegen stage."""
