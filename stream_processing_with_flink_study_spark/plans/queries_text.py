@@ -317,6 +317,50 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_B = 1_000_003
+ROLL_M = 1_000_000_007
+
+
+@query(
+    "rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      len(tokens) AS n_tokens,
+      list_reduce(
+        list_prepend(0, list_transform(tokens,
+          t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT))),
+        (acc, v) -> (acc * {ROLL_B} + v) % {ROLL_M}) AS rolling_hash
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents
+    )
+    """,
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a polynomial rolling hash (Rabin-Karp
+    recurrence ``h = (h·B + v) mod M`` over per-token 32-bit md5 values)
+    — order-sensitive, incrementally updatable (append a token in O(1)),
+    the streaming-friendly twin of the order-insensitive md5
+    ``fingerprint``.  One projection, zero shuffle; the fold stays in
+    64-bit range (M ≈ 2^30, B ≈ 2^20, v < 2^32 → acc·B + v < 2^63)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens("text").alias("_toks"))
+    vals = F.transform(
+        F.col("_toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    rh = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * ROLL_B + v) % ROLL_M,
+    )
+    return toks.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        rh.alias("rolling_hash"),
+    )
+
+
 @query(
     "embedding_cosine_topk",
     oracle="""

@@ -4,6 +4,7 @@ and the AvailableNow equivalence runner (SURVEY.md §5.3)."""
 
 from .pipelines import (
     basic_pipeline_stream,
+    dedup_within_watermark_stream,
     interval_join_stream,
     rolling_sum_stream,
     run_available_now,
@@ -37,6 +38,7 @@ __all__ = [
     "count_window_sum",
     "count_window_sum_tws",
     "dedup_first",
+    "dedup_within_watermark_stream",
     "file_stream",
     "foreach_batch_sink",
     "interval_join_stream",

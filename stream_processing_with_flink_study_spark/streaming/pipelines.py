@@ -82,6 +82,21 @@ def rolling_sum_stream(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     )
 
 
+def dedup_within_watermark_stream(
+    df: DataFrame, keys: list[str], ts: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST row per key and
+    drops later duplicates arriving within the watermark delay; state
+    for a key evicts once the watermark passes its first-seen time +
+    delay.  This is the 100 TB-stream shape of ``exact_dedup_docs`` —
+    per-key state is one timestamp, eviction is automatic, and the only
+    exchange is the hash partition on the dedup keys.  (Contrast
+    ``stateful.dedup_first``, which implements the same semantic
+    manually with applyInPandasWithState TTL state.)"""
+    return df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -186,6 +186,28 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert len(first) == 1 and first.iloc[0].n == 1 and first.iloc[0].s == 1.0
 
 
+def test_dedup_within_watermark_first_wins(spark, tmp_path):
+    """Streaming exact dedup: duplicates of a key arriving later — in
+    the same or a later micro-batch, within the watermark delay — are
+    dropped, and the FIRST row's payload survives."""
+    from datetime import datetime, timezone
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    b0 = mk([("a", t(1), 1.0), ("a", t(2), 99.0), ("b", t(1), 2.0)])
+    b1 = mk([("a", t(3), 98.0), ("b", t(4), 97.0), ("c", t(5), 3.0)])
+    sdf = S.memory_batches_stream(
+        spark, [b0, b1], str(tmp_path / "src"), files_per_trigger=1
+    )
+    out = S.run_available_now(
+        S.dedup_within_watermark_stream(sdf, ["k"], ts="ts", delay="1 hour"),
+        str(tmp_path / "ck"),
+        "append",
+    ).toPandas()
+    got = {(r.k, r.v) for r in out.itertuples()}
+    assert got == {("a", 1.0), ("b", 2.0), ("c", 3.0)}
+
+
 def test_two_phase_commit_sink(spark, tmp_path):
     final, staging = str(tmp_path / "final"), str(tmp_path / "stage")
     mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
