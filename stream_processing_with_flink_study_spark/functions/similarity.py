@@ -162,6 +162,7 @@ def ann_topk_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus rows sharing any (table, bucket)
     with the query (OR-amplified multi-table LSH), then exact cosine rank
@@ -171,13 +172,30 @@ def ann_topk_lsh(
 
     The multi-table dedup runs on bare (q_id, n_id) pairs — never
     shuffle the vectors through a distinct; they re-attach afterwards
-    (queries broadcast, corpus joined on id)."""
-    qb = lsh_sign_buckets(
-        queries, dim, n_planes, n_tables, vec_col=vec_col
-    ).select(F.col(id_col).alias("q_id"), "table", "bucket")
-    cb = lsh_sign_buckets(
-        corpus, dim, n_planes, n_tables, vec_col=vec_col
-    ).select(F.col(id_col).alias("n_id"), "table", "bucket")
+    (queries broadcast, corpus joined on id).
+
+    ``query_filter`` declares the query set as a subset of the corpus
+    (e.g. ``F.col("vec_id") < 10``): bucket signs are then computed in
+    ONE Arrow/numpy pass over the corpus — persisted, since both join
+    sides read it — instead of two Python-worker stages."""
+    if query_filter is not None:
+        cb_all = (
+            lsh_sign_buckets(corpus, dim, n_planes, n_tables, vec_col=vec_col)
+            .select(F.col(id_col).alias("n_id"), "table", "bucket", query_filter.alias("_is_q"))
+            .persist()
+        )
+        cb_all.count()
+        qb = cb_all.filter("_is_q").select(
+            F.col("n_id").alias("q_id"), "table", "bucket"
+        )
+        cb = cb_all.select("n_id", "table", "bucket")
+    else:
+        qb = lsh_sign_buckets(
+            queries, dim, n_planes, n_tables, vec_col=vec_col
+        ).select(F.col(id_col).alias("q_id"), "table", "bucket")
+        cb = lsh_sign_buckets(
+            corpus, dim, n_planes, n_tables, vec_col=vec_col
+        ).select(F.col(id_col).alias("n_id"), "table", "bucket")
     cand = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))

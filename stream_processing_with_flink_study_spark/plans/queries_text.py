@@ -415,7 +415,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_similarity.py; rows-only check here."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_topk_lsh(emb, queries, dim=64, k=5)
+    return similarity.ann_topk_lsh(
+        emb, queries, dim=64, k=5, query_filter=F.col("vec_id") < 10
+    )
 
 
 @query(

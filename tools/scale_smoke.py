@@ -66,6 +66,10 @@ def main() -> None:
 
     t = {}
     t0 = time.perf_counter()
+    # persist: the salted-union corpus build stands in for a parquet
+    # table; without it every downstream consumer replays the 2×mult
+    # union + md5-salt projection instead of a table scan
+    corpus = corpus.persist()
     n_docs = corpus.count()
     t["corpus_build"] = round(time.perf_counter() - t0, 2)
 
@@ -84,9 +88,12 @@ def main() -> None:
     t0 = time.perf_counter()
     cands = dedup.lsh_candidate_pairs(buckets=buckets, id_col="doc_id")
     docs = dedup.lsh_candidate_docs(buckets, "doc_id")
+    # persisted like the registered query: jaccard_pairs reads the
+    # candidate shingle set three times (self-join ×2 + sizes)
     sh = dedup.doc_shingles(
         corpus.join(F.broadcast(docs), "doc_id", "left_semi"), "text", "doc_id"
-    )
+    ).persist()
+    sh.count()
     pairs = dedup.jaccard_pairs(
         sh, "doc_id", 0.5, candidates=cands, prefiltered=True
     )
