@@ -317,6 +317,44 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           length(substr(text, i*256 + 1, 64)) AS frame_len,
+           md5(substr(text, i*256 + 1, 64)) AS frame_md5
+    FROM documents, UNNEST(generate_series(0, 3)) t(i)
+    WHERE i = 0 OR i*256 < length(text)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: payload → one row per sampled 64-byte
+    'frame' at 256-byte stride (≤4 frames) via a 1→N mapInPandas —
+    the keyframe-extraction plumbing shape.  The DuckDB oracle slices
+    the text by CHARACTER offset, which equals the Spark side's BYTE
+    offset because the corpus is pure ASCII (asserted over all SFs);
+    cross-validates the Python batch loop against declarative SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.with_binary_payload(docs))
+
+
+@query(
+    "media_resize_crop",
+    oracle="""
+    SELECT doc_id, length(substr(text, 1, 4096)) AS n_bytes_out,
+           md5(substr(text, 1, 4096)) AS crop_md5
+    FROM documents
+    """,
+)
+def media_resize_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (deterministic crop stand-in):
+    binary-in/binary-out pandas batch transform, cropped payload leaving
+    as (length, md5).  Same ASCII char==byte offset note as
+    media_frame_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.crop_resize(multimodal.with_binary_payload(docs))
+
+
 ROLL_B = 1_000_003
 ROLL_M = 1_000_000_007
 

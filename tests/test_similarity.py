@@ -28,6 +28,35 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"LSH recall below OR-amplified expectation: {recall}"
 
 
+def test_byte_histogram_features_match_numpy_and_feed_topk(spark):
+    """Multimodal feature extraction: the Arrow-batched histogram UDF
+    matches a pure-numpy reference, and its array<double> output plugs
+    directly into the similarity stack (brute-force top-k runs on it)."""
+    import numpy as np
+
+    from stream_processing_with_flink_study_spark.functions import multimodal
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    feat = multimodal.byte_histogram_features(
+        multimodal.with_binary_payload(docs)
+    ).select("doc_id", "features")
+    rows = {r.doc_id: r.features for r in feat.collect()}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert rows.keys() == raw.keys()
+    for doc_id, text in raw.items():
+        arr = np.frombuffer(text.encode(), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(float)
+        want = hist / hist.sum() if arr.size else hist
+        assert np.allclose(rows[doc_id], want), doc_id
+
+    queries = feat.filter(F.col("doc_id") < 5)
+    topk = similarity.brute_force_topk(
+        feat, queries, k=3, id_col="doc_id", vec_col="features"
+    ).collect()
+    assert len(topk) == 5 * 3
+    assert all(-1.0001 <= r.cosine_sim <= 1.0001 for r in topk)
+
+
 def test_lsh_candidates_superset_of_high_jaccard(spark):
     # LSH with 4 bands x 4 rows at jaccard>=0.8 collides with prob
     # 1-(1-0.8^4)^4 ≈ 0.87; planted near-dups here have jaccard ≈ 0.95+
