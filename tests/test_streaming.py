@@ -186,6 +186,46 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert len(first) == 1 and first.iloc[0].n == 1 and first.iloc[0].s == 1.0
 
 
+def test_checkpoint_restart_resumes_offsets(spark, tmp_path):
+    """Savepoint-restore analogue (SURVEY §7.2 step 8,
+    ``정리/2주차.md:185-194``): a SECOND query started from the same
+    checkpoint processes only files that arrived after the first run —
+    committed offsets survive the restart and nothing replays (the
+    parquet sink's manifest keeps the output exactly-once)."""
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+
+    def write_batch(df, i):
+        d = f"{src}/b{i:05d}"
+        df.coalesce(1).write.mode("append").parquet(d)
+        for root, _, files in os.walk(d):
+            for f_ in files:
+                os.utime(
+                    os.path.join(root, f_),
+                    (1_600_000_000 + i, 1_600_000_000 + i),
+                )
+
+    b0 = mk([("a", 1), ("b", 2)])
+    write_batch(b0, 0)
+
+    def run_once():
+        q = (
+            S.file_stream(spark, f"{src}/b*", schema=b0.schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+
+    assert run_once() == {("a", 1), ("b", 2)}
+    write_batch(mk([("c", 3)]), 1)
+    # same checkpoint, new query: only b1 is new; b0 must not duplicate
+    assert run_once() == {("a", 1), ("b", 2), ("c", 3)}
+
+
 def test_dedup_within_watermark_first_wins(spark, tmp_path):
     """Streaming exact dedup: duplicates of a key arriving later — in
     the same or a later micro-batch, within the watermark delay — are
