@@ -82,6 +82,33 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key with a random bucket
+    and replicate the small side once per bucket, so a hot key's rows
+    spread over ``salt_buckets`` reducers instead of pinning one.
+
+    The price is writing the small side ``salt_buckets`` × through the
+    shuffle — worth it exactly when the small side is too large to
+    broadcast outright but small relative to the skewed fact (the
+    gap AQE's skew-split also targets; this is the explicit form for
+    when runtime stats aren't available, e.g. first contact with a
+    100 TB crawl keyed by URL host).  Join column set must be a single
+    equi-key; the salt columns never leave the join."""
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
+
+
 def bucketed_write(
     df: DataFrame,
     table: str,

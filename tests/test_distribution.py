@@ -87,6 +87,23 @@ def test_salted_agg_matches_plain_groupby(spark):
     assert g == w
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Skewed fact ⋈ dim through salting must equal the plain join —
+    including duplicate-key multiplicity on both sides."""
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    dim = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    got = D.salted_join(events, dim, "user_id", salt_buckets=8).toPandas()
+    want = events.join(dim, "user_id").toPandas()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols, ignore_index=True)
+    want = want[cols].sort_values(cols, ignore_index=True)
+    assert got.equals(want)
+
+
 def test_salted_agg_rejects_non_algebraic(spark):
     import pytest as _pytest
 

