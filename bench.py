@@ -4,6 +4,10 @@ scale factor and print ONE JSON line.
     SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[] threads (default 32)
     BENCH_QUERIES       comma-separated subset (default: all registered)
+    BENCH_REPEATS       runs per query, median reported (default 1 — the
+                        driver's single-pass mode; use 3+ locally to
+                        separate plan cost from codegen/JIT compile and
+                        host-load noise)
 
 The headline ``value`` is the summed wall-clock of all queries (sec);
 per-query seconds are in ``queries``.  Each query is fully materialized
@@ -48,11 +52,16 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer cache
     plans.QUERIES["flagship_window_avg"](spark, sf_dir).collect()
 
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        plans.QUERIES[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            plans.QUERIES[name](spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        per_query[name] = round(times[len(times) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

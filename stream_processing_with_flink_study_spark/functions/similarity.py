@@ -103,6 +103,58 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH buckets — the 100 TB path behind
+    :func:`near_dup_pairs`'s O(n²) band: candidates only from shared
+    (table, bucket) sign-keys (cardinality corpus×tables, never
+    pairwise), then exact cosine ≥ threshold on candidates.
+
+    Recall is the OR-amplified collision probability — for true
+    near-dups (cosine ≥ 0.9, θ ≤ 26°) it is ≈ 1-(1-0.857^planes)^tables
+    ≈ 0.998 at 4×8; asserted against planted duplicates in
+    tests/test_similarity.py.  The bucket rows persist because the
+    self-join reads them twice.
+    Output: (id_a, id_b, cosine_sim)."""
+    b = (
+        lsh_sign_buckets(corpus, dim, n_planes, n_tables, seed, vec_col)
+        .select(F.col(id_col).alias("_id"), "table", "bucket")
+        .persist()
+    )
+    b.count()
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (seeded Gaussian) — shipped as a
     broadcast literal, identical on every executor and across runs."""

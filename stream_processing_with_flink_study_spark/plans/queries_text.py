@@ -446,6 +446,28 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(emb, 0.3)
 
 
+@query("embedding_near_dup_lsh")  # planes are numpy-seeded → not SQL-expressible
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: LSH sign-bucket candidates → exact
+    cosine ≥ 0.9, over a corpus with planted near-duplicates (every 10th
+    vector re-appears at vec_id+1M with its tail element doubled —
+    cosine ≈ 0.99+).  Candidate generation never goes pairwise; recall
+    vs the planted truth is asserted in tests/test_similarity.py
+    (rows-only here)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array(F.element_at("embedding", 64) * 2.0),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return similarity.near_dup_pairs_lsh(corpus, 0.9, dim=64)
+
+
 @query("ann_lsh_topk")  # planes are numpy-seeded → not SQL-expressible
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets: candidates only from

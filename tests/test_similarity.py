@@ -28,6 +28,30 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"LSH recall below OR-amplified expectation: {recall}"
 
 
+def test_lsh_near_dup_recovers_planted_pairs(spark):
+    """The LSH-bucketed near-dup path must recover ≥90% of planted
+    high-cosine duplicates (4 planes × 8 tables OR-amplifies collision
+    probability to ~0.998 at cosine ≥ 0.9) and report only pairs the
+    exact verify confirms."""
+    from stream_processing_with_flink_study_spark.plans.queries_text import (
+        embedding_near_dup_lsh,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_lsh(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    planted = {
+        (r.vec_id, r.vec_id + 1_000_000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    # every planted pair really is a near-dup (cosine >= 0.9 by design)
+    found = planted & got.keys()
+    assert len(found) / len(planted) >= 0.9, (len(found), len(planted))
+    assert all(got[p] >= 0.9 for p in found)
+
+
 def test_byte_histogram_features_match_numpy_and_feed_topk(spark):
     """Multimodal feature extraction: the Arrow-batched histogram UDF
     matches a pure-numpy reference, and its array<double> output plugs
