@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -109,8 +109,8 @@ def near_dup_pairs_lsh(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 12,
+    n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs via LSH buckets — the 100 TB path behind
@@ -118,11 +118,15 @@ def near_dup_pairs_lsh(
     (table, bucket) sign-keys (cardinality corpus×tables, never
     pairwise), then exact cosine ≥ threshold on candidates.
 
-    Recall is the OR-amplified collision probability — for true
-    near-dups (cosine ≥ 0.9, θ ≤ 26°) it is ≈ 1-(1-0.857^planes)^tables
-    ≈ 0.998 at 4×8; asserted against planted duplicates in
-    tests/test_similarity.py.  The bucket rows persist because the
-    self-join reads them twice.
+    Plane/table counts trade candidate volume against recall: a RANDOM
+    pair collides per table with ~(1/2)^planes, so 12×16 admits only
+    ~0.4% of all pairs as candidates, while a true near-dup at cosine c
+    (per-plane agree prob 1-θ(c)/π) survives with
+    1-(1-p^planes)^tables — 0.93 at c=0.9, ≥0.995 at c≥0.95; asserted
+    against planted duplicates in tests/test_similarity.py.  The 4×8
+    default that suits top-k ANN admits ~40% of random pairs here —
+    quadratic, unusable for all-pairs.  The bucket rows persist because
+    the self-join reads them twice.
     Output: (id_a, id_b, cosine_sim)."""
     b = (
         lsh_sign_buckets(corpus, dim, n_planes, n_tables, seed, vec_col)
@@ -180,24 +184,20 @@ def lsh_sign_buckets(
     ``(batch, dim) @ (dim, tables*planes)`` inside a pandas UDF — the
     plane matrix is a closure constant shipped to executors once; the
     per-element higher-order-function form costs ~100× more on wide
-    vectors."""
+    vectors.  Buckets are sign-bit-packed ints (plane j → bit j), not
+    strings — a 4-byte join/shuffle key instead of an n_planes-char
+    one."""
     planes_all = np.concatenate(
         [hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
     )  # (tables*planes, dim)
+    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
 
-    @pandas_udf(ArrayType(StringType()))
+    @pandas_udf(ArrayType(IntegerType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
         signs = (mat @ planes_all.T) >= 0  # (n, tables*planes)
-        chars = np.where(signs, "1", "0")
-        per_table = []
-        for t in range(n_tables):
-            seg = chars[:, t * n_planes : (t + 1) * n_planes]
-            joined = seg[:, 0]
-            for j in range(1, n_planes):
-                joined = np.char.add(joined, seg[:, j])
-            per_table.append(joined)
-        return pd.Series(np.stack(per_table, axis=1).tolist())
+        packed = signs.reshape(len(mat), n_tables, n_planes) @ pow2
+        return pd.Series(packed.astype(np.int32).tolist())
 
     return df.select(
         *df.columns,
