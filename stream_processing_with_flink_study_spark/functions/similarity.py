@@ -276,3 +276,118 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+def spherical_centroids(
+    sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means (cosine metric) on an L2-normalized sample —
+    the IVF training step, run driver-side with numpy on a BOUNDED
+    sample (callers cap it; classic IVF trains on a fixed-size sample
+    regardless of corpus scale).  Deterministic: seeded init, fixed
+    iteration count.  Returns (n_cells, dim) unit-norm centroids."""
+    x = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    n_cells = min(n_cells, len(x))
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out: str = "cells",
+) -> DataFrame:
+    """Assign each row its ``nprobe`` nearest IVF cells (array<int>).
+    One Arrow-batched numpy matmul per batch; the centroid matrix is a
+    closure constant shipped to executors once."""
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cmat.T
+        p = min(nprobe, sims.shape[1])
+        if p == 1:
+            top = np.argmax(sims, axis=1).reshape(-1, 1)
+        else:
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series(top.astype(np.int32).tolist())
+
+    return df.withColumn(out, cells(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_mod: int = 4,
+    max_train: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — the second scale path next to
+    :func:`ann_topk_lsh`: partition the corpus into ``n_cells`` Voronoi
+    cells (spherical k-means over a bounded training sample), then score
+    queries only against the ``nprobe`` nearest cells' members.
+
+    Scale shape: the training sample is capped at ``max_train`` rows via
+    deterministic id-filter + sort-limit (TakeOrdered — per-partition
+    heap, no full sort); corpus rows get exactly ONE cell each, so a
+    (query, neighbor) pair arises at most once — no distinct needed,
+    unlike multi-table LSH; the probe join broadcasts the exploded
+    (tiny) query side, so corpus vectors never shuffle.  ``nprobe ==
+    n_cells`` degrades to exact brute force — asserted equal to
+    :func:`brute_force_topk` in tests.
+    Output: (q_id, n_id, cosine_sim, rank)."""
+    sample = np.array(
+        corpus.filter((F.col(id_col) % sample_mod) == 0)
+        .sort(id_col)
+        .limit(max_train)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    centroids = spherical_centroids(sample, n_cells)
+    c = ivf_cells(corpus, centroids, vec_col, nprobe=1).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    q = (
+        ivf_cells(queries, centroids, vec_col, nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )

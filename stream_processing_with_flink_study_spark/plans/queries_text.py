@@ -468,6 +468,18 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_lsh(corpus, 0.9, dim=64)
 
 
+@query("ivf_ann_topk")  # centroids are numpy-kmeans → not SQL-expressible
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF (inverted-file index): spherical-kmeans cells
+    over a bounded training sample, probe the nprobe nearest cells,
+    exact cosine rank within them.  nprobe == n_cells degrades to exact
+    brute force — that equality plus partial-probe recall is asserted
+    in tests/test_similarity.py; rows-only check here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, dim=64, k=5)
+
+
 @query("ann_lsh_topk")  # planes are numpy-seeded → not SQL-expressible
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets: candidates only from

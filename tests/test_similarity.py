@@ -52,6 +52,44 @@ def test_lsh_near_dup_recovers_planted_pairs(spark):
     assert all(got[p] >= 0.9 for p in found)
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with nprobe == n_cells scores every (query, corpus) pair with
+    the same cosine expression and tie-break as brute force, so the
+    result must be IDENTICAL — the exactness anchor for the IVF path."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id, r.rank)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.q_id, r.n_id, r.rank)
+        for r in similarity.ivf_topk(
+            emb, queries, dim=64, k=5, n_cells=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id)
+        for r in similarity.ivf_topk(
+            emb, queries, dim=64, k=5, n_cells=8, nprobe=4
+        ).collect()
+    }
+    assert approx, "IVF returned no candidates"
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells must beat the random-candidate floor
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_byte_histogram_features_match_numpy_and_feed_topk(spark):
     """Multimodal feature extraction: the Arrow-batched histogram UDF
     matches a pure-numpy reference, and its array<double> output plugs
