@@ -87,16 +87,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     cands = dedup.lsh_candidate_pairs(buckets=buckets, id_col="doc_id")
-    docs = dedup.lsh_candidate_docs(buckets, "doc_id")
-    # persisted like the registered query: jaccard_pairs reads the
-    # candidate shingle set three times (self-join ×2 + sizes)
-    sh = dedup.doc_shingles(
-        corpus.join(F.broadcast(docs), "doc_id", "left_semi"), "text", "doc_id"
-    ).persist()
-    sh.count()
-    pairs = dedup.jaccard_pairs(
-        sh, "doc_id", 0.5, candidates=cands, prefiltered=True
-    )
+    # per-pair Arrow verify, mirroring the registered query
+    pairs = dedup.jaccard_verify_pairs(corpus, cands, "text", "doc_id", 0.5)
     n_pairs = pairs.count()
     t["candidates_verify"] = round(time.perf_counter() - t0, 2)
 
