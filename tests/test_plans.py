@@ -132,3 +132,33 @@ def test_flagship_single_shuffle(plan_of):
     plan = plan_of("flagship_window_avg")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_avg" in plan or "partial_average" in plan.lower()
+
+
+def test_q7_dims_broadcast_one_big_join(plan_of):
+    """q7: supplier+nation and customer+nation broadcast; the only
+    shuffle join is lineitem⋈orders."""
+    plan = plan_of("tpch_q7_volume_shipping")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+
+
+def test_q13_left_join_preserved(plan_of):
+    """q13: the priority exclusion lives in the JOIN condition, so the
+    plan must keep the LeftOuter build — an Inner here silently drops
+    zero-order customers."""
+    plan = plan_of("tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q16_anti_join_broadcast(plan_of):
+    """q16: the NOT IN supplier blacklist must be a broadcast left-anti
+    join, never a shuffle."""
+    plan = plan_of("tpch_q16_supplier_cnt")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_q20_semi_join_on_aggregate(plan_of):
+    """q20: the IN-subquery must resolve as a left-semi join against the
+    pre-aggregated (≤ |suppliers|) side."""
+    plan = plan_of("tpch_q20_potential_promotion")
+    assert re.search(r"LeftSemi", plan), plan
