@@ -113,3 +113,71 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", ord_).alias("event_id"),
         F.unix_millis(F.min("ts")).alias("first_ts_ms"),
     )
+
+
+@query(
+    "funnel_conversions",
+    oracle="""
+    SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ts_ms
+    FROM events e
+    WHERE e.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 12 HOUR
+          AND EXISTS (
+            SELECT 1 FROM events v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view'
+              AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 12 HOUR))
+    """,
+)
+def funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence detection (the pattern-matching surface the
+    book introduces conceptually, 정리/1주차.md:22-25): purchases
+    completing a view → click → purchase funnel with each step ≤ 12 h
+    after the previous (sized to the synthetic corpus's per-user density).
+
+    Scale shape: the oracle's nested correlated EXISTS would be two
+    self-joins of events; here each funnel level is a CONDITIONAL
+    RUNNING MAX over one (user, time) sort — level k+1's qualifier is
+    'latest level-k-qualified timestamp within the step window'.  Both
+    Window nodes share partitioning and ordering, so Catalyst plans ONE
+    exchange + ONE sort for the whole pattern, linear in events.
+
+    RANGE frames (not ROWS) make same-timestamp peers visible, matching
+    the EXISTS '<=' semantics exactly; ordering is unix_micros — a
+    seconds-granularity cast would merge distinct instants."""
+    events = load_table(spark, sf_dir, "events")
+    step_us = 12 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("ord"),
+    ).withColumn(
+        "last_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("ord"))).over(w),
+    )
+    lc = lv.withColumn(
+        "last_q_click",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("last_view") >= F.col("ord") - step_us),
+                F.col("ord"),
+            )
+        ).over(w),
+    )
+    return (
+        lc.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("last_q_click") >= F.col("ord") - step_us)
+        )
+        .select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"))
+    )

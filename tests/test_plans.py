@@ -162,3 +162,13 @@ def test_q20_semi_join_on_aggregate(plan_of):
     pre-aggregated (≤ |suppliers|) side."""
     plan = plan_of("tpch_q20_potential_promotion")
     assert re.search(r"LeftSemi", plan), plan
+
+
+def test_funnel_single_sort_single_exchange(plan_of):
+    """funnel_conversions: both window levels share (user, ord)
+    partitioning/ordering — the whole pattern must plan ONE hash
+    exchange and ONE sort, not one per level."""
+    plan = plan_of("funnel_conversions")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
