@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dedup, multimodal, similarity, text
+from ..functions import dedup, multimodal, packing, sampling, similarity, text
 from ..sources import load_table
 from .registry import query
 
@@ -487,3 +487,58 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fake_width").cast("int").alias("fake_width"),
         F.col("fake_height").cast("int").alias("fake_height"),
     )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of documents: membership is a pure
+    function of md5(salt|doc_id) — identical on every run, engine, and
+    partition layout (the reproducibility contract a training pipeline
+    needs for splits and backfills).  Pure per-row filter: no shuffle,
+    no RNG state; the oracle computes the very same hashes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.deterministic_sample(docs, "doc_id", 0.1, salt="s0")
+
+
+@query(
+    "sample_stratified_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '40000000'
+                WHEN 'zh' THEN 'gggggggg'
+                ELSE '80000000' END
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (downsample dominant en to 25%, keep all zh, 50% elsewhere) as a
+    literal CASE over the same per-row hash — one scan, no join, no
+    shuffle; rebalancing a multilingual corpus without losing
+    reproducibility."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 1.0}, "doc_id",
+        salt="s0", default_fraction=0.5,
+    )
+
+
+@query("pack_token_budget")  # greedy FFD packing is not SQL-expressible
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents greedily packed into
+    512-token bins, first-fit-decreasing within hash partitions (pack
+    ids offset by partition — globally unique without coordination).
+    Row count == document count (each doc lands in exactly one pack);
+    budget/coverage invariants asserted in tests/test_training_ops.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    return packing.pack_sequences(docs, "n_tokens", budget=512)

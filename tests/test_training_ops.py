@@ -1,0 +1,78 @@
+"""Deterministic sampling, sequence packing, and file-format sources."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark.functions import packing, sampling
+from stream_processing_with_flink_study_spark.sources import load_table, read_file
+
+from .conftest import SF_SMALL
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_deterministic_sample_is_reproducible_and_sized(spark):
+    docs = load_table(spark, SF_MID, "documents").select("doc_id")
+    s1 = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2, "same key+salt must give the identical sample"
+    n = docs.count()
+    assert 0.2 <= len(s1) / n <= 0.4, f"rate {len(s1)/n} far from 0.3"
+    # a different salt draws an independent sample, not the same rows
+    s3 = {
+        r.doc_id
+        for r in sampling.deterministic_sample(docs, "doc_id", 0.3, salt="other").collect()
+    }
+    assert s3 != s1
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    docs = load_table(spark, SF_MID, "documents").select("doc_id", "lang")
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 1.0}, "doc_id", default_fraction=0.5
+    )
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] == base["zh"], "fraction 1.0 must keep every row"
+    assert 0.1 <= got["en"] / base["en"] <= 0.4
+    assert 0.3 <= got["fr"] / base["fr"] <= 0.7
+
+
+def test_packing_covers_every_doc_within_budget(spark):
+    budget = 512
+    docs = load_table(spark, SF_MID, "documents").select(
+        "doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tokens")
+    )
+    packs = packing.pack_sequences(docs, "n_tokens", budget, num_partitions=4)
+    rows = packs.collect()
+    # every doc exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in docs.collect())
+    # no multi-doc pack exceeds the budget; oversized docs ride alone
+    fills: dict[int, list[int]] = {}
+    for r in rows:
+        fills.setdefault(r.pack_id, []).append(r.n_tokens)
+    for toks in fills.values():
+        assert sum(toks) <= budget or len(toks) == 1
+    # FFD on short docs should fill packs well
+    multi = [sum(t) for t in fills.values() if sum(t) <= budget]
+    assert sum(multi) / (len(multi) * budget) >= 0.5
+    stats = packing.pack_stats(packs, budget).collect()[0]
+    assert stats.n_docs == len(rows)
+    assert stats.n_packs == len(fills)
+
+
+def test_read_file_csv_json_round_trip(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).cast("long").alias("dbl")
+    )
+    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", True).csv(csv_dir)
+    df.write.json(json_dir)
+    back_csv = read_file(
+        spark, csv_dir, "csv", schema="id long, dbl long", header=True
+    )
+    back_json = read_file(spark, json_dir, "json", schema="id long, dbl long")
+    expect = {(r.id, r.dbl) for r in df.collect()}
+    assert {(r.id, r.dbl) for r in back_csv.collect()} == expect
+    assert {(r.id, r.dbl) for r in back_json.collect()} == expect
