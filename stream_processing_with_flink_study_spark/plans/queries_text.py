@@ -542,3 +542,79 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.token_count("text").alias("n_tokens")
     )
     return packing.pack_sequences(docs, "n_tokens", budget=512)
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST((start - 1) / 96 AS BIGINT) AS chunk_idx,
+           array_to_string(tokens[start:start+127], ' ') AS chunk_text,
+           CAST(least(128, len(tokens) - start + 1) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, tokens, unnest(generate_series(1, len(tokens), 96)) AS start
+      FROM (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+        FROM documents
+      )
+    )
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 128-token
+    chunks with a 32-token overlap (stride 96) — the retrieval /
+    training preprocessing twin of :func:`..functions.packing`.  Pure
+    per-row explode (chunk starts from `sequence`, slices from the
+    SAME projected token array — no re-tokenize per chunk), zero
+    shuffle, linear in corpus size.
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    chunk, stride = 128, 96
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens("text").alias("_toks")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.array_join(F.slice("_toks", F.col("start"), chunk), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk), F.size("_toks") - F.col("start") + 1
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "embedding_lang_centroids",
+    oracle="""
+    SELECT d.lang, g.idx - 1 AS dim_idx,
+           round(avg(CAST(e.embedding[g.idx] AS DOUBLE)), 4) AS centroid_val
+    FROM embeddings e
+    JOIN documents d ON e.vec_id = d.doc_id
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS idx) g
+    GROUP BY 1, 2
+    """,
+)
+def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids — the training step behind IVF
+    cells and cluster-balanced sampling.  posexplode flattens (row, dim)
+    pairs so the mean is ONE hash aggregate keyed (lang, dim): map-side
+    partial sums reduce the shuffle to |langs|×|dims| rows per
+    partition, the classic dense-vector-mean decomposition."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        emb.join(F.broadcast(docs), emb.vec_id == docs.doc_id)
+        .select("lang", F.posexplode("embedding").alias("dim_idx", "val"))
+        .groupBy("lang", "dim_idx")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+    )
