@@ -27,6 +27,7 @@ from .sources import file_stream, kafka_stream, memory_batches_stream
 from .stateful import (
     count_window_sum,
     dedup_first,
+    funnel_matches,
     keyed_rolling_reduce,
     temp_delta_alerts,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "dedup_within_watermark_stream",
     "file_stream",
     "foreach_batch_sink",
+    "funnel_matches",
     "interval_join_stream",
     "kafka_sink",
     "kafka_stream",

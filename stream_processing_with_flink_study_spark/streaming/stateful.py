@@ -186,3 +186,58 @@ def keyed_rolling_reduce(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def funnel_matches(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    step_us: int = 12 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Streaming CEP funnel (P1 ProcessFunction pattern): emit the final
+    step of a ``steps`` sequence whose consecutive stages each occur
+    within ``step_us`` — the stateful twin of the batch
+    ``funnel_conversions`` chained-window query.
+
+    Per-key state is just two timestamps (latest stage-1, latest
+    QUALIFIED stage-2) — O(1) per key regardless of history length,
+    the reason the pattern streams at 100 TB while the naive join
+    buffers windows of raw events.  Same-instant cascades (view, click,
+    purchase sharing one timestamp) match the batch RANGE-frame
+    semantics because rows sort by (ts, stage rank): earlier stages
+    update state before later stages test it."""
+    s1, s2, s3 = steps
+    out_schema = f"{key} long, event_id long, ts_ms long"
+    state_schema = "last_s1_us long, last_s2_us long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_s1, last_s2 = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rank = {s1: 0, s2: 1, s3: 2}
+        pdf["_rank"] = pdf[type_col].map(rank)
+        pdf = pdf.dropna(subset=["_rank"]).sort_values([ts, "_rank", "event_id"])
+        rows = []
+        for _, r in pdf.iterrows():
+            ord_us = int(r[ts].value // 1_000)
+            t = r[type_col]
+            if t == s1:
+                last_s1 = ord_us
+            elif t == s2:
+                if last_s1 is not None and last_s1 >= ord_us - step_us:
+                    last_s2 = ord_us
+            elif t == s3:
+                if last_s2 is not None and last_s2 >= ord_us - step_us:
+                    rows.append((k[0], int(r["event_id"]), ord_us // 1_000))
+        state.update((last_s1, last_s2))
+        if rows:
+            yield pd.DataFrame(rows, columns=[key, "event_id", "ts_ms"])
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -423,3 +423,16 @@ def test_session_window_stream_equivalence(spark, events, two_batch_stream, tmp_
         )
     )
     assert_df_equal(got, want)
+
+
+def test_funnel_matches_equivalence(spark, events, two_batch_stream, tmp_path):
+    """Streaming funnel (O(1) state per key) must equal the batch
+    chained-window query, including same-instant stage cascades."""
+    got = S.run_available_now(
+        S.funnel_matches(two_batch_stream),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    want = QUERIES["funnel_conversions"](spark, SF_SMALL)
+    assert want.count() > 0, "fixture should contain at least one funnel"
+    assert_df_equal(got, want)
