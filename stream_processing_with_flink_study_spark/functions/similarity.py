@@ -391,3 +391,45 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+) -> DataFrame:
+    """Per-vector min-max int8 quantization: 4× smaller vectors for
+    ANN candidate scoring / storage, with (scale, zero) kept for
+    dequantization.  q = round((x - min) / scale * 255) - 128, scale =
+    (max - min)/255.  Pure column expressions (array_min/max + one
+    transform) — JVM-side, zero shuffle, and exactly replicable in the
+    DuckDB oracle.  Constant vectors quantize to all -128 with scale 0
+    (dequantize returns the constant via the zero offset).
+
+    min/max/scale are PROJECTED before the transform: HOF lambda bodies
+    re-evaluate outer non-attribute expressions per element, which
+    would make this O(dim²) per row (see word_shingles' perf note)."""
+    base = df.select(
+        *df.columns,
+        F.array_min(F.col(vec_col)).cast("double").alias("_mn"),
+        ((F.array_max(F.col(vec_col)).cast("double")
+          - F.array_min(F.col(vec_col)).cast("double")) / 255.0).alias("_sc"),
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("_sc") == 0, F.lit(-128)).otherwise(
+            # floor(v + 0.5), not round(): identical half-up ties in
+            # every engine (Spark HALF_UP vs DuckDB bankers' would skew
+            # exact-.5 quotients)
+            (F.floor((x.cast("double") - F.col("_mn")) / F.col("_sc") + 0.5) - 128)
+            .cast("int")
+        ),
+    )
+    return base.select(
+        *df.columns,
+        q.alias(out_col),
+        # raw doubles — pre-rounding here would compound with callers'
+        # display rounding into off-by-one-ulp mismatches
+        F.col("_sc").alias(f"{out_col}_scale"),
+        F.col("_mn").alias(f"{out_col}_zero"),
+    )

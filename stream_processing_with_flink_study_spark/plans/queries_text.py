@@ -618,3 +618,38 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "dim_idx")
         .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id, g.idx - 1 AS dim_idx,
+           CASE WHEN sc = 0 THEN -128
+                ELSE CAST(floor((CAST(embedding[g.idx] AS DOUBLE) - mn) / sc
+                                + 0.5) - 128 AS INTEGER) END AS q_val,
+           floor(sc * 10000 + 0.5) / 10000 AS q_scale,
+           floor(mn * 10000 + 0.5) / 10000 AS q_zero
+    FROM (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             (CAST(list_max(embedding) AS DOUBLE)
+              - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+      FROM embeddings
+    )
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS idx) g
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 min-max quantization (4× smaller ANN storage).
+    All column expressions (array_min/max + one transform), zero
+    shuffle; min/scale projected BEFORE the transform so the HOF lambda
+    binds attributes, not re-evaluated aggregates.  Flattened to
+    (vec_id, dim_idx, q_val) for the value-hash compare."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = similarity.quantize_embeddings_int8(emb)
+    return q.select(
+        "vec_id",
+        F.posexplode("q8").alias("dim_idx", "q_val"),
+        (F.floor(F.col("q8_scale") * 10000 + 0.5) / 10000).alias("q_scale"),
+        (F.floor(F.col("q8_zero") * 10000 + 0.5) / 10000).alias("q_zero"),
+    )

@@ -95,3 +95,48 @@ def test_rolling_fingerprint_matches_recurrence(spark, tokens):
         v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
         acc = (acc * ROLL_B + v) % ROLL_M
     assert got == acc
+
+
+@given(
+    fraction=st.floats(min_value=0.0, max_value=1.0),
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True),
+)
+@settings(**_SETTINGS)
+def test_deterministic_sample_matches_pure_python(spark, fraction, keys):
+    """Engine membership == pure-Python md5 threshold test for any
+    fraction and key set (the reproducibility contract)."""
+    from stream_processing_with_flink_study_spark.functions import sampling
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k for r in sampling.deterministic_sample(df, "k", fraction).collect()}
+    cut = sampling._threshold_hex(fraction)
+    want = {
+        k
+        for k in keys
+        if hashlib.md5(f"s0|{k}".encode()).hexdigest()[: sampling.HEX_WIDTH] < cut
+    }
+    assert got == want
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=120),
+    budget=st.integers(min_value=64, max_value=512),
+)
+@settings(**_SETTINGS)
+def test_packing_invariants_hold_for_any_lengths(spark, lengths, budget):
+    """Every row packed exactly once; no multi-doc pack over budget;
+    oversized docs ride alone — for arbitrary length distributions."""
+    from stream_processing_with_flink_study_spark.functions import packing
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, n long"
+    )
+    rows = packing.pack_sequences(df, "n", budget, num_partitions=3).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(lengths)))
+    packs: dict[int, list[int]] = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append(r.n_tokens)
+    for toks in packs.values():
+        assert sum(toks) <= budget or len(toks) == 1
+        if len(toks) == 1 and toks[0] > budget:
+            pass  # oversized doc riding alone is the documented contract
