@@ -107,12 +107,19 @@ def interval_join_stream(
     upper: str,
     watermark: str = "10 seconds",
     key_right: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """M5 stream–stream interval join (``정리/4주차.md:313-323``): same
     key and ``right.ts ∈ [left.ts + lower, left.ts + upper]``.  Both
     sides carry watermarks and the range condition bounds join state —
     rows older than (watermark − |lower|) evict, exactly Flink's
-    interval-join state lifecycle."""
+    interval-join state lifecycle.
+
+    ``how='left_outer'`` emits unmatched left rows with nulls — but only
+    once the watermark passes their match window (the engine must prove
+    no future right row can match before emitting the null), so outer
+    results trail the watermark; rows still in state when a bounded run
+    ends never emit.  Tested with a watermark-advancing spacer batch."""
     key_right = key_right or key_left
     lw = left.withWatermark(ts_left, watermark)
     rw = right.withWatermark(ts_right, watermark)
@@ -121,7 +128,7 @@ def interval_join_stream(
         & (rw[ts_right] >= lw[ts_left] + F.expr(f"INTERVAL {lower}"))
         & (rw[ts_right] <= lw[ts_left] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def basic_pipeline_stream(readings: DataFrame) -> DataFrame:

@@ -436,3 +436,43 @@ def test_funnel_matches_equivalence(spark, events, two_batch_stream, tmp_path):
     want = QUERIES["funnel_conversions"](spark, SF_SMALL)
     assert want.count() > 0, "fixture should contain at least one funnel"
     assert_df_equal(got, want)
+
+
+def test_interval_join_stream_left_outer_emits_nulls(spark, events, tmp_path):
+    """Left-outer stream-stream join: unmatched purchases must surface
+    with null error columns ONCE the watermark passes their match
+    window (Spark can only emit the null after proving no future match)
+    — driven by a far-future spacer batch on both inputs."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    far = F.expr("INTERVAL 30 DAYS")
+    spacer_p = purchases.limit(1).select(
+        F.lit(-1).alias("user_id"), (F.col("p_ts") + far).alias("p_ts"),
+        F.lit(0.0).alias("p_value"),
+    )
+    spacer_e = errors.limit(1).select(
+        F.lit(-1).alias("e_user"), (F.col("e_ts") + far).alias("e_ts")
+    )
+    sp = S.memory_batches_stream(spark, [purchases, spacer_p], str(tmp_path / "p"))
+    se = S.memory_batches_stream(spark, [errors, spacer_e], str(tmp_path / "e"))
+    joined = S.interval_join_stream(
+        sp, se, "user_id", "p_ts", "e_ts", "-5 minutes", "5 minutes",
+        watermark="1 minute", key_right="e_user", how="left_outer",
+    ).select("user_id", "p_ts", "e_ts", "p_value")
+    got = S.run_available_now(joined, str(tmp_path / "ck"), "append")
+    # spacer rows are still in join state at stream end — exclude them
+    got = got.filter(F.col("user_id") >= 0)
+    want = purchases.join(
+        errors,
+        (purchases.user_id == errors.e_user)
+        & (errors.e_ts >= purchases.p_ts - F.expr("INTERVAL 5 minutes"))
+        & (errors.e_ts <= purchases.p_ts + F.expr("INTERVAL 5 minutes")),
+        "left_outer",
+    ).select("user_id", "p_ts", "e_ts", "p_value")
+    n_unmatched = want.filter(F.col("e_ts").isNull()).count()
+    assert n_unmatched > 0, "fixture must contain unmatched purchases"
+    assert_df_equal(got, want)
