@@ -293,3 +293,89 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.countDistinct("user_id") * 0.15 + 1
         ).alias("approx_ok"),
     )
+
+
+@query(
+    "cube_order_priorities",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: CUBE over (status, priority) with
+    grouping_id disambiguating the subtotal levels (K-family
+    completeness next to rollup_order_stats).  One pass: Spark expands
+    the grouping sets BEFORE the exchange, so the shuffle still carries
+    only partial aggregates per (set, group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+@query(
+    "rank_customers_by_balance",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 4) AS prank,
+           CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+           w2 AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (dense_rank / percent_rank / ntile) per
+    market segment — one partitioned sort serves all three window
+    functions.  ntile's window adds c_custkey to the ordering: ranks are
+    tie-stable by definition, bucket boundaries are not."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+        F.ntile(4).over(w2).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "percentiles_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (JVM-side `percentile`,
+    the holistic-agg complement to the approx/pandas paths).  Holistic:
+    the shuffle carries the group's values, which is why the streaming
+    engine pairs this with approx_percentile at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
