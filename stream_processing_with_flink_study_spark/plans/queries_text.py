@@ -188,7 +188,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit votes, zero shuffle (near-dup candidates then bucket on
     fingerprint prefixes / Hamming balls)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.simhash32("text").alias("simhash"))
+    return docs.select("doc_id", text.simhash32_arrow("text").alias("simhash"))
 
 
 @query(

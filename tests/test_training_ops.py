@@ -76,3 +76,16 @@ def test_read_file_csv_json_round_trip(spark, tmp_path):
     expect = {(r.id, r.dbl) for r in df.collect()}
     assert {(r.id, r.dbl) for r in back_csv.collect()} == expect
     assert {(r.id, r.dbl) for r in back_json.collect()} == expect
+
+
+def test_simhash_arrow_equals_column_expression(spark):
+    """The Arrow-batched simhash must reproduce the Catalyst
+    column-expression form bit-for-bit (same md5 digits, same
+    empty-token corner)."""
+    from stream_processing_with_flink_study_spark.functions import text as T
+
+    docs = load_table(spark, SF_MID, "documents").limit(200)
+    both = docs.select(
+        T.simhash32("text").alias("a"), T.simhash32_arrow("text").alias("b")
+    ).collect()
+    assert all(r.a == r.b for r in both)
