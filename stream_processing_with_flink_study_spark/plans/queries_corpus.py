@@ -1,0 +1,486 @@
+"""Corpus-analytics and pipeline-maintenance queries (north-star
+extensions, SURVEY §7.2 step 9, second wave): near-dup *clustering*
+(connected components over the pair stage), TF-IDF / vocabulary
+statistics, repetition-based quality signals, keep-latest dedup and
+SCD-2 interval builds over the events stream, and the statistical /
+date scalar-function batteries.
+
+Everything here is shuffle-frugal by construction: token explodes feed
+map-side-combined hash aggregates; per-document signals are pure
+projections; the only iterative operator (connected components)
+shuffles |E| label messages per round, never pairwise reachability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dedup, text
+from ..operators.graph import connected_components
+from ..sources import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: pairs → transitive closure → canonical survivor
+# --------------------------------------------------------------------------
+def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 20th doc + two perturbed copies (drop 1 / drop 2 leading
+    tokens, ids +1M / +2M) — pairwise-similar chains whose transitive
+    closure is a 3-doc cluster."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.lower(F.trim("text")).alias("text"))
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    drop1 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " "
+        ).alias("text"),
+    )
+    drop2 = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))), " "
+        ).alias("text"),
+    )
+    return docs.unionByName(drop1).unionByName(drop2)
+
+
+_CHAIN_CORPUS_SQL = """
+  base AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+    FROM documents WHERE doc_id % 20 = 0
+  ),
+  corpus AS (
+    SELECT doc_id, array_to_string(tokens, ' ') AS text FROM base
+    UNION ALL
+    SELECT doc_id + 1000000, array_to_string(tokens[2:], ' ') FROM base
+    UNION ALL
+    SELECT doc_id + 2000000, array_to_string(tokens[3:], ' ') FROM base
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+      unnest(list_transform(
+        generate_series(1, greatest(len(tokens) - 2, 0)),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tokens
+          FROM corpus)
+  ),
+  common AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+    FROM shingles sa
+    JOIN shingles sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM common c
+    JOIN sizes a ON c.id_a = a.doc_id
+    JOIN sizes b ON c.id_b = b.doc_id
+    WHERE round(c.n_common / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.5
+  ),
+  edges AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+  ),
+  reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM corpus
+    UNION
+    SELECT re.id, e.t FROM reach re JOIN edges e ON re.r = e.s
+  )
+"""
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CHAIN_CORPUS_SQL.strip()}
+    SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+    FROM reach
+    GROUP BY id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the pair stage (exact 3-gram Jaccard ≥ 0.5)
+    only says A~B and B~C; deciding which docs to keep needs the
+    transitive closure.  Connected components via iterative min-label
+    propagation (operators/graph.py) collapses each chain to one
+    cluster; the canonical survivor is the min doc_id (keep=true).
+
+    The planted corpus is 3-doc chains (doc, drop-1-token, drop-2), so
+    the closure genuinely exercises multi-hop propagation — A~C is
+    implied, not emitted.  The DuckDB oracle computes the same closure
+    with a recursive CTE; Spark runs the dataflow union-find, shuffling
+    one label message per edge per round (SURVEY §2 extension)."""
+    corpus = _chain_corpus(spark, sf_dir)
+    sh = dedup.doc_shingles(corpus, "text", "doc_id")
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
+    comps = connected_components(
+        pairs, "id_a", "id_b", vertices=corpus.select("doc_id"), vertex_col="doc_id"
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF and vocabulary statistics
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+             tf.tf * ln(n.n_docs * 1.0 / df.df_docs) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_docs, round(score, 4) AS tfidf,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic corpus-analytics
+    pipeline: explode tokens → (doc, term) counts → doc-frequency join →
+    score → per-doc rank.  Both aggregates are map-side combined; the
+    doc-frequency side is tiny after aggregation so AQE broadcasts it
+    into the score join; the corpus total arrives via a 1-row cross
+    join (no driver collect).  Ties broken by term for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_docs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df_docs",
+            F.round("score", 4).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS df_docs
+    FROM toks
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by frequency with document
+    frequency — the Zipf-head pass every tokenizer build starts from.
+    One exploded aggregate (map-side partials shrink the shuffle to the
+    per-partition vocabulary) + a global top-K, which Spark executes as
+    per-partition TakeOrdered — no full sort of the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("df_docs"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition / length quality signals
+# --------------------------------------------------------------------------
+@query(
+    "repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents
+    ), g AS (
+      SELECT doc_id, tokens,
+             list_transform(
+               generate_series(1, greatest(len(tokens) - 1, 0)),
+               i -> array_to_string(tokens[i:i+1], ' ')) AS grams2
+      FROM t
+    )
+    SELECT doc_id,
+      len(tokens) AS n_tokens,
+      len(list_distinct(tokens)) AS n_distinct,
+      round(1.0 - len(list_distinct(tokens)) * 1.0
+            / greatest(len(tokens), 1), 4) AS dup_token_ratio,
+      CASE WHEN len(grams2) > 0
+           THEN round(1.0 - len(list_distinct(grams2)) * 1.0 / len(grams2), 4)
+           ELSE 0.0 END AS dup_2gram_ratio
+    FROM g
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family):
+    duplicate-token fraction and duplicate-2-gram fraction per document.
+    High values flag boilerplate / degenerate text for corpus filtering.
+    Pure per-row array expressions — zero shuffle, scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text.tokens("text").alias("_toks"))
+    g = t.withColumn("_g2", text.word_shingles(F.col("_toks"), 2))
+    n_tok = F.size("_toks")
+    n_dis = F.size(F.array_distinct("_toks"))
+    n_g2 = F.size("_g2")
+    return g.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - n_dis / F.greatest(n_tok, F.lit(1)), 4
+        ).alias("dup_token_ratio"),
+        F.when(
+            n_g2 > 0,
+            F.round(1.0 - F.size(F.array_distinct("_g2")) / n_g2, 4),
+        ).otherwise(0.0).alias("dup_2gram_ratio"),
+    )
+
+
+@query(
+    "doc_length_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), d AS (
+      SELECT n_tokens,
+             ntile(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+      FROM t
+    )
+    SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM d
+    GROUP BY decile
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution by decile (ntile over a
+    deterministic total order) — the corpus-profiling pass behind
+    truncation/packing budget decisions.  NB: ntile needs a global sort;
+    at 100 TB the same histogram comes from approx percentile bounds +
+    a bucket join — this exact form is the small/medium-corpus tool."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    d = t.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("n_tokens", "doc_id"))
+    )
+    return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events-stream maintenance: keep-latest dedup, SCD-2 intervals
+# --------------------------------------------------------------------------
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_ms(ts) AS ts_ms, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup (compaction): one surviving row per
+    (user_id, event_type), latest by event time with id tie-break —
+    the CDC/upsert-compaction primitive (Flink's rolling `maxBy` by
+    time, reference `정리/3주차.md:64`, materialized as a table).
+    Single hash-partitioned window; Spark plans it as
+    WindowGroupLimit → only the per-key top row survives the sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_millis("ts").alias("ts_ms"), "value",
+        )
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS INT) AS version,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER w) AS valid_to_ms,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval build: each event becomes a version row with
+    [valid_from, valid_to) bounds from lead() over event time — the
+    standard history-table materialization of a change stream (the
+    batch twin of per-key ValueState, reference `정리/5주차.md:24-54`).
+    One shuffle on user_id; both window functions share one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar-function batteries: statistics, dates
+# --------------------------------------------------------------------------
+@query(
+    "stats_moments",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+        count(*) AS n_rows,
+        avg(l_quantity) AS mu,
+        avg(l_quantity * l_quantity) AS m2r,
+        avg(l_quantity * l_quantity * l_quantity) AS m3r,
+        stddev_samp(l_quantity) AS sd,
+        var_pop(l_quantity) AS vp,
+        corr(l_quantity, l_extendedprice) AS cr,
+        covar_samp(l_quantity, l_extendedprice) AS cv
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n_rows,
+      round(mu, 4) AS avg_qty,
+      round(sd, 4) AS stddev_qty,
+      round(vp, 4) AS var_pop_qty,
+      round(cr, 4) AS corr_qty_price,
+      round(cv, 4) AS covar_qty_price,
+      round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+            / pow(m2r - mu * mu, 1.5), 4) AS skew_qty
+    FROM g
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate battery: stddev/variance/correlation/
+    covariance plus skewness derived from raw power moments.  Skewness
+    is computed from avg(x), avg(x²), avg(x³) with the population
+    formula on BOTH sides — Spark's built-in `skewness` and DuckDB's
+    use different bias corrections, so the moment form is the
+    engine-portable contract.  One map-side-combined hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(q).alias("mu"),
+        F.avg(q * q).alias("m2r"),
+        F.avg(q * q * q).alias("m3r"),
+        F.stddev_samp(q).alias("sd"),
+        F.var_pop(q).alias("vp"),
+        F.corr(q, F.col("l_extendedprice")).alias("cr"),
+        F.covar_samp(q, F.col("l_extendedprice")).alias("cv"),
+    )
+    mu, m2r, m3r = F.col("mu"), F.col("m2r"), F.col("m3r")
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(mu, 4).alias("avg_qty"),
+        F.round("sd", 4).alias("stddev_qty"),
+        F.round("vp", 4).alias("var_pop_qty"),
+        F.round("cr", 4).alias("corr_qty_price"),
+        F.round("cv", 4).alias("covar_qty_price"),
+        F.round(
+            (m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+            / F.pow(m2r - mu * mu, F.lit(1.5)),
+            4,
+        ).alias("skew_qty"),
+    )
+
+
+@query(
+    "date_functions_battery",
+    oracle="""
+    SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+      CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+      CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+      CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+      CAST(date_diff('day', DATE '2024-01-01',
+                     CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function battery (SURVEY §2.9 families beyond
+    the reference's thin surface): extraction, formatting, day
+    arithmetic, month truncation and month-end — each checked
+    value-for-value against DuckDB under the UTC session contract.
+    Pure projection with the modulo filter pushed to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.datediff(F.to_date(d), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+        F.unix_millis(F.date_trunc("month", d)).alias("month_start_ms"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
