@@ -61,7 +61,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint()  # pin the edge list; reused every round
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("id", "nbr"), "nbr"
         ).select("id", "comp")
@@ -71,14 +71,18 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # round 0 always changes labels on any non-empty edge list, so
+        # the convergence probe (an extra job) starts at round 1
+        if rnd > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") < F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels
