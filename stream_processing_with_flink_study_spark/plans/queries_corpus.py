@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import dedup, text
+from ..functions import dedup, similarity, text
 from ..operators.graph import connected_components
 from ..sources import load_table
 from .registry import query
@@ -127,6 +127,43 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comps.select(
         F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+
+
+@query("embedding_dedup_clusters")  # LSH planes are numpy-seeded → rows-only
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup: LSH sign-bucket candidate pairs
+    (cosine ≥ 0.9) → connected components → one surviving vector per
+    cluster (keep = min vec_id).  The same pairs→closure→survivor
+    composition as near_dup_clusters but over the vector modality —
+    the two operators share operators/graph.py by construction.
+    Planted truth: every 10th vector re-appears at +1M and +2M with a
+    progressively doubled tail element, so clusters are 3-vector chains;
+    recall is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def _perturb(src: DataFrame, offset: int, factor: float) -> DataFrame:
+        return src.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.concat(
+                F.slice("embedding", 1, 63),
+                F.array(F.element_at("embedding", 64) * factor),
+            ).cast("array<float>").alias("embedding"),
+        )
+
+    corpus = (
+        emb.unionByName(_perturb(base, 1_000_000, 2.0))
+        .unionByName(_perturb(base, 2_000_000, 4.0))
+    )
+    pairs = similarity.near_dup_pairs_lsh(corpus, 0.9, dim=64)
+    comps = connected_components(
+        pairs, "id_a", "id_b", vertices=corpus.select("vec_id"), vertex_col="vec_id"
+    )
+    return comps.select(
+        F.col("id").alias("vec_id"),
         F.col("comp").alias("cluster_id"),
         (F.col("id") == F.col("comp")).alias("keep"),
     )
@@ -378,6 +415,101 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("valid_from_ms"),
         F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
         F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "event_sessions_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('millisecond', lag(ts) OVER w, ts) > 43200000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           count(*) AS n_events,
+           epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (12 h inactivity gap): the
+    lag-flag + running-sum formulation — the batch twin of the
+    session_window operator (SURVEY W4) that also yields session
+    SEQUENCE NUMBERS per user (session_window gives only bounds).
+    One shuffle on user_id; the lag, the cumulative sum and the final
+    per-session aggregate all reuse that single sort order."""
+    gap_ms = 12 * 3600 * 1000
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+                > gap_ms
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_seq").cast("int").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_millis(F.min("ts")).alias("start_ms"),
+        F.unix_millis(F.max("ts")).alias("end_ms"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
+            "duration_ms"
+        ),
+    )
+
+
+@query(
+    "value_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 2.5
+    """,
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: per-event-type z-scores, flag
+    |z| > 2.5 — the data-quality gate shape (anomalous numeric columns).
+    Aggregate-then-broadcast-join-back rather than a window over the
+    whole partition: the per-type stats frame is |types| rows, so the
+    detail side never shuffles at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id", "event_type", "value", F.round(z, 4).alias("zscore")
+        )
     )
 
 

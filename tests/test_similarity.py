@@ -141,3 +141,21 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     assert exact, "no planted near-dups found — corpus construction broke"
     missed = exact - cands
     assert not missed, f"LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
+
+
+def test_embedding_dedup_clusters_collapse_planted_chains(spark):
+    from stream_processing_with_flink_study_spark.plans.queries_corpus import (
+        embedding_dedup_clusters,
+    )
+
+    rows = embedding_dedup_clusters(spark, SF_SMALL).collect()
+    comp = {r["vec_id"]: r["cluster_id"] for r in rows}
+    keep = {r["vec_id"] for r in rows if r["keep"]}
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    bases = [r["vec_id"] for r in emb.filter("vec_id % 10 = 0").collect()]
+    assert bases
+    for b in bases:
+        # chain b ~ b+1M ~ b+2M must collapse to one cluster rooted at b
+        assert comp[b] == comp[b + 1_000_000] == comp[b + 2_000_000] == b
+        assert b in keep
+        assert b + 1_000_000 not in keep and b + 2_000_000 not in keep
