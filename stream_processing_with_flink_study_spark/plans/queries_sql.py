@@ -1,0 +1,184 @@
+"""SQL-text API surface plus numeric/string/array function batteries.
+
+The reference exposes no SQL front end (SURVEY.md §0: no parser, no
+``flink-table`` dependency), but Spark's own SQL entry point is part of
+this engine's API — queries here go through ``spark.sql`` over temp
+views to prove the text path resolves against the same tables and
+produces hash-identical results to the DataFrame path.  The function
+batteries pin down the scalar-function surface of SURVEY.md §2.9
+(arithmetic / comparison / string concat+split / abs — plus the date,
+string, and array families Spark inherits wholesale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "sql_text_nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def sql_text_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text entry point: the engine's ``spark.sql`` facade.  The
+    reference has no SQL layer (``build.gradle:54-55`` pulls only
+    flink-streaming-java); Spark gives one for free, and this query
+    proves the text path (view registration -> parse -> Catalyst) yields
+    the same plan/results as the DataFrame API.  Catalyst still pushes
+    the status filter into the orders scan and broadcasts nation."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM sqlv_orders o
+        JOIN sqlv_customer c ON o.o_custkey = c.c_custkey
+        JOIN sqlv_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram over ``events.value`` — the
+    classic distribution profile a training pipeline runs before
+    thresholding.  One hash-agg, fully map-side combinable; bucket
+    count is bounded (~value range / 10) so the shuffle is tiny at any
+    scale factor."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "string_funcs_battery",
+    oracle="""
+    SELECT upper(substring(c_mktsegment, 1, 4)) AS seg4,
+           length(c_name) AS name_len,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+               AS min_custnum,
+           min(concat(lower(c_mktsegment), '_', lpad(CAST(c_nationkey AS VARCHAR), 3, '0')))
+               AS min_tag,
+           CAST(sum(CASE WHEN c_name LIKE '%9' THEN 1 ELSE 0 END) AS BIGINT) AS n_like9
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def string_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.9 string family (concat from ``SensorReading
+    .java:43``, split from ``BasicTransformations.java:72``, plus the
+    upper/lower/substring/length/lpad/regexp/LIKE set Spark inherits):
+    every function evaluated JVM-side inside one whole-stage-codegen
+    span — no UDFs — then grouped so the oracle pins all derived
+    values."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.upper(F.substring("c_mktsegment", 1, 4)).alias("seg4"),
+            F.length("c_name").alias("name_len"),
+            F.regexp_extract("c_name", "([0-9]+)", 1)
+            .cast("bigint")
+            .alias("custnum"),
+            F.concat(
+                F.lower("c_mktsegment"),
+                F.lit("_"),
+                F.lpad(F.col("c_nationkey").cast("string"), 3, "0"),
+            ).alias("tag"),
+            F.col("c_name").like("%9").cast("int").alias("is_like9"),
+        )
+        .groupBy("seg4", "name_len")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("custnum").alias("min_custnum"),
+            F.min("tag").alias("min_tag"),
+            F.sum("is_like9").cast("bigint").alias("n_like9"),
+        )
+    )
+
+
+@query(
+    "embedding_component_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_c0,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS avg_c1,
+           round(min(CAST(embedding[3] AS DOUBLE)), 4) AS min_c2,
+           round(max(CAST(embedding[4] AS DOUBLE)), 4) AS max_c3,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column profiling for the embedding table: per-label
+    component statistics + mean L2 norm (sanity check that vectors are
+    unit-normalized before cosine work).  ``element_at`` is 1-based like
+    DuckDB's ``[i]``; the norm is a JVM-side ``aggregate`` fold over the
+    array — no Python in the loop, one hash-agg by the tiny label key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select(
+            "label",
+            F.element_at("embedding", 1).cast("double").alias("c0"),
+            F.element_at("embedding", 2).cast("double").alias("c1"),
+            F.element_at("embedding", 3).cast("double").alias("c2"),
+            F.element_at("embedding", 4).cast("double").alias("c3"),
+            norm.alias("norm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c0"), 4).alias("avg_c0"),
+            F.round(F.avg("c1"), 4).alias("avg_c1"),
+            F.round(F.min("c2"), 4).alias("min_c2"),
+            F.round(F.max("c3"), 4).alias("max_c3"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
