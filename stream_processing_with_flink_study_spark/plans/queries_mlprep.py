@@ -1,0 +1,453 @@
+"""Training-data preparation queries, third wave (SURVEY §7.2 step 9):
+eval-set decontamination, BM25 relevance scoring, token-entropy quality
+signals, PII/URL scanning, and time-series gap-fill with linear
+interpolation.
+
+Scale shapes:
+
+- decontamination joins the (tiny) eval-set n-gram side broadcast
+  against the train shingle explode — the train corpus never shuffles
+  on shingle strings;
+- BM25 needs one tf explode + two small aggregates (document
+  frequencies, corpus stats) that broadcast back onto the tf rows;
+- entropy / PII are single-pass map-side-combined aggregates;
+- gap-fill generates the dense grid distributed (explode over
+  ``sequence``) — never on the driver — and interpolates with two
+  ignore-nulls window passes per direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text
+from ..sources import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# eval-set decontamination (n-gram overlap)
+# --------------------------------------------------------------------------
+_DECON_SQL = """
+  WITH evalset AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+    FROM documents WHERE doc_id % 23 = 0
+  ),
+  train AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+    FROM documents WHERE doc_id % 23 <> 0
+    UNION ALL
+    SELECT doc_id + 3000000, tokens[2:] FROM evalset
+  ),
+  eval_grams AS (
+    SELECT DISTINCT doc_id,
+      unnest(list_transform(
+        generate_series(1, greatest(len(tokens) - 4, 0)),
+        i -> array_to_string(tokens[i:i+4], ' '))) AS gram
+    FROM evalset
+  ),
+  train_grams AS (
+    SELECT DISTINCT doc_id,
+      unnest(list_transform(
+        generate_series(1, greatest(len(tokens) - 4, 0)),
+        i -> array_to_string(tokens[i:i+4], ' '))) AS gram
+    FROM train
+  )
+  SELECT t.doc_id AS train_id,
+         count(DISTINCT t.gram) AS n_shared,
+         count(DISTINCT e.doc_id) AS n_eval_docs
+  FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+  GROUP BY t.doc_id
+"""
+
+
+@query("decontaminate_ngrams", oracle=_DECON_SQL)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    5-gram with a held-out eval split (doc_id % 23).  Planted ground
+    truth: each eval doc re-enters the train side perturbed (first token
+    dropped, id + 3M) and must be flagged.
+
+    Scale shape: the eval side is a fixed, small fraction of the corpus
+    (an eval benchmark is KBs against TBs of training data), so its
+    distinct n-gram set is broadcast; the train-side shingle explode is
+    filtered by the broadcast hash join map-side — no shuffle of train
+    shingle strings ever happens, and the only exchange is the final
+    per-train-doc count aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    evalset = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0).unionByName(
+        evalset.select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))).alias(
+                "toks"
+            ),
+        )
+    )
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(text.word_shingles(F.col("toks"), n=5)).alias("gram"),
+        ).distinct()
+
+    eval_grams = grams(evalset, "eval_id")
+    train_grams = grams(train, "train_id")
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(F.col("train_id"))
+        .agg(
+            F.countDistinct("gram").alias("n_shared"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring against the corpus' own top-df terms
+# --------------------------------------------------------------------------
+_BM25_SQL = """
+  WITH toks AS (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  ),
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term <> '' GROUP BY doc_id, term
+  ),
+  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+  stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+  ),
+  df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  qterms AS (
+    SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 3
+  )
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 4) AS bm25,
+         count(*) AS n_hit_terms
+  FROM tf
+  JOIN qterms q ON tf.term = q.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+"""
+
+
+@query("bm25_scores", oracle=_BM25_SQL)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against the query
+    = the corpus' own top-3 document-frequency terms (deterministic
+    tie-break by term), self-contained on synthetic data.
+
+    Scale shape: one shuffle builds the (doc, term, tf) index; document
+    frequencies reuse it with a map-side-combined agg; the 3 query
+    terms and the 1-row corpus stats broadcast back onto tf, so scoring
+    itself is shuffle-free up to the final per-doc sum."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(3)
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# token-entropy quality signal
+# --------------------------------------------------------------------------
+_ENTROPY_SQL = """
+  WITH toks AS (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  ),
+  counts AS (
+    SELECT doc_id, term, count(*) AS c FROM toks
+    WHERE term <> '' GROUP BY doc_id, term
+  )
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy,
+         round(CASE WHEN sum(c) > 1
+               THEN (ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(sum(c))
+               ELSE 0 END, 4) AS norm_entropy
+  FROM counts GROUP BY doc_id
+"""
+
+
+@query("token_entropy", oracle=_ENTROPY_SQL)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy (nats) + entropy normalized by
+    ln(n_tokens) — low values mark repetitive, low-information documents
+    (the distribution-level sibling of `repetition_ratio`).
+
+    ``H = ln(n) - Σ c·ln(c) / n`` needs only per-(doc, token) counts, so
+    the whole signal is two map-side-combined hash aggregates; nothing
+    holistic, no window sort."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(text.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    ent = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.round(ent, 4).alias("entropy"),
+        F.round(
+            F.when(n > 1, ent / F.log(n)).otherwise(F.lit(0.0)), 4
+        ).alias("norm_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII / URL scan (planted patterns; per-language aggregate report)
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_URL_RE = "https?://[a-z0-9./-]+"
+_PHONE_RE = "555-[0-9]{3}"
+
+_PII_SQL = f"""
+  WITH corpus AS (
+    SELECT doc_id, lang,
+      lower(trim(text))
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' see https://site' || doc_id || '.example.org/a' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0
+              THEN ' call 555-' || (100 + doc_id % 900) ELSE '' END
+      AS text
+    FROM documents
+  ),
+  hits AS (
+    SELECT lang,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_url,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone
+    FROM corpus
+  )
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+         CAST(sum(n_email) AS BIGINT) AS total_email,
+         CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_url,
+         CAST(sum(n_url) AS BIGINT) AS total_url,
+         CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+         CAST(sum(n_phone) AS BIGINT) AS total_phone
+  FROM hits GROUP BY lang
+"""
+
+
+@query("pii_scan", oracle=_PII_SQL)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / URL scanning: count email, URL, and phone-shaped matches
+    per language over a corpus with deterministically planted PII
+    (every 7th doc gains an email, 11th a URL, 13th a phone).  The
+    patterns are RE2-safe so the DuckDB oracle runs them verbatim.
+
+    Pure projection + one tiny (5-row) hash aggregate — the scan
+    parallelizes per input split with zero data movement beyond the
+    5-row partials."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lower(F.trim("text")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                F.col("doc_id"),
+                F.lit(".example.org/a"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" call 555-"), (100 + F.col("doc_id") % 900)),
+        ).otherwise(F.lit("")),
+    )
+    hits = d.select(
+        "lang",
+        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_RE), 0)).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(planted, F.lit(_URL_RE), 0)).alias("n_url"),
+        F.size(F.regexp_extract_all(planted, F.lit(_PHONE_RE), 0)).alias(
+            "n_phone"
+        ),
+    )
+    return hits.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("long")).alias("docs_email"),
+        F.sum("n_email").alias("total_email"),
+        F.sum((F.col("n_url") > 0).cast("long")).alias("docs_url"),
+        F.sum("n_url").alias("total_url"),
+        F.sum((F.col("n_phone") > 0).cast("long")).alias("docs_phone"),
+        F.sum("n_phone").alias("total_phone"),
+    )
+
+
+# --------------------------------------------------------------------------
+# time-series gap-fill + linear interpolation
+# --------------------------------------------------------------------------
+_GAP_FILL_SQL = """
+  WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+    FROM events WHERE user_id < 40 GROUP BY 1, 2
+  ),
+  bounds AS (
+    SELECT user_id, min(h) AS h_min, max(h) AS h_max
+    FROM hourly GROUP BY user_id
+  ),
+  grid AS (
+    SELECT user_id,
+      unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+  ),
+  joined AS (
+    SELECT g.user_id, g.h, hr.v FROM grid g
+    LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+  ),
+  ctx AS (
+    SELECT user_id, h, v,
+      last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+      last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        OVER w_prev AS prev_h,
+      first_value(v IGNORE NULLS) OVER w_next AS next_v,
+      first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        OVER w_next AS next_h
+    FROM joined
+    WINDOW
+      w_prev AS (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  )
+  -- floor(x*1e4) instead of round(x, 4): interpolation lands on
+  -- terminating-in-5 decimals where Spark (decimal-string HALF_UP) and
+  -- DuckDB (binary) round differently; floor of the identical IEEE
+  -- double is bit-stable across engines
+  SELECT user_id, epoch_ms(h) AS hour_ms,
+         CAST(floor(10000 * CASE
+           WHEN v IS NOT NULL THEN v
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             prev_v + (next_v - prev_v)
+             * (epoch_ms(h) - epoch_ms(prev_h))
+             / (epoch_ms(next_h) - epoch_ms(prev_h))
+           ELSE coalesce(prev_v, next_v) END) AS BIGINT) AS interp_e4,
+         CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM ctx
+"""
+
+
+@query("gap_fill_interpolate", oracle=_GAP_FILL_SQL)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly averages on a dense hour
+    grid from each user's first to last event, gaps linearly
+    interpolated between the nearest present neighbors (edges clamp to
+    the nearest value).
+
+    Scale shape: the dense grid is generated DISTRIBUTED — an
+    ``explode(sequence(min, max, 1h))`` per user, never a driver-side
+    range — and interpolation is two ignore-nulls window passes over
+    data already hash-partitioned by user, so the whole query is one
+    shuffle (the per-user sort reuses the groupBy partitioning)."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(present_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(present_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.unix_millis("h") - F.unix_millis("prev_h"))
+            / (F.unix_millis("next_h") - F.unix_millis("prev_h")),
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    return ctx.select(
+        "user_id",
+        F.unix_millis("h").alias("hour_ms"),
+        # floor(x*1e4), not round(x,4): bit-stable across engines (see
+        # the oracle SQL comment)
+        F.floor(interp * 10000).cast("long").alias("interp_e4"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
