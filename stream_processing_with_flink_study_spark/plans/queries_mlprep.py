@@ -90,10 +90,15 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
+        # per-doc uniqueness via array_distinct (narrow, inside the row)
+        # — a global .distinct() here would shuffle every train shingle
+        # string corpus-wide, the exact exchange this query must avoid
         return df.select(
             F.col("doc_id").alias(out_id),
-            F.explode(text.word_shingles(F.col("toks"), n=5)).alias("gram"),
-        ).distinct()
+            F.explode(
+                F.array_distinct(text.word_shingles(F.col("toks"), n=5))
+            ).alias("gram"),
+        )
 
     eval_grams = grams(evalset, "eval_id")
     train_grams = grams(train, "train_id")
@@ -156,10 +161,14 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
     )
+    # tf feeds four consumers (dl, corpus stats, document frequencies,
+    # final scoring join) — persist so the token explode + first shuffle
+    # run once instead of four times
     tf = (
         toks.filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
