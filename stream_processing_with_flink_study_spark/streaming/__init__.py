@@ -8,6 +8,7 @@ from .pipelines import (
     interval_join_stream,
     rolling_sum_stream,
     run_available_now,
+    window_join_stream,
     windowed_avg_stream,
 )
 from .process import (
@@ -55,5 +56,6 @@ __all__ = [
     "running_max",
     "temp_delta_alerts",
     "two_phase_commit_writer",
+    "window_join_stream",
     "windowed_avg_stream",
 ]

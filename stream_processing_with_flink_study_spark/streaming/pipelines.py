@@ -46,15 +46,21 @@ def windowed_avg_stream(
     value: str = "amount",
     size: str = "5 seconds",
     watermark: str = "5 seconds",
+    slide: str | None = None,
 ) -> DataFrame:
     """Flagship streaming twin (``AverageSensorReadings.java:67-76``):
     watermarked keyed tumbling-window average.  State: one accumulator
     per (key, window), evicted when the watermark passes window end —
     the same fire-and-purge lifecycle as ``정리/4주차.md:293-297``.
+
+    ``slide`` < ``size`` turns it into the W3 sliding window
+    (``SlidingEventTimeWindows``, ``정리/4주차.md:164-166``): each row
+    lands in size/slide overlapping windows, state is still one
+    accumulator per (key, window) copy.
     """
     return (
         events.withWatermark(ts, watermark)
-        .groupBy(F.window(ts, size), key)
+        .groupBy(F.window(ts, size, slide or size), key)
         .agg(
             F.avg(value).alias("avg_value"),
             F.count(F.lit(1)).alias("n"),
@@ -129,6 +135,46 @@ def interval_join_stream(
         & (rw[ts_right] <= lw[ts_left] + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
+
+
+def window_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_left: str,
+    ts_right: str,
+    size: str = "1 hour",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """M4 stream–stream window join (``정리/4주차.md:325-333``): rows of
+    the two streams pair when they share the key AND land in the same
+    tumbling window.  Expressed as an equi-join on (key, window-struct):
+    Spark bounds both sides' join state by the watermark + window
+    equality, evicting a window's rows once the watermark passes its
+    end — Flink's window-join buffer lifecycle.
+
+    Scale shape: one hash exchange per side on (key, window); no range
+    scan — the equality condition keeps the state store point-lookup.
+    """
+    # each side may carry at most ONE event-time column into the join —
+    # the window struct inherits the watermark, so the raw timestamp is
+    # demoted to plain epoch-millis here
+    lw = left.withWatermark(ts_left, watermark).select(
+        F.col(key).alias("k"),
+        F.window(ts_left, size).alias("w"),
+        F.unix_millis(ts_left).alias("ts_l_ms"),
+    )
+    rw = right.withWatermark(ts_right, watermark).select(
+        F.col(key).alias("k"),
+        F.window(ts_right, size).alias("w"),
+        F.unix_millis(ts_right).alias("ts_r_ms"),
+    )
+    return lw.join(rw, ["k", "w"]).select(
+        "k",
+        F.unix_millis(F.col("w.start")).alias("w_start"),
+        "ts_l_ms",
+        "ts_r_ms",
+    )
 
 
 def basic_pipeline_stream(readings: DataFrame) -> DataFrame:

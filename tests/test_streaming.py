@@ -476,3 +476,64 @@ def test_interval_join_stream_left_outer_emits_nulls(spark, events, tmp_path):
     n_unmatched = want.filter(F.col("e_ts").isNull()).count()
     assert n_unmatched > 0, "fixture must contain unmatched purchases"
     assert_df_equal(got, want)
+
+
+def test_window_join_stream_equivalence(spark, events, tmp_path):
+    """M4 stream-stream window join: purchase/error rows of the same
+    user in the same 1 h tumbling window pair exactly as in the batch
+    equi-join on (key, window)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    sp = S.memory_batches_stream(spark, [purchases], str(tmp_path / "p"))
+    se = S.memory_batches_stream(spark, [errors], str(tmp_path / "e"))
+    got = S.run_available_now(
+        S.window_join_stream(
+            sp, se, "user_id", "ts", "ts", size="1 hour", watermark="1 minute"
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    lw = purchases.select(
+        F.col("user_id").alias("k"),
+        F.window("ts", "1 hour").alias("w"),
+        F.col("ts").alias("ts_l"),
+    )
+    rw = errors.select(
+        F.col("user_id").alias("k"),
+        F.window("ts", "1 hour").alias("w"),
+        F.col("ts").alias("ts_r"),
+    )
+    want = lw.join(rw, ["k", "w"]).select(
+        "k",
+        F.unix_millis("w.start").alias("w_start"),
+        F.unix_millis("ts_l").alias("ts_l_ms"),
+        F.unix_millis("ts_r").alias("ts_r_ms"),
+    )
+    assert want.count() > 0, "fixture should produce window-join pairs"
+    assert_df_equal(got, want)
+
+
+def test_sliding_window_stream_equivalence(spark, events, two_batch_stream, tmp_path):
+    """W3 streaming sliding windows (2 h size / 1 h slide): every row
+    lands in two window copies; complete-mode output equals batch."""
+    sdf = S.windowed_avg_stream(
+        two_batch_stream, ts="ts", key="user_id", value="value",
+        size="2 hours", slide="1 hour", watermark="1 minute",
+    )
+    got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
+    want = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "user_id")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis("window.start").alias("w_start"),
+            F.unix_millis("window.end").alias("w_end"),
+            "user_id",
+            F.round("avg_value", 4).alias("avg_value"),
+            "n",
+        )
+    )
+    assert_df_equal(got, want)
