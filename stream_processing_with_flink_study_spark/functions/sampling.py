@@ -44,6 +44,35 @@ def deterministic_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "w0",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u = hash-uniform(0,1]
+    from its key and scores ``ln(u)/w``; the k largest scores are the
+    sample, giving inclusion probability proportional to weight.
+
+    Scale shape: the score is a pure per-row expression (no RNG state),
+    and top-k-by-score compiles to TakeOrderedAndProject — per-partition
+    partial top-k then a k-row merge on the driver, never a global
+    sort-shuffle.  Deterministic across runs, engines, and partition
+    layouts; the DuckDB oracle reproduces the identical hash → score →
+    ORDER BY/LIMIT pipeline."""
+    hex_int = F.conv(_hash_prefix(F.col(key_col), salt), 16, 10).cast("double")
+    u = (hex_int + 1.0) / float(16**HEX_WIDTH + 1)
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_score", score)
+        .orderBy(F.col("es_score").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -157,6 +157,12 @@ def simhash32_arrow(col: Column | str) -> Column:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
+    # token -> ±1 vote vector, memoized across rows AND Arrow batches
+    # (the closure outlives each batch call): the corpus token stream is
+    # ~vocab × avg-frequency, so hashing each distinct token once cuts
+    # the md5 work by the repetition factor
+    memo: dict[str, np.ndarray] = {}
+
     @pandas_udf(StringType())
     def sh(texts: pd.Series) -> pd.Series:
         ws = re.compile(r"\s+")
@@ -165,10 +171,14 @@ def simhash32_arrow(col: Column | str) -> Column:
             toks = ws.split(t.strip().lower())
             votes = np.zeros(32, dtype=np.int64)
             for tok in toks:
-                h = hashlib.md5(tok.encode()).hexdigest()
-                votes += (
-                    np.frombuffer(h.encode(), dtype=np.uint8) >= 0x38
-                ).astype(np.int64) * 2 - 1
+                v = memo.get(tok)
+                if v is None:
+                    h = hashlib.md5(tok.encode()).hexdigest()
+                    v = (
+                        np.frombuffer(h.encode(), dtype=np.uint8) >= 0x38
+                    ).astype(np.int64) * 2 - 1
+                    memo[tok] = v
+                votes += v
             out.append("".join("1" if v > 0 else "0" for v in votes))
         return pd.Series(out)
 

@@ -460,3 +460,35 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(interp * 10000).cast("long").alias("interp_e4"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+_WEIGHTED_SAMPLE_SQL = """
+  WITH scored AS (
+    SELECT doc_id, n_chars,
+      ln((CAST(concat('0x', substr(md5(concat('w0|',
+            CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0)
+         / 4294967297.0) / n_chars AS es_score
+    FROM documents WHERE n_chars > 0
+  )
+  SELECT doc_id, n_chars, round(es_score, 8) AS es_score
+  FROM scored ORDER BY es_score DESC, doc_id LIMIT 50
+"""
+
+
+@query("sample_weighted_chars", oracle=_WEIGHTED_SAMPLE_SQL)
+def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 50 documents
+    drawn with probability proportional to length (A-ES: top-k by
+    ``ln(hash-uniform)/weight``).  See
+    :func:`..functions.sampling.weighted_sample` for the scale shape
+    (pure per-row score + TakeOrderedAndProject — no global sort)."""
+    from ..functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    picked = sampling.weighted_sample(docs, "doc_id", "n_chars", 50, salt="w0")
+    return picked.select(
+        "doc_id", "n_chars", F.round("es_score", 8).alias("es_score")
+    )
