@@ -492,3 +492,49 @@ def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "doc_id", "n_chars", F.round("es_score", 8).alias("es_score")
     )
+
+
+# --------------------------------------------------------------------------
+# mergeable-sketch battery (HLL + approx percentile)
+# --------------------------------------------------------------------------
+@query("sketch_battery")  # estimates are sketch-layout-dependent → rows-only
+def sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query battery on mergeable sketches — the shape that
+    survives 100 TB where exact holistic aggregation can't: per-language
+    Datasketches HLL sketches of user term space (mergeable partials →
+    one binary blob per group), a corpus-wide estimate from
+    ``hll_union_agg`` over those SAME per-group sketches (no second
+    scan), and t-digest-style ``approx_percentile`` of document length.
+    Exact counterparts ride along; `tests/test_training_ops.py` bounds
+    the relative error.
+
+    Every aggregate here is algebraic (fixed-size partials, map-side
+    combined) — no sketch ever exceeds ~KBs regardless of input size,
+    and the union step merges 5 blobs, not 5 languages' worth of rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count_distinct("doc_id").alias("exact_distinct"),
+        F.approx_percentile("n_chars", 0.5, 1000).alias("approx_p50_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact_p50_chars"),
+    )
+    total = per_lang.agg(
+        F.lit("__all__").alias("lang"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+        F.lit(None).cast("double").alias("approx_p50_chars"),
+        F.lit(None).cast("double").alias("exact_p50_chars"),
+    )
+    return (
+        per_lang.select(
+            "lang",
+            F.hll_sketch_estimate("sk").alias("approx_distinct"),
+            "exact_distinct",
+            F.col("approx_p50_chars").cast("double"),
+            F.col("exact_p50_chars").cast("double"),
+        )
+        .unionByName(total)
+    )

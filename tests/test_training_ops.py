@@ -89,3 +89,33 @@ def test_simhash_arrow_equals_column_expression(spark):
         T.simhash32("text").alias("a"), T.simhash32_arrow("text").alias("b")
     ).collect()
     assert all(r.a == r.b for r in both)
+
+
+def test_sketch_battery_error_bounds(spark):
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    rows = {r.lang: r for r in QUERIES["sketch_battery"](spark, SF_MID).collect()}
+    assert set(rows) == {"en", "de", "fr", "es", "zh", "__all__"}
+    for lang, r in rows.items():
+        assert (
+            abs(r.approx_distinct - r.exact_distinct) / r.exact_distinct < 0.05
+        ), f"{lang}: HLL estimate off by >5%"
+        if lang != "__all__":
+            assert (
+                abs(r.approx_p50_chars - r.exact_p50_chars)
+                / max(r.exact_p50_chars, 1.0)
+                < 0.1
+            ), f"{lang}: approx p50 off by >10%"
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    docs = load_table(spark, SF_MID, "documents").select("doc_id", "n_chars")
+    picked = sampling.weighted_sample(docs, "doc_id", "n_chars", 100)
+    # identical on re-run (pure function of the key)
+    a = [r.doc_id for r in picked.collect()]
+    b = [r.doc_id for r in sampling.weighted_sample(docs, "doc_id", "n_chars", 100).collect()]
+    assert a == b
+    # mean length of the weighted sample must exceed the corpus mean
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = picked.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
