@@ -537,3 +537,39 @@ def test_sliding_window_stream_equivalence(spark, events, two_batch_stream, tmp_
         )
     )
     assert_df_equal(got, want)
+
+
+def test_continuous_aggregate_rollup_via_upsert_sink(spark, events, two_batch_stream, tmp_path):
+    """Continuous aggregate: an update-mode windowed rollup maintained
+    incrementally in the idempotent keyed upsert sink (foreachBatch)
+    must converge to the batch rollup — the materialized-view pattern
+    for 100 TB streams (each micro-batch rewrites only the windows it
+    touched, never the whole aggregate)."""
+    sdf = S.windowed_avg_stream(
+        two_batch_stream, ts="ts", key="user_id", value="value",
+        size="1 hour", watermark="1 minute",
+    )
+    sink = S.IdempotentKeyedUpsert(
+        str(tmp_path / "rollup"), ["w_start", "user_id"], "w_end"
+    )
+    q = (
+        S.foreach_batch_sink(
+            sdf, sink.writer(), str(tmp_path / "ck"), output_mode="update"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read(spark)
+    want = (
+        events.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis("window.start").alias("w_start"),
+            F.unix_millis("window.end").alias("w_end"),
+            "user_id",
+            F.round("avg_value", 4).alias("avg_value"),
+            "n",
+        )
+    )
+    assert_df_equal(got, want)
