@@ -538,3 +538,51 @@ def sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(total)
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): table function + lateral join
+# --------------------------------------------------------------------------
+_UDTF_TOKENS_SQL = """
+  WITH toks AS (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents WHERE doc_id % 10 = 0
+  )
+  SELECT doc_id, term, CAST(count(*) AS INT) AS cnt
+  FROM toks GROUP BY doc_id, term HAVING count(*) >= 2
+"""
+
+
+@query("udtf_token_counts", oracle=_UDTF_TOKENS_SQL)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.10's missing tier: a true table function — one
+    input row, N typed output rows with per-row Python state) applied
+    via lateral join: repeated-token counts per document.
+
+    UDTFs are the row-path escape hatch — right for genuinely
+    iterator-shaped expansions that don't fit explode/mapInPandas, and
+    deliberately benchmarked here on a 10% slice: the equivalent
+    explode+groupBy (see `bm25_scores`) is the scale path, this is the
+    API-surface demonstration."""
+    from collections import Counter
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, cnt: int")
+    class TokenCounts:
+        def eval(self, text: str):
+            toks = re.split(r"\s+", text.strip().lower())
+            for term, cnt in Counter(toks).items():
+                if cnt >= 2:
+                    yield term, cnt
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    return docs.lateralJoin(TokenCounts(F.col("text").outer())).select(
+        "doc_id", "term", "cnt"
+    )
