@@ -586,3 +586,106 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(TokenCounts(F.col("text").outer())).select(
         "doc_id", "term", "cnt"
     )
+
+
+# --------------------------------------------------------------------------
+# time-series subsequence similarity search (z-normalized, UCR-style)
+# --------------------------------------------------------------------------
+# z-normalized 8-step rising ramp (0..7): (i - 3.5) / sqrt(5.25)
+_ZQ = [
+    -1.5275252316519468, -1.091089451179962, -0.6546536707079772,
+    -0.2182178902359924, 0.2182178902359924, 0.6546536707079772,
+    1.091089451179962, 1.5275252316519468,
+]
+_TS_SIM_SQL = f"""
+  WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+    FROM events GROUP BY 1, 2
+  ),
+  ctx AS (
+    SELECT event_type, h, v,
+      list(v) OVER w AS seq,
+      last_value(h) OVER w AS h_last,
+      count(*) OVER w AS n
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+  ),
+  subs AS (
+    SELECT event_type, epoch_ms(h) AS hour_ms, seq,
+      list_sum(seq) / 8 AS mu,
+      sqrt(list_sum(list_transform(seq, x -> x * x)) / 8
+           - pow(list_sum(seq) / 8, 2)) AS sigma
+    FROM ctx
+    WHERE n = 8 AND epoch_ms(h_last) - epoch_ms(h) = 7 * 3600000
+  )
+  SELECT event_type, hour_ms,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> pow((seq[i] - mu) / sigma
+               - (ARRAY{_ZQ})[i], 2))), 4) AS zdist
+  FROM subs WHERE sigma > 0
+  ORDER BY zdist, event_type, hour_ms LIMIT 20
+"""
+
+
+@query("ts_subsequence_search", oracle=_TS_SIM_SQL)
+def ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (UCR-style): the 20
+    hourly 8-step subsequences (per event type) whose z-normalized shape
+    is closest, in squared Euclidean distance, to a rising-ramp query
+    pattern — trend detection over the metric stream.
+
+    Scale shape: subsequence extraction is ONE window pass over data
+    already partitioned by series key (collect_list over an 8-row
+    frame — state is bounded by m, never the series length); the
+    z-normalization + distance is a per-row array expression (no
+    explode), and top-k compiles to TakeOrderedAndProject.  At 100 TB
+    the same plan holds with series-key partitioning; only m-row frames
+    ever sit in memory per task."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, 7)
+    )
+    ctx = hourly.select(
+        "event_type",
+        "h",
+        F.collect_list("v").over(w).alias("seq"),
+        F.last("h").over(w).alias("h_last"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(
+        (F.col("n") == 8)
+        & (F.unix_millis("h_last") - F.unix_millis("h") == 7 * 3600000)
+    )
+    s = F.col("seq")
+    mu = F.aggregate(s, F.lit(0.0), lambda a, x: a + x) / 8
+    sq = F.aggregate(s, F.lit(0.0), lambda a, x: a + x * x) / 8
+    subs = ctx.select(
+        "event_type",
+        F.unix_millis("h").alias("hour_ms"),
+        "seq",
+        mu.alias("mu"),
+        F.sqrt(sq - mu * mu).alias("sigma"),
+    ).filter(F.col("sigma") > 0)
+    zq = F.array(*[F.lit(q) for q in _ZQ])
+    zdist = F.aggregate(
+        F.zip_with(
+            s,
+            zq,
+            lambda x, q: F.pow((x - F.col("mu")) / F.col("sigma") - q, F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        subs.select(
+            "event_type", "hour_ms", F.round(zdist, 4).alias("zdist")
+        )
+        .orderBy("zdist", "event_type", "hour_ms")
+        .limit(20)
+    )
