@@ -689,3 +689,116 @@ def ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zdist", "event_type", "hour_ms")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# cohort retention matrix
+# --------------------------------------------------------------------------
+_COHORT_SQL = """
+  WITH firsts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+  ),
+  activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+      CAST(floor(date_diff('day', f.cohort_week,
+                           date_trunc('week', e.ts)) / 7) AS BIGINT)
+        AS week_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+  )
+  SELECT epoch_ms(cohort_week) AS cohort_week_ms, week_offset,
+         count(*) AS n_active
+  FROM activity GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted distinct per week offset they remain active — the standard
+    longitudinal engagement rollup.
+
+    Scale shape: one shuffle builds per-user first-activity (map-side
+    combined min), joined back on the SAME user_id partitioning (no new
+    exchange under AQE-planned SMJ reuse), then a distinct + count pair
+    on (user, cohort, offset) — all hash aggregates, no window sort."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.unix_millis("cohort_week").alias("cohort_week_ms"), "week_offset"
+    ).agg(F.count("*").alias("n_active"))
+
+
+# --------------------------------------------------------------------------
+# robust outliers: median / MAD
+# --------------------------------------------------------------------------
+_MAD_SQL = """
+  WITH med AS (
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+  ),
+  mad AS (
+    SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med
+  )
+  SELECT e.event_type,
+         count(*) AS n,
+         round(any_value(m.med), 4) AS med,
+         round(any_value(m.mad), 4) AS mad,
+         CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM events e JOIN mad m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+"""
+
+
+@query("mad_outliers", oracle=_MAD_SQL)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per series: |x − median| > 3·1.4826·MAD
+    (the σ-consistent median-absolute-deviation rule) — unlike the
+    z-score variant (`value_zscore_outliers`), immune to the outliers
+    it hunts.
+
+    Two holistic median passes (exact interpolated `percentile`, same
+    as DuckDB's `median`) over a 5-group stream, each a single
+    exchange; the thresholds broadcast back onto the scan for the
+    final counting pass."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
