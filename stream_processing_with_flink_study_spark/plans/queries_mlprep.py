@@ -802,3 +802,79 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# exponentially weighted moving average (sequential per-key recursion)
+# --------------------------------------------------------------------------
+# the oracle replays the IDENTICAL recursion (0.8*y + 0.2*x in doubles,
+# via recursive CTE), so both engines produce bit-equal values; output
+# as floor(x*1000) because even identical doubles round differently
+# across engines at terminating-in-5 decimal reprs
+_EWMA_SQL = """
+  WITH RECURSIVE hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+    FROM events GROUP BY 1, 2
+  ),
+  series AS (
+    SELECT event_type,
+           list(v ORDER BY h) AS vs,
+           list(epoch_ms(h) ORDER BY h) AS hs
+    FROM hourly GROUP BY event_type
+  ),
+  walk AS (
+    SELECT event_type, vs, hs, 1 AS i, vs[1] AS y FROM series
+    UNION ALL
+    SELECT event_type, vs, hs, i + 1, 0.8 * y + 0.2 * vs[i + 1]
+    FROM walk WHERE i < len(vs)
+  )
+  SELECT event_type, hs[i] AS hour_ms,
+         CAST(floor(y * 1000) AS BIGINT) AS ewma_e3
+  FROM walk
+"""
+
+
+@query("ewma_smoothing", oracle=_EWMA_SQL)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (α=0.2, adjust=False: y₁=x₁, yᵢ=0.8·yᵢ₋₁+0.2·xᵢ)
+    of each event type's hourly series — the genuinely SEQUENTIAL
+    per-key recursion Spark's built-in window frames cannot express
+    (every prefix would re-sum), so it rides ``applyInPandas``: each
+    series arrives as one Arrow batch, numpy runs the O(n) recursion.
+
+    Scale shape: one shuffle groups by series key; per-task memory is
+    one series (bounded: hours × keys is the rollup cardinality, not
+    the event count — the raw stream is pre-aggregated map-side before
+    the group ever forms).  The oracle replays the identical
+    recursion as a recursive CTE (bit-identical doubles);
+    output as floor(x*1000) — see the gap-fill note on cross-engine
+    rounding of terminating-in-5 decimals."""
+    import numpy as np
+    import pandas as pd
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+        .select("event_type", F.unix_millis("h").alias("hour_ms"), "v")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_ms")
+        x = pdf["v"].to_numpy()
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+            for i in range(1, len(x)):
+                y[i] = 0.8 * y[i - 1] + 0.2 * x[i]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hour_ms": pdf["hour_ms"],
+                "ewma_e3": np.floor(y * 1000).astype("int64"),
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        ewma, "event_type string, hour_ms long, ewma_e3 long"
+    )
