@@ -878,3 +878,56 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("event_type").applyInPandas(
         ewma, "event_type string, hour_ms long, ewma_e3 long"
     )
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy matching (record linkage)
+# --------------------------------------------------------------------------
+_FUZZY_SQL = """
+  WITH names AS (
+    SELECT DISTINCT p_name,
+      regexp_extract(p_name, '([a-z]+)$', 1) AS block
+    FROM part
+  )
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query("fuzzy_name_match", oracle=_FUZZY_SQL)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): near-identical part
+    names within an edit distance of 3, candidate pairs generated ONLY
+    inside blocking-key buckets (the name's final token) — the standard
+    guard that keeps fuzzy linkage from going O(n²) at corpus scale.
+
+    Scale shape: dedupe to distinct names first (map-side-combined hash
+    agg — the linkage universe is vocabulary-sized, not row-count-
+    sized), then a self-join keyed on the block token; Levenshtein runs
+    JVM-side only on within-block candidates."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.regexp_extract("p_name", r"([a-z]+)$", 1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+        )
+    )
