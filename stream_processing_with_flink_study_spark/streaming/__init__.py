@@ -8,6 +8,7 @@ from .pipelines import (
     interval_join_stream,
     rolling_sum_stream,
     run_available_now,
+    smoke_alert_stream,
     window_join_stream,
     windowed_avg_stream,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "run_available_now",
     "running_max",
     "temp_delta_alerts",
+    "smoke_alert_stream",
     "two_phase_commit_writer",
     "window_join_stream",
     "windowed_avg_stream",

@@ -177,6 +177,40 @@ def window_join_stream(
     )
 
 
+def smoke_alert_stream(
+    readings: DataFrame,
+    smoke: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    temp_threshold: float = 100.0,
+):
+    """M2 streaming form of the reference's two-stream alert
+    (``MultiStreamTransformations.java:50-74``): the broadcast-side-input
+    pattern — each readings micro-batch joins the (tiny, global) smoke
+    control table as broadcast as-of validity intervals inside
+    ``foreachBatch``, so the unbounded reading stream NEVER shuffles and
+    per-batch work is a map-side broadcast join + filter.
+
+    This is the Spark-idiomatic replacement for Flink's
+    ``connect(broadcast())`` operator state: the control side lives as a
+    table (refreshable between batches), not as replicated per-task
+    state.  Returns the started query; results append to ``out_dir``.
+    """
+    from ..operators import joins
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        out = joins.smoke_alert(batch_df, smoke, temp_threshold)
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        readings.writeStream.foreachBatch(write)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def basic_pipeline_stream(readings: DataFrame) -> DataFrame:
     """Streaming form of BasicTransformations (filter ≥25 °F→°C map →
     id-split flatMap; ``BasicTransformations.java:47-81``) — fully

@@ -573,3 +573,45 @@ def test_continuous_aggregate_rollup_via_upsert_sink(spark, events, two_batch_st
         )
     )
     assert_df_equal(got, want)
+
+
+def test_smoke_alert_stream_equivalence(spark, events, tmp_path):
+    """M2 streaming (broadcast side input via foreachBatch): alerts from
+    the two-batch readings stream against the static smoke control table
+    must equal the batch smoke_alert query."""
+    from stream_processing_with_flink_study_spark.sources import load_table
+    from pyspark.sql import Window
+
+    readings = events.select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("id"),
+        "ts",
+        F.col("value").alias("temperature"),
+    )
+    w = Window.partitionBy("ts").orderBy(F.col("event_id").desc())
+    smoke = (
+        events.filter(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "ts",
+            F.when(F.col("value") > 150, "HIGH").otherwise("LOW").alias("level"),
+        )
+    )
+    mid = events.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    stream = S.memory_batches_stream(
+        spark,
+        [readings.filter(F.col("ts") <= F.lit(mid)),
+         readings.filter(F.col("ts") > F.lit(mid))],
+        str(tmp_path / "src"),
+        files_per_trigger=1,
+    )
+    q = S.smoke_alert_stream(
+        stream, smoke, str(tmp_path / "out"), str(tmp_path / "ck"),
+        temp_threshold=180.0,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = QUERIES["smoke_alert"](spark, SF_SMALL)
+    assert want.count() > 0
+    got = got.select("message", F.unix_millis("ts").alias("ts_ms"), "temperature")
+    assert_df_equal(got, want)
