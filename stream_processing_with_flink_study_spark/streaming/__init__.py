@@ -16,6 +16,7 @@ from .process import (
     count_window_sum_tws,
     rocksdb_conf,
     running_max,
+    topk_counts_tws,
 )
 from .sinks import (
     IdempotentKeyedUpsert,
@@ -28,6 +29,7 @@ from .sinks import (
 from .sources import file_stream, kafka_stream, memory_batches_stream
 from .stateful import (
     count_window_sum,
+    topk_counts,
     dedup_first,
     funnel_matches,
     keyed_rolling_reduce,
@@ -56,6 +58,8 @@ __all__ = [
     "run_available_now",
     "running_max",
     "temp_delta_alerts",
+    "topk_counts",
+    "topk_counts_tws",
     "smoke_alert_stream",
     "two_phase_commit_writer",
     "window_join_stream",

@@ -125,3 +125,55 @@ def count_window_sum_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+class TopKCountsProcessor(StatefulProcessor):
+    """MapState heavy hitters (P5's MapState primitive as a streaming
+    top-k): per key, a term -> count map accumulates across micro-
+    batches; after each batch the key's current top-k (count desc, term
+    asc) is re-emitted in update mode, so the final emission equals the
+    batch ``groupBy(key, term).count`` top-k.
+
+    State is vocabulary-bounded per key (a map entry per distinct term,
+    never per event); for unbounded term domains compose with a TTL or
+    a space-saving sketch upstream."""
+
+    def __init__(self, term_col: str, k: int = 5):
+        self.term_col = term_col
+        self.k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "term string", "cnt long")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        for term, n in batch[self.term_col].astype(str).value_counts().items():
+            prev = self._counts.getValue((term,))
+            cur = (prev[0] if prev is not None else 0) + int(n)
+            self._counts.updateValue((term,), (cur,))
+        top = sorted(
+            ((t[0], c[0]) for t, c in self._counts.iterator()),
+            key=lambda tc: (-tc[1], tc[0]),
+        )[: self.k]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "term": [t for t, _ in top],
+                "cnt": [c for _, c in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def topk_counts_tws(df: DataFrame, key: str, term_col: str, k: int = 5) -> DataFrame:
+    return df.groupBy(key).transformWithStateInPandas(
+        TopKCountsProcessor(term_col, k),
+        outputStructType="key string, term string, cnt long, rank long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -241,3 +241,46 @@ def funnel_matches(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def topk_counts(
+    df: DataFrame, key: str, term_col: str, k: int = 5
+) -> DataFrame:
+    """Streaming heavy hitters (MapState semantics on the GroupState
+    API): per key, term counts accumulate across micro-batches as a
+    dict-valued state; after each batch the key's current top-k
+    (count desc, term asc) re-emits in update mode, so the final
+    emission equals the batch top-k.  State is vocabulary-bounded per
+    key — an entry per distinct term, never per event.  The
+    transformWithState twin is ``process.topk_counts_tws`` (true
+    per-entry MapState instead of a serialized dict)."""
+    import json
+
+    out_schema = "key string, term string, cnt long, rank long"
+    state_schema = "counts string"
+
+    def handle(
+        k_: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = (
+            json.loads(state.get[0]) if state.exists else {}
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for term, n in batch[term_col].astype(str).value_counts().items():
+            counts[term] = counts.get(term, 0) + int(n)
+        state.update((json.dumps(counts),))
+        top = sorted(counts.items(), key=lambda tc: (-tc[1], tc[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "key": [str(k_[0])] * len(top),
+                "term": [t for t, _ in top],
+                "cnt": [c for _, c in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -615,3 +615,58 @@ def test_smoke_alert_stream_equivalence(spark, events, tmp_path):
     assert want.count() > 0
     got = got.select("message", F.unix_millis("ts").alias("ts_ms"), "temperature")
     assert_df_equal(got, want)
+
+
+def _topk_want(events):
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user")
+    )
+    return (
+        events.groupBy(
+            "event_type", F.col("user_id").cast("string").alias("user")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("event_type").alias("key"), F.col("user").alias("term"),
+            "cnt", F.col("rank").cast("long"),
+        )
+    )
+
+
+def test_topk_counts_heavy_hitters(spark, events, two_batch_stream, tmp_path):
+    """MapState-semantics top-k (GroupState dict form): per event type,
+    the 5 most active users.  Counts accumulate across the two
+    micro-batches; the final (cross-batch) emission per key must equal
+    the batch groupBy count top-5."""
+    keyed = two_batch_stream.select(
+        "event_type", F.col("user_id").cast("string").alias("user")
+    )
+    got = S.run_available_now(
+        S.topk_counts(keyed, "event_type", "user", k=5),
+        str(tmp_path / "ck"),
+        "update",
+    )
+    want = _topk_want(events)
+    assert want.count() == 25
+    missing = want.exceptAll(got.select("key", "term", "cnt", "rank"))
+    assert missing.count() == 0, missing.limit(5).collect()
+
+
+@tws
+def test_transform_with_state_topk_counts(spark, events, two_batch_stream, tmp_path, rocksdb):
+    """True MapState variant (transformWithStateInPandas) of the same
+    top-k contract."""
+    keyed = two_batch_stream.select(
+        "event_type", F.col("user_id").cast("string").alias("user")
+    )
+    got = S.run_available_now(
+        S.topk_counts_tws(keyed, "event_type", "user", k=5),
+        str(tmp_path / "ck"),
+        "update",
+    )
+    want = _topk_want(events)
+    assert want.count() == 25
+    missing = want.exceptAll(got.select("key", "term", "cnt", "rank"))
+    assert missing.count() == 0, missing.limit(5).collect()
