@@ -931,3 +931,51 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# the flagship query run THROUGH Structured Streaming (registry-visible)
+# --------------------------------------------------------------------------
+_STREAM_FLAGSHIP_SQL = """
+  SELECT epoch_ms(date_trunc('hour', ts)) AS w_start,
+         epoch_ms(date_trunc('hour', ts)) + 3600000 AS w_end,
+         user_id,
+         round(avg(value), 4) AS avg_value,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_flagship_avg", oracle=_STREAM_FLAGSHIP_SQL)
+def streaming_flagship_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship windowed average executed as an actual Structured
+    Streaming run: file-source the events parquet, watermark, keyed
+    1-hour tumbling windows, Trigger.AvailableNow to completion into a
+    memory sink — the §5.3 streaming–batch equivalence contract held up
+    to the driver's oracle gate itself (the batch SQL is the oracle).
+
+    The per-(key, window) state lives in the state store and evicts as
+    the watermark passes; complete mode re-emits the final table, which
+    must equal the one-shot batch aggregation bit-for-bit."""
+    import tempfile
+
+    from ..streaming import run_available_now, windowed_avg_stream
+    from ..streaming.sources import file_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the streaming file source monitors DIRECTORIES; glob-filter the
+    # events table out of the shared sf dir
+    sdf = file_stream(
+        spark, sf_dir, schema=schema, pathGlobFilter="events.parquet"
+    )
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    piped = windowed_avg_stream(
+        sdf, ts="ts", key="user_id", value="value",
+        size="1 hour", watermark="1 minute",
+    )
+    ck = tempfile.mkdtemp(prefix="ck_flagship_stream_")
+    return run_available_now(piped, ck, "complete")
