@@ -133,3 +133,41 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_compact_parquet_bounds_file_count(spark, tmp_path):
+    """Small-file compaction: a fragmented table (32 shuffle-partition
+    files) rewrites to the byte-targeted count."""
+    from stream_processing_with_flink_study_spark.operators import maintenance
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    load_table(spark, SF_SMALL, "events").repartition(32).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    n = maintenance.compact_parquet(spark, src, dst, target_file_bytes=256 * 1024)
+    assert n == len(glob.glob(f"{dst}/*.parquet"))
+    assert n < 32, "compaction must reduce the file count"
+    # content survives byte-for-byte
+    assert (
+        spark.read.parquet(dst).count()
+        == load_table(spark, SF_SMALL, "events").count()
+    )
+
+
+def test_date_partitioned_layout_prunes_directories(spark, tmp_path):
+    """Partition pruning: a dt-range filter over the hive layout must
+    bind to PartitionFilters (directory pruning), not data filters."""
+    from stream_processing_with_flink_study_spark.operators import maintenance
+
+    d = str(tmp_path / "by_dt")
+    events = load_table(spark, SF_SMALL, "events")
+    maintenance.write_date_partitioned(events, d, "ts")
+    pruned = maintenance.read_pruned(spark, d, "2024-01-05", "2024-01-07")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(dt" in plan or "(dt" in plan
+    want = events.filter(
+        (F.date_format("ts", "yyyy-MM-dd") >= "2024-01-05")
+        & (F.date_format("ts", "yyyy-MM-dd") <= "2024-01-07")
+    ).count()
+    assert pruned.count() == want > 0
