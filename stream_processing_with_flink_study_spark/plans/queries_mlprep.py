@@ -570,6 +570,11 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
+    # Arrow-batch the UDTF exchange (plans ArrowEvalPythonUDTF, not the
+    # row-serialized BatchEvalPythonUDTF); runtime conf so it also holds
+    # under the driver's vanilla session
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
     @udtf(returnType="term: string, cnt: int")
     class TokenCounts:
         def eval(self, text: str):

@@ -1051,43 +1051,44 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone held up multi-supplier
     orders — the EXISTS(other supplier) / NOT EXISTS(other LATE
-    supplier) pair collapsed into ONE per-order aggregate (n_supp > 1 ∧
-    n_late_supp = 1 ∧ this line late), replacing two correlated
-    self-joins with a single groupBy over the same join — strictly
-    fewer lineitem passes, identical semantics.  'late' is the 60-day
-    shipdate re-shape (no l_commitdate/l_receiptdate in schema)."""
+    supplier) pair collapsed into ONE per-order aggregate.  Because the
+    filter demands exactly one late supplier per order, every late line
+    in a qualifying order belongs to that supplier, so a single
+    groupBy(l_orderkey) computes (n_supp, the late-supplier set, and
+    the late-line count) in one shuffle; no persist / self-join back to
+    the lines.  'late' is the 60-day shipdate re-shape (no
+    l_commitdate/l_receiptdate in schema).  At scale this is one hash
+    exchange on l_orderkey plus two broadcasts — the minimum possible."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    lines = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("late"),
-        )
-        .persist()
+    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
     )
-    lines.count()
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_order = (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "late_supps"
+            ),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.size("late_supps") == 1))
+        .select(
+            F.element_at("late_supps", 1).alias("l_suppkey"),
+            "n_late_lines",
+        )
     )
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        lines.filter(F.col("late"))
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )
