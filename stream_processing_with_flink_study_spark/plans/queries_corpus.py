@@ -616,3 +616,94 @@ def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.date_trunc("month", d)).alias("month_start_ms"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit + normalized-text dedup (round 2 wave)
+# --------------------------------------------------------------------------
+@query(
+    "zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term,
+             lang
+      FROM documents
+    ), freqs AS (
+      SELECT lang, term, count(*) AS freq FROM toks GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, freq,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY freq DESC, term) AS rnk
+      FROM freqs
+    )
+    SELECT lang,
+           round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM ranked WHERE rnk <= 200
+    GROUP BY lang
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of log(freq) on log(rank)
+    over the top-200 vocabulary — the standard corpus-health check (a
+    natural-language corpus sits near −1; boilerplate/spam skews flat).
+    One exploded aggregate (map-side combined), a per-lang top-200 via
+    window rank (5 langs × 200 rows leave the shuffle), then Spark's
+    built-in ``regr_slope`` — all JVM-side, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select("lang", F.explode(text.tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "term")
+    ranked = freqs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 200
+    )
+    return ranked.groupBy("lang").agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias(
+            "zipf_slope"
+        ),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+@query(
+    "dedup_normalized_text",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT norm_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM norm GROUP BY norm_hash
+    """,
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup — the exact-dedup upgrade every
+    web-corpus pipeline runs first (case folding, punctuation strip,
+    whitespace collapse catch trivial reformattings MinHash shouldn't
+    have to spend candidate budget on).  Deterministic keeper =
+    min(doc_id).  The shuffle carries 16-byte digests, not documents;
+    at 100 TB the map side reduces each partition to (hash → min_id,
+    count) partials before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

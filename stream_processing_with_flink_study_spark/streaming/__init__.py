@@ -8,6 +8,7 @@ from .pipelines import (
     interval_join_stream,
     rolling_sum_stream,
     run_available_now,
+    session_window_stream,
     smoke_alert_stream,
     window_join_stream,
     windowed_avg_stream,
@@ -57,6 +58,7 @@ __all__ = [
     "rolling_sum_stream",
     "run_available_now",
     "running_max",
+    "session_window_stream",
     "temp_delta_alerts",
     "topk_counts",
     "topk_counts_tws",

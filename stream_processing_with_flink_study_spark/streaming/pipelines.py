@@ -75,6 +75,38 @@ def windowed_avg_stream(
     )
 
 
+def session_window_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    value: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """W4 session windows (``EventTimeSessionWindows.withGap``,
+    ``정리/4주차.md:168-171``), streaming form: ``session_window``
+    merges a key's overlapping [ts, ts+gap) intervals in the state
+    store as rows arrive; a session finalizes (fires and evicts) once
+    the watermark passes its close.  Matches the batch
+    ``operators/windows.py:session`` twin row-for-row under
+    Trigger.AvailableNow — asserted in tests."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(ts, gap), key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("session_window.start")).alias("w_start"),
+            F.unix_millis(F.col("session_window.end")).alias("w_end"),
+            key,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def rolling_sum_stream(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """Rolling per-key sum (K2, ``RollingSum.java:39``), streaming form:
     ``groupBy(keys).sum`` in **update** output mode emits a refreshed

@@ -400,26 +400,22 @@ def test_transform_with_state_count_window(spark, events, two_batch_stream, tmp_
 def test_session_window_stream_equivalence(spark, events, two_batch_stream, tmp_path):
     """W4 streaming session windows (complete mode) equal the batch
     session_window aggregation on the same data."""
-    sdf = (
-        two_batch_stream.withWatermark("ts", "1 minute")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
-        .select(
-            F.unix_millis("session_window.start").alias("w_start"),
-            "user_id",
-            "n",
-            "s",
-        )
+    sdf = S.session_window_stream(
+        two_batch_stream, gap="30 minutes", watermark="1 minute"
     )
     got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
     want = (
         events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
         .select(
             F.unix_millis("session_window.start").alias("w_start"),
+            F.unix_millis("session_window.end").alias("w_end"),
             "user_id",
             "n",
-            "s",
+            "sum_value",
         )
     )
     assert_df_equal(got, want)
