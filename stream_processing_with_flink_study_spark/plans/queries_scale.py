@@ -226,3 +226,188 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "sample_reservoir_per_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key reservoir sampling, the deterministic distributed way:
+    ordering by a cryptographic hash of the row id IS a uniform random
+    permutation (fixed across engines and runs — md5 gives both sides
+    the same bytes), and top-20-per-key over that ordering is the
+    reservoir.  Executes as one hash exchange on the key + per-group
+    TakeOrdered; no RNG state, no driver round-trips, reproducible
+    splits — the property that matters when a 100 TB corpus is sampled
+    by 1000 executors independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "full_outer_reconcile",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+    ), snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT
+      coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      CASE WHEN a.o_orderkey IS NULL THEN 'added'
+           WHEN b.o_orderkey IS NULL THEN 'removed'
+           WHEN a.o_totalprice != b.o_totalprice THEN 'changed'
+           ELSE 'same' END AS status,
+      round(a.o_totalprice, 2) AS price_a,
+      round(b.o_totalprice, 2) AS price_b
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the CDC-diff every warehouse sync
+    needs): FULL OUTER join of two table versions classifying each key
+    added / removed / changed / same.  Full-outer is the one join shape
+    that can never broadcast (both sides must survive), so it plans as
+    a sort-merge join on the key — worth pinning in a test suite
+    because it exercises the join path the optimizer can't shortcut."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a_raw")
+    )
+    b = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_b_raw"),
+    )
+    j = a.join(b, "o_orderkey", "full_outer")
+    return j.select(
+        "o_orderkey",
+        F.when(F.col("price_a_raw").isNull(), "added")
+        .when(F.col("price_b_raw").isNull(), "removed")
+        .when(F.col("price_a_raw") != F.col("price_b_raw"), "changed")
+        .otherwise("same")
+        .alias("status"),
+        F.round("price_a_raw", 2).alias("price_a"),
+        F.round("price_b_raw", 2).alias("price_b"),
+    )
+
+
+@query(
+    "window_funcs_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(first_value(o_totalprice) OVER w2, 2) AS first_price,
+           round(last_value(o_totalprice) OVER w2, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w2, 2) AS second_price,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery (the K+ ranking family's
+    value-navigation half): lag/lead, first/last/nth over the full
+    frame, cume_dist — per customer in (date, key) order.  All share
+    ONE window sort: Catalyst collapses same-spec window nodes, so the
+    plan is a single exchange + sort no matter how many functions ride
+    it."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w2), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w2), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w2), 2).alias(
+            "second_price"
+        ),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "array_hof_battery",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 4) AS comp_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS comp_max,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS comp_min,
+           round(CAST(embedding[1] AS DOUBLE)
+                 + CAST(embedding[2] AS DOUBLE), 4) AS head2_sum
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (the §2.9 family Spark adds beyond
+    the reference's scalar surface): transform / filter / aggregate
+    folds over the embedding vector — all JVM-side codegen'd lambdas,
+    the idiomatic replacement for per-row Python when vector math stays
+    elementwise.  DuckDB's list_* functions are the oracle mirror."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + dbl(x) * dbl(x)
+                )
+            ),
+            4,
+        ).alias("l2"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + dbl(x)), 4
+        ).alias("comp_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias(
+            "n_pos"
+        ),
+        F.round(dbl(F.array_max("embedding")), 4).alias("comp_max"),
+        F.round(dbl(F.array_min("embedding")), 4).alias("comp_min"),
+        F.round(
+            dbl(F.element_at("embedding", 1)) + dbl(F.element_at("embedding", 2)),
+            4,
+        ).alias("head2_sum"),
+    )
