@@ -33,20 +33,33 @@ def from_elements(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table; schema comes from the parquet footer.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos long
-    and is converted here to Spark's native microsecond TimestampType
-    (floor — matches DuckDB's ms/µs truncation of the same values).
-    The conf is set at runtime so this works under ANY SparkSession,
-    not just the one from :func:`..session.get_spark`.
+    Timestamp columns are normalized to Spark's session-timezone
+    ``TimestampType`` (session tz forced to UTC — the DuckDB oracle
+    treats the same values as UTC-naive) regardless of the physical
+    encoding the driver generated:
+
+    - TIMESTAMP(NANOS) (round-1 data): read as a nanos long via
+      ``spark.sql.legacy.parquet.nanosAsLong`` and floor-converted to
+      micros (integer ``div`` — ns epoch values exceed double precision).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-2 data): Spark 4
+      infers TIMESTAMP_NTZ; ``inferTimestampNTZEnabled=false`` reads it
+      as a plain UTC-instant TimestampType instead, keeping
+      ``unix_millis``/watermark/window operators working unchanged.
+
+    All confs are set at runtime so this works under ANY SparkSession
+    (the driver's verify session included), not just
+    :func:`..session.get_spark`.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZEnabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer `div`, NOT `/`: ns epoch values (~1.7e18) exceed
-            # double precision and float division skews by ~256 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # belt-and-braces: value-preserving under UTC session tz
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
