@@ -8,6 +8,8 @@ coalesce afterwards, which is the behavior we want at scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -124,6 +126,21 @@ def bucketed_write(
     write time).  Catalyst proves co-partitioning from catalog metadata;
     see tests/test_distribution.py for the shuffle-free join assertion.
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        # a crashed prior run can leave the warehouse dir on disk with no
+        # catalog entry (fresh in-memory metastore) → LOCATION_ALREADY_EXISTS;
+        # overwrite semantics say the orphan dir must go
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        parsed = urlparse(wh)
+        if parsed.scheme in ("", "file"):
+            shutil.rmtree(
+                os.path.join(parsed.path or wh, table.lower()),
+                ignore_errors=True,
+            )
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -965,19 +965,11 @@ def streaming_flagship_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming import run_available_now, windowed_avg_stream
-    from ..streaming.sources import file_stream
+    from ..streaming.sources import events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # the streaming file source monitors DIRECTORIES; glob-filter the
-    # events table out of the shared sf dir
-    sdf = file_stream(
-        spark, sf_dir, schema=schema, pathGlobFilter="events.parquet"
-    )
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # encoding-aware: probes the parquet footer (nanos-long vs micros
+    # timestamp) instead of hardcoding one round's physical encoding
+    sdf = events_stream(spark, sf_dir)
     piped = windowed_avg_stream(
         sdf, ts="ts", key="user_id", value="value",
         size="1 hour", watermark="1 minute",

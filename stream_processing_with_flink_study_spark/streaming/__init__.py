@@ -27,7 +27,12 @@ from .sinks import (
     parquet_sink,
     two_phase_commit_writer,
 )
-from .sources import file_stream, kafka_stream, memory_batches_stream
+from .sources import (
+    events_stream,
+    file_stream,
+    kafka_stream,
+    memory_batches_stream,
+)
 from .stateful import (
     count_window_sum,
     topk_counts,
@@ -45,6 +50,7 @@ __all__ = [
     "count_window_sum_tws",
     "dedup_first",
     "dedup_within_watermark_stream",
+    "events_stream",
     "file_stream",
     "foreach_batch_sink",
     "funnel_matches",

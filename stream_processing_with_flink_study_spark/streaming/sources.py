@@ -44,6 +44,48 @@ def file_stream(
     return reader.load(path)
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-aware streaming reader for the driver's ``events`` table.
+
+    The streaming file source requires an explicit schema, but the
+    driver has shipped ``ts`` under two different physical parquet
+    encodings across rounds (TIMESTAMP(NANOS) → read as a nanos long
+    via ``nanosAsLong``; TIMESTAMP(MICROS) → plain TimestampType).  A
+    hardcoded schema silently mis-scales one of them by 1000×, so this
+    helper probes the parquet footer first and declares the matching
+    schema — the single entry point every streaming-over-driver-data
+    query must use (batch twin: :func:`...sources.batch.load_table`,
+    which does the same probe via the inferred batch schema).
+
+    Returns a streaming DataFrame with the canonical schema
+    ``(event_id long, ts timestamp, user_id long, event_type string,
+    value double, props string)`` regardless of physical encoding.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        probe = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        src, opts = path, {}
+    else:
+        probe = path
+        # the file source monitors DIRECTORIES; glob-filter the events
+        # table out of the shared sf dir
+        src, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
+    ts_type = pq.read_schema(probe).field("ts").type
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cols = "event_id long, ts {}, user_id long, event_type string, value double, props string"
+    if getattr(ts_type, "unit", None) == "ns" or str(ts_type) == "int64":
+        # round-1 encoding: nanos epoch longs (ns exceed double precision
+        # — integer div, exactly as sources/batch.py does for batch)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sdf = file_stream(spark, src, schema=cols.format("long"), **opts)
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return file_stream(spark, src, schema=cols.format("timestamp"), **opts)
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

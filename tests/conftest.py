@@ -17,8 +17,15 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # hermetic warehouse: saveAsTable tests (bucketing) must not collide
+    # with leftover spark-warehouse/ dirs from prior crashed runs
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

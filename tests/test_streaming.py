@@ -666,3 +666,49 @@ def test_transform_with_state_topk_counts(spark, events, two_batch_stream, tmp_p
     assert want.count() == 25
     missing = want.exceptAll(got.select("key", "term", "cnt", "rank"))
     assert missing.count() == 0, missing.limit(5).collect()
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_stream_encoding_aware(spark, tmp_path, unit):
+    """``events_stream`` must yield identical TimestampType values for
+    BOTH physical parquet encodings the driver has shipped: round-2
+    TIMESTAMP(MICROS) and round-1 TIMESTAMP(NANOS) (the latter surfaces
+    as a nanos long under ``nanosAsLong``).  Guards against the
+    round-3 wrong-answer bug where a hardcoded ``ts long`` schema
+    mis-scaled micros data 1000×."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # epoch micros
+    rows = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(
+            [
+                v * (1000 if unit == "ns" else 1)
+                for v in (base_us, base_us + 1_500_000, base_us + 3_700_000_000)
+            ],
+            pa.timestamp(unit),
+        ),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"], pa.string()),
+    }
+    sf_dir = tmp_path / f"sf_{unit}"
+    sf_dir.mkdir()
+    pq.write_table(pa.table(rows), str(sf_dir / "events.parquet"))
+
+    sdf = S.events_stream(spark, str(sf_dir))
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    agg = S.windowed_avg_stream(
+        sdf, ts="ts", key="user_id", value="value",
+        size="1 hour", watermark="1 minute",
+    )
+    got = _sorted_pdf(
+        S.run_available_now(agg, str(tmp_path / f"ck_{unit}"), "complete")
+    )
+    # identical logical values regardless of encoding: first window holds
+    # user 10's two events, the 1h-later window holds user 11's one
+    assert list(got["n"]) == [2, 1]
+    assert list(got["avg_value"]) == [1.5, 3.0]
+    assert got["w_end"].iloc[1] - got["w_start"].iloc[0] == 2 * 3600 * 1000
