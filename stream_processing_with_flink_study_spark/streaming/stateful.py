@@ -20,9 +20,94 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _ts_ms(col: pd.Series) -> np.ndarray:
+    """Datetime series → epoch-millis int64, robust to the pandas
+    resolution (ns under classic conversion, us under Arrow types)."""
+    return col.to_numpy().astype("datetime64[ms]").astype("int64")
+
+
+def _delta_alerts_core(
+    vals: np.ndarray,
+    ts_ms: np.ndarray,
+    last_value: float | None,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-key-batch body of :func:`temp_delta_alerts`: each
+    row compares against the immediately preceding value (state carries
+    the last value across the micro-batch boundary), so the recurrence
+    is a pure ``shift`` — no sequential dependence beyond lag-1."""
+    prev = np.empty_like(vals)
+    prev[0] = np.nan if last_value is None else last_value
+    prev[1:] = vals[:-1]
+    delta = vals - prev
+    with np.errstate(invalid="ignore"):
+        mask = np.abs(delta) > threshold  # NaN first-row compares False
+    return np.flatnonzero(mask), np.round(delta, 4)
+
+
+def _count_window_core(
+    vals: np.ndarray,
+    buf_sum: float,
+    buf_n: int,
+    next_idx: int,
+    n: int,
+) -> tuple[list[tuple[int, float]], float, int, int]:
+    """Vectorized count-window fold: boundary positions fall where the
+    carried-in count crosses a multiple of ``n``; per-window sums are
+    cumsum differences at those boundaries."""
+    cs = np.cumsum(vals)
+    idx = np.flatnonzero((buf_n + np.arange(1, len(vals) + 1)) % n == 0)
+    wins: list[tuple[int, float]] = []
+    if len(idx):
+        sums = cs[idx] - np.concatenate(([0.0], cs[idx[:-1]]))
+        sums[0] += buf_sum
+        wins = [(next_idx + j, round(float(s), 4)) for j, s in enumerate(sums)]
+        buf_sum = float(cs[-1] - cs[idx[-1]])
+        next_idx += len(idx)
+    else:
+        buf_sum = float(buf_sum + (cs[-1] if len(cs) else 0.0))
+    buf_n = (buf_n + len(vals)) % n
+    return wins, buf_sum, buf_n, next_idx
+
+
+def _funnel_core(
+    ord_us: np.ndarray,
+    stage: np.ndarray,
+    last_s1: int | None,
+    last_s2: int | None,
+    step_us: int,
+) -> tuple[np.ndarray, int | None, int | None]:
+    """Vectorized funnel scan over one key's (ts, rank)-sorted batch.
+
+    The sequential recurrence decomposes into two forward-fills: the
+    latest stage-1 time visible at each row, then — because a stage-2
+    row qualifies purely from the s1 fill at its own position — the
+    latest QUALIFIED stage-2 time.  Stage-3 rows then test the s2 fill
+    locally.  Same-instant cascades keep working because rows arrive
+    sorted by (ts, stage rank): an earlier stage at the same timestamp
+    occupies an earlier position, and ffill looks strictly backwards in
+    position order, matching the loop's update-before-test behavior."""
+    nan = np.nan
+    s1_seed = nan if last_s1 is None else float(last_s1)
+    s2_seed = nan if last_s2 is None else float(last_s2)
+    ordf = ord_us.astype("float64")
+
+    s1_at = pd.Series(np.where(stage == 0, ordf, nan)).ffill().fillna(s1_seed).to_numpy()
+    with np.errstate(invalid="ignore"):
+        s2_qual = (stage == 1) & (s1_at >= ordf - step_us)
+    s2_at = pd.Series(np.where(s2_qual, ordf, nan)).ffill().fillna(s2_seed).to_numpy()
+    with np.errstate(invalid="ignore"):
+        hits = np.flatnonzero((stage == 2) & (s2_at >= ordf - step_us))
+
+    new_s1 = None if np.isnan(s1_at[-1]) else int(s1_at[-1])
+    new_s2 = None if np.isnan(s2_at[-1]) else int(s2_at[-1])
+    return hits, new_s1, new_s2
 
 
 def temp_delta_alerts(
@@ -48,19 +133,22 @@ def temp_delta_alerts(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         last_value, last_ts = state.get if state.exists else (None, None)
-        rows = []
         # a key's micro-batch rows may arrive as several Arrow chunks:
         # concat before sorting or the event-time order is per-chunk only
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols)
-        for _, r in pdf.iterrows():
-            t_ms = int(r[ts].value // 1_000_000)
-            v = float(r[value])
-            if last_value is not None and abs(v - last_value) > threshold:
-                rows.append((k[0], t_ms, v, round(v - last_value, 4)))
-            last_value, last_ts = v, t_ms
-        state.update((last_value, last_ts))
-        if rows:
-            yield pd.DataFrame(rows, columns=[key, "ts_ms", "value", "delta"])
+        vals = pdf[value].to_numpy(dtype="float64")
+        t_ms = _ts_ms(pdf[ts])
+        hit, delta = _delta_alerts_core(vals, t_ms, last_value, threshold)
+        state.update((float(vals[-1]), int(t_ms[-1])))
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    key: [k[0]] * len(hit),
+                    "ts_ms": t_ms[hit],
+                    "value": vals[hit],
+                    "delta": delta[hit],
+                }
+            )
 
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -138,17 +226,17 @@ def count_window_sum(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         buf_sum, buf_n, next_idx = state.get if state.exists else (0.0, 0, 0)
-        out = []
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
-        for v in pdf[value]:
-            buf_sum += float(v)
-            buf_n += 1
-            if buf_n == n:
-                out.append((k[0], next_idx, round(buf_sum, 4), buf_n))
-                buf_sum, buf_n, next_idx = 0.0, 0, next_idx + 1
+        vals = pdf[value].to_numpy(dtype="float64")
+        wins, buf_sum, buf_n, next_idx = _count_window_core(
+            vals, buf_sum, buf_n, next_idx, n
+        )
         state.update((buf_sum, buf_n, next_idx))
-        if out:
-            yield pd.DataFrame(out, columns=[key, "window_idx", "win_sum", "win_n"])
+        if wins:
+            yield pd.DataFrame(
+                [(k[0], i, s, n) for i, s in wins],
+                columns=[key, "window_idx", "win_sum", "win_n"],
+            )
 
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -222,21 +310,23 @@ def funnel_matches(
         rank = {s1: 0, s2: 1, s3: 2}
         pdf["_rank"] = pdf[type_col].map(rank)
         pdf = pdf.dropna(subset=["_rank"]).sort_values([ts, "_rank", "event_id"])
-        rows = []
-        for _, r in pdf.iterrows():
-            ord_us = int(r[ts].value // 1_000)
-            t = r[type_col]
-            if t == s1:
-                last_s1 = ord_us
-            elif t == s2:
-                if last_s1 is not None and last_s1 >= ord_us - step_us:
-                    last_s2 = ord_us
-            elif t == s3:
-                if last_s2 is not None and last_s2 >= ord_us - step_us:
-                    rows.append((k[0], int(r["event_id"]), ord_us // 1_000))
+        if not len(pdf):
+            state.update((last_s1, last_s2))
+            return
+        ord_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+        stage = pdf["_rank"].to_numpy(dtype="int64")
+        hits, last_s1, last_s2 = _funnel_core(
+            ord_us, stage, last_s1, last_s2, step_us
+        )
         state.update((last_s1, last_s2))
-        if rows:
-            yield pd.DataFrame(rows, columns=[key, "event_id", "ts_ms"])
+        if len(hits):
+            yield pd.DataFrame(
+                {
+                    key: [k[0]] * len(hits),
+                    "event_id": pdf["event_id"].to_numpy(dtype="int64")[hits],
+                    "ts_ms": ord_us[hits] // 1_000,
+                }
+            )
 
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

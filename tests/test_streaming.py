@@ -712,3 +712,81 @@ def test_events_stream_encoding_aware(spark, tmp_path, unit):
     assert list(got["n"]) == [2, 1]
     assert list(got["avg_value"]) == [1.5, 3.0]
     assert got["w_end"].iloc[1] - got["w_start"].iloc[0] == 2 * 3600 * 1000
+
+
+def test_vectorized_handler_cores_match_naive_loops():
+    """The numpy formulations inside the stateful handlers must agree
+    with the obvious sequential loops on randomized data, including the
+    carry-in state across a simulated batch boundary — and beat them by
+    >=3x on a 10k-row key batch (the reason iterrows left)."""
+    import time
+
+    import numpy as np
+
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        _count_window_core,
+        _delta_alerts_core,
+        _funnel_core,
+    )
+
+    rng = np.random.default_rng(7)
+    n_rows = 10_000
+
+    # --- delta alerts ---
+    vals = rng.normal(0, 1.5, n_rows).cumsum()
+    ts = np.arange(n_rows, dtype="int64") * 1000
+    for last in (None, 3.25):
+        t0 = time.perf_counter()
+        hit, delta = _delta_alerts_core(vals, ts, last, 1.7)
+        t_vec = time.perf_counter() - t0
+        # the baseline is the iterrows formulation the handler used to run
+        pdf = pd.DataFrame({"value": vals, "ts_ms": ts})
+        t0 = time.perf_counter()
+        want, want_delta, lv = [], [], last
+        for i, r in pdf.iterrows():
+            v = float(r["value"])
+            if lv is not None and abs(v - lv) > 1.7:
+                want.append(i)
+                want_delta.append(round(v - lv, 4))
+            lv = v
+        t_loop = time.perf_counter() - t0
+        assert list(hit) == want
+        assert np.allclose(delta[hit], want_delta)
+        assert t_loop / t_vec >= 3, f"delta speedup only {t_loop/t_vec:.1f}x"
+
+    # --- count window ---
+    cvals = rng.uniform(0, 10, n_rows)
+    wins, bs, bn, ni = _count_window_core(cvals, 2.5, 3, 7, 25)
+    want, s, c, idx = [], 2.5, 3, 7
+    for v in cvals:
+        s += v; c += 1
+        if c == 25:
+            want.append((idx, round(s, 4))); s, c, idx = 0.0, 0, idx + 1
+    assert [(i, round(w, 4)) for i, w in wins] == [(i, round(w, 4)) for i, w in want]
+    assert bn == c and ni == idx and abs(bs - s) < 1e-6
+
+    # --- funnel ---
+    ord_us = np.sort(rng.integers(0, 10**9, n_rows))
+    stage = rng.integers(0, 3, n_rows)
+    step = 10**7
+    for seed1, seed2 in ((None, None), (int(ord_us[0]) - 5 * 10**6, None)):
+        t0 = time.perf_counter()
+        hits, ns1, ns2 = _funnel_core(ord_us, stage, seed1, seed2, step)
+        t_vec = time.perf_counter() - t0
+        # baseline: the iterrows formulation the handler used to run
+        pdf = pd.DataFrame({"ord_us": ord_us, "stage": stage})
+        t0 = time.perf_counter()
+        want, l1, l2 = [], seed1, seed2
+        for i, r in pdf.iterrows():
+            o, st = int(r["ord_us"]), int(r["stage"])
+            if st == 0:
+                l1 = o
+            elif st == 1:
+                if l1 is not None and l1 >= o - step:
+                    l2 = o
+            elif l2 is not None and l2 >= o - step:
+                want.append(i)
+        t_loop = time.perf_counter() - t0
+        assert list(hits) == want
+        assert ns1 == l1 and ns2 == l2
+        assert t_loop / t_vec >= 3, f"funnel speedup only {t_loop/t_vec:.1f}x"
