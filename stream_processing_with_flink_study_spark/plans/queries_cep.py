@@ -1,0 +1,99 @@
+"""Generic CEP sequence-pattern queries (``정리/1주차.md:22-25``).
+
+``funnel_conversions`` (queries_stateful) is the fixed 3-step funnel;
+these exercise the GENERIC ``operators.cep.match_pattern`` — arbitrary
+step count, relaxed (followedBy) and strict (next) contiguity, and a
+``within`` timeout — with the chained-window / lag-battery batch plans
+whose shuffle topology is one exchange + one sort regardless of N.
+Streaming twins are equivalence-tested in tests/test_cep.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cep import match_pattern
+from ..sources import load_table
+from .registry import query
+
+_W48_US = 48 * 3600 * 1_000_000
+_RELAXED_WIN = (
+    "PARTITION BY user_id ORDER BY o, r, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+
+@query(
+    "cep_relaxed_4step",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type,
+             CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                  WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 4 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN event_type = 'signup' THEN o END)
+                OVER ({_RELAXED_WIN}) AS l0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN event_type = 'view'
+                              AND l0 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l1 FROM w0),
+    w2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click'
+                              AND l1 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l2 FROM w1)
+    SELECT user_id, event_id, ts_ms
+    FROM w2
+    WHERE event_type = 'purchase' AND l2 >= o - {_W48_US}
+    """,
+)
+def cep_relaxed_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step relaxed pattern signup → view → click → purchase, each
+    step ≤ 48 h after the previous — one step longer than the funnel to
+    prove N generalizes.  Plan: 3 chained conditional running-max
+    Windows sharing one (user, time) sort → ONE exchange total; the
+    correlated-EXISTS alternative would be 3 self-joins of events."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("signup", "view", "click", "purchase"),
+        within="48 hours",
+    )
+
+
+@query(
+    "cep_strict_next",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             lag(event_type, 1) OVER win AS t1, lag(o, 1) OVER win AS o1,
+             lag(event_type, 2) OVER win AS t2, lag(o, 2) OVER win AS o2
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY o, event_id)
+    )
+    SELECT user_id, event_id, ts_ms
+    FROM w
+    WHERE event_type = 'purchase'
+      AND t1 = 'click' AND o - o1 <= {_W48_US}
+      AND t2 = 'view' AND o1 - o2 <= {_W48_US}
+    """,
+)
+def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity (CEP ``next``) view → click → purchase: the
+    three events must be CONSECUTIVE in the user's stream — any
+    interleaved event of any type breaks the match.  Plan: a single lag
+    battery over one (user, time) sort; N only widens the projection."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("view", "click", "purchase"),
+        within="48 hours",
+        contiguity="strict",
+    )

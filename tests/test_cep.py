@@ -1,0 +1,134 @@
+"""Generic CEP match_pattern: batch/stream equivalence (with
+out-of-order input), timeout and contiguity semantics, plan shape."""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark import streaming as S
+from stream_processing_with_flink_study_spark.operators.cep import (
+    match_pattern,
+    match_pattern_stream,
+)
+from stream_processing_with_flink_study_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+def _sorted(df) -> pd.DataFrame:
+    p = df.toPandas() if not isinstance(df, pd.DataFrame) else df
+    p = p[sorted(p.columns)]
+    return p.sort_values(list(p.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_SMALL, "events").cache()
+
+
+def _scrambled_two_batch(spark, events, tmp_path):
+    """Median-ts split into two micro-batches, rows SHUFFLED inside each
+    batch — the out-of-order arrival the handler must sort out."""
+    mid = events.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    b0 = events.filter(F.col("ts") <= F.lit(mid)).orderBy(F.rand(seed=1))
+    b1 = events.filter(F.col("ts") > F.lit(mid)).orderBy(F.rand(seed=2))
+    return S.memory_batches_stream(
+        spark, [b0, b1], str(tmp_path / "src"), files_per_trigger=1
+    )
+
+
+@pytest.mark.parametrize("contiguity", ["relaxed", "strict"])
+def test_stream_matches_batch_out_of_order(spark, events, tmp_path, contiguity):
+    steps = ("signup", "view", "click", "purchase") if contiguity == "relaxed" else (
+        "view", "click", "purchase"
+    )
+    sdf = _scrambled_two_batch(spark, events, tmp_path)
+    got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", steps, within="48 hours", contiguity=contiguity
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    want = match_pattern(
+        events, "user_id", "ts", steps, within="48 hours", contiguity=contiguity
+    )
+    assert want.count() > 0, "fixture must actually produce matches"
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+
+
+def test_relaxed_timeout_and_same_instant_cascade(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        # u1: a same-instant a→b cascade then c inside the window: match
+        (1, 10, t(0), "a"), (1, 11, t(0), "b"), (1, 12, t(5), "c"),
+        # u2: b arrives 11s after a (> 10s timeout): no match
+        (2, 20, t(0), "a"), (2, 21, t(11), "b"), (2, 22, t(12), "c"),
+        # u3: interleaved noise is fine under relaxed contiguity
+        (3, 30, t(0), "a"), (3, 31, t(1), "x"), (3, 32, t(2), "b"),
+        (3, 33, t(3), "x"), (3, 34, t(4), "c"),
+        # u4: single event can NOT satisfy two steps (b-only, no a)
+        (4, 40, t(0), "b"), (4, 41, t(1), "c"),
+    ])
+    got = _sorted(
+        match_pattern(df, "user_id", "ts", ("a", "b", "c"), within="10 seconds")
+    )
+    assert list(got["event_id"]) == [12, 34]
+
+
+def test_strict_breaks_on_interleave(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        (1, 10, t(0), "a"), (1, 11, t(1), "b"),            # consecutive: match
+        (2, 20, t(0), "a"), (2, 21, t(1), "x"), (2, 22, t(2), "b"),  # broken
+        (3, 30, t(0), "a"), (3, 31, t(20), "b"),           # within exceeded
+    ])
+    got = _sorted(
+        match_pattern(
+            df, "user_id", "ts", ("a", "b"), within="10 seconds",
+            contiguity="strict",
+        )
+    )
+    assert list(got["event_id"]) == [11]
+
+
+def test_strict_stream_match_spans_batch_boundary(spark, tmp_path):
+    """The last N-1 events carry in state, so a strict match whose
+    earlier steps arrived in the PREVIOUS micro-batch still completes."""
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    b0 = _mk(spark, [(1, 10, t(0), "a"), (1, 11, t(1), "b")])
+    b1 = _mk(spark, [(1, 12, t(2), "c")])
+    sdf = S.memory_batches_stream(spark, [b0, b1], str(tmp_path / "src"))
+    got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", ("a", "b", "c"), within="10 seconds",
+            contiguity="strict",
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    assert list(_sorted(got)["event_id"]) == [12]
+
+
+@pytest.mark.parametrize("contiguity", ["relaxed", "strict"])
+def test_plan_has_single_exchange(spark, events, contiguity):
+    """Pattern length widens the projection, never the shuffle topology:
+    N-1 chained windows (or one lag battery) share one sort."""
+    from .test_plans import fplan
+
+    steps = ("signup", "view", "click", "purchase", "error")
+    plan = fplan(
+        match_pattern(events, "user_id", "ts", steps, contiguity=contiguity)
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
