@@ -47,6 +47,7 @@ HEADLINE = [
     "asof_join_keyed",
     "temp_delta_alert",
     "funnel_conversions",
+    "cep_relaxed_4step",
     "streaming_flagship_avg",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -124,6 +125,28 @@ def main() -> None:
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
 
+    # canary repeats: re-time 3 cheap plan-stable queries at the END of
+    # the run and compare with their in-run numbers.  Host-load noise
+    # moves the whole run together (BASELINE.md saw +-40% on this box),
+    # so a canary ratio far from 1.0 flags a noisy run — a real
+    # regression shows up with canaries near 1.0.
+    canaries = [
+        n
+        for n in ("flagship_window_avg", "tpch_q1_pricing_summary", "token_stats")
+        if n in per_query
+    ]
+    canary_repeat: dict[str, dict[str, float]] = {}
+    for name in canaries:
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, sf_dir).collect()
+        rep = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        canary_repeat[name] = {
+            "in_run": per_query[name],
+            "repeat": round(rep, 3),
+            "ratio": round(rep / per_query[name], 3) if per_query[name] else 1.0,
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     full = {
@@ -132,6 +155,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(per_query),
         "queries": per_query,
+        "canary_repeat": canary_repeat,
         "sf": sf_val,
     }
     try:
@@ -144,7 +168,12 @@ def main() -> None:
         pass
 
     headline = {n: per_query[n] for n in HEADLINE if n in per_query}
+    ratios = sorted(c["ratio"] for c in canary_repeat.values())
     line = dict(full, queries=headline)
+    # one number in the tail line: median canary ratio (close to 1.0 =
+    # clean run; full per-canary detail stays in BENCH_FULL.json)
+    line["canary_ratio"] = ratios[len(ratios) // 2] if ratios else None
+    del line["canary_repeat"]
     out = json.dumps(line)
     if len(out) > 1900:  # hard guard: never overflow the driver's tail buffer
         out = json.dumps(dict(line, queries={"flagship_window_avg": per_query.get("flagship_window_avg")}))

@@ -23,13 +23,16 @@ from .sinks import (
     IdempotentKeyedUpsert,
     console_sink,
     foreach_batch_sink,
+    encode_kafka_records,
     kafka_sink,
     parquet_sink,
     two_phase_commit_writer,
 )
 from .sources import (
+    decode_json_value,
     events_stream,
     file_stream,
+    kafka_source_options,
     kafka_stream,
     memory_batches_stream,
 )
@@ -55,7 +58,10 @@ __all__ = [
     "foreach_batch_sink",
     "funnel_matches",
     "interval_join_stream",
+    "decode_json_value",
+    "encode_kafka_records",
     "kafka_sink",
+    "kafka_source_options",
     "kafka_stream",
     "keyed_rolling_reduce",
     "memory_batches_stream",

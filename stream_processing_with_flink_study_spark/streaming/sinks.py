@@ -53,15 +53,53 @@ def parquet_sink(
     return w
 
 
-def kafka_sink(sdf: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str):
+def encode_kafka_records(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str] | None = None,
+    topic: str | None = None,
+    topic_col: str | None = None,
+) -> DataFrame:
+    """Kafka-record JSON serialization (≈ Flink's
+    ``SerializationSchema``, ``정리/6주차.md:62-68``): project typed
+    columns into the Kafka wire frame ``(key, value[, topic])``.
+
+    Per-record topic routing (the reference's ``KafkaSerializationSchema``
+    target-topic override) comes from ``topic_col``; a constant
+    ``topic`` emits a literal column instead — the sink-level option is
+    then unnecessary.  Pure projection: unit-testable on a batch frame,
+    and round-trips through :func:`..sources.decode_json_value`."""
+    if (topic is None) == (topic_col is None):
+        raise ValueError("exactly one of topic/topic_col required")
+    vals = value_cols or [c for c in df.columns if c not in (key_col, topic_col)]
+    t = F.col(topic_col) if topic_col else F.lit(topic)
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*vals)).alias("value"),
+        t.cast("string").alias("topic"),
+    )
+
+
+def kafka_sink(
+    sdf: DataFrame,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    topic: str | None = None,
+):
     """O2 Kafka producer sink (at-least-once; ``정리/6주차.md:56-93``).
-    Expects ``key``/``value`` string or binary columns."""
-    return (
+    Expects ``key``/``value`` string or binary columns (see
+    :func:`encode_kafka_records`); ``topic=None`` routes per record via
+    the frame's ``topic`` column, which must then exist."""
+    if topic is None and "topic" not in sdf.columns:
+        raise ValueError("no sink-level topic and no 'topic' column to route by")
+    w = (
         sdf.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if topic is not None:
+        w = w.option("topic", topic)
+    return w
 
 
 class IdempotentKeyedUpsert:

@@ -86,6 +86,79 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream(spark, src, schema=cols.format("timestamp"), **opts)
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    subscribe: str | None = None,
+    assign: str | None = None,
+    subscribe_pattern: str | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool | None = None,
+) -> dict[str, str]:
+    """Validated option map for the Kafka source (S4) — the reference's
+    consumer configuration surface (``정리/6주차.md:33-54``) as a PURE
+    function, so topic routing and start-position wiring are unit
+    testable without a broker (the sandbox has none).
+
+    Exactly one of ``subscribe`` (comma-separated topics) / ``assign``
+    (JSON topic→partition-list) / ``subscribe_pattern`` must be given.
+    ``starting_offsets`` is ``earliest`` / ``latest`` / a JSON
+    topic→partition→offset map (the reference's group / earliest /
+    latest / specific-offset start-mode menu, ``정리/6주차.md:50-54``);
+    malformed JSON fails HERE, not minutes later on the cluster.
+    """
+    import json
+
+    chosen = {
+        k: v
+        for k, v in (
+            ("subscribe", subscribe),
+            ("assign", assign),
+            ("subscribePattern", subscribe_pattern),
+        )
+        if v is not None
+    }
+    if len(chosen) != 1:
+        raise ValueError(
+            "exactly one of subscribe/assign/subscribe_pattern required, "
+            f"got {sorted(chosen) or 'none'}"
+        )
+    opts = {"kafka.bootstrap.servers": bootstrap_servers, **chosen}
+    if starting_offsets not in ("earliest", "latest"):
+        try:
+            parsed = json.loads(starting_offsets)
+            assert isinstance(parsed, dict) and all(
+                isinstance(p, dict) for p in parsed.values()
+            )
+        except (ValueError, AssertionError) as exc:
+            raise ValueError(
+                "starting_offsets must be 'earliest', 'latest', or a JSON "
+                f"topic->partition->offset map: {starting_offsets!r}"
+            ) from exc
+    opts["startingOffsets"] = starting_offsets
+    if max_offsets_per_trigger is not None:
+        if int(max_offsets_per_trigger) <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    return opts
+
+
+def decode_json_value(df: DataFrame, value_schema: T.StructType | str) -> DataFrame:
+    """Kafka-record JSON deserialization (≈ Flink's
+    ``DeserializationSchema``, ``정리/6주차.md:38-44``): project a
+    (key, value[, timestamp]) record frame into typed columns.  Works on
+    batch AND streaming frames — the unit tests run it over an
+    in-memory batch with the Kafka wire schema, no broker needed."""
+    ts = ["timestamp"] if "timestamp" in df.columns else []
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        *ts,
+    ).select("key", "v.*", *ts)
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -95,29 +168,23 @@ def kafka_stream(
     value_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Kafka source (S4, ``정리/6주차.md:33-54``): subscribes ``topics``,
-    start position per ``starting_offsets`` (``earliest``/``latest``/a
-    JSON offset map — the reference's start-mode menu at
-    ``정리/6주차.md:50-54``).  ``value_schema`` applies a JSON
-    deserialization schema to the message value (≈ Flink's
-    ``DeserializationSchema``).  Requires the spark-sql-kafka package on
+    start position per ``starting_offsets``; option wiring built (and
+    unit-tested) by :func:`kafka_source_options`, deserialization by
+    :func:`decode_json_value`.  Requires the spark-sql-kafka package on
     the classpath at submit time.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers,
+        subscribe=topics,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
     df = reader.load()
     if value_schema is None:
         return df
-    return df.select(
-        F.col("key").cast("string").alias("key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        "timestamp",
-    ).select("key", "v.*", "timestamp")
+    return decode_json_value(df, value_schema)
 
 
 def memory_batches_stream(

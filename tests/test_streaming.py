@@ -790,3 +790,124 @@ def test_vectorized_handler_cores_match_naive_loops():
         assert list(hits) == want
         assert ns1 == l1 and ns2 == l2
         assert t_loop / t_vec >= 3, f"funnel speedup only {t_loop/t_vec:.1f}x"
+
+
+def test_idle_stream_side_holds_then_releases_watermark(spark, tmp_path):
+    """Idle-partition handling (``정리/2주차.md:114-122``): one side of a
+    union goes silent after a single early event.  Under the default
+    ``multipleWatermarkPolicy=min`` (Flink's min-propagation) the idle
+    side PINS the global watermark — none of the active side's later
+    windows finalize in append mode.  The documented workaround
+    (SURVEY §2.1 S7) is ``multipleWatermarkPolicy=max``: the watermark
+    follows the fastest side and the active stream's windows emit."""
+    from datetime import datetime, timezone
+
+    t = lambda h: datetime(2024, 1, 1, h, 0, 0, tzinfo=timezone.utc)
+    mk = lambda rows: spark.createDataFrame(rows, "id string, ts timestamp, v double")
+    active = mk([("a", t(0), 1.0), ("a", t(1), 2.0), ("a", t(2), 3.0),
+                 ("a", t(3), 4.0)])
+    idle = mk([("b", t(0), 9.0)])  # then silence
+
+    def run(policy: str, tag: str):
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            sa = S.memory_batches_stream(
+                spark, [active], str(tmp_path / f"a_{tag}")
+            ).withWatermark("ts", "1 minute")
+            si = S.memory_batches_stream(
+                spark, [idle], str(tmp_path / f"i_{tag}")
+            ).withWatermark("ts", "1 minute")
+            agg = (
+                sa.union(si)
+                .groupBy(F.window("ts", "1 hour"), "id")
+                .agg(F.sum("v").alias("s"))
+                .select(F.unix_millis("window.start").alias("w"), "id", "s")
+            )
+            return S.run_available_now(
+                agg, str(tmp_path / f"ck_{tag}"), "append"
+            ).toPandas()
+        finally:
+            spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+
+    stalled = run("min", "min")
+    # min policy: watermark pinned at the idle side's (only) event minus
+    # the delay -> no window at or past t(0) may finalize
+    assert len(stalled) == 0, stalled
+    released = run("max", "max")
+    # max policy: watermark rides the active side (t(3) - 1min); every
+    # window whose END <= watermark finalizes - [t2,t3) ends AT t(3),
+    # above the watermark, so it correctly stays in state
+    got = {(r.w, r.id): r.s for r in released.itertuples()}
+    h = 3_600_000
+    base = 1_704_067_200_000
+    assert got == {
+        (base, "a"): 1.0, (base + h, "a"): 2.0, (base, "b"): 9.0,
+    }, released
+
+
+def test_checkpoint_restart_with_evolved_schema(spark, tmp_path):
+    """Savepoint state-migration analogue (``정리/5주차.md:150-168``).
+
+    Supported evolution: restart a stateful query from its checkpoint
+    after the SOURCE schema gains a nullable column — the state schema
+    (same aggregates, same key) is unchanged, pre-restart keys keep
+    their accumulated state, and the new column is usable in stateless
+    stages of the restarted query.
+
+    Documented limitation vs Flink savepoints: changing the STATE
+    schema (adding an aggregate) is rejected by the state-store schema
+    check rather than migrated — the explicit gap SURVEY §7.3 records."""
+    import glob
+
+    from pyspark.errors import StreamingQueryException
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+
+    def write_batch(df, i):
+        d = f"{src}/b{i:05d}"
+        df.coalesce(1).write.mode("append").parquet(d)
+        for f_ in glob.glob(f"{d}/*"):
+            os.utime(f_, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    v1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    write_batch(v1, 0)
+
+    def run(schema, pre=None, aggs=None):
+        sdf = S.file_stream(spark, f"{src}/b*", schema=schema)
+        if pre is not None:
+            sdf = pre(sdf)
+        q = (
+            sdf.groupBy("k")
+            .agg(*(aggs or [F.sum("v").alias("s"), F.count("*").alias("n")]))
+            .writeStream.format("memory")
+            .queryName("evolved")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.table("evolved").collect()}
+
+    assert run("k string, v long") == {("a", 3, 2), ("b", 5, 1)}
+
+    # source schema evolves: new nullable column w (old files lack it);
+    # the restarted query USES it in a stateless pre-agg filter while
+    # the state schema (sum, count per k) stays identical
+    v2 = spark.createDataFrame(
+        [("a", 10, 0.5), ("c", 7, 9.9)], "k string, v long, w double"
+    )
+    write_batch(v2, 1)
+    evolved = "k string, v long, w double"
+    got = run(evolved, pre=lambda d: d.filter(F.coalesce("w", F.lit(0.0)) < 5.0))
+    # 'a' kept its pre-evolution state (1+2) and absorbed the new row;
+    # 'c' (w=9.9) was dropped by the evolved filter before the state op
+    assert got == {("a", 13, 3), ("b", 5, 1)}
+
+    # the gap: widening the STATE schema is rejected, not migrated
+    write_batch(spark.createDataFrame([("a", 1, 1.0)], evolved), 2)
+    with pytest.raises(StreamingQueryException, match="[Ss]chema"):
+        run(evolved, aggs=[
+            F.sum("v").alias("s"), F.count("*").alias("n"),
+            F.sum("w").alias("sw"),
+        ])
