@@ -1,0 +1,191 @@
+"""Training-data preparation wave 3: corpus curation ops a 100 TB
+pretraining pipeline runs between crawl and tokenizer.
+
+- per-source quality caps (domain caps in crawl pipelines),
+- deterministic hash sharding (the global shuffle-and-shard step that
+  must be reproducible across reruns and resumable per shard),
+- bigram PMI corpus statistics (collocation mining for tokenizer /
+  phrase vocabularies).
+
+All pure DataFrame ops — no UDFs anywhere — with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "source_top_quality_docs",
+    oracle="""
+    WITH scored AS (
+      SELECT source, doc_id,
+             round(length(list_distinct(string_split(text, ' ')))
+                   / CAST(length(string_split(text, ' ')) AS DOUBLE)
+                   * ln(1 + n_chars), 4) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      FROM scored
+    )
+    SELECT source, doc_id, score, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def source_top_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cap: keep each source's top-20 documents by a
+    lexical-diversity × log-length score — the domain-cap curation step
+    that stops one crawl domain from dominating the training mixture.
+
+    Scale shape: the score is a per-row expression (no shuffle); the cap
+    is ONE hash exchange on ``source`` + a per-group sort.  With few
+    giant sources the group sort bounds at |group| log |group|; AQE's
+    skew handling splits an oversized source partition, and because
+    row_number only needs each group's top tail, a 1000-executor run
+    can pre-prune with a per-partition top-20 (same exchange count).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(words)) / F.size(words)
+            * F.log(F.lit(1) + F.col("n_chars")),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "score", "rk")
+    )
+
+
+@query(
+    "shard_assignments",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    )
+    SELECT doc_id, substr(hx, 1, 2) AS bucket,
+           CAST(row_number() OVER (PARTITION BY substr(hx, 1, 2)
+                                   ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-and-shard: md5(doc_id) routes every
+    document to one of 256 buckets (2 hex chars) and orders it WITHIN
+    the bucket by the full hash — a reproducible random permutation of
+    the corpus with no RNG state, so a rerun (or a resume of shard 0x7f
+    alone) lands every example in the same shard at the same position.
+
+    Scale shape: one hash exchange on ``bucket`` + per-bucket sort —
+    exactly a shuffle write.  256 buckets × ~400 GB at 100 TB; more
+    hex chars widen the fan-out without changing the plan.  The
+    within-bucket sort replaces a GLOBAL orderBy (range exchange +
+    skewed sampling) that the naive "shuffle the corpus" formulation
+    would cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    w = Window.partitionBy(F.substring("hx", 1, 2)).orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id",
+        F.substring("hx", 1, 2).alias("bucket"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@query(
+    "bigram_pmi_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    uni AS (
+      SELECT u.w1 AS w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(l) AS w1 FROM w) u GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+    bg AS (
+      SELECT b.bg[1] AS w1, b.bg[2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM (SELECT unnest(list_zip(l, list_slice(l, 2, length(l)))) AS bg
+            FROM w) b
+      WHERE b.bg[2] IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, c_xy,
+           round(ln(c_xy * n.total / (u1.c * CAST(u2.c AS DOUBLE))), 4) AS pmi
+    FROM bg, n
+    JOIN uni u1 ON bg.w1 = u1.w
+    JOIN uni u2 ON bg.w2 = u2.w
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual
+    information ``ln(P(xy) / (P(x) P(y)))`` with a min-count floor —
+    the corpus statistic behind phrase-merge steps in tokenizer
+    construction (public BPE/wordpiece pipelines).
+
+    Scale shape: bigrams come from ``arrays_zip`` of the token array
+    with its own tail — per-row, no self-join, no posexplode+window.
+    Two aggregations (bigram counts: the big shuffle; unigram counts:
+    vocabulary-sized) then a BROADCAST of the unigram side onto the
+    bigram counts — vocabulary is tiny next to the bigram table, so
+    the PMI join never shuffles the big side.  TakeOrdered handles the
+    top-50 (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("l"))
+    # vocabulary-sized: persist so u1/u2/total read one computed copy
+    # instead of re-aggregating the corpus three times
+    uni = (
+        w.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    bigrams = w.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, F.size("l") - 1).alias("w1"),
+                F.slice("l", 2, F.size("l") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    total = uni.agg(F.sum("c").cast("double").alias("total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(F.col("c_xy") * F.col("total") / (F.col("c1") * F.col("c2").cast("double"))),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
