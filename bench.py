@@ -158,14 +158,19 @@ def main() -> None:
         "canary_repeat": canary_repeat,
         "sf": sf_val,
     }
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-            "w",
-        ) as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # subset runs (BENCH_QUERIES) are interactive probes — never let
+    # them overwrite the committed full-suite record
+    if not subset:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+                ),
+                "w",
+            ) as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
     headline = {n: per_query[n] for n in HEADLINE if n in per_query}
     ratios = sorted(c["ratio"] for c in canary_repeat.values())

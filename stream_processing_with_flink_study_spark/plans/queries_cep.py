@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.cep import match_pattern
+from ..operators.cep import match_pattern, match_pattern_stream
 from ..sources import load_table
 from .registry import query
 
@@ -97,3 +97,47 @@ def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="48 hours",
         contiguity="strict",
     )
+
+
+@query(
+    "streaming_cep_relaxed",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 3 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN event_type = 'view' THEN o END)
+                OVER ({_RELAXED_WIN}) AS l0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN event_type = 'click'
+                              AND l0 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l1 FROM w0)
+    SELECT user_id, event_id, ts_ms
+    FROM w1
+    WHERE event_type = 'purchase' AND l1 >= o - {_W48_US}
+    """,
+)
+def streaming_cep_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic CEP operator run THROUGH Structured Streaming under
+    the oracle gate itself (the streaming sibling of
+    ``streaming_flagship_avg``): file-source the events table via the
+    encoding-aware ``events_stream``, run ``match_pattern_stream``
+    (view → click → purchase, relaxed, 48 h) with
+    ``Trigger.AvailableNow`` into a memory sink, and hash-match the
+    emitted matches against the chained-window batch SQL.  Proves the
+    O(1)-state streaming scan emits bit-identical matches to the batch
+    plan on driver data, not just on test fixtures."""
+    import tempfile
+
+    from ..streaming import events_stream, run_available_now
+
+    sdf = events_stream(spark, sf_dir)
+    matched = match_pattern_stream(
+        sdf, "user_id", "ts", ("view", "click", "purchase"), within="48 hours"
+    )
+    ck = tempfile.mkdtemp(prefix="ck_cep_stream_")
+    return run_available_now(matched, ck, "append")
