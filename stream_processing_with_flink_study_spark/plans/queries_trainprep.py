@@ -189,3 +189,92 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, lang, n_chars,
+             round(length(list_distinct(string_split(text, ' ')))
+                   / CAST(length(string_split(text, ' ')) AS DOUBLE)
+                   * ln(1 + n_chars), 4) AS score,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    ),
+    gated AS (SELECT * FROM scored WHERE score >= 2.5),
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY norm_hash
+                                   ORDER BY doc_id) AS dup_rk
+      FROM gated
+    ),
+    capped AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, doc_id) AS cap_rk
+      FROM deduped WHERE dup_rk = 1
+    ),
+    kept AS (SELECT * FROM capped WHERE cap_rk <= 50),
+    sharded AS (
+      SELECT doc_id, source, lang, score,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             CAST(row_number() OVER (
+               PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+      FROM kept
+    )
+    SELECT doc_id, source, lang, score, bucket, pos FROM sharded
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-curation flow as ONE declarative plan:
+    quality gate → normalized-text exact dedup (keep lowest doc_id) →
+    per-source cap (top-50 by score) → deterministic shard assignment.
+    What a 100 TB corpus actually runs between crawl and tokenizer,
+    composed from this module's stages so the oracle checks the
+    COMPOSITION, not just each stage alone.
+
+    Scale shape: three hash exchanges total — one per distinct
+    partitioning key (norm_hash, source, shard bucket) — each carrying
+    only ids/scores/digests, never document text (the text column is
+    pruned after scoring: check ReadSchema).  Catalyst pipelines the
+    two filters into their upstream windows; no stage rescans the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(words)) / F.size(words)
+            * F.log(F.lit(1) + F.col("n_chars")),
+            4,
+        ).alias("score"),
+        F.md5(norm).alias("norm_hash"),
+    ).filter(F.col("score") >= 2.5)
+    w_dup = Window.partitionBy("norm_hash").orderBy("doc_id")
+    w_cap = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    kept = (
+        scored.withColumn("dup_rk", F.row_number().over(w_dup))
+        .filter(F.col("dup_rk") == 1)
+        .withColumn("cap_rk", F.row_number().over(w_cap))
+        .filter(F.col("cap_rk") <= 50)
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    w_shard = Window.partitionBy(F.substring(hx, 1, 2)).orderBy(hx, "doc_id")
+    return kept.select(
+        "doc_id",
+        "source",
+        "lang",
+        "score",
+        F.substring(hx, 1, 2).alias("bucket"),
+        F.row_number().over(w_shard).cast("long").alias("pos"),
+    )
