@@ -278,3 +278,70 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(hx, 1, 2).alias("bucket"),
         F.row_number().over(w_shard).cast("long").alias("pos"),
     )
+
+
+@query(
+    "temporal_table_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id,
+             CAST(row_number() OVER w AS INT) AS version,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to
+      FROM events
+      WHERE event_type IN ('signup', 'view')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.user_id, p.event_id, d.version,
+           epoch_ms(d.valid_from) AS valid_from_ms
+    FROM events p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def temporal_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table (point-in-time) join: each purchase joins the ONE
+    profile version (SCD2 interval built from signup/view changes) valid
+    at its event time — Flink's versioned-table join semantic, the
+    pre-materialized-history sibling of the union-tag as-of join
+    (``asof_join_keyed`` re-derives the carry-forward; this one range-
+    probes an existing history table, the shape you need when the SCD2
+    dim already lives in the warehouse).
+
+    Scale shape: version build = one exchange on user_id (both window
+    fns share the sort); the join is an EQUI join on user_id with the
+    interval bounds as residual filters — hash join, no range-explode,
+    no per-row fan-out beyond the (usually 1) matching version.  Half-
+    open [from, to) intervals guarantee exactly one version per probe
+    row, so output cardinality = |purchases with a prior version|."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type").isin("signup", "view"))
+        .select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("int").alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    d = dim.alias("d")
+    return (
+        p.join(
+            d,
+            (F.col("p.user_id") == F.col("d.user_id"))
+            & (F.col("p.ts") >= F.col("d.valid_from"))
+            & (F.col("d.valid_to").isNull() | (F.col("p.ts") < F.col("d.valid_to"))),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("d.version").alias("version"),
+            F.unix_millis("d.valid_from").alias("valid_from_ms"),
+        )
+    )
