@@ -141,3 +141,43 @@ def streaming_cep_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ck = tempfile.mkdtemp(prefix="ck_cep_stream_")
     return run_available_now(matched, ck, "append")
+
+
+@query(
+    "cep_times_quantifier",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type,
+             CASE event_type WHEN 'view' THEN 0
+                  WHEN 'purchase' THEN 2 ELSE 3 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN event_type = 'view' THEN o END)
+                OVER ({_RELAXED_WIN}) AS l0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN event_type = 'view'
+                              AND l0 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l1 FROM w0)
+    SELECT user_id, event_id, ts_ms
+    FROM w1
+    WHERE event_type = 'purchase' AND l1 >= o - {_W48_US}
+    """,
+)
+def cep_times_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP ``times(2)`` quantifier (view.times(2) → purchase): step
+    repetition IS the quantifier under ``match_pattern``'s
+    strictly-earlier-predecessor rule — each repeated step must bind a
+    DISTINCT earlier event, so ('view','view','purchase') demands two
+    views within the timeout chain before the purchase.  (``oneOrMore``
+    collapses to a single step in completion-emission semantics: the
+    match fires on the latest qualified occurrence either way.)  Same
+    single-exchange plan; the quantifier only lengthens the
+    chained-window projection."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("view", "view", "purchase"),
+        within="48 hours",
+    )

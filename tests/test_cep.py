@@ -132,3 +132,30 @@ def test_plan_has_single_exchange(spark, events, contiguity):
         match_pattern(events, "user_id", "ts", steps, contiguity=contiguity)
     )
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_times_quantifier_requires_distinct_events(spark, tmp_path):
+    """('a','a','b') = CEP a.times(2) → b: a single 'a' must NOT satisfy
+    both repetitions; two distinct 'a's within the timeout must."""
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        (1, 10, t(0), "a"), (1, 11, t(2), "a"), (1, 12, t(4), "b"),  # match
+        (2, 20, t(0), "a"), (2, 21, t(1), "b"),                      # one a: no
+        (3, 30, t(0), "a"), (3, 31, t(20), "a"), (3, 32, t(21), "b"),  # gap>10s
+    ])
+    got = _sorted(
+        match_pattern(df, "user_id", "ts", ("a", "a", "b"), within="10 seconds")
+    )
+    assert list(got["event_id"]) == [12]
+    # streaming twin agrees, with the batch boundary between the two a's
+    b0 = _mk(spark, [(1, 10, t(0), "a")])
+    b1 = _mk(spark, [(1, 11, t(2), "a"), (1, 12, t(4), "b")])
+    sdf = S.memory_batches_stream(spark, [b0, b1], str(tmp_path / "src"))
+    stream_got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", ("a", "a", "b"), within="10 seconds"
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    assert list(_sorted(stream_got)["event_id"]) == [12]
