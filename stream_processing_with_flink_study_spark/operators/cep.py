@@ -2,9 +2,14 @@
 book's complex-event-processing surface, of which ``funnel_conversions``
 is the fixed 3-step instance).
 
-``match_pattern`` detects an N-step event-type sequence per key with a
-``within`` timeout between consecutive steps, under two contiguity
-modes mirroring Flink CEP's quantifiers:
+``match_pattern`` detects an N-step event sequence per key with a
+``within`` timeout between consecutive steps.  Steps are either
+event-type names (``steps=``, the common sugar) or ARBITRARY SQL
+boolean predicates (``conditions=``, Flink CEP ``SimpleCondition`` —
+e.g. ``"value > 75"`` twice then ``"event_type = 'purchase'"``).
+Predicates always evaluate JVM-side (Catalyst expressions projected
+before any stateful scan), never in Python.  Two contiguity modes
+mirror Flink CEP:
 
 - ``relaxed`` (CEP ``followedBy``): other events may interleave; each
   step matches the LATEST qualified previous-step event within the
@@ -12,12 +17,16 @@ modes mirroring Flink CEP's quantifiers:
 - ``strict`` (CEP ``next``): the N events must be consecutive in the
   key's stream — any interleaved event breaks the match.
 
-Both have a batch form (chained conditional running-max windows /
-lag battery — ONE exchange + ONE sort regardless of N, linear in
-events, the 100 TB shape; the naive alternative is N-1 self-joins) and
-a streaming twin over ``applyInPandasWithState`` with O(1) state per
-key (``relaxed``: N-1 timestamps; ``strict``: the last N-1 events),
-so per-key state is independent of history length.
+Quantifiers: ``times(n)`` is step repetition (each repetition must
+bind a DISTINCT earlier event — see below); ``oneOrMore`` collapses to
+a single step in completion-emission semantics.
+
+Both contiguities have a batch form (chained conditional running-max
+windows / lag battery — ONE exchange + ONE sort regardless of N,
+linear in events, the 100 TB shape; the naive alternative is N-1
+self-joins) and a streaming twin over ``applyInPandasWithState`` with
+O(1) state per key (``relaxed``: N-1 timestamps; ``strict``: the last
+N-1 events), so per-key state is independent of history length.
 
 Match ordering is (ts, step-rank, tiebreak); predecessors are taken
 from STRICTLY earlier positions, so one event never satisfies two
@@ -39,54 +48,77 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def _rank_expr(type_col: str, steps: tuple[str, ...]):
+def _step_conditions(
+    steps: tuple[str, ...] | None,
+    conditions: tuple[str, ...] | None,
+    type_col: str,
+) -> list[str]:
+    """Normalize the two pattern spellings into SQL boolean predicates."""
+    if (steps is None) == (conditions is None):
+        raise ValueError("exactly one of steps/conditions required")
+    if steps is not None:
+        for s in steps:
+            if "'" in s:
+                raise ValueError(f"event-type step may not contain quotes: {s!r}")
+        out = [f"{type_col} = '{s}'" for s in steps]
+    else:
+        out = list(conditions)
+    if len(out) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    return out
+
+
+def _rank_expr(conds: list[str]):
     """First-matching-step index (sort tiebreak so earlier stages of a
     same-instant cascade update state before later stages test it)."""
-    expr = F.lit(len(steps))
-    for i in range(len(steps) - 1, -1, -1):
-        expr = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(expr)
+    expr = F.lit(len(conds))
+    for i in range(len(conds) - 1, -1, -1):
+        expr = F.when(F.expr(conds[i]), F.lit(i)).otherwise(expr)
     return expr
+
+
+def _with_step_cols(df: DataFrame, conds: list[str]) -> DataFrame:
+    """Project one boolean column per step predicate + the sort rank —
+    the Catalyst-evaluated pattern alphabet every scan below consumes."""
+    out = df
+    for i, c in enumerate(conds):
+        out = out.withColumn(f"_c{i}", F.coalesce(F.expr(c), F.lit(False)))
+    return out.withColumn("_rank", _rank_expr(conds))
 
 
 def match_pattern(
     df: DataFrame,
     key: str,
     ts: str,
-    steps: tuple[str, ...],
+    steps: tuple[str, ...] | None = None,
     within: str = "12 hours",
     type_col: str = "event_type",
     tiebreak: str = "event_id",
     contiguity: str = "relaxed",
+    conditions: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Batch sequence-pattern match: emit ``(key, event_id, ts_ms)`` of
-    every event completing the ``steps`` sequence.
+    """Batch sequence-pattern match: emit ``(key, tiebreak, ts_ms)`` of
+    every event completing the pattern.
 
     ``relaxed``: N-1 conditional running-max Window expressions share
     one (key, order) sort — level k's qualifier is "latest
     level-(k-1)-qualified timestamp within ``within``", evaluated over
     a ROWS frame ending 1 PRECEDING so a step never self-satisfies its
     predecessor.  ``strict``: one lag battery checks the N-1 immediately
-    preceding events' types and pairwise gaps.  Either way Catalyst
-    plans a single exchange + sort — the pattern length N changes only
-    the projection, never the shuffle topology.
+    preceding events' step predicates and pairwise gaps.  Either way
+    Catalyst plans a single exchange + sort — the pattern length N
+    changes only the projection, never the shuffle topology.
     """
-    if len(steps) < 2:
-        raise ValueError("a pattern needs at least 2 steps")
+    conds = _step_conditions(steps, conditions, type_col)
+    n = len(conds)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
-    base = df.select(
-        key,
-        tiebreak,
-        ts,
-        type_col,
-        F.unix_micros(ts).alias("_ord"),
-        _rank_expr(type_col, steps).alias("_rank"),
-    )
+    base = _with_step_cols(df.withColumn("_ord", F.unix_micros(ts)), conds)
     if contiguity == "strict":
         w = Window.partitionBy(key).orderBy("_ord", tiebreak)
-        cond = F.col(type_col) == steps[-1]
+        cond = F.col(f"_c{n - 1}")
         prev_ord = F.col("_ord")
-        for m in range(1, len(steps)):
-            cond = cond & (F.lag(type_col, m).over(w) == steps[-1 - m])
+        for m in range(1, n):
+            cond = cond & F.lag(f"_c{n - 1 - m}", m).over(w)
             lagged = F.lag("_ord", m).over(w)
             cond = cond & (prev_ord - lagged <= step_us)
             prev_ord = lagged
@@ -101,12 +133,12 @@ def match_pattern(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = base
-    qual = F.col(type_col) == steps[0]
-    for i in range(1, len(steps)):
+    qual = F.col("_c0")
+    for i in range(1, n):
         out = out.withColumn(
             f"_l{i - 1}", F.max(F.when(qual, F.col("_ord"))).over(w)
         )
-        qual = (F.col(type_col) == steps[i]) & (
+        qual = F.col(f"_c{i}") & (
             F.col(f"_l{i - 1}") >= F.col("_ord") - step_us
         )
     return out.filter(qual).select(key, tiebreak, F.unix_millis(ts).alias("ts_ms"))
@@ -123,7 +155,6 @@ def _relaxed_scan(
     timestamp" visible at every STRICTLY EARLIER position (shift(1))."""
     nan = np.nan
     ordf = ord_us.astype("float64")
-    fills: list[float] = []
     qual = type_idx[0]
     new_seeds: list[int | None] = []
     hits = np.zeros(0, dtype="int64")
@@ -153,34 +184,34 @@ def match_pattern_stream(
     df: DataFrame,
     key: str,
     ts: str,
-    steps: tuple[str, ...],
+    steps: tuple[str, ...] | None = None,
     within: str = "12 hours",
     type_col: str = "event_type",
     tiebreak: str = "event_id",
     contiguity: str = "relaxed",
+    conditions: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_pattern` (P1 ProcessFunction
     shape): per key, ``relaxed`` keeps N-1 last-qualified timestamps,
-    ``strict`` the last N-1 raw events — O(1) state either way, which
-    is what lets the pattern run over millions of keys with state in
-    the executor state store.  Batch rows are sorted by (ts, rank,
-    tiebreak) inside the handler, so out-of-order arrival WITHIN a
-    micro-batch is handled; cross-batch order relies on the source's
-    event-time alignment (same contract as every handler in
-    :mod:`..streaming.stateful`)."""
-    if len(steps) < 2:
-        raise ValueError("a pattern needs at least 2 steps")
+    ``strict`` the last N-1 events' step-predicate vectors — O(1) state
+    either way, which is what lets the pattern run over millions of
+    keys with state in the executor state store.  Step predicates are
+    projected to boolean columns JVM-side BEFORE the stateful scan, so
+    the Python handler only reads pre-evaluated bools.  Batch rows are
+    sorted by (ts, rank, tiebreak) inside the handler, so out-of-order
+    arrival WITHIN a micro-batch is handled; cross-batch order relies
+    on the source's event-time alignment (same contract as every
+    handler in :mod:`..streaming.stateful`)."""
+    conds = _step_conditions(steps, conditions, type_col)
+    n = len(conds)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
-    n = len(steps)
     out_schema = f"{key} long, {tiebreak} long, ts_ms long"
-    rank = {}
-    for i, s in enumerate(steps):
-        rank.setdefault(s, i)
+    cols = [f"_c{i}" for i in range(n)]
+    prepared = _with_step_cols(df, conds)
 
     def _prep(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf["_ord"] = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
-        pdf["_rank"] = pdf[type_col].map(rank).fillna(n)
         return pdf.sort_values(["_ord", "_rank", tiebreak], ignore_index=True)
 
     if contiguity == "relaxed":
@@ -193,8 +224,7 @@ def match_pattern_stream(
         ) -> Iterator[pd.DataFrame]:
             seeds = list(state.get) if state.exists else [None] * (n - 1)
             pdf = _prep(pdfs)
-            types = pdf[type_col].to_numpy()
-            type_idx = [types == s for s in steps]
+            type_idx = [pdf[c].to_numpy(dtype=bool) for c in cols]
             hits, new_seeds = _relaxed_scan(
                 pdf["_ord"].to_numpy(), type_idx, seeds + [None], step_us
             )
@@ -219,27 +249,37 @@ def match_pattern_stream(
             tail = json.loads(state.get[0]) if state.exists else []
             pdf = _prep(pdfs)
             carry = len(tail)
-            types = np.concatenate(
-                [np.array([t for t, _ in tail], dtype=object), pdf[type_col].to_numpy()]
+            # per-event step-predicate vector (n bools) + ord, with the
+            # carried last n-1 events prepended
+            flags = np.concatenate(
+                [
+                    np.array([t[0] for t in tail], dtype=bool).reshape(-1, n)
+                    if carry
+                    else np.zeros((0, n), dtype=bool),
+                    np.column_stack([pdf[c].to_numpy(dtype=bool) for c in cols]),
+                ]
             )
             ords = np.concatenate(
-                [np.array([o for _, o in tail], dtype="int64"),
-                 pdf["_ord"].to_numpy()]
+                [
+                    np.array([t[1] for t in tail], dtype="int64"),
+                    pdf["_ord"].to_numpy(),
+                ]
             )
-            cond = types == steps[-1]
+            total = len(ords)
+            cond = flags[:, n - 1].copy()
             for m in range(1, n):
-                lag_t = np.roll(types, m)
+                lag_f = np.roll(flags[:, n - 1 - m], m)
                 lag_o = np.roll(ords, m)
-                lag_t[:m], lag_o[:m] = None, 0
                 prev_o = np.roll(ords, m - 1) if m > 1 else ords
-                ok = np.zeros(len(types), dtype=bool)
-                ok[m:] = (lag_t[m:] == steps[-1 - m]) & (
-                    prev_o[m:] - lag_o[m:] <= step_us
-                )
+                ok = np.zeros(total, dtype=bool)
+                ok[m:] = lag_f[m:] & (prev_o[m:] - lag_o[m:] <= step_us)
                 cond = cond & ok
             hits = np.flatnonzero(cond) - carry
             hits = hits[hits >= 0]  # only emit completions in THIS batch
-            keep = [(str(t), int(o)) for t, o in zip(types, ords)][-(n - 1):]
+            keep = [
+                ([bool(b) for b in flags[i]], int(ords[i]))
+                for i in range(max(0, total - (n - 1)), total)
+            ]
             state.update((json.dumps(keep),))
             if len(hits):
                 yield pd.DataFrame(
@@ -253,6 +293,6 @@ def match_pattern_stream(
     else:
         raise ValueError(f"unknown contiguity: {contiguity}")
 
-    return df.groupBy(key).applyInPandasWithState(
+    return prepared.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -181,3 +181,41 @@ def cep_times_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=("view", "view", "purchase"),
         within="48 hours",
     )
+
+
+@query(
+    "cep_condition_pattern",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type, value,
+             CASE WHEN value > 75 THEN 0
+                  WHEN event_type = 'purchase' THEN 2 ELSE 3 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN value > 75 THEN o END)
+                OVER ({_RELAXED_WIN}) AS l0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN value > 75
+                              AND l0 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l1 FROM w0)
+    SELECT user_id, event_id, ts_ms
+    FROM w1
+    WHERE event_type = 'purchase' AND l1 >= o - {_W48_US}
+    """,
+)
+def cep_condition_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-based CEP (Flink ``SimpleCondition``): two HIGH-VALUE
+    events (``value > 75`` — any type) within 48 h of each other, then
+    a purchase within 48 h — the reference's 'temperature rising twice
+    then alert' shape (``정리/5주차.md:24-54``) generalized to arbitrary
+    SQL predicates per step.  Predicates evaluate in Catalyst (boolean
+    projection before the windows); the pattern scan itself is
+    identical to the event-type form — same single exchange."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        conditions=("value > 75", "value > 75", "event_type = 'purchase'"),
+        within="48 hours",
+    )

@@ -159,3 +159,36 @@ def test_times_quantifier_requires_distinct_events(spark, tmp_path):
         "append",
     )
     assert list(_sorted(stream_got)["event_id"]) == [12]
+
+
+def test_condition_steps_stream_matches_batch(spark, events, tmp_path):
+    """Predicate steps (SimpleCondition): 'value > 75' twice then a
+    purchase — streaming twin over pre-evaluated boolean columns must
+    equal the batch chained-window plan, out-of-order input included."""
+    conds = ("value > 75", "value > 75", "event_type = 'purchase'")
+    sdf = _scrambled_two_batch(spark, events, tmp_path)
+    got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", conditions=conds, within="48 hours"
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    want = match_pattern(
+        events, "user_id", "ts", conditions=conds, within="48 hours"
+    )
+    assert want.count() > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_steps_conditions_red_paths(spark, events):
+    with pytest.raises(ValueError, match="exactly one"):
+        match_pattern(events, "user_id", "ts")
+    with pytest.raises(ValueError, match="exactly one"):
+        match_pattern(
+            events, "user_id", "ts", steps=("a", "b"), conditions=("x > 1",)
+        )
+    with pytest.raises(ValueError, match="at least 2"):
+        match_pattern(events, "user_id", "ts", steps=("a",))
+    with pytest.raises(ValueError, match="quotes"):
+        match_pattern(events, "user_id", "ts", steps=("a'; drop", "b"))
