@@ -96,19 +96,29 @@ def match_pattern(
     tiebreak: str = "event_id",
     contiguity: str = "relaxed",
     conditions: tuple[str, ...] | None = None,
+    emit: str = "completion",
 ) -> DataFrame:
     """Batch sequence-pattern match: emit ``(key, tiebreak, ts_ms)`` of
-    every event completing the pattern.
+    every event completing the pattern; with ``emit="chain"`` also a
+    ``match_chain`` column — the full matched event chain as
+    ``"id0>id1>...>idN"`` (Flink ``PatternSelectFunction`` parity: the
+    chain is the LATEST qualifying event per stage, exactly the events
+    the per-record loop would have bound; a canonical string, not an
+    array, so DuckDB oracles compare it byte-for-byte).
 
     ``relaxed``: N-1 conditional running-max Window expressions share
     one (key, order) sort — level k's qualifier is "latest
     level-(k-1)-qualified timestamp within ``within``", evaluated over
     a ROWS frame ending 1 PRECEDING so a step never self-satisfies its
-    predecessor.  ``strict``: one lag battery checks the N-1 immediately
-    preceding events' step predicates and pairwise gaps.  Either way
-    Catalyst plans a single exchange + sort — the pattern length N
-    changes only the projection, never the shuffle topology.
+    predecessor (chain mode maxes a (ts, id) struct instead of the bare
+    ts: same ordering, the id rides along).  ``strict``: one lag battery
+    checks the N-1 immediately preceding events' step predicates and
+    pairwise gaps.  Either way Catalyst plans a single exchange + sort —
+    pattern length N changes only the projection, never the shuffle
+    topology.
     """
+    if emit not in ("completion", "chain"):
+        raise ValueError(f"unknown emit mode: {emit}")
     conds = _step_conditions(steps, conditions, type_col)
     n = len(conds)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
@@ -122,9 +132,15 @@ def match_pattern(
             lagged = F.lag("_ord", m).over(w)
             cond = cond & (prev_ord - lagged <= step_us)
             prev_ord = lagged
-        return base.withColumn("_m", cond).filter("_m").select(
-            key, tiebreak, F.unix_millis(ts).alias("ts_ms")
-        )
+        out_cols = [key, tiebreak, F.unix_millis(ts).alias("ts_ms")]
+        if emit == "chain":
+            chain = [
+                F.lag(tiebreak, m).over(w).cast("string")
+                for m in range(n - 1, 0, -1)
+            ] + [F.col(tiebreak).cast("string")]
+            base = base.withColumn("_chain", F.concat_ws(">", *chain))
+            out_cols.append(F.col("_chain").alias("match_chain"))
+        return base.withColumn("_m", cond).filter("_m").select(*out_cols)
     if contiguity != "relaxed":
         raise ValueError(f"unknown contiguity: {contiguity}")
     w = (
@@ -135,13 +151,39 @@ def match_pattern(
     out = base
     qual = F.col("_c0")
     for i in range(1, n):
-        out = out.withColumn(
-            f"_l{i - 1}", F.max(F.when(qual, F.col("_ord"))).over(w)
+        if emit == "chain":
+            out = out.withColumn(
+                f"_s{i - 1}",
+                F.max(
+                    F.when(
+                        qual,
+                        F.struct(
+                            F.col("_ord").alias("o"),
+                            F.col(tiebreak).alias("i"),
+                        ),
+                    )
+                ).over(w),
+            )
+            qual = F.col(f"_c{i}") & (
+                F.col(f"_s{i - 1}.o") >= F.col("_ord") - step_us
+            )
+        else:
+            out = out.withColumn(
+                f"_l{i - 1}", F.max(F.when(qual, F.col("_ord"))).over(w)
+            )
+            qual = F.col(f"_c{i}") & (
+                F.col(f"_l{i - 1}") >= F.col("_ord") - step_us
+            )
+    out_cols = [key, tiebreak, F.unix_millis(ts).alias("ts_ms")]
+    if emit == "chain":
+        out_cols.append(
+            F.concat_ws(
+                ">",
+                *[F.col(f"_s{i}.i").cast("string") for i in range(n - 1)],
+                F.col(tiebreak).cast("string"),
+            ).alias("match_chain")
         )
-        qual = F.col(f"_c{i}") & (
-            F.col(f"_l{i - 1}") >= F.col("_ord") - step_us
-        )
-    return out.filter(qual).select(key, tiebreak, F.unix_millis(ts).alias("ts_ms"))
+    return out.filter(qual).select(*out_cols)
 
 
 def _relaxed_scan(
@@ -180,6 +222,58 @@ def _relaxed_scan(
     return hits, new_seeds
 
 
+def _relaxed_scan_chain(
+    ord_us: np.ndarray,
+    ids: np.ndarray,
+    type_idx: list[np.ndarray],
+    seeds: list[tuple[int | None, int | None]],
+    step_us: int,
+) -> tuple[np.ndarray, list[list[int]], list[tuple[int | None, int | None]]]:
+    """Chain-emitting variant of :func:`_relaxed_scan`: each level
+    forward-fills (ts, id) together, and every hit reports the bound
+    predecessor id per level (the values visible at strictly earlier
+    positions — identical to the batch struct-max frame)."""
+    nan = np.nan
+    n = len(type_idx)
+    ordf = ord_us.astype("float64")
+    idf = ids.astype("float64")
+    qual = type_idx[0]
+    new_seeds: list[tuple[int | None, int | None]] = []
+    prev_ids: list[np.ndarray] = []
+    hits = np.zeros(0, dtype="int64")
+    for i in range(1, n):
+        seed_ts, seed_id = seeds[i - 1]
+        mask = pd.Series(np.where(qual, ordf, nan))
+        f_ts = mask.ffill().fillna(nan if seed_ts is None else float(seed_ts)).to_numpy()
+        f_id = (
+            pd.Series(np.where(qual, idf, nan))
+            .ffill()
+            .fillna(nan if seed_id is None else float(seed_id))
+            .to_numpy()
+        )
+        new_seeds.append(
+            (
+                None if np.isnan(f_ts[-1]) else int(f_ts[-1]),
+                None if np.isnan(f_id[-1]) else int(f_id[-1]),
+            )
+        )
+        p_ts = np.empty_like(f_ts)
+        p_ts[0] = nan if seed_ts is None else float(seed_ts)
+        p_ts[1:] = f_ts[:-1]
+        p_id = np.empty_like(f_id)
+        p_id[0] = nan if seed_id is None else float(seed_id)
+        p_id[1:] = f_id[:-1]
+        prev_ids.append(p_id)
+        with np.errstate(invalid="ignore"):
+            qual = type_idx[i] & (p_ts >= ordf - step_us)
+    with np.errstate(invalid="ignore"):
+        hits = np.flatnonzero(qual)
+    chains = [
+        [int(p[h]) for p in prev_ids] + [int(ids[h])] for h in hits
+    ]
+    return hits, chains, new_seeds
+
+
 def match_pattern_stream(
     df: DataFrame,
     key: str,
@@ -190,22 +284,28 @@ def match_pattern_stream(
     tiebreak: str = "event_id",
     contiguity: str = "relaxed",
     conditions: tuple[str, ...] | None = None,
+    emit: str = "completion",
 ) -> DataFrame:
     """Streaming twin of :func:`match_pattern` (P1 ProcessFunction
-    shape): per key, ``relaxed`` keeps N-1 last-qualified timestamps,
-    ``strict`` the last N-1 events' step-predicate vectors — O(1) state
-    either way, which is what lets the pattern run over millions of
-    keys with state in the executor state store.  Step predicates are
-    projected to boolean columns JVM-side BEFORE the stateful scan, so
-    the Python handler only reads pre-evaluated bools.  Batch rows are
-    sorted by (ts, rank, tiebreak) inside the handler, so out-of-order
-    arrival WITHIN a micro-batch is handled; cross-batch order relies
-    on the source's event-time alignment (same contract as every
-    handler in :mod:`..streaming.stateful`)."""
+    shape): per key, ``relaxed`` keeps N-1 last-qualified timestamps
+    (plus their event ids in chain mode), ``strict`` the last N-1
+    events — O(1) state either way, which is what lets the pattern run
+    over millions of keys with state in the executor state store.  Step
+    predicates are projected to boolean columns JVM-side BEFORE the
+    stateful scan, so the Python handler only reads pre-evaluated
+    bools.  Batch rows are sorted by (ts, rank, tiebreak) inside the
+    handler, so out-of-order arrival WITHIN a micro-batch is handled;
+    cross-batch order relies on the source's event-time alignment (same
+    contract as every handler in :mod:`..streaming.stateful`)."""
+    if emit not in ("completion", "chain"):
+        raise ValueError(f"unknown emit mode: {emit}")
     conds = _step_conditions(steps, conditions, type_col)
     n = len(conds)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
-    out_schema = f"{key} long, {tiebreak} long, ts_ms long"
+    chain = emit == "chain"
+    out_schema = f"{key} long, {tiebreak} long, ts_ms long" + (
+        ", match_chain string" if chain else ""
+    )
     cols = [f"_c{i}" for i in range(n)]
     prepared = _with_step_cols(df, conds)
 
@@ -214,29 +314,55 @@ def match_pattern_stream(
         pdf["_ord"] = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
         return pdf.sort_values(["_ord", "_rank", tiebreak], ignore_index=True)
 
+    def _emit(pdf, hits, chains=None):
+        out = {
+            key: [pdf[key].iloc[0] if len(pdf) else None] * len(hits),
+            tiebreak: pdf[tiebreak].to_numpy(dtype="int64")[hits],
+            "ts_ms": pdf["_ord"].to_numpy()[hits] // 1_000,
+        }
+        if chain:
+            out["match_chain"] = [">".join(str(i) for i in c) for c in chains]
+        return pd.DataFrame(out)
+
     if contiguity == "relaxed":
-        state_schema = ", ".join(f"l{i} long" for i in range(n - 1))
+        if chain:
+            state_schema = ", ".join(
+                f"l{i} long, i{i} long" for i in range(n - 1)
+            )
+        else:
+            state_schema = ", ".join(f"l{i} long" for i in range(n - 1))
 
         def handle(
             k: tuple[Any, ...],
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            seeds = list(state.get) if state.exists else [None] * (n - 1)
             pdf = _prep(pdfs)
             type_idx = [pdf[c].to_numpy(dtype=bool) for c in cols]
-            hits, new_seeds = _relaxed_scan(
-                pdf["_ord"].to_numpy(), type_idx, seeds + [None], step_us
-            )
-            state.update(tuple(new_seeds[: n - 1]))
-            if len(hits):
-                yield pd.DataFrame(
-                    {
-                        key: [k[0]] * len(hits),
-                        tiebreak: pdf[tiebreak].to_numpy(dtype="int64")[hits],
-                        "ts_ms": pdf["_ord"].to_numpy()[hits] // 1_000,
-                    }
+            ords = pdf["_ord"].to_numpy()
+            if chain:
+                flat = list(state.get) if state.exists else [None] * (2 * (n - 1))
+                seeds = [
+                    (flat[2 * i], flat[2 * i + 1]) for i in range(n - 1)
+                ]
+                hits, chains, new_seeds = _relaxed_scan_chain(
+                    ords,
+                    pdf[tiebreak].to_numpy(dtype="int64"),
+                    type_idx,
+                    seeds,
+                    step_us,
                 )
+                state.update(tuple(x for pair in new_seeds for x in pair))
+                if len(hits):
+                    yield _emit(pdf.assign(**{key: k[0]}), hits, chains)
+            else:
+                seeds = list(state.get) if state.exists else [None] * (n - 1)
+                hits, new_seeds = _relaxed_scan(
+                    ords, type_idx, seeds + [None], step_us
+                )
+                state.update(tuple(new_seeds[: n - 1]))
+                if len(hits):
+                    yield _emit(pdf.assign(**{key: k[0]}), hits)
 
     elif contiguity == "strict":
         state_schema = "tail string"
@@ -249,8 +375,8 @@ def match_pattern_stream(
             tail = json.loads(state.get[0]) if state.exists else []
             pdf = _prep(pdfs)
             carry = len(tail)
-            # per-event step-predicate vector (n bools) + ord, with the
-            # carried last n-1 events prepended
+            # per-event step-predicate vector (n bools) + ord + id, with
+            # the carried last n-1 events prepended
             flags = np.concatenate(
                 [
                     np.array([t[0] for t in tail], dtype=bool).reshape(-1, n)
@@ -265,6 +391,12 @@ def match_pattern_stream(
                     pdf["_ord"].to_numpy(),
                 ]
             )
+            ids = np.concatenate(
+                [
+                    np.array([t[2] for t in tail], dtype="int64"),
+                    pdf[tiebreak].to_numpy(dtype="int64"),
+                ]
+            )
             total = len(ords)
             cond = flags[:, n - 1].copy()
             for m in range(1, n):
@@ -274,21 +406,20 @@ def match_pattern_stream(
                 ok = np.zeros(total, dtype=bool)
                 ok[m:] = lag_f[m:] & (prev_o[m:] - lag_o[m:] <= step_us)
                 cond = cond & ok
-            hits = np.flatnonzero(cond) - carry
-            hits = hits[hits >= 0]  # only emit completions in THIS batch
+            g_hits = np.flatnonzero(cond)
+            g_hits = g_hits[g_hits >= carry]  # completions in THIS batch
+            hits = g_hits - carry
+            chains = [
+                [int(ids[g - m]) for m in range(n - 1, -1, -1)]
+                for g in g_hits
+            ]
             keep = [
-                ([bool(b) for b in flags[i]], int(ords[i]))
+                ([bool(b) for b in flags[i]], int(ords[i]), int(ids[i]))
                 for i in range(max(0, total - (n - 1)), total)
             ]
             state.update((json.dumps(keep),))
             if len(hits):
-                yield pd.DataFrame(
-                    {
-                        key: [k[0]] * len(hits),
-                        tiebreak: pdf[tiebreak].to_numpy(dtype="int64")[hits],
-                        "ts_ms": pdf["_ord"].to_numpy()[hits] // 1_000,
-                    }
-                )
+                yield _emit(pdf.assign(**{key: k[0]}), hits, chains)
 
     else:
         raise ValueError(f"unknown contiguity: {contiguity}")

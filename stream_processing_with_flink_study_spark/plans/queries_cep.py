@@ -219,3 +219,46 @@ def cep_condition_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         conditions=("value > 75", "value > 75", "event_type = 'purchase'"),
         within="48 hours",
     )
+
+
+@query(
+    "cep_match_chain",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 3 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN event_type = 'view'
+                         THEN struct_pack(o := o, i := event_id) END)
+                OVER ({_RELAXED_WIN}) AS s0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN event_type = 'click'
+                              AND s0['o'] >= o - {_W48_US}
+                         THEN struct_pack(o := o, i := event_id) END)
+                OVER ({_RELAXED_WIN}) AS s1 FROM w0)
+    SELECT user_id, event_id, ts_ms,
+           s0['i']::VARCHAR || '>' || s1['i']::VARCHAR || '>'
+             || event_id::VARCHAR AS match_chain
+    FROM w1
+    WHERE event_type = 'purchase' AND s1['o'] >= o - {_W48_US}
+    """,
+)
+def cep_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-match emission (Flink ``PatternSelectFunction`` parity):
+    every view → click → purchase completion reports the whole matched
+    chain as ``"view_id>click_id>purchase_id"`` — the latest qualifying
+    event per stage, the exact binding a per-record CEP loop would
+    make.  The chained windows max a (ts, id) STRUCT instead of the
+    bare timestamp (same lexicographic order, the id rides along), so
+    chain emission costs zero extra shuffles — still one exchange."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("view", "click", "purchase"),
+        within="48 hours",
+        emit="chain",
+    )

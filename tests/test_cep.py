@@ -192,3 +192,40 @@ def test_steps_conditions_red_paths(spark, events):
         match_pattern(events, "user_id", "ts", steps=("a",))
     with pytest.raises(ValueError, match="quotes"):
         match_pattern(events, "user_id", "ts", steps=("a'; drop", "b"))
+
+
+def test_chain_emission_hand_case(spark):
+    """emit='chain' reports the LATEST qualifying event per stage —
+    exactly the events the per-record loop would bind."""
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        (1, 10, t(0), "a"), (1, 11, t(1), "a"),   # second a supersedes
+        (1, 12, t(2), "b"), (1, 13, t(4), "c"),
+    ])
+    got = _sorted(
+        match_pattern(
+            df, "user_id", "ts", ("a", "b", "c"), within="10 seconds",
+            emit="chain",
+        )
+    )
+    assert list(got["match_chain"]) == ["11>12>13"]
+
+
+@pytest.mark.parametrize("contiguity", ["relaxed", "strict"])
+def test_chain_stream_matches_batch(spark, events, tmp_path, contiguity):
+    steps = ("view", "click", "purchase")
+    sdf = _scrambled_two_batch(spark, events, tmp_path)
+    got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", steps, within="48 hours",
+            contiguity=contiguity, emit="chain",
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    want = match_pattern(
+        events, "user_id", "ts", steps, within="48 hours",
+        contiguity=contiguity, emit="chain",
+    )
+    assert want.count() > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
