@@ -1051,42 +1051,58 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone held up multi-supplier
     orders — the EXISTS(other supplier) / NOT EXISTS(other LATE
-    supplier) pair collapsed into ONE per-order aggregate.  Because the
-    filter demands exactly one late supplier per order, every late line
-    in a qualifying order belongs to that supplier, so a single
-    groupBy(l_orderkey) computes (n_supp, the late-supplier set, and
-    the late-line count) in one shuffle; no persist / self-join back to
-    the lines.  'late' is the 60-day shipdate re-shape (no
-    l_commitdate/l_receiptdate in schema).  At scale this is one hash
-    exchange on l_orderkey plus two broadcasts — the minimum possible."""
+    supplier) pair re-shaped as a TWO-LEVEL aggregate with no distinct
+    expansion.  Level 1 collapses lines to (l_orderkey, l_suppkey)
+    grain carrying (any_late, late_lines); level 2 groups by
+    l_orderkey with PLAIN count/sum/max — no count_distinct (which
+    Catalyst expands into a two-level aggregate of its own) and no
+    collect_set.  Both levels reuse the join's hash partitioning on
+    l_orderkey (HashPartitioning(l_orderkey) satisfies clustering on
+    (l_orderkey, l_suppkey)), so the aggregates add NO exchange beyond
+    the join shuffle.  Because the filter demands exactly one late
+    supplier per order, max(when(any_late, l_suppkey)) IS that
+    supplier.  'late' is the 60-day shipdate re-shape (no
+    l_commitdate/l_receiptdate in schema).  The orders side carries a
+    merge hint: orders is NOT broadcastable at scale, and the SMJ's
+    hash partitioning on l_orderkey is exactly what both aggregate
+    levels reuse (broadcasting it would force two extra agg
+    exchanges).  The nation filter is a scalar subquery (n_name is
+    unique), not a join — one fewer broadcast.  Audited plan: 2 join
+    exchanges + 1 final s_name exchange + 1 supplier broadcast = 4
+    exchanges total."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+    lines = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey",
         "l_suppkey",
         (
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"),
+    )
     per_order = (
-        lines.groupBy("l_orderkey")
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-                "late_supps"
+            F.count("*").alias("n_supp"),
+            F.sum(F.when(F.col("any_late"), 1).otherwise(0)).alias("n_late_supp"),
+            F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("l_suppkey"),
+            F.sum(F.when(F.col("any_late"), F.col("late_lines")).otherwise(0)).alias(
+                "n_late_lines"
             ),
-            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
         )
-        .filter((F.col("n_supp") > 1) & (F.size("late_supps") == 1))
-        .select(
-            F.element_at("late_supps", 1).alias("l_suppkey"),
-            "n_late_lines",
-        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_suppkey", "n_late_lines")
     )
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
-    s = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    nk = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_9")
+        .select("n_nationkey")
+        .scalar()
     )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == nk)
     return (
         per_order.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
