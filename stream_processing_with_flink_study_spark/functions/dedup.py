@@ -51,18 +51,22 @@ def doc_shingles(
     """(id, shingle) pairs — the inverted-index input; distinct by
     default (required for exact Jaccard counts).
 
-    ``distinct=False`` skips the corpus-wide shuffle of shingle strings —
-    correct whenever the consumer is duplicate-insensitive (MinHash
-    ``min``), which at 100 TB turns the signature stage's only big
-    exchange into a map-side-combined (doc, partial-mins) shuffle.
+    Dedup is PER DOCUMENT (shingle sets are per-doc sets), so it is done
+    with ``array_distinct`` on the shingle array BEFORE the explode —
+    zero shuffle, identical output to a corpus-wide
+    ``distinct()`` on the exploded pairs (which is what round ≤4 did,
+    paying a full exchange of shingle strings for it).
+
+    ``distinct=False`` skips even the per-doc dedup — correct whenever
+    the consumer is duplicate-insensitive (MinHash ``min``).
 
     Tokenizes in its own projection so the shingling lambda sees a bound
     array attribute (see the perf note on :func:`..functions.text.word_shingles`)."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    out = toks.select(
-        F.col(id_col), F.explode(word_shingles(F.col("_toks"), n)).alias("shingle")
-    )
-    return out.distinct() if distinct else out
+    arr = word_shingles(F.col("_toks"), n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return toks.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
 def minhash_signatures(

@@ -159,9 +159,24 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup via inverted index (explode shingles,
     self-join on shingle, count intersection) — no LSH pre-filter, the
-    exhaustive baseline the LSH recall is judged against."""
+    exhaustive baseline the LSH recall is judged against.  The (doc_id,
+    shingle) inverted index feeds THREE consumers (both self-join sides
+    + per-doc sizes), so it is persisted eagerly — without the persist
+    each consumer re-derives it from the parquet scan (round 4's plan:
+    8 scans / 10 exchanges; with it: 1 scan + cache reads, same
+    pattern as bm25_scores).  Per-doc shingle dedup happens inside
+    ``doc_shingles`` via ``array_distinct`` (zero shuffle — no
+    corpus-wide distinct), and shingles are xxhash64-collapsed to int64
+    so the self-join shuffles 8-byte longs instead of shingle strings —
+    collision probability over s distinct shingles is ~s²/2⁶⁵,
+    irrelevant next to the oracle gate."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    sh = dedup.doc_shingles(corpus, "text", "doc_id")
+    sh = (
+        dedup.doc_shingles(corpus, "text", "doc_id")
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
+    sh.count()
     return dedup.jaccard_pairs(sh, "doc_id", 0.5)
 
 
