@@ -230,38 +230,41 @@ def _relaxed_scan_chain(
     step_us: int,
 ) -> tuple[np.ndarray, list[list[int]], list[tuple[int | None, int | None]]]:
     """Chain-emitting variant of :func:`_relaxed_scan`: each level
-    forward-fills (ts, id) together, and every hit reports the bound
-    predecessor id per level (the values visible at strictly earlier
-    positions — identical to the batch struct-max frame)."""
+    forward-fills the qualifying POSITION (row index), then indexes the
+    int64 id array with it, and every hit reports the bound predecessor
+    id per level (the values visible at strictly earlier positions —
+    identical to the batch struct-max frame).  Timestamps round-trip
+    through float64 safely (µs-epochs < 2⁵³); ids never do — a float64
+    ffill of raw ids silently corrupts ids above 2⁵³, so only positions
+    (always < 2⁵³) are filled as floats."""
     nan = np.nan
     n = len(type_idx)
     ordf = ord_us.astype("float64")
-    idf = ids.astype("float64")
+    pos = np.arange(len(ord_us), dtype="float64")
     qual = type_idx[0]
     new_seeds: list[tuple[int | None, int | None]] = []
     prev_ids: list[np.ndarray] = []
     hits = np.zeros(0, dtype="int64")
     for i in range(1, n):
         seed_ts, seed_id = seeds[i - 1]
-        mask = pd.Series(np.where(qual, ordf, nan))
-        f_ts = mask.ffill().fillna(nan if seed_ts is None else float(seed_ts)).to_numpy()
-        f_id = (
-            pd.Series(np.where(qual, idf, nan))
-            .ffill()
-            .fillna(nan if seed_id is None else float(seed_id))
-            .to_numpy()
+        f_pos = pd.Series(np.where(qual, pos, nan)).ffill().to_numpy()
+        has = ~np.isnan(f_pos)
+        safe = np.where(has, f_pos, 0).astype("int64")
+        f_ts = np.where(
+            has, ordf[safe], nan if seed_ts is None else float(seed_ts)
         )
+        f_id = np.where(has, ids[safe], 0 if seed_id is None else seed_id)
         new_seeds.append(
             (
                 None if np.isnan(f_ts[-1]) else int(f_ts[-1]),
-                None if np.isnan(f_id[-1]) else int(f_id[-1]),
+                None if np.isnan(f_ts[-1]) else int(f_id[-1]),
             )
         )
         p_ts = np.empty_like(f_ts)
         p_ts[0] = nan if seed_ts is None else float(seed_ts)
         p_ts[1:] = f_ts[:-1]
         p_id = np.empty_like(f_id)
-        p_id[0] = nan if seed_id is None else float(seed_id)
+        p_id[0] = 0 if seed_id is None else seed_id
         p_id[1:] = f_id[:-1]
         prev_ids.append(p_id)
         with np.errstate(invalid="ignore"):
@@ -309,10 +312,21 @@ def match_pattern_stream(
     cols = [f"_c{i}" for i in range(n)]
     prepared = _with_step_cols(df, conds)
 
+    # strict batch orders by (_ord, tiebreak) — no _rank — so the
+    # streaming twin must sort identically or same-instant ties diverge
+    # between the two forms (relaxed keeps the _rank key: earlier
+    # stages of a same-instant cascade update state before later
+    # stages test it)
+    sort_keys = (
+        ["_ord", tiebreak]
+        if contiguity == "strict"
+        else ["_ord", "_rank", tiebreak]
+    )
+
     def _prep(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf["_ord"] = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
-        return pdf.sort_values(["_ord", "_rank", tiebreak], ignore_index=True)
+        return pdf.sort_values(sort_keys, ignore_index=True)
 
     def _emit(pdf, hits, chains=None):
         out = {

@@ -137,8 +137,16 @@ def bucketed_write(
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         parsed = urlparse(wh)
         if parsed.scheme in ("", "file"):
+            # qualified names live under <db>.db/<tbl>; unqualified and
+            # default-db ones directly under the warehouse root
+            parts = table.lower().split(".")
+            rel = (
+                os.path.join(f"{parts[-2]}.db", parts[-1])
+                if len(parts) > 1 and parts[-2] != "default"
+                else parts[-1]
+            )
             shutil.rmtree(
-                os.path.join(parsed.path or wh, table.lower()),
+                os.path.join(parsed.path or wh, rel),
                 ignore_errors=True,
             )
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)

@@ -229,3 +229,64 @@ def test_chain_stream_matches_batch(spark, events, tmp_path, contiguity):
     )
     assert want.count() > 0
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_strict_same_instant_tie_stream_matches_batch(spark, tmp_path):
+    """Same-timestamp ties: strict batch orders by (_ord, tiebreak)
+    with NO step-rank key, so the streaming twin must sort identically.
+    With ids (1,'b') and (2,'a') at one instant, tiebreak order is
+    'b','a' — no strict 'a'->'b' match in either form.  (Regression:
+    the stream handler used to add _rank to the sort and emitted a
+    phantom match.)"""
+    t0 = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+    df = _mk(spark, [(1, 1, t0, "b"), (1, 2, t0, "a")])
+    want = match_pattern(
+        df, "user_id", "ts", ("a", "b"), within="10 seconds",
+        contiguity="strict",
+    )
+    assert want.count() == 0
+    sdf = S.memory_batches_stream(spark, [df], str(tmp_path / "src"))
+    got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", ("a", "b"), within="10 seconds",
+            contiguity="strict",
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    assert len(_sorted(got)) == 0
+
+
+def test_chain_ids_above_float53_survive(spark, tmp_path):
+    """Chain emission must not round-trip event ids through float64:
+    ids above 2**53 would silently corrupt.  (Regression: the relaxed
+    ffill used to cast ids to float64.)"""
+    big = (1 << 60) + 1  # not representable in float64
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    rows = [
+        (1, big, t(0), "a"),
+        (1, big + 2, t(1), "b"),
+        (1, big + 4, t(2), "c"),
+    ]
+    df = _mk(spark, rows)
+    want = _sorted(
+        match_pattern(
+            df, "user_id", "ts", ("a", "b", "c"), within="10 seconds",
+            emit="chain",
+        )
+    )
+    assert list(want["match_chain"]) == [f"{big}>{big + 2}>{big + 4}"]
+    # the streaming scan carries (ts, id) seeds across batches — split
+    # mid-pattern so the corrupted path would surface in the carry
+    b0 = _mk(spark, rows[:2])
+    b1 = _mk(spark, rows[2:])
+    sdf = S.memory_batches_stream(spark, [b0, b1], str(tmp_path / "src"))
+    got = S.run_available_now(
+        match_pattern_stream(
+            sdf, "user_id", "ts", ("a", "b", "c"), within="10 seconds",
+            emit="chain",
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    assert list(_sorted(got)["match_chain"]) == [f"{big}>{big + 2}>{big + 4}"]
