@@ -88,6 +88,53 @@ def async_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+async def _segment_service(uid: int) -> str:
+    """Deterministic stand-in for an external per-key service: yields to
+    the event loop (the place a real client would await the network),
+    then computes the response."""
+    import asyncio
+
+    await asyncio.sleep(0)
+    return f"seg_{uid % 7}"
+
+
+@query(
+    "async_service_enrich",
+    oracle="""
+    SELECT 'seg_' || CAST(user_id % 7 AS VARCHAR) AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def async_service_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 async I/O, the NON-joinable tier (``정리/6주차.md:403-418``):
+    per-key service calls run concurrently inside ``mapInPandas`` via
+    :func:`..operators.async_io.async_lookup` — semaphore-bounded
+    in-flight requests, per-request timeout, ordered emission
+    (AsyncDataStream.orderedWait).  The service here is a deterministic
+    coroutine so the oracle can replay it as SQL; swap in an aiohttp
+    client via ``session_factory`` for a real endpoint."""
+    from ..operators.async_io import async_lookup
+
+    events = load_table(spark, sf_dir, "events")
+    enriched = async_lookup(
+        events.select("user_id", "value"),
+        _segment_service,
+        key_col="user_id",
+        out_col="segment",
+        out_type="string",
+        capacity=128,
+        timeout=5.0,
+        ordered=True,
+    )
+    return enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 @query(
     "udaf_weighted_avg",
     oracle="""
