@@ -223,26 +223,104 @@ def holistic_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def global_window_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 global window + count Trigger (``정리/4주차.md:286-311``):
-    all of a key's events form one window and a custom trigger FIREs
-    every 25 elements without purging.  Batch twin: running aggregates
-    filtered to every 25th row — emission points and emitted state match
-    the trigger semantics exactly."""
+    all of a key's events form one window and ``CountTrigger(25)``
+    FIREs every 25 elements without purging — expressed through the
+    generic trigger API (:mod:`..operators.triggers`), whose batch twin
+    compiles to running aggregates filtered to the fire rows."""
+    from ..operators.triggers import CountTrigger, triggered_window
+
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return triggered_window(
+        events, "user_id", "ts", "value", CountTrigger(25), "event_id"
+    ).select(
+        "user_id",
+        F.col("n_in_window").alias("n_events"),
+        F.col("win_sum").alias("run_sum"),
     )
-    return (
-        events.select(
-            "user_id",
-            F.row_number()
-            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-            .alias("rn"),
-            F.round(F.sum("value").over(w), 4).alias("run_sum"),
-        )
-        .filter(F.col("rn") % 25 == 0)
-        .select("user_id", F.col("rn").alias("n_events"), "run_sum")
+
+
+@query(
+    "trigger_count_purge",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, ts, event_id, epoch_ms(ts) AS fire_ts_ms,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS rs
+      FROM events
+    ), c AS (
+      SELECT user_id, fire_ts_ms, rn, rs,
+             lag(rs, 25) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_rs
+      FROM b
+    )
+    SELECT user_id, fire_ts_ms, CAST(25 AS BIGINT) AS n_in_window,
+           round(rs - coalesce(prev_rs, 0), 4) AS win_sum
+    FROM c WHERE rn % 25 = 0
+    """,
+)
+def trigger_count_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 FIRE_AND_PURGE: ``CountTrigger(25, purge=True)`` — the window
+    restarts after each emission, so every fire carries the 25-element
+    delta (Flink's count window recovered from the generic trigger)."""
+    from ..operators.triggers import CountTrigger, triggered_window
+
+    events = load_table(spark, sf_dir, "events")
+    return triggered_window(
+        events, "user_id", "ts", "value", CountTrigger(25, purge=True), "event_id"
+    )
+
+
+@query(
+    "trigger_interval_purge",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, ts, event_id, epoch_ms(ts) AS ts_ms,
+             epoch_us(ts) // 21600000000 AS bk,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS rs
+      FROM events
+    ), c AS (
+      SELECT *,
+             lead(bk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nbk
+      FROM b
+    ), d AS (
+      SELECT *,
+             (nbk IS NOT NULL AND nbk > bk) AS fire,
+             coalesce(max(CASE WHEN (nbk IS NOT NULL AND nbk > bk)
+                               THEN rs END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prs,
+             coalesce(max(CASE WHEN (nbk IS NOT NULL AND nbk > bk)
+                               THEN rn END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prn
+      FROM c
+    )
+    SELECT user_id, ts_ms AS fire_ts_ms,
+           CAST(rn - prn AS BIGINT) AS n_in_window,
+           round(rs - prs, 4) AS win_sum
+    FROM d WHERE fire
+    """,
+)
+def trigger_interval_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 ContinuousEventTimeTrigger + PURGE: event time crossing a
+    6-hour epoch-aligned boundary fires the bucket's contents — a
+    tumbling window recovered from the generic trigger (the final
+    partial bucket never fires; a stream cannot know it ended)."""
+    from ..operators.triggers import EventTimeIntervalTrigger, triggered_window
+
+    events = load_table(spark, sf_dir, "events")
+    return triggered_window(
+        events,
+        "user_id",
+        "ts",
+        "value",
+        EventTimeIntervalTrigger("6 hours", purge=True),
+        "event_id",
     )
 
 
