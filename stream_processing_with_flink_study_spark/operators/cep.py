@@ -68,6 +68,35 @@ def _step_conditions(
     return out
 
 
+def _normalize_quantifiers(
+    quantifiers: tuple[str, ...] | None, n: int, contiguity: str
+) -> list[str]:
+    """Validate the per-step quantifier vector.  ``optional`` is
+    middle-steps-only (the first step anchors the match, the last emits
+    it) and relaxed-only; ``oneOrMore`` collapses to ``one`` in
+    completion-emission semantics (every repetition refreshes the
+    step's binding — see the module docstring) and is accepted in
+    relaxed mode as documentation of intent."""
+    if quantifiers is None:
+        return ["one"] * n
+    q = list(quantifiers)
+    if len(q) != n:
+        raise ValueError(f"quantifiers must have {n} entries, got {len(q)}")
+    for i, x in enumerate(q):
+        if x not in ("one", "oneOrMore", "optional"):
+            raise ValueError(f"unknown quantifier: {x!r}")
+        if x != "one" and contiguity != "relaxed":
+            raise ValueError(f"{x} requires relaxed contiguity")
+        if x == "optional" and (i == 0 or i == n - 1):
+            raise ValueError("optional is middle-steps-only")
+        if x == "optional" and q[i - 1] == "optional":
+            raise ValueError(
+                "adjacent optional steps are not supported — fold them "
+                "into one step predicate or run two patterns"
+            )
+    return q
+
+
 def _rank_expr(conds: list[str]):
     """First-matching-step index (sort tiebreak so earlier stages of a
     same-instant cascade update state before later stages test it)."""
@@ -97,12 +126,15 @@ def match_pattern(
     contiguity: str = "relaxed",
     conditions: tuple[str, ...] | None = None,
     emit: str = "completion",
+    quantifiers: tuple[str, ...] | None = None,
+    mode: str = "greedy",
+    within_total: str | None = None,
 ) -> DataFrame:
     """Batch sequence-pattern match: emit ``(key, tiebreak, ts_ms)`` of
     every event completing the pattern; with ``emit="chain"`` also a
     ``match_chain`` column — the full matched event chain as
     ``"id0>id1>...>idN"`` (Flink ``PatternSelectFunction`` parity: the
-    chain is the LATEST qualifying event per stage, exactly the events
+    chain is the bound qualifying event per stage, exactly the events
     the per-record loop would have bound; a canonical string, not an
     array, so DuckDB oracles compare it byte-for-byte).
 
@@ -116,14 +148,39 @@ def match_pattern(
     pairwise gaps.  Either way Catalyst plans a single exchange + sort —
     pattern length N changes only the projection, never the shuffle
     topology.
+
+    Quantifiers (Flink ``Pattern.oneOrMore()/optional()``,
+    ``정리/1주차.md:22-25``): ``quantifiers`` is a per-step vector of
+    ``"one" | "oneOrMore" | "optional"`` (relaxed-only beyond "one").
+    ``optional`` lets the next step connect directly to the previous
+    level when the optional step has no in-window binding (its chain
+    slot is then absent — ``concat_ws`` skips the null).  ``oneOrMore``
+    collapses to ``one`` in completion-emission semantics — every
+    repetition refreshes the binding — but becomes OBSERVABLE through
+    ``mode``: ``"greedy"`` (default) binds each level to its LATEST
+    in-window qualifier, ``"reluctant"`` to its EARLIEST (a range-frame
+    min over ``(-within, -1)``; same-instant cascades need greedy —
+    RANGE frames cannot split ties).  ``within_total`` bounds the
+    whole-pattern span (Flink ``Pattern.within``): completion ts minus
+    the bound first-step ts, measured on the EMITTED binding.
     """
     if emit not in ("completion", "chain"):
         raise ValueError(f"unknown emit mode: {emit}")
+    if mode not in ("greedy", "reluctant"):
+        raise ValueError(f"unknown mode: {mode}")
     conds = _step_conditions(steps, conditions, type_col)
     n = len(conds)
+    quant = _normalize_quantifiers(quantifiers, n, contiguity)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
+    total_us = (
+        int(pd.Timedelta(within_total).total_seconds() * 1_000_000)
+        if within_total is not None
+        else None
+    )
     base = _with_step_cols(df.withColumn("_ord", F.unix_micros(ts)), conds)
     if contiguity == "strict":
+        if mode != "greedy":
+            raise ValueError("strict contiguity has no binding choice")
         w = Window.partitionBy(key).orderBy("_ord", tiebreak)
         cond = F.col(f"_c{n - 1}")
         prev_ord = F.col("_ord")
@@ -132,6 +189,8 @@ def match_pattern(
             lagged = F.lag("_ord", m).over(w)
             cond = cond & (prev_ord - lagged <= step_us)
             prev_ord = lagged
+        if total_us is not None:
+            cond = cond & (F.col("_ord") - F.lag("_ord", n - 1).over(w) <= total_us)
         out_cols = [key, tiebreak, F.unix_millis(ts).alias("ts_ms")]
         if emit == "chain":
             chain = [
@@ -143,6 +202,64 @@ def match_pattern(
         return base.withColumn("_m", cond).filter("_m").select(*out_cols)
     if contiguity != "relaxed":
         raise ValueError(f"unknown contiguity: {contiguity}")
+    out_cols = [key, tiebreak, F.unix_millis(ts).alias("ts_ms")]
+    if mode == "reluctant":
+        # Reluctant binds each level to its EARLIEST in-window
+        # qualifier: a min over a RANGE frame (-within, -1), so
+        # in-window validity is non-nullness by construction.  Unlike
+        # greedy (below), bindings carry their chain-so-far and
+        # first-step ts INSIDE the struct, captured at qualification
+        # time — the earliest binding can expire from the completion
+        # row's frame, so at-completion re-evaluation (greedy's trick)
+        # would mis-report the chain.  The (o, i) prefix makes struct
+        # order total; c/f ride along.  Same-instant cascades need
+        # greedy — a RANGE frame cannot split ties.
+        wr = Window.partitionBy(key).orderBy("_ord").rangeBetween(-step_us, -1)
+        out = base
+        for m in range(n - 1):
+            if m == 0:
+                b = F.when(
+                    F.col("_c0"),
+                    F.struct(
+                        F.col("_ord").alias("o"),
+                        F.col(tiebreak).alias("i"),
+                        F.col(tiebreak).cast("string").alias("c"),
+                        F.col("_ord").alias("f"),
+                    ),
+                )
+            else:
+                pred = F.col(f"_s{m - 1}")
+                ok = pred["o"].isNotNull()
+                if quant[m - 1] == "optional":
+                    pred = F.when(ok, pred).otherwise(F.col(f"_s{m - 2}"))
+                    ok = ok | F.col(f"_s{m - 2}.o").isNotNull()
+                b = F.when(
+                    F.col(f"_c{m}") & ok,
+                    F.struct(
+                        F.col("_ord").alias("o"),
+                        F.col(tiebreak).alias("i"),
+                        F.concat_ws(
+                            ">", pred["c"], F.col(tiebreak).cast("string")
+                        ).alias("c"),
+                        pred["f"].alias("f"),
+                    ),
+                )
+            out = out.withColumn(f"_s{m}", F.min(b).over(wr))
+        pred = F.col(f"_s{n - 2}")
+        ok = pred["o"].isNotNull()
+        if quant[n - 2] == "optional":
+            pred = F.when(ok, pred).otherwise(F.col(f"_s{n - 3}"))
+            ok = ok | F.col(f"_s{n - 3}.o").isNotNull()
+        qual = F.col(f"_c{n - 1}") & ok
+        if total_us is not None:
+            qual = qual & (F.col("_ord") - pred["f"] <= total_us)
+        if emit == "chain":
+            out_cols.append(
+                F.concat_ws(
+                    ">", pred["c"], F.col(tiebreak).cast("string")
+                ).alias("match_chain")
+            )
+        return out.filter(qual).select(*out_cols)
     w = (
         Window.partitionBy(key)
         .orderBy("_ord", "_rank", tiebreak)
@@ -150,37 +267,40 @@ def match_pattern(
     )
     out = base
     qual = F.col("_c0")
+    valid: list = [None] * n  # in-window validity of level k's binding
     for i in range(1, n):
         if emit == "chain":
-            out = out.withColumn(
-                f"_s{i - 1}",
-                F.max(
-                    F.when(
-                        qual,
-                        F.struct(
-                            F.col("_ord").alias("o"),
-                            F.col(tiebreak).alias("i"),
-                        ),
-                    )
-                ).over(w),
+            bound = F.when(
+                qual,
+                F.struct(F.col("_ord").alias("o"), F.col(tiebreak).alias("i")),
             )
-            qual = F.col(f"_c{i}") & (
-                F.col(f"_s{i - 1}.o") >= F.col("_ord") - step_us
-            )
+            out = out.withColumn(f"_s{i - 1}", F.max(bound).over(w))
+            valid[i - 1] = F.col(f"_s{i - 1}.o") >= F.col("_ord") - step_us
         else:
-            out = out.withColumn(
-                f"_l{i - 1}", F.max(F.when(qual, F.col("_ord"))).over(w)
-            )
-            qual = F.col(f"_c{i}") & (
-                F.col(f"_l{i - 1}") >= F.col("_ord") - step_us
-            )
-    out_cols = [key, tiebreak, F.unix_millis(ts).alias("ts_ms")]
+            bound = F.when(qual, F.col("_ord"))
+            out = out.withColumn(f"_l{i - 1}", F.max(bound).over(w))
+            valid[i - 1] = F.col(f"_l{i - 1}") >= F.col("_ord") - step_us
+        q = valid[i - 1]
+        if quant[i - 1] == "optional":
+            # skip path: connect to the level BELOW the optional step
+            q = q | valid[i - 2]
+        qual = F.col(f"_c{i}") & q
+    if total_us is not None:
+        first = F.col("_s0.o") if emit == "chain" else F.col("_l0")
+        qual = qual & (F.col("_ord") - first <= total_us)
     if emit == "chain":
+        slots = []
+        for i in range(n - 1):
+            s = F.col(f"_s{i}.i").cast("string")
+            if quant[i] == "optional":
+                # an optional step rides in the chain only when its
+                # binding exists AND is in-window of the completion —
+                # otherwise the match skipped it
+                s = F.when(valid[i], s)
+            slots.append(s)
         out_cols.append(
             F.concat_ws(
-                ">",
-                *[F.col(f"_s{i}.i").cast("string") for i in range(n - 1)],
-                F.col(tiebreak).cast("string"),
+                ">", *slots, F.col(tiebreak).cast("string")
             ).alias("match_chain")
         )
     return out.filter(qual).select(*out_cols)
@@ -191,14 +311,19 @@ def _relaxed_scan(
     type_idx: list[np.ndarray],
     seeds: list[int | None],
     step_us: int,
+    quant: list[str] | None = None,
+    total_us: int | None = None,
 ) -> tuple[np.ndarray, list[int | None]]:
     """Vectorized relaxed-contiguity scan over one key's sorted batch:
     N-1 chained forward-fills, each the "latest qualified level-k
-    timestamp" visible at every STRICTLY EARLIER position (shift(1))."""
+    timestamp" visible at every STRICTLY EARLIER position (shift(1)).
+    ``quant`` marks optional steps (skip path to the level below);
+    ``total_us`` bounds completion − bound-first-step span."""
     nan = np.nan
     ordf = ord_us.astype("float64")
     qual = type_idx[0]
     new_seeds: list[int | None] = []
+    prevs: list[np.ndarray] = []
     hits = np.zeros(0, dtype="int64")
     for i in range(1, len(type_idx) + 1):
         seed = seeds[i - 1]
@@ -212,13 +337,20 @@ def _relaxed_scan(
         prev = np.empty_like(filled)
         prev[0] = nan if seed is None else float(seed)
         prev[1:] = filled[:-1]
+        prevs.append(prev)
         if i == len(type_idx):
             break
         with np.errstate(invalid="ignore"):
-            qual = type_idx[i] & (prev >= ordf - step_us)
+            q = prev >= ordf - step_us
+            if quant is not None and quant[i - 1] == "optional":
+                q = q | (prevs[i - 2] >= ordf - step_us)
+            qual = type_idx[i] & q
         if i == len(type_idx) - 1:
             with np.errstate(invalid="ignore"):
                 hits = np.flatnonzero(qual)
+    if total_us is not None and len(hits):
+        with np.errstate(invalid="ignore"):
+            hits = hits[ord_us[hits] - prevs[0][hits] <= total_us]
     return hits, new_seeds
 
 
@@ -228,6 +360,8 @@ def _relaxed_scan_chain(
     type_idx: list[np.ndarray],
     seeds: list[tuple[int | None, int | None]],
     step_us: int,
+    quant: list[str] | None = None,
+    total_us: int | None = None,
 ) -> tuple[np.ndarray, list[list[int]], list[tuple[int | None, int | None]]]:
     """Chain-emitting variant of :func:`_relaxed_scan`: each level
     forward-fills the qualifying POSITION (row index), then indexes the
@@ -236,7 +370,9 @@ def _relaxed_scan_chain(
     identical to the batch struct-max frame).  Timestamps round-trip
     through float64 safely (µs-epochs < 2⁵³); ids never do — a float64
     ffill of raw ids silently corrupts ids above 2⁵³, so only positions
-    (always < 2⁵³) are filled as floats."""
+    (always < 2⁵³) are filled as floats.  An optional step's chain slot
+    is included only when its binding is in-window of the completion —
+    byte-identical to the batch form's ``concat_ws`` null-skip."""
     nan = np.nan
     n = len(type_idx)
     ordf = ord_us.astype("float64")
@@ -244,6 +380,7 @@ def _relaxed_scan_chain(
     qual = type_idx[0]
     new_seeds: list[tuple[int | None, int | None]] = []
     prev_ids: list[np.ndarray] = []
+    prev_ts: list[np.ndarray] = []
     hits = np.zeros(0, dtype="int64")
     for i in range(1, n):
         seed_ts, seed_id = seeds[i - 1]
@@ -267,13 +404,26 @@ def _relaxed_scan_chain(
         p_id[0] = 0 if seed_id is None else seed_id
         p_id[1:] = f_id[:-1]
         prev_ids.append(p_id)
+        prev_ts.append(p_ts)
         with np.errstate(invalid="ignore"):
-            qual = type_idx[i] & (p_ts >= ordf - step_us)
+            q = p_ts >= ordf - step_us
+            if quant is not None and quant[i - 1] == "optional":
+                q = q | (prev_ts[i - 2] >= ordf - step_us)
+            qual = type_idx[i] & q
     with np.errstate(invalid="ignore"):
         hits = np.flatnonzero(qual)
-    chains = [
-        [int(p[h]) for p in prev_ids] + [int(ids[h])] for h in hits
-    ]
+        if total_us is not None and len(hits):
+            hits = hits[ord_us[hits] - prev_ts[0][hits] <= total_us]
+    chains = []
+    for h in hits:
+        parts = []
+        for m in range(n - 1):
+            if quant is not None and quant[m] == "optional":
+                v = prev_ts[m][h]
+                if np.isnan(v) or not (v >= ord_us[h] - step_us):
+                    continue
+            parts.append(int(prev_ids[m][h]))
+        chains.append(parts + [int(ids[h])])
     return hits, chains, new_seeds
 
 
@@ -288,6 +438,9 @@ def match_pattern_stream(
     contiguity: str = "relaxed",
     conditions: tuple[str, ...] | None = None,
     emit: str = "completion",
+    quantifiers: tuple[str, ...] | None = None,
+    mode: str = "greedy",
+    within_total: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_pattern` (P1 ProcessFunction
     shape): per key, ``relaxed`` keeps N-1 last-qualified timestamps
@@ -299,12 +452,28 @@ def match_pattern_stream(
     bools.  Batch rows are sorted by (ts, rank, tiebreak) inside the
     handler, so out-of-order arrival WITHIN a micro-batch is handled;
     cross-batch order relies on the source's event-time alignment (same
-    contract as every handler in :mod:`..streaming.stateful`)."""
+    contract as every handler in :mod:`..streaming.stateful`).
+
+    Quantifiers and ``within_total`` match the batch form.  Only
+    ``mode="greedy"`` streams: reluctant binding (earliest-in-window)
+    would need the full qualifying-event window in state — O(events per
+    window), not O(1) — so it stays a batch/verify-tier feature."""
     if emit not in ("completion", "chain"):
         raise ValueError(f"unknown emit mode: {emit}")
+    if mode != "greedy":
+        raise NotImplementedError(
+            "reluctant binding is batch-only: earliest-in-window state "
+            "is O(window), not O(1) — run match_pattern on the batch tier"
+        )
     conds = _step_conditions(steps, conditions, type_col)
     n = len(conds)
+    quant = _normalize_quantifiers(quantifiers, n, contiguity)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
+    total_us = (
+        int(pd.Timedelta(within_total).total_seconds() * 1_000_000)
+        if within_total is not None
+        else None
+    )
     chain = emit == "chain"
     out_schema = f"{key} long, {tiebreak} long, ts_ms long" + (
         ", match_chain string" if chain else ""
@@ -365,6 +534,8 @@ def match_pattern_stream(
                     type_idx,
                     seeds,
                     step_us,
+                    quant,
+                    total_us,
                 )
                 state.update(tuple(x for pair in new_seeds for x in pair))
                 if len(hits):
@@ -372,7 +543,7 @@ def match_pattern_stream(
             else:
                 seeds = list(state.get) if state.exists else [None] * (n - 1)
                 hits, new_seeds = _relaxed_scan(
-                    ords, type_idx, seeds + [None], step_us
+                    ords, type_idx, seeds + [None], step_us, quant, total_us
                 )
                 state.update(tuple(new_seeds[: n - 1]))
                 if len(hits):
@@ -422,6 +593,10 @@ def match_pattern_stream(
                 cond = cond & ok
             g_hits = np.flatnonzero(cond)
             g_hits = g_hits[g_hits >= carry]  # completions in THIS batch
+            if total_us is not None and len(g_hits):
+                g_hits = g_hits[
+                    ords[g_hits] - ords[g_hits - (n - 1)] <= total_us
+                ]
             hits = g_hits - carry
             chains = [
                 [int(ids[g - m]) for m in range(n - 1, -1, -1)]

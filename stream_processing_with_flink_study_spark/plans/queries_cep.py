@@ -262,3 +262,144 @@ def cep_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="48 hours",
         emit="chain",
     )
+
+
+@query(
+    "cep_optional_step",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type,
+             CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 3 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN event_type = 'signup'
+                         THEN struct_pack(o := o, i := event_id) END)
+                OVER ({_RELAXED_WIN}) AS s0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN event_type = 'view'
+                              AND s0['o'] >= o - {_W48_US}
+                         THEN struct_pack(o := o, i := event_id) END)
+                OVER ({_RELAXED_WIN}) AS s1 FROM w0)
+    SELECT user_id, event_id, ts_ms,
+           s0['i']::VARCHAR || '>' ||
+           CASE WHEN s1['o'] >= o - {_W48_US}
+                THEN s1['i']::VARCHAR || '>' ELSE '' END ||
+           event_id::VARCHAR AS match_chain
+    FROM w1
+    WHERE event_type = 'purchase'
+      AND (s1['o'] >= o - {_W48_US} OR s0['o'] >= o - {_W48_US})
+    """,
+)
+def cep_optional_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``Pattern.optional()`` (``정리/1주차.md:22-25``): signup →
+    view? → purchase, the view step skippable — a purchase connects
+    through the latest in-window view when one exists, else directly to
+    the signup; a skipped view leaves no slot in the chain
+    (``concat_ws`` drops the null).  Same one-exchange chained-window
+    plan — the skip path is one extra OR in the qualifier."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("signup", "view", "purchase"),
+        within="48 hours",
+        emit="chain",
+        quantifiers=("one", "optional", "one"),
+    )
+
+
+@query(
+    "cep_one_or_more_reluctant",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, min(CASE WHEN event_type = 'view'
+                         THEN struct_pack(o := o, i := event_id,
+                                          c := event_id::VARCHAR) END)
+                OVER (PARTITION BY user_id ORDER BY o
+                      RANGE BETWEEN {_W48_US} PRECEDING AND 1 PRECEDING)
+                AS s0 FROM s),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND s0['o'] IS NOT NULL
+                         THEN struct_pack(o := o, i := event_id,
+                                          c := s0['c'] || '>'
+                                               || event_id::VARCHAR) END)
+                OVER (PARTITION BY user_id ORDER BY o
+                      RANGE BETWEEN {_W48_US} PRECEDING AND 1 PRECEDING)
+                AS s1 FROM w0)
+    SELECT user_id, event_id, ts_ms,
+           s1['c'] || '>' || event_id::VARCHAR AS match_chain
+    FROM w1
+    WHERE event_type = 'purchase' AND s1['o'] IS NOT NULL
+    """,
+)
+def cep_one_or_more_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``oneOrMore`` + RELUCTANT binding (Flink greedy/reluctant
+    quantifier modes): view → click+ → purchase where every level binds
+    its EARLIEST in-window qualifier — of a click burst, the first
+    repetition enters the chain (greedy, the default, binds the last).
+    The binding flips from a running max over a ROWS frame to a min
+    over a RANGE frame ``(-within, -1)``; validity becomes plain
+    non-nullness because the frame IS the timeout window.  Batch/verify
+    tier: reluctant state is O(window), so the streaming twin rejects
+    it (NotImplementedError) rather than pretend O(1)."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("view", "click", "purchase"),
+        within="48 hours",
+        emit="chain",
+        quantifiers=("one", "oneOrMore", "one"),
+        mode="reluctant",
+    )
+
+
+_W60_US = 60 * 3600 * 1_000_000
+
+
+@query(
+    "cep_within_total",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS o, epoch_ms(ts) AS ts_ms,
+             event_type,
+             CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                  WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 4 END AS r
+      FROM events
+    ),
+    w0 AS (
+      SELECT *, max(CASE WHEN event_type = 'signup' THEN o END)
+                OVER ({_RELAXED_WIN}) AS l0 FROM s),
+    w1 AS (
+      SELECT *, max(CASE WHEN event_type = 'view'
+                              AND l0 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l1 FROM w0),
+    w2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click'
+                              AND l1 >= o - {_W48_US} THEN o END)
+                OVER ({_RELAXED_WIN}) AS l2 FROM w1)
+    SELECT user_id, event_id, ts_ms
+    FROM w2
+    WHERE event_type = 'purchase' AND l2 >= o - {_W48_US}
+      AND l0 >= o - {_W60_US}
+    """,
+)
+def cep_within_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-pattern ``Pattern.within`` (``정리/1주차.md:22-25``): the
+    4-step funnel with per-step gaps ≤ 48 h AND total span ≤ 60 h,
+    measured on the emitted binding (completion ts − bound first-step
+    ts) — one extra predicate on the already-computed level-0 fill,
+    zero extra window passes."""
+    events = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        events, "user_id", "ts",
+        steps=("signup", "view", "click", "purchase"),
+        within="48 hours",
+        within_total="60 hours",
+    )

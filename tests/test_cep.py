@@ -290,3 +290,129 @@ def test_chain_ids_above_float53_survive(spark, tmp_path):
         "append",
     )
     assert list(_sorted(got)["match_chain"]) == [f"{big}>{big + 2}>{big + 4}"]
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(steps=("signup", "view", "purchase"),
+             quantifiers=("one", "optional", "one"), emit="chain"),
+        dict(steps=("signup", "view", "purchase"),
+             quantifiers=("one", "optional", "one")),
+        dict(steps=("signup", "view", "click", "purchase"),
+             within_total="60 hours"),
+        dict(steps=("view", "click", "purchase"),
+             within_total="60 hours", emit="chain"),
+        dict(steps=("view", "click", "purchase"),
+             within_total="60 hours", contiguity="strict"),
+    ],
+    ids=["optional-chain", "optional-completion", "total-4step",
+         "total-chain", "total-strict"],
+)
+def test_quantifier_stream_matches_batch(spark, events, tmp_path, kwargs):
+    want = match_pattern(events, "user_id", "ts", within="48 hours", **kwargs)
+    assert want.count() > 0, "fixture must actually produce matches"
+    sdf = _scrambled_two_batch(spark, events, tmp_path)
+    got = S.run_available_now(
+        match_pattern_stream(sdf, "user_id", "ts", within="48 hours", **kwargs),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_optional_step_skip_and_take(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        # key 1: a -> b -> c, optional b present: chain takes it
+        (1, 10, t(0), "a"), (1, 11, t(1), "b"), (1, 12, t(2), "c"),
+        # key 2: a -> c with no b: skip path fires, 2-element chain
+        (2, 20, t(0), "a"), (2, 21, t(2), "c"),
+        # key 3: c alone never fires (first step is not optional)
+        (3, 30, t(2), "c"),
+    ])
+    got = _sorted(
+        match_pattern(
+            df, "user_id", "ts", ("a", "b", "c"), within="10 seconds",
+            emit="chain", quantifiers=("one", "optional", "one"),
+        )
+    )
+    assert list(got["user_id"]) == [1, 2]
+    assert list(got["match_chain"]) == ["10>11>12", "20>21"]
+
+
+def test_within_total_bounds_whole_pattern(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        # spans 12s first->last: per-step gaps pass 10s, total fails
+        (1, 10, t(0), "a"), (1, 11, t(6), "b"), (1, 12, t(12), "c"),
+        # spans 4s: passes both
+        (2, 20, t(0), "a"), (2, 21, t(2), "b"), (2, 22, t(4), "c"),
+    ])
+    kw = dict(within="10 seconds", within_total="8 seconds")
+    got = _sorted(match_pattern(df, "user_id", "ts", ("a", "b", "c"), **kw))
+    assert list(got["user_id"]) == [2]
+    strict = _sorted(match_pattern(
+        df, "user_id", "ts", ("a", "b", "c"), contiguity="strict", **kw
+    ))
+    assert list(strict["user_id"]) == [2]
+
+
+def test_reluctant_binds_earliest_repetition(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = _mk(spark, [
+        (1, 10, t(0), "a"),
+        (1, 11, t(1), "b"), (1, 12, t(2), "b"), (1, 13, t(3), "b"),
+        (1, 14, t(4), "c"),
+    ])
+    greedy = _sorted(match_pattern(
+        df, "user_id", "ts", ("a", "b", "c"), within="10 seconds", emit="chain",
+        quantifiers=("one", "oneOrMore", "one"),
+    ))
+    reluctant = _sorted(match_pattern(
+        df, "user_id", "ts", ("a", "b", "c"), within="10 seconds", emit="chain",
+        quantifiers=("one", "oneOrMore", "one"), mode="reluctant",
+    ))
+    assert list(greedy["match_chain"]) == ["10>13>14"]
+    assert list(reluctant["match_chain"]) == ["10>11>14"]
+
+
+def test_reluctant_streaming_rejected(spark, events):
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        match_pattern_stream(
+            events, "user_id", "ts", ("a", "b"), mode="reluctant"
+        )
+
+
+def test_quantifier_red_paths(spark, events):
+    with pytest.raises(ValueError, match="middle-steps-only"):
+        match_pattern(events, "user_id", "ts", ("a", "b"),
+                      quantifiers=("optional", "one"))
+    with pytest.raises(ValueError, match="adjacent optional"):
+        match_pattern(events, "user_id", "ts", ("a", "b", "c", "d"),
+                      quantifiers=("one", "optional", "optional", "one"))
+    with pytest.raises(ValueError, match="relaxed"):
+        match_pattern(events, "user_id", "ts", ("a", "b", "c"),
+                      contiguity="strict",
+                      quantifiers=("one", "oneOrMore", "one"))
+    with pytest.raises(ValueError, match=r"3 entries"):
+        match_pattern(events, "user_id", "ts", ("a", "b", "c"),
+                      quantifiers=("one", "one"))
+
+
+def test_quantified_plan_still_single_exchange(spark, events):
+    from .test_plans import fplan
+    import re as _re
+
+    for kw in (
+        dict(quantifiers=("one", "optional", "one"), emit="chain"),
+        dict(quantifiers=("one", "oneOrMore", "one"), mode="reluctant",
+             emit="chain"),
+        dict(within_total="60 hours"),
+    ):
+        plan = fplan(match_pattern(
+            events, "user_id", "ts", ("signup", "view", "purchase"),
+            within="48 hours", **kw,
+        ))
+        n_ex = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+        assert n_ex <= 1, f"{kw}: {n_ex} exchanges"
