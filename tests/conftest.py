@@ -36,3 +36,13 @@ def duck():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_medium():
+    # the driver's scale factor: local green predicts driver green
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_MEDIUM}/{t}.parquet'")
+    yield con
+    con.close()

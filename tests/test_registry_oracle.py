@@ -1,5 +1,6 @@
 """Every registered query must run and (when it declares an oracle)
-match DuckDB at sf0.001 — the fast local version of the driver's gate."""
+match DuckDB at sf0.01 — the SAME scale factor the driver's gate checks,
+so local green predicts driver green exactly."""
 
 from __future__ import annotations
 
@@ -7,19 +8,19 @@ import pytest
 
 from stream_processing_with_flink_study_spark import plans
 
-from .conftest import SF_SMALL
+from .conftest import SF_MEDIUM
 from .util import assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", sorted(plans.QUERIES))
-def test_query_matches_oracle(spark, duck, name):
-    df = plans.QUERIES[name](spark, SF_SMALL)
+def test_query_matches_oracle(spark, duck_medium, name):
+    df = plans.QUERIES[name](spark, SF_MEDIUM)
     sql = plans.ORACLES.get(name)
     if sql is None:
         assert df.count() >= 0  # rows-only check
         assert df.schema.fields
     else:
-        assert_matches_oracle(df, duck, sql)
+        assert_matches_oracle(df, duck_medium, sql)
 
 
 def test_entry_smoke(spark):

@@ -1,0 +1,158 @@
+"""ANN scale smoke: run the LSH and IVF similarity paths on an
+embedding corpus replicated 1×/4×/16× and check the two scale
+invariants a 100 TB deployment depends on:
+
+- CANDIDATE COUNTS grow linearly with the corpus (bucket collision
+  rate is corpus-proportional for a fixed query set) — a superlinear
+  curve means candidate generation went pairwise;
+- RECALL vs brute force stays at its single-scale level — bucketing
+  that silently narrows with scale would show up here.
+
+    python tools/ann_scale_smoke.py [--sf /root/testdata/sf0.1]
+        [--mults 1,4,16] [--n-queries 20]
+
+Each corpus copy rotates the embedding vector by the copy index
+(JVM-side slice+concat), so copies are decorrelated rather than
+identical — identical copies would pile into the same buckets and fake
+a quadratic candidate curve.  Queries are a fixed slice of copy 0, so
+the query workload is constant while the corpus grows.  Results are
+recorded in BASELINE.md next to the dedup smoke.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stream_processing_with_flink_study_spark.functions import similarity  # noqa: E402
+from stream_processing_with_flink_study_spark.session import get_spark  # noqa: E402
+from stream_processing_with_flink_study_spark.sources import load_table  # noqa: E402
+
+DIM = 64
+K = 5
+
+
+def replicated(base, mult: int):
+    copies = []
+    for i in range(mult):
+        roll = i % DIM
+        emb = (
+            F.col("embedding")
+            if roll == 0
+            else F.concat(
+                F.slice("embedding", roll + 1, DIM - roll),
+                F.slice("embedding", 1, roll),
+            )
+        )
+        copies.append(
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                emb.alias("embedding"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def topk_sets(df) -> dict[int, frozenset[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.q_id, set()).add(r.n_id)
+    return {q: frozenset(s) for q, s in out.items()}
+
+
+def recall(exact: dict, approx: dict) -> float:
+    tot = sum(len(s) for s in exact.values())
+    hit = sum(len(exact[q] & approx.get(q, frozenset())) for q in exact)
+    return hit / tot if tot else 1.0
+
+
+def lsh_candidate_count(corpus, queries) -> int:
+    qb = similarity.lsh_sign_buckets(queries, DIM, 4, 8).select(
+        F.col("vec_id").alias("q_id"), "table", "bucket"
+    )
+    cb = similarity.lsh_sign_buckets(corpus, DIM, 4, 8).select(
+        F.col("vec_id").alias("n_id"), "table", "bucket"
+    )
+    return (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+        .count()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mults", default="1,4,16")
+    ap.add_argument("--n-queries", type=int, default=20)
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    spark = get_spark("ann-scale-smoke")
+    base = load_table(spark, args.sf, "embeddings").select("vec_id", "embedding")
+    queries = base.filter(F.col("vec_id") < args.n_queries).persist()
+    queries.count()
+
+    results = []
+    for m in mults:
+        corpus = replicated(base, m).persist()
+        n = corpus.count()
+        t0 = time.time()
+        exact = topk_sets(similarity.brute_force_topk(corpus, queries, k=K))
+        t_bf = time.time() - t0
+        t0 = time.time()
+        lsh = topk_sets(similarity.ann_topk_lsh(corpus, queries, DIM, k=K))
+        t_lsh = time.time() - t0
+        cand = lsh_candidate_count(corpus, queries)
+        t0 = time.time()
+        ivf = topk_sets(
+            similarity.ivf_topk(corpus, queries, DIM, k=K, n_cells=16, nprobe=4)
+        )
+        t_ivf = time.time() - t0
+        row = {
+            "mult": m,
+            "corpus": n,
+            "lsh_recall": round(recall(exact, lsh), 3),
+            "ivf_recall": round(recall(exact, ivf), 3),
+            "lsh_candidates": cand,
+            "cand_per_corpus_row": round(cand / n, 4),
+            "t_brute_s": round(t_bf, 2),
+            "t_lsh_s": round(t_lsh, 2),
+            "t_ivf_s": round(t_ivf, 2),
+        }
+        results.append(row)
+        print(json.dumps(row))
+        corpus.unpersist()
+
+    # invariants: linear candidates (per-row rate roughly flat), stable
+    # recall (no degradation cliff with corpus growth)
+    base_rate = results[0]["cand_per_corpus_row"]
+    for r in results[1:]:
+        assert r["cand_per_corpus_row"] <= base_rate * 2 + 1e-9, (
+            f"candidate rate grew {base_rate} -> {r['cand_per_corpus_row']} "
+            f"at mult={r['mult']}: candidate generation is superlinear"
+        )
+    for r in results:
+        # absolute floors are loose (recall level is a tuning choice —
+        # 4-bit × 8-table LSH, nprobe 4/16 IVF); the scale invariant is
+        # NO DEGRADATION relative to the 1× corpus
+        assert r["lsh_recall"] >= 0.4, f"LSH recall collapsed: {r}"
+        assert r["ivf_recall"] >= 0.35, f"IVF recall collapsed: {r}"
+        assert r["lsh_recall"] >= results[0]["lsh_recall"] - 0.15, r
+        assert r["ivf_recall"] >= results[0]["ivf_recall"] - 0.15, r
+    print("OK: candidates linear, recall stable")
+
+
+if __name__ == "__main__":
+    main()
