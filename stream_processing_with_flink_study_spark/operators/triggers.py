@@ -36,6 +36,7 @@ examples); richer aggregates compose by pre-projecting ``value``.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import Any
@@ -75,6 +76,26 @@ class EventTimeIntervalTrigger:
 Trigger = CountTrigger | PredicateTrigger | EventTimeIntervalTrigger
 
 
+@dataclass(frozen=True)
+class CountEvictor:
+    """At each fire, the window is evicted down to its last ``n``
+    elements before aggregating (Flink ``CountEvictor`` / evictBefore:
+    "every trigger, report the last n")."""
+
+    n: int
+
+
+@dataclass(frozen=True)
+class TimeEvictor:
+    """At each fire, only elements within ``window`` of the fire's
+    event time aggregate (Flink ``TimeEvictor``)."""
+
+    window: str
+
+
+Evictor = CountEvictor | TimeEvictor
+
+
 def _interval_us(interval: str) -> int:
     us = int(pd.Timedelta(interval).total_seconds() * 1_000_000)
     if us <= 0:
@@ -89,9 +110,23 @@ def triggered_window(
     value: str,
     trigger: Trigger,
     tiebreak: str = "event_id",
+    evictor: Evictor | None = None,
 ) -> DataFrame:
     """Batch twin: emission points + emitted state via one
-    window-function pass over (key) ordered by (ts, tiebreak)."""
+    window-function pass over (key) ordered by (ts, tiebreak).
+
+    ``evictor`` (Flink evictBefore semantics) restricts every fire's
+    aggregate to the retained suffix — the last ``n`` elements
+    (:class:`CountEvictor`, a ROWS frame) or the last ``window`` of
+    event time (:class:`TimeEvictor`, a RANGE frame over µs epochs).
+    Evictors compose with non-purging triggers ("every 25 events,
+    report the last 10" / "at every purchase, the last 6 hours");
+    FIRE_AND_PURGE already restarts the window, so the combination is
+    rejected rather than given ambiguous semantics."""
+    if evictor is not None and trigger.purge:
+        raise ValueError("evictor requires a non-purging trigger")
+    if evictor is not None and not isinstance(evictor, (CountEvictor, TimeEvictor)):
+        raise TypeError(f"unknown evictor type: {type(evictor).__name__}")
     if isinstance(trigger, PredicateTrigger):
         fire = F.coalesce(F.expr(trigger.predicate), F.lit(False))
     else:
@@ -109,6 +144,7 @@ def triggered_window(
         "_k",
         "_ts",
         "_tb",
+        "_v",
         "_fire",
         F.unix_millis("_ts").alias("_ts_ms"),
         F.row_number().over(w).alias("_rn"),
@@ -144,6 +180,28 @@ def triggered_window(
         )
     else:
         b = b.withColumn("_prs", F.lit(0.0)).withColumn("_prn", F.lit(0))
+    if isinstance(evictor, CountEvictor):
+        wn = w.rowsBetween(-(evictor.n - 1), Window.currentRow)
+        b = b.withColumn("_es", F.sum("_v").over(wn)).withColumn(
+            "_en", F.least(F.col("_rn"), F.lit(evictor.n)).cast("long")
+        )
+    elif isinstance(evictor, TimeEvictor):
+        ev_us = _interval_us(evictor.window)
+        wt = (
+            Window.partitionBy("_k")
+            .orderBy(F.unix_micros("_ts"))
+            .rangeBetween(-ev_us, 0)
+        )
+        b = b.withColumn("_es", F.sum("_v").over(wt)).withColumn(
+            "_en", F.count(F.lit(1)).over(wt)
+        )
+    if evictor is not None:
+        return b.filter("_fire").select(
+            F.col("_k").alias(key),
+            F.col("_ts_ms").alias("fire_ts_ms"),
+            F.col("_en").alias("n_in_window"),
+            F.round("_es", 4).alias("win_sum"),
+        )
     return b.filter("_fire").select(
         F.col("_k").alias(key),
         F.col("_ts_ms").alias("fire_ts_ms"),
@@ -175,6 +233,22 @@ def _fire_points(
     return rows, pn, ps
 
 
+def _load_buf(buf: str | None) -> tuple[np.ndarray, np.ndarray]:
+    if not buf:
+        return np.zeros(0, dtype="int64"), np.zeros(0, dtype="float64")
+    o, v = json.loads(buf)
+    return np.asarray(o, dtype="int64"), np.asarray(v, dtype="float64")
+
+
+def _suffix_lo(
+    ord_arr: np.ndarray, g: int, ev_n: int | None, ev_us: int | None
+) -> int:
+    """Start index of the evictor-retained suffix ending at ``g``."""
+    if ev_n is not None:
+        return max(0, g + 1 - ev_n)
+    return int(np.searchsorted(ord_arr[: g + 1], ord_arr[g] - ev_us, side="left"))
+
+
 def triggered_window_stream(
     df: DataFrame,
     key: str,
@@ -182,20 +256,34 @@ def triggered_window_stream(
     value: str,
     trigger: Trigger,
     tiebreak: str = "event_id",
+    evictor: Evictor | None = None,
 ) -> DataFrame:
     """Streaming twin: per-key state is (total_n, total_sum, purged_n,
     purged_sum, last_bucket, last_ts) — O(1) regardless of history.
     Predicate triggers are projected JVM-side before the stateful scan
-    (same rule as :mod:`.cep`)."""
+    (same rule as :mod:`.cep`).
+
+    With an ``evictor`` the state additionally carries the retained
+    suffix — the last ``n`` (ord, value) pairs or the last ``window``
+    of them — bounded by the EVICTOR horizon, not by history (the same
+    contents Flink's evictable window keeps)."""
     is_pred = isinstance(trigger, PredicateTrigger)
     is_cnt = isinstance(trigger, CountTrigger)
     is_int = isinstance(trigger, EventTimeIntervalTrigger)
     if not (is_pred or is_cnt or is_int):
         raise TypeError(f"unknown trigger type: {type(trigger).__name__}")
+    if evictor is not None and trigger.purge:
+        raise ValueError("evictor requires a non-purging trigger")
+    if evictor is not None and not isinstance(evictor, (CountEvictor, TimeEvictor)):
+        raise TypeError(f"unknown evictor type: {type(evictor).__name__}")
+    ev_n = evictor.n if isinstance(evictor, CountEvictor) else None
+    ev_us = (
+        _interval_us(evictor.window) if isinstance(evictor, TimeEvictor) else None
+    )
     us = _interval_us(trigger.interval) if is_int else 0
     purge = trigger.purge
     out_schema = f"{key} long, fire_ts_ms long, n_in_window long, win_sum double"
-    state_schema = "tn long, ts double, pn long, ps double, lb long, lt long"
+    state_schema = "tn long, ts double, pn long, ps double, lb long, lt long, buf string"
     prepared = df.withColumn(
         "_fire",
         F.coalesce(F.expr(trigger.predicate), F.lit(False))
@@ -208,8 +296,8 @@ def triggered_window_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        tn0, ts0, pn0, ps0, lb0, lt0 = (
-            state.get if state.exists else (0, 0.0, 0, 0.0, None, None)
+        tn0, ts0, pn0, ps0, lb0, lt0, buf0 = (
+            state.get if state.exists else (0, 0.0, 0, 0.0, None, None, None)
         )
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf["_ord"] = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
@@ -223,24 +311,60 @@ def triggered_window_stream(
         pn, ps = pn0, ps0
         if is_cnt:
             fire_idx = np.flatnonzero((t_n - pn0) % trigger.n == 0)
-            rows, pn, ps = _fire_points(t_n, t_s, ts_ms, fire_idx, purge, pn0, ps0)
         elif is_pred:
             fire_idx = np.flatnonzero(pdf["_fire"].to_numpy(dtype=bool))
-            rows, pn, ps = _fire_points(t_n, t_s, ts_ms, fire_idx, purge, pn0, ps0)
         else:
             bk = ord_us // us
             if lb0 is not None and len(bk) and bk[0] > lb0:
                 # this batch's first element closes the carried bucket
-                rows.append(
-                    (int(lt0 // 1_000), int(tn0 - pn0), round(ts0 - ps0, 4))
-                )
+                if evictor is None:
+                    rows.append(
+                        (int(lt0 // 1_000), int(tn0 - pn0), round(ts0 - ps0, 4))
+                    )
+                else:
+                    b_ord, b_val = _load_buf(buf0)
+                    lo = _suffix_lo(b_ord, len(b_ord) - 1, ev_n, ev_us)
+                    rows.append(
+                        (
+                            int(lt0 // 1_000),
+                            len(b_ord) - lo,
+                            round(float(np.sum(b_val[lo:])), 4),
+                        )
+                    )
                 if purge:
                     pn, ps = tn0, ts0
             fire_idx = np.flatnonzero(np.diff(bk) > 0)
-            got, pn, ps = _fire_points(t_n, t_s, ts_ms, fire_idx, purge, pn, ps)
-            rows.extend(got)
             if len(bk):
                 lb0, lt0 = int(bk[-1]), int(ord_us[-1])
+        new_buf = buf0
+        if evictor is None:
+            got, pn, ps = _fire_points(
+                t_n, t_s, ts_ms, fire_idx, purge, pn, ps
+            )
+            rows.extend(got)
+        else:
+            b_ord, b_val = _load_buf(buf0)
+            carry = len(b_ord)
+            all_ord = np.concatenate([b_ord, ord_us])
+            all_val = np.concatenate([b_val, vals])
+            cs = np.concatenate([[0.0], np.cumsum(all_val)])
+            for i in fire_idx:
+                g = carry + int(i)
+                lo = _suffix_lo(all_ord, g, ev_n, ev_us)
+                rows.append(
+                    (
+                        int(ts_ms[i]),
+                        g + 1 - lo,
+                        round(float(cs[g + 1] - cs[lo]), 4),
+                    )
+                )
+            # retain only the evictor horizon relative to the newest
+            # element — older rows can never aggregate again
+            end = len(all_ord)
+            lo = _suffix_lo(all_ord, end - 1, ev_n, ev_us) if end else 0
+            new_buf = json.dumps(
+                [all_ord[lo:].tolist(), all_val[lo:].tolist()]
+            )
         state.update(
             (
                 int(t_n[-1]) if len(t_n) else tn0,
@@ -249,6 +373,7 @@ def triggered_window_stream(
                 float(ps),
                 lb0,
                 lt0,
+                new_buf,
             )
         )
         if rows:

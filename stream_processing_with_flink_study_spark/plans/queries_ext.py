@@ -136,6 +136,68 @@ def async_service_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evictor_count_last",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, epoch_ms(ts) AS fire_ts_ms,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS es
+      FROM events
+    )
+    SELECT user_id, fire_ts_ms,
+           CAST(least(rn, 10) AS BIGINT) AS n_in_window,
+           round(es, 4) AS win_sum
+    FROM b WHERE rn % 25 = 0
+    """,
+)
+def evictor_count_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 evictor: ``CountTrigger(25)`` + ``CountEvictor(10)`` — every
+    25 events, report the sum of the LAST 10 (Flink's canonical global
+    window + evictor recipe).  The evictor is one extra bounded ROWS
+    frame on the same sort — no new exchange."""
+    from ..operators.triggers import CountEvictor, CountTrigger, triggered_window
+
+    events = load_table(spark, sf_dir, "events")
+    return triggered_window(
+        events, "user_id", "ts", "value", CountTrigger(25), "event_id",
+        evictor=CountEvictor(10),
+    )
+
+
+@query(
+    "evictor_time_window",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS fire_ts_ms,
+             count(*) OVER w AS en,
+             sum(value) OVER w AS es
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, fire_ts_ms, CAST(en AS BIGINT) AS n_in_window,
+           round(es, 4) AS win_sum
+    FROM b WHERE event_type = 'purchase'
+    """,
+)
+def evictor_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 evictor: ``PredicateTrigger`` + ``TimeEvictor('6 hours')`` —
+    at every purchase, the count and sum of the user's trailing 6-hour
+    activity (a per-event sliding lookback, the pattern fraud features
+    are built on).  RANGE frame over µs epochs; same-instant rows land
+    in the same frame on both engines."""
+    from ..operators.triggers import PredicateTrigger, TimeEvictor, triggered_window
+
+    events = load_table(spark, sf_dir, "events")
+    return triggered_window(
+        events, "user_id", "ts", "value",
+        PredicateTrigger("event_type = 'purchase'"), "event_id",
+        evictor=TimeEvictor("6 hours"),
+    )
+
+
+@query(
     "udaf_weighted_avg",
     oracle="""
     SELECT l_returnflag,

@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from stream_processing_with_flink_study_spark import streaming as S
 from stream_processing_with_flink_study_spark.operators.triggers import (
+    CountEvictor,
     CountTrigger,
     EventTimeIntervalTrigger,
     PredicateTrigger,
+    TimeEvictor,
     triggered_window,
     triggered_window_stream,
 )
@@ -119,4 +121,61 @@ def test_rejects_unknown_trigger(spark, events):
     with pytest.raises(ValueError):
         EventTimeIntervalTrigger("0 seconds") and triggered_window(
             events, "user_id", "ts", "value", EventTimeIntervalTrigger("0 seconds")
+        )
+
+
+EVICTED = [
+    (CountTrigger(10), CountEvictor(4)),
+    (CountTrigger(10), TimeEvictor("6 hours")),
+    (PredicateTrigger("event_type = 'purchase'"), TimeEvictor("6 hours")),
+    (EventTimeIntervalTrigger("6 hours"), CountEvictor(4)),
+]
+
+
+@pytest.mark.parametrize(
+    "trigger,evictor", EVICTED,
+    ids=lambda x: type(x).__name__,
+)
+def test_evictor_stream_matches_batch(spark, events, tmp_path, trigger, evictor):
+    want = triggered_window(
+        events, "user_id", "ts", "value", trigger, evictor=evictor
+    )
+    assert want.count() > 0
+    sdf = _scrambled_two_batch(spark, events, tmp_path)
+    got = S.run_available_now(
+        triggered_window_stream(
+            sdf, "user_id", "ts", "value", trigger, evictor=evictor
+        ),
+        str(tmp_path / "ck"),
+        "append",
+    )
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_count_evictor_keeps_last_n(spark):
+    rows = [(1, i, datetime(2024, 1, 1, 0, 0, i), float(i)) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = _sorted(
+        triggered_window(
+            df, "user_id", "ts", "value", CountTrigger(3),
+            evictor=CountEvictor(2),
+        )
+    )
+    # fires at elements 2,5,8 (0-indexed values 2,5,8): last-2 sums
+    assert list(got["win_sum"]) == [1.0 + 2, 4.0 + 5, 7.0 + 8]
+    assert list(got["n_in_window"]) == [2, 2, 2]
+
+
+def test_evictor_rejects_purging_trigger(spark, events):
+    with pytest.raises(ValueError, match="non-purging"):
+        triggered_window(
+            events, "user_id", "ts", "value", CountTrigger(5, purge=True),
+            evictor=CountEvictor(2),
+        )
+    with pytest.raises(ValueError, match="non-purging"):
+        triggered_window_stream(
+            events, "user_id", "ts", "value", CountTrigger(5, purge=True),
+            evictor=CountEvictor(2),
         )
