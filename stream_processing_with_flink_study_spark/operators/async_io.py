@@ -86,14 +86,19 @@ def async_lookup(
                 results: list[Any] = [None] * len(keys)
                 timed_out = [False] * len(keys)
                 completion: list[int] = []
-                sem = asyncio.Semaphore(capacity)
+                # worker pool, not task-per-row: `capacity` workers pull
+                # the next index off a shared cursor (single-threaded
+                # loop — no lock needed), so a 100k-row batch creates
+                # `capacity` tasks instead of 100k.  In-flight requests
+                # are bounded by the pool size itself.
+                cursor = iter(range(len(keys)))
 
-                async def one(i: int, k: Any) -> None:
-                    async with sem:
+                async def worker() -> None:
+                    for i in cursor:
                         coro = (
-                            lookup(k)
+                            lookup(keys[i])
                             if session is None
-                            else lookup(session, k)
+                            else lookup(session, keys[i])
                         )
                         try:
                             results[i] = await asyncio.wait_for(coro, timeout)
@@ -103,7 +108,9 @@ def async_lookup(
                             timed_out[i] = True
                         completion.append(i)
 
-                await asyncio.gather(*(one(i, k) for i, k in enumerate(keys)))
+                await asyncio.gather(
+                    *(worker() for _ in range(min(capacity, len(keys))))
+                )
                 out = pdf.iloc[completion if not ordered else slice(None)]
                 out = out.reset_index(drop=True).assign(
                     **{

@@ -100,7 +100,8 @@ def test_capacity_bounds_inflight_requests(spark):
         return await tracked(k)
 
     # run the loop locally to observe the peak (executor-side state is
-    # invisible); the operator uses the identical semaphore pattern
+    # invisible); the operator's worker pool bounds in-flight requests
+    # the same way — at most `capacity` concurrently active lookups
     async def local(n, cap):
         sem = asyncio.Semaphore(cap)
 
