@@ -916,3 +916,44 @@ def test_checkpoint_restart_with_evolved_schema(spark, tmp_path):
             F.sum("v").alias("s"), F.count("*").alias("n"),
             F.sum("w").alias("sw"),
         ])
+
+
+def test_allowed_lateness_update_mode_refines_window(spark, tmp_path):
+    """W7 allowed lateness (``정리/4주차.md:320-337``): Flink keeps a
+    fired window's state for ``allowedLateness`` and re-fires a refined
+    result when a late-but-admissible event arrives; events beyond the
+    lateness are dropped.  Spark mapping (SURVEY §7.3.3): watermark =
+    allowedLateness + UPDATE output mode + an idempotent keyed sink —
+    each refinement is a new update row for the same window key, and
+    the watermark drops what Flink's lateness bound would."""
+    from datetime import datetime, timezone
+
+    t = lambda h, m, s: datetime(2024, 1, 1, h, m, s, tzinfo=timezone.utc)
+    mk = lambda rows: spark.createDataFrame(rows, "id string, ts timestamp, v double")
+    b0 = mk([("a", t(0, 0, 1), 1.0), ("a", t(0, 5, 0), 2.0)])
+    # late for window [00:00:00, 00:00:05) but within the 30 min
+    # lateness bound -> must REFINE that window
+    b1 = mk([("a", t(0, 0, 2), 10.0)])
+    # spacer far ahead advances the watermark beyond 00:00 + 30 min;
+    # the input-side late filter runs one batch behind the watermark
+    # update (same lag as test_watermark_drops_late_rows), hence two
+    # spacer batches before the too-late probe
+    b2 = mk([("a", t(2, 0, 0), 3.0)])
+    b2a = mk([("a", t(2, 0, 1), 4.0)])
+    # beyond allowed lateness now -> dropped, no further refinement
+    b3 = mk([("a", t(0, 0, 3), 100.0)])
+    sdf = S.memory_batches_stream(
+        spark, [b0, b1, b2, b2a, b3], str(tmp_path / "src"), files_per_trigger=1
+    )
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "5 seconds"), "id")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("window.start").alias("w"), "id", "s", "n")
+    )
+    got = S.run_available_now(agg, str(tmp_path / "ck"), "update").toPandas()
+    w0 = got[got.w == 1704067200000].reset_index(drop=True)
+    # the window emitted an initial result then exactly one refinement
+    # (the in-lateness event), never a third (the beyond-lateness event)
+    assert list(w0.n) == [1, 2]
+    assert list(w0.s) == [1.0, 11.0]
