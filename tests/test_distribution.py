@@ -171,3 +171,34 @@ def test_date_partitioned_layout_prunes_directories(spark, tmp_path):
         & (F.date_format("ts", "yyyy-MM-dd") <= "2024-01-07")
     ).count()
     assert pruned.count() == want > 0
+
+
+def test_bucketed_write_cleans_orphan_dir_for_qualified_names(spark, tmp_path):
+    """A crashed prior run can leave the warehouse dir on disk with no
+    catalog entry; overwrite must clear it.  Qualified names resolve to
+    <db>.db/<tbl> (regression: the cleanup used to build warehouse/
+    'db.tbl' and silently no-op, so the write died with
+    LOCATION_ALREADY_EXISTS)."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    df = load_table(spark, SF_SMALL, "region").select("r_regionkey", "r_name")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bw_db")
+    try:
+        # plant an orphan dir where the qualified table will live
+        orphan = os.path.join(wh, "bw_db.db", "orphaned")
+        os.makedirs(orphan, exist_ok=True)
+        open(os.path.join(orphan, "junk"), "w").write("x")
+        D.bucketed_write(df, "bw_db.orphaned", ["r_regionkey"], 2)
+        assert spark.table("bw_db.orphaned").count() == df.count()
+        # and the unqualified/default-db path still works over an orphan
+        orphan2 = os.path.join(wh, "orphaned2")
+        os.makedirs(orphan2, exist_ok=True)
+        open(os.path.join(orphan2, "junk"), "w").write("x")
+        D.bucketed_write(df, "orphaned2", ["r_regionkey"], 2)
+        assert spark.table("orphaned2").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bw_db.orphaned")
+        spark.sql("DROP DATABASE IF EXISTS bw_db")
+        spark.sql("DROP TABLE IF EXISTS orphaned2")
