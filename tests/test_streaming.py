@@ -957,3 +957,49 @@ def test_allowed_lateness_update_mode_refines_window(spark, tmp_path):
     # (the in-lateness event), never a third (the beyond-lateness event)
     assert list(w0.n) == [1, 2]
     assert list(w0.s) == [1.0, 11.0]
+
+
+def test_state_migration_bootstrap_evolved_schema(spark, tmp_path):
+    """Savepoint + evolved-state-schema migration
+    (``정리/5주차.md:150-168``): a v1 rolling-max query's snapshot seeds
+    a v2 query whose state layout WIDENED (max_value -> max_value +
+    n_events), under a fresh checkpoint.  Carried state must survive
+    (a v2 max emission can come from v1 history) and the new field
+    counts from the migration point."""
+    from stream_processing_with_flink_study_spark.streaming.migration import (
+        rolling_max_v2_bootstrapped,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id string, ts timestamp, v double")
+    t = lambda s: pd.Timestamp(2024, 1, 1, 0, 0, s).to_pydatetime()
+    # ---- v1 era: two batches through the v1 query ----
+    a0 = mk([("a", t(0), 5.0), ("b", t(1), 7.0)])
+    a1 = mk([("a", t(2), 9.0)])
+    v1_stream = S.memory_batches_stream(spark, [a0, a1], str(tmp_path / "src1"))
+    v1 = S.run_available_now(
+        S.keyed_rolling_reduce(v1_stream, key="id", ts="ts", value="v"),
+        str(tmp_path / "ck1"),
+        "update",
+    ).toPandas()
+    # queryable-state snapshot = max emission per key (P9 pattern)
+    snapshot = dict(v1.groupby("id")["max_value"].max())
+    assert snapshot == {"a": 9.0, "b": 7.0}
+    # ---- migration: v2 query, fresh checkpoint, evolved layout ----
+    b0 = mk([("a", t(10), 6.0), ("c", t(11), 1.0)])  # a: below v1 max
+    b1 = mk([("a", t(12), 11.0), ("b", t(13), 2.0)])  # a: new max; b: below
+    v2_stream = S.memory_batches_stream(spark, [b0, b1], str(tmp_path / "src2"))
+    got = S.run_available_now(
+        rolling_max_v2_bootstrapped(
+            v2_stream, "id", "ts", "v", snapshot
+        ),
+        str(tmp_path / "ck2"),
+        "update",
+    ).toPandas()
+    # c is new post-migration: emits its own max with n counted here.
+    # a's first v2 batch does NOT emit (6.0 < migrated 9.0) — the
+    # carried state suppressed it — then 11.0 beats it with n=2 events
+    # seen since migration.  b never emits (2.0 < migrated 7.0).
+    got = got.sort_values(["id", "n_events"], ignore_index=True)
+    assert list(got["id"]) == ["a", "c"]
+    assert list(got["max_value"]) == [11.0, 1.0]
+    assert list(got["n_events"]) == [2, 1]
