@@ -95,3 +95,55 @@ def split_late(
     on_time = with_wm.filter(F.col(ts).cast("double") >= F.col("wm")).drop("wm")
     late = with_wm.filter(F.col(ts).cast("double") < F.col("wm")).drop("wm")
     return on_time, late
+
+
+def with_punctuated_watermark(
+    df: DataFrame,
+    ts: str,
+    marker,
+    arrival: str,
+    key: str,
+    alias: str = "pw",
+) -> DataFrame:
+    """Punctuated watermark, batch replay (``정리/4주차.md:71-96``):
+    Flink's ``AssignerWithPunctuatedWatermarks`` emits a watermark AT
+    designated marker records instead of on a timer.  Structured
+    Streaming is periodic-only (SURVEY §7.3.4 — no per-record watermark
+    hook), but the SEMANTICS replay exactly on the batch tier: the
+    watermark visible at each record is the max event time over marker
+    records at strictly earlier ``arrival`` positions (a marker never
+    lateness-checks itself), per ``key`` — the per-source-partition
+    watermark of the reference, before min-propagation.
+
+    ``marker`` is a SQL boolean expression string or Column.  One
+    window pass over the (key, arrival) sort; composes with
+    :func:`split_late` semantics via :func:`split_late_punctuated`."""
+    m = F.expr(marker) if isinstance(marker, str) else marker
+    w = (
+        Window.partitionBy(key)
+        .orderBy(arrival)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        alias, F.max(F.when(m, F.col(ts))).over(w)
+    )
+
+
+def split_late_punctuated(
+    df: DataFrame,
+    ts: str,
+    marker,
+    arrival: str,
+    key: str,
+) -> tuple[DataFrame, DataFrame]:
+    """W8 late split under a punctuated watermark: records whose event
+    time is below the last marker-carried watermark at their arrival
+    position go to the late branch."""
+    with_pw = with_punctuated_watermark(df, ts, marker, arrival, key)
+    late = with_pw.filter(
+        F.col("pw").isNotNull() & (F.col(ts) < F.col("pw"))
+    ).drop("pw")
+    on_time = with_pw.filter(
+        F.col("pw").isNull() | (F.col(ts) >= F.col("pw"))
+    ).drop("pw")
+    return on_time, late

@@ -136,6 +136,77 @@ def async_service_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "punctuated_late_split",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS o,
+             xor(event_id, 1) AS arr,
+             event_type = 'purchase' AS mk,
+             value
+      FROM events
+    ), w AS (
+      SELECT *, max(CASE WHEN mk THEN o END) OVER
+        (PARTITION BY user_id ORDER BY arr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw
+      FROM s
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (pw IS NOT NULL AND o < pw) AS BIGINT)
+               AS n_late,
+             CAST(count(*) FILTER (pw IS NULL OR o >= pw) AS BIGINT)
+               AS n_on_time,
+             round(sum(value) FILTER (pw IS NOT NULL AND o < pw), 4)
+               AS late_value
+      FROM w GROUP BY user_id
+    )
+    SELECT * FROM agg WHERE n_late > 0
+    """,
+)
+def punctuated_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuated watermarks, batch replay (``정리/4주차.md:71-96``;
+    Structured Streaming itself is periodic-only — SURVEY §7.3.4):
+    purchases act as the marker records that carry the watermark, and
+    arrival order is the id stream with adjacent records swapped
+    (``event_id ^ 1`` — a deterministic stand-in for transport
+    reordering, since the generated table arrives time-sorted).  Emits
+    per-user late/on-time splits for users that saw late data, as ONE
+    pass: the lateness tag rides the window projection and the
+    aggregate reuses the window's hash partitioning on user_id — a
+    single exchange (the two-branch ``split_late_punctuated`` form
+    costs a second scan + a join; use it when the branches feed
+    different sinks)."""
+    from ..operators.windows import with_punctuated_watermark
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.expr("event_id ^ 1").alias("arr"),
+    )
+    tagged = with_punctuated_watermark(
+        events, "ts", "event_type = 'purchase'", "arr", "user_id"
+    ).withColumn(
+        "_late", F.col("pw").isNotNull() & (F.col("ts") < F.col("pw"))
+    )
+    return (
+        tagged.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("_late"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.sum(F.when(F.col("_late"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_on_time"),
+            F.round(F.sum(F.when(F.col("_late"), F.col("value"))), 4).alias(
+                "late_value"
+            ),
+        )
+        .filter(F.col("n_late") > 0)
+    )
+
+
+@query(
     "evictor_count_last",
     oracle="""
     WITH b AS (
