@@ -67,6 +67,8 @@ HEADLINE = [
     "bm25_scores",
     "token_stats",
     "quality_scores",
+    "trigger_count_purge",
+    "async_service_enrich",
 ]
 
 
