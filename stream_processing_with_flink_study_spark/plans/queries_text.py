@@ -668,3 +668,66 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("q8_scale") * 10000 + 0.5) / 10000).alias("q_scale"),
         (F.floor(F.col("q8_zero") * 10000 + 0.5) / 10000).alias("q_zero"),
     )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+1-555-[0-9]+"
+
+
+@query(
+    "pii_redact_docs",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.org or +1-555-'
+                  || CAST(doc_id % 10000 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_PAT}')) AS BIGINT)
+             AS n_phones,
+           md5('corpus_v1:' || CAST(doc_id AS VARCHAR)) AS pseudonym,
+           regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for a training corpus: redact emails/phones in place,
+    count what was removed (audit trail), and emit a salted-hash
+    pseudonym as the stable join key replacing the raw id.  The corpus
+    is synthetic, so a deterministic contact line is planted per doc
+    first — the redaction path then has real matches to remove.  Pure
+    per-row regexp expressions: zero shuffle, scan speed; patterns are
+    engine-portable (no lookaround), asserted byte-identical against
+    the DuckDB oracle including the full redacted text."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1-555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    # SQL string literals process backslash escapes, so regexes passed
+    # through F.expr need their backslashes doubled (the Column-API
+    # regexp_replace below takes patterns verbatim)
+    email_sql = _EMAIL_PAT.replace("\\", "\\\\")
+    phone_sql = _PHONE_PAT.replace("\\", "\\\\")
+    return aug.select(
+        "doc_id",
+        F.expr(f"regexp_count(t, '{email_sql}')").cast("bigint").alias("n_emails"),
+        F.expr(f"regexp_count(t, '{phone_sql}')").cast("bigint").alias("n_phones"),
+        F.md5(F.concat(F.lit("corpus_v1:"), F.col("doc_id").cast("string"))).alias(
+            "pseudonym"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_PAT, "<EMAIL>"),
+            _PHONE_PAT,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
