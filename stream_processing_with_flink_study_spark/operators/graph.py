@@ -43,6 +43,14 @@ def connected_components(
     — never materializes pairwise reachability.  For power-law dedup
     graphs the large-star/small-star variant halves rounds, but plain
     min-propagation is optimal for the shallow clusters dedup produces.
+
+    Each materialized round propagates TWO hops (two join+min steps
+    fused into one lineage before the ``localCheckpoint``): label reach
+    doubles per round, so a diameter-d graph converges in ⌈d/2⌉+1
+    rounds — at the dedup corpus's shallow diameters that halves the
+    sequential job launches (checkpoint + convergence probe), which at
+    small scale ARE the wall clock, without changing per-round shuffle
+    volume at 100 TB (2×|E| messages per round either way).
     """
     sym = edges.select(
         F.col(src).cast("long").alias("id"), F.col(dst).cast("long").alias("nbr")
@@ -61,16 +69,18 @@ def connected_components(
     )
     sym = sym.localCheckpoint()  # pin the edge list; reused every round
 
-    for rnd in range(max_iter):
+    def step(lbl: DataFrame) -> DataFrame:
         msgs = sym.join(
-            labels.withColumnRenamed("id", "nbr"), "nbr"
+            lbl.withColumnRenamed("id", "nbr"), "nbr"
         ).select("id", "comp")
-        new_labels = (
-            labels.unionByName(msgs)
+        return (
+            lbl.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
+
+    for rnd in range(max_iter):
+        new_labels = step(step(labels)).localCheckpoint()
         # round 0 always changes labels on any non-empty edge list, so
         # the convergence probe (an extra job) starts at round 1
         if rnd > 0:

@@ -37,8 +37,11 @@ def test_cycle_and_cross_links(spark):
 
 
 def test_max_iter_caps_rounds(spark):
-    # with max_iter=1 the far end of the chain can only move one hop
-    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    # one materialized round = TWO propagation hops: with max_iter=1 the
+    # far end of a 5-chain moves exactly two hops, not to convergence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
     out = _comps(connected_components(edges, max_iter=1))
-    assert out[1] == 1 and out[2] == 1
-    assert out[3] == 2  # one round: 3 saw only its neighbor's initial label
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[5] == 3  # two hops reached 3's initial label, not 1
