@@ -202,10 +202,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score → per-doc rank.  Both aggregates are map-side combined; the
     doc-frequency side is tiny after aggregation so AQE broadcasts it
     into the score join; the corpus total arrives via a 1-row cross
-    join (no driver collect).  Ties broken by term for determinism."""
+    join (no driver collect).  Ties broken by term for determinism.
+    The (doc, term, tf) index feeds BOTH the doc-frequency aggregate
+    and the score join, so it persists eagerly (the bm25_scores
+    pattern) — one tokenize+explode instead of two."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf.count()
     df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
