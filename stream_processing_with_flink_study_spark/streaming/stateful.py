@@ -374,3 +374,79 @@ def topk_counts(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def session_sum_event_timers(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """W4 session windows via EVENT-TIME TIMERS — the Flink timer
+    mechanism itself (``정리/5주차.md:57-66``: register a timer at
+    last-event-time + gap; the window emits when the WATERMARK passes
+    it), rather than the built-in ``session_window`` aggregate.  The
+    handler keeps (start, last, sum, n) per key, merges in-batch
+    events, closes a session inline when a batch's own events already
+    jump the gap, and arms ``setTimeoutTimestamp(last + gap)`` for the
+    cross-batch case: if nothing more arrives before the watermark
+    passes the deadline, Spark invokes the handler with
+    ``state.hasTimedOut`` — Flink's ``onTimer`` — and the session
+    flushes.  Requires ``withWatermark`` on ``ts`` upstream (the
+    EventTimeTimeout clock IS the watermark).  O(1) state per key.
+
+    Emits ``(key, start_ms, end_ms, win_sum, n)`` per closed session;
+    sessions still open at end-of-input stay in state (a stream never
+    knows it ended — AvailableNow equivalence tests compare against the
+    batch twin's CLOSED sessions only)."""
+    out_schema = (
+        f"{key} string, start_ms long, end_ms long, win_sum double, n long"
+    )
+    state_schema = "start_us long, last_us long, s double, n long"
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, s, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k[0], start_us // 1_000, last_us // 1_000, round(s, 4), n)],
+                columns=[key, "start_ms", "end_ms", "win_sum", "n"],
+            )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["_ord"] = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+        pdf = pdf.sort_values("_ord", ignore_index=True)
+        ords = pdf["_ord"].to_numpy()
+        vals = pdf[value].to_numpy(dtype="float64")
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple] = []
+        for o, v in zip(ords.tolist(), vals.tolist()):
+            if cur is None:
+                cur = [o, o, float(v), 1]
+            elif o - cur[1] > gap_us:
+                closed.append(
+                    (k[0], cur[0] // 1_000, cur[1] // 1_000, round(cur[2], 4), cur[3])
+                )
+                cur = [o, o, float(v), 1]
+            else:
+                cur[1] = o
+                cur[2] += float(v)
+                cur[3] += 1
+        state.update(tuple(cur))
+        # Flink: timer at last event time + gap; fires when the
+        # watermark passes it (micro-second floor to millis)
+        state.setTimeoutTimestamp(cur[1] // 1_000 + int(gap_seconds * 1_000))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[key, "start_ms", "end_ms", "win_sum", "n"]
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

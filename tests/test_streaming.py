@@ -1003,3 +1003,85 @@ def test_state_migration_bootstrap_evolved_schema(spark, tmp_path):
     assert list(got["id"]) == ["a", "c"]
     assert list(got["max_value"]) == [11.0, 1.0]
     assert list(got["n_events"]) == [2, 1]
+
+
+def test_session_event_time_timer_fires_on_watermark(spark, tmp_path):
+    """P2/W4 via EVENT-TIME TIMERS: a key with no further events closes
+    its session only when the WATERMARK passes last-event + gap — the
+    handler's hasTimedOut path (Flink onTimer).  Key a's first session
+    closes inline (its own later event jumps the gap); key b's closes
+    purely by timer; sessions still open at end-of-input never emit."""
+    from datetime import datetime, timezone
+
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        session_sum_event_timers,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc).replace(
+        second=s % 60, minute=(s // 60) % 60, hour=s // 3600
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id string, ts timestamp, v double")
+    b0 = mk([("a", t(0), 1.0), ("a", t(2), 2.0), ("b", t(0), 5.0)])
+    b1 = mk([("a", t(100), 3.0)])   # closes a's session inline; advances wm
+    b2 = mk([("c", t(110), 7.0)])   # next batch: b's timer fires at wm=95s
+    sdf = S.memory_batches_stream(spark, [b0, b1, b2], str(tmp_path / "src"))
+    out = session_sum_event_timers(
+        sdf.withWatermark("ts", "5 seconds"), "id", "ts", "v", gap_seconds=10.0
+    )
+    got = (
+        S.run_available_now(out, str(tmp_path / "ck"), "append")
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert list(got["id"]) == ["a", "b"]
+    a, b = got.iloc[0], got.iloc[1]
+    assert (a.start_ms, a.end_ms, a.win_sum, a.n) == (1704067200000, 1704067202000, 3.0, 2)
+    assert (b.start_ms, b.end_ms, b.win_sum, b.n) == (1704067200000, 1704067200000, 5.0, 1)
+
+
+def test_session_event_timers_match_batch_sessionize(spark, events, tmp_path):
+    """Full equivalence: flush every key's open session by advancing the
+    watermark far past end-of-data (two spacer batches — wm updates at
+    batch end, timers fire the following batch), then compare against
+    the batch sessionize twin."""
+    from stream_processing_with_flink_study_spark.operators.windows import sessionize
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        session_sum_event_timers,
+    )
+
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("id"), "ts", F.col("value").alias("v")
+    )
+    mid = events.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    far = events.selectExpr("max(ts) AS m").first().m
+    import datetime as dt
+
+    spacer = lambda d: spark.createDataFrame(
+        [("_flush", far + dt.timedelta(days=d), 0.0)], "id string, ts timestamp, v double"
+    )
+    batches = [
+        keyed.filter(F.col("ts") <= F.lit(mid)),
+        keyed.filter(F.col("ts") > F.lit(mid)),
+        spacer(30),
+        spacer(31),
+    ]
+    sdf = S.memory_batches_stream(spark, batches, str(tmp_path / "src"), files_per_trigger=1)
+    out = session_sum_event_timers(
+        sdf.withWatermark("ts", "1 minute"), "id", "ts", "v", gap_seconds=6 * 3600.0
+    )
+    got = S.run_available_now(out, str(tmp_path / "ck"), "append").toPandas()
+    got = got[got.id != "_flush"]
+    want = (
+        sessionize(keyed, ["id"], "ts", 6 * 3600.0)
+        .groupBy("id", "session_id")
+        .agg(
+            F.unix_millis(F.min("ts")).alias("start_ms"),
+            F.unix_millis(F.max("ts")).alias("end_ms"),
+            F.round(F.sum("v"), 4).alias("win_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("session_id")
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got), _sorted_pdf(want), check_dtype=False
+    )
