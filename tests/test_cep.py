@@ -416,3 +416,27 @@ def test_quantified_plan_still_single_exchange(spark, events):
         ))
         n_ex = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
         assert n_ex <= 1, f"{kw}: {n_ex} exchanges"
+
+
+def test_optional_completions_are_union_of_both_paths(spark, events):
+    """Semantic invariant on real data: the completion SET of
+    (a, b?, c) equals the union of (a, b, c) and (a, c) completions —
+    an optional step only ever widens the qualifier with the skip
+    path's disjunct."""
+    kw = dict(within="48 hours")
+    rows = lambda df: set(
+        map(tuple, df.select("user_id", "event_id").collect())
+    )
+    with_b = rows(match_pattern(
+        events, "user_id", "ts", ("signup", "view", "purchase"), **kw
+    ))
+    without_b = rows(match_pattern(
+        events, "user_id", "ts", ("signup", "purchase"), **kw
+    ))
+    optional_b = rows(match_pattern(
+        events, "user_id", "ts", ("signup", "view", "purchase"),
+        quantifiers=("one", "optional", "one"), **kw
+    ))
+    assert optional_b == with_b | without_b
+    assert with_b - without_b, "fixture must exercise the through path"
+    assert without_b - with_b, "fixture must exercise the skip path"
