@@ -551,3 +551,72 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
         )
     )
+
+
+@query(
+    "streaming_session_timers",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, ts, value AS v,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                      > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+           round(sum(v), 4) AS win_sum, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY id, sid
+    """,
+)
+def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-TIMER sessions under the oracle gate (the streaming
+    sibling of ``streaming_cep_relaxed``): the events table replays as
+    two micro-batches plus two far-future flush spacers — the watermark
+    then passes every open session's (last + gap) deadline, firing the
+    handler's ``hasTimedOut`` branch (Flink onTimer) so ALL sessions
+    emit and the output hash-matches the batch sessionize SQL.  Proves
+    the timer mechanism itself against driver data, not just fixtures."""
+    import datetime as dt
+    import tempfile
+
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import session_sum_event_timers
+
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("id"),
+        "ts",
+        F.col("value").alias("v"),
+    )
+    mid = keyed.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    far = keyed.selectExpr("max(ts) AS m").first().m
+    spacer = lambda d: spark.createDataFrame(
+        [("_flush", far + dt.timedelta(days=d), 0.0)],
+        "id string, ts timestamp, v double",
+    )
+    batches = [
+        keyed.filter(F.col("ts") <= F.lit(mid)),
+        keyed.filter(F.col("ts") > F.lit(mid)),
+        spacer(30),
+        spacer(31),
+    ]
+    sdf = memory_batches_stream(
+        spark,
+        batches,
+        tempfile.mkdtemp(prefix="src_sess_timer_"),
+        files_per_trigger=1,
+    )
+    out = session_sum_event_timers(
+        sdf.withWatermark("ts", "1 minute"), "id", "ts", "v",
+        gap_seconds=6 * 3600.0,
+    )
+    got = run_available_now(
+        out, tempfile.mkdtemp(prefix="ck_sess_timer_"), "append"
+    )
+    return got.filter(F.col("id") != "_flush")
