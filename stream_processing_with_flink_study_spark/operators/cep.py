@@ -18,8 +18,14 @@ mirror Flink CEP:
   key's stream — any interleaved event breaks the match.
 
 Quantifiers: ``times(n)`` is step repetition (each repetition must
-bind a DISTINCT earlier event — see below); ``oneOrMore`` collapses to
-a single step in completion-emission semantics.
+bind a DISTINCT earlier event — see below); ``optional`` steps add a
+skip path to the level below (middle steps, non-adjacent);
+``oneOrMore`` collapses to a single step in completion-emission
+semantics but becomes observable through ``mode`` — ``greedy`` binds
+each level's LATEST in-window qualifier, ``reluctant`` its EARLIEST
+(batch-only; chain-carrying structs, see :func:`match_pattern`).
+``within`` bounds each step gap; ``within_total`` the whole-pattern
+span (Flink ``Pattern.within``).
 
 Both contiguities have a batch form (chained conditional running-max
 windows / lag battery — ONE exchange + ONE sort regardless of N,
