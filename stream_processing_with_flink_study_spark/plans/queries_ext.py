@@ -578,11 +578,14 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-TIMER sessions under the oracle gate (the streaming
     sibling of ``streaming_cep_relaxed``): the events table replays as
-    two micro-batches plus two far-future flush spacers — the watermark
+    one micro-batch plus two far-future flush spacers — the watermark
     then passes every open session's (last + gap) deadline, firing the
     handler's ``hasTimedOut`` branch (Flink onTimer) so ALL sessions
     emit and the output hash-matches the batch sessionize SQL.  Proves
-    the timer mechanism itself against driver data, not just fixtures."""
+    the timer mechanism itself against driver data, not just fixtures
+    (cross-batch session merging is exercised by the two-batch split in
+    tests/test_streaming.py — one data batch here keeps the replay
+    write cheap)."""
     import datetime as dt
     import tempfile
 
@@ -594,18 +597,12 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("value").alias("v"),
     )
-    mid = keyed.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
     far = keyed.selectExpr("max(ts) AS m").first().m
     spacer = lambda d: spark.createDataFrame(
         [("_flush", far + dt.timedelta(days=d), 0.0)],
         "id string, ts timestamp, v double",
     )
-    batches = [
-        keyed.filter(F.col("ts") <= F.lit(mid)),
-        keyed.filter(F.col("ts") > F.lit(mid)),
-        spacer(30),
-        spacer(31),
-    ]
+    batches = [keyed, spacer(30), spacer(31)]
     sdf = memory_batches_stream(
         spark,
         batches,
@@ -616,7 +613,16 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.withWatermark("ts", "1 minute"), "id", "ts", "v",
         gap_seconds=6 * 3600.0,
     )
-    got = run_available_now(
-        out, tempfile.mkdtemp(prefix="ck_sess_timer_"), "append"
-    )
+    # a stateful micro-batch query pays per-(batch × state partition)
+    # checkpoint overhead; at this key cardinality 8 state partitions
+    # beat 32 (the partition count is pinned into the NEW checkpoint at
+    # first start, so this only affects this query's store)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        got = run_available_now(
+            out, tempfile.mkdtemp(prefix="ck_sess_timer_"), "append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return got.filter(F.col("id") != "_flush")

@@ -425,19 +425,28 @@ def session_sum_event_timers(
         ords = pdf["_ord"].to_numpy()
         vals = pdf[value].to_numpy(dtype="float64")
         cur = list(state.get) if state.exists else None
-        closed: list[tuple] = []
-        for o, v in zip(ords.tolist(), vals.tolist()):
-            if cur is None:
-                cur = [o, o, float(v), 1]
-            elif o - cur[1] > gap_us:
-                closed.append(
-                    (k[0], cur[0] // 1_000, cur[1] // 1_000, round(cur[2], 4), cur[3])
-                )
-                cur = [o, o, float(v), 1]
+        # vectorized session scan: gap boundaries via diff, per-segment
+        # sums via reduceat — the Python loop below runs per SESSION,
+        # never per row
+        bnd = np.flatnonzero(np.diff(ords) > gap_us) + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [len(ords)]])
+        seg_sum = np.add.reduceat(vals, starts)
+        segs = [
+            (int(ords[s]), int(ords[e - 1]), float(seg_sum[i]), int(e - s))
+            for i, (s, e) in enumerate(zip(starts, ends))
+        ]
+        if cur is not None:
+            if ords[0] - cur[1] <= gap_us:
+                s0 = segs[0]
+                segs[0] = (cur[0], s0[1], cur[2] + s0[2], cur[3] + s0[3])
             else:
-                cur[1] = o
-                cur[2] += float(v)
-                cur[3] += 1
+                segs.insert(0, tuple(cur))
+        closed = [
+            (k[0], a // 1_000, b // 1_000, round(s, 4), n)
+            for a, b, s, n in segs[:-1]
+        ]
+        cur = list(segs[-1])
         state.update(tuple(cur))
         # Flink: timer at last event time + gap; fires when the
         # watermark passes it (micro-second floor to millis)
