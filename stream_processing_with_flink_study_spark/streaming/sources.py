@@ -202,7 +202,13 @@ def memory_batches_stream(
     """
     for i, b in enumerate(batches):
         d = f"{path}/b{i:05d}"
-        b.coalesce(1).write.mode("append").parquet(d)
+        # repartition(1), NOT coalesce(1): coalesce folds every upstream
+        # slice into ONE task, and on a createDataFrame local relation
+        # that means dragging all default-parallelism pickled slices
+        # through Python workers serially (~4 s per single-row batch);
+        # the narrow shuffle keeps the upstream parallel and still
+        # yields exactly one file per batch dir
+        b.repartition(1).write.mode("append").parquet(d)
         # the file source replays oldest-mtime-first: pin mtimes so batch
         # order is deterministic even when writes land in the same tick
         for root, _, files in os.walk(d):
