@@ -256,3 +256,41 @@ def basic_pipeline_stream(readings: DataFrame) -> DataFrame:
             "celsius",
         )
     )
+
+
+def dynamic_rules_stream(
+    sdf: DataFrame,
+    rules_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_type",
+):
+    """Flink broadcast state WITH UPDATES
+    (``processBroadcastElement``, ``정리/5주차.md:87-99``): the control
+    side is not fixed at query start — every micro-batch re-reads the
+    CURRENT rules table and broadcast-joins it, so a rules change
+    between batches re-routes all subsequent records, exactly like a
+    control-stream element updating every task's broadcast state.
+
+    Spark-first shape: rules live as a (tiny) parquet table, the
+    re-read happens inside ``foreachBatch`` (driver-side plan build,
+    executor-side broadcast), and the unbounded data stream never
+    shuffles — per batch it is one map-side broadcast join.  Rows with
+    no matching rule pass through with a NULL route (Flink's
+    no-rule-yet case).  Output gains the deciding ``batch_id`` so tests
+    can pin WHICH rules version routed each record."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rules = spark.read.parquet(rules_path)
+        out = batch_df.join(F.broadcast(rules), key, "left").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        sdf.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1085,3 +1085,53 @@ def test_session_event_timers_match_batch_sessionize(spark, events, tmp_path):
     pd.testing.assert_frame_equal(
         _sorted_pdf(got), _sorted_pdf(want), check_dtype=False
     )
+
+
+def test_dynamic_broadcast_rules_update_between_batches(spark, tmp_path):
+    """M3 broadcast state with UPDATES (Flink processBroadcastElement):
+    a rules change between micro-batches re-routes subsequent records —
+    each batch joins the rules table as read AT ITS OWN trigger, not as
+    captured at query start.  Replayed as two availableNow rounds over
+    one checkpoint (the deterministic way to interleave a control
+    update with the data stream)."""
+    from datetime import datetime, timezone
+
+    from stream_processing_with_flink_study_spark.streaming.pipelines import (
+        dynamic_rules_stream,
+    )
+
+    src, rules, out, ck = (str(tmp_path / d) for d in ("src", "rules", "out", "ck"))
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_type string, ts timestamp, v double"
+    )
+    mk_rules = lambda rows: spark.createDataFrame(
+        rows, "event_type string, route string"
+    )
+    read_stream = lambda: spark.readStream.schema(
+        "event_type string, ts timestamp, v double"
+    ).option("maxFilesPerTrigger", "1").parquet(f"{src}/b*")
+
+    # round 1: rules v1 route clicks to 'web'
+    mk_rules([("click", "web"), ("purchase", "billing")]).repartition(1)\
+        .write.mode("overwrite").parquet(rules)
+    mk([("click", t(0), 1.0), ("purchase", t(1), 2.0)]).repartition(1)\
+        .write.parquet(f"{src}/b00000")
+    q = dynamic_rules_stream(read_stream(), rules, out, ck)
+    q.awaitTermination()
+    # control update BETWEEN batches: clicks now route to 'mobile',
+    # purchases lose their rule entirely
+    mk_rules([("click", "mobile")]).repartition(1)\
+        .write.mode("overwrite").parquet(rules)
+    mk([("click", t(10), 3.0), ("purchase", t(11), 4.0)]).repartition(1)\
+        .write.parquet(f"{src}/b00001")
+    q = dynamic_rules_stream(read_stream(), rules, out, ck)
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .select("event_type", "v", "route")
+        .toPandas()
+        .sort_values(["v"], ignore_index=True)
+    )
+    assert list(got["route"]) == ["web", "billing", "mobile", None]
