@@ -18,5 +18,6 @@ from . import queries_mlprep  # noqa: E402,F401
 from . import queries_scale  # noqa: E402,F401
 from . import queries_cep  # noqa: E402,F401
 from . import queries_trainprep  # noqa: E402,F401
+from . import queries_quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

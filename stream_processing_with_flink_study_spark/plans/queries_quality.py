@@ -1,0 +1,405 @@
+"""Data-quality and corpus-hygiene batteries (training-pipeline
+extensions, third wave): exact substring-duplication coverage (the
+suffix-style dedup signal from "Deduplicating Training Data Makes
+Language Models Better", Lee et al. 2022, re-expressed as k-token
+window hashing), a boilerplate-gram report, a Deequ-style one-pass
+constraint report, and a PSI drift report between two time halves of
+the event stream.
+
+Scale notes (100 TB lens):
+- substring coverage hashes every k-token window to an int64
+  (``xxhash64``) BEFORE the shuffle, so the wide exchange carries
+  8-byte longs, never window strings; the per-doc ``array_distinct``
+  happens map-side inside the projection.  The exploded (doc_id, h)
+  index is persisted because both the window-frequency aggregate and
+  the per-doc re-join consume it (the ``bm25_scores`` pattern).
+- the constraint report is ONE global aggregate (map-side partial,
+  single-row result) exploded driver-free into metric rows.
+- PSI bins with a fixed-width rule derived from the reference half's
+  min/max, broadcast as a one-row literal join — no quantile shuffle,
+  no driver collect; the 10-bin frame aggregates with a trivial
+  final window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# exact substring duplication (k-token windows)
+# --------------------------------------------------------------------------
+
+_WIN_K = 8  # tokens per window — Lee et al. use 50 chars; 8 tokens ~ same scale
+
+
+def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a drop-first-token copy of every 10th doc (id +1M):
+    the copies share almost every k-token window with their original,
+    so the planted duplication signal is near-1 coverage."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " "
+        ).alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
+_SUBSTRING_CORPUS_SQL = """
+  src AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, tokens[2:]
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+          FROM documents WHERE doc_id % 10 = 0)
+  )
+"""
+
+
+def _window_index(corpus: DataFrame, distinct: bool) -> DataFrame:
+    """(doc_id, h) rows: one int64 hash per k-token window.  The
+    sequence/slice/hash chain is a single JVM projection (no Python);
+    short docs (< k tokens) produce an empty array and vanish at the
+    explode.  ``slice(sequence(1, max(n-k+1, 1)), 1, max(n-k+1, 0))``
+    keeps the sequence ascending for every n (Spark's sequence runs
+    DESCENDING when stop < start, which would fabricate windows)."""
+    toks = F.split(F.col("text"), r"\s+")
+    n_win = F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))), 1, n_win)
+    wins = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, _WIN_K), " "))
+    )
+    if distinct:
+        wins = F.array_distinct(wins)
+    return corpus.select("doc_id", F.explode(wins).alias("h"))
+
+
+@query(
+    "substring_dup_coverage",
+    f"""
+    WITH {_SUBSTRING_CORPUS_SQL},
+    wins AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(tokens) - {_WIN_K - 1}, 0)),
+          i -> array_to_string(tokens[i:i+{_WIN_K - 1}], ' '))) AS ws
+      FROM src
+    ),
+    exploded AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+    counts AS (SELECT w, count(*) AS n_docs FROM exploded GROUP BY w)
+    SELECT e.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_windows,
+           round(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_fraction
+    FROM exploded e JOIN counts c ON e.w = c.w
+    GROUP BY e.doc_id
+    """,
+)
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication coverage per document: the fraction
+    of a doc's distinct k-token windows that appear verbatim in at
+    least one OTHER document (>= 2 docs share the window).  This is the
+    window-hash re-expression of suffix-array substring dedup (Lee et
+    al. 2022) — the per-doc score a curation pipeline thresholds to
+    drop boilerplate-heavy documents.
+
+    Plan: persist the (doc_id, int64-window-hash) inverted index, one
+    exchange on h for the window-frequency aggregate, a co-partitioned
+    join back, one exchange on doc_id for the per-doc rollup.  The
+    shuffle payload is 16 bytes/row at any corpus size.
+    """
+    index = _window_index(_substring_corpus(spark, sf_dir), distinct=True)
+    index = index.persist()
+    counts = index.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        index.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("dup_windows") * 1.0 / F.col("n_windows"), 4),
+        )
+    )
+
+
+@query(
+    "substring_top_grams",
+    f"""
+    WITH {_SUBSTRING_CORPUS_SQL},
+    wins AS (
+      SELECT doc_id, list_transform(
+          generate_series(1, greatest(len(tokens) - {_WIN_K - 1}, 0)),
+          i -> array_to_string(tokens[i:i+{_WIN_K - 1}], ' ')) AS ws
+      FROM src
+    ),
+    exploded AS (SELECT doc_id, unnest(ws) AS gram FROM wins)
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM exploded
+    GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def substring_top_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top boilerplate grams: the k-token windows shared by the most
+    documents — the evidence report a pipeline uses to decide WHAT to
+    strip.  Carries gram strings (this is the bounded top-N report
+    tier; the coverage query above never does), totally ordered
+    (n_docs, n_occurrences, gram) so the LIMIT is deterministic."""
+    exploded = (
+        _substring_corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(F.split(F.col("text"), r"\s+"))
+                                - (_WIN_K - 1),
+                                F.lit(1),
+                            ),
+                        ),
+                        1,
+                        F.greatest(
+                            F.size(F.split(F.col("text"), r"\s+"))
+                            - (_WIN_K - 1),
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split(F.col("text"), r"\s+"), i, _WIN_K), " "
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deequ-style one-pass constraint report
+# --------------------------------------------------------------------------
+@query(
+    "dq_constraint_report",
+    """
+    WITH m AS (
+      SELECT count(*) AS n,
+             count(l_quantity) AS n_qty,
+             count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+             min(l_quantity) AS min_qty,
+             max(l_discount) AS max_disc,
+             sum(CASE WHEN l_extendedprice >= 0 THEN 1 ELSE 0 END) AS n_nonneg,
+             sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+               AS n_domain
+      FROM lineitem
+    )
+    SELECT 'completeness_l_quantity' AS metric,
+           round(n_qty * 1.0 / n, 4) AS value, n_qty = n AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness_order_line',
+           round(n_pk * 1.0 / n, 4), n_pk = n FROM m
+    UNION ALL
+    SELECT 'min_l_quantity', round(min_qty, 4), min_qty >= 1.0 FROM m
+    UNION ALL
+    SELECT 'max_l_discount', round(max_disc, 4), max_disc <= 0.1 FROM m
+    UNION ALL
+    SELECT 'compliance_nonneg_price',
+           round(n_nonneg * 1.0 / n, 4), n_nonneg = n FROM m
+    UNION ALL
+    SELECT 'domain_l_returnflag',
+           round(n_domain * 1.0 / n, 4), n_domain = n FROM m
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint battery: completeness,
+    key-uniqueness, bounds, and domain-compliance checks over lineitem,
+    all computed in ONE map-side-combined aggregate pass (the whole
+    point of Deequ's metric engine) and exploded into (metric, value,
+    passed) rows with zero driver involvement.  The synthetic data has
+    a genuinely non-unique (l_orderkey, l_linenumber) pair, so the
+    uniqueness row reports passed=false — the report distinguishes
+    failing constraints, not just echoes green."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_quantity").alias("n_qty"),
+        F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber")).alias(
+            "n_pk"
+        ),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_discount").alias("max_disc"),
+        F.sum(
+            F.when(F.col("l_extendedprice") >= 0, 1).otherwise(0)
+        ).alias("n_nonneg"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("n_domain"),
+    )
+
+    def row(metric: str, value, passed):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            F.round(value, 4).cast("double").alias("value"),
+            passed.alias("passed"),
+        )
+
+    n = F.col("n")
+    return m.select(
+        F.explode(
+            F.array(
+                row(
+                    "completeness_l_quantity",
+                    F.col("n_qty") * 1.0 / n,
+                    F.col("n_qty") == n,
+                ),
+                row(
+                    "uniqueness_order_line",
+                    F.col("n_pk") * 1.0 / n,
+                    F.col("n_pk") == n,
+                ),
+                row("min_l_quantity", F.col("min_qty"), F.col("min_qty") >= 1.0),
+                row("max_l_discount", F.col("max_disc"), F.col("max_disc") <= 0.1),
+                row(
+                    "compliance_nonneg_price",
+                    F.col("n_nonneg") * 1.0 / n,
+                    F.col("n_nonneg") == n,
+                ),
+                row(
+                    "domain_l_returnflag",
+                    F.col("n_domain") * 1.0 / n,
+                    F.col("n_domain") == n,
+                ),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.value", "r.passed")
+
+
+# --------------------------------------------------------------------------
+# PSI drift report (population stability index between two time halves)
+# --------------------------------------------------------------------------
+@query(
+    "psi_drift_report",
+    """
+    WITH ts_stats AS (
+      SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events
+    ),
+    tagged AS (
+      SELECT value, epoch_ms(ts) <= mid AS is_ref FROM events, ts_stats
+    ),
+    vstats AS (
+      SELECT min(value) AS vmin, max(value) AS vmax FROM tagged WHERE is_ref
+    ),
+    binned AS (
+      SELECT CAST(least(greatest(floor((value - vmin) * 10.0
+                                       / (vmax - vmin)), 0), 9) AS INTEGER)
+               AS bin,
+             is_ref
+      FROM tagged, vstats
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    fracs AS (
+      SELECT bin,
+             n_ref * 1.0 / sum(n_ref) OVER () AS p,
+             n_cur * 1.0 / sum(n_cur) OVER () AS q
+      FROM counts
+    )
+    SELECT bin,
+           round(p, 4) AS ref_frac,
+           round(q, 4) AS cur_frac,
+           round((greatest(p, 1e-6) - greatest(q, 1e-6))
+                 * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 4) AS psi_term
+    FROM fracs
+    """,
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report: split the event stream
+    at its time midpoint, bin `value` into 10 fixed-width bins derived
+    from the REFERENCE half's min/max (clamped at the edges so current
+    out-of-range values land in bins 0/9), and emit per-bin
+    (ref_frac, cur_frac, psi_term) with 1e-6 smoothing.  Sum(psi_term)
+    is the PSI a pipeline alerts on (>0.2 = action).
+
+    Plan: two one-row scalar aggregates broadcast back as literal
+    joins (time midpoint, then reference min/max), one exchange for
+    the per-bin counts, and a trivial window total over the <=10-bin
+    frame.  Nothing driver-side, nothing quantile-shaped.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ms"), "value"
+    )
+    mid = ev.agg(
+        ((F.min("ms") + F.max("ms")) / F.lit(2)).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "value", (F.col("ms") <= F.col("mid")).alias("is_ref")
+    )
+    vstats = (
+        tagged.filter("is_ref")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    binned = tagged.crossJoin(F.broadcast(vstats)).select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 10.0
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    p = F.col("n_ref") * 1.0 / F.sum("n_ref").over(w)
+    q = F.col("n_cur") * 1.0 / F.sum("n_cur").over(w)
+    ps, qs = F.greatest(p, F.lit(1e-6)), F.greatest(q, F.lit(1e-6))
+    return counts.select(
+        "bin",
+        F.round(p, 4).alias("ref_frac"),
+        F.round(q, 4).alias("cur_frac"),
+        F.round((ps - qs) * F.log(ps / qs), 4).alias("psi_term"),
+    )
