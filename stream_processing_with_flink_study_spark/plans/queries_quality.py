@@ -360,8 +360,13 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-bin counts, and a trivial window total over the <=10-bin
     frame.  Nothing driver-side, nothing quantile-shaped.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        F.unix_millis("ts").alias("ms"), "value"
+    # persist the 16-byte (ms, value) projection: the time-midpoint agg,
+    # the reference min/max agg, and the binning pass all consume it —
+    # without the persist each branch re-scans the events parquet.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_millis("ts").alias("ms"), "value")
+        .persist()
     )
     mid = ev.agg(
         ((F.min("ms") + F.max("ms")) / F.lit(2)).cast("long").alias("mid")
