@@ -78,6 +78,23 @@ def test_read_file_csv_json_round_trip(spark, tmp_path):
     assert {(r.id, r.dbl) for r in back_json.collect()} == expect
 
 
+def test_read_file_orc_parquet_round_trip(spark, tmp_path):
+    """Columnar-format coverage: ORC and parquet round-trips through the
+    same bounded ``read_file`` surface (both are built into Spark; ORC
+    carries its own schema so no schema arg is needed)."""
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    orc_dir, pq_dir = str(tmp_path / "o"), str(tmp_path / "p")
+    df.write.orc(orc_dir)
+    df.write.parquet(pq_dir)
+    expect = {(r.id, r.v) for r in df.collect()}
+    back_orc = read_file(spark, orc_dir, "orc")
+    back_pq = read_file(spark, pq_dir, "parquet")
+    assert {(r.id, r.v) for r in back_orc.collect()} == expect
+    assert {(r.id, r.v) for r in back_pq.collect()} == expect
+
+
 def test_simhash_arrow_equals_column_expression(spark):
     """The Arrow-batched simhash must reproduce the Catalyst
     column-expression form bit-for-bit (same md5 digits, same
