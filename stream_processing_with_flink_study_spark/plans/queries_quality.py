@@ -408,3 +408,62 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 4).alias("cur_frac"),
         F.round((ps - qs) * F.log(ps / qs), 4).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash band candidates (Hamming-ball near-dup, banded — no all-pairs)
+# --------------------------------------------------------------------------
+_SIMHASH_BITS_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(tokens, t -> "
+    f"CASE WHEN substr(md5(t), {i}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for i in range(1, 33)
+)
+
+
+@query(
+    "simhash_band_candidates",
+    f"""
+    WITH src AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             regexp_split_to_array(lower(trim(text)), '\\s+')
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    sims AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS sim FROM src),
+    banded AS (
+      SELECT doc_id, sim, b,
+             sim[b * 8 + 1 : b * 8 + 8] AS bkey
+      FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(generate_series(1, 32),
+                                i -> a.sim[i:i] <> b.sim[i:i])) AS INTEGER)
+             AS hd
+    FROM banded a JOIN banded b
+      ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE len(list_filter(generate_series(1, 32),
+              i -> a.sim[i:i] <> b.sim[i:i])) <= 3
+    """,
+)
+def simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup candidates over a corpus with
+    planted exact copies (every 10th doc, id +1M → hd = 0 pairs).
+    4 bands × 8 bits: pigeonhole-complete for hd <= 3; the self-join
+    key is (band, 8 bits) so cost is bucket-quadratic, never
+    corpus-quadratic; Hamming distance is JVM ``bit_count(xor)``.
+    Streaming twin: ``streaming.stateful.simhash_near_dup_stream``
+    (equivalence in tests/test_streaming.py)."""
+    from ..functions import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    sims = corpus.select(
+        "doc_id", text.simhash32_arrow("text").alias("simhash")
+    )
+    return dedup.simhash_band_pairs(sims, "doc_id", "simhash")

@@ -42,6 +42,7 @@ from .stateful import (
     dedup_first,
     funnel_matches,
     keyed_rolling_reduce,
+    simhash_near_dup_stream,
     temp_delta_alerts,
 )
 
@@ -71,6 +72,7 @@ __all__ = [
     "run_available_now",
     "running_max",
     "session_window_stream",
+    "simhash_near_dup_stream",
     "temp_delta_alerts",
     "topk_counts",
     "topk_counts_tws",

@@ -459,3 +459,106 @@ def session_sum_event_timers(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+# --------------------------------------------------------------------------
+# streaming SimHash near-dup candidates (band-keyed Hamming matching)
+# --------------------------------------------------------------------------
+def _popcount32(x: np.ndarray) -> np.ndarray:
+    """Vectorized 32-bit popcount (SWAR) for int64 arrays holding
+    uint32 values — no Python loop over bits."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    # int64 lanes don't wrap like uint32: the multiply's >32-bit bytes
+    # survive the shift, so mask back to the low byte (the 4-byte sum)
+    return ((x * 0x01010101) >> 24) & 0xFF
+
+
+def simhash_near_dup_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bands: int = 4,
+    max_hd: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Streaming near-duplicate candidate detector — the stateful twin
+    of :func:`...functions.dedup.simhash_band_pairs`.
+
+    Input: a stream of (id, 32-char '0'/'1' simhash).  Each document is
+    fanned out to ``bands`` band-bucket keys (stateless explode); each
+    bucket keeps the fingerprints it has seen (ListState: two aligned
+    arrays) and emits a ``(doc_a, doc_b, hd)`` candidate event whenever
+    a new fingerprint lands within ``max_hd`` of a seen one.  Same
+    pigeonhole recall as the batch twin: every pair with hd <= bands-1
+    shares at least one band, so no true candidate is missed while no
+    bucket ever does an all-pairs corpus scan.
+
+    A pair that matches in k bands is emitted k times (buckets are
+    independent keys and cannot coordinate); consumers dedupe with
+    ``dropDuplicates`` — candidate STREAMS are at-least-once by design.
+    State per bucket is capped at ``max_bucket`` fingerprints (oldest
+    evicted first, the windowed-dedup trade-off): 12 bytes × cap bounds
+    every key regardless of stream length.
+    """
+    bits = 32 // bands
+    from pyspark.sql import functions as F
+
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.conv(F.col(sim_col), 2, 10).cast("long").alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring(sim_col, b * bits + 1, bits).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("_id", "_fp", "bh.band_idx", "bh.bkey")
+
+    out_schema = "doc_a long, doc_b long, hd integer"
+    state_schema = "ids array<long>, fps array<long>"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen_ids, seen_fps = ([], []) if not state.exists else [
+            list(v) for v in state.get
+        ]
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("_id")
+        new_ids = pdf["_id"].to_numpy(dtype="int64")
+        new_fps = pdf["_fp"].to_numpy(dtype="int64")
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_hd: list[int] = []
+        ids_arr = np.asarray(seen_ids, dtype="int64")
+        fps_arr = np.asarray(seen_fps, dtype="int64")
+        for i in range(len(new_ids)):
+            if len(fps_arr):
+                hd = _popcount32(np.bitwise_xor(fps_arr, new_fps[i]))
+                hits = np.flatnonzero(hd <= max_hd)
+                for j in hits:
+                    a, b = ids_arr[j], new_ids[i]
+                    lo, hi = (a, b) if a < b else (b, a)
+                    out_a.append(int(lo))
+                    out_b.append(int(hi))
+                    out_hd.append(int(hd[j]))
+            ids_arr = np.append(ids_arr, new_ids[i])
+            fps_arr = np.append(fps_arr, new_fps[i])
+        if len(ids_arr) > max_bucket:
+            ids_arr = ids_arr[-max_bucket:]
+            fps_arr = fps_arr[-max_bucket:]
+        state.update((ids_arr.tolist(), fps_arr.tolist()))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hd": out_hd})
+
+    return banded.groupBy("band_idx", "bkey").applyInPandasWithState(
+        handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

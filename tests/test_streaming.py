@@ -1135,3 +1135,53 @@ def test_dynamic_broadcast_rules_update_between_batches(spark, tmp_path):
         .sort_values(["v"], ignore_index=True)
     )
     assert list(got["route"]) == ["web", "billing", "mobile", None]
+
+
+def test_simhash_near_dup_stream_matches_batch_pairs(spark, tmp_path):
+    """Streaming band-keyed Hamming matching must find exactly the
+    batch ``simhash_band_pairs`` set — including pairs whose two docs
+    arrive in DIFFERENT micro-batches (state carries the bucket)."""
+    from stream_processing_with_flink_study_spark.functions import dedup, text
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    sims = corpus.select(
+        "doc_id", text.simhash32("text").alias("simhash")
+    ).cache()
+    # originals in batch 0, copies in batch 1 → every planted hd=0 pair
+    # crosses the micro-batch boundary
+    b0 = sims.filter(F.col("doc_id") < 1_000_000)
+    b1 = sims.filter(F.col("doc_id") >= 1_000_000)
+    sdf = S.memory_batches_stream(spark, [b0, b1], str(tmp_path / "src"))
+    got = S.run_available_now(
+        S.simhash_near_dup_stream(sdf), str(tmp_path / "ck"), "append"
+    )
+    got_set = {
+        (r.doc_a, r.doc_b, r.hd)
+        for r in got.dropDuplicates(["doc_a", "doc_b", "hd"]).collect()
+    }
+    want_set = {
+        (r.doc_a, r.doc_b, r.hd)
+        for r in dedup.simhash_band_pairs(sims).collect()
+    }
+    assert got_set == want_set
+    assert any(a < 1_000_000 <= b for a, b, _ in got_set)  # cross-batch pairs
+
+
+def test_popcount32_matches_python_bit_count():
+    import numpy as np
+
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        _popcount32,
+    )
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 2**32, size=10_000, dtype="int64")
+    got = _popcount32(xs)
+    want = np.array([int(x).bit_count() for x in xs])
+    assert (got == want).all()
