@@ -370,9 +370,13 @@ def simhash_band_pairs(
     Output: (doc_a, doc_b, hd) distinct, doc_a < doc_b.
     """
     bits = 32 // bands
+    # convert the bitstring to its int64 fingerprint ONCE per banded row
+    # (before the self-join) so the join side computes only bit_count,
+    # and the caller can persist `df` to stop the self-join from
+    # evaluating the (possibly expensive) simhash subtree twice
     banded = df.select(
         F.col(id_col),
-        F.col(sim_col),
+        F.conv(F.col(sim_col), 2, 10).cast("long").alias("_fp"),
         F.explode(
             F.array(
                 *[
@@ -384,8 +388,7 @@ def simhash_band_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select(id_col, sim_col, "bh.band_idx", "bh.bkey")
-    fp = lambda side: F.conv(F.col(f"{side}.{sim_col}"), 2, 10).cast("long")
+    ).select(id_col, "_fp", "bh.band_idx", "bh.bkey")
     return (
         banded.alias("a")
         .join(
@@ -397,7 +400,9 @@ def simhash_band_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(fp("a").bitwiseXOR(fp("b"))).alias("hd"),
+            F.bit_count(
+                F.col("a._fp").bitwiseXOR(F.col("b._fp"))
+            ).alias("hd"),
         )
         .filter(F.col("hd") <= max_hd)
         .distinct()

@@ -51,7 +51,14 @@ def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " "
         ).alias("text"),
     )
-    return docs.unionByName(perturbed)
+    # the documents parquet is one small file (1-2 scan partitions) but
+    # the window fan-out behind it is ~50 expression-heavy rows per doc:
+    # spread the tiny doc rows across all cores before the fan-out (one
+    # narrow shuffle of the raw docs, ~6x wall-clock on local[32]; at
+    # real scale the scan already has enough partitions and AQE would
+    # coalesce, so this is a no-op there)
+    par = spark.sparkContext.defaultParallelism
+    return docs.unionByName(perturbed).repartition(par)
 
 
 _SUBSTRING_CORPUS_SQL = """
@@ -435,8 +442,8 @@ _SIMHASH_BITS_SQL = " || ".join(
     sims AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS sim FROM src),
     banded AS (
       SELECT doc_id, sim, b,
-             sim[b * 8 + 1 : b * 8 + 8] AS bkey
-      FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+             sim[b * 16 + 1 : b * 16 + 16] AS bkey
+      FROM sims CROSS JOIN (SELECT unnest([0, 1]) AS b) t
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_filter(generate_series(1, 32),
@@ -445,14 +452,19 @@ _SIMHASH_BITS_SQL = " || ".join(
     FROM banded a JOIN banded b
       ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     WHERE len(list_filter(generate_series(1, 32),
-              i -> a.sim[i:i] <> b.sim[i:i])) <= 3
+              i -> a.sim[i:i] <> b.sim[i:i])) <= 1
     """,
 )
 def simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup candidates over a corpus with
     planted exact copies (every 10th doc, id +1M → hd = 0 pairs).
-    4 bands × 8 bits: pigeonhole-complete for hd <= 3; the self-join
-    key is (band, 8 bits) so cost is bucket-quadratic, never
+    Band width follows the radius: hd <= 1 needs only 2 bands × 16
+    bits (pigeonhole), and the 65k-key space keeps buckets small where
+    8-bit bands collapse onto a few giant keys (the formulaic corpus
+    puts 65% of docs in one 8-bit band value; 16-bit bands cut the
+    self-join's sum-of-squares ~50x).  hd <= 3 on this corpus is a
+    half-million-pair dense graph at sf0.1 — a report, not a candidate
+    set, hence the tighter radius.  Cost is bucket-quadratic, never
     corpus-quadratic; Hamming distance is JVM ``bit_count(xor)``.
     Streaming twin: ``streaming.stateful.simhash_near_dup_stream``
     (equivalence in tests/test_streaming.py)."""
@@ -462,8 +474,19 @@ def simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    corpus = docs.select("doc_id", "text").unionByName(copies)
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(copies)
+        # same tiny-scan / heavy-projection spread as _substring_corpus:
+        # the Arrow simhash hashes every token 32-vote-wise, so give it
+        # all cores instead of the parquet file's 1-2 scan partitions
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # persist: the band self-join consumes sims on BOTH sides — without
+    # it each side re-runs the Arrow simhash over the whole corpus
     sims = corpus.select(
         "doc_id", text.simhash32_arrow("text").alias("simhash")
+    ).persist()
+    return dedup.simhash_band_pairs(
+        sims, "doc_id", "simhash", bands=2, max_hd=1
     )
-    return dedup.simhash_band_pairs(sims, "doc_id", "simhash")
