@@ -490,3 +490,65 @@ def simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_band_pairs(
         sims, "doc_id", "simhash", bands=2, max_hd=1
     )
+
+
+# --------------------------------------------------------------------------
+# running z-score anomaly alerts (expanding-window baseline per key)
+# --------------------------------------------------------------------------
+@query(
+    "running_zscore_alerts",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts_ms, value,
+           round((value - mu) / sd, 4) AS z
+    FROM ordered
+    WHERE n_prev >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0
+    """,
+)
+def running_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection, batch form: each event is
+    scored against the expanding mean/stddev of its key's STRICTLY
+    PRIOR events (>= 5 of them) and alerts when |z| > 3 — the
+    self-calibrating threshold a pipeline uses where fixed deltas
+    (``temp_delta_alert``) don't fit heterogeneous keys.  One
+    shuffle-sort per key; the expanding window is computed in a single
+    pass over each partition.  Streaming twin:
+    ``streaming.stateful.zscore_alerts`` (Welford-style running
+    moments in ValueState; equivalence in tests/test_streaming.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_prev") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 3.0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ms",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -562,3 +562,75 @@ def simhash_near_dup_stream(
     return banded.groupBy("band_idx", "bkey").applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# --------------------------------------------------------------------------
+# streaming running z-score alerts (expanding per-key moments in state)
+# --------------------------------------------------------------------------
+def zscore_alerts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    threshold: float = 3.0,
+    min_prior: int = 5,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Self-calibrating anomaly alerts: score each event against the
+    expanding mean/stddev of its key's strictly prior events and emit
+    when |z| > ``threshold`` (with at least ``min_prior`` priors).
+    State per key is three doubles (n, sum, sum-of-squares) — O(1)
+    forever, mergeable, no sample retention; the sample stddev is
+    ``sqrt((s2 - n·mu²)/(n-1))``, identical in exact arithmetic to the
+    batch twin's ``stddev_samp`` expanding window
+    (``plans.queries_quality.running_zscore_alerts``).  Within a
+    micro-batch the prefix moments are vectorized cumsums — no Python
+    loop per row."""
+    out_schema = (
+        f"{key} long, event_id long, ts_ms long, value double, z double"
+    )
+    state_schema = "n long, s1 double, s2 double"
+    sort_cols = order_by or [ts, "event_id"]
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n0, s1_0, s2_0 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols)
+        v = pdf[value].to_numpy(dtype="float64")
+        # prefix moments EXCLUDING the current row: state + cumsum
+        # shifted by one
+        cnt = n0 + np.arange(len(v), dtype="int64")
+        s1 = s1_0 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+        s2 = s2_0 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = s1 / cnt
+            var = (s2 - cnt * mu * mu) / (cnt - 1)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            z = (v - mu) / sd
+            hit = np.flatnonzero(
+                (cnt >= min_prior) & (sd > 0) & (np.abs(z) > threshold)
+            )
+        state.update(
+            (
+                int(n0 + len(v)),
+                float(s1_0 + v.sum()),
+                float(s2_0 + (v * v).sum()),
+            )
+        )
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    key: [k[0]] * len(hit),
+                    "event_id": pdf["event_id"].to_numpy("int64")[hit],
+                    "ts_ms": _ts_ms(pdf[ts])[hit],
+                    "value": v[hit],
+                    "z": np.round(z[hit], 4),
+                }
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1185,3 +1185,21 @@ def test_popcount32_matches_python_bit_count():
     got = _popcount32(xs)
     want = np.array([int(x).bit_count() for x in xs])
     assert (got == want).all()
+
+
+def test_zscore_alerts_stream_matches_batch(spark, events, two_batch_stream, tmp_path):
+    """Welford-style running moments in state must reproduce the batch
+    expanding-window z-score alerts — including events whose baseline
+    accumulated in an EARLIER micro-batch."""
+    got = S.run_available_now(
+        S.zscore_alerts(two_batch_stream), str(tmp_path / "ck"), "append"
+    )
+    want = QUERIES["running_zscore_alerts"](spark, SF_SMALL)
+    got_set = {
+        (r.user_id, r.event_id, r.ts_ms, round(r.z, 3)) for r in got.collect()
+    }
+    want_set = {
+        (r.user_id, r.event_id, r.ts_ms, round(r.z, 3)) for r in want.collect()
+    }
+    assert got_set == want_set
+    assert len(got_set) > 0
