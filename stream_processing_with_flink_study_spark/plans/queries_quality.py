@@ -552,3 +552,119 @@ def running_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# windowed PSI drift monitor (per-day distribution vs whole-corpus ref)
+# --------------------------------------------------------------------------
+_PSI_BINS = 10
+_PSI_DAY_MS = 86_400_000
+
+
+def _psi_bin_expr(vmin, vmax) -> "F.Column":
+    return (
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - vmin) * float(_PSI_BINS) / (vmax - vmin)),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+
+
+@query(
+    "windowed_psi_drift",
+    f"""
+    WITH vstats AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    binned AS (
+      SELECT (epoch_ms(ts) // {_PSI_DAY_MS}) * {_PSI_DAY_MS} AS w_start,
+             CAST(least(greatest(floor((value - vmin) * {_PSI_BINS}.0
+                                       / (vmax - vmin)), 0),
+                        {_PSI_BINS - 1}) AS INTEGER) AS bin
+      FROM events, vstats
+    ),
+    total AS (SELECT count(*) AS n_all FROM binned),
+    ref AS (
+      SELECT bin, count(*) * 1.0 / n_all AS p
+      FROM binned, total GROUP BY bin, n_all
+    ),
+    wc AS (SELECT w_start, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    wt AS (SELECT w_start, sum(c) AS n FROM wc GROUP BY 1),
+    grid AS (
+      SELECT wt.w_start, wt.n, ref.bin, ref.p,
+             coalesce(wc.c, 0) AS c
+      FROM wt CROSS JOIN ref
+      LEFT JOIN wc ON wc.w_start = wt.w_start AND wc.bin = ref.bin
+    )
+    SELECT w_start, CAST(n AS BIGINT) AS n_events,
+           round(sum((greatest(c * 1.0 / n, 1e-6) - greatest(p, 1e-6))
+                     * ln(greatest(c * 1.0 / n, 1e-6)
+                          / greatest(p, 1e-6))), 4) AS psi
+    FROM grid
+    GROUP BY w_start, n
+    """,
+)
+def windowed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI drift monitor: each day's value distribution scored
+    against the whole-corpus reference in fixed-width bins — the
+    continuous version of :func:`psi_drift_report` a pipeline charts to
+    catch feature drift as data lands.
+
+    Plan shape is streaming-ready: ONE keyed aggregate per day carrying
+    ``_PSI_BINS`` conditional counters (no per-(day, bin) second
+    shuffle), the one-row min/max and the one-row reference-fraction
+    vector broadcast in.  Streaming twin:
+    ``streaming.pipelines.psi_drift_stream`` (same conditional-counter
+    aggregate under a watermarked tumbling window; equivalence in
+    tests/test_streaming.py).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_millis("ts").alias("ms"), "value")
+        .persist()
+    )
+    vstats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(vstats)).select(
+        ((F.col("ms") / _PSI_DAY_MS).cast("long") * _PSI_DAY_MS).alias(
+            "w_start"
+        ),
+        _psi_bin_expr(F.col("vmin"), F.col("vmax")),
+    )
+    # one-row reference vector p0..p9 (global bin fractions)
+    ref = binned.agg(
+        *[
+            (
+                F.sum(F.when(F.col("bin") == b, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias(f"p{b}")
+            for b in range(_PSI_BINS)
+        ]
+    )
+    days = binned.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(F.when(F.col("bin") == b, 1).otherwise(0)).alias(f"c{b}")
+            for b in range(_PSI_BINS)
+        ],
+    )
+    out = days.crossJoin(F.broadcast(ref))
+    eps = F.lit(1e-6)
+    terms = [
+        (
+            F.greatest(F.col(f"c{b}") * 1.0 / F.col("n_events"), eps)
+            - F.greatest(F.col(f"p{b}"), eps)
+        )
+        * F.log(
+            F.greatest(F.col(f"c{b}") * 1.0 / F.col("n_events"), eps)
+            / F.greatest(F.col(f"p{b}"), eps)
+        )
+        for b in range(_PSI_BINS)
+    ]
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return out.select("w_start", "n_events", F.round(psi, 4).alias("psi"))

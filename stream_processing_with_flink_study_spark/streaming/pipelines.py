@@ -294,3 +294,89 @@ def dynamic_rules_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def psi_drift_stream(
+    sdf: DataFrame,
+    ref: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    bins: int = 10,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the twin of
+    ``plans.queries_quality.windowed_psi_drift``: per tumbling window,
+    score the value distribution against a REFERENCE table's bin
+    fractions.
+
+    The reference stats (min/max + ``bins`` fractions) are resolved
+    ONCE at plan-build time with a bounded one-row collect (the same
+    pattern as IVF centroid training: constant-size, driver-side by
+    nature — a drift monitor's reference is a frozen artifact, not part
+    of the stream).  They enter the streaming plan as literals, so the
+    whole query is ONE stateful aggregate carrying ``bins`` conditional
+    counters per window — no stream-static join, no second shuffle.
+    """
+    vmin, vmax = ref.agg(
+        F.min(value).alias("a"), F.max(value).alias("b")
+    ).first()
+
+    def bin_of(col: F.Column) -> F.Column:
+        return (
+            F.least(
+                F.greatest(
+                    F.floor((col - vmin) * float(bins) / (vmax - vmin)),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            )
+            .cast("int")
+        )
+
+    ref_row = (
+        ref.select(bin_of(F.col(value)).alias("bin"))
+        .agg(
+            *[
+                (
+                    F.sum(F.when(F.col("bin") == b, 1).otherwise(0))
+                    * 1.0
+                    / F.count(F.lit(1))
+                ).alias(f"p{b}")
+                for b in range(bins)
+            ]
+        )
+        .first()
+    )
+    ps = [float(ref_row[f"p{b}"]) for b in range(bins)]
+
+    binned = sdf.withWatermark(ts, watermark).select(
+        F.col(ts), bin_of(F.col(value)).alias("bin")
+    )
+    days = binned.groupBy(F.window(ts, window)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(F.when(F.col("bin") == b, 1).otherwise(0)).alias(f"c{b}")
+            for b in range(bins)
+        ],
+    )
+    eps = F.lit(1e-6)
+    terms = [
+        (
+            F.greatest(F.col(f"c{b}") * 1.0 / F.col("n_events"), eps)
+            - F.greatest(F.lit(ps[b]), eps)
+        )
+        * F.log(
+            F.greatest(F.col(f"c{b}") * 1.0 / F.col("n_events"), eps)
+            / F.greatest(F.lit(ps[b]), eps)
+        )
+        for b in range(bins)
+    ]
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return days.select(
+        F.unix_millis("window.start").alias("w_start"),
+        "n_events",
+        F.round(psi, 4).alias("psi"),
+    )

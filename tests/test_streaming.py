@@ -1203,3 +1203,15 @@ def test_zscore_alerts_stream_matches_batch(spark, events, two_batch_stream, tmp
     }
     assert got_set == want_set
     assert len(got_set) > 0
+
+
+def test_psi_drift_stream_matches_batch(spark, events, two_batch_stream, tmp_path):
+    """The windowed drift monitor's streaming form (literal reference
+    vector, one stateful agg) must equal the batch per-day PSI."""
+    got = S.run_available_now(
+        S.psi_drift_stream(two_batch_stream, events),
+        str(tmp_path / "ck"),
+        "complete",
+    )
+    want = QUERIES["windowed_psi_drift"](spark, SF_SMALL)
+    assert_df_equal(got, want)
