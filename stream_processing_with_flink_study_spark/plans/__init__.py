@@ -19,5 +19,6 @@ from . import queries_scale  # noqa: E402,F401
 from . import queries_cep  # noqa: E402,F401
 from . import queries_trainprep  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
+from . import queries_mlops  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

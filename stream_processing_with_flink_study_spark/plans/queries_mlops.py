@@ -1,0 +1,187 @@
+"""Pipeline-operations queries (fourth wave): time-decayed engagement
+scoring (the streaming heavy-hitters-with-forgetting pattern),
+inter-event gap/burstiness profiling, and leakage-safe split
+assignment reports.
+
+Scale notes: decayed scores are ONE keyed aggregate over a broadcast
+one-row reference time (the decay kernel is a pure per-row expression,
+so partial aggregation applies); gap stats are one shuffle-sort per
+key; split assignment is a pure per-row hash with a tiny rollup.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+# half-life 7 days, in ms — ln 2 / half_life
+DECAY_HALF_LIFE_MS = 7 * 86_400_000
+DECAY_LAMBDA = math.log(2.0) / DECAY_HALF_LIFE_MS
+
+
+@query(
+    "decayed_topk_users",
+    f"""
+    WITH tref AS (SELECT max(epoch_ms(ts)) AS t FROM events),
+    scored AS (
+      SELECT user_id,
+             sum(exp(-{DECAY_LAMBDA!r} * (t - epoch_ms(ts)))) AS score,
+             count(*) AS n_events
+      FROM events, tref
+      GROUP BY user_id
+    )
+    SELECT user_id, round(score, 4) AS score, n_events
+    FROM scored
+    ORDER BY score DESC, user_id
+    LIMIT 20
+    """,
+)
+def decayed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity ranking (7-day half-life): each
+    event contributes ``exp(-λ·(T_ref − t))``, so recent activity
+    dominates without any window cutoff — the decayed-count pattern
+    behind trending/heavy-hitter feeds.  The decay kernel is a per-row
+    JVM expression under a plain keyed SUM (map-side partials apply);
+    T_ref is a broadcast one-row max.  Streaming twin:
+    ``streaming.stateful.decayed_counts`` (O(1) state per key: score
+    referenced at the key's last event, re-based on arrival — the
+    classic forward-decay trick; equivalence in
+    tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms")
+    )
+    tref = ev.agg(F.max("ms").alias("t"))
+    return (
+        ev.crossJoin(F.broadcast(tref))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.exp(F.lit(-DECAY_LAMBDA) * (F.col("t") - F.col("ms")))
+            ).alias("score_raw"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("score_raw"), F.asc("user_id"))
+        .limit(20)
+        .select(
+            "user_id", F.round("score_raw", 4).alias("score"), "n_events"
+        )
+    )
+
+
+@query(
+    "event_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_ms) AS n_gaps,
+           round(avg(gap_ms) / 1000.0, 4) AS avg_gap_s,
+           round(stddev_samp(gap_ms) / 1000.0, 4) AS std_gap_s,
+           round(stddev_samp(gap_ms) / avg(gap_ms), 4) AS burstiness_cv
+    FROM gaps
+    WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    HAVING count(gap_ms) >= 2
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profile per user: mean/stddev of consecutive
+    event gaps and the coefficient of variation (CV > 1 = bursty,
+    CV ≈ 1 = Poisson-like, CV < 1 = regular) — the cadence feature
+    behind bot detection and session-gap tuning.  One shuffle-sort per
+    key for the lag, then a plain keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_ms").alias("n_gaps"),
+            F.avg("gap_ms").alias("avg_ms"),
+            F.stddev_samp("gap_ms").alias("std_ms"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(F.col("avg_ms") / 1000.0, 4).alias("avg_gap_s"),
+            F.round(F.col("std_ms") / 1000.0, 4).alias("std_gap_s"),
+            F.round(F.col("std_ms") / F.col("avg_ms"), 4).alias(
+                "burstiness_cv"
+            ),
+        )
+    )
+
+
+@query(
+    "leakage_safe_splits",
+    """
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5('split0|' || source), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                  WHEN substr(md5('split0|' || source), 1, 8) < 'e6666666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4)
+             AS frac
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment report: the split is a
+    pure function of ``md5(salt|source)`` — every document from one
+    source lands in the SAME split, so templated near-duplicates within
+    a source can never straddle the train/eval boundary (the
+    group-level split rule eval-decontamination assumes).  ~80/10/10 by
+    source hash; actual doc fractions drift with per-source volume,
+    which is exactly what the report surfaces.  Pure per-row hash, one
+    tiny rollup, no shuffle of the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("split0|"), F.col("source"))), 1, 8
+    )
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        F.when(prefix < "cccccccc", "train")
+        .when(prefix < "e6666666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+    )
+    # corpus total via a window over the <=3-row split frame — keeps the
+    # query a single lazy plan (no driver-side count action)
+    w = Window.partitionBy()
+    return counts.select(
+        "split",
+        "n_docs",
+        "n_sources",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias(
+            "frac"
+        ),
+    )

@@ -17,6 +17,7 @@ primitives ``정리/5주차.md:7-13``; TTL ``정리/5주차.md:142-148`` →
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -633,4 +634,51 @@ def zscore_alerts(
 
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming exponentially-decayed per-key counts (forward decay, O(1) state)
+# --------------------------------------------------------------------------
+def decayed_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    half_life_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Time-decayed activity counter per key — the streaming twin of
+    ``plans.queries_mlops.decayed_topk_users``.  State is TWO numbers
+    per key: the decayed score REFERENCED AT the key's last event time,
+    plus that time.  On each micro-batch the old score is re-based with
+    one ``exp`` and the batch contributes a vectorized
+    ``sum(exp(-λ·(t_last − t_i)))`` — no unbounded history, no window
+    cutoff, no per-row Python.  Emissions (update-per-batch) carry
+    (key, score, last_ms); a consumer re-bases any row to a common
+    reference time T with ``score · exp(-λ·(T − last_ms))`` — scores at
+    different reference times are directly comparable after that."""
+    lam = math.log(2.0) / half_life_ms
+    out_schema = f"{key} long, score double, last_ms long"
+    state_schema = "score double, last_ms long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        score, last_ms = state.get if state.exists else (0.0, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
+        t = _ts_ms(pdf[ts])
+        t_new = int(t[-1])
+        batch = float(np.exp(-lam * (t_new - t.astype("float64"))).sum())
+        if last_ms is not None:
+            score = score * math.exp(-lam * (t_new - last_ms)) + batch
+        else:
+            score = batch
+        state.update((float(score), t_new))
+        yield pd.DataFrame(
+            {key: [k[0]], "score": [score], "last_ms": [t_new]}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

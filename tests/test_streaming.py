@@ -1215,3 +1215,40 @@ def test_psi_drift_stream_matches_batch(spark, events, two_batch_stream, tmp_pat
     )
     want = QUERIES["windowed_psi_drift"](spark, SF_SMALL)
     assert_df_equal(got, want)
+
+
+def test_decayed_counts_stream_matches_batch(spark, events, two_batch_stream, tmp_path):
+    """Forward-decay state re-based to the corpus max time must equal
+    the batch decayed scores for every key (not just the top-20 cut)."""
+    import math
+
+    from stream_processing_with_flink_study_spark.plans.queries_mlops import (
+        DECAY_LAMBDA,
+    )
+
+    got = S.run_available_now(
+        S.decayed_counts(two_batch_stream), str(tmp_path / "ck"), "update"
+    ).toPandas()
+    # last emission per key = final state
+    got = got.sort_values("last_ms").groupby("user_id").tail(1)
+    t_ref = events.agg(F.max(F.unix_millis("ts"))).first()[0]
+    got["score_ref"] = got.apply(
+        lambda r: r.score * math.exp(-DECAY_LAMBDA * (t_ref - r.last_ms)),
+        axis=1,
+    )
+    want = (
+        events.select("user_id", F.unix_millis("ts").alias("ms"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.exp(F.lit(-DECAY_LAMBDA) * (F.lit(t_ref) - F.col("ms")))
+            ).alias("score")
+        )
+        .toPandas()
+    )
+    merged = got.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (
+        (merged.score_ref - merged.score_want).abs()
+        / merged.score_want
+    ).max() < 1e-9
