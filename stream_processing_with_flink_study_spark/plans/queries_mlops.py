@@ -53,8 +53,12 @@ def decayed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced at the key's last event, re-based on arrival — the
     classic forward-decay trick; equivalence in
     tests/test_streaming.py)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_millis("ts").alias("ms")
+    # persist the 16-byte projection: both the T_ref max and the scoring
+    # aggregate consume it — one parquet scan instead of two
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_millis("ts").alias("ms"))
+        .persist()
     )
     tref = ev.agg(F.max("ms").alias("t"))
     return (
