@@ -189,3 +189,147 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac"
         ),
     )
+
+
+@query(
+    "hard_negatives_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 10),
+    scored AS MATERIALIZED (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(q.q_vec::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label != q.q_label
+    )
+    SELECT q_id, n_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the most-similar corpus vectors with a DIFFERENT label —
+    the near-miss negatives that make embedding models learn, not the
+    easy random ones.  Same broadcast-query / corpus-never-shuffles
+    shape as ``embedding_cosine_topk`` with a label-mismatch predicate
+    pushed into the scoring join; rank reduction partitions by query.
+    """
+    from ..functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "n_id", F.round("sim", 4).alias("cosine_sim"), "rank"
+        )
+    )
+
+
+@query(
+    "next_event_training_pairs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             lead(event_type) OVER w AS next_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_prev_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, event_type, ts_ms, gap_prev_ms, next_type
+    FROM seq
+    WHERE next_type IS NOT NULL
+    """,
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training examples: each event becomes a
+    (features → label) pair with the follow-up event type as label and
+    the backward gap as a cadence feature — the example-generation pass
+    of a sequence-model pipeline.  One shuffle-sort per user computes
+    BOTH the lead label and the lag feature in the same window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ms.alias("ts_ms"),
+            (ms - F.lag(ms).over(w)).alias("gap_prev_ms"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+
+
+@query(
+    "source_mixing_rates",
+    """
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    budgeted AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER () * 0.5 / count(*) OVER () AS budget_s
+      FROM per_source
+    )
+    SELECT source, n_tokens,
+           round(least(1.0, budget_s / n_tokens), 4) AS sample_rate,
+           CAST(floor(least(1.0, budget_s / n_tokens) * n_tokens) AS BIGINT)
+             AS expected_tokens
+    FROM budgeted
+    """,
+)
+def source_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing rates: given a token budget (50% of the corpus)
+    split equally across sources, the per-source sampling rate
+    ``min(1, budget/tokens)`` that flattens over-represented sources —
+    the data-mixing computation behind every pretraining recipe.  One
+    keyed aggregate for per-source token counts, then window totals
+    over the tiny source frame; nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    budget_s = (
+        F.sum("n_tokens").over(w) * 0.5 / F.count(F.lit(1)).over(w)
+    )
+    rate = F.least(F.lit(1.0), budget_s / F.col("n_tokens"))
+    return per_source.select(
+        "source",
+        "n_tokens",
+        F.round(rate, 4).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias(
+            "expected_tokens"
+        ),
+    )
