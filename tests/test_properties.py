@@ -140,3 +140,75 @@ def test_packing_invariants_hold_for_any_lengths(spark, lengths, budget):
         assert sum(toks) <= budget or len(toks) == 1
         if len(toks) == 1 and toks[0] > budget:
             pass  # oversized doc riding alone is the documented contract
+
+
+# --------------------------------------------------------------------------
+# forward-decay recurrence (streaming decayed_counts handler math)
+# --------------------------------------------------------------------------
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40
+    ),
+    cut=st.integers(min_value=0, max_value=40),
+    half_life=st.floats(min_value=1e3, max_value=1e9),
+)
+@settings(max_examples=200, deadline=None)
+def test_forward_decay_split_invariance(ts, cut, half_life):
+    """Processing a key's events in ONE batch or split at ANY boundary
+    must yield the same final decayed score (after re-basing to the last
+    event) — the invariant that makes the streaming operator's state
+    meaningful across arbitrary micro-batch boundaries."""
+    import math
+
+    lam = math.log(2.0) / half_life
+    ts = sorted(ts)
+    cut = min(cut, len(ts))
+
+    def batch_score(events, score, last):
+        if not events:
+            return score, last
+        t_new = events[-1]
+        contrib = sum(math.exp(-lam * (t_new - t)) for t in events)
+        if last is None:
+            return contrib, t_new
+        return score * math.exp(-lam * (t_new - last)) + contrib, t_new
+
+    one_shot, _ = batch_score(ts, 0.0, None)
+    s, l = batch_score(ts[:cut], 0.0, None)
+    split, _ = batch_score(ts[cut:], s, l if cut else None)
+    assert abs(one_shot - split) <= 1e-9 * max(one_shot, 1.0)
+
+
+# --------------------------------------------------------------------------
+# k-token window index cardinality law (substring-dup coverage)
+# --------------------------------------------------------------------------
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=6)
+)
+@settings(**_SETTINGS)
+def test_window_index_counts_follow_max_law(spark, n_tokens):
+    """Every doc contributes exactly max(n - k + 1, 0) windows (before
+    the distinct): short docs vanish instead of fabricating windows via
+    Spark's descending-sequence corner."""
+    from stream_processing_with_flink_study_spark.plans.queries_quality import (
+        _WIN_K,
+        _window_index,
+    )
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in _window_index(corpus, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for i, n in enumerate(n_tokens):
+        # doc with all-unique tokens: split("") of empty text yields one
+        # empty token, so n=0 behaves as a 1-token doc
+        eff = max(n, 1)
+        assert got.get(i, 0) == max(eff - _WIN_K + 1, 0)
