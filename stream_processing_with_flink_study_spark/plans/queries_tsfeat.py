@@ -1,0 +1,347 @@
+"""Time-series feature + feature-engineering queries (fifth wave):
+single-split changepoint detection, lag autocorrelation, seasonal
+baselines, leave-one-out target encoding, hashing-trick features, and
+global passage-level dedup with document reassembly.
+
+Oracle-determinism notes (see plans/registry.py conventions):
+- running sums use ``ROWS UNBOUNDED PRECEDING`` over a UNIQUE order key
+  (ts, event_id) so both engines evaluate the same sequential float
+  recurrence bit-for-bit — which makes the changepoint argmax
+  engine-stable without rounding tricks;
+- whole-partition totals are read back from the LAST running-sum value
+  (not a separate unordered aggregate) for the same reason;
+- hashing-trick buckets use md5 (identical in both engines) rather
+  than engine-native hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "changepoint_single_split",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER w AS k,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT *, max(CASE WHEN k = n THEN cum END)
+                  OVER (PARTITION BY user_id) AS total
+      FROM s
+    ),
+    sc AS (
+      SELECT user_id, k, ts_ms, n,
+             abs(cum / k - (total - cum) / (n - k))
+               * sqrt(k * (n - k) * 1.0 / n) AS score,
+             (total - cum) / (n - k) - cum / k AS shift
+      FROM t WHERE k < n AND n >= 20
+    )
+    SELECT user_id, CAST(k AS BIGINT) AS split_k, ts_ms AS split_ts_ms,
+           round(score - 1e-9, 4) AS cusum_score,
+           round(shift - 1e-9, 4) AS mean_shift
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY score DESC, k) AS r
+      FROM sc
+    ) WHERE r = 1
+    """,
+)
+def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint per series (binary-segmentation step):
+    for every cut point k the statistic ``|mean_left − mean_right| ·
+    sqrt(k(n−k)/n)`` from running sums, argmax per user — the level-
+    shift detector behind drift alarms.  One shuffle-sort per key
+    computes the running sum, the per-row score, AND the argmax (three
+    window passes over the same partitioning, one exchange); the series
+    total is the last running-sum value.
+
+    Cross-engine note: source values are quantized (2 decimals), so
+    split means can land EXACTLY on round-half boundaries while the two
+    engines' windowed sums differ by ~1e-14 (sequential vs segment-tree
+    association) — a plain ``round(x, 4)`` flips on those rows.  Both
+    sides therefore round ``x − 1e-9``: the nudge moves the rounding
+    boundary off the data's rational grid, far above float jitter and
+    far below the output precision."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.row_number().over(wo).alias("k"),
+        F.sum("value").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    t = s.withColumn(
+        "total",
+        F.max(F.when(F.col("k") == F.col("n"), F.col("cum"))).over(wp),
+    )
+    mean_l = F.col("cum") / F.col("k")
+    mean_r = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("k"))
+    sc = t.filter((F.col("k") < F.col("n")) & (F.col("n") >= 20)).select(
+        "user_id",
+        "k",
+        "ts_ms",
+        (
+            F.abs(mean_l - mean_r)
+            * F.sqrt(F.col("k") * (F.col("n") - F.col("k")) * 1.0 / F.col("n"))
+        ).alias("score"),
+        (mean_r - mean_l).alias("shift"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("k"))
+    return (
+        sc.withColumn("r", F.row_number().over(wbest))
+        .filter(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.col("k").cast("long").alias("split_k"),
+            F.col("ts_ms").alias("split_ts_ms"),
+            F.round(F.col("score") - 1e-9, 4).alias("cusum_score"),
+            F.round(F.col("shift") - 1e-9, 4).alias("mean_shift"),
+        )
+    )
+
+
+@query(
+    "autocorr_lag1",
+    """
+    WITH p AS (
+      SELECT user_id, value AS x,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS xp
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(x, xp), 4) AS ac1
+    FROM p WHERE xp IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 10
+    """,
+)
+def autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series — the "is this signal trending
+    or white noise" feature.  One shuffle-sort per key for the lag
+    pairing, then a plain keyed ``corr`` (JVM aggregate, map-side
+    partials)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        F.lag("value").over(w).alias("xp"),
+    ).filter(F.col("xp").isNotNull())
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("x", "xp"), 4).alias("ac1"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+    )
+
+
+@query(
+    "seasonal_profile_mae",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             avg(value) OVER (PARTITION BY event_type, extract(hour FROM ts))
+               AS hr_mean
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(abs(value - hr_mean)), 4) AS mae,
+           round(max(abs(value - hr_mean)), 4) AS max_abs_dev
+    FROM h GROUP BY event_type
+    """,
+)
+def seasonal_profile_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-baseline fit: predict each event's value by
+    its (type, hour) mean and report per-type MAE — the cheap seasonal
+    screen before reaching for a real forecaster.  The profile mean is
+    a window aggregate over (type, hour) so the residual computation
+    needs no second join; the (type, hour) frame has at most
+    |types|·24 groups, so the exchange is key-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type", F.hour("ts"))
+    h = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(wp).alias("hr_mean"),
+    )
+    dev = F.abs(F.col("value") - F.col("hr_mean"))
+    return h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(dev), 4).alias("mae"),
+        F.round(F.max(dev), 4).alias("max_abs_dev"),
+    )
+
+
+@query(
+    "target_encoding_loo",
+    """
+    WITH t AS (
+      SELECT event_id, event_type, value,
+             sum(value) OVER (PARTITION BY event_type) AS s,
+             count(*) OVER (PARTITION BY event_type) AS c
+      FROM events
+    )
+    SELECT event_id, event_type,
+           round((s - value) / (c - 1), 4) AS loo_enc
+    FROM t WHERE c > 1
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature: each
+    row's encoding is the mean target of its category EXCLUDING the row
+    itself — the leakage-safe variant every tabular-ML pipeline wants.
+    Window sum/count per category (few categories → small exchange),
+    pure per-row arithmetic after; no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.sum("value").over(wp).alias("s"),
+        F.count(F.lit(1)).over(wp).alias("c"),
+    )
+    return t.filter(F.col("c") > 1).select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("s") - F.col("value")) / (F.col("c") - 1), 4
+        ).alias("loo_enc"),
+    )
+
+
+@query(
+    "feature_hashing_counts",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 32
+                AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: every token maps to one of 32
+    buckets via the first 8 hex chars of its md5 (md5 so the DuckDB
+    oracle hashes identically — engine-native hash functions differ),
+    counted per document.  Explode + keyed count, partials map-side;
+    the bucket id is a pure JVM expression chain (md5 → conv base16 →
+    mod), no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % 32
+    ).cast("int")
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+@query(
+    "passage_dedup_reassemble",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, start,
+             array_to_string(toks[start:start + 15], ' ') AS ptext
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks), 16)) AS start
+        FROM d
+      )
+    ),
+    marked AS (
+      SELECT doc_id, start, ptext,
+             row_number() OVER (
+               PARTITION BY md5(ptext) ORDER BY doc_id, start) AS r
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN r = 1 THEN ptext END, ' '
+                                   ORDER BY start), '')) AS kept_md5
+    FROM marked GROUP BY doc_id
+    """,
+)
+def passage_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global passage-level exact dedup with document reassembly (the
+    Dolma/CCNet paragraph-dedup pass, on 16-token windows since the
+    synthetic corpus has no newlines): every passage is hashed, only
+    the FIRST occurrence corpus-wide (by doc_id, offset) survives, and
+    each document is re-joined from its surviving passages in order.
+    The result column is the md5 of the reassembled text so the gate
+    compares full contents without hauling documents around.
+
+    Scale shape: one explode (linear), ONE shuffle on the passage hash
+    for first-occurrence ranking, one keyed re-aggregation by doc_id;
+    the reassembly sorts within each doc's collected passage list (per
+    group, no extra exchange).  The passage projection is computed once
+    — no duplicate lineage branches."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    p = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(16))
+        ).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "start",
+        F.array_join(F.slice("toks", F.col("start"), 16), " ").alias("ptext"),
+    )
+    wfirst = Window.partitionBy(F.md5("ptext")).orderBy("doc_id", "start")
+    marked = p.withColumn("r", F.row_number().over(wfirst))
+    kept_struct = F.when(
+        F.col("r") == 1, F.struct(F.col("start"), F.col("ptext"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x.ptext,
+                    ),
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_md5"),
+    )
