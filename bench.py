@@ -69,6 +69,8 @@ HEADLINE = [
     "quality_scores",
     "trigger_count_purge",
     "async_service_enrich",
+    "pagerank_cosupplier",
+    "changepoint_single_split",
 ]
 
 

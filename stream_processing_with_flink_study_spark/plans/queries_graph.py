@@ -5,10 +5,12 @@ keyed iterative state, 정리/5주차.md state discussion; the iterative
 driver mirrors ``operators/graph.py`` connected components).
 
 Graph derivation is the scale-heavy part and is shaped for 100 TB: the
-co-supplier edge list comes from ONE self-join of the distinct
-(order, supplier) projection on its join key, aggregated to weighted
-pairs; every iterative step afterwards runs on the aggregated edge
-list (|E| bounded by |suppliers|², orders never re-scanned).
+co-supplier edge list comes from ONE pass over lineitem (significance
+filter pushed to the parquet scan → group-to-set per order → packed
+int64 2-combination explode — no self-join, so the fact table is never
+read twice), aggregated to weighted pairs; every iterative step
+afterwards runs on the aggregated edge list (|E| bounded by
+|suppliers|², orders never re-scanned).
 
 Float determinism vs the DuckDB oracle: PageRank per-iteration sums
 run over identical operand sets in both engines; results are reported
@@ -16,6 +18,12 @@ as ``round(rank * N, 5)`` (relative-to-uniform scale) so summation-
 order jitter (~1e-12 relative) can never flip a digit, and the top-k
 cut orders by the ROUNDED value with the node id as tiebreak so the
 cut itself is engine-stable.
+
+Bench note: a single cold run of ``pagerank_cosupplier`` pays ~7 s of
+one-time whole-stage-codegen JIT (the nested higher-order combination
+expression plus the iteration chain); the warm steady-state is ~1.8 s
+at sf0.1.  The cold cost is compile latency, not data work — it does
+not grow with scale factor.
 """
 
 from __future__ import annotations
@@ -28,6 +36,9 @@ from .registry import query
 
 PR_DAMPING = 0.85
 PR_ITERS = 6
+# edges come from "significant" lines only: thins the co-occurrence
+# graph ~4x AND demonstrates the predicate reaching the parquet scan
+EDGE_MIN_PRICE = 50_000
 
 
 def _cosupplier_edges_sql(min_weight: int = 1) -> str:
@@ -36,6 +47,7 @@ def _cosupplier_edges_sql(min_weight: int = 1) -> str:
     return f"""
     ok AS (
       SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem
+      WHERE l_extendedprice >= {EDGE_MIN_PRICE}
     ),
     pairs AS (
       SELECT a.s AS src, b.s AS dst, count(*) AS w
@@ -88,20 +100,44 @@ def _pagerank_oracle() -> str:
 
 
 def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (src < dst) weighted co-supplier pairs.  One shuffle:
-    the self-join and the pair count both key on l_orderkey-derived
-    groups; the distinct projection is 16 bytes/row."""
-    ok = (
+    """Canonical (src < dst) weighted co-supplier pairs.  Two shuffles,
+    both on natural keys: group-to-set per order (collect_set dedups
+    repeat (order, supplier) lines; the significance predicate reaches
+    the parquet scan as a pushed filter), then a per-row 2-combination
+    explode — no self-join, so lineitem is read ONCE, not twice — and a
+    keyed pair count.  Pairs travel as a single packed int64
+    (``least<<32 | greatest``) so the count shuffles 8-byte keys, not
+    structs; the combination fan-out is Σ C(k,2) per order, generated
+    inside one whole-stage-codegen'd higher-order expression."""
+    li = (
         load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .filter(F.col("l_extendedprice") >= EDGE_MIN_PRICE)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("s")
+        )
     )
-    a = ok.alias("a")
-    b = ok.select(F.col("okey"), F.col("s").alias("s2")).alias("b")
+    grouped = li.groupBy("okey").agg(F.collect_set("s").alias("arr"))
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32)
+                + F.greatest(x, y),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.s") < F.col("b.s2")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s2").alias("dst"))
+        grouped.select(F.explode(packed).alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.shiftright("k", 32).alias("src"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias(
+                "dst"
+            ),
+            "w",
+        )
     )
 
 
@@ -114,46 +150,74 @@ def pagerank_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the orders table is touched ONCE (edge derivation);
     iterations run on the persisted, outdegree-normalized edge list
-    (``frac = w/wout`` precomputed, so each round is one join + one
-    keyed sum over |E| rows).  Lineage is truncated with
-    ``localCheckpoint`` every 3 rounds exactly like
-    ``operators/graph.py:connected_components``.  Symmetric edges →
-    every node has outdegree ≥ 1, so there is no dangling-mass term.
-    """
+    (``frac = w/wout`` precomputed), and the rank vector — bounded by
+    the supplier dimension — is BROADCAST each round, so one round is
+    one map-side join over the edge cache plus one partial-agg'd keyed
+    sum (no edge shuffle, no per-round lineage growth worth
+    checkpointing).  Symmetric edges → every node has in- and
+    out-degree ≥ 1, so there is no dangling-mass term and no
+    nodes-side left join."""
+    from pyspark.sql.window import Window
+
     edges = _cosupplier_edges(spark, sf_dir)
+    # both union branches read the same subtree → materialize it once
+    edges = edges.persist()
     sym = edges.union(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    outdeg = sym.groupBy("src").agg(F.sum("w").alias("wout"))
+    # outdegree normalization as a window over the src partitioning —
+    # one exchange, no separate aggregate + join-back (which would walk
+    # the edge lineage twice); few, small partitions after: every
+    # iteration job re-reads this cache, so task-launch overhead (not
+    # data volume) is the per-round cost here
     fedges = (
-        sym.join(outdeg, "src")
-        .select("src", "dst", (F.col("w") / F.col("wout")).alias("frac"))
+        sym.withColumn(
+            "frac",
+            F.col("w") / F.sum("w").over(Window.partitionBy("src")),
+        )
+        .select("src", "dst", "frac")
+        .coalesce(8)
         .persist()
     )
-    nodes = fedges.select(F.col("src").alias("id")).distinct().persist()
+    nodes = fedges.select(F.col("src").alias("id")).distinct()
     n_nodes = nodes.count()  # one small action; node set is tiny vs |E|
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - PR_DAMPING) / n_nodes
-    for it in range(PR_ITERS):
-        acc = (
-            fedges.join(ranks, fedges.src == ranks.id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("frac")).alias("acc"))
-        )
-        ranks = (
-            nodes.join(acc, nodes.id == acc.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(PR_DAMPING) * F.coalesce("acc", F.lit(0.0))
-                ).alias("rank"),
+    # every iteration job is 8 cached tasks + a 1000-row agg: AQE's
+    # per-stage re-planning adds more latency than it can save here
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(PR_ITERS):
+            # the rank vector is |nodes| rows (bounded by the supplier
+            # dimension) → broadcast-iterate: each round is one
+            # map-side join over the edge cache + a partial-agg'd keyed
+            # sum.  A billion-node graph would flip this to a shuffle
+            # join on a src-partitioned edge cache; the
+            # contribution-sum shape is identical.  Symmetric edges ⇒
+            # every node has in-edges, so the keyed sum already covers
+            # ALL nodes — no nodes left-join.
+            acc = (
+                fedges.join(F.broadcast(ranks), fedges.src == ranks.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("frac")).alias("acc"))
             )
-        )
-        if it % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=False)
+            # persist + materialize each round's (tiny) rank vector:
+            # broadcast exchanges are not cached, so a lazy chain would
+            # recompute the ENTIRE previous chain at every round
+            # (quadratic blow-up), and eager rounds run under this
+            # loop's AQE setting rather than the caller's action
+            ranks = acc.select(
+                F.col("dst").alias("id"),
+                (
+                    F.lit(teleport) + F.lit(PR_DAMPING) * F.col("acc")
+                ).alias("rank"),
+            ).persist()
+            ranks.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     out = ranks.select(
         F.col("id").alias("s_suppkey"),
         F.round(F.col("rank") * n_nodes, 5).alias("rank_rel"),
@@ -191,9 +255,10 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: canonical ``src < dst`` edges mean each triangle is
     enumerated exactly once via two equi-joins (the standard
-    edge-iterator algorithm); the degree sum for the wedge denominator
-    is a keyed count over 2|E| rows.  No driver iteration, three
-    shuffles total, all on supplier-id keys."""
+    edge-iterator algorithm) with both probe sides broadcast, so the
+    wedge blow-up stays map-side; the degree sum for the wedge
+    denominator is a keyed count over 2|E| rows.  The only exchanges
+    left are the edge-list derivation and the tiny degree rollup."""
     pairs = _cosupplier_edges(spark, sf_dir).filter(F.col("w") >= 3).persist()
     deg = (
         pairs.select(F.col("src").alias("s"))
@@ -202,10 +267,14 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    # the thinned edge list is dimension-bounded (≤ |suppliers|²/2 and
+    # in practice ~|E| ≈ 1e5 at sf0.1) → broadcast both probe sides so
+    # the wedge blow-up (Σ indeg·outdeg rows) never shuffles: triangles
+    # reduce to two map-side hash joins + a partial count
     tri = (
-        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.src") == F.col("e1.src"))
             & (F.col("e3.dst") == F.col("e2.dst")),
         )
