@@ -22,5 +22,6 @@ from . import queries_quality  # noqa: E402,F401
 from . import queries_mlops  # noqa: E402,F401
 from . import queries_graph  # noqa: E402,F401
 from . import queries_tsfeat  # noqa: E402,F401
+from . import queries_mining  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,289 @@
+"""Pattern-mining / distribution-profiling queries (fifth wave):
+market-basket association rules, per-source token-distribution
+divergence, out-of-vocabulary rates, and event-type Markov transition
+matrices.
+
+Scale notes: every query is one scan of its fact table; co-occurrence
+pairs travel as packed int64 keys (same trick as
+``queries_graph._cosupplier_edges``); vocabularies are top-K cuts with
+deterministic (count, token) tie-breaks and get broadcast — the corpus
+never shuffles against itself.  All emitted ratios divide exact
+integer counts, so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text
+from ..sources import load_table
+from .registry import query
+
+ASSOC_MIN_COUNT = 3
+
+
+@query(
+    "assoc_rules_parts",
+    f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT okey) AS n FROM op),
+    item AS (SELECT p, count(*) AS cnt_p FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS cnt
+      FROM op a JOIN op b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {ASSOC_MIN_COUNT}
+    )
+    SELECT part_a, part_b, cnt,
+           round(cnt * 1.0 / n.n, 6) AS support,
+           round(cnt * 1.0 / ia.cnt_p, 4) AS conf_a_to_b,
+           round((cnt * 1.0 / n.n)
+                 / ((ia.cnt_p * 1.0 / n.n) * (ib.cnt_p * 1.0 / n.n)),
+                 4) AS lift
+    FROM pairs
+    JOIN item ia ON ia.p = part_a
+    JOIN item ib ON ib.p = part_b
+    CROSS JOIN n_orders n
+    """,
+)
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over parts co-purchased in one
+    order: support, confidence(a→b) and lift for every pair above a
+    minimum co-occurrence — the co-occurrence feature mill behind
+    negative sampling and complementary-item candidates.
+
+    Scale shape: lineitem is scanned ONCE; baskets group to per-order
+    part sets and explode to packed int64 2-combinations (Σ C(k,2)
+    rows, no self-join), so the pair count shuffles 8-byte keys.  The
+    per-item counts and the one-row order total are broadcast back
+    onto the (already thresholded, hence small) pair list.  All ratios
+    divide exact counts — bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+    )
+    baskets = li.groupBy("okey").agg(F.collect_set("p").alias("arr")).persist()
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32)
+                + F.greatest(x, y),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(packed).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= ASSOC_MIN_COUNT)
+        .select(
+            F.shiftright("k", 32).alias("part_a"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias(
+                "part_b"
+            ),
+            "cnt",
+        )
+    )
+    item = baskets.select(F.explode("arr").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt_p")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    ia = item.select(F.col("p").alias("part_a"), F.col("cnt_p").alias("cnt_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("cnt_p").alias("cnt_b"))
+    supp = F.col("cnt") * 1.0 / F.col("n")
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "cnt",
+            F.round(supp, 6).alias("support"),
+            F.round(F.col("cnt") * 1.0 / F.col("cnt_a"), 4).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                supp
+                / (
+                    (F.col("cnt_a") * 1.0 / F.col("n"))
+                    * (F.col("cnt_b") * 1.0 / F.col("n"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "source_kl_divergence",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ),
+    sc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+    vocab AS (
+      SELECT t, cc FROM (
+        SELECT t, sum(c) AS cc,
+               row_number() OVER (ORDER BY sum(c) DESC, t) AS r
+        FROM sc GROUP BY t
+      ) WHERE r <= 500
+    ),
+    joined AS (
+      SELECT s.source, s.t, s.c, v.cc,
+             sum(s.c) OVER (PARTITION BY s.source) AS tot_s,
+             sum(v.cc) OVER (PARTITION BY s.source) AS tot_c
+      FROM sc s JOIN vocab v ON v.t = s.t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum((c * 1.0 / tot_s)
+                     * ln((c * 1.0 / tot_s) / (cc * 1.0 / tot_c))), 4)
+             AS kl_nats
+    FROM joined GROUP BY source
+    """,
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution divergence: KL(source ‖ corpus)
+    over the corpus top-500 vocabulary (distributions renormalized over
+    that shared support, so no smoothing terms) — the source
+    fingerprint behind mixture-weight diagnostics.  One corpus scan
+    feeds a persisted (source, token, count) projection used by BOTH
+    the vocabulary cut and the divergence sum; the 500-term vocabulary
+    is broadcast.  Tie-broken (count, token) vocabulary cut keeps the
+    top-K engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    wv = Window.orderBy(F.desc("cc"), F.asc("t"))
+    vocab = (
+        sc.groupBy("t")
+        .agg(F.sum("c").alias("cc"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 500)
+        .select("t", "cc")
+    )
+    ws = Window.partitionBy("source")
+    joined = (
+        sc.join(F.broadcast(vocab), "t")
+        .withColumn("tot_s", F.sum("c").over(ws))
+        .withColumn("tot_c", F.sum("cc").over(ws))
+    )
+    p_s = F.col("c") * 1.0 / F.col("tot_s")
+    p_c = F.col("cc") * 1.0 / F.col("tot_c")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl_nats"),
+    )
+
+
+@query(
+    "oov_rate_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ),
+    sc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY sum(c) DESC, t) AS r
+        FROM sc GROUP BY t
+      ) WHERE r <= 100
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.t IS NULL THEN c ELSE 0 END) * 1.0
+                 / sum(c), 4) AS oov_rate
+    FROM sc LEFT JOIN vocab v ON v.t = sc.t
+    GROUP BY source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-100
+    vocabulary — the tokenizer-coverage screen run before committing to
+    a vocab.  Same persisted (source, token, count) projection pattern
+    as :func:`source_kl_divergence`: the vocabulary cut and the OOV
+    rollup share one exchange, the tiny vocab is broadcast for the
+    anti-join-style membership test (LEFT JOIN + null check, so kept
+    and OOV mass come out of ONE pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    wv = Window.orderBy(F.desc("cc"), F.asc("t"))
+    vocab = (
+        sc.groupBy("t")
+        .agg(F.sum("c").alias("cc"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 100)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    joined = sc.join(F.broadcast(vocab), "t", "left")
+    oov_c = F.when(F.col("in_v").isNull(), F.col("c")).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(oov_c).cast("long").alias("n_oov"),
+        F.round(F.sum(oov_c) * 1.0 / F.sum("c"), 4).alias("oov_rate"),
+    )
+
+
+@query(
+    "markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_t,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+      FROM events
+    )
+    SELECT prev_t, next_t, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY prev_t), 4) AS prob
+    FROM seq WHERE next_t IS NOT NULL
+    GROUP BY prev_t, next_t
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: count and
+    row-normalized probability for every (prev → next) pair across all
+    user sequences — the behavioral prior a sequence model is judged
+    against.  One shuffle-sort per user for the lead, a keyed count
+    over |types|² groups, and a window normalization over the tiny
+    transition frame.  Probabilities divide exact counts —
+    bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_t"),
+        F.lead("event_type").over(w).alias("next_t"),
+    ).filter(F.col("next_t").isNotNull())
+    counts = seq.groupBy("prev_t", "next_t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wrow = Window.partitionBy("prev_t")
+    return counts.select(
+        "prev_t",
+        "next_t",
+        "cnt",
+        F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(wrow), 4).alias(
+            "prob"
+        ),
+    )
