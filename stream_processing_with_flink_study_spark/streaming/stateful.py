@@ -682,3 +682,57 @@ def decayed_counts(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+# --------------------------------------------------------------------------
+# streaming event-type transition counts (Markov matrix deltas, O(1) state)
+# --------------------------------------------------------------------------
+def transition_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key event-type transition deltas — the streaming twin of
+    ``plans.queries_mining.markov_transitions``.  State is ONE value
+    per key: the last event type seen, which seeds the first transition
+    of the next micro-batch, so cross-batch transitions are never lost
+    and state never grows with history.  Each batch emits aggregated
+    (prev_t, next_t, delta) counts for the key; a consumer (or the
+    equivalence test) sums deltas by pair to recover the global
+    transition matrix and row-normalizes for probabilities.  Per-batch
+    work is a vectorized pandas shift + groupby — no per-row Python."""
+    out_schema = f"{key} long, prev_t string, next_t string, delta long"
+    state_schema = "last_t string"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts, order_col]
+        )
+        types = pdf[etype].reset_index(drop=True)
+        seed = state.get[0] if state.exists else None
+        state.update((str(types.iloc[-1]),))
+        if seed is not None:
+            types = pd.concat(
+                [pd.Series([seed]), types], ignore_index=True
+            )
+        if len(types) < 2:
+            return
+        pairs = pd.DataFrame(
+            {"prev_t": types.iloc[:-1].values, "next_t": types.iloc[1:].values}
+        )
+        counts = (
+            pairs.groupby(["prev_t", "next_t"], as_index=False)
+            .size()
+            .rename(columns={"size": "delta"})
+        )
+        counts.insert(0, key, k[0])
+        yield counts
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1252,3 +1252,39 @@ def test_decayed_counts_stream_matches_batch(spark, events, two_batch_stream, tm
         (merged.score_ref - merged.score_want).abs()
         / merged.score_want
     ).max() < 1e-9
+
+
+def test_transition_counts_stream_matches_batch(spark, events, two_batch_stream, tmp_path):
+    """Summed per-batch transition deltas must equal the batch Markov
+    matrix counts — including transitions that STRADDLE the micro-batch
+    boundary (carried by the one-value last-type state)."""
+    got = S.run_available_now(
+        S.transition_counts(two_batch_stream), str(tmp_path / "ck"), "update"
+    ).toPandas()
+    got = (
+        got.groupby(["prev_t", "next_t"], as_index=False)["delta"]
+        .sum()
+        .rename(columns={"delta": "cnt"})
+        .sort_values(["prev_t", "next_t"])
+        .reset_index(drop=True)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        events.select(
+            F.col("event_type").alias("prev_t"),
+            F.lead("event_type").over(w).alias("next_t"),
+        )
+        .filter(F.col("next_t").isNotNull())
+        .groupBy("prev_t", "next_t")
+        .count()
+        .toPandas()
+        .rename(columns={"count": "cnt"})
+        .sort_values(["prev_t", "next_t"])
+        .reset_index(drop=True)
+    )
+    assert got["cnt"].sum() == want["cnt"].sum()
+    merged = got.merge(want, on=["prev_t", "next_t"], suffixes=("_s", "_b"))
+    assert len(merged) == len(want) == len(got)
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()
