@@ -96,3 +96,120 @@ def connected_components(
                 break
         labels = new_labels
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 6,
+    damping: float = 0.85,
+    edge_partitions: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over a DIRECTED edge list; returns (id, rank)
+    with Σ rank = 1 after any number of iterations.
+
+    Requires every node to appear as a source (symmetrize an undirected
+    graph before calling) — then every node also receives contributions
+    and there is no dangling-mass correction term.
+
+    Scale shape: the outdegree-normalized edge list is persisted once
+    (normalization is a window over the src partitioning — one
+    exchange, no aggregate + join-back); each round BROADCASTS the
+    dimension-bounded rank vector and runs one map-side join over the
+    edge cache plus a partial-agg'd keyed sum.  Rounds materialize
+    eagerly under a temporarily-disabled AQE (these are 8-task cached
+    jobs + a |nodes|-row aggregate; per-stage re-planning costs more
+    latency than it saves), and each round's tiny rank vector is
+    persisted because broadcast exchanges are not cached — a lazy chain
+    would recompute all previous rounds at every round.  A
+    billion-node graph would flip the broadcast to a shuffle join on a
+    src-partitioned edge cache; the contribution-sum shape is
+    identical."""
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    fedges = (
+        edges.withColumn(
+            "frac",
+            F.col(weight) / F.sum(weight).over(Window.partitionBy(src)),
+        )
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"), "frac")
+        .coalesce(edge_partitions)
+        .persist()
+    )
+    nodes = fedges.select(F.col("src").alias("id")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iters):
+            acc = (
+                fedges.join(F.broadcast(ranks), fedges.src == ranks.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("frac")).alias("acc"))
+            )
+            ranks = acc.select(
+                F.col("dst").alias("id"),
+                (F.lit(teleport) + F.lit(damping) * F.col("acc")).alias(
+                    "rank"
+                ),
+            ).persist()
+            ranks.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Triangle count + global clustering coefficient over a CANONICAL
+    (src < dst) undirected edge list.  One row out: (n_nodes, n_edges,
+    n_triangles, clustering_coeff = 3·triangles / wedges).
+
+    Scale shape: canonical edges enumerate each triangle exactly once
+    via two equi-joins (the edge-iterator algorithm) with both probe
+    sides broadcast, so the wedge blow-up (Σ indeg·outdeg rows) stays
+    map-side; the degree sum is a keyed count over 2|E| rows.  Callers
+    should pre-thin dense co-occurrence graphs (weight threshold) —
+    broadcastability of the edge list is the operating regime."""
+    pairs = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist()
+    deg = (
+        pairs.select(F.col("src").alias("s"))
+        .union(pairs.select(F.col("dst").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+    )
+    edge_ct = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(edge_ct))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            F.round(3.0 * F.col("n_tri") / F.col("wedges"), 4).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

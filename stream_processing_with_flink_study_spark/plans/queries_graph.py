@@ -149,15 +149,14 @@ def pagerank_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-importance pass of a graph feature pipeline.
 
     Scale shape: the orders table is touched ONCE (edge derivation);
-    iterations run on the persisted, outdegree-normalized edge list
-    (``frac = w/wout`` precomputed), and the rank vector — bounded by
-    the supplier dimension — is BROADCAST each round, so one round is
-    one map-side join over the edge cache plus one partial-agg'd keyed
-    sum (no edge shuffle, no per-round lineage growth worth
-    checkpointing).  Symmetric edges → every node has in- and
-    out-degree ≥ 1, so there is no dangling-mass term and no
-    nodes-side left join."""
-    from pyspark.sql.window import Window
+    the iteration itself is :func:`..operators.graph.pagerank`
+    (broadcast-iterate over a persisted outdegree-normalized edge
+    cache — see its docstring for the full cost model).  Symmetric
+    edges → every node has in- and out-degree ≥ 1, so there is no
+    dangling-mass term.  Ranks are reported relative to uniform
+    (``rank · N``) and Σ rank = 1 is unit-tested on hand graphs in
+    tests/test_graph.py."""
+    from ..operators.graph import pagerank
 
     edges = _cosupplier_edges(spark, sf_dir)
     # both union branches read the same subtree → materialize it once
@@ -167,57 +166,8 @@ def pagerank_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    # outdegree normalization as a window over the src partitioning —
-    # one exchange, no separate aggregate + join-back (which would walk
-    # the edge lineage twice); few, small partitions after: every
-    # iteration job re-reads this cache, so task-launch overhead (not
-    # data volume) is the per-round cost here
-    fedges = (
-        sym.withColumn(
-            "frac",
-            F.col("w") / F.sum("w").over(Window.partitionBy("src")),
-        )
-        .select("src", "dst", "frac")
-        .coalesce(8)
-        .persist()
-    )
-    nodes = fedges.select(F.col("src").alias("id")).distinct()
-    n_nodes = nodes.count()  # one small action; node set is tiny vs |E|
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
-    teleport = (1.0 - PR_DAMPING) / n_nodes
-    # every iteration job is 8 cached tasks + a 1000-row agg: AQE's
-    # per-stage re-planning adds more latency than it can save here
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for _ in range(PR_ITERS):
-            # the rank vector is |nodes| rows (bounded by the supplier
-            # dimension) → broadcast-iterate: each round is one
-            # map-side join over the edge cache + a partial-agg'd keyed
-            # sum.  A billion-node graph would flip this to a shuffle
-            # join on a src-partitioned edge cache; the
-            # contribution-sum shape is identical.  Symmetric edges ⇒
-            # every node has in-edges, so the keyed sum already covers
-            # ALL nodes — no nodes left-join.
-            acc = (
-                fedges.join(F.broadcast(ranks), fedges.src == ranks.id)
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("frac")).alias("acc"))
-            )
-            # persist + materialize each round's (tiny) rank vector:
-            # broadcast exchanges are not cached, so a lazy chain would
-            # recompute the ENTIRE previous chain at every round
-            # (quadratic blow-up), and eager rounds run under this
-            # loop's AQE setting rather than the caller's action
-            ranks = acc.select(
-                F.col("dst").alias("id"),
-                (
-                    F.lit(teleport) + F.lit(PR_DAMPING) * F.col("acc")
-                ).alias("rank"),
-            ).persist()
-            ranks.count()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    ranks = pagerank(sym, iters=PR_ITERS, damping=PR_DAMPING)
+    n_nodes = ranks.count()  # already materialized by pagerank()
     out = ranks.select(
         F.col("id").alias("s_suppkey"),
         F.round(F.col("rank") * n_nodes, 5).alias("rank_rel"),
@@ -253,47 +203,12 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-supplier graph thresholded to edges with ≥3 shared orders (the
     thinning a real co-occurrence graph needs before motif counting).
 
-    Scale shape: canonical ``src < dst`` edges mean each triangle is
-    enumerated exactly once via two equi-joins (the standard
-    edge-iterator algorithm) with both probe sides broadcast, so the
-    wedge blow-up stays map-side; the degree sum for the wedge
-    denominator is a keyed count over 2|E| rows.  The only exchanges
-    left are the edge-list derivation and the tiny degree rollup."""
-    pairs = _cosupplier_edges(spark, sf_dir).filter(F.col("w") >= 3).persist()
-    deg = (
-        pairs.select(F.col("src").alias("s"))
-        .union(pairs.select(F.col("dst").alias("s")))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    # the thinned edge list is dimension-bounded (≤ |suppliers|²/2 and
-    # in practice ~|E| ≈ 1e5 at sf0.1) → broadcast both probe sides so
-    # the wedge blow-up (Σ indeg·outdeg rows) never shuffles: triangles
-    # reduce to two map-side hash joins + a partial count
-    tri = (
-        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
-        .join(
-            F.broadcast(e3),
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    stats = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
-    )
-    edge_ct = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (
-        stats.crossJoin(F.broadcast(edge_ct))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.col("n_tri").cast("long").alias("n_triangles"),
-            F.round(3.0 * F.col("n_tri") / F.col("wedges"), 4).alias(
-                "clustering_coeff"
-            ),
-        )
-    )
+    Scale shape: delegated to :func:`..operators.graph.triangle_stats`
+    (edge-iterator with both probe sides broadcast — exact counts
+    unit-tested on K4/K5 hand graphs in tests/test_graph.py); the only
+    exchanges left are the edge-list derivation and the tiny degree
+    rollup."""
+    from ..operators.graph import triangle_stats
+
+    pairs = _cosupplier_edges(spark, sf_dir).filter(F.col("w") >= 3)
+    return triangle_stats(pairs)

@@ -45,3 +45,68 @@ def test_max_iter_caps_rounds(spark):
     out = _comps(connected_components(edges, max_iter=1))
     assert out[1] == 1 and out[2] == 1 and out[3] == 1
     assert out[5] == 3  # two hops reached 3's initial label, not 1
+
+
+def _sym(spark, undirected):
+    """Symmetric weighted edge list from canonical (a, b, w) tuples."""
+    rows = [(a, b, w) for a, b, w in undirected] + [
+        (b, a, w) for a, b, w in undirected
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import pagerank
+
+    # 4-cycle, equal weights: PageRank is exactly uniform at every
+    # iteration, and ranks must sum to 1
+    edges = _sym(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 1, 1)])
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iters=4).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    for v in ranks.values():
+        assert abs(v - 0.25) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_center_dominates(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import pagerank
+
+    # star with center 1: leaves agree with each other, center wins,
+    # total mass conserved at every iteration count
+    edges = _sym(spark, [(1, 2, 1), (1, 3, 1), (1, 4, 1)])
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iters=6).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    leaves = [ranks[2], ranks[3], ranks[4]]
+    assert max(leaves) - min(leaves) < 1e-12
+    assert ranks[1] > leaves[0] * 1.5
+
+
+def test_pagerank_weight_sensitivity(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import pagerank
+
+    # triangle with one heavy edge: the two heavy-edge endpoints must
+    # outrank the third node
+    edges = _sym(spark, [(1, 2, 10), (2, 3, 1), (1, 3, 1)])
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iters=8).collect()}
+    assert ranks[1] > ranks[3] and ranks[2] > ranks[3]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_triangle_stats_complete_graphs(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # K4: C(4,3)=4 triangles, clustering coefficient exactly 1
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+    assert row.clustering_coeff == 1.0
+
+    # K5 minus one edge (4,5): 10-3=7 triangles
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6) if (a, b) != (4, 5)]
+    row = triangle_stats(
+        spark.createDataFrame(k5, "src long, dst long")
+    ).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 9, 7)
