@@ -76,14 +76,28 @@ def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary off the data's rational grid, far above float jitter and
     far below the output precision."""
     ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wp = Window.partitionBy("user_id")
+    return changepoint_plan(ev)
+
+
+def changepoint_plan(
+    ev: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order: str = "event_id",
+    value: str = "value",
+    min_len: int = 20,
+) -> DataFrame:
+    """The single-split changepoint plan over any keyed/timestamped
+    frame (see :func:`changepoint_single_split` for semantics; factored
+    so property tests can plant a known shift in a synthetic series)."""
+    wo = Window.partitionBy(key).orderBy(ts, order)
+    wp = Window.partitionBy(key)
     s = ev.select(
-        "user_id",
-        F.unix_millis("ts").alias("ts_ms"),
-        "value",
+        key,
+        F.unix_millis(ts).alias("ts_ms"),
+        value,
         F.row_number().over(wo).alias("k"),
-        F.sum("value").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum(value).over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         F.count(F.lit(1)).over(wp).alias("n"),
     )
     t = s.withColumn(
@@ -92,8 +106,10 @@ def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_l = F.col("cum") / F.col("k")
     mean_r = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("k"))
-    sc = t.filter((F.col("k") < F.col("n")) & (F.col("n") >= 20)).select(
-        "user_id",
+    sc = t.filter(
+        (F.col("k") < F.col("n")) & (F.col("n") >= min_len)
+    ).select(
+        key,
         "k",
         "ts_ms",
         (
@@ -102,12 +118,12 @@ def changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         (mean_r - mean_l).alias("shift"),
     )
-    wbest = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("k"))
+    wbest = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("k"))
     return (
         sc.withColumn("r", F.row_number().over(wbest))
         .filter(F.col("r") == 1)
         .select(
-            "user_id",
+            key,
             F.col("k").cast("long").alias("split_k"),
             F.col("ts_ms").alias("split_ts_ms"),
             F.round(F.col("score") - 1e-9, 4).alias("cusum_score"),

@@ -212,3 +212,64 @@ def test_window_index_counts_follow_max_law(spark, n_tokens):
         # empty token, so n=0 behaves as a 1-token doc
         eff = max(n, 1)
         assert got.get(i, 0) == max(eff - _WIN_K + 1, 0)
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """A clean level shift at position k must be recovered exactly, with
+    the signed mean shift matching the planted delta."""
+    import datetime as dt
+
+    from stream_processing_with_flink_study_spark.plans.queries_tsfeat import (
+        changepoint_plan,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, (split, lo, hi) in {1: (15, 10.0, 50.0), 2: (30, 5.0, -20.0)}.items():
+        for i in range(40):
+            rows.append(
+                (uid, i, t0 + dt.timedelta(minutes=i), lo if i < split else hi)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.user_id: r
+        for r in changepoint_plan(df, min_len=20).collect()
+    }
+    assert got[1].split_k == 15 and abs(got[1].mean_shift - 40.0) < 1e-3
+    assert got[2].split_k == 30 and abs(got[2].mean_shift - (-25.0)) < 1e-3
+
+
+def test_passage_dedup_conserves_distinct_passages(spark):
+    """Corpus-wide, the number of KEPT passages equals the number of
+    DISTINCT passage texts (each survives exactly once), and kept never
+    exceeds total per document."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark.functions import text as T
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["passage_dedup_reassemble"](spark, sf).toPandas()
+    assert (out["n_kept"] <= out["n_passages"]).all()
+    assert (out["n_kept"] >= 0).all()
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    distinct_passages = (
+        docs.select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(16))
+            ).alias("start"),
+            "toks",
+        )
+        .select(
+            F.array_join(F.slice("toks", F.col("start"), 16), " ").alias("p")
+        )
+        .agg(F.count_distinct("p").alias("d"))
+        .first()
+        .d
+    )
+    assert int(out["n_kept"].sum()) == distinct_passages
