@@ -200,3 +200,74 @@ def late_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("branch", "n", "n_users")
     )
+
+
+PURCHASE_GAP_MS = 7_200_000  # 2 h for purchase events
+DEFAULT_GAP_MS = 1_800_000  # 30 min otherwise
+
+
+@query(
+    "dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value, epoch_ms(ts) AS t,
+             epoch_ms(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN {PURCHASE_GAP_MS}
+                                 ELSE {DEFAULT_GAP_MS} END AS e
+      FROM events
+    ),
+    m AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+      FROM g
+    ),
+    s AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR t >= prev_max
+                     THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(t) AS session_start_ms,
+           max(e) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+ DYNAMIC-gap session windows (Flink's
+    ``SessionWindowTimeGapExtractor``, 정리/4주차.md session discussion):
+    each element extends its session by its OWN gap — purchases keep a
+    session alive for 2 h, everything else 30 min.  Spark-first form:
+    the native ``session_window`` accepts a per-row gap COLUMN, so this
+    stays one (key, merged-window) shuffle with map-side window
+    assignment — no custom state.  The oracle is the running-max
+    sessionization (new session iff the event starts at/after the max
+    end of everything before it), which is exactly the overlap-merge
+    rule ``session_window`` implements."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 hours")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1288,3 +1288,31 @@ def test_transition_counts_stream_matches_batch(spark, events, two_batch_stream,
     merged = got.merge(want, on=["prev_t", "next_t"], suffixes=("_s", "_b"))
     assert len(merged) == len(want) == len(got)
     assert (merged["cnt_s"] == merged["cnt_b"]).all()
+
+
+def test_dynamic_gap_session_stream_equivalence(spark, events, two_batch_stream, tmp_path):
+    """W4+ DYNAMIC-gap sessions (per-element gap column — Flink's
+    SessionWindowTimeGapExtractor) through the same streaming pipeline:
+    purchases extend a session by 2h, everything else 30min."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 hours")
+    ).otherwise(F.lit("30 minutes"))
+    sdf = S.session_window_stream(
+        two_batch_stream, gap=gap, watermark="1 minute"
+    )
+    got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
+    want = (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("session_window.start").alias("w_start"),
+            F.unix_millis("session_window.end").alias("w_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+    assert_df_equal(got, want)
