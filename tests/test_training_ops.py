@@ -136,3 +136,42 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = picked.agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_count_min_sketch_laws(spark):
+    """CMS invariants: (a) estimates NEVER undercount, (b) the average
+    overestimate respects the eps*N bound, (c) merge(build(A), build(B))
+    equals build(A++B) EXACTLY — the mergeable-partial law."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark.functions.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("user_id").alias("k"))
+    )
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = cms_build(ev, "k").persist()
+    est = cms_estimate(cms, exact.select("k"), "k")
+    joined = exact.join(est, "k").select("k", "cnt", "est").toPandas()
+    assert (joined["est"] >= joined["cnt"]).all()  # never undercounts
+    n_total = int(joined["cnt"].sum())
+    # w=1024 → eps = e/1024 ≈ 0.00265; mean overshoot ≤ eps*N comfortably
+    assert (joined["est"] - joined["cnt"]).mean() <= 0.00265 * n_total
+
+    # mergeability: split on parity, merge, must equal the whole sketch
+    a = cms_build(ev.filter(F.col("k") % 2 == 0), "k")
+    b = cms_build(ev.filter(F.col("k") % 2 == 1), "k")
+    merged = cms_merge(a, b)
+    diff = (
+        merged.join(cms, ["row", "bucket"], "full_outer")
+        .filter(
+            F.coalesce(merged["c"], F.lit(0)) != F.coalesce(cms["c"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
