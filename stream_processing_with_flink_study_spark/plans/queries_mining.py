@@ -287,3 +287,72 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS t, value
+      FROM events
+    ),
+    carried AS (
+      SELECT user_id, event_id, event_type, t, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN struct_pack(tt := t, ty := event_type)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM e
+    )
+    SELECT user_id, event_id, t AS purchase_ms,
+           (touch).ty AS touch, round(value, 4) AS revenue
+    FROM carried
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+      AND t - (touch).tt <= 3600000
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent PRIOR non-purchase event by the same user within one hour —
+    the marketing-attribution join expressed as ONE window pass instead
+    of a time-bounded self-join (which at 100 TB would shuffle events
+    against events twice; the window form sorts each user once).  The
+    latest qualifying (time, type) pair is carried as a struct through
+    ``last_value IGNORE NULLS`` over a ROWS frame ordered by
+    (t, event_id) — a deterministic tiebreak both engines share, unlike
+    a RANGE frame, which allows only one ordering key and would break
+    same-millisecond ties engine-dependently.  The 1-hour bound is a
+    post-filter on the carried time."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("t"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("t").alias("tt"), F.col("event_type").alias("ty")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = ev.withColumn("touch", touch)
+    return carried.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("touch").isNotNull()
+        & (F.col("t") - F.col("touch.tt") <= 3_600_000)
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("t").alias("purchase_ms"),
+        F.col("touch.ty").alias("touch"),
+        F.round("value", 4).alias("revenue"),
+    )
