@@ -1,0 +1,108 @@
+"""Distributed BPE merge training — learn the top-K byte-pair-encoding
+merges over a corpus, the iterative vocabulary-learning pass of a
+tokenizer pipeline (companion to the BPE-ish token counter in
+``functions/text.py`` and the FFD packer in ``functions/packing.py``).
+
+Shape per round (classic BPE, Sennrich et al. 2016, public algorithm):
+1. explode adjacent symbol pairs of every distinct word, weighted by
+   word frequency — one scan of the (small) distinct-word table, one
+   keyed sum;
+2. pick the single most frequent pair — a bounded driver action
+   (``limit(1).collect()``, ties broken (count desc, pair asc) so the
+   learned merge list is deterministic);
+3. apply the merge to every word's symbol array — greedy left-to-right
+   adjacent replacement inside an Arrow-batched pandas UDF (per-word
+   loops over SHORT symbol arrays; never row-at-a-time Python over the
+   corpus).
+
+The corpus collapses to DISTINCT words + counts first, so round cost is
+bounded by vocabulary size, not corpus size — the standard trick that
+makes BPE training feasible at 100 TB (the corpus is touched once).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+END = "</w>"
+
+
+def word_counts(tokens: DataFrame, token_col: str = "t") -> DataFrame:
+    """(word, cnt, syms) over distinct words: symbol arrays start as
+    characters plus an end-of-word marker."""
+    wc = tokens.groupBy(F.col(token_col).alias("word")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    syms = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END))
+    )
+    return wc.select("word", "cnt", syms.alias("syms"))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency: explode
+    ``zip(syms, syms[1:])`` — a JVM-side higher-order expression."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        words.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _merge_udf(a: str, b: str):
+    merged = a + b
+
+    @pandas_udf("array<string>")
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def one(s):
+            out = []
+            i, n = 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return apply_merge
+
+
+def train_bpe_merges(
+    tokens: DataFrame, n_merges: int = 8, token_col: str = "t"
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, count)]
+    in merge order.  Deterministic: the argmax pair is tie-broken
+    (count desc, a asc, b asc)."""
+    words = word_counts(tokens, token_col).persist()
+    words.count()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, int(top[0].c)
+        merges.append((a, b, c))
+        prev = words
+        words = words.withColumn(
+            "syms", _merge_udf(a, b)(F.col("syms"))
+        ).persist()
+        words.count()
+        prev.unpersist()
+    return merges

@@ -175,3 +175,26 @@ def test_count_min_sketch_laws(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_bpe_merge_training_classic_corpus(spark):
+    """The Sennrich toy corpus must yield the textbook merge sequence:
+    es, est, est</w>, lo, low, then the (e,w) tie-break."""
+    from stream_processing_with_flink_study_spark.functions.bpe import (
+        END,
+        train_bpe_merges,
+    )
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(w,) for w, c in corpus.items() for _ in range(c)]
+    tokens = spark.createDataFrame(rows, "t string")
+    merges = train_bpe_merges(tokens, n_merges=6)
+    assert [(a, b) for a, b, _ in merges] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", END),
+        ("l", "o"),
+        ("lo", "w"),
+        ("e", "w"),
+    ]
+    assert [c for _, _, c in merges] == [9, 9, 9, 7, 7, 6]
