@@ -106,3 +106,57 @@ def train_bpe_merges(
         words.count()
         prev.unpersist()
     return merges
+
+
+def train_bpe_merges_driver(
+    tokens: DataFrame,
+    n_merges: int = 8,
+    token_col: str = "t",
+    vocab_cap: int = 65_536,
+) -> list[tuple[str, str, int]]:
+    """BPE training with the corpus-scale half in Spark and the
+    vocabulary-scale half on the driver: the corpus collapses to the
+    top ``vocab_cap`` distinct words by frequency (one shuffle,
+    deterministic (count desc, word) cut — the bounded collect is the
+    same class as IVF centroid training), then the merge loop runs in
+    plain Python over ≤ vocab_cap short symbol lists.  This is how BPE
+    tokenizers are actually trained at corpus scale: word counting is
+    the data-parallel part; the merge loop is vocabulary-sized by
+    construction.  Produces IDENTICAL merges to
+    :func:`train_bpe_merges` (asserted in tests) at a fraction of the
+    per-round job overhead."""
+    wc = (
+        tokens.groupBy(F.col(token_col).alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r.word) + [END], int(r.cnt)) for r in wc
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, c))
+        merged = a + b
+        for j, (syms, cnt) in enumerate(vocab):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[j] = (out, cnt)
+    return merges

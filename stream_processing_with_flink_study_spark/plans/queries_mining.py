@@ -356,3 +356,30 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("touch.ty").alias("touch"),
         F.round("value", 4).alias("revenue"),
     )
+
+
+@query("bpe_merges_top")  # iterative argmax with cross-round dependence → rows-only
+def bpe_merges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 learned BPE merges over the document corpus — the
+    vocabulary-learning pass of a tokenizer pipeline (see
+    ``functions/bpe.py``; the textbook merge sequence is pinned by
+    ``test_bpe_merge_training_classic_corpus``).  The corpus collapses
+    to DISTINCT words + counts first, so every training round is
+    bounded by vocabulary size, not corpus size; the merge loop then
+    runs driver-side over the capped vocabulary (the same
+    bounded-driver-action class as IVF centroid training; identical
+    merges to the fully-distributed ``train_bpe_merges``, asserted in
+    tests).  Not SQL-expressible: each round's pair counts depend on
+    the previous round's merge."""
+    from ..functions.bpe import train_bpe_merges_driver
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(text.tokens("text")).alias("t")
+    )
+    merges = train_bpe_merges_driver(tok, n_merges=8)
+    rows = [
+        (i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count long"
+    )

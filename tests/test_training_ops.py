@@ -183,12 +183,15 @@ def test_bpe_merge_training_classic_corpus(spark):
     from stream_processing_with_flink_study_spark.functions.bpe import (
         END,
         train_bpe_merges,
+        train_bpe_merges_driver,
     )
 
     corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     rows = [(w,) for w, c in corpus.items() for _ in range(c)]
     tokens = spark.createDataFrame(rows, "t string")
     merges = train_bpe_merges(tokens, n_merges=6)
+    # the driver-side fast path must learn the IDENTICAL sequence
+    assert train_bpe_merges_driver(tokens, n_merges=6) == merges
     assert [(a, b) for a, b, _ in merges] == [
         ("e", "s"),
         ("es", "t"),
