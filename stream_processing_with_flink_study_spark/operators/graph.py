@@ -213,3 +213,58 @@ def triangle_stats(
             ),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    edge_partitions: int = 8,
+) -> DataFrame:
+    """Bounded Bellman-Ford single-source shortest paths over a
+    DIRECTED weighted edge list: after K rounds the result is the exact
+    shortest distance among paths of ≤ K edges (the K-hop truncation is
+    the deterministic, oracle-checkable contract; graphs with small
+    effective diameter — co-occurrence graphs — converge within it).
+
+    Returns (id, dist) for every node reached within K hops.
+
+    Scale shape: same broadcast-iterate skeleton as :func:`pagerank` —
+    the edge list is persisted once; each round broadcasts the current
+    (dimension-bounded) distance frontier, relaxes every out-edge
+    map-side, and takes a keyed MIN (partial-agg'd).  Distances are
+    pure min-plus values, so every per-node result is an exact min over
+    identically-computed path sums — bit-stable across engines and
+    partitionings."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(src, dst, cost)
+        .coalesce(edge_partitions)
+        .persist()
+    )
+    e.count()
+    dist = spark.createDataFrame([(source, 0.0)], "id long, dist double")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(rounds):
+            relaxed = (
+                e.join(F.broadcast(dist), e[src] == dist.id)
+                .select(
+                    F.col(dst).alias("id"),
+                    (F.col("dist") + F.col(cost)).alias("dist"),
+                )
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .persist()
+            )
+            dist.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return dist

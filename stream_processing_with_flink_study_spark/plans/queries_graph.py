@@ -212,3 +212,67 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _cosupplier_edges(spark, sf_dir).filter(F.col("w") >= 3)
     return triangle_stats(pairs)
+
+
+SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    """Unrolled bounded Bellman-Ford (min-plus semiring) — same
+    plain-CTE-chain trick as :func:`_pagerank_oracle`."""
+    steps = []
+    for k in range(1, SSSP_ROUNDS + 1):
+        steps.append(f"""
+    d{k} AS (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + e.cost AS dist
+        FROM d{k - 1} d JOIN sym e ON e.src = d.id
+      ) GROUP BY id
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH {_cosupplier_edges_sql()},
+    sym AS (
+      SELECT src, dst, 1.0 / w AS cost FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst, 1.0 / w AS cost FROM pairs
+    ),
+    d0 AS (SELECT min(src) AS id, 0.0 AS dist FROM sym),
+    {chain}
+    SELECT id AS s_suppkey, round(dist, 6) AS dist
+    FROM d{SSSP_ROUNDS}
+    """
+
+
+@query("sssp_cosupplier", _sssp_oracle())
+def sssp_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded single-source shortest paths over the co-supplier graph
+    with cost = 1/weight (stronger co-supply = closer), seeded at the
+    smallest supplier id — the "relationship distance" feature of a
+    graph pipeline, and the min-plus member of the iterative family
+    (connected components = min-label, PageRank = weighted-sum, SSSP =
+    min-plus; all share the broadcast-iterate skeleton in
+    ``operators/graph.py``).  Six Bellman-Ford rounds = exact shortest
+    distance among ≤6-hop paths, a deterministic contract the unrolled
+    DuckDB oracle replays; min-plus values are bit-stable across
+    engines because every path sum is built by the same sequential
+    relaxation."""
+    from ..operators.graph import sssp
+
+    edges = _cosupplier_edges(spark, sf_dir).persist()
+    sym = edges.select(
+        "src", "dst", (1.0 / F.col("w")).alias("cost")
+    ).union(
+        edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            (1.0 / F.col("w")).alias("cost"),
+        )
+    )
+    source = edges.agg(F.min("src")).first()[0]
+    dist = sssp(sym, source=int(source), rounds=SSSP_ROUNDS)
+    return dist.select(
+        F.col("id").alias("s_suppkey"), F.round("dist", 6).alias("dist")
+    )

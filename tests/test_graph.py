@@ -110,3 +110,20 @@ def test_triangle_stats_complete_graphs(spark):
         spark.createDataFrame(k5, "src long, dst long")
     ).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 9, 7)
+
+
+def test_sssp_bounded_bellman_ford(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import sssp
+
+    # directed path 1→2→3→4 plus a worse shortcut 1→3; K bounds hops
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 4.0), (1, 3, 5.0)],
+        "src long, dst long, cost double",
+    )
+    d1 = {r.id: r.dist for r in sssp(edges, source=1, rounds=1).collect()}
+    assert d1 == {1: 0.0, 2: 1.0, 3: 5.0}  # one hop: only direct edges
+    d2 = {r.id: r.dist for r in sssp(edges, source=1, rounds=2).collect()}
+    # two hops: 3 improves via 1→2→3; 4 reachable only via the shortcut
+    assert d2 == {1: 0.0, 2: 1.0, 3: 3.0, 4: 9.0}
+    d3 = {r.id: r.dist for r in sssp(edges, source=1, rounds=3).collect()}
+    assert d3[4] == 7.0 and d3[3] == 3.0  # three hops: 1→2→3→4 wins
