@@ -383,3 +383,73 @@ def bpe_merges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "markov_hitrate_eval",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_t,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+      FROM events
+    ),
+    pairs AS (SELECT * FROM seq WHERE next_t IS NOT NULL),
+    model AS (
+      SELECT prev_t, next_t AS pred,
+             row_number() OVER (PARTITION BY prev_t
+                                ORDER BY count(*) DESC, next_t) AS r
+      FROM pairs GROUP BY prev_t, next_t
+    )
+    SELECT p.prev_t,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN p.next_t = m.pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           round(sum(CASE WHEN p.next_t = m.pred THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS hit_rate
+    FROM pairs p JOIN (SELECT prev_t, pred FROM model WHERE r = 1) m
+      USING (prev_t)
+    GROUP BY p.prev_t
+    """,
+)
+def markov_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 next-event prediction accuracy of the Markov model: the
+    modal transition per event type IS the model, and every observed
+    transition is scored against it — the in-sample eval loop of a
+    sequence baseline (the train/eval-split variant just filters the
+    pairs CTE).  One shuffle-sort per user builds transitions; the
+    |types|-row modal model (deterministic (count desc, type) argmax)
+    is broadcast for the scoring join; the hit-rate divides exact
+    counts — bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_t"),
+            F.lead("event_type").over(w).alias("next_t"),
+        )
+        .filter(F.col("next_t").isNotNull())
+        .persist()
+    )
+    wm = Window.partitionBy("prev_t").orderBy(
+        F.desc("cnt"), F.asc("next_t")
+    )
+    model = (
+        pairs.groupBy("prev_t", "next_t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") == 1)
+        .select("prev_t", F.col("next_t").alias("pred"))
+    )
+    hit = F.when(F.col("next_t") == F.col("pred"), 1).otherwise(0)
+    return (
+        pairs.join(F.broadcast(model), "prev_t")
+        .groupBy("prev_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "hit_rate"
+            ),
+        )
+    )

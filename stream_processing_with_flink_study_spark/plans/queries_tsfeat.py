@@ -361,3 +361,61 @@ def passage_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+@query(
+    "winsorize_robust_scale",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(least(greatest(e.value, b.p05), b.p95)), 4)
+             AS winsor_mean,
+           round(b.p05, 4) AS p05, round(b.p95, 4) AS p95
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature summary: clip each value into its category's
+    exact [p5, p95] band and report clip counts + the robust mean — the
+    outlier-taming pass before feature scaling.  The per-category
+    percentile frame is tiny (|types| rows) and broadcast back onto the
+    events; the exact interpolated percentile is the JVM ``percentile``
+    aggregate (matches DuckDB's ``quantile_cont``), computed ONCE per
+    type, not per row."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    out_of_band = (F.col("value") < F.col("p05")) | (
+        F.col("value") > F.col("p95")
+    )
+    return (
+        j.groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(out_of_band, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("winsor_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped",
+            "winsor_mean",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+        )
+    )
