@@ -1316,3 +1316,71 @@ def test_dynamic_gap_session_stream_equivalence(spark, events, two_batch_stream,
         )
     )
     assert_df_equal(got, want)
+
+
+def test_interval_join_stream_full_outer(spark, events, tmp_path):
+    """FULL-outer stream-stream join: unmatched rows from BOTH sides
+    surface with nulls once the watermark proves no future match —
+    completing the inner/left_outer interval-join family."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    far = F.expr("INTERVAL 30 DAYS")
+    spacer_p = purchases.limit(1).select(
+        F.lit(-1).alias("user_id"), (F.col("p_ts") + far).alias("p_ts"),
+        F.lit(0.0).alias("p_value"),
+    )
+    spacer_e = errors.limit(1).select(
+        F.lit(-1).alias("e_user"), (F.col("e_ts") + far).alias("e_ts")
+    )
+    sp = S.memory_batches_stream(spark, [purchases, spacer_p], str(tmp_path / "p"))
+    se = S.memory_batches_stream(spark, [errors, spacer_e], str(tmp_path / "e"))
+    joined = S.interval_join_stream(
+        sp, se, "user_id", "p_ts", "e_ts", "-5 minutes", "5 minutes",
+        watermark="1 minute", key_right="e_user", how="full_outer",
+    ).select("user_id", "e_user", "p_ts", "e_ts", "p_value")
+    got = S.run_available_now(joined, str(tmp_path / "ck"), "append")
+    got = got.filter(
+        (F.coalesce("user_id", F.lit(0)) >= 0)
+        & (F.coalesce("e_user", F.lit(0)) >= 0)
+    )
+    want = purchases.join(
+        errors,
+        (purchases.user_id == errors.e_user)
+        & (errors.e_ts >= purchases.p_ts - F.expr("INTERVAL 5 minutes"))
+        & (errors.e_ts <= purchases.p_ts + F.expr("INTERVAL 5 minutes")),
+        "full_outer",
+    ).select("user_id", "e_user", "p_ts", "e_ts", "p_value")
+    assert want.filter(F.col("p_ts").isNull()).count() > 0
+    assert want.filter(F.col("e_ts").isNull()).count() > 0
+    assert_df_equal(got, want)
+
+
+def test_streaming_windowed_hll_matches_batch(spark, events, two_batch_stream, tmp_path):
+    """Mergeable sketches under Structured Streaming: hourly
+    approx-distinct users via HLL sketch aggregation across micro-batch
+    partials must equal the batch estimate exactly (HLL merges are
+    deterministic and associative — partial sketches from two batches
+    merge to the same sketch the batch build produces)."""
+    sdf = (
+        two_batch_stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_u"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("w_start"), "approx_u"
+        )
+    )
+    got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
+    want = (
+        events.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_u"),
+        )
+        .select(F.unix_millis("window.start").alias("w_start"), "approx_u")
+    )
+    assert_df_equal(got, want)
