@@ -411,3 +411,54 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("head2_sum"),
     )
+
+
+SALT_FANOUT = 8
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN (the join-side sibling of ``salted_skew_agg``):
+    the fact side gets a deterministic salt in [0, R), the dimension
+    side is replicated R times with every salt value, and the join key
+    becomes (custkey, salt) — a hot customer's rows now spread over R
+    reducers instead of one.  The oracle is the UNSALTED join + rollup,
+    proving the rewrite is semantics-preserving (every fact row still
+    meets exactly one replica of its dimension row).
+
+    This is the manual form of AQE's skew-join splitting for when the
+    skew is known ahead of time (or the dimension is too big to
+    broadcast but small enough to replicate R×); with a broadcastable
+    dimension, ``F.broadcast`` is strictly better — the technique
+    matters at 100 TB where neither side fits."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_fact = orders.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_custkey", "o_totalprice"), F.lit(SALT_FANOUT))
+    )
+    replicated_dim = cust.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_FANOUT - 1))),
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    joined = salted_fact.join(
+        replicated_dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
