@@ -612,7 +612,12 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("_flush", far + dt.timedelta(days=d), 0.0)],
         "id string, ts timestamp, v double",
     )
-    batches = [keyed, spacer(30), spacer(31)]
+    # spacer(30) rides INSIDE the data batch: the watermark for batch N
+    # is computed from data seen through batch N-1, so a spacer in
+    # batch 1 advances the watermark for batch 2 past every session's
+    # (last + gap) deadline — two micro-batches flush everything where
+    # a [data, spacer, spacer] layout needs three
+    batches = [keyed.unionByName(spacer(30)), spacer(31)]
     sdf = memory_batches_stream(
         spark,
         batches,
