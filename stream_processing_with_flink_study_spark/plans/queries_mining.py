@@ -453,3 +453,123 @@ def markov_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "rfm_customer_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(epoch_ms(o_orderdate)) AS last_ms,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY last_ms DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary), 4) AS segment_revenue
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer, rolled up to segment sizes and revenue — the classic
+    value-segmentation grid.  One keyed aggregate builds the per-
+    customer RFM row; the three ntile windows share a single global
+    frame over the (small) customer dimension, each with a custkey
+    tiebreak so quintile boundaries are engine-stable; the rollup frame
+    is ≤125 cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("last_ms"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("monetary"), 4).alias("segment_revenue"),
+    )
+
+
+@query(
+    "conversion_latency_stats",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+               AS t_signup,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT user_id, (t_purchase - t_signup) / 1000.0 AS latency_s
+      FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_signup
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+           round(avg(latency_s), 4) AS mean_s
+    FROM lat
+    """,
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first signup → first
+    purchase latency, summarized as exact interpolated percentiles —
+    the latency lens the funnel-count query (``funnel_conversions``)
+    doesn't give.  Both firsts come out of ONE conditional keyed
+    aggregate (no per-step join); the percentile is the JVM exact
+    ``percentile`` over the (≤ |users|) latency frame."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_millis("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))
+        ).alias("t_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        ((F.col("t_purchase") - F.col("t_signup")) / 1000.0).alias(
+            "latency_s"
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.avg("latency_s"), 4).alias("mean_s"),
+    )
