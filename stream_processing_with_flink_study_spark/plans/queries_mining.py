@@ -573,3 +573,76 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
         F.round(F.avg("latency_s"), 4).alias("mean_s"),
     )
+
+
+@query(
+    "streaming_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_t,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+      FROM events WHERE user_id % 4 = 1
+    )
+    SELECT prev_t, next_t, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY prev_t), 4) AS prob
+    FROM seq WHERE next_t IS NOT NULL
+    GROUP BY prev_t, next_t
+    """,
+)
+def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix built THROUGH Structured Streaming
+    under the oracle gate: the events table replays as TWO micro-batches
+    split at the median timestamp, ``transition_counts`` carries each
+    key's last event type across the boundary (so boundary-straddling
+    transitions are counted exactly — the thing a naive per-batch lag
+    loses), and the emitted deltas are summed and row-normalized into
+    the same matrix the batch window SQL produces.  Proves the O(1)
+    carried state against driver data, not just test fixtures."""
+    import tempfile
+
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import transition_counts
+
+    # deterministic quarter of the key space (same slicing convention
+    # as streaming_session_timers): the gate checks the carried-state
+    # SEMANTICS; full-table stateful throughput is covered elsewhere
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 4 == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(mid)),
+        ev.filter(F.col("ts") > F.lit(mid)),
+    ]
+    sdf = memory_batches_stream(
+        spark,
+        batches,
+        tempfile.mkdtemp(prefix="src_markov_stream_"),
+        files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        got = run_available_now(
+            transition_counts(sdf),
+            tempfile.mkdtemp(prefix="ck_markov_stream_"),
+            "update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    counts = got.groupBy("prev_t", "next_t").agg(
+        F.sum("delta").cast("long").alias("cnt")
+    )
+    wrow = Window.partitionBy("prev_t")
+    return counts.select(
+        "prev_t",
+        "next_t",
+        "cnt",
+        F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(wrow), 4).alias(
+            "prob"
+        ),
+    )
