@@ -1384,3 +1384,31 @@ def test_streaming_windowed_hll_matches_batch(spark, events, two_batch_stream, t
         .select(F.unix_millis("window.start").alias("w_start"), "approx_u")
     )
     assert_df_equal(got, want)
+
+
+def test_interval_join_stream_left_semi(spark, events, tmp_path):
+    """Left-SEMI stream-stream join: purchases that had at least one
+    error by the same user within ±5 minutes — existence filtering
+    without duplicating the left row per match (the streaming EXISTS)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    sp = S.memory_batches_stream(spark, [purchases], str(tmp_path / "p"))
+    se = S.memory_batches_stream(spark, [errors], str(tmp_path / "e"))
+    joined = S.interval_join_stream(
+        sp, se, "user_id", "p_ts", "e_ts", "-5 minutes", "5 minutes",
+        watermark="1 minute", key_right="e_user", how="left_semi",
+    )
+    got = S.run_available_now(joined, str(tmp_path / "ck"), "append")
+    want = purchases.join(
+        errors,
+        (purchases.user_id == errors.e_user)
+        & (errors.e_ts >= purchases.p_ts - F.expr("INTERVAL 5 minutes"))
+        & (errors.e_ts <= purchases.p_ts + F.expr("INTERVAL 5 minutes")),
+        "left_semi",
+    )
+    assert want.count() > 0, "fixture must contain matched purchases"
+    assert_df_equal(got, want)
