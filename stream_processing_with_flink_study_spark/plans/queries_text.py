@@ -464,6 +464,21 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, dim=64, k=5)
 
 
+@query("pq_ann_topk")  # codebooks are numpy-kmeans → not SQL-expressible
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via PRODUCT QUANTIZATION: per-subspace codebooks on a
+    bounded sample compress each vector to 8 one-byte codes; the scan
+    scores candidates with per-query lookup tables (asymmetric distance
+    — m gathers instead of a dim-length dot product, the
+    memory-bandwidth win behind billion-scale ANN), then re-ranks the
+    top candidates exactly.  Recall vs brute force + code shape /
+    determinism asserted in tests/test_similarity.py; rows-only check
+    here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(emb, queries, k=5)
+
+
 @query("ann_lsh_topk")  # planes are numpy-seeded → not SQL-expressible
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets: candidates only from

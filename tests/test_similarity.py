@@ -159,3 +159,36 @@ def test_embedding_dedup_clusters_collapse_planted_chains(spark):
         assert comp[b] == comp[b + 1_000_000] == comp[b + 2_000_000] == b
         assert b in keep
         assert b + 1_000_000 not in keep and b + 2_000_000 not in keep
+
+
+def test_pq_adc_recall_and_codes(spark):
+    """Product quantization: 8x16 codebooks -> 8-byte codes; ADC scan +
+    exact re-rank must recover a solid fraction of the brute-force
+    top-5, and codes must be well-formed and deterministic."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in similarity.pq_topk(emb, queries, k=5).collect()
+    }
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall too low: {recall}"
+
+    sample = np.array(
+        emb.limit(512).toPandas()["embedding"].tolist(), dtype=np.float64
+    )
+    books = similarity.pq_codebooks(sample)
+    assert books.shape == (8, 16, 8)
+    coded = similarity.pq_encode(emb.limit(100), books).select("code")
+    rows = [r.code for r in coded.collect()]
+    assert all(len(c) == 8 for c in rows)
+    assert all(0 <= v < 16 for c in rows for v in c)
+    rows2 = [r.code for r in coded.collect()]
+    assert rows == rows2  # deterministic encoding
