@@ -1,4 +1,4 @@
-"""ANN scale smoke: run the LSH and IVF similarity paths on an
+"""ANN scale smoke: run the LSH, IVF and PQ similarity paths on an
 embedding corpus replicated 1×/4×/16× and check the two scale
 invariants a 100 TB deployment depends on:
 
@@ -120,16 +120,29 @@ def main() -> None:
             similarity.ivf_topk(corpus, queries, DIM, k=K, n_cells=16, nprobe=4)
         )
         t_ivf = time.time() - t0
+        t0 = time.time()
+        # PQ's recall knob is the exact-re-rank depth: with a FIXED
+        # depth the quantized near-tie band outgrows it as the corpus
+        # grows, so deployments scale depth with corpus (the ADC scan
+        # stays linear either way; only the re-rank tier grows)
+        pq_rows = similarity.pq_topk(corpus, queries, k=K, rerank=8 * m).collect()
+        pq: dict[int, set[int]] = {}
+        for r in pq_rows:
+            pq.setdefault(r.q_id, set()).add(r.vec_id)
+        pq = {q: frozenset(v) for q, v in pq.items()}
+        t_pq = time.time() - t0
         row = {
             "mult": m,
             "corpus": n,
             "lsh_recall": round(recall(exact, lsh), 3),
             "ivf_recall": round(recall(exact, ivf), 3),
+            "pq_recall": round(recall(exact, pq), 3),
             "lsh_candidates": cand,
             "cand_per_corpus_row": round(cand / n, 4),
             "t_brute_s": round(t_bf, 2),
             "t_lsh_s": round(t_lsh, 2),
             "t_ivf_s": round(t_ivf, 2),
+            "t_pq_s": round(t_pq, 2),
         }
         results.append(row)
         print(json.dumps(row))
@@ -149,8 +162,10 @@ def main() -> None:
         # NO DEGRADATION relative to the 1× corpus
         assert r["lsh_recall"] >= 0.4, f"LSH recall collapsed: {r}"
         assert r["ivf_recall"] >= 0.35, f"IVF recall collapsed: {r}"
+        assert r["pq_recall"] >= 0.35, f"PQ recall collapsed: {r}"
         assert r["lsh_recall"] >= results[0]["lsh_recall"] - 0.15, r
         assert r["ivf_recall"] >= results[0]["ivf_recall"] - 0.15, r
+        assert r["pq_recall"] >= results[0]["pq_recall"] - 0.15, r
     print("OK: candidates linear, recall stable")
 
 
