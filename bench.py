@@ -71,6 +71,8 @@ HEADLINE = [
     "async_service_enrich",
     "pagerank_cosupplier",
     "changepoint_single_split",
+    "assoc_rules_parts",
+    "sssp_cosupplier",
 ]
 
 
