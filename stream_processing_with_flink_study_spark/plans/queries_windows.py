@@ -271,3 +271,94 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "streaming_dynamic_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value, epoch_ms(ts) AS t,
+             epoch_ms(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN {PURCHASE_GAP_MS}
+                                 ELSE {DEFAULT_GAP_MS} END AS e
+      FROM events WHERE user_id % 4 = 2
+    ),
+    m AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+      FROM g
+    ),
+    s AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR t >= prev_max
+                     THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(t) AS session_start_ms,
+           max(e) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions run THROUGH Structured Streaming under the
+    oracle gate: a key-space quarter of the events table replays as two
+    micro-batches split at the median timestamp, the per-element gap
+    column flows through the native streaming ``session_window`` state
+    merge (cross-batch session merging included), and the complete-mode
+    result hash-matches the running-max sessionization SQL — the
+    streaming sibling of :func:`dynamic_gap_sessions` on driver data,
+    not just test fixtures."""
+    import tempfile
+
+    from ..streaming import memory_batches_stream, run_available_now
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 4 == 2)
+        .select("user_id", "ts", "event_type", "value")
+    )
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(mid)),
+        ev.filter(F.col("ts") > F.lit(mid)),
+    ]
+    sdf = memory_batches_stream(
+        spark,
+        batches,
+        tempfile.mkdtemp(prefix="src_dynsess_"),
+        files_per_trigger=1,
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 hours")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        sdf.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_available_now(
+            agg, tempfile.mkdtemp(prefix="ck_dynsess_"), "complete"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
