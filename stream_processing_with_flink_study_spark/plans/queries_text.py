@@ -746,3 +746,61 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(tokens, x -> x IN ('the','and','of','is'))) AS en,
+        len(list_filter(tokens, x -> x IN ('der','und','das','ist'))) AS de,
+        len(list_filter(tokens, x -> x IN ('el','los','de','es'))) AS es
+      FROM t
+    ), pred AS (
+      SELECT lang AS true_lang,
+        CASE WHEN en >= de AND en >= es THEN 'en'
+             WHEN de >= es THEN 'de'
+             ELSE 'es' END AS pred_lang
+      FROM scores
+    )
+    SELECT true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY true_lang), 4)
+             AS row_frac
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic:
+    counts and row-normalized rates per (true, predicted) pair — the
+    quality report a model-eval pipeline emits next to per-row
+    predictions (:func:`lang_id_pred` gives those).  One scan, a keyed
+    count over ≤|langs|² cells, and a window normalization over that
+    tiny frame; rates divide exact counts — bit-identical across
+    engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            text.lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("true_lang")
+    return pred.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 4).alias(
+            "row_frac"
+        ),
+    )
