@@ -462,3 +462,68 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+@query(
+    "order_backlog_over_time",
+    oracle="""
+    WITH life AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate) AS m_open,
+             date_trunc('month', max(l.l_shipdate)) AS m_close
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT m_open AS m, 1 AS d FROM life
+      UNION ALL
+      SELECT m_close AS m, -1 AS d FROM life
+    ),
+    monthly AS (SELECT m, sum(d) AS delta FROM deltas GROUP BY m)
+    SELECT epoch_ms(m) AS month_ms,
+           CAST(delta AS BIGINT) AS delta,
+           CAST(sum(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_backlog
+    FROM monthly
+    """,
+)
+def order_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series via the event-sourcing collapse:
+    each order contributes +1 in its open month and −1 in the month its
+    LAST line ships, and the monthly running sum of those deltas IS the
+    backlog — the interval-overlap count computed WITHOUT an
+    interval×calendar join (which at 100 TB would fan every order out
+    to its covering months).  One orderkey-keyed aggregate finds each
+    order's lifetime, the ±1 deltas come from an array explode (single
+    pass, no self-union), and the running sum runs over the tiny
+    monthly frame.  All-integer arithmetic — engine-exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    life = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("m_open"),
+            F.date_trunc("month", "last_ship").alias("m_close"),
+        )
+    )
+    deltas = life.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("m_open").alias("m"), F.lit(1).alias("d")),
+                F.struct(F.col("m_close").alias("m"), F.lit(-1).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.m", "e.d")
+    monthly = deltas.groupBy("m").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        F.unix_millis("m").alias("month_ms"),
+        F.col("delta").cast("long").alias("delta"),
+        F.sum("delta").over(w).cast("long").alias("open_backlog"),
+    )
