@@ -527,3 +527,66 @@ def order_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("long").alias("delta"),
         F.sum("delta").over(w).cast("long").alias("open_backlog"),
     )
+
+
+@query(
+    "revenue_concentration_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT *, ntile(10) OVER (ORDER BY revenue DESC, l_suppkey)
+               AS decile
+      FROM rev
+    ),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_suppliers,
+             sum(revenue) AS decile_rev
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_suppliers,
+           round(decile_rev, 2) AS decile_revenue,
+           round(sum(decile_rev) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING)
+                 / sum(decile_rev) OVER (), 4) AS cum_share
+    FROM d
+    """,
+)
+def revenue_concentration_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: suppliers ranked into
+    revenue deciles with each decile's cumulative share of total
+    revenue — the 80/20 diagnostic behind skew planning (a top-heavy
+    curve predicts hot keys).  Per-supplier revenue is rounded to the
+    price grain BEFORE ranking so the decile cut is engine-stable
+    (float sums of quantized prices can tie exactly, and unrounded
+    last-bit jitter would break ties differently per engine); the
+    decile frame is 10 rows, so the share windows are trivial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    ranked = rev.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        ),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("revenue").alias("decile_rev"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return d.select(
+        "decile",
+        "n_suppliers",
+        F.round("decile_rev", 2).alias("decile_revenue"),
+        F.round(
+            F.sum("decile_rev").over(wcum) / F.sum("decile_rev").over(wall),
+            4,
+        ).alias("cum_share"),
+    )
