@@ -268,3 +268,49 @@ def sssp(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling over a CANONICAL (src < dst) undirected
+    edge list: repeatedly drop vertices with degree < k (and their
+    edges).  After R rounds the survivors are the fixpoint for any
+    graph whose peeling cascade is ≤ R deep — the bounded-round
+    contract (same style as :func:`sssp`) that an unrolled SQL oracle
+    can replay; R=8 covers co-occurrence graphs whose cascades are
+    shallow.  Returns (id, degree) for surviving vertices with their
+    in-core degree.
+
+    Scale shape: each round is one degree count over 2|E'| rows plus a
+    semi-join filtering the edge list by surviving endpoints (the
+    survivor set is dimension-bounded → broadcast); edges only ever
+    shrink, and ``localCheckpoint`` truncates lineage per round like
+    :func:`connected_components`."""
+    e = edges.select(src, dst).localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col(src).alias("id"))
+            .union(e.select(F.col(dst).alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("id")
+        e = (
+            e.join(
+                F.broadcast(keep.withColumnRenamed("id", src)), src
+            )
+            .join(F.broadcast(keep.withColumnRenamed("id", dst)), dst)
+            .select(src, dst)
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col(src).alias("id"))
+        .union(e.select(F.col(dst).alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

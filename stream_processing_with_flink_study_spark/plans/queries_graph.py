@@ -276,3 +276,65 @@ def sssp_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("id").alias("s_suppkey"), F.round("dist", 6).alias("dist")
     )
+
+
+KCORE_K = 25
+KCORE_ROUNDS = 8
+KCORE_MIN_W = 8  # sparser than the triangle graph so peeling actually cascades
+
+
+def _kcore_oracle() -> str:
+    """Unrolled bounded k-core peeling — each round recomputes degrees
+    over the surviving edge list and drops endpoints below K.  Every
+    per-round CTE is MATERIALIZED: each is referenced three times by
+    the next round, so un-materialized CTE inlining would expand the
+    lineitem scan 2^rounds times (DuckDB inlines plain CTEs)."""
+    steps = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+    deg{r} AS MATERIALIZED (
+      SELECT id, count(*) AS d FROM (
+        SELECT src AS id FROM e{r - 1}
+        UNION ALL SELECT dst AS id FROM e{r - 1}
+      ) GROUP BY id
+    ),
+    keep{r} AS MATERIALIZED (SELECT id FROM deg{r} WHERE d >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN keep{r} a ON a.id = e.src
+      JOIN keep{r} b ON b.id = e.dst
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH {_cosupplier_edges_sql(min_weight=KCORE_MIN_W)},
+    e0 AS MATERIALIZED (SELECT src, dst FROM pairs),
+    {chain}
+    SELECT id AS s_suppkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (
+      SELECT src AS id FROM e{KCORE_ROUNDS}
+      UNION ALL SELECT dst AS id FROM e{KCORE_ROUNDS}
+    ) GROUP BY id
+    """
+
+
+@query("kcore_cosupplier", _kcore_oracle())
+def kcore_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core of the thinned co-supplier graph (k = 25 over
+    the w ≥ 8 edge set — thresholds chosen so the periphery actually
+    peels and the cascade holds a dense core; on the w ≥ 3 graph every
+    node has degree ≥ 87 and nothing peels, while k ≥ 28 collapses the
+    whole graph): the maximal subgraph where every surviving supplier
+    still co-supplies with ≥ k core partners — the dense-core
+    extraction behind community seeds and spam-ring detection, and the
+    degree-threshold member of the iterative graph family
+    (:func:`..operators.graph.kcore`; K4-plus-pendant hand tests in
+    tests/test_graph.py).  Eight rounds is the deterministic,
+    oracle-replayable contract (graphs with deeper peeling cascades
+    would need more — co-occurrence cascades are shallow)."""
+    from ..operators.graph import kcore
+
+    pairs = _cosupplier_edges(spark, sf_dir).filter(F.col("w") >= KCORE_MIN_W)
+    return kcore(pairs, k=KCORE_K, rounds=KCORE_ROUNDS).select(
+        F.col("id").alias("s_suppkey"),
+        F.col("degree").cast("long").alias("core_degree"),
+    )

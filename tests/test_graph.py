@@ -127,3 +127,20 @@ def test_sssp_bounded_bellman_ford(spark):
     assert d2 == {1: 0.0, 2: 1.0, 3: 3.0, 4: 9.0}
     d3 = {r.id: r.dist for r in sssp(edges, source=1, rounds=3).collect()}
     assert d3[4] == 7.0 and d3[3] == 3.0  # three hops: 1→2→3→4 wins
+
+
+def test_kcore_peeling(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import kcore
+
+    # K4 (every vertex degree 3) plus a pendant chain 4-5-6: the
+    # 2-core is exactly the K4 — the chain peels away in two rounds
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    core2 = {r.id: r.degree for r in kcore(edges, k=2).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 3-core of the same graph is still the K4; 4-core is empty
+    core3 = {r.id: r.degree for r in kcore(edges, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert kcore(edges, k=4).count() == 0
