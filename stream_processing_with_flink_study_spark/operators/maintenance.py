@@ -75,3 +75,60 @@ def read_pruned(
     return spark.read.parquet(src_dir).filter(
         (F.col("dt") >= start_dt) & (F.col("dt") <= end_dt)
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout: bit-interleaved sort key for multi-dimensional skipping
+# --------------------------------------------------------------------------
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(c):
+    """Spread a 32-bit value's bits to the even positions of 64 bits
+    (the standard mask-shift ladder), as a JVM column expression."""
+    for shift, mask in _SPREAD_MASKS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_key(a, b):
+    """Z-order (Morton) key of two non-negative 32-bit column values:
+    bits of ``a`` on even positions, ``b`` on odd.  Rows close in BOTH
+    dimensions get numerically close keys, so range-partitioning +
+    sorting by this key clusters multi-dimensional neighborhoods into
+    the same files/row groups — min/max statistics then skip for
+    predicates on EITHER column, where a lexicographic (a, b) sort
+    only skips on the leading one.  Pure shift/mask expression chain —
+    whole-stage-codegen'd, no Python."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _spread_bits(a.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(b.cast("long")), 1)
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    dst_dir: str,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` z-ordered on (col_a, col_b): range-partition by the
+    Morton key into ``n_files`` files and sort within each — the
+    OPTIMIZE ZORDER BY pattern.  Both dimensions' min/max footer stats
+    stay tight per file, so scans filtered on either column prune."""
+    keyed = df.withColumn("_z", zorder_key(col_a, col_b))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )

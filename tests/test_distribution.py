@@ -202,3 +202,62 @@ def test_bucketed_write_cleans_orphan_dir_for_qualified_names(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bw_db.orphaned")
         spark.sql("DROP DATABASE IF EXISTS bw_db")
         spark.sql("DROP TABLE IF EXISTS orphaned2")
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """The shift/mask Morton-key expression must equal a bit-by-bit
+    Python interleave for edge and random values."""
+    from stream_processing_with_flink_study_spark.operators.maintenance import (
+        zorder_key,
+    )
+
+    def morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(32):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [0, 1, 2, 3, 7, 8, 255, 256, 12345, 2**31 - 1]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_key("a", "b")).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z, morton(a, b))
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordered files must carry tight min/max ranges on BOTH columns:
+    the per-file span of each dimension shrinks vs a single unsorted
+    file, so footer stats can prune on either predicate (lexicographic
+    sort only tightens the leading column)."""
+    from stream_processing_with_flink_study_spark.operators.maintenance import (
+        zorder_layout,
+    )
+    import pathlib
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    out = str(tmp_path / "zorder")
+    zorder_layout(grid, "x", "y", out, n_files=16)
+    import pandas as pd
+
+    spans_x, spans_y = [], []
+    for f in sorted(pathlib.Path(out).glob("*.parquet")):
+        pdf = pd.read_parquet(f)
+        if len(pdf):
+            spans_x.append(pdf.x.max() - pdf.x.min())
+            spans_y.append(pdf.y.max() - pdf.y.min())
+    assert len(spans_x) >= 8
+    # 16 z-ordered files over a 64x64 grid → each file covers ~1/16 of
+    # the area as a compact-ish block; both dimensions' average span
+    # must be well under the full extent (a lexicographic sort on x
+    # would leave every file's y-span at the full 63)
+    avg_x = sum(spans_x) / len(spans_x)
+    avg_y = sum(spans_y) / len(spans_y)
+    assert avg_x <= 40 and avg_y <= 40, (avg_x, avg_y)
