@@ -1412,3 +1412,41 @@ def test_interval_join_stream_left_semi(spark, events, tmp_path):
     )
     assert want.count() > 0, "fixture must contain matched purchases"
     assert_df_equal(got, want)
+
+
+def test_streaming_cms_partials_equal_batch_sketch(spark, events, two_batch_stream, tmp_path):
+    """Count-min sketch under Structured Streaming: the cell counts
+    accumulated across micro-batches (update-mode keyed counts over
+    (row, bucket)) must equal the batch-built sketch EXACTLY — the
+    mergeable-partial law live in a stream."""
+    from stream_processing_with_flink_study_spark.functions.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_build,
+        _bucket,
+    )
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col("user_id"), r, CMS_W, "cms0").alias("bucket"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    sdf = (
+        two_batch_stream.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = S.run_available_now(sdf, str(tmp_path / "ck"), "complete")
+    want = cms_build(events.select(F.col("user_id")), "user_id")
+    diff = (
+        got.join(want, ["row", "bucket"], "full_outer")
+        .filter(
+            F.coalesce(got["c"], F.lit(0)) != F.coalesce(want["c"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
