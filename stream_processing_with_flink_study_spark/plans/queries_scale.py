@@ -590,3 +590,43 @@ def revenue_concentration_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_share"),
     )
+
+
+@query(
+    "monthly_revenue_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT epoch_ms(month) AS month_ms, revenue, n_orders,
+           round(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0,
+                 4) AS yoy_growth
+    FROM m
+    """,
+)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth: the reporting rollup
+    every pipeline ends in — keyed month aggregate, then a lag-12
+    window over the tiny month frame.  Revenue is rounded to the price
+    grain BEFORE the ratio so the growth rate divides identical values
+    in both engines (raw float sums differ in the last bits and a ratio
+    amplifies them across a rounding boundary)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        F.unix_millis("month").alias("month_ms"),
+        "revenue",
+        "n_orders",
+        F.round(
+            F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 4
+        ).alias("yoy_growth"),
+    )
