@@ -1450,3 +1450,37 @@ def test_streaming_cms_partials_equal_batch_sketch(spark, events, two_batch_stre
         .count()
     )
     assert diff == 0
+
+
+def test_continuous_clustering_merges_across_batches(spark, tmp_path):
+    """Iterative algorithm driven by a stream: batch 1's pairs form two
+    separate clusters; batch 2 delivers a bridging edge that must MERGE
+    them (relabeling members of both) — the case per-batch labels alone
+    cannot handle.  Final snapshot must equal batch CC over all pairs."""
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        connected_components,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    b2 = spark.createDataFrame([(3, 10), (20, 21)], "id_a long, id_b long")
+    sdf = S.memory_batches_stream(spark, [b1, b2], str(tmp_path / "src"))
+    q = S.continuous_clustering_stream(
+        sdf,
+        str(tmp_path / "pairs"),
+        str(tmp_path / "labels"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    got = {
+        r.id: r.comp
+        for r in spark.read.parquet(str(tmp_path / "labels")).collect()
+    }
+    # the bridge 3~10 merged {1,2,3} with {10,11} under min-label 1
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+    want = {
+        r.id: r.comp
+        for r in connected_components(b1.unionByName(b2)).collect()
+    }
+    assert got == want
