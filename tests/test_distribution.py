@@ -261,3 +261,50 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     avg_x = sum(spans_x) / len(spans_x)
     avg_y = sum(spans_y) / len(spans_y)
     assert avg_x <= 40 and avg_y <= 40, (avg_x, avg_y)
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Three ingestion steps of per-type count/sum partials must merge
+    to EXACTLY the one-shot aggregate over all data, re-running a step
+    must be idempotent, and a fourth step must update the totals
+    without touching prior steps."""
+    from stream_processing_with_flink_study_spark.operators.incremental import (
+        IncrementalRollup,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value", (F.col("event_id") % 4).alias("part")
+    )
+    roll = IncrementalRollup(str(tmp_path / "roll"), ["event_type"], ["value"])
+    for step in range(3):
+        roll.ingest(ev.filter(F.col("part") == step), step)
+    roll.ingest(ev.filter(F.col("part") == 1), 1)  # idempotent re-run
+
+    def canon(df):
+        return {
+            r.event_type: (r.n, round(r.sum_value, 4), round(r.avg_value, 4))
+            for r in df.collect()
+        }
+
+    got = canon(roll.read(spark))
+    want = canon(
+        ev.filter(F.col("part") < 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    assert got == want
+
+    roll.ingest(ev.filter(F.col("part") == 3), 3)
+    got_all = canon(roll.read(spark))
+    want_all = canon(
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    assert got_all == want_all
