@@ -1484,3 +1484,32 @@ def test_continuous_clustering_merges_across_batches(spark, tmp_path):
         for r in connected_components(b1.unionByName(b2)).collect()
     }
     assert got == want
+
+
+def test_observed_metrics_track_stream_volume(spark, events, two_batch_stream, tmp_path):
+    """Flink metrics/counters analog: ``observe()`` attaches named
+    aggregates to the streaming plan and every micro-batch reports them
+    through query progress — summed across batches they must equal the
+    exact input volume (the operational accounting a pipeline exports,
+    computed inline with zero extra passes)."""
+    sdf = two_batch_stream.observe(
+        "io_metrics",
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+    )
+    q = (
+        sdf.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    observed = [
+        p["observedMetrics"]["io_metrics"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("io_metrics")
+    ]
+    assert len(observed) >= 2  # one report per data micro-batch
+    assert sum(m["rows"] for m in observed) == events.count()
+    want_sum = events.agg(F.sum("value")).first()[0]
+    assert abs(sum(m["sum_v"] for m in observed) - want_sum) < 1e-2

@@ -201,3 +201,51 @@ def test_bpe_merge_training_classic_corpus(spark):
         ("e", "w"),
     ]
     assert [c for _, _, c in merges] == [9, 9, 9, 7, 7, 6]
+
+
+def test_map_in_arrow_histogram_matches_pandas_udf(spark):
+    """The rawest vectorized-Python tier (mapInArrow: RecordBatch in,
+    RecordBatch out — no pandas conversion at all) must reproduce the
+    pandas-UDF byte-histogram features bit-for-bit, proving the two
+    Arrow tiers are interchangeable where the pandas layer's overhead
+    matters."""
+    import pyarrow as pa
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark.functions import multimodal
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    payloads = multimodal.with_binary_payload(docs)
+    want = {
+        r.doc_id: r.features
+        for r in multimodal.byte_histogram_features(payloads).collect()
+    }
+
+    def arrow_hist(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            out = []
+            for buf in batch.column("payload"):
+                b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=16).astype("float64")
+                s = hist.sum()
+                out.append((hist / s if s else hist).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.list_(pa.float64()))],
+                names=["doc_id", "features"],
+            )
+
+    got = {
+        r.doc_id: r.features
+        for r in payloads.select("doc_id", "payload")
+        .mapInArrow(arrow_hist, "doc_id long, features array<double>")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
