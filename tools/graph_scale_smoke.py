@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from stream_processing_with_flink_study_spark.operators.graph import (  # noqa: E402
     pagerank,
+    sssp,
 )
 from stream_processing_with_flink_study_spark.plans.queries_graph import (  # noqa: E402
     EDGE_MIN_PRICE,
@@ -95,6 +96,14 @@ def main() -> None:
         )
         ranks = pagerank(sym, iters=args.iters, edge_partitions=8 * mult)
         mass = ranks.agg(F.sum("rank")).first()[0]
+        # SSSP from a copy-0 source: the reachable set must be EXACTLY
+        # the copy-0 universe no matter how many disjoint copies exist —
+        # any growth means relaxation leaked across universes
+        srcnode = int(e.agg(F.min("src")).first()[0])
+        costed = sym.withColumn("cost", 1.0 / F.col("w")).select(
+            "src", "dst", "cost"
+        )
+        n_reach = sssp(costed, source=srcnode, rounds=3).count()
         sec = round(time.perf_counter() - t0, 2)
         e.unpersist()
         if base_edges is None:
@@ -102,6 +111,7 @@ def main() -> None:
         out[mult] = {
             "edges": n_edges,
             "sec": sec,
+            "sssp_reach": n_reach,
             "linear": n_edges == base_edges * mult,
             # pagerank normalizes over the COMBINED node set, so total
             # mass is always 1; per-copy isolation shows as exact
@@ -111,6 +121,8 @@ def main() -> None:
         print(json.dumps({"mult": mult, **out[mult]}))
 
     assert all(v["linear"] and v["mass_ok"] for v in out.values()), out
+    reaches = {v["sssp_reach"] for v in out.values()}
+    assert len(reaches) == 1, f"SSSP reach changed with copies: {out}"
     print(json.dumps({"graph_scale_smoke": "ok", "results": out}))
     spark.stop()
 
