@@ -1513,3 +1513,51 @@ def test_observed_metrics_track_stream_volume(spark, events, two_batch_stream, t
     assert sum(m["rows"] for m in observed) == events.count()
     want_sum = events.agg(F.sum("value")).first()[0]
     assert abs(sum(m["sum_v"] for m in observed) - want_sum) < 1e-2
+
+
+def test_streaming_query_listener_lifecycle(spark, two_batch_stream, tmp_path):
+    """Flink job-listener analog: a StreamingQueryListener must observe
+    the full lifecycle — start, at least one progress report per data
+    micro-batch, and termination — for a query run to completion."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events_seen = {"started": 0, "progress": 0, "terminated": 0}
+
+    class Probe(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            events_seen["started"] += 1
+
+        def onQueryProgress(self, event):
+            events_seen["progress"] += 1
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            events_seen["terminated"] += 1
+
+    listener = Probe()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            two_batch_stream.groupBy("event_type")
+            .count()
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time as _t
+
+        # listener callbacks are delivered asynchronously
+        for _ in range(40):
+            if events_seen["terminated"]:
+                break
+            _t.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert events_seen["started"] >= 1
+    assert events_seen["progress"] >= 2  # one per data micro-batch
+    assert events_seen["terminated"] >= 1
