@@ -646,3 +646,79 @@ def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@query(
+    "heaps_law_fit",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT doc_id AS first_doc, count(*) AS n_new
+      FROM (SELECT t, min(doc_id) AS doc_id FROM tok GROUP BY t)
+      GROUP BY doc_id
+    ),
+    curve AS (
+      SELECT p.doc_id,
+             sum(p.n_tok) OVER (ORDER BY p.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS vocab
+      FROM per_doc p LEFT JOIN firsts f ON f.first_doc = p.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(vocab) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(vocab), ln(cum_tokens)), 4) AS heaps_beta
+    FROM curve
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary size as a function of cumulative
+    corpus tokens, with the growth exponent β from a log-log
+    least-squares slope — the companion diagnostic to ``zipf_slope``
+    (natural text: β ≈ 0.4-0.6; a template-heavy corpus saturates
+    early, β → 0).  Each token type contributes its FIRST-occurrence
+    document via one keyed min (no cumulative distinct — that would be
+    holistic); the vocabulary curve is then two running sums over the
+    per-doc frame, and the regression is the JVM ``regr_slope``
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(
+            firsts, per_doc.doc_id == firsts.first_doc, "left"
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum("n_new").over(w).alias("vocab"),
+        )
+    )
+    return curve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("vocab").cast("long").alias("vocab_size"),
+        F.round(
+            F.expr("regr_slope(ln(vocab), ln(cum_tokens))"), 4
+        ).alias("heaps_beta"),
+    )
