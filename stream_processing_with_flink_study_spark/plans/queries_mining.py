@@ -722,3 +722,63 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_slope(ln(vocab), ln(cum_tokens))"), 4
         ).alias("heaps_beta"),
     )
+
+
+@query(
+    "customer_repeat_rate",
+    """
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             epoch_ms(max(o.o_orderdate)) - epoch_ms(min(o.o_orderdate))
+               AS span_ms
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS repeat_rate,
+           round(avg(CASE WHEN n_orders >= 2
+                          THEN span_ms / (n_orders - 1) / 86400000.0
+                     END), 4) AS avg_interorder_days
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase profile per market segment: share of customers
+    with ≥2 orders and their mean inter-order interval (lifetime span /
+    (orders−1) — exact from min/max, no per-pair gap sort) — the
+    retention headline next to the cohort matrix.  One keyed aggregate
+    per customer (orders joined to the broadcast customer dimension),
+    one tiny segment rollup; rates divide exact counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.max(F.unix_millis("o_orderdate"))
+                - F.min(F.unix_millis("o_orderdate"))
+            ).alias("span_ms"),
+        )
+    )
+    is_rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    inter_days = F.when(
+        F.col("n_orders") >= 2,
+        F.col("span_ms") / (F.col("n_orders") - 1) / 86_400_000.0,
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(is_rep).cast("long").alias("n_repeat"),
+        F.round(F.sum(is_rep) * 1.0 / F.count(F.lit(1)), 4).alias(
+            "repeat_rate"
+        ),
+        F.round(F.avg(inter_days), 4).alias("avg_interorder_days"),
+    )
