@@ -630,3 +630,62 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 4
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "priority_sla_attainment",
+    """
+    WITH first_ship AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             epoch_ms(min(l.l_shipdate)) - epoch_ms(o.o_orderdate)
+               AS first_ship_ms
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN first_ship_ms <= 2592000000::BIGINT
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+           round(sum(CASE WHEN first_ship_ms <= 2592000000::BIGINT
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS sla_rate,
+           round(avg(first_ship_ms) / 86400000.0, 4) AS avg_first_ship_days
+    FROM first_ship GROUP BY o_orderpriority
+    """,
+)
+def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment by order priority: share of orders whose FIRST
+    line ships within 30 days, plus the mean first-ship latency — the
+    operational scorecard a fulfillment pipeline publishes.  One
+    orderkey-keyed aggregate finds each order's first shipment; the
+    priority rollup is a ≤5-row frame; rates divide exact counts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min(F.unix_millis("l_shipdate")).alias("first_ms"))
+        .select(
+            "o_orderpriority",
+            (
+                F.col("first_ms") - F.unix_millis("o_orderdate")
+            ).alias("first_ship_ms"),
+        )
+    )
+    within = F.when(
+        F.col("first_ship_ms") <= 30 * 86_400_000, 1
+    ).otherwise(0)
+    return first_ship.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(within).cast("long").alias("n_within_sla"),
+        F.round(F.sum(within) * 1.0 / F.count(F.lit(1)), 4).alias(
+            "sla_rate"
+        ),
+        F.round(F.avg("first_ship_ms") / 86_400_000.0, 4).alias(
+            "avg_first_ship_days"
+        ),
+    )
