@@ -689,3 +689,33 @@ def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_first_ship_days"
         ),
     )
+
+
+@query(
+    "discount_elasticity",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(regr_slope(l_quantity, l_discount), 4) AS qty_per_discount,
+           round(corr(l_quantity, l_discount), 4) AS qd_corr,
+           round(avg(l_discount), 4) AS avg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount→quantity response per return class: the least-squares
+    slope of quantity on discount (does discounting move volume?) plus
+    the correlation — the elasticity screen behind pricing analysis,
+    computed entirely with JVM regression aggregates (``regr_slope`` /
+    ``corr`` are algebraic: map-side partial moments, one tiny
+    exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.expr("regr_slope(l_quantity, l_discount)"), 4
+        ).alias("qty_per_discount"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qd_corr"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
