@@ -98,6 +98,17 @@ def connected_components(
     return labels
 
 
+# Above this many nodes the per-round rank/distance frontier no longer
+# fits a broadcast (2M rows × 16 B ≈ 32 MB serialized, at the edge of
+# spark.sql.autoBroadcastJoinThreshold territory once task-deserialized
+# per core); the iteration flips to a co-partitioned shuffle join
+# against the src-partitioned persisted edge cache.
+BROADCAST_NODE_LIMIT = 2_000_000
+# SSSP gates on edge count (|V| ≤ 2|E|, and the edge count is already
+# materialized to pin the cache — no extra distinct-count job).
+BROADCAST_EDGE_LIMIT = 4_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -106,6 +117,7 @@ def pagerank(
     iters: int = 6,
     damping: float = 0.85,
     edge_partitions: int = 8,
+    broadcast_threshold: int = BROADCAST_NODE_LIMIT,
 ) -> DataFrame:
     """Weighted PageRank over a DIRECTED edge list; returns (id, rank)
     with Σ rank = 1 after any number of iterations.
@@ -114,19 +126,31 @@ def pagerank(
     graph before calling) — then every node also receives contributions
     and there is no dangling-mass correction term.
 
-    Scale shape: the outdegree-normalized edge list is persisted once
-    (normalization is a window over the src partitioning — one
-    exchange, no aggregate + join-back); each round BROADCASTS the
-    dimension-bounded rank vector and runs one map-side join over the
-    edge cache plus a partial-agg'd keyed sum.  Rounds materialize
-    eagerly under a temporarily-disabled AQE (these are 8-task cached
-    jobs + a |nodes|-row aggregate; per-stage re-planning costs more
-    latency than it saves), and each round's tiny rank vector is
-    persisted because broadcast exchanges are not cached — a lazy chain
-    would recompute all previous rounds at every round.  A
-    billion-node graph would flip the broadcast to a shuffle join on a
-    src-partitioned edge cache; the contribution-sum shape is
-    identical."""
+    Scale shape: the outdegree-normalized edge list is persisted once,
+    HASH-PARTITIONED ON ``src`` (normalization is a window over the src
+    partitioning — one exchange, no aggregate + join-back); each round
+    joins the rank vector against that cache and runs a partial-agg'd
+    keyed sum.  Two regimes, selected by node count:
+
+    * ``n_nodes <= broadcast_threshold`` — the dimension-bounded rank
+      vector is BROADCAST; the join is map-side over the edge cache.
+    * ``n_nodes > broadcast_threshold`` (billion-node graphs) — the
+      rank vector is SHUFFLE-HASH-joined: the edge cache's persisted
+      ``src`` partitioning is reused as-is, so the only per-round data
+      movement is one exchange of the |V|-row rank vector plus the
+      keyed-sum shuffle.  No broadcast of anything O(|V|).
+
+    Both paths share the same edge cache and aggregation expression, so
+    per-partition partial sums combine in the same order — results are
+    bit-identical (asserted in tests/test_graph.py).  Rounds
+    materialize eagerly under a temporarily-disabled AQE (these are
+    small cached jobs + a |nodes|-row aggregate; per-stage re-planning
+    costs more latency than it saves), and each round's rank vector is
+    persisted because broadcast/shuffle exchanges are not cached — a
+    lazy chain would recompute all previous rounds at every round.  The
+    previous round's cache is dropped as soon as its successor is
+    materialized, and the edge cache before returning, so repeated
+    calls never accumulate cached blocks."""
     from pyspark.sql.window import Window
 
     spark = edges.sparkSession
@@ -136,19 +160,24 @@ def pagerank(
             F.col(weight) / F.sum(weight).over(Window.partitionBy(src)),
         )
         .select(F.col(src).alias("src"), F.col(dst).alias("dst"), "frac")
-        .coalesce(edge_partitions)
+        .repartition(edge_partitions, "src")
         .persist()
     )
     nodes = fedges.select(F.col("src").alias("id")).distinct()
     n_nodes = nodes.count()
+    use_broadcast = n_nodes <= broadcast_threshold
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    prev_ranks: DataFrame | None = None
     try:
         for _ in range(iters):
+            rhs = F.broadcast(ranks) if use_broadcast else ranks.hint(
+                "shuffle_hash"
+            )
             acc = (
-                fedges.join(F.broadcast(ranks), fedges.src == ranks.id)
+                fedges.join(rhs, fedges.src == ranks.id)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("frac")).alias("acc"))
             )
@@ -159,59 +188,126 @@ def pagerank(
                 ),
             ).persist()
             ranks.count()
+            if prev_ranks is not None:
+                prev_ranks.unpersist()
+            prev_ranks = ranks
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        fedges.unpersist()
     return ranks
 
 
+# Above this many edges the full edge list no longer broadcasts; the
+# triangle join flips to the degree-ordered shuffle edge-iterator.
+TRIANGLE_BROADCAST_EDGE_LIMIT = 2_000_000
+
+
 def triangle_stats(
-    pairs: DataFrame, src: str = "src", dst: str = "dst"
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_threshold: int = TRIANGLE_BROADCAST_EDGE_LIMIT,
 ) -> DataFrame:
     """Triangle count + global clustering coefficient over a CANONICAL
     (src < dst) undirected edge list.  One row out: (n_nodes, n_edges,
     n_triangles, clustering_coeff = 3·triangles / wedges).
 
-    Scale shape: canonical edges enumerate each triangle exactly once
-    via two equi-joins (the edge-iterator algorithm) with both probe
-    sides broadcast, so the wedge blow-up (Σ indeg·outdeg rows) stays
-    map-side; the degree sum is a keyed count over 2|E| rows.  Callers
-    should pre-thin dense co-occurrence graphs (weight threshold) —
-    broadcastability of the edge list is the operating regime."""
+    Two regimes, selected by edge count:
+
+    * ``|E| <= broadcast_threshold`` — canonical edges enumerate each
+      triangle exactly once via two equi-joins (the edge-iterator
+      algorithm) with both probe sides broadcast, so the wedge blow-up
+      stays map-side.
+    * ``|E| > broadcast_threshold`` — degree-ordered orientation +
+      shuffle edge-iterator (the standard scalable algorithm): every
+      edge is pointed from its lower-(degree, id) endpoint to the
+      higher one, capping per-node out-degree at O(√|E|); wedges are
+      generated by a self-join partitioned on the pivot node and closed
+      by a shuffle hash join keyed on the (b, c) endpoint pair.  No
+      broadcast of anything O(|E|); peak shuffle is the wedge set,
+      Σ out-deg² ≤ |E|^1.5 rows — the arboricity bound, not the naive
+      Σ deg² one.
+
+    Both paths count each triangle exactly once (a triangle's three
+    edges orient into exactly one out-degree-2 pivot under any strict
+    total order), verified against each other and against hand graphs
+    in tests/test_graph.py.  The one-row result is materialized eagerly
+    so the edge cache can be dropped before returning (no cached-block
+    accumulation across repeated calls)."""
+    spark = pairs.sparkSession
     pairs = pairs.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).persist()
+    n_edges = pairs.count()
     deg = (
         pairs.select(F.col("src").alias("s"))
         .union(pairs.select(F.col("dst").alias("s")))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
-        .join(
-            F.broadcast(e3),
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
+    if n_edges <= broadcast_threshold:
+        e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+        tri = (
+            e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+            .join(
+                F.broadcast(e3),
+                (F.col("e3.src") == F.col("e1.src"))
+                & (F.col("e3.dst") == F.col("e2.dst")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_tri"))
         )
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
+    else:
+        # Degree-ordered orientation: attach each endpoint's degree,
+        # point the edge at the higher (degree, id) endpoint.  Ordering
+        # keys ride along as structs so the wedge join can canonicalize
+        # its output pair under the SAME total order — the closing edge
+        # is then guaranteed to exist in oriented form.
+        ds = deg.withColumnRenamed("s", "src").withColumnRenamed("d", "ds")
+        dd = deg.withColumnRenamed("s", "dst").withColumnRenamed("d", "dd")
+        attached = pairs.join(ds, "src").join(dd, "dst")
+        ks = F.struct(F.col("ds").alias("d"), F.col("src").alias("n"))
+        kd = F.struct(F.col("dd").alias("d"), F.col("dst").alias("n"))
+        fwd = ks < kd
+        oriented = attached.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            F.when(fwd, kd).otherwise(ks).alias("kv"),
+        )
+        w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+        wedges = (
+            w1.join(w2, F.col("w1.u") == F.col("w2.u"))
+            .filter(F.col("w1.kv") < F.col("w2.kv"))
+            .select(
+                F.col("w1.v").alias("b"), F.col("w2.v").alias("c")
+            )
+        )
+        closing = oriented.select(
+            F.col("u").alias("b"), F.col("v").alias("c")
+        ).hint("shuffle_hash")
+        tri = wedges.join(closing, ["b", "c"]).agg(
+            F.count(F.lit(1)).alias("n_tri")
+        )
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
     )
-    edge_ct = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (
-        stats.crossJoin(F.broadcast(edge_ct))
-        .crossJoin(F.broadcast(tri))
+    row = (
+        stats.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
-            "n_edges",
+            F.lit(n_edges).cast("long").alias("n_edges"),
             F.col("n_tri").cast("long").alias("n_triangles"),
             F.round(3.0 * F.col("n_tri") / F.col("wedges"), 4).alias(
                 "clustering_coeff"
             ),
         )
+        .collect()[0]
+    )
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [row],
+        "n_nodes long, n_edges long, n_triangles long, "
+        "clustering_coeff double",
     )
 
 
@@ -223,6 +319,7 @@ def sssp(
     dst: str = "dst",
     cost: str = "cost",
     edge_partitions: int = 8,
+    broadcast_threshold: int = BROADCAST_EDGE_LIMIT,
 ) -> DataFrame:
     """Bounded Bellman-Ford single-source shortest paths over a
     DIRECTED weighted edge list: after K rounds the result is the exact
@@ -232,27 +329,40 @@ def sssp(
 
     Returns (id, dist) for every node reached within K hops.
 
-    Scale shape: same broadcast-iterate skeleton as :func:`pagerank` —
-    the edge list is persisted once; each round broadcasts the current
-    (dimension-bounded) distance frontier, relaxes every out-edge
-    map-side, and takes a keyed MIN (partial-agg'd).  Distances are
-    pure min-plus values, so every per-node result is an exact min over
-    identically-computed path sums — bit-stable across engines and
-    partitionings."""
+    Scale shape: same two-regime iterate skeleton as :func:`pagerank` —
+    the edge list is persisted once, hash-partitioned on ``src``; each
+    round relaxes every out-edge against the current distance frontier
+    and takes a keyed MIN (partial-agg'd).  Below ``broadcast_threshold``
+    edges (|V| ≤ 2|E|, so edge count — already materialized to pin the
+    cache — bounds the frontier too) the frontier is broadcast and the
+    relax is map-side; above it the frontier is shuffle-hash-joined
+    against the src-partitioned cache, so the only per-round movement
+    is one exchange of the frontier itself — nothing O(|V|) ever lands
+    on the driver or in a broadcast.  Distances are pure min-plus
+    values, so every per-node result is an exact min over
+    identically-computed path sums — bit-stable across engines,
+    partitionings, and join strategies (both paths asserted identical
+    in tests/test_graph.py).  Per-round caches are dropped as soon as
+    superseded; the edge cache before returning."""
     spark = edges.sparkSession
     e = (
         edges.select(src, dst, cost)
-        .coalesce(edge_partitions)
+        .repartition(edge_partitions, src)
         .persist()
     )
-    e.count()
+    n_edges = e.count()
+    use_broadcast = n_edges <= broadcast_threshold
     dist = spark.createDataFrame([(source, 0.0)], "id long, dist double")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    prev_dist: DataFrame | None = None
     try:
         for _ in range(rounds):
+            rhs = F.broadcast(dist) if use_broadcast else dist.hint(
+                "shuffle_hash"
+            )
             relaxed = (
-                e.join(F.broadcast(dist), e[src] == dist.id)
+                e.join(rhs, e[src] == dist.id)
                 .select(
                     F.col(dst).alias("id"),
                     (F.col("dist") + F.col(cost)).alias("dist"),
@@ -265,8 +375,12 @@ def sssp(
                 .persist()
             )
             dist.count()
+            if prev_dist is not None:
+                prev_dist.unpersist()
+            prev_dist = dist
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        e.unpersist()
     return dist
 
 

@@ -144,3 +144,95 @@ def test_kcore_peeling(spark):
     core3 = {r.id: r.degree for r in kcore(edges, k=3).collect()}
     assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
     assert kcore(edges, k=4).count() == 0
+
+
+def test_pagerank_shuffle_path_bit_identical(spark):
+    """broadcast_threshold=0 forces the large-graph shuffle-hash path;
+    ranks must be BIT-identical to the broadcast path (same edge cache
+    partitioning -> same partial-sum combine order)."""
+    from stream_processing_with_flink_study_spark.operators.graph import pagerank
+
+    edges = _sym(
+        spark, [(1, 2, 10), (2, 3, 1), (1, 3, 1), (3, 4, 2), (4, 1, 5)]
+    )
+    bc = {r["id"]: r["rank"] for r in pagerank(edges, iters=6).collect()}
+    sh = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=6, broadcast_threshold=0).collect()
+    }
+    assert bc == sh  # exact float equality, not approx
+    assert abs(sum(sh.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_shuffle_path_plan_has_no_broadcast(spark):
+    """The forced-shuffle round join must not contain a broadcast
+    exchange of the rank vector (broadcast of a 1-row literal stats
+    frame is fine -- there is none here)."""
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as F
+
+    edges = _sym(spark, [(1, 2, 1), (2, 3, 1), (3, 1, 1)])
+    fedges = (
+        edges.withColumn(
+            "frac", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
+        )
+        .select("src", "dst", "frac")
+        .repartition(4, "src")
+        .persist()
+    )
+    fedges.count()
+    ranks = fedges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("rank")
+    )
+    joined = fedges.join(ranks.hint("shuffle_hash"), fedges.src == ranks.id)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    fedges.unpersist()
+
+
+def test_sssp_shuffle_path_bit_identical(spark):
+    from stream_processing_with_flink_study_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 4.0), (1, 3, 5.0), (2, 4, 9.5)],
+        "src long, dst long, cost double",
+    )
+    bc = {r.id: r.dist for r in sssp(edges, source=1, rounds=3).collect()}
+    sh = {
+        r.id: r.dist
+        for r in sssp(
+            edges, source=1, rounds=3, broadcast_threshold=0
+        ).collect()
+    }
+    assert bc == sh
+    assert sh[4] == 7.0
+
+
+def test_triangle_stats_shuffle_path_exact(spark):
+    """Degree-ordered shuffle edge-iterator (broadcast_threshold=0)
+    reproduces the broadcast path's exact counts on K4, K5-minus-edge,
+    and a graph with skewed degrees (star + triangle)."""
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    cases = {
+        "k4": [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "k5m": [
+            (a, b)
+            for a in range(1, 6)
+            for b in range(a + 1, 6)
+            if (a, b) != (4, 5)
+        ],
+        # star center 1 -> 2..6 plus triangle 2-3 closing: exactly one
+        # triangle (1,2,3); degree skew exercises the orientation
+        "star_tri": [(1, x) for x in range(2, 7)] + [(2, 3)],
+    }
+    expect = {"k4": 4, "k5m": 7, "star_tri": 1}
+    for name, es in cases.items():
+        df = spark.createDataFrame(es, "src long, dst long")
+        fast = triangle_stats(df).collect()[0]
+        scale = triangle_stats(df, broadcast_threshold=0).collect()[0]
+        assert fast.asDict() == scale.asDict(), name
+        assert scale.n_triangles == expect[name], name

@@ -123,7 +123,44 @@ def main() -> None:
     assert all(v["linear"] and v["mass_ok"] for v in out.values()), out
     reaches = {v["sssp_reach"] for v in out.values()}
     assert len(reaches) == 1, f"SSSP reach changed with copies: {out}"
-    print(json.dumps({"graph_scale_smoke": "ok", "results": out}))
+
+    # Forced-shuffle-path run at the largest mult: broadcast_threshold=0
+    # flips pagerank/sssp to the co-partitioned shuffle-hash join path
+    # (the billion-node regime); invariants must hold there too.
+    big = max(int(m) for m in args.mults.split(","))
+    t0 = time.perf_counter()
+    e = edges_for(spark, base, big).persist()
+    n_edges = e.count()
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = pagerank(
+        sym, iters=args.iters, edge_partitions=8 * big, broadcast_threshold=0
+    )
+    mass = ranks.agg(F.sum("rank")).first()[0]
+    srcnode = int(e.agg(F.min("src")).first()[0])
+    costed = sym.withColumn("cost", 1.0 / F.col("w")).select(
+        "src", "dst", "cost"
+    )
+    n_reach = sssp(
+        costed, source=srcnode, rounds=3, broadcast_threshold=0
+    ).count()
+    sec = round(time.perf_counter() - t0, 2)
+    e.unpersist()
+    forced = {
+        "edges": n_edges,
+        "sec": sec,
+        "sssp_reach": n_reach,
+        "linear": n_edges == base_edges * big,
+        "mass_ok": abs(mass - 1.0) < 1e-6,
+        "reach_matches_broadcast_path": n_reach == next(iter(reaches)),
+    }
+    print(json.dumps({"mult": big, "path": "forced_shuffle", **forced}))
+    assert forced["linear"] and forced["mass_ok"], forced
+    assert forced["reach_matches_broadcast_path"], forced
+
+    print(json.dumps({"graph_scale_smoke": "ok", "results": out,
+                      "forced_shuffle": forced}))
     spark.stop()
 
 
