@@ -407,3 +407,69 @@ def simhash_band_pairs(
         .filter(F.col("hd") <= max_hd)
         .distinct()
     )
+
+
+def simhash64_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash64",
+    bands: int = 4,
+    max_hd: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs over SIGNED int64 fingerprints
+    — the 100 TB default (:func:`simhash_band_pairs` keeps the 32-bit
+    bitstring form for bounded corpora and its streaming twin).
+
+    Pigeonhole guarantee as before: 64 bits cut into ``bands`` equal
+    slices find every pair with hd <= bands-1 (default 4 bands of 16
+    bits -> hd <= 3) through a (band_idx, band_bits) self-join.  The
+    win over the 32-bit form is the key space: 16-bit bands give 65,536
+    values per band (~262k distinct join keys) instead of 1,024 total,
+    so bucket sizes stay sub-quadratic on corpora whose formulaic text
+    collapses 8-bit bands onto a handful of giant keys.
+
+    Everything here is JVM expression work: band keys are
+    ``shiftrightunsigned`` + mask (literal shift counts only — Spark's
+    shift functions reject column counts), Hamming distance is
+    ``bit_count(xor)``.  Output: (doc_a, doc_b, hd) distinct,
+    doc_a < doc_b.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col),
+        F.col(sim_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col(sim_col), 64 - width * (b + 1)
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "_fp", "bh.band_idx", "bh.bkey")
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a._fp").bitwiseXOR(F.col("b._fp"))
+            ).alias("hd"),
+        )
+        .filter(F.col("hd") <= max_hd)
+        .distinct()
+    )

@@ -184,3 +184,55 @@ def simhash32_arrow(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return sh(c)
+
+
+def simhash64_arrow(col: Column | str) -> Column:
+    """64-bit SimHash as a SIGNED int64 fingerprint — the production
+    width (reference scope: near-dup fingerprinting per SURVEY §2;
+    scale note at functions/dedup.py:simhash_band_pairs).
+
+    Bit (64 - p) is the sign of the per-token vote sum for hex digit p
+    (1-based) of sha256(token): a token votes +1 iff the digit >= '8'
+    (its top nibble bit set).  sha256's 64 hex digits supply one vote
+    lane per bit, so the construction is the md5/32-bit scheme widened
+    — and DuckDB's ``sha256()`` reproduces it digit-for-digit, which
+    keeps the full hash-match oracle a 64-bit xxhash could not offer.
+
+    Arrow-batched with the same memoized token→votes cache and the
+    same tokenization (including the all-whitespace → one empty token
+    corner) as :func:`simhash32_arrow`.  Returns LongType: band keys
+    and Hamming distance stay JVM-side (``shiftrightunsigned`` /
+    ``bit_count(xor)``) — no bitstring conversion, no 2^63 overflow.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    memo: dict[str, np.ndarray] = {}
+    # MSB-first place values: digit p (1-based) -> bit (64 - p)
+    place = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+    @pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = ws.split(t.strip().lower())
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                v = memo.get(tok)
+                if v is None:
+                    h = hashlib.sha256(tok.encode()).hexdigest()
+                    v = (
+                        np.frombuffer(h.encode(), dtype=np.uint8) >= 0x38
+                    ).astype(np.int64) * 2 - 1
+                    memo[tok] = v
+                votes += v
+            fp = np.uint64(place[votes > 0].sum())
+            out.append(int(fp.view(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return sh(c)

@@ -492,6 +492,86 @@ def simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64 one-bit vote lanes from sha256's 64 hex digits — the widened form
+# of _SIMHASH_BITS_SQL; `hs` pre-hashes each token ONCE (not once per
+# digit) so the oracle does |tokens| hashes + 64 char-compare passes
+_SIMHASH64_BITS_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(hs, h -> "
+    f"CASE WHEN substr(h, {i}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for i in range(1, 65)
+)
+
+
+@query(
+    "simhash64_band_candidates",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             list_transform(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> sha256(t)) AS hs
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             list_transform(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> sha256(t))
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    sims AS (SELECT doc_id, {_SIMHASH64_BITS_SQL} AS sim FROM src),
+    banded AS (
+      SELECT doc_id, sim, b,
+             sim[b * 16 + 1 : b * 16 + 16] AS bkey
+      FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(generate_series(1, 64),
+                                i -> a.sim[i:i] <> b.sim[i:i])) AS INTEGER)
+             AS hd
+    FROM banded a JOIN banded b
+      ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE len(list_filter(generate_series(1, 64),
+              i -> a.sim[i:i] <> b.sim[i:i])) <= 3
+    """,
+)
+def simhash64_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash Hamming-ball candidates at the FULL hd <= 3
+    radius — the production-width scale default (the 32-bit query above
+    documents why its radius had to shrink to hd <= 1: narrow
+    fingerprints make formulaic corpora collision-dense).  At 64 bits
+    random docs land ~hd 32 apart, so hd <= 3 is a true near-dup
+    signal and the planted exact copies (every 10th doc, id +1M) come
+    back at hd = 0 without drowning in band noise.
+
+    Scale shape: 4 x 16-bit bands = 65,536 values per band (~2^18
+    distinct join keys observed even on this corpus vs the 32-bit
+    form's 1,024 ceiling — cardinality asserted in
+    tests/test_training_ops.py), so bucket sizes stay sub-quadratic at
+    100 TB.  Fingerprints are signed int64 end-to-end: sha256-digit
+    votes batch in Arrow (:func:`..functions.text.simhash64_arrow`),
+    band keys and Hamming distance are pure JVM bit ops — and DuckDB's
+    own ``sha256()`` replays the votes digit-for-digit, keeping the
+    full hash-match oracle that a 64-bit xxhash would have forfeited."""
+    from ..functions import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sims = corpus.select(
+        "doc_id", text.simhash64_arrow("text").alias("simhash64")
+    ).persist()
+    return dedup.simhash64_band_pairs(
+        sims, "doc_id", "simhash64", bands=4, max_hd=3
+    )
+
+
 # --------------------------------------------------------------------------
 # running z-score anomaly alerts (expanding-window baseline per key)
 # --------------------------------------------------------------------------

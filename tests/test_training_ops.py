@@ -249,3 +249,60 @@ def test_map_in_arrow_histogram_matches_pandas_udf(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k]
+
+
+def test_simhash64_banding_complete_and_wide_keyspace(spark):
+    """64-bit banding: (a) candidate set is COMPLETE for hd <= 3 vs a
+    brute-force all-pairs scan (pigeonhole: 4 bands x 16 bits), (b) hd
+    values agree with a Python popcount replay, (c) the band key space
+    is wider than the 32-bit form's 1,024-key ceiling on the same
+    corpus -- the whole point of the 64-bit variant."""
+    from stream_processing_with_flink_study_spark.functions import (
+        dedup as D,
+        text as T,
+    )
+
+    docs = load_table(spark, SF_MID, "documents").limit(300)
+    # planted exact copies guarantee hd=0 pairs exist
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    sims = corpus.select(
+        "doc_id", T.simhash64_arrow("text").alias("simhash64")
+    ).persist()
+    got = {
+        (r.doc_a, r.doc_b): r.hd
+        for r in D.simhash64_band_pairs(sims).collect()
+    }
+    fps = {r.doc_id: r.simhash64 for r in sims.collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b): ((fps[a] ^ fps[b]) & ((1 << 64) - 1)).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ((fps[a] ^ fps[b]) & ((1 << 64) - 1)).bit_count() <= 3
+    }
+    assert got == brute  # complete AND exact hd values
+    assert any(hd == 0 for hd in got.values())  # planted copies found
+    # key-space width: the bucket-join cost is sum over band keys of
+    # |bucket|^2 -- on the SAME fingerprints, 16-bit bands must beat
+    # 8-bit bands by a wide margin (measured ~12x on this corpus; the
+    # 32-bit form's 1,024-key ceiling is what collapses at 100 TB)
+    from collections import Counter
+
+    def band_stats(width: int, nb: int):
+        mask = (1 << width) - 1
+        keys = Counter(
+            (b, (fp >> (64 - width * (b + 1))) & mask)
+            for fp in fps.values()
+            for b in range(nb)
+        )
+        return sum(c * c for c in keys.values()), max(keys.values())
+
+    sumsq16, max16 = band_stats(16, 4)
+    sumsq8, max8 = band_stats(8, 8)
+    assert sumsq16 * 5 < sumsq8, (sumsq16, sumsq8)
+    assert max16 < max8, (max16, max8)
+    sims.unpersist()
