@@ -450,7 +450,15 @@ def pq_codebooks(
     :func:`spherical_centroids` — PQ codebooks are always trained on a
     fixed-size sample regardless of corpus scale).  Vectors are
     L2-normalized first so inner-product ADC scores approximate
-    cosine.  Deterministic: seeded init, fixed iterations."""
+    cosine.  Deterministic: seeded init, fixed iterations.
+
+    Samples smaller than ``n_codes`` train only k < n_codes centroids;
+    the unused slots are filled by REPLICATING trained centroids (slot
+    j gets centroid j % k) rather than left at zero — an all-zero row
+    sits at the subspace origin and would win :func:`pq_encode`'s
+    argmin for small-norm subvectors, silently assigning untrained
+    codes.  Replicas tie exactly with their source centroid and argmin
+    takes the first occurrence, so emitted codes stay in [0, k)."""
     x = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
     )
@@ -469,7 +477,7 @@ def pq_codebooks(
                 members = xs[assign == j]
                 if len(members):
                     c[j] = members.mean(axis=0)
-        books[mi, :k] = c
+        books[mi] = c[np.arange(n_codes) % k]
     return books
 
 
@@ -527,6 +535,10 @@ def pq_topk(
     surviving candidates."""
     train = (
         corpus.filter(F.col(id_col) % sample_mod == 0)
+        # orderBy before limit: an unordered limit is whichever
+        # partitions answer first — codebooks (and thus codes/candidate
+        # sets) would differ across runs and partitionings
+        .orderBy(id_col)
         .select(vec_col)
         .limit(max_train)
         .toPandas()[vec_col]
@@ -542,25 +554,34 @@ def pq_topk(
     qmat = np.array(qrows["q_vec"].tolist(), dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     sub = books.shape[2]
-    # (Q, m, n_codes) inner-product lookup tables — one per query
-    luts = np.stack(
-        [
-            qmat[:, mi * sub : (mi + 1) * sub] @ books[mi].T
-            for mi in range(m)
-        ],
-        axis=1,
-    )
+    # The query matrix travels as DATA — a torrent broadcast, one copy
+    # per executor under Spark's memory manager — NOT as a task-closure
+    # constant; the (Q, m, n_codes) inner-product LUT tensor (4× larger
+    # than qmat at these shapes) is never materialized on the driver at
+    # all: each scan task derives it from the broadcast matrix once per
+    # partition and reuses it across that partition's Arrow batches.
+    # Query-set size therefore bounds ONE executor-shared buffer, not
+    # every task's serialized closure.
+    qb = corpus.sparkSession.sparkContext.broadcast((q_ids, qmat))
 
     out_schema = "q_id long, vec_id long, approx_ip double"
 
     def adc_scan(batches):
+        bq_ids, bqmat = qb.value
+        luts = np.stack(
+            [
+                bqmat[:, mi * sub : (mi + 1) * sub] @ books[mi].T
+                for mi in range(m)
+            ],
+            axis=1,
+        )
         for pdf in batches:
             codes = np.array(pdf["code"].tolist(), dtype=np.int64)
             ids = pdf[id_col].to_numpy()
-            scores = np.zeros((len(q_ids), len(ids)))
+            scores = np.zeros((len(bq_ids), len(ids)))
             for mi in range(m):
                 scores += luts[:, mi, :][:, codes[:, mi]]
-            for qi, qid in enumerate(q_ids):
+            for qi, qid in enumerate(bq_ids):
                 yield pd.DataFrame(
                     {
                         "q_id": qid,
