@@ -98,3 +98,46 @@ def test_latest_sees_only_new_records_then_resumes_offsets(spark, tmp_path):
     _write(_rows(spark, 100, 5), topic)
     got = _consume(spark, topic, ck, "latest")
     assert sorted(got["reading_n"]) == list(range(100, 105))
+
+
+def test_exactly_once_sink_crash_replay_live(spark, tmp_path):
+    """Live twin of the broker-free crash-replay test: a committed
+    batch re-offered to the exactly-once writer produces NOTHING new on
+    the topic, and a simulated pre-marker crash leaves only duplicates
+    that read_committed collapses — consumed record set ends exactly
+    equal to the logical input."""
+    topic = f"it-eos-{uuid.uuid4().hex[:12]}"
+    frame = S.encode_kafka_records(_rows(spark, 0, 9), "id", topic="x").drop(
+        "topic"
+    )
+    ledger = str(tmp_path / "ledger")
+    w = S.kafka_exactly_once_writer(BOOTSTRAP, topic, ledger)
+    try:
+        w(frame, 0)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        if "DATA_SOURCE_NOT_FOUND" in str(e) or "Failed to find" in str(e):
+            pytest.skip(f"kafka connector not on classpath: {e}")
+        raise
+    w(frame, 0)  # committed replay: ledger must skip the produce
+    # crash window: produce again with the marker manually removed —
+    # the broker now holds byte-identical duplicates
+    os.remove(os.path.join(ledger, "batch-0.committed"))
+    w(frame, 0)
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+    n_raw = raw.count()
+    assert n_raw == 18  # one committed produce + one crash replay
+    committed = S.read_committed(raw)
+    assert committed.count() == 9
+    # every surviving record carries the batch-stamped key
+    keys = {r.key for r in committed.collect()}
+    assert all(k.startswith("0:") for k in keys) and len(keys) == 9

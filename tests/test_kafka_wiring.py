@@ -104,3 +104,86 @@ def test_reader_requests_kafka_format(spark):
     else:
         assert df.isStreaming
         assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+# ---------------------------------------------------------------------------
+# O2 EXACTLY_ONCE: semantic option map + crash-replay contract (broker-free
+# via the injectable produce; the live end-to-end twin is env-gated in
+# test_kafka_integration.py)
+# ---------------------------------------------------------------------------
+def test_semantic_map_red_and_green_paths(spark, tmp_path):
+    from stream_processing_with_flink_study_spark import streaming as S
+
+    frame = spark.createDataFrame(
+        [("k1", "v1")], "key string, value string"
+    )
+    sdf = spark.readStream.format("rate").load().select(
+        F.col("value").cast("string").alias("key"),
+        F.lit("x").alias("value"),
+    )
+    with pytest.raises(ValueError, match="unknown semantic"):
+        S.kafka_sink_semantic(sdf, "b:9092", str(tmp_path / "ck"), "t",
+                              semantic="EXACTLY_ONCE_TWICE")
+    # AT_LEAST_ONCE -> plain kafka-format writer
+    alo = S.kafka_sink_semantic(sdf, "b:9092", str(tmp_path / "ck1"), "t",
+                                semantic="AT_LEAST_ONCE")
+    assert alo is not None  # kafka-format writer built
+    # EXACTLY_ONCE -> foreachBatch writer with a ledger dir
+    eos = S.kafka_sink_semantic(sdf, "b:9092", str(tmp_path / "ck2"), "t",
+                                semantic="EXACTLY_ONCE")
+    assert eos is not None
+    del frame
+
+
+def test_exactly_once_writer_crash_replay_no_duplicates(spark, tmp_path):
+    """The two idempotency halves, exercised through the injectable
+    produce: (a) post-commit replay is skipped entirely by the ledger,
+    (b) a crash AFTER the produce flush but BEFORE the commit marker
+    re-produces the batch, and read_committed collapses the duplicates
+    by transactional key to exactly one copy per record."""
+    from stream_processing_with_flink_study_spark import streaming as S
+
+    produced = []  # transport stand-in: list of (key, value) tuples
+
+    def fake_produce(batch_df, batch_id):
+        produced.extend((r.key, r.value) for r in batch_df.collect())
+
+    ledger = str(tmp_path / "ledger")
+    w = S.kafka_exactly_once_writer(
+        "unused:9092", "t", ledger, produce=fake_produce
+    )
+    batch = spark.createDataFrame(
+        [("a", "va"), ("b", "vb")], "key string, value string"
+    )
+    w(batch, 0)
+    assert sorted(produced) == [("0:a", "va"), ("0:b", "vb")]
+    # (a) replay of a COMMITTED batch: ledger skips, nothing re-produced
+    w(batch, 0)
+    assert len(produced) == 2
+    # (b) crash in the unprotected window: produce flushed, marker lost
+    crashing_calls = {"n": 0}
+
+    def crashy_produce(batch_df, batch_id):
+        fake_produce(batch_df, batch_id)
+        crashing_calls["n"] += 1
+        if crashing_calls["n"] == 1:
+            raise RuntimeError("simulated crash before commit marker")
+
+    w2 = S.kafka_exactly_once_writer(
+        "unused:9092", "t", str(tmp_path / "ledger2"), produce=crashy_produce
+    )
+    batch2 = spark.createDataFrame([("c", "vc")], "key string, value string")
+    with pytest.raises(RuntimeError):
+        w2(batch2, 7)
+    w2(batch2, 7)  # Spark's retry of the same batch id
+    # transport saw the duplicate...
+    assert produced.count(("7:c", "vc")) == 2
+    # ...and the consumer-side read_committed collapses it
+    transport = spark.createDataFrame(produced, "key string, value string")
+    deduped = {
+        (r.key, r.value) for r in S.read_committed(transport).collect()
+    }
+    assert deduped == {("0:a", "va"), ("0:b", "vb"), ("7:c", "vc")}
+    # a third invocation is a committed replay: skipped
+    w2(batch2, 7)
+    assert produced.count(("7:c", "vc")) == 2
