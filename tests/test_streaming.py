@@ -1561,3 +1561,62 @@ def test_streaming_query_listener_lifecycle(spark, two_batch_stream, tmp_path):
     assert events_seen["started"] >= 1
     assert events_seen["progress"] >= 2  # one per data micro-batch
     assert events_seen["terminated"] >= 1
+
+
+def test_idle_source_monitor_flags_idle_not_active(spark, tmp_path):
+    """S7 operational half: a union query over one ACTIVE file source
+    (five files, one per trigger) and one IDLE source (a single file,
+    then silence) must flag exactly the idle source after n_triggers
+    offset-stalled triggers, stamping the observed max event time the
+    watermark froze at; the active source is never flagged."""
+    import time as _time
+    from datetime import datetime
+
+    active_dir, idle_dir = str(tmp_path / "act"), str(tmp_path / "idl")
+    schema = "k string, ts timestamp, v double"
+    for i in range(5):
+        spark.createDataFrame(
+            [("a", datetime(2024, 1, 1, i), float(i))], schema
+        ).repartition(1).write.mode("append").parquet(f"{active_dir}/f{i}")
+    spark.createDataFrame(
+        [("i", datetime(2024, 1, 1, 0), 0.0)], schema
+    ).repartition(1).write.mode("append").parquet(f"{idle_dir}/f0")
+
+    mon = S.IdleSourceMonitor(n_triggers=2)
+    spark.streams.addListener(mon)
+    try:
+        # glob over the per-batch subdirs (same layout as
+        # memory_batches_stream's replay source)
+        act = S.file_stream(spark, f"{active_dir}/f*", schema=schema,
+                            max_files_per_trigger=1)
+        idl = S.file_stream(spark, f"{idle_dir}/f*", schema=schema,
+                            max_files_per_trigger=1)
+        union = S.observe_max_event_time(act.unionByName(idl), "ts")
+        # processingTime, not availableNow: progress events for
+        # available-now runs are not delivered to Python listeners
+        # (observed on this Spark build) — a ticking trigger is also
+        # the realistic idle-detection regime
+        q = (
+            union.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            # listener events arrive on a separate thread: poll
+            deadline = _time.time() + 90
+            while _time.time() < deadline and not mon.flags:
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+        assert mon.flags, "idle source never flagged"
+        assert all(idle_dir.split("/")[-1] in f["source"]
+                   or "idl" in f["source"] for f in mon.flags), mon.flags
+        assert all("act" not in f["source"] for f in mon.flags)
+        flagged = mon.idle_sources()
+        assert len(flagged) == 1 and "idl" in flagged[0]
+        # the frozen watermark value rides the observation
+        assert any(f["observed_max_event_time"] is not None
+                   for f in mon.flags)
+    finally:
+        spark.streams.removeListener(mon)
