@@ -290,3 +290,59 @@ def kafka_sink_semantic(
         ledger_dir=os.path.join(checkpoint_dir, "_txn_commits"),
     )
     return foreach_batch_sink(sdf, writer, checkpoint_dir)
+
+
+class QueryableState:
+    """P9 queryable state (``정리/5주차.md:170-186``): read-only lookups
+    over a keyed-state snapshot table.
+
+    Flink's queryable state exposes a keyed operator's live state to an
+    external KV client.  The Spark-idiomatic mapping (SURVEY §2.6 P9)
+    is a SNAPSHOT TABLE: the query's ``foreachBatch`` upserts keyed
+    state per micro-batch (:class:`IdempotentKeyedUpsert` — replay-safe
+    by construction), and this class is the read endpoint a serving
+    layer would wrap: point ``get``, full ``snapshot``, both stamped
+    with a freshness watermark so callers can reason about staleness —
+    the contract Flink's client gives up anyway (its reads are equally
+    best-effort against a moving checkpoint).
+
+    Freshness columns on every returned row:
+
+    - ``state_updated_at`` — the key's own last-update event time
+      (per-key staleness);
+    - ``fresh_as_of`` — the max event time across the WHOLE snapshot
+      (global watermark proxy: no key can be fresher than this, and a
+      key older than it is genuinely stale, not just unwritten).
+
+    Reads are plain partition-pruned parquet scans through any
+    ``SparkSession`` — including one in a different process from the
+    writing query, which is the queryable-state deployment shape."""
+
+    def __init__(self, path: str, key_cols: list[str], ts_col: str):
+        self.path = path
+        self.key_cols = key_cols
+        self.ts_col = ts_col
+        self._upsert = IdempotentKeyedUpsert(path, key_cols, ts_col)
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        """The state-publishing half — hand to ``foreachBatch``."""
+        return self._upsert.writer()
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Latest state per key, with both freshness columns."""
+        latest = self._upsert.read(spark)
+        fresh = latest.agg(F.max(self.ts_col).alias("fresh_as_of"))
+        return latest.withColumn(
+            "state_updated_at", F.col(self.ts_col)
+        ).crossJoin(F.broadcast(fresh))
+
+    def get(self, spark: SparkSession, **key: object) -> DataFrame:
+        """Point lookup: rows for one key (empty frame if absent).
+        Key-column predicates reach the scan as pushed filters."""
+        unknown = set(key) - set(self.key_cols)
+        if unknown:
+            raise ValueError(f"not key columns: {sorted(unknown)}")
+        df = self.snapshot(spark)
+        for k, v in key.items():
+            df = df.filter(F.col(k) == F.lit(v))
+        return df

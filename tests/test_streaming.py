@@ -1620,3 +1620,32 @@ def test_idle_source_monitor_flags_idle_not_active(spark, tmp_path):
                    for f in mon.flags)
     finally:
         spark.streams.removeListener(mon)
+
+
+def test_queryable_state_snapshot_and_point_lookup(spark, tmp_path):
+    """P9: the read endpoint over the state snapshot — latest value per
+    key, per-key state_updated_at, global fresh_as_of watermark, point
+    get() with key validation, readable from a session that never saw
+    the writer (here: same session, separate reader object)."""
+    qs = S.QueryableState(str(tmp_path / "qs"), ["k"], "ts")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, ts long, v double")
+    w = qs.writer()
+    w(mk([("a", 1, 10.0), ("b", 3, 20.0)]), 0)
+    w(mk([("a", 5, 11.0)]), 1)
+
+    reader = S.QueryableState(str(tmp_path / "qs"), ["k"], "ts")
+    snap = {r.k: r for r in reader.snapshot(spark).collect()}
+    assert {k: r.v for k, r in snap.items()} == {"a": 11.0, "b": 20.0}
+    assert snap["a"].state_updated_at == 5 and snap["b"].state_updated_at == 3
+    assert all(r.fresh_as_of == 5 for r in snap.values())  # global max
+
+    got = reader.get(spark, k="b").collect()
+    assert len(got) == 1 and got[0].v == 20.0 and got[0].fresh_as_of == 5
+    assert reader.get(spark, k="zzz").count() == 0
+    with pytest.raises(ValueError, match="not key columns"):
+        reader.get(spark, nope="x")
+    # replayed batch does not disturb the endpoint (idempotent storage)
+    w(mk([("a", 5, 11.0)]), 1)
+    assert {r.k: r.v for r in reader.snapshot(spark).collect()} == {
+        "a": 11.0, "b": 20.0,
+    }
