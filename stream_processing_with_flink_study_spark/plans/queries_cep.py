@@ -131,16 +131,15 @@ def streaming_cep_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted matches against the chained-window batch SQL.  Proves the
     O(1)-state streaming scan emits bit-identical matches to the batch
     plan on driver data, not just on test fixtures."""
-    import tempfile
-
     from ..streaming import events_stream, run_available_now
+    from .registry import scratch_dir
 
     sdf = events_stream(spark, sf_dir)
     matched = match_pattern_stream(
         sdf, "user_id", "ts", ("view", "click", "purchase"), within="48 hours"
     )
-    ck = tempfile.mkdtemp(prefix="ck_cep_stream_")
-    return run_available_now(matched, ck, "append")
+    with scratch_dir("ck_cep_stream_") as ck:
+        return run_available_now(matched, ck, "append")
 
 
 @query(

@@ -589,7 +589,6 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py — one data batch here keeps the replay
     write cheap)."""
     import datetime as dt
-    import tempfile
 
     from ..streaming import memory_batches_stream, run_available_now
     from ..streaming.stateful import session_sum_event_timers
@@ -618,10 +617,13 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (last + gap) deadline — two micro-batches flush everything where
     # a [data, spacer, spacer] layout needs three
     batches = [keyed.unionByName(spacer(30)), spacer(31)]
+    from .registry import scratch_dir
+
+    src_dir = scratch_dir("src_sess_timer_")
     sdf = memory_batches_stream(
         spark,
         batches,
-        tempfile.mkdtemp(prefix="src_sess_timer_"),
+        src_dir.path,
         files_per_trigger=1,
     )
     out = session_sum_event_timers(
@@ -635,9 +637,9 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        got = run_available_now(
-            out, tempfile.mkdtemp(prefix="ck_sess_timer_"), "append"
-        )
+        with scratch_dir("ck_sess_timer_") as ck:
+            got = run_available_now(out, ck, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
     return got.filter(F.col("id") != "_flush")

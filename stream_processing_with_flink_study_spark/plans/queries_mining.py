@@ -600,8 +600,6 @@ def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses), and the emitted deltas are summed and row-normalized into
     the same matrix the batch window SQL produces.  Proves the O(1)
     carried state against driver data, not just test fixtures."""
-    import tempfile
-
     from ..streaming import memory_batches_stream, run_available_now
     from ..streaming.stateful import transition_counts
 
@@ -618,22 +616,23 @@ def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") <= F.lit(mid)),
         ev.filter(F.col("ts") > F.lit(mid)),
     ]
+    from .registry import scratch_dir
+
+    src_dir = scratch_dir("src_markov_stream_")
     sdf = memory_batches_stream(
         spark,
         batches,
-        tempfile.mkdtemp(prefix="src_markov_stream_"),
+        src_dir.path,
         files_per_trigger=1,
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        got = run_available_now(
-            transition_counts(sdf),
-            tempfile.mkdtemp(prefix="ck_markov_stream_"),
-            "update",
-        )
+        with scratch_dir("ck_markov_stream_") as ck:
+            got = run_available_now(transition_counts(sdf), ck, "update")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
     counts = got.groupBy("prev_t", "next_t").agg(
         F.sum("delta").cast("long").alias("cnt")
     )

@@ -962,10 +962,9 @@ def streaming_flagship_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-(key, window) state lives in the state store and evicts as
     the watermark passes; complete mode re-emits the final table, which
     must equal the one-shot batch aggregation bit-for-bit."""
-    import tempfile
-
     from ..streaming import run_available_now, windowed_avg_stream
     from ..streaming.sources import events_stream
+    from .registry import scratch_dir
 
     # encoding-aware: probes the parquet footer (nanos-long vs micros
     # timestamp) instead of hardcoding one round's physical encoding
@@ -974,5 +973,5 @@ def streaming_flagship_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, ts="ts", key="user_id", value="value",
         size="1 hour", watermark="1 minute",
     )
-    ck = tempfile.mkdtemp(prefix="ck_flagship_stream_")
-    return run_available_now(piped, ck, "complete")
+    with scratch_dir("ck_flagship_stream_") as ck:
+        return run_available_now(piped, ck, "complete")

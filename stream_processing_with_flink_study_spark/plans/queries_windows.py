@@ -316,8 +316,6 @@ def streaming_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     result hash-matches the running-max sessionization SQL — the
     streaming sibling of :func:`dynamic_gap_sessions` on driver data,
     not just test fixtures."""
-    import tempfile
-
     from ..streaming import memory_batches_stream, run_available_now
 
     ev = (
@@ -330,10 +328,13 @@ def streaming_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") <= F.lit(mid)),
         ev.filter(F.col("ts") > F.lit(mid)),
     ]
+    from .registry import scratch_dir
+
+    src_dir = scratch_dir("src_dynsess_")
     sdf = memory_batches_stream(
         spark,
         batches,
-        tempfile.mkdtemp(prefix="src_dynsess_"),
+        src_dir.path,
         files_per_trigger=1,
     )
     gap = F.when(
@@ -357,8 +358,8 @@ def streaming_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return run_available_now(
-            agg, tempfile.mkdtemp(prefix="ck_dynsess_"), "complete"
-        )
+        with scratch_dir("ck_dynsess_") as ck:
+            return run_available_now(agg, ck, "complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()

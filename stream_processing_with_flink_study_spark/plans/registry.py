@@ -38,3 +38,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def scratch_dir(prefix: str) -> "_ScratchDir":
+    """Self-cleaning temp directory for streaming query plumbing
+    (replay-source spill dirs, checkpoints).  The memory-sink table
+    :func:`..streaming.run_available_now` returns is fully materialized
+    driver-side, so the backing dirs can be deleted the moment the run
+    returns — without this, every bench/gate invocation of a streaming
+    query leaked a mkdtemp directory."""
+    return _ScratchDir(prefix)
+
+
+class _ScratchDir:
+    def __init__(self, prefix: str):
+        import tempfile
+
+        self.path = tempfile.mkdtemp(prefix=prefix)
+
+    def __enter__(self) -> str:
+        return self.path
+
+    def __exit__(self, *exc) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -404,13 +404,27 @@ def continuous_clustering_stream(
     |E| — bounded by the dedup graph's shallow diameter — and the
     label SNAPSHOT is what downstream reads (queryable-state pattern,
     same publish discipline as ``IdempotentKeyedUpsert``).  The final
-    snapshot is asserted equal to batch CC over all pairs in tests."""
+    snapshot is asserted equal to batch CC over all pairs in tests.
+
+    Pair accumulation is IDEMPOTENT per batch: each micro-batch
+    overwrites its own ``batch=<id>`` subdirectory (the
+    ``IdempotentKeyedUpsert`` contract) rather than appending to a flat
+    directory — a foreachBatch retry after a crash between the append
+    and the checkpoint commit would otherwise duplicate pair rows.  CC
+    labels are duplicate-invariant, but the accumulated pair table is
+    itself a published artifact and must not over-count."""
+    import os as _os
+
     from ..operators.graph import connected_components
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.select(src, dst).write.mode("append").parquet(pairs_dir)
-        all_pairs = spark.read.parquet(pairs_dir)
+        batch_df.select(src, dst).write.mode("overwrite").parquet(
+            _os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        all_pairs = spark.read.option("basePath", pairs_dir).parquet(
+            _os.path.join(pairs_dir, "batch=*")
+        ).select(src, dst)
         labels = connected_components(all_pairs, src=src, dst=dst)
         (
             labels.withColumn("batch_id", F.lit(batch_id))

@@ -701,9 +701,18 @@ def transition_counts(
     (prev_t, next_t, delta) counts for the key; a consumer (or the
     equivalence test) sums deltas by pair to recover the global
     transition matrix and row-normalizes for probabilities.  Per-batch
-    work is a vectorized pandas shift + groupby — no per-row Python."""
+    work is a vectorized pandas shift + groupby — no per-row Python.
+
+    Ordering contract: rows sort by (ts, order_col) WITHIN a batch, and
+    the state carries the seed's event time so a straggler arriving in
+    a LATER batch with an EARLIER event time is dropped rather than
+    appended in arrival order (which would emit transitions the
+    event-time-ordered batch oracle never saw).  Same-timestamp events
+    split across batches still resolve in arrival order — the one
+    residual delta vs the batch twin, matching Flink's own behavior for
+    equal-timestamp records across checkpoints."""
     out_schema = f"{key} long, prev_t string, next_t string, delta long"
-    state_schema = "last_t string"
+    state_schema = "last_t string, last_ms long"
 
     def handle(
         k: tuple[Any, ...],
@@ -713,9 +722,13 @@ def transition_counts(
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             [ts, order_col]
         )
+        seed, seed_ms = state.get if state.exists else (None, None)
+        if seed_ms is not None:
+            pdf = pdf[_ts_ms(pdf[ts]) >= seed_ms]
+        if not len(pdf):
+            return  # every row predated the committed seed: no change
         types = pdf[etype].reset_index(drop=True)
-        seed = state.get[0] if state.exists else None
-        state.update((str(types.iloc[-1]),))
+        state.update((str(types.iloc[-1]), int(_ts_ms(pdf[ts])[-1])))
         if seed is not None:
             types = pd.concat(
                 [pd.Series([seed]), types], ignore_index=True

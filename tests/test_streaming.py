@@ -1649,3 +1649,29 @@ def test_queryable_state_snapshot_and_point_lookup(spark, tmp_path):
     assert {r.k: r.v for r in reader.snapshot(spark).collect()} == {
         "a": 11.0, "b": 20.0,
     }
+
+
+def test_transition_counts_drops_cross_batch_stragglers(spark, tmp_path):
+    """An event arriving in a LATER batch with an EARLIER event time
+    than the committed state seed is dropped — arrival-order
+    transitions that contradict event-time order are never emitted."""
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    t = lambda h: datetime(2024, 1, 1, h)
+    batches = [
+        spark.createDataFrame([(1, t(10), "A", 1)], schema),
+        # straggler: event-time 09:00 arrives after the 10:00 seed
+        spark.createDataFrame([(1, t(9), "B", 2)], schema),
+        spark.createDataFrame([(1, t(11), "C", 3)], schema),
+    ]
+    src = S.memory_batches_stream(
+        spark, batches, str(tmp_path / "src"), schema=schema
+    )
+    got = S.run_available_now(
+        S.transition_counts(src), str(tmp_path / "ck"), "update"
+    ).toPandas()
+    summed = got.groupby(["prev_t", "next_t"])["delta"].sum().to_dict()
+    # no A->B or B->C arrival-order artifacts; the straggler vanished
+    # and the seed survived it: A->C is the only transition
+    assert summed == {("A", "C"): 1}
