@@ -346,3 +346,94 @@ class QueryableState:
         for k, v in key.items():
             df = df.filter(F.col(k) == F.lit(v))
         return df
+
+
+# --------------------------------------------------------------------------
+# O4 connector upsert sink (JDBC — the Cassandra-sink mapping)
+# --------------------------------------------------------------------------
+def jdbc_upsert_writer(
+    url: str,
+    table: str,
+    key_cols: list[str],
+    staging_table: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """O4 keyed connector sink — the reference's Cassandra upsert
+    (``정리/6주차.md:149-167``: Cassandra INSERT is last-write-wins per
+    primary key, which is exactly why the reference calls it naturally
+    idempotent).  Spark's JDBC writer has no upsert mode, so the
+    scalable shape is STAGE + SET-BASED SWAP:
+
+    1. the micro-batch lands in ``staging_table`` through Spark's
+       parallel JDBC writer (one connection per partition — executors
+       write, the driver never sees rows);
+    2. the driver runs one transaction of two set-based statements —
+       ``DELETE FROM target WHERE keys IN (SELECT keys FROM staging)``
+       then ``INSERT INTO target SELECT * FROM staging`` — keyed
+       last-write-wins with per-statement cost on the DATABASE side,
+       no per-row round-trips.
+
+    Replaying a batch re-stages the same rows and converges to the same
+    target state (delete-then-insert is idempotent), so a foreachBatch
+    retry cannot duplicate — the same guarantee class as
+    :class:`IdempotentKeyedUpsert`, delegated to the store's own
+    atomicity the way the Cassandra sink delegates to LWW.
+
+    The target table is created on first batch (``AS SELECT ... WITH NO
+    DATA``).  Works against any JDBC database; the test rides Derby
+    embedded (bundled with Spark) for a broker-free live round-trip.
+    Multi-column keys pair up positionally in the correlated delete."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    stage = staging_table or f"{table}_STAGING"
+    props = properties or {}
+
+    def _connect(spark: SparkSession):
+        jvm = spark._jvm  # noqa: SLF001 - py4j bridge is the JDBC client here
+        p = jvm.java.util.Properties()
+        for k, v in props.items():
+            p.setProperty(k, v)
+        return jvm.java.sql.DriverManager.getConnection(url, p)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        (
+            batch_df.write.mode("overwrite")
+            .options(**props)
+            .jdbc(url, stage)
+        )
+        # correlate on the unaliased target name — Derby (among others)
+        # rejects DELETE-with-alias syntax.  Key columns are DOUBLE-
+        # QUOTED: Spark's JDBC writer creates case-sensitive quoted
+        # identifiers, so an unquoted reference would fold to uppercase
+        # and miss them.
+        match = " AND ".join(
+            f's."{k}" = {table}."{k}"' for k in key_cols
+        )
+        conn = _connect(spark)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            meta = conn.getMetaData()
+            rs = meta.getTables(None, None, table.upper(), None)
+            exists = rs.next()
+            rs.close()
+            if not exists:
+                st.executeUpdate(
+                    f"CREATE TABLE {table} AS SELECT * FROM {stage} "
+                    "WITH NO DATA"
+                )
+            st.executeUpdate(
+                f"DELETE FROM {table} WHERE EXISTS "
+                f"(SELECT 1 FROM {stage} s WHERE {match})"
+            )
+            st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stage}")
+            conn.commit()
+            st.close()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    return write

@@ -14,13 +14,20 @@ from .util import assert_matches_oracle
 
 @pytest.mark.parametrize("name", sorted(plans.QUERIES))
 def test_query_matches_oracle(spark, duck_medium, name):
-    df = plans.QUERIES[name](spark, SF_MEDIUM)
-    sql = plans.ORACLES.get(name)
-    if sql is None:
-        assert df.count() >= 0  # rows-only check
-        assert df.schema.fields
-    else:
-        assert_matches_oracle(df, duck_medium, sql)
+    try:
+        df = plans.QUERIES[name](spark, SF_MEDIUM)
+        sql = plans.ORACLES.get(name)
+        if sql is None:
+            assert df.count() >= 0  # rows-only check
+            assert df.schema.fields
+        else:
+            assert_matches_oracle(df, duck_medium, sql)
+    finally:
+        # several plan functions persist intermediates their returned
+        # frame consumes more than once; drop them so cached blocks
+        # don't accumulate across the 190-query session (bench.py does
+        # the same between timed queries)
+        spark.catalog.clearCache()
 
 
 def test_entry_smoke(spark):
