@@ -711,3 +711,165 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# unigram-LM cross-entropy quality filter (the KenLM-style screen)
+# --------------------------------------------------------------------------
+@query(
+    "unigram_xent_filter",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    v AS MATERIALIZED (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    lp AS (
+      SELECT t, log2(c / (SELECT sum(c) FROM v)) AS logp FROM v
+    )
+    SELECT toks.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-lp.logp), 4) AS xent_bits,
+           round(avg(-lp.logp), 4) <= 5.0 AS keep
+    FROM toks JOIN lp ON toks.t = lp.t
+    GROUP BY toks.doc_id
+    """,
+)
+def unigram_xent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram LM — the perplexity-style quality screen every pretraining
+    pipeline runs (KenLM in production; the unigram tier is the
+    oracle-replicable core).  A document of common tokens scores low;
+    rare-token soup scores high; ``keep`` applies the threshold to the
+    ROUNDED score so both engines make the same boundary call.
+
+    Scale shape: ONE token explode feeds two aggregates — the
+    vocabulary count (map-side combined, vocab-sized result) and the
+    per-document score.  Per-token log-probs are attached by
+    BROADCASTING the vocabulary with its log-prob precomputed
+    vocab-side (corpus-sized stream never shuffles for the join; the
+    per-doc groupBy is the only full shuffle).  No smoothing term is
+    needed: every scored token is by construction in the corpus it was
+    counted from."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    )
+    vocab = ex.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("s"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "t", F.log2(F.col("c") / F.col("s")).alias("logp")
+    )
+    xent = F.round(F.avg(-F.col("logp")), 4)
+    return (
+        ex.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            xent.alias("xent_bits"),
+            (xent <= 5.0).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# label-centroid margin: embedding label-noise screen
+# --------------------------------------------------------------------------
+@query(
+    "label_centroid_margin",
+    """
+    WITH dims AS MATERIALIZED (
+      SELECT label, i, avg(embedding[i]) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS MATERIALIZED (
+      SELECT label, list(m ORDER BY i) AS cent FROM dims GROUP BY label
+    ),
+    cos AS MATERIALIZED (
+      SELECT e.vec_id, e.label AS own_label, c.label AS c_label,
+             list_cosine_similarity(e.embedding, c.cent) AS cs
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    own AS (SELECT vec_id, own_label, cs AS own_cs FROM cos
+            WHERE own_label = c_label),
+    best_other AS (SELECT vec_id, max(cs) AS other_cs FROM cos
+                   WHERE own_label <> c_label GROUP BY vec_id)
+    SELECT o.own_label AS label,
+           count(*) AS n_vecs,
+           round(avg(o.own_cs), 4) AS avg_own_cos,
+           round(avg(o.own_cs - b.other_cs), 4) AS avg_margin,
+           CAST(sum(CASE WHEN o.own_cs < b.other_cs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mislabeled
+    FROM own o JOIN best_other b ON o.vec_id = b.vec_id
+    GROUP BY o.own_label
+    """,
+)
+def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen over the embedding table: per label, how
+    tightly members hug their own centroid and how far the nearest
+    FOREIGN centroid sits — vectors closer to another label's centroid
+    than their own (``n_mislabeled``) are the relabel/review queue a
+    training-data pipeline feeds back upstream.
+
+    Scale shape: centroids come from ONE posexplode + two map-side
+    hash aggregates (labels × dims rows — tiny), then the full table
+    joins the BROADCAST centroid set (labels-per-vector fan-out, no
+    corpus shuffle) with the cosine as a zip_with/aggregate column
+    expression — JVM codegen, no UDF; the per-label rollup is the only
+    shuffle of vector-count rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    cents = dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "m"))
+        ).alias("_im")
+    ).select(
+        F.col("label").alias("c_label"),
+        F.transform("_im", lambda s: s["m"]).alias("cent"),
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda a: F.sqrt(dot(a, a))
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (
+                dot(F.col("embedding"), F.col("cent"))
+                / (norm(F.col("embedding")) * norm(F.col("cent")))
+            ).alias("cs"),
+        )
+    )
+    own = scored.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("cs").alias("own_cs")
+    )
+    other = (
+        scored.filter(F.col("label") != F.col("c_label"))
+        .groupBy("vec_id")
+        .agg(F.max("cs").alias("other_cs"))
+    )
+    return (
+        own.join(other, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("own_cs"), 4).alias("avg_own_cos"),
+            F.round(F.avg(F.col("own_cs") - F.col("other_cs")), 4).alias(
+                "avg_margin"
+            ),
+            F.sum(
+                F.when(F.col("own_cs") < F.col("other_cs"), 1).otherwise(0)
+            ).cast("long").alias("n_mislabeled"),
+        )
+    )
