@@ -757,9 +757,14 @@ def unigram_xent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.tokens("text")).alias("t")
     )
     vocab = ex.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("s"))
-    lp = vocab.crossJoin(F.broadcast(total)).select(
-        "t", F.log2(F.col("c") / F.col("s")).alias("logp")
+    # the corpus total rides an empty-frame window over the (tiny,
+    # vocab-sized) count table — one aggregate subtree instead of a
+    # second vocab derivation (and so one fewer corpus scan)
+    lp = vocab.select(
+        "t",
+        F.log2(F.col("c") / F.sum("c").over(Window.partitionBy())).alias(
+            "logp"
+        ),
     )
     xent = F.round(F.avg(-F.col("logp")), 4)
     return (
@@ -851,17 +856,19 @@ def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cs"),
         )
     )
-    own = scored.filter(F.col("label") == F.col("c_label")).select(
-        "vec_id", "label", F.col("cs").alias("own_cs")
-    )
-    other = (
-        scored.filter(F.col("label") != F.col("c_label"))
-        .groupBy("vec_id")
-        .agg(F.max("cs").alias("other_cs"))
+    # own-centroid score and best-foreign score fold out of ONE pass
+    # over the fan-out (conditional aggregation), not a self-join of
+    # two filtered copies of the scored subtree
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("label") == F.col("c_label"), F.col("cs"))
+        ).alias("own_cs"),
+        F.max(
+            F.when(F.col("label") != F.col("c_label"), F.col("cs"))
+        ).alias("other_cs"),
     )
     return (
-        own.join(other, "vec_id")
-        .groupBy("label")
+        per_vec.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("own_cs"), 4).alias("avg_own_cos"),
