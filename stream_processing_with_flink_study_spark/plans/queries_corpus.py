@@ -880,3 +880,144 @@ def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_mislabeled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bag-of-words dedup: order-insensitive duplicate detection
+# --------------------------------------------------------------------------
+@query(
+    "bow_dedup_groups",
+    """
+    WITH src AS (
+      SELECT doc_id, lower(trim(text)) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_reverse(
+               regexp_split_to_array(lower(trim(text)), '\\s+')), ' ')
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    b AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(
+               regexp_split_to_array(text, '\\s+')), ' ')) AS bow_hash
+      FROM src
+    )
+    SELECT bow_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc,
+           count(*) - 1 AS n_dropped
+    FROM b GROUP BY bow_hash HAVING count(*) > 1
+    """,
+)
+def bow_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-INSENSITIVE duplicate groups: documents whose sorted token
+    multiset is identical collapse to one survivor.  Catches the
+    shuffled/reordered copies (templated text with permuted clauses,
+    scraped pages that reorder list items) that exact-hash dedup
+    misses and MinHash only scores probabilistically — a standard tier
+    between exact and near-dup in a pretraining pipeline.  Planted
+    TOKEN-REVERSED copies (every 10th doc, id +1M) are invisible to the
+    exact-hash tier by construction and must all land here.
+
+    Scale shape: identical to exact dedup — the bag fingerprint
+    (sort + join + md5) is a pure per-row projection, then ONE shuffle
+    on the 32-byte hash; min-id survivor choice is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.reverse(text.tokens("text")), " ").alias("text"),
+    )
+    corpus = docs.select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    ).unionByName(shuffled)
+    bow = corpus.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(text.tokens("text")), " ")
+        ).alias("bow_hash"),
+    )
+    return (
+        bow.groupBy("bow_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-source n-gram overlap matrix (inter-source contamination)
+# --------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    """
+    WITH g AS MATERIALIZED (
+      SELECT DISTINCT source, unnest(sh) AS gram
+      FROM (
+        SELECT source,
+               list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               ) AS sh
+        FROM (SELECT source,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+      )
+    ),
+    sz AS MATERIALIZED (
+      SELECT source, count(*) AS n FROM g GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_grams,
+           round(count(*) / least(any_value(sa.n), any_value(sb.n)), 4)
+             AS containment
+    FROM g a
+    JOIN g b ON a.gram = b.gram AND a.source < b.source
+    JOIN sz sa ON sa.source = a.source
+    JOIN sz sb ON sb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level contamination matrix: for every pair of
+    sources, how many distinct word 3-grams they share and the
+    containment coefficient (shared / smaller source's gram count) —
+    the dataset-curation report that decides whether two crawls are
+    near-copies before any doc-level dedup runs.
+
+    Scale shape: grams are DISTINCT-ed per source first (source-count ×
+    vocab rows, not corpus rows), so the gram-equi-join fans out only
+    on truly shared grams; source sizes are a tiny broadcast side.
+    Sources are a bounded dimension — output is |S|² rows at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", text.tokens("text").alias("_t"))
+        .select("source", F.explode(text.word_shingles(F.col("_t"), 3)).alias("gram"))
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    pairs = a.join(b, "gram").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .join(
+            F.broadcast(sz.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n", "na")), "source_a"
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n", "nb")), "source_b"
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams") / F.least("na", "nb"), 4
+            ).alias("containment"),
+        )
+    )
