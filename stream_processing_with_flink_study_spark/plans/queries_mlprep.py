@@ -975,3 +975,107 @@ def streaming_flagship_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with scratch_dir("ck_flagship_stream_") as ck:
         return run_available_now(piped, ck, "complete")
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption: deterministic denoising training pairs
+# --------------------------------------------------------------------------
+@query(
+    "span_corruption_pairs",
+    """
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    f AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks) + 1),
+               i -> substr(md5(concat(doc_id, ':', i)), 1, 1) <= '3')
+               AS flags
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, toks, flags,
+             list_transform(range(1, len(toks) + 1),
+               i -> len(list_filter(flags[1:i], x -> x))) AS kk
+      FROM f
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked,
+           array_to_string(list_transform(range(1, len(toks) + 1),
+             i -> CASE WHEN flags[i]
+                       THEN '<extra_id_' || (kk[i] - 1) || '>'
+                       ELSE toks[i] END), ' ') AS input_text,
+           array_to_string(list_transform(
+             list_filter(range(1, len(toks) + 1), i -> flags[i]),
+             i -> '<extra_id_' || (kk[i] - 1) || '>' || ' ' || toks[i]),
+             ' ') AS target_text
+    FROM k
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising (span-corruption) training pairs, the T5/UL2 data
+    transform: ~25% of tokens are masked by a DETERMINISTIC hash coin
+    (md5 of ``doc_id:position`` — reproducible across engines, runs,
+    and partitionings, which is what makes the pair set auditable),
+    masked positions are replaced by ``<extra_id_k>`` sentinels in the
+    input, and the target lists each sentinel with its original token.
+
+    Scale shape: pure per-row column expressions — tokenize once, one
+    boolean flag array, one prefix-count array (O(n²) HOF on ~50-token
+    docs — the n² is per row and tiny, not a corpus blow-up), two
+    array_join projections.  No shuffle at all except the parquet scan;
+    at 100 TB this is the ideal embarrassingly-parallel map stage.
+    Every 5th doc keeps the pair table ~20% of the corpus, mirroring
+    the usual corruption-sampling rate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    base = docs.select("doc_id", text.tokens("text").alias("toks"))
+    idx = F.sequence(F.lit(1), F.size("toks"))
+    flagged = base.select(
+        "doc_id",
+        "toks",
+        F.transform(
+            idx,
+            lambda i: F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), i)), 1, 1
+            )
+            <= "3",
+        ).alias("flags"),
+    )
+    kk = F.transform(
+        idx,
+        lambda i: F.size(F.filter(F.slice("flags", 1, i), lambda x: x)),
+    )
+    prepped = flagged.select("doc_id", "toks", "flags", kk.alias("kk"))
+    sentinel = lambda i: F.concat(
+        F.lit("<extra_id_"),
+        (F.element_at("kk", i) - 1).cast("string"),
+        F.lit(">"),
+    )
+    return prepped.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter("flags", lambda x: x)).cast("long").alias("n_masked"),
+        F.array_join(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    F.element_at("flags", i), sentinel(i)
+                ).otherwise(F.element_at("toks", i)),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(
+                F.filter(idx, lambda i: F.element_at("flags", i)),
+                lambda i: F.concat(
+                    sentinel(i), F.lit(" "), F.element_at("toks", i)
+                ),
+            ),
+            " ",
+        ).alias("target_text"),
+    )

@@ -719,3 +719,82 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_discount"), 4).alias("qd_corr"),
         F.round(F.avg("l_discount"), 4).alias("avg_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# join-key skew diagnosis: the report that decides when to salt
+# --------------------------------------------------------------------------
+@query(
+    "skew_diagnosis_report",
+    """
+    WITH c AS MATERIALIZED (
+      SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, k) AS r FROM c
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4)
+             AS max_key_skew,
+           round((SELECT sum(n) FROM ranked WHERE r <= 10)
+                 / CAST(sum(n) AS DOUBLE), 4) AS top10_share,
+           CAST(ceil(max(n) * count(*) / CAST(sum(n) AS DOUBLE))
+                AS BIGINT) AS suggested_salt
+    FROM c
+    """,
+)
+def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row join-key skew report over orders.o_custkey — the
+    diagnostic a 100 TB operator runs BEFORE choosing between a plain
+    shuffle join and the salted forms (:func:`salted_skew_agg` /
+    :func:`salted_skew_join` in this module):
+
+    - ``max_key_skew`` = hottest key's rows ÷ mean rows/key.  1.0 means
+      perfectly uniform; a shuffle partition is only as fast as its
+      hottest key, so this ratio IS the straggler multiplier.
+    - ``top10_share`` — how much of the table the 10 hottest keys own.
+    - ``suggested_salt`` = ⌈max_key_skew⌉ — salting the hot key across
+      that many sub-keys levels its partition back to the mean.
+
+    Scale shape: one map-side-combined count per key (the same
+    aggregate any of the joins would shuffle anyway), then a
+    key-cardinality-sized rollup; the top-10 sum is a window rank over
+    the (tiny) per-key count table, deterministically tie-broken."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = Window.orderBy(F.desc("n"), F.asc("k"))
+    top10 = (
+        c.withColumn("_r", F.row_number().over(r))
+        .filter(F.col("_r") <= 10)
+        .agg(F.sum("n").alias("t10"))
+    )
+    return (
+        c.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").cast("long").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows") * F.col("n_keys")
+                / F.col("n_rows").cast("double"),
+                4,
+            ).alias("max_key_skew"),
+            F.round(
+                F.col("t10") / F.col("n_rows").cast("double"), 4
+            ).alias("top10_share"),
+            F.ceil(
+                F.col("max_key_rows") * F.col("n_keys")
+                / F.col("n_rows").cast("double")
+            ).cast("long").alias("suggested_salt"),
+        )
+    )
