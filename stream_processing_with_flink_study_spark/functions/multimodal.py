@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -165,3 +166,65 @@ def byte_histogram_features(
         return pd.Series(out)
 
     return df.withColumn("features", _features(F.col(payload_col)))
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx int, n_samples long, energy double, peak int"
+)
+
+
+def audio_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chunk: int = 128,
+    hop: int = 96,
+    max_chunks: int = 6,
+) -> DataFrame:
+    """Overlapping waveform chunking for audio-ish payloads — the
+    librosa ``frame`` shape (chunk length > hop ⇒ 25% overlap here),
+    with per-chunk RMS-style features computed on the raw bytes as a
+    deterministic stand-in for decoded PCM (``decode_stub`` marks where
+    a real codec plugs in).  One output row per chunk: sample count,
+    mean byte value ('energy') and peak byte — numpy over the byte
+    buffer, zero Python per-sample work.  Chunk 0 is always emitted
+    (silent/empty payloads still register), further chunks only while
+    their hop offset lies inside the payload."""
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, es, ps = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                for i in range(max_chunks):
+                    if i > 0 and i * hop >= n:
+                        break
+                    buf = np.frombuffer(
+                        payload[i * hop : i * hop + chunk], dtype=np.uint8
+                    )
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(len(buf))
+                    # floor(x·1e4 + 0.5)/1e4, not round(): byte means are
+                    # exact multiples of 1/128, which lands on .xxxx5
+                    # half-way points where Python banker's rounding and
+                    # SQL half-up disagree (same convention as
+                    # similarity.quantize_embeddings_int8)
+                    es.append(
+                        float(np.floor(buf.mean() * 1e4 + 0.5) / 1e4)
+                        if len(buf)
+                        else 0.0
+                    )
+                    ps.append(int(buf.max()) if len(buf) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="float64"),
+                    "peak": pd.Series(ps, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _chunks, AUDIO_CHUNK_SCHEMA
+    )

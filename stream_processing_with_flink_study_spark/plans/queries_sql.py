@@ -182,3 +182,48 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 4).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "embedding_covariance_block",
+    oracle="""
+    SELECT i, j,
+           round(covar_samp(CAST(embedding[i] AS DOUBLE),
+                            CAST(embedding[j] AS DOUBLE)), 4) AS cov,
+           round(corr(CAST(embedding[i] AS DOUBLE),
+                      CAST(embedding[j] AS DOUBLE)), 4) AS pearson
+    FROM embeddings,
+         unnest(range(1, 9)) AS a(i),
+         unnest(range(1, 9)) AS b(j)
+    WHERE i <= j
+    GROUP BY i, j
+    """,
+)
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance/correlation block of the first 8
+    embedding dimensions — the feature-drift and redundancy screen
+    (near-1 off-diagonal correlation means dimensions carry duplicate
+    signal; the full 64×64 Gram is the same plan 64/8 wider).
+
+    Scale shape: the 36 (i, j) cells are 36 PAIRED AGGREGATES in ONE
+    pass over the table (whole-stage-codegen'd ``covar_samp``/``corr``
+    — Spark's built-in co-moment accumulators are mergeable partials,
+    so the map side combines and only 36×4 numbers shuffle), then an
+    unpivot via ``stack`` to rows.  Contrast with the oracle's lateral
+    fan-out (corpus × 36 rows): at 100 TB the one-pass form moves
+    constant data where the fan-out moves 36× the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = [(i, j) for i in range(1, 9) for j in range(i, 9)]
+    cols = []
+    for i, j in pairs:
+        a = F.element_at("embedding", i).cast("double")
+        b = F.element_at("embedding", j).cast("double")
+        cols.append(F.round(F.covar_samp(a, b), 4).alias(f"cov_{i}_{j}"))
+        cols.append(F.round(F.corr(a, b), 4).alias(f"cor_{i}_{j}"))
+    wide = emb.agg(*cols)
+    stack_args = ", ".join(
+        f"{i}L, {j}L, cov_{i}_{j}, cor_{i}_{j}" for i, j in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (i, j, cov, pearson)"
+    )

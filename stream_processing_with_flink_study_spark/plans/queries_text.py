@@ -804,3 +804,33 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_frac"
         ),
     )
+
+
+@query(
+    "media_audio_chunks",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           length(substr(text, i*96 + 1, 128)) AS n_samples,
+           CASE WHEN length(substr(text, i*96 + 1, 128)) = 0 THEN 0.0
+                ELSE floor(list_avg(list_transform(
+                       range(1, length(substr(text, i*96 + 1, 128)) + 1),
+                       k -> ascii(substr(substr(text, i*96 + 1, 128), k, 1))
+                     )) * 10000 + 0.5) / 10000 END AS energy,
+           CASE WHEN length(substr(text, i*96 + 1, 128)) = 0 THEN 0
+                ELSE CAST(list_max(list_transform(
+                       range(1, length(substr(text, i*96 + 1, 128)) + 1),
+                       k -> ascii(substr(substr(text, i*96 + 1, 128), k, 1))
+                     )) AS INT) END AS peak
+    FROM documents, UNNEST(generate_series(0, 5)) t(i)
+    WHERE i = 0 OR i*96 < length(text)
+    """,
+)
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: overlapping 128-byte chunks at a
+    96-byte hop (25% overlap — the librosa framing shape) with
+    per-chunk energy/peak computed numpy-side on the raw bytes, a
+    deterministic stand-in for decoded PCM.  Same ASCII char==byte
+    equivalence as media_frame_sample lets the DuckDB oracle replay the
+    chunking and byte statistics character-wise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_chunks(multimodal.with_binary_payload(docs))
