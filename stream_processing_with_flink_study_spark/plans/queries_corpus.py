@@ -1021,3 +1021,40 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# two-pass heavy hitters: MG candidate sketch -> exact recount
+# --------------------------------------------------------------------------
+@query(
+    "token_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS item
+      FROM documents
+    ),
+    n AS (SELECT item, count(*) AS n FROM c GROUP BY item)
+    SELECT item, n,
+           CAST(row_number() OVER (ORDER BY n DESC, item) AS INT) AS rank
+    FROM n
+    QUALIFY rank <= 20
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens through the two-pass
+    sketch-then-recount pipeline (:func:`..functions.sketch.
+    heavy_hitters_two_pass`): pass 1's per-partition Misra-Gries
+    summaries (≤512 counters each) yield a guaranteed candidate
+    superset of every token with count > N/513; pass 2 recounts only
+    the candidates behind a broadcast semi-join.  The DuckDB oracle is
+    the NAIVE full-vocabulary groupBy — proving the sketched plan
+    EXACT, not approximate, while shuffling a candidate set instead of
+    the vocabulary.  On a Zipfian token stream the rank-20 count
+    exceeds the MG threshold by orders of magnitude (the docstring
+    contract; violated only by near-uniform streams, where no top-k is
+    meaningful anyway)."""
+    from ..functions import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("item"))
+    return sketch.heavy_hitters_two_pass(toks, "item", k=20, capacity=512)

@@ -306,3 +306,33 @@ def test_simhash64_banding_complete_and_wide_keyspace(spark):
     assert sumsq16 * 5 < sumsq8, (sumsq16, sumsq8)
     assert max16 < max8, (max16, max8)
     sims.unpersist()
+
+
+def test_misra_gries_candidates_cover_heavy_keys(spark):
+    """MG guarantee: every key with global count > N/(capacity+1) must
+    appear in the union of per-partition candidate sets, and the
+    two-pass top-k equals the exact top-k on a skewed stream."""
+    from stream_processing_with_flink_study_spark.functions import sketch as SK
+
+    # Zipf-ish: key_i appears ~1000/i times, spread over 8 partitions
+    rows = [(f"k{i:03d}",) for i in range(1, 120) for _ in range(1000 // i)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    n = len(rows)
+    cap = 32
+    cand = {
+        r.item
+        for r in SK.misra_gries_partials(df, "item", capacity=cap)
+        .select("item").distinct().collect()
+    }
+    from collections import Counter
+
+    true = Counter(r[0] for r in rows)
+    heavy = {k for k, c in true.items() if c > n / (cap + 1)}
+    assert heavy <= cand, heavy - cand
+    got = [
+        (r.item, r.n)
+        for r in SK.heavy_hitters_two_pass(df, "item", k=10, capacity=cap)
+        .orderBy("rank").collect()
+    ]
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
