@@ -428,3 +428,146 @@ def kcore(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected edge list (symmetrized internally): every node starts in
+    its own community; each round every node adopts its neighbors'
+    MODE label, ties broken by the smaller label — the deterministic
+    variant (classic LPA breaks ties randomly, which no oracle could
+    replay).  Fixed ``rounds`` is the bounded-iteration contract that
+    an unrolled SQL oracle can replay, same style as :func:`sssp`.
+
+    Returns (id, community) for every node with at least one edge.
+
+    Scale shape: one shuffle of 2|E| label messages per round (join on
+    the neighbor's current label + a two-level count/argmax aggregate,
+    both map-side combinable); per-round frames are localCheckpointed
+    so lineage stays flat, and superseded caches are dropped eagerly.
+    The same broadcast-vs-shuffle considerations as :func:`pagerank`
+    apply; label joins here are keyed on the full node set, so the
+    shuffle form IS the default — nothing O(|V|) is ever broadcast."""
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).unionByName(
+        edges.select(
+            F.col(dst).cast("long").alias("a"),
+            F.col(src).cast("long").alias("b"),
+        )
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("community"))
+        .localCheckpoint()
+    )
+    prev: DataFrame | None = labels
+    for _ in range(rounds):
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "b"), "b"
+        ).select(F.col("a").alias("id"), "community")
+        counted = msgs.groupBy("id", "community").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        best = counted.groupBy("id").agg(
+            F.max_by(
+                "community",
+                F.struct(
+                    F.col("n"), (-F.col("community")).alias("neg")
+                ),
+            ).alias("community")
+        )
+        labels = best.localCheckpoint()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the variant whose round count is O(log²) in component size rather
+    than O(diameter), i.e. the scale path for DEEP graphs where
+    :func:`connected_components`' min-propagation would need
+    diameter-many rounds (long chains, social graphs).  Both return
+    identical (id, comp) labelings — asserted against each other on
+    hand and random graphs in tests/test_graph.py.
+
+    Per phase: one keyed min-aggregate over the current edge multiset
+    plus a join — exactly the shuffle cost of a propagation round, but
+    the edge set CONTRACTS toward stars instead of staying fixed, so
+    late rounds are nearly free.  Edges are deduplicated and
+    localCheckpointed per round; convergence = the small-star output is
+    already a star forest (every edge points directly at a root), which
+    the large-star phase detects as a fixpoint."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def phase(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionByName(
+                mins.select(F.col("u"), F.col("m").alias("v"))
+            )
+        return (
+            out.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        )
+
+    prev = e
+    for _ in range(max_iter):
+        ls = phase(prev, large=True)
+        ss = phase(ls, large=False)
+        ls.unpersist()
+        # fixpoint: edge multiset unchanged by the full round
+        changed = (
+            ss.unionByName(prev).distinct().count() != prev.count()
+            or ss.count() != prev.count()
+        )
+        if prev is not e:
+            prev.unpersist()
+        prev = ss
+        if not changed:
+            break
+    # star forest -> labels: leaves point at their root; roots label
+    # themselves (isolated-in-output nodes are their own component)
+    nodes = e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+    labels = nodes.join(prev, "u", "left").select(
+        F.col("u").alias("id"),
+        F.coalesce(F.col("v"), F.col("u")).alias("comp"),
+    )
+    out = labels.localCheckpoint()
+    if prev is not e:
+        prev.unpersist()
+    e.unpersist()
+    return out

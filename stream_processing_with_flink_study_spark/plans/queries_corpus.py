@@ -1058,3 +1058,40 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens("text")).alias("item"))
     return sketch.heavy_hitters_two_pass(toks, "item", k=20, capacity=512)
+
+
+@query(
+    "near_dup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_CHAIN_CORPUS_SQL.strip()}
+    SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+    FROM reach
+    GROUP BY id
+    """,
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering contract as :func:`near_dup_clusters`, run
+    through the alternating large-star/small-star operator
+    (:func:`..operators.graph.connected_components_star`) instead of
+    min-propagation — O(log²)-round convergence for DEEP graphs where
+    propagation needs diameter-many rounds.  Sharing the oracle with
+    the propagation query pins BOTH iterative engines to the identical
+    labeling on driver data, not just on test fixtures.  Isolated docs
+    (no near-dup pair) come back as their own singleton cluster via a
+    left join onto the vertex set."""
+    corpus = _chain_corpus(spark, sf_dir)
+    sh = dedup.doc_shingles(corpus, "text", "doc_id")
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
+    from ..operators.graph import connected_components_star
+
+    comps = connected_components_star(pairs, "id_a", "id_b")
+    verts = corpus.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return verts.join(
+        comps.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce(F.col("comp"), F.col("doc_id"))).alias(
+            "keep"
+        ),
+    )

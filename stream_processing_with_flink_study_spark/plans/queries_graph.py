@@ -338,3 +338,61 @@ def kcore_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("s_suppkey"),
         F.col("degree").cast("long").alias("core_degree"),
     )
+
+
+# --------------------------------------------------------------------------
+# label-propagation communities (deterministic LPA)
+# --------------------------------------------------------------------------
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-round deterministic LPA — mode-label update with
+    (count DESC, community ASC) tiebreak, same chain-of-CTEs style as
+    :func:`_pagerank_oracle`."""
+    steps = []
+    for k in range(1, LPA_ROUNDS + 1):
+        steps.append(f"""
+    lp{k} AS MATERIALIZED (
+      SELECT id, community FROM (
+        SELECT e.src AS id, p.community, count(*) AS n,
+               row_number() OVER (
+                 PARTITION BY e.src
+                 ORDER BY count(*) DESC, p.community ASC
+               ) AS r
+        FROM edges e JOIN lp{k - 1} p ON p.id = e.dst
+        GROUP BY e.src, p.community
+      ) WHERE r = 1
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH {_cosupplier_edges_sql()},
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    lp0 AS (SELECT DISTINCT src AS id, src AS community FROM edges),
+    {chain}
+    SELECT id AS s_suppkey, community
+    FROM lp{LPA_ROUNDS}
+    """
+
+
+@query("lpa_communities", _lpa_oracle())
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier communities on the co-supplier graph by DETERMINISTIC
+    label propagation (:func:`..operators.graph.label_propagation`):
+    mode-label adoption with a (count, -label) argmax tiebreak and a
+    fixed {LPA_ROUNDS}-round budget, so the unrolled SQL oracle replays
+    every round exactly — classic random-tiebreak LPA could never be
+    oracle-checked.  Complements connected components (pure
+    reachability) with density-sensitive communities on the SAME edge
+    stage."""
+    from ..operators.graph import label_propagation
+
+    edges = _cosupplier_edges(spark, sf_dir)
+    comm = label_propagation(edges, rounds=LPA_ROUNDS)
+    return comm.select(
+        F.col("id").alias("s_suppkey"), "community"
+    )

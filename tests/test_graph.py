@@ -236,3 +236,37 @@ def test_triangle_stats_shuffle_path_exact(spark):
         scale = triangle_stats(df, broadcast_threshold=0).collect()[0]
         assert fast.asDict() == scale.asDict(), name
         assert scale.n_triangles == expect[name], name
+
+
+def test_star_cc_equals_min_propagation(spark):
+    """Large-star/small-star CC must produce the identical labeling as
+    min-propagation on chains (deep), cliques+bridge, and a seeded
+    random graph (the regime mixing both shapes)."""
+    import random
+
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(1, 12)] + [(20, 21)],
+        "cliquebridge": [
+            (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+        ] + [(4, 10), (10, 11), (11, 12), (30, 31)],
+    }
+    rng = random.Random(7)
+    cases["random"] = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(1, 60), rng.randrange(1, 60)) for _ in range(70)
+            )
+            if a != b
+        }
+    )
+    for name, es in cases.items():
+        df = spark.createDataFrame(es, "id_a long, id_b long")
+        want = {r.id: r.comp for r in connected_components(df).collect()}
+        got = {r.id: r.comp for r in connected_components_star(df).collect()}
+        assert got == want, name
