@@ -160,3 +160,58 @@ def train_bpe_merges_driver(
                     i += 1
             vocab[j] = (out, cnt)
     return merges
+
+
+def encode_with_merges(
+    tokens: DataFrame,
+    merges: list[tuple[str, str, int]],
+    token_col: str = "t",
+) -> DataFrame:
+    """Apply a trained merge list to a token stream — the ENCODE half
+    of BPE (training learns merges; serving replays them in order on
+    every word).  Returns (word, pieces array<string>, n_pieces).
+
+    Scale shape: encoding is vocabulary-bounded like training — the
+    corpus collapses to DISTINCT words first, every merge applies to
+    the word table (one Arrow batch pass per merge, same `_merge_udf`
+    the trainer used, so train/encode share one merge semantics by
+    construction), and callers re-attach pieces to the full stream by
+    broadcast-joining the encoded vocabulary.  The merge list itself is
+    a few dozen closure constants — never data-sized."""
+    words = (
+        tokens.select(F.col(token_col).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+        )
+    )
+    for a, b, _ in merges:
+        words = words.withColumn("syms", _merge_udf(a, b)(F.col("syms")))
+    return words.select(
+        "word",
+        F.col("syms").alias("pieces"),
+        F.size("syms").alias("n_pieces"),
+    )
+
+
+def encode_word_reference(
+    word: str, merges: list[tuple[str, str, int]]
+) -> list[str]:
+    """Pure-Python single-word reference encoder (the textbook loop) —
+    the independent implementation the distributed encoder is tested
+    against."""
+    syms = list(word) + [END]
+    for a, b, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -781,3 +781,38 @@ def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(inter_days), 4).alias("avg_interorder_days"),
     )
+
+
+@query("bpe_encoded_stats")  # encode replays learned merges → rows-only
+def bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING half of the tokenizer pipeline: replay the learned
+    merge list over the corpus vocabulary
+    (:func:`..functions.bpe.encode_with_merges`) and report the
+    compression it bought — per piece-count bucket: distinct words,
+    corpus occurrences, and the mean chars-per-piece ratio.  Encoding
+    is vocabulary-bounded (distinct-words table, one Arrow pass per
+    merge); the full-stream re-attach is a broadcast join of the
+    encoded vocabulary.  Distributed encoder ≡ the pure-Python textbook
+    loop per word (`test_bpe_encode_matches_reference`)."""
+    from ..functions.bpe import encode_with_merges, train_bpe_merges_driver
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(text.tokens("text")).alias("t")
+    )
+    merges = train_bpe_merges_driver(tok, n_merges=8)
+    encoded = encode_with_merges(tok, merges)
+    stream = tok.groupBy(F.col("t").alias("word")).agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    joined = stream.join(F.broadcast(encoded), "word")
+    return (
+        joined.groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("occurrences").alias("n_occurrences"),
+            F.round(
+                F.avg(F.length("word") / F.col("n_pieces")), 4
+            ).alias("avg_chars_per_piece"),
+        )
+        .orderBy("n_pieces")
+    )

@@ -336,3 +336,24 @@ def test_misra_gries_candidates_cover_heavy_keys(spark):
     ]
     want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Distributed encode_with_merges must reproduce the pure-Python
+    textbook encoder word-for-word, merges applied in training order."""
+    from stream_processing_with_flink_study_spark.functions import bpe as B
+
+    rows = [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    tok = spark.createDataFrame(rows, "t string")
+    merges = B.train_bpe_merges_driver(tok, n_merges=6)
+    got = {
+        r.word: (list(r.pieces), r.n_pieces)
+        for r in B.encode_with_merges(tok, merges).collect()
+    }
+    for w in ("low", "lower", "newest", "widest"):
+        ref = B.encode_word_reference(w, merges)
+        assert got[w] == (ref, len(ref)), w
+    # unseen word still encodes (falls back to chars + whatever applies)
+    unseen = spark.createDataFrame([("lowest",)], "t string")
+    enc = B.encode_with_merges(unseen, merges).collect()[0]
+    assert list(enc.pieces) == B.encode_word_reference("lowest", merges)
