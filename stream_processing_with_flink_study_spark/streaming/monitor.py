@@ -120,3 +120,36 @@ class IdleSourceMonitor(StreamingQueryListener):
             for k in sorted(self._flagged)
             if query_id is None or k[0] == str(query_id)
         ]
+
+
+def state_store_metrics(query) -> list[dict[str, Any]]:
+    """State-size observability for a running (or just-finished)
+    streaming query — the operational companion to Flink's state-backend
+    metrics (``정리/5주차.md``'s state-size concerns): one record per
+    stateful operator from the query's last progress, with the fields an
+    operator watches for unbounded-state bugs:
+
+    - ``rows_total`` / ``rows_updated`` — state cardinality and churn;
+      total growing linearly across triggers while updates stay flat is
+      the classic missing-TTL signature;
+    - ``memory_used_bytes`` — provider-reported resident state;
+    - ``commit_ms`` — state-store commit latency (checkpoint pressure).
+
+    Pure read of ``lastProgress`` — no listener required, works after
+    ``Trigger.AvailableNow`` runs where Python listeners receive no
+    progress events (see :class:`IdleSourceMonitor`)."""
+    p = query.lastProgress
+    if not p:
+        return []
+    out = []
+    for op in p.get("stateOperators", []) or []:
+        out.append(
+            {
+                "operator": op.get("operatorName"),
+                "rows_total": op.get("numRowsTotal"),
+                "rows_updated": op.get("numRowsUpdated"),
+                "memory_used_bytes": op.get("memoryUsedBytes"),
+                "commit_ms": op.get("commitTimeMs"),
+            }
+        )
+    return out

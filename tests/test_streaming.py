@@ -1675,3 +1675,42 @@ def test_transition_counts_drops_cross_batch_stragglers(spark, tmp_path):
     # no A->B or B->C arrival-order artifacts; the straggler vanished
     # and the seed survived it: A->C is the only transition
     assert summed == {("A", "C"): 1}
+
+
+def test_state_store_metrics_reports_stateful_operator(spark, tmp_path):
+    """P5/P6 observability: a windowed aggregation run to completion
+    must surface its state operator with a positive state row count;
+    a stateless passthrough reports none."""
+    from datetime import datetime
+
+    schema = "k string, ts timestamp, v double"
+    rows = [("a", datetime(2024, 1, 1, h), float(h)) for h in range(6)]
+    df = spark.createDataFrame(rows, schema)
+    src = S.memory_batches_stream(spark, [df], str(tmp_path / "src"), schema=schema)
+    agg = (
+        src.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    mets = S.state_store_metrics(q)
+    assert mets and mets[0]["rows_total"] > 0
+    assert mets[0]["operator"] is not None
+
+    q2 = (
+        S.memory_batches_stream(spark, [df], str(tmp_path / "src2"), schema=schema)
+        .select("k", "v")
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert S.state_store_metrics(q2) == []
