@@ -643,3 +643,61 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         src_dir.__exit__()
     return got.filter(F.col("id") != "_flush")
+
+
+# --------------------------------------------------------------------------
+# custom Python DataSource, end to end (S1/S6 through the V2 seam)
+# --------------------------------------------------------------------------
+@query(
+    "custom_source_window_avg",
+    """
+    WITH r AS (
+      SELECT s.s AS sensor_id, n.n AS reading_n,
+             round(65.0 + 10.0 * sin(n.n / 7.0 + s.s)
+                   + ((s.s * 1000003 + n.n * 7919) % 1000) / 100.0, 4)
+               AS temperature
+      FROM unnest(range(0, 4)) s(s), unnest(range(0, 100)) n(n)
+    )
+    SELECT sensor_id,
+           CAST(reading_n // 10 AS BIGINT) AS w,
+           count(*) AS n_readings,
+           floor(avg(temperature) * 10000 + 0.5) / 10000 AS avg_temp,
+           round(max(temperature) - min(temperature), 4) AS temp_range
+    FROM r
+    GROUP BY sensor_id, reading_n // 10
+    """,
+)
+def custom_source_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship windowed-average shape fed by the CUSTOM Python
+    DataSource (``sources/custom_datasource.py`` — the DataSource V2
+    seam standing in for the reference's SourceFunction): read the
+    ``sensors`` format, window by reading index, aggregate per sensor.
+    The generator is a closed-form expression, so the DuckDB oracle
+    REGENERATES the identical readings from ``range()`` and the full
+    source→window→agg pipeline is hash-checked end to end — source
+    included, which no file-backed query can claim."""
+    from ..sources.custom_datasource import register_sensor_source
+
+    register_sensor_source(spark)
+    df = (
+        spark.read.format("sensors")
+        .option("sensors", 4)
+        .option("readings", 100)
+        .load()
+    )
+    return (
+        df.groupBy(
+            "sensor_id", (F.col("reading_n") / 10).cast("long").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            # floor-half-up, not round(): hundredth-grained inputs put
+            # 10-reading means on exact .xxxx5 boundaries
+            (F.floor(F.avg("temperature") * 10000 + 0.5) / 10000).alias(
+                "avg_temp"
+            ),
+            F.round(
+                F.max("temperature") - F.min("temperature"), 4
+            ).alias("temp_range"),
+        )
+    )
