@@ -1079,3 +1079,59 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("target_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# DP-prep: per-user contribution bounding before aggregation
+# --------------------------------------------------------------------------
+@query(
+    "contribution_capped_stats",
+    """
+    WITH ranked AS (
+      SELECT event_type, user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS r
+      FROM events
+    ),
+    capped AS (SELECT * FROM ranked WHERE r <= 5)
+    SELECT event_type,
+           count(*) AS n_capped_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(least(value, 500.0)), 4) AS sum_clamped_value,
+           round(count(*) * 1.0
+                 / count(DISTINCT user_id), 4) AS avg_events_per_user
+    FROM capped
+    GROUP BY event_type
+    """,
+)
+def contribution_capped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The differential-privacy PREPROCESSING contract (contribution
+    bounding): before any DP mechanism can add calibrated noise, each
+    user's influence on every aggregate must be capped — here at most
+    5 events per (user, event_type), first-5 by event time
+    (deterministic tiebreak), and per-row values clamped to 500 so the
+    L1 sensitivity of the sum is 5·500 per user.  The noise draw itself
+    needs true randomness and so lives OUTSIDE the deterministic
+    oracle-checked plan (same honesty rule as the media-codec stub);
+    everything up to it — the part that determines sensitivity — is
+    the query.
+
+    Scale shape: one window rank per (user, type) partition (the same
+    shuffle the final groupBy needs anyway at this key grain), then a
+    map-side-combinable aggregate; the cap bounds per-key fan-in, so
+    the plan is skew-IMMUNE by construction — a user with a million
+    events contributes exactly 5 rows downstream of the rank."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    capped = ev.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5)
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_capped_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.least("value", F.lit(500.0))), 4).alias(
+            "sum_clamped_value"
+        ),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("user_id"), 4
+        ).alias("avg_events_per_user"),
+    )
