@@ -154,6 +154,12 @@ def pagerank(
     from pyspark.sql.window import Window
 
     spark = edges.sparkSession
+    # repartition(edge_partitions, src), not coalesce: the shuffle-path
+    # join reuses this hash partitioning every round, and 6 rounds of
+    # 32-task jobs over a coalesced-partitioning-free cache measured
+    # ~30% slower than 8 aligned tasks (the window's own hash(src, 32)
+    # partitioning survives the cache but over-parallelizes tiny
+    # per-round jobs; the one extra build-time exchange amortizes)
     fedges = (
         edges.withColumn(
             "frac",
