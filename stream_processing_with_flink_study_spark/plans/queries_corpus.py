@@ -1095,3 +1095,77 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# dataset card: the one-row release summary
+# --------------------------------------------------------------------------
+@query(
+    "dataset_card_summary",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang, source, n_chars,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fp
+      FROM documents
+    ),
+    srcp AS (
+      SELECT source, count(*) * 1.0 / (SELECT count(*) FROM base) AS p
+      FROM base GROUP BY source
+    )
+    SELECT (SELECT count(*) FROM base) AS n_docs,
+           (SELECT CAST(sum(n_tokens) AS BIGINT) FROM base) AS n_tokens,
+           (SELECT count(DISTINCT lang) FROM base) AS n_langs,
+           (SELECT count(DISTINCT source) FROM base) AS n_sources,
+           (SELECT round(avg(n_chars), 4) FROM base) AS avg_chars,
+           (SELECT round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4)
+            FROM base) AS exact_dup_rate,
+           (SELECT round(-sum(p * log2(p)), 4) FROM srcp)
+             AS source_entropy_bits
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row DATASET CARD a corpus release ships with: volume
+    (docs/tokens), breadth (languages, sources), length profile, exact
+    duplicate rate (1 − distinct normalized fingerprints / docs), and
+    the source-mix entropy in bits (log₂|S| = perfectly balanced; near
+    0 = one crawl dominates).  Composes the fingerprint, token and
+    mixing machinery already oracle-checked piecewise into the summary
+    artifact downstream consumers actually read.
+
+    Scale shape: ONE corpus scan computes every per-doc quantity; the
+    rollup needs two aggregates (global + per-source for the entropy
+    term) joined as 1×k broadcast frames — no wide shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(text.tokens("text")).alias("n_tokens"),
+        text.fingerprint("text").alias("fp"),
+    )
+    srcp = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            (F.col("c") / F.sum("c").over(Window.partitionBy())).alias("p")
+        )
+    )
+    ent = srcp.agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 4).alias(
+            "source_entropy_bits"
+        )
+    )
+    card = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 4
+        ).alias("exact_dup_rate"),
+    )
+    return card.crossJoin(F.broadcast(ent))
