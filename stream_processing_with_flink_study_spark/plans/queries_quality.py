@@ -748,3 +748,97 @@ def windowed_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in terms[1:]:
         psi = psi + t
     return out.select("w_start", "n_events", F.round(psi, 4).alias("psi"))
+
+
+# --------------------------------------------------------------------------
+# cross-table referential integrity sweep
+# --------------------------------------------------------------------------
+@query(
+    "referential_integrity_audit",
+    """
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n
+              WHERE NOT EXISTS (SELECT 1 FROM region r
+                                WHERE r.r_regionkey = n.n_regionkey))
+    )
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide foreign-key audit: orphan counts for every FK
+    edge of the star schema in one result — the integrity sweep that
+    gates a 100 TB ingest before any join-bearing query trusts its
+    keys (a broken FK silently DROPS rows from inner joins; this
+    query is how that surfaces as a number instead of a wrong answer).
+
+    Scale shape: each edge is a LEFT ANTI join counted — dimension
+    sides (orders is the largest) hash- or broadcast-joined as size
+    dictates by AQE; the fact table is scanned once per edge with only
+    the key column read (pruned scan).  Rows: one per FK edge, so the
+    result is schema-sized, never data-sized."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in (
+            "lineitem", "orders", "customer", "supplier", "part",
+            "nation", "region",
+        )
+    }
+
+    def edge(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        n_child = child.count()
+        orphans = (
+            child.select(F.col(ck))
+            .join(parent.select(F.col(pk).alias(ck)), ck, "left_anti")
+            .count()
+        )
+        return (fk, n_child, orphans)
+
+    rows = [
+        edge("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+             t["orders"], "o_orderkey"),
+        edge("orders.o_custkey->customer", t["orders"], "o_custkey",
+             t["customer"], "c_custkey"),
+        edge("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+             t["supplier"], "s_suppkey"),
+        edge("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+             t["part"], "p_partkey"),
+        edge("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+             t["nation"], "n_nationkey"),
+        edge("nation.n_regionkey->region", t["nation"], "n_regionkey",
+             t["region"], "r_regionkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk string, n_child long, n_orphans long"
+    )
