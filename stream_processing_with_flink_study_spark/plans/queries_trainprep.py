@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text
 from ..sources import load_table
 from .registry import query
 
@@ -344,4 +345,110 @@ def temporal_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.version").alias("version"),
             F.unix_millis("d.valid_from").alias("valid_from_ms"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic epoch shuffling (reproducible data order per epoch)
+# --------------------------------------------------------------------------
+@query(
+    "epoch_shuffled_order",
+    """
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY epoch
+             ORDER BY md5(concat(epoch, '#', doc_id)), doc_id
+           ) AS BIGINT) AS position
+    FROM documents, unnest(range(0, 3)) e(epoch)
+    """,
+)
+def epoch_shuffled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch data order: every epoch visits the whole
+    corpus exactly once in a DIFFERENT pseudo-random permutation,
+    derived purely from ``md5(epoch # doc_id)`` — rerunning epoch 1 on
+    any cluster, any partitioning, any day yields byte-identical order,
+    which is what makes a training run resumable and debuggable
+    (seeded RNG shuffles depend on worker count; hash order does not).
+
+    Scale shape: the permutation is ONE window sort per epoch keyed on
+    a hash the scan computes in place — at 100 TB you'd range-partition
+    by the hash instead of a global sort, same ordering contract; the
+    epoch fan-out is an array explode, not a re-scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("epoch")
+    )
+    w = Window.partitionBy("epoch").orderBy(
+        F.md5(F.concat_ws("#", F.col("epoch"), F.col("doc_id"))),
+        F.col("doc_id"),
+    )
+    return epochs.select(
+        "epoch", "doc_id", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+# --------------------------------------------------------------------------
+# length-bucketed batching (dynamic batching's data layout)
+# --------------------------------------------------------------------------
+@query(
+    "length_bucketed_batches",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+      FROM t
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT (rn - 1) // 16 ) AS BIGINT) AS n_batches,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round((max(n_tokens) - avg(n_tokens)) / max(n_tokens), 4)
+             AS pad_waste
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+          FROM b)
+    GROUP BY bucket
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching layout (the dynamic-batching
+    complement to FFD packing): docs sort into 8 equal-size length
+    buckets (``ntile``), each bucket chops into fixed 16-doc batches,
+    and the report shows per-bucket padding waste — the fraction of a
+    max-length-padded batch that would be padding if batches were
+    drawn ACROSS buckets instead (bucketing exists to push this toward
+    0; compare the top bucket's waste to the mean).
+
+    Scale shape: one token count per doc (projection), one global
+    ntile sort (at 100 TB: range partitioner on n_tokens — identical
+    assignment), per-bucket window ranks partitioned by bucket, then a
+    bucket-keyed rollup.  Deterministic (n_tokens, doc_id) tiebreaks
+    throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(text.tokens("text")).alias("n_tokens")
+    )
+    b = t.withColumn(
+        "bucket",
+        F.ntile(8).over(Window.orderBy("n_tokens", "doc_id")),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    )
+    staged = b.withColumn("batch_id", ((rn - 1) / 16).cast("long"))
+    return staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(
+            (F.max("n_tokens") - F.avg("n_tokens")) / F.max("n_tokens"), 4
+        ).alias("pad_waste"),
     )
