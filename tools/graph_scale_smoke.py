@@ -147,6 +147,17 @@ def main() -> None:
     ).count()
     sec = round(time.perf_counter() - t0, 2)
     e.unpersist()
+    # triangle counting: the degree-ordered shuffle edge-iterator must
+    # reproduce the broadcast path's exact count on the scaled graph
+    # (disjoint copies => count scales exactly linearly too)
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    tri_bc = triangle_stats(e, src="src", dst="dst").collect()[0]
+    tri_sh = triangle_stats(
+        e, src="src", dst="dst", broadcast_threshold=0
+    ).collect()[0]
     forced = {
         "edges": n_edges,
         "sec": sec,
@@ -154,10 +165,13 @@ def main() -> None:
         "linear": n_edges == base_edges * big,
         "mass_ok": abs(mass - 1.0) < 1e-6,
         "reach_matches_broadcast_path": n_reach == next(iter(reaches)),
+        "triangles": tri_sh.n_triangles,
+        "triangles_match": tri_bc.asDict() == tri_sh.asDict(),
     }
     print(json.dumps({"mult": big, "path": "forced_shuffle", **forced}))
     assert forced["linear"] and forced["mass_ok"], forced
     assert forced["reach_matches_broadcast_path"], forced
+    assert forced["triangles_match"], forced
 
     print(json.dumps({"graph_scale_smoke": "ok", "results": out,
                       "forced_shuffle": forced}))
