@@ -1169,3 +1169,83 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_rate"),
     )
     return card.crossJoin(F.broadcast(ent))
+
+
+# --------------------------------------------------------------------------
+# chi-square independence: source x language contingency
+# --------------------------------------------------------------------------
+@query(
+    "chi2_source_lang",
+    """
+    WITH obs AS MATERIALIZED (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+    ),
+    margins AS (
+      SELECT o.source, o.lang, o.o,
+             rs.n * cs.n * 1.0 / (SELECT sum(o) FROM obs) AS e
+      FROM obs o
+      JOIN (SELECT source, sum(o) AS n FROM obs GROUP BY source) rs
+        ON rs.source = o.source
+      JOIN (SELECT lang, sum(o) AS n FROM obs GROUP BY lang) cs
+        ON cs.lang = o.lang
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT source) - 1)
+                * (count(DISTINCT lang) - 1) AS BIGINT) AS dof,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           round(sqrt(sum((o - e) * (o - e) / e)
+                 / ((SELECT sum(o) FROM obs)
+                    * least(count(DISTINCT source) - 1,
+                            count(DISTINCT lang) - 1))), 4) AS cramers_v
+    FROM margins
+    """,
+)
+def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between ``source`` and ``lang``
+    plus Cramér's V effect size — the dataset-composition diagnostic
+    that tells a curation pipeline whether language mix is uniform
+    across crawls (V≈0) or some source is a language silo (V→1), which
+    changes how per-language caps must be applied.
+
+    Scale shape: the contingency table is ONE map-side-combined count
+    over (source, lang) — cells are |S|×|L|, tiny regardless of corpus
+    size; margins and the statistic are arithmetic over that cell
+    table.  The corpus is touched exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rs = obs.groupBy("source").agg(F.sum("o").alias("rn"))
+    cs = obs.groupBy("lang").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("tn"))
+    m = (
+        obs.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "o",
+            (F.col("rn") * F.col("cn") / F.col("tn")).alias("e"),
+            "tn",
+        )
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.first("tn")
+                    * F.least(
+                        F.countDistinct("source") - 1,
+                        F.countDistinct("lang") - 1,
+                    )
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
