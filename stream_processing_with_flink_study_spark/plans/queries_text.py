@@ -834,3 +834,97 @@ def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking and byte statistics character-wise."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.audio_chunks(multimodal.with_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# asymmetric containment: subset / quotation detection
+# --------------------------------------------------------------------------
+_CONTAIN_CORPUS_SQL = """
+  corpus AS (
+    SELECT doc_id, lower(trim(text)) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(tokens[1 : greatest(len(tokens) // 2, 3)], ' ')
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tokens
+      FROM documents WHERE doc_id % 10 = 0
+    )
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+      unnest(list_transform(
+        generate_series(1, greatest(len(tokens) - 2, 0)),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tokens
+          FROM corpus)
+  )
+"""
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH {_CONTAIN_CORPUS_SQL.strip()},
+    {_JACCARD_TAIL_SQL.strip()}
+    SELECT c.id_a, c.id_b, c.n_common, a.n_sh AS n_a, b.n_sh AS n_b,
+           round(c.n_common * 1.0 / least(a.n_sh, b.n_sh), 4)
+             AS containment,
+           CASE WHEN a.n_sh <= b.n_sh THEN 'a_in_b' ELSE 'b_in_a' END
+             AS direction
+    FROM common c
+    JOIN sizes a ON c.id_a = a.doc_id
+    JOIN sizes b ON c.id_b = b.doc_id
+    WHERE round(c.n_common * 1.0 / least(a.n_sh, b.n_sh), 4) >= 0.8
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment = |A∩B| / min(|A|, |B|) —
+    catches a document wholly QUOTED inside a larger one, which
+    symmetric Jaccard misses (a half-doc inside its original scores
+    jaccard ≈ 0.5 but containment 1.0; the planted corpus is exactly
+    that: every 10th doc's first half at id +1M).  The curation action
+    differs from dedup too: the CONTAINED side is the drop candidate,
+    so ``direction`` says which way the subset relation points.
+
+    Plan shape identical to :func:`ngram_jaccard_pairs` (persisted
+    int64-hashed inverted index, one self-join on shingle) — this is
+    the exhaustive tier; the LSH bucketing path prefilters it at scale
+    exactly as for Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    halves = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(3))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    ).unionByName(halves)
+    sh = (
+        dedup.doc_shingles(corpus, "text", "doc_id")
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
+    sh.count()
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.0)
+    contain = F.round(
+        F.col("n_common") / F.least("n_a", "n_b"), 4
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            contain.alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
