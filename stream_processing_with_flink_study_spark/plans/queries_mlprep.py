@@ -1008,10 +1008,10 @@ def streaming_flagship_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
              i -> CASE WHEN flags[i]
                        THEN '<extra_id_' || (kk[i] - 1) || '>'
                        ELSE toks[i] END), ' ') AS input_text,
-           array_to_string(list_transform(
+           coalesce(array_to_string(list_transform(
              list_filter(range(1, len(toks) + 1), i -> flags[i]),
              i -> '<extra_id_' || (kk[i] - 1) || '>' || ' ' || toks[i]),
-             ' ') AS target_text
+             ' '), '') AS target_text
     FROM k
     """,
 )
