@@ -227,3 +227,60 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (i, j, cov, pearson)"
     )
+
+
+@query(
+    "monthly_percentile_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month, o_totalprice AS v
+      FROM orders
+    ),
+    q AS (
+      SELECT month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(quantile_cont(v, 0.5), 4) AS p50,
+             round(quantile_cont(v, 0.9), 4) AS p90
+      FROM m GROUP BY month
+    )
+    SELECT CAST(strftime(month, '%Y-%m') AS VARCHAR) AS month,
+           n_orders, p50, p90,
+           round(p50 - lag(p50) OVER (ORDER BY month), 4) AS p50_mom_delta
+    FROM q
+    """,
+)
+def monthly_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact monthly p50/p90 of order value with month-over-month
+    median drift — the distribution-shift trend a revenue/latency
+    dashboard tracks (means hide tail movement; the p50→p90 spread
+    widening IS the signal).  Exact interpolated percentiles on both
+    engines (Spark ``percentile`` ≡ DuckDB ``quantile_cont``); at
+    100 TB the exact form swaps for ``approx_percentile`` per the
+    sketch battery's documented error bounds — same plan shape, one
+    grouped aggregate plus a frame-free lag window over month rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = (
+        orders.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.col("o_totalprice").alias("v"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(v, 0.9)"), 4).alias("p90"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    return q.select(
+        "month",
+        "n_orders",
+        "p50",
+        "p90",
+        F.round(
+            F.col("p50") - F.lag("p50").over(W.orderBy("month")), 4
+        ).alias("p50_mom_delta"),
+    )
