@@ -284,3 +284,41 @@ def monthly_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p50") - F.lag("p50").over(W.orderBy("month")), 4
         ).alias("p50_mom_delta"),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    -- +1: DuckDB dayofweek is 0=Sunday..6, Spark's is 1=Sunday..7
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           count(*) AS n_events,
+           round(count(*) * 1.0 / (SELECT count(*) FROM events), 6)
+             AS share,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY dayofweek(ts) + 1, hour(ts)
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap with share-of-total — the
+    capacity-planning profile (when to schedule compaction, what the
+    peak-to-trough ratio is).  One map-side-combined aggregate over a
+    168-cell key space; the share denominator is a broadcast one-row
+    frame, not a second scan — Spark computes both aggregates from the
+    same shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    total = cells.agg(F.sum("n_events").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("tot"), 6).alias("share"),
+        "sum_value",
+    )
