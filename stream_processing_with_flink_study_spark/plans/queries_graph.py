@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import query
@@ -395,4 +396,360 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = label_propagation(edges, rounds=LPA_ROUNDS)
     return comm.select(
         F.col("id").alias("s_suppkey"), "community"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-node local clustering coefficient (graph wave 2)
+# --------------------------------------------------------------------------
+@query(
+    "local_clustering_coeff",
+    f"""
+    WITH {_cosupplier_edges_sql(min_weight=3)},
+    deg AS MATERIALIZED (
+      SELECT s, count(*) AS d FROM (
+        SELECT src AS s FROM pairs UNION ALL SELECT dst AS s FROM pairs
+      ) GROUP BY s
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.src = e1.dst
+      JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tnode AS (
+      SELECT v, count(*) AS nt FROM (
+        SELECT a AS v FROM tri UNION ALL
+        SELECT b AS v FROM tri UNION ALL
+        SELECT c AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.s AS s_suppkey,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tnode.nt, 0) AS BIGINT) AS n_tri,
+           round(2.0 * coalesce(tnode.nt, 0) / (deg.d * (deg.d - 1)), 4)
+             AS lcc
+    FROM deg LEFT JOIN tnode ON tnode.v = deg.s
+    WHERE deg.d >= 2
+    """,
+)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient — 2·tri(v) / (d(v)·(d(v)−1))
+    on the thinned (w ≥ 3) co-supplier graph.  The global coefficient
+    (``triangle_count_graph``) says how clumpy the graph is overall;
+    the local profile is what community/fraud screens actually consume
+    (a high-degree node with lcc ≈ 0 is a hub bridging otherwise
+    unrelated cliques).
+
+    Scale shape: triangles are enumerated ONCE on the canonical
+    (src < dst) oriented edge list — each triangle (a < b < c) appears
+    exactly once, so per-node counts are an explode of its 3 corners +
+    one keyed count.  Both probe sides of the enumeration join are the
+    (thinned, ≪ fact-table) edge list itself; degrees ride the same
+    frame.  lcc is an exact-integer ratio, so the oracle comparison is
+    bit-stable (rounding only guards the division).
+
+    Reference scope: keyed-state graph discussion, 정리/5주차.md (same
+    scope note as ``pagerank_cosupplier``)."""
+    pairs = (
+        _cosupplier_edges(spark, sf_dir)
+        .filter(F.col("w") >= 3)
+        .select("src", "dst")
+        .persist()
+    )
+    pairs.count()  # materialize: 4 plan references, lineitem scans once
+    deg = (
+        pairs.select(F.col("src").alias("s"))
+        .union(pairs.select(F.col("dst").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tnode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(F.broadcast(tnode), deg["s"] == tnode["v"], "left")
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("nt"), F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("nt"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("lcc"),
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# link prediction: common-neighbors / Jaccard / Adamic-Adar (graph wave 2)
+# --------------------------------------------------------------------------
+@query(
+    "link_prediction_scores",
+    f"""
+    WITH {_cosupplier_edges_sql(min_weight=3)},
+    sym AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION ALL
+      SELECT dst AS u, src AS v FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    cand AS MATERIALIZED (
+      SELECT s1.v AS a, s2.v AS b,
+             count(*) AS cn,
+             sum(1.0 / ln(dw.d)) AS aa
+      FROM sym s1
+      JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v
+      JOIN deg dw ON dw.u = s1.u
+      GROUP BY s1.v, s2.v
+    ),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN pairs p ON p.src = c.a AND p.dst = c.b
+      WHERE p.src IS NULL
+    ),
+    scored AS (
+      SELECT a, b, cn,
+             round(aa, 4) AS aa_r,
+             round(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 4) AS jac,
+             row_number() OVER (ORDER BY round(aa, 4) DESC, a, b) AS rn
+      FROM nonedge
+      JOIN deg da ON da.u = nonedge.a
+      JOIN deg db ON db.u = nonedge.b
+    )
+    SELECT a AS node_a, b AS node_b,
+           CAST(cn AS BIGINT) AS common_nbrs,
+           aa_r AS adamic_adar,
+           jac AS jaccard
+    FROM scored WHERE rn <= 50
+    """,
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PREDICTED links on the thinned co-supplier graph — pairs
+    with no edge today, ranked by Adamic-Adar (Σ 1/ln(deg(w)) over
+    common neighbors w), with raw common-neighbor count and Jaccard
+    overlap alongside: the classic unsupervised link-prediction
+    feature triple (recommendation candidates / graph-completion
+    screens consume exactly these columns).
+
+    Scale shape: candidate pairs come from ONE pass over the adjacency
+    — group the symmetric edge list to per-node neighbor sets, then a
+    2-combination explode per middle node w carrying 1/ln(|N(w)|) as
+    the term weight (deg(w) IS the set size, so no degree join on the
+    fan-out path; the explode is the same packed-int64 trick as the
+    edge derivation).  The Σ deg(w)² fan-out is the known cost of
+    exact 2-path enumeration — at 100 TB you cap hub degree before the
+    explode (drop w with |N(w)| > cap, a sub-percent score loss) to
+    bound the largest task.  Existing edges leave via a broadcast
+    anti-join; per-endpoint degrees attach via a broadcast join
+    (node-sized).  The top-50 cut orders by the ROUNDED score with
+    (a, b) tiebreak so the cut is engine-stable; Adamic-Adar terms are
+    1/ln(integer) sums — never on a half-boundary, so round(·, 4)
+    absorbs summation-order jitter.
+
+    Reference scope: keyed-state graph discussion, 정리/5주차.md."""
+    pairs = (
+        _cosupplier_edges(spark, sf_dir)
+        .filter(F.col("w") >= 3)
+        .select("src", "dst")
+        .persist()
+    )
+    pairs.count()  # materialize: feeds the fan-out AND the anti-join
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbrs = (
+        sym.groupBy(F.col("src").alias("u"))
+        .agg(F.collect_set("dst").alias("arr"))
+        .persist()
+    )
+    nbrs.count()  # materialize: feeds both the fan-out and the degrees
+    deg = nbrs.select("u", F.size("arr").alias("d"))
+    # 2-combinations of each neighbor set, packed (a<<32|b), a < b
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32)
+                + F.greatest(x, y),
+            ),
+        )
+    )
+    cand = (
+        nbrs.filter(F.size("arr") >= 2)
+        .select(
+            F.explode(packed).alias("k"),
+            (F.lit(1.0) / F.log(F.size("arr").cast("double"))).alias(
+                "term"
+            ),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("term").alias("aa"),
+        )
+        .select(
+            F.shiftright("k", 32).alias("a"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias(
+                "b"
+            ),
+            "cn",
+            "aa",
+        )
+    )
+    nonedge = cand.join(
+        F.broadcast(pairs),
+        (cand["a"] == pairs["src"]) & (cand["b"] == pairs["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    scored = (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round("aa", 4).alias("aa_r"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                4,
+            ).alias("jac"),
+        )
+    )
+    w = Window.orderBy(F.desc("aa_r"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("cn").cast("long").alias("common_nbrs"),
+            F.col("aa_r").alias("adamic_adar"),
+            F.col("jac").alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# degree assortativity (graph wave 2)
+# --------------------------------------------------------------------------
+@query(
+    "degree_assortativity",
+    f"""
+    WITH {_cosupplier_edges_sql(min_weight=1)},
+    sym AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION ALL
+      SELECT dst AS u, src AS v FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    ed AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM ed
+    ),
+    f AS (
+      SELECT CAST(n AS DOUBLE) AS fn, CAST(sx AS DOUBLE) AS fsx,
+             CAST(sy AS DOUBLE) AS fsy, CAST(sxx AS DOUBLE) AS fsxx,
+             CAST(syy AS DOUBLE) AS fsyy, CAST(sxy AS DOUBLE) AS fsxy
+      FROM s
+    ),
+    d2 AS (
+      SELECT fn * fsxy - fsx * fsy AS num,
+             sqrt(greatest(fn * fsxx - fsx * fsx, 0))
+               * sqrt(greatest(fn * fsyy - fsy * fsy, 0)) AS den
+      FROM f
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           round((SELECT CAST(sum(d) AS DOUBLE) FROM deg)
+                 / (SELECT count(*) FROM deg), 4) AS avg_degree,
+           CASE WHEN den = 0 THEN NULL
+                ELSE round(num / den, 4) END AS assortativity
+    FROM d2
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-supplier graph — the Pearson
+    correlation of endpoint degrees over the (symmetric) edge list:
+    positive means hubs attach to hubs (social-network shape), negative
+    means hub-and-spoke (infrastructure shape).  The single most-used
+    one-number topology summary after density/clustering.
+
+    Determinism: the correlation is assembled from EXACT integer
+    moments (n, Σx, Σy, Σx², Σy², Σxy as BIGINTs — degrees are ints,
+    so every sum is exact in both engines) and only then combined in
+    ONE double expression, so the result is bit-identical across
+    engines regardless of their streaming-covariance implementations;
+    rounding is belt-and-braces.  Scale shape: two keyed exchanges
+    (degree count, degree attach — the attach side is node-sized and
+    broadcast in Spark) and a scalar rollup; the fact table is touched
+    once by the shared edge derivation.
+
+    Reference scope: keyed-state graph discussion, 정리/5주차.md."""
+    pairs = _cosupplier_edges(spark, sf_dir).select("src", "dst").persist()
+    n_edges = pairs.count()  # materialize + headline stat in one pass
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).toDF("u", "v")
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    n_nodes, sum_d = deg.agg(
+        F.count(F.lit(1)), F.sum("d")
+    ).first()
+    du = deg.select(F.col("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
+    ed = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    fn, fsx, fsy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    fsxx, fsyy, fsxy = [
+        F.col(c).cast("double") for c in ("sxx", "syy", "sxy")
+    ]
+    num = fn * fsxy - fsx * fsy
+    den = F.sqrt(F.greatest(fn * fsxx - fsx * fsx, F.lit(0.0))) * F.sqrt(
+        F.greatest(fn * fsyy - fsy * fsy, F.lit(0.0))
+    )
+    r = F.when(den == 0, F.lit(None)).otherwise(num / den)
+    return m.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.round(F.lit(sum_d / n_nodes), 4).alias("avg_degree"),
+        F.round(r, 4).alias("assortativity"),
     )
