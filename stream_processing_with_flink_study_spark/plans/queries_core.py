@@ -379,3 +379,80 @@ def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# inter-purchase intervals: customer-cadence profile per market segment
+# --------------------------------------------------------------------------
+@query(
+    "interpurchase_interval_stats",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    ),
+    gaps AS MATERIALIZED (
+      SELECT s.o_custkey, s.gap_days, c.c_mktsegment
+      FROM seq s JOIN customer c ON c.c_custkey = s.o_custkey
+      WHERE s.gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(avg(gap_days), 4) AS avg_gap_days,
+           round(quantile_cont(gap_days, 0.5), 4) AS p50_gap_days,
+           round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days,
+           CAST(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_30d
+    FROM gaps GROUP BY c_mktsegment
+    """,
+)
+def interpurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: day gaps between each
+    customer's consecutive orders (event-time ``lag`` per key — the
+    batch twin of a keyed last-value state lookup), rolled up to
+    count / mean / exact p50 / p90 / ≤30-day share per segment.  The
+    repurchase-cadence profile behind churn models and
+    next-order-date features.
+
+    Scale shape: ONE window shuffle keyed by customer (order date +
+    order key tiebreak makes the lag deterministic under date ties),
+    the segment attach is a BROADCAST of the customer dimension
+    projected to two columns, and the final rollup has
+    segment-cardinality output.  Exact interpolated percentiles
+    JVM-side (`percentile` ≡ DuckDB `quantile_cont`, both R-7); a
+    production engine pairs this with approx_percentile at scale.
+
+    Reference scope: keyed lag state, 정리/5주차.md ValueState
+    examples."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    gaps = seq.join(
+        F.broadcast(cust), seq["o_custkey"] == cust["c_custkey"]
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias(
+            "p50_gap_days"
+        ),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 4).alias(
+            "p90_gap_days"
+        ),
+        F.sum(F.when(F.col("gap_days") <= 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_30d"),
+    )

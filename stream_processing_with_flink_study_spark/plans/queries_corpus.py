@@ -1249,3 +1249,183 @@ def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# bigram-LM cross-entropy quality filter (the KenLM screen, order 2)
+# --------------------------------------------------------------------------
+@query(
+    "bigram_xent_filter",
+    """
+    WITH arrs AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg, arr[i] AS t1
+      FROM arrs, unnest(range(1, len(arr))) AS x(i)
+    ),
+    v AS MATERIALIZED (
+      SELECT bg, min(t1) AS t1, count(*) AS c FROM bg GROUP BY bg
+    ),
+    lp AS (
+      SELECT bg, log2(c / sum(c) OVER (PARTITION BY t1)) AS logp FROM v
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-lp.logp), 4) AS xent_bits,
+           round(avg(-lp.logp), 4) <= 3.5 AS keep
+    FROM bg b JOIN lp ON lp.bg = b.bg
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_xent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM cross-entropy against the corpus's own
+    bigram LM — the order-2 upgrade of ``unigram_xent_filter``:
+    log₂ p(t₂|t₁) = log₂ c(t₁t₂)/c(t₁·), so formulaic boilerplate
+    (predictable continuations) scores LOW and incoherent token soup
+    scores HIGH even when every individual token is common — the
+    screen that actually separates generated spam from prose.  No
+    smoothing needed: every scored bigram is in the corpus it was
+    counted from.  ``keep`` thresholds the ROUNDED score so both
+    engines make the same boundary call.
+
+    Scale shape: ONE bigram explode (adjacent-pair zip inside the row,
+    no positional self-join and no per-doc window shuffle) feeds both
+    the bigram vocabulary count and the per-doc score; the conditional
+    denominator c(t₁·) rides a prefix-partitioned window over the
+    (vocab-sized) count table, and per-bigram log-probs attach back by
+    BROADCAST, so the corpus-sized stream shuffles exactly once (the
+    per-doc groupBy).
+
+    Reference scope: same quality-screen family as the unigram filter
+    (정리/4주차.md aggregate discussion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = text.tokens("text")
+    zipped = F.zip_with(
+        arr,
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),  # NULL past the end
+    )
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(zipped, lambda v: v.isNotNull())
+        ).alias("bg"),
+    )
+    v = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    t1 = F.substring_index("bg", " ", 1)
+    lp = v.select(
+        "bg",
+        F.log2(
+            F.col("c") / F.sum("c").over(Window.partitionBy(t1))
+        ).alias("logp"),
+    )
+    xent = F.round(F.avg(-F.col("logp")), 4)
+    return (
+        ex.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            xent.alias("xent_bits"),
+            (xent <= 3.5).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty by first occurrence: the dedup-gain / contribution curve
+# --------------------------------------------------------------------------
+@query(
+    "ngram_novelty_by_source",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(arr[i:i + 4], ' ') AS g
+      FROM toks, unnest(range(1, len(arr) - 3)) AS x(i)
+    ),
+    own AS MATERIALIZED (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    novel AS (
+      SELECT first_doc AS doc_id, count(*) AS novel
+      FROM own GROUP BY first_doc
+    ),
+    tot AS (
+      SELECT doc_id, min(source) AS source, count(*) AS total
+      FROM grams GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT t.doc_id, t.source, t.total,
+             coalesce(n.novel, 0) AS novel
+      FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(total) AS BIGINT) AS total_grams,
+           CAST(sum(novel) AS BIGINT) AS novel_grams,
+           round(avg(novel * 1.0 / total), 4) AS avg_novelty,
+           CAST(sum(CASE WHEN novel = total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fully_novel
+    FROM perdoc GROUP BY source
+    """,
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 5-gram NOVELTY profile — for each document, the share
+    of its distinct 5-grams whose corpus-wide FIRST occurrence (min
+    doc_id) is that document.  This is the marginal-contribution /
+    dedup-gain curve curation teams read before buying a source: a
+    source whose docs average 0.2 novelty is 80% restatement of
+    content the corpus already has, whatever exact-dedup says.
+
+    Scale shape: the gram stream is shuffled ONCE (the min(doc_id)
+    ownership groupBy); novelty then folds back DOC-keyed — each owned
+    gram credits its first_doc, so the novel/total attach is a join of
+    two doc-sized aggregates, never a gram-keyed join of corpus-sized
+    tables.  Per-doc distinct grams come from array_distinct INSIDE
+    the row before the explode (map-side dedup).
+
+    Reference scope: same corpus-profile family as
+    ``source_overlap_matrix`` (정리/4주차.md)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.tokens("text").alias("_t")
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(text.word_shingles(F.col("_t"), 5))
+        ).alias("g"),
+    )
+    own = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = own.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("novel")
+    )
+    tot = grams.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    perdoc = tot.join(novel, "doc_id", "left").select(
+        "source",
+        "total",
+        F.coalesce(F.col("novel"), F.lit(0)).alias("novel"),
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total").cast("long").alias("total_grams"),
+        F.sum("novel").cast("long").alias("novel_grams"),
+        F.round(F.avg(F.col("novel") / F.col("total")), 4).alias(
+            "avg_novelty"
+        ),
+        F.sum(
+            F.when(F.col("novel") == F.col("total"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_fully_novel"),
+    )
