@@ -628,3 +628,99 @@ def pq_topk(
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PCA / ZCA whitening: the embedding-normalization pass before dedup/ANN
+# --------------------------------------------------------------------------
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Exact corpus moments (n, Σx, ΣxxT) via MERGEABLE per-partition
+    partials: each Arrow batch reduces to one (count, d, d²) row with
+    numpy, so only n_partitions tiny rows reach the driver — the
+    covariance of a 100 TB embedding table costs one pass and a
+    d²-sized collect, never a d²-wide shuffle of row outer products.
+    Returns (n, sum_vec, sum_outer)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("ss", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]) for r in rows], axis=0)
+    d = s.shape[0]
+    return n, s, ss.reshape(d, d)
+
+
+def zca_whitening_matrix(
+    n: int, s: np.ndarray, ss: np.ndarray, eps: float = 1e-6
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, W) from exact moments: cov = (ΣxxT − n·μμT)/(n−1), then
+    W = U diag(1/√(λ+ε)) Uᵀ — ZCA stays in the original basis (each
+    whitened dimension remains interpretable), and W is symmetric so
+    eigenvector SIGN ambiguity cancels: UᵀDU is sign-invariant, making
+    the transform deterministic even though eigenvectors aren't."""
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / max(n - 1, 1)
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0) + eps))) @ u.T
+    return mu, w
+
+
+def whiten(
+    df: DataFrame,
+    mean: np.ndarray,
+    w: np.ndarray,
+    id_cols: list[str],
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Distributed projection z = (x − μ)·W with (μ, W) shipped as a
+    broadcast (d + d² doubles — constant, never per-task closure
+    re-pickled per batch)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField
+
+    bc = df.sparkSession.sparkContext.broadcast((mean, w))
+    out_schema = df.select(*id_cols).schema.add(
+        StructField(out_col, ArrayType(DoubleType()))
+    )
+
+    def project(batches):
+        mu, wm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            z = (x - mu) @ wm
+            out = pdf[id_cols].copy()
+            out[out_col] = list(z)
+            yield out
+
+    return df.select(*id_cols, vec_col).mapInPandas(project, out_schema)

@@ -1135,3 +1135,53 @@ def contribution_capped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.countDistinct("user_id"), 4
         ).alias("avg_events_per_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# ZCA whitening of the embedding table (rows-only: eigensolve is not SQL)
+# --------------------------------------------------------------------------
+@query("pca_whiten_embeddings")  # eigen-decomposition → rows-only check
+def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitened embeddings — the decorrelation pass embedding
+    pipelines run before cosine dedup / ANN so dominant directions
+    stop swamping the metric (whitened covariance ≈ I; verified in
+    tests/test_similarity.py).  Two passes over the table: (1) exact
+    moments via mergeable per-partition numpy partials
+    (:func:`..functions.similarity.embedding_moments` — only
+    n_partitions × d² numbers reach the driver), (2) a broadcast
+    (μ, W) projection (:func:`..functions.similarity.whiten`).  The
+    d×d eigensolve runs driver-side on the tiny covariance — the one
+    step that is not data-parallel, and the reason this query is
+    rows-only (no SQL oracle can eigendecompose); ZCA's symmetric W
+    cancels eigenvector sign ambiguity, so output is deterministic.
+
+    Reference scope: same vector-pipeline family as
+    ``embedding_quantize_int8`` (정리/4주차.md UDF discussion)."""
+    from ..functions.similarity import (
+        embedding_moments,
+        whiten,
+        zca_whitening_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, ss = embedding_moments(emb)
+    mu, w = zca_whitening_matrix(n, s, ss)
+    z = whiten(emb, mu, w, id_cols=["vec_id", "label"])
+    return z.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("whitened", 1), 4).alias("w0"),
+        F.round(F.element_at("whitened", 2), 4).alias("w1"),
+        F.round(F.element_at("whitened", 3), 4).alias("w2"),
+        F.round(F.element_at("whitened", 4), 4).alias("w3"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "whitened",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            4,
+        ).alias("wnorm"),
+    )

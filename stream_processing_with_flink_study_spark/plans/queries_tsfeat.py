@@ -419,3 +419,88 @@ def winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p95", 4).alias("p95"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# STL-lite decomposition: trend + day-of-week seasonality + residual anomaly
+# --------------------------------------------------------------------------
+@query(
+    "stl_decompose_daily",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS y
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, y,
+             avg(y) OVER (ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend
+      FROM daily
+    ),
+    se AS (
+      SELECT *, avg(y - trend) OVER (PARTITION BY isodow(d) - 1)
+               AS seasonal
+      FROM tr
+    ),
+    re AS MATERIALIZED (
+      SELECT d, y, trend, seasonal, y - trend - seasonal AS resid
+      FROM se
+    ),
+    sg AS (SELECT round(2 * stddev_samp(resid), 4) AS thr FROM re)
+    SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+           round(y, 4) AS y,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(resid, 4) AS resid,
+           abs(round(resid, 4)) > (SELECT thr FROM sg) AS anomaly
+    FROM re
+    """,
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the daily event-value series: trend =
+    centered 7-day moving average (ROWS frame — partial at the series
+    edges, identically in both engines), seasonal = mean detrended
+    value per day-of-week, residual = y − trend − seasonal, with a
+    2σ residual anomaly flag — the seasonal-ADJUSTED outlier screen
+    (a quiet Sunday is not an anomaly; a quiet Tuesday is), one level
+    above the raw z-score family (``running_zscore_alerts``).
+
+    Scale shape: the heavy step is the ONE map-side-combined daily
+    aggregate over the raw events; everything after runs on the
+    day-count-sized series (window frames + a scalar threshold), so
+    the single-partition ordering window is over ~10² rows, not the
+    fact table.  The anomaly flag compares the ROUNDED residual to the
+    ROUNDED threshold so both engines make the same boundary call;
+    dow alignment uses Spark ``weekday`` ≡ DuckDB ``isodow − 1``
+    (Monday = 0).
+
+    Reference scope: windowed aggregation family, 정리/3주차.md."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("y")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", F.avg("y").over(w7))
+    se = tr.withColumn(
+        "seasonal",
+        F.avg(F.col("y") - F.col("trend")).over(
+            Window.partitionBy(F.weekday("d"))
+        ),
+    )
+    re = se.withColumn(
+        "resid", F.col("y") - F.col("trend") - F.col("seasonal")
+    )
+    thr = re.agg(
+        F.round(2 * F.stddev_samp("resid"), 4).alias("thr")
+    )
+    return re.crossJoin(F.broadcast(thr)).select(
+        F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long").alias(
+            "epoch_day"
+        ),
+        F.round("y", 4).alias("y"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("resid", 4).alias("resid"),
+        (F.abs(F.round("resid", 4)) > F.col("thr")).alias("anomaly"),
+    )

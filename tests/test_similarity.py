@@ -192,3 +192,47 @@ def test_pq_adc_recall_and_codes(spark):
     assert all(0 <= v < 16 for c in rows for v in c)
     rows2 = [r.code for r in coded.collect()]
     assert rows == rows2  # deterministic encoding
+
+
+class TestWhitening:
+    def test_zca_whitened_covariance_is_identity(self, spark):
+        import numpy as np
+
+        from stream_processing_with_flink_study_spark.functions.similarity import (
+            embedding_moments,
+            whiten,
+            zca_whitening_matrix,
+        )
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        n, s, ss = embedding_moments(emb)
+        mu, w = zca_whitening_matrix(n, s, ss)
+        assert np.allclose(w, w.T)  # ZCA transform is symmetric
+        z = whiten(emb, mu, w, id_cols=["vec_id"])
+        zm = np.array(
+            [r["whitened"] for r in z.select("whitened").collect()]
+        )
+        # whitened sample covariance ~ identity (eps floor softens
+        # exact-1 diagonals for near-zero eigenvalues)
+        cov = np.cov(zm, rowvar=False)
+        assert np.allclose(np.diag(cov), 1.0, atol=0.05)
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() < 0.05
+        assert np.abs(zm.mean(axis=0)).max() < 1e-8
+
+    def test_moments_match_direct_computation(self, spark):
+        import numpy as np
+
+        from stream_processing_with_flink_study_spark.functions.similarity import (
+            embedding_moments,
+        )
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        x = np.array(
+            [r["embedding"] for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        n, s, ss = embedding_moments(emb)
+        assert n == len(x)
+        assert np.allclose(s, x.sum(axis=0))
+        assert np.allclose(ss, x.T @ x)
