@@ -842,3 +842,64 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fk string, n_child long, n_orphans long"
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier equivalence-class risk profile
+# --------------------------------------------------------------------------
+@query(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    cls AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(k) AS BIGINT) AS k_min,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / sum(k), 4)
+             AS risk_share,
+           round(avg(k * 1.0), 4) AS avg_class_size
+    FROM cls
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: rows grouped by the
+    quasi-identifier triple (nation, market segment, $1000 balance
+    band) form equivalence classes; any class smaller than k = 5 means
+    those rows are re-identifiable by an attacker who knows the QI
+    values — the release-gating check privacy review runs before a
+    dataset ships, and the companion to the redaction pass
+    (``pii_redact_docs``): scrubbing direct identifiers is not enough
+    if the quasi-identifiers single people out.
+
+    Scale shape: one map-side-combined groupBy on the QI key, then a
+    scalar rollup of the (class-count-sized) result — the audit of a
+    100 TB table moves class counts, not rows.  ``risk_share`` is an
+    exact integer ratio; ``floor`` on a double band edge is IEEE-
+    identical in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    at_risk = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+    return cls.agg(
+        F.min("k").cast("long").alias("k_min"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        at_risk.cast("long").alias("n_rows_at_risk"),
+        F.round(at_risk * 1.0 / F.sum("k"), 4).alias("risk_share"),
+        F.round(F.avg(F.col("k") * 1.0), 4).alias("avg_class_size"),
+    )

@@ -322,3 +322,79 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_events") / F.col("tot"), 6).alias("share"),
         "sum_value",
     )
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics battery: the cross-engine parity corners
+# --------------------------------------------------------------------------
+@query(
+    "null_semantics_battery",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE round(o_totalprice, 0) END AS v,
+             o_orderpriority AS grp
+      FROM orders
+    ),
+    dv AS MATERIALIZED (SELECT DISTINCT v FROM v),
+    nsj AS (
+      SELECT count(*) AS n FROM dv a JOIN dv b
+      ON a.v IS NOT DISTINCT FROM b.v
+    ),
+    grp_nulls AS (
+      SELECT count(*) AS n_groups,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_groups
+      FROM (SELECT v, count(*) FROM v GROUP BY v)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_nonnull,
+           CAST(count(*) - count(v) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_exnull,
+           round(sum(v), 4) AS sum_ignoring_nulls,
+           round(avg(v), 4) AS avg_ignoring_nulls,
+           (SELECT CAST(n AS BIGINT) FROM nsj) AS nullsafe_selfjoin_rows,
+           (SELECT CAST(n_groups AS BIGINT) FROM grp_nulls)
+             AS n_groupby_groups,
+           (SELECT null_groups FROM grp_nulls) AS n_null_groups
+    FROM v
+    """,
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity battery — the semantics every engine
+    migration gets subtly wrong: count(*) vs count(col), DISTINCT
+    excluding NULL, null-ignoring sum/avg, NULL forming its OWN
+    group-by group, and the null-safe equality join (`<=>` /
+    IS NOT DISTINCT FROM) where NULL matches NULL.  One synthetic
+    nullable column (every 7th order key) keeps it deterministic.
+
+    Scale shape: one pass builds the value frame; the null-safe
+    self-join runs on the DISTINCT-value frame (tiny), never the fact
+    table; everything else is one map-side-combined aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.round("o_totalprice", 0))
+        .alias("v")
+    ).persist()
+    dv = v.distinct()
+    nsj = dv.alias("a").join(
+        dv.alias("b"), F.col("a.v").eqNullSafe(F.col("b.v"))
+    )
+    n_nsj = nsj.count()
+    grp = v.groupBy("v").count()
+    n_groups, null_groups = grp.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+    ).first()
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct("v").alias("n_distinct_exnull"),
+        F.round(F.sum("v"), 4).alias("sum_ignoring_nulls"),
+        F.round(F.avg("v"), 4).alias("avg_ignoring_nulls"),
+        F.lit(n_nsj).cast("long").alias("nullsafe_selfjoin_rows"),
+        F.lit(n_groups).cast("long").alias("n_groupby_groups"),
+        F.lit(null_groups).cast("long").alias("n_null_groups"),
+    )
