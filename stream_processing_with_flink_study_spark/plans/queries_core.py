@@ -456,3 +456,74 @@ def interpurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_within_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# equi-depth (quantile) histogram: the scale-correct ntile
+# --------------------------------------------------------------------------
+@query(
+    "equi_depth_histogram",
+    """
+    WITH b AS MATERIALIZED (
+      SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+              quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+              quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+              quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+              quantile_cont(o_totalprice, 0.9)] AS bounds
+      FROM orders
+    ),
+    assigned AS (
+      SELECT o_totalprice AS v,
+             1 + len(list_filter((SELECT bounds FROM b), x -> v > x))
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 4) AS lo,
+           round(max(v), 4) AS hi,
+           round(avg(v), 4) AS avg_v
+    FROM assigned GROUP BY bucket
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (decile) histogram of order value — equal-population
+    buckets, the histogram optimizers and drift monitors actually want
+    (equi-width ``value_histogram`` starves the tails).
+
+    Scale shape: the naive form is ``ntile(10) OVER (ORDER BY v)`` — a
+    GLOBAL sort through one partition, exactly what a 100 TB table
+    cannot do.  This plan computes the 9 interior decile boundaries
+    with ONE exact-percentile aggregate (mergeable partials; swap in
+    approx_percentile at extreme scale), broadcasts the 9-double
+    array, and assigns buckets map-side by counting boundaries below
+    each value — no global sort, no second shuffle beyond the bucket
+    rollup.  Bucket assignment uses strict ``>`` against interpolated
+    boundaries, which both engines compute bit-identically from the
+    same sorted doubles (no summation involved)."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = orders.agg(
+        F.array(
+            *[F.percentile("o_totalprice", F.lit(q)) for q in qs]
+        ).alias("bounds")
+    )
+    assigned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_totalprice").alias("v"),
+        (
+            1
+            + F.size(
+                F.filter(
+                    "bounds", lambda x: F.col("o_totalprice") > x
+                )
+            )
+        ).alias("bucket"),
+    )
+    return assigned.groupBy(
+        F.col("bucket").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 4).alias("lo"),
+        F.round(F.max("v"), 4).alias("hi"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )

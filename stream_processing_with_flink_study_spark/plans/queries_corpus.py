@@ -1429,3 +1429,108 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_fully_novel"),
     )
+
+
+# --------------------------------------------------------------------------
+# top session-opening event paths (clickstream path mining)
+# --------------------------------------------------------------------------
+@query(
+    "top_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('millisecond', lag(ts) OVER w, ts) > 43200000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    first3 AS (
+      SELECT * FROM (
+        SELECT user_id, session_seq, ts, event_id, event_type,
+               row_number() OVER (
+                 PARTITION BY user_id, session_seq
+                 ORDER BY ts, event_id) AS rn
+        FROM sess
+      ) WHERE rn <= 3
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM first3 GROUP BY user_id, session_seq
+    ),
+    pc AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY n_sessions DESC, path) AS r FROM pc)
+    WHERE r <= 20
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-OPENING paths — the first three event types of
+    every 12 h-gap session, joined as ``a>b>c`` and ranked by session
+    count: the entry-path mining behind onboarding-funnel and landing-
+    flow analysis (which openings dominate, which never convert —
+    pair with ``funnel_conversions``).
+
+    Scale shape: the lag-flag, the running session number and the
+    within-session rank all reuse ONE user-keyed sort (Spark satisfies
+    the (user, session)-clustered requirement from the existing
+    user-hash partitioning, so no second fact shuffle); the path
+    string is assembled per session by an in-row ``array_sort`` of
+    (ts, event_id, type) structs — collect order never matters — and
+    only path-count-sized data reaches the final top-20 cut (ties
+    broken by path text, so the cut is engine-stable)."""
+    gap_ms = 12 * 3600 * 1000
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+                > gap_ms
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    first3 = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        pc.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 20)
+        .select("path", F.col("n_sessions").cast("long").alias("n_sessions"))
+    )
