@@ -473,3 +473,93 @@ def simhash64_band_pairs(
         .filter(F.col("hd") <= max_hd)
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via PPJoin-style
+    prefix filtering — the lossless alternative to MinHash-LSH: every
+    pair with J(A,B) ≥ t is returned, with its exact score, and no
+    false candidates survive verification.
+
+    Prefix theorem: order every shingle by a global canonical order
+    (rarest first — (corpus frequency, shingle) — rare tokens make the
+    smallest candidate buckets); if J(A,B) ≥ t, the first
+    |A| − ⌈t·|A|⌉ + 1 shingles of A and of B (in that SAME order) must
+    share an element.  So docs pair only when their short prefixes
+    collide, and the full sets meet only for those candidates.
+
+    Scale shape: one shingle-keyed join attaches corpus frequencies
+    (the canonical sort key — NO global row_number, so no
+    single-partition rank stage: the (freq, shingle) tuple itself is
+    the order); per-doc sort + prefix cut happen IN-ROW on the
+    collected array; the candidate explode carries prefix shingles
+    only (≈ (1−t)·|set| of the data); verification joins the two
+    doc-sized set-array tables against the (small) candidate pair
+    list and intersects arrays in-row.  All-pairs work never happens —
+    the quadratic step is confined to per-prefix-bucket candidate
+    generation, which rarest-first ordering keeps near-linear."""
+    sh = doc_shingles(df, text_col, id_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    keyed = sh.join(freq, "shingle").groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("c", "shingle"))
+        ).alias("arr")
+    )
+    docsets = keyed.select(
+        F.col(id_col),
+        F.transform("arr", lambda s: s["shingle"]).alias("set"),
+        F.size("arr").alias("n_sh"),
+    ).persist()
+    p = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh"))
+        + 1
+    ).cast("int")
+    prefixes = docsets.select(
+        F.col(id_col),
+        F.explode(F.slice("set", 1, p)).alias("shingle"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = docsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter * 1.0 / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

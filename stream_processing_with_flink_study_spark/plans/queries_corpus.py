@@ -1534,3 +1534,61 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 20)
         .select("path", F.col("n_sessions").cast("long").alias("n_sessions"))
     )
+
+
+# --------------------------------------------------------------------------
+# exact Jaccard-threshold similarity join (PPJoin-style prefix filtering)
+# --------------------------------------------------------------------------
+@query(
+    "prefix_jaccard_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i + 4], ' ') AS s
+      FROM toks, unnest(range(1, len(arr) - 3)) AS x(i)
+    ),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+    """,
+)
+def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5-gram Jaccard ≥ 0.7 similarity self-join over documents
+    by PPJoin-style prefix filtering
+    (:func:`..functions.dedup.prefix_filter_jaccard_pairs`) — the
+    guaranteed-complete tier of the dedup ladder: MinHash-LSH
+    (``minhash_lsh_near_dup``) trades recall for speed; this returns
+    EVERY qualifying pair with its exact score, while still never
+    doing all-pairs work (candidates only form in rarest-shingle
+    prefix buckets).  The oracle is plain ground truth — all-pairs
+    exact Jaccard — precisely BECAUSE the algorithm is lossless; any
+    missing or spurious pair fails the gate.  The threshold compare
+    runs on the UNROUNDED integer-ratio double, identical in both
+    engines.
+
+    Reference scope: same dedup family as ``ngram_jaccard_pairs``
+    (정리/4주차.md)."""
+    from ..functions.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.7
+    )

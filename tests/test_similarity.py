@@ -236,3 +236,64 @@ class TestWhitening:
         assert n == len(x)
         assert np.allclose(s, x.sum(axis=0))
         assert np.allclose(ss, x.T @ x)
+
+
+class TestPrefixJaccard:
+    def test_hand_case_exact_pairs(self, spark):
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),   # 7/9 5-gram overlap? verified below
+            (3, "z y x w v u t s"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", n=5, threshold=0.3
+            ).collect()
+        }
+        # doc1 5-gram set: {abcde,bcdef,cdefg,defgh}; doc2 swaps h->x:
+        # {abcde,bcdef,cdefg,defgx}; inter=3, union=5 -> J=0.6
+        assert out == {(1, 2): 0.6}
+
+    def test_prefix_filter_prunes_but_loses_nothing(self, spark):
+        docs = load_table(spark, SF_SMALL, "documents")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "text", "doc_id", n=5, threshold=0.7
+            ).collect()
+        }
+        # brute-force ground truth via the exact shingle join
+        sh = dedup.doc_shingles(docs, "text", "doc_id", n=5)
+        sizes = sh.groupBy("doc_id").count()
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("id_a"), F.col("count").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("id_b"), F.col("count").alias("nb")
+        )
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+                >= 0.7
+            )
+            .collect()
+        }
+        assert got == truth and len(truth) > 0
