@@ -273,3 +273,66 @@ def test_passage_dedup_conserves_distinct_passages(spark):
         .d
     )
     assert int(out["n_kept"].sum()) == distinct_passages
+
+
+def _ref_jaccard_pairs(docs: list[str], n: int, t: float):
+    """Pure-Python ground truth: all-pairs exact n-gram Jaccard >= t."""
+    sets = []
+    for d in docs:
+        toks = d.lower().split()
+        sets.append(
+            {
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            }
+        )
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter / (len(a) + len(b) - inter) >= t:
+                out.add((i, j))
+    return out
+
+
+@given(
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=2, max_size=8
+    ),
+    edits=st.integers(min_value=0, max_value=2),
+    t10=st.integers(min_value=3, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_jaccard_is_lossless(spark, seeds, edits, t10):
+    """PPJoin prefix filtering must return EXACTLY the ground-truth
+    pair set for any threshold — losslessness is the whole contract."""
+    from stream_processing_with_flink_study_spark.functions.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red blue green yellow purple orange pink black white gray",
+            "ant bee cat dog elk fox gnu hen ibis jay"]
+    docs = []
+    for k, s in enumerate(seeds):
+        words = base[s].split()
+        # perturb deterministically by example values to create a mix
+        # of near-dups and unrelated docs
+        for e in range(edits if k % 2 else 0):
+            words[(k + e) % len(words)] = f"x{k}_{e}"
+        docs.append(" ".join(words))
+    t = t10 / 10.0
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=t
+        ).collect()
+    }
+    assert got == _ref_jaccard_pairs(docs, 3, t)
