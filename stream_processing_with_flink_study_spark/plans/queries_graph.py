@@ -399,6 +399,53 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lcc_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Per-node (degree, triangle count, local clustering coefficient)
+    from a canonical (src < dst) edge list — shared by the driver query
+    and tools/graph_scale_smoke.py's universe-independence check.
+    ``pairs`` should be persisted by the caller (4 plan references)."""
+    deg = (
+        pairs.select(F.col("src").alias("s"))
+        .union(pairs.select(F.col("dst").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tnode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(F.broadcast(tnode), deg["s"] == tnode["v"], "left")
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("nt"), F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("nt"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("lcc"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # per-node local clustering coefficient (graph wave 2)
 # --------------------------------------------------------------------------
@@ -458,47 +505,80 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     pairs.count()  # materialize: 4 plan references, lineitem scans once
-    deg = (
-        pairs.select(F.col("src").alias("s"))
-        .union(pairs.select(F.col("dst").alias("s")))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("d"))
+    return lcc_from_pairs(pairs)
+
+
+def link_scores_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Scored NON-edges (a, b, cn, aa_r, jac) from a canonical
+    (src < dst) edge list — the candidate-generation + scoring stage of
+    ``link_prediction_scores``, shared with
+    tools/graph_scale_smoke.py's universe-independence check.
+    ``pairs`` should be persisted by the caller (fan-out + anti-join)."""
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
-        .join(
-            F.broadcast(e3),
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
+    nbrs = (
+        sym.groupBy(F.col("src").alias("u"))
+        .agg(F.collect_set("dst").alias("arr"))
+        .persist()
+    )
+    nbrs.count()  # materialize: feeds both the fan-out and the degrees
+    deg = nbrs.select("u", F.size("arr").alias("d"))
+    # 2-combinations of each neighbor set, packed (a<<32|b), a < b
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32)
+                + F.greatest(x, y),
+            ),
+        )
+    )
+    cand = (
+        nbrs.filter(F.size("arr") >= 2)
+        .select(
+            F.explode(packed).alias("k"),
+            (F.lit(1.0) / F.log(F.size("arr").cast("double"))).alias(
+                "term"
+            ),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("term").alias("aa"),
         )
         .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
+            F.shiftright("k", 32).alias("a"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias(
+                "b"
+            ),
+            "cn",
+            "aa",
         )
     )
-    tnode = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("nt"))
+    nonedge = cand.join(
+        F.broadcast(pairs),
+        (cand["a"] == pairs["src"]) & (cand["b"] == pairs["dst"]),
+        "left_anti",
     )
-    out = (
-        deg.filter(F.col("d") >= 2)
-        .join(F.broadcast(tnode), deg["s"] == tnode["v"], "left")
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    return (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
         .select(
-            F.col("s").alias("s_suppkey"),
-            F.col("d").cast("long").alias("degree"),
-            F.coalesce(F.col("nt"), F.lit(0)).cast("long").alias("n_tri"),
+            "a",
+            "b",
+            "cn",
+            F.round("aa", 4).alias("aa_r"),
             F.round(
-                2.0
-                * F.coalesce(F.col("nt"), F.lit(0))
-                / (F.col("d") * (F.col("d") - 1)),
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
                 4,
-            ).alias("lcc"),
+            ).alias("jac"),
         )
     )
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -575,71 +655,7 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     pairs.count()  # materialize: feeds the fan-out AND the anti-join
-    sym = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nbrs = (
-        sym.groupBy(F.col("src").alias("u"))
-        .agg(F.collect_set("dst").alias("arr"))
-        .persist()
-    )
-    nbrs.count()  # materialize: feeds both the fan-out and the degrees
-    deg = nbrs.select("u", F.size("arr").alias("d"))
-    # 2-combinations of each neighbor set, packed (a<<32|b), a < b
-    packed = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.transform(
-                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
-                lambda y: F.shiftleft(F.least(x, y), 32)
-                + F.greatest(x, y),
-            ),
-        )
-    )
-    cand = (
-        nbrs.filter(F.size("arr") >= 2)
-        .select(
-            F.explode(packed).alias("k"),
-            (F.lit(1.0) / F.log(F.size("arr").cast("double"))).alias(
-                "term"
-            ),
-        )
-        .groupBy("k")
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.sum("term").alias("aa"),
-        )
-        .select(
-            F.shiftright("k", 32).alias("a"),
-            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias(
-                "b"
-            ),
-            "cn",
-            "aa",
-        )
-    )
-    nonedge = cand.join(
-        F.broadcast(pairs),
-        (cand["a"] == pairs["src"]) & (cand["b"] == pairs["dst"]),
-        "left_anti",
-    )
-    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
-    scored = (
-        nonedge.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .select(
-            "a",
-            "b",
-            "cn",
-            F.round("aa", 4).alias("aa_r"),
-            F.round(
-                F.col("cn").cast("double")
-                / (F.col("da") + F.col("db") - F.col("cn")),
-                4,
-            ).alias("jac"),
-        )
-    )
+    scored = link_scores_from_pairs(pairs)
     w = Window.orderBy(F.desc("aa_r"), F.asc("a"), F.asc("b"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -173,8 +173,52 @@ def main() -> None:
     assert forced["reach_matches_broadcast_path"], forced
     assert forced["triangles_match"], forced
 
+    # Graph wave 2: local clustering coefficient and link-prediction
+    # scoring must be per-copy independent too — the mult-copy multiset
+    # of per-node (degree, n_tri, lcc) rows is exactly mult x the
+    # single-copy multiset, scored link candidates scale exactly
+    # linearly, and no candidate pair ever spans two universes.
+    from collections import Counter
+
+    from stream_processing_with_flink_study_spark.plans.queries_graph import (
+        lcc_from_pairs,
+        link_scores_from_pairs,
+    )
+
+    def thinned(mult):
+        e = edges_for(spark, base, mult).filter(F.col("w") >= 3)
+        return e.select("src", "dst").persist()
+
+    p1, pb = thinned(1), thinned(big)
+    p1.count(), pb.count()
+    lcc1 = Counter(
+        (r["degree"], r["n_tri"], r["lcc"])
+        for r in lcc_from_pairs(p1).collect()
+    )
+    lccb = Counter(
+        (r["degree"], r["n_tri"], r["lcc"])
+        for r in lcc_from_pairs(pb).collect()
+    )
+    lcc_ok = lccb == Counter({k: v * big for k, v in lcc1.items()})
+    lp1 = link_scores_from_pairs(p1).collect()
+    lpb = link_scores_from_pairs(pb).collect()
+    cross = sum(
+        1 for r in lpb if r["a"] // 1_000_000 != r["b"] // 1_000_000
+    )
+    lp_ok = len(lpb) == big * len(lp1) and cross == 0
+    p1.unpersist(), pb.unpersist()
+    wave2 = {
+        "lcc_nodes_1x": sum(lcc1.values()),
+        "lcc_multiset_scales": lcc_ok,
+        "link_cands_1x": len(lp1),
+        "link_cands_bigx": len(lpb),
+        "link_linear_no_cross_universe": lp_ok,
+    }
+    print(json.dumps({"mult": big, "wave2": wave2}))
+    assert lcc_ok and lp_ok, wave2
+
     print(json.dumps({"graph_scale_smoke": "ok", "results": out,
-                      "forced_shuffle": forced}))
+                      "forced_shuffle": forced, "wave2": wave2}))
     spark.stop()
 
 
