@@ -118,9 +118,17 @@ def pagerank(
     damping: float = 0.85,
     edge_partitions: int = 8,
     broadcast_threshold: int = BROADCAST_NODE_LIMIT,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a DIRECTED edge list; returns (id, rank)
     with Σ rank = 1 after any number of iterations.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport mass
+    (1 − damping) is restarted uniformly over the seed set instead of
+    all nodes, and the walk starts from the seeds — rank becomes
+    proximity TO THE SEEDS, the recommendation/expansion primitive.
+    Same iteration, same two execution regimes; only the teleport
+    vector changes (a tiny isin predicate, never a join).
 
     Requires every node to appear as a source (symmetrize an undirected
     graph before calling) — then every node also receives contributions
@@ -172,8 +180,15 @@ def pagerank(
     nodes = fedges.select(F.col("src").alias("id")).distinct()
     n_nodes = nodes.count()
     use_broadcast = n_nodes <= broadcast_threshold
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
-    teleport = (1.0 - damping) / n_nodes
+    if seeds is None:
+        ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    else:
+        ranks = nodes.select(
+            "id",
+            F.when(F.col("id").isin(seeds), F.lit(1.0 / len(seeds)))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     prev_ranks: DataFrame | None = None
@@ -187,11 +202,16 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("frac")).alias("acc"))
             )
+            if seeds is None:
+                tele = F.lit((1.0 - damping) / n_nodes)
+            else:
+                tele = F.when(
+                    F.col("dst").isin(seeds),
+                    F.lit((1.0 - damping) / len(seeds)),
+                ).otherwise(F.lit(0.0))
             ranks = acc.select(
                 F.col("dst").alias("id"),
-                (F.lit(teleport) + F.lit(damping) * F.col("acc")).alias(
-                    "rank"
-                ),
+                (tele + F.lit(damping) * F.col("acc")).alias("rank"),
             ).persist()
             ranks.count()
             if prev_ranks is not None:

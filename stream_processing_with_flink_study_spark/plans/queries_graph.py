@@ -769,3 +769,105 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(sum_d / n_nodes), 4).alias("avg_degree"),
         F.round(r, 4).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank (seed-teleport proximity; graph wave 2)
+# --------------------------------------------------------------------------
+PPR_SEEDS = 3
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank: same chain-of-CTEs as
+    :func:`_pagerank_oracle`, with the teleport mass restarted over the
+    3 smallest node ids instead of all nodes."""
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+    pr{k} AS (
+      SELECT n.id,
+             CASE WHEN n.id IN (SELECT id FROM seedset)
+                  THEN (1 - {PR_DAMPING}) / {PPR_SEEDS}.0 ELSE 0.0 END
+               + {PR_DAMPING} * coalesce(s.acc, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank * e.frac) AS acc
+        FROM pr{k - 1} p JOIN fedges e ON e.src = p.id
+        GROUP BY e.dst
+      ) s ON s.id = n.id
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH {_cosupplier_edges_sql()},
+    edges AS MATERIALIZED (
+      SELECT src, dst, w FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM pairs
+    ),
+    outdeg AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+    fedges AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w * 1.0 / o.wout AS frac
+      FROM edges e JOIN outdeg o ON o.src = e.src
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    seedset AS MATERIALIZED (
+      SELECT id FROM nodes ORDER BY id LIMIT {PPR_SEEDS}
+    ),
+    nct AS (SELECT count(*) AS nn FROM nodes),
+    pr0 AS (
+      SELECT id,
+             CASE WHEN id IN (SELECT id FROM seedset)
+                  THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END AS rank
+      FROM nodes
+    ),
+    {chain}
+    SELECT id AS s_suppkey,
+           round(rank * (SELECT nn FROM nct), 5) AS rank_rel
+    FROM pr{PR_ITERS}
+    ORDER BY rank_rel DESC, s_suppkey
+    LIMIT 20
+    """
+
+
+@query("personalized_pagerank", _ppr_oracle())
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank on the co-supplier graph — teleport mass
+    restarts uniformly over a 3-node seed set (the smallest supplier
+    ids, so the oracle picks the identical set), turning rank into
+    proximity-to-the-seeds: the related-entity expansion primitive
+    behind 'suppliers like these' recommendations and taint
+    propagation from a watchlist.
+
+    Scale shape: identical to ``pagerank_cosupplier`` (same persisted
+    src-partitioned edge cache, same broadcast/shuffle regimes) — the
+    ONLY change is the teleport vector, an ``isin`` predicate over the
+    tiny seed list (never a join).  Seeds collapse most rank mass near
+    the seed neighborhood; far nodes report 0 — the oracle replays the
+    same 6 unrolled rounds, so both engines agree on every digit of
+    the rounded relative ranks."""
+    from ..operators.graph import pagerank
+
+    edges = _cosupplier_edges(spark, sf_dir)
+    edges = edges.persist()
+    sym = edges.union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = [
+        r["src"]
+        for r in sym.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(PPR_SEEDS)
+        .collect()
+    ]
+    ranks = pagerank(
+        sym, iters=PR_ITERS, damping=PR_DAMPING, seeds=seeds
+    )
+    n_nodes = ranks.count()
+    out = ranks.select(
+        F.col("id").alias("s_suppkey"),
+        F.round(F.col("rank") * n_nodes, 5).alias("rank_rel"),
+    )
+    edges.unpersist()
+    return out.orderBy(F.desc("rank_rel"), F.asc("s_suppkey")).limit(20)
