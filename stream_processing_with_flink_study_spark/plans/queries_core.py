@@ -503,21 +503,25 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sorted doubles (no summation involved)."""
     orders = load_table(spark, sf_dir, "orders")
     qs = [i / 10 for i in range(1, 10)]
+    # one exact-percentile aggregate, collected: 9 doubles come back to
+    # the driver and re-enter the plan as LITERALS — the bucket rule
+    # below folds into a flat comparison chain (no join, no
+    # higher-order-function codegen).  Runtime is dominated by the
+    # exact percentile itself; at extreme scale swap approx_percentile
+    # and keep the same literal-bounds shape.
     bounds = orders.agg(
-        F.array(
-            *[F.percentile("o_totalprice", F.lit(q)) for q in qs]
-        ).alias("bounds")
-    )
-    assigned = orders.crossJoin(F.broadcast(bounds)).select(
-        F.col("o_totalprice").alias("v"),
-        (
-            1
-            + F.size(
-                F.filter(
-                    "bounds", lambda x: F.col("o_totalprice") > x
-                )
-            )
-        ).alias("bucket"),
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.lit(b), 1
+        ).otherwise(0)
+    assigned = orders.select(
+        F.col("o_totalprice").alias("v"), bucket.alias("bucket")
     )
     return assigned.groupBy(
         F.col("bucket").cast("int").alias("bucket")
