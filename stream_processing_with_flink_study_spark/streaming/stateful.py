@@ -749,3 +749,69 @@ def transition_counts(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def gap_deltas(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-event-gap PARTIALS — the streaming twin of
+    ``plans.queries_mlops.event_gap_stats`` (burstiness/cadence
+    profile).  State is ONE value per key: the last committed event
+    time, which seeds the first gap of the next micro-batch, so gaps
+    STRADDLING batch boundaries are never lost and state never grows.
+    Each batch emits an algebraic partial (n, Σgap, Σgap², min, max)
+    per key; the consumer merges partials by key and derives
+    mean / stddev / CV — the same partial-aggregation shape Spark's
+    own map-side combine uses, so the stream stays mergeable at any
+    fan-in.  Σgap² rides a double — immune to BIGINT overflow at
+    production volumes at the cost of ulp-level drift once the sum
+    passes 2⁵³ (the derived stddev is unaffected at any realistic
+    precision; the equivalence test pins rtol = 1e-12).
+
+    Ordering contract matches :func:`transition_counts`: rows sort by
+    (ts, order_col) within the batch; a straggler older than the
+    committed seed is dropped rather than spliced in arrival order."""
+    out_schema = (
+        f"{key} long, delta_n long, delta_sum double, delta_sumsq double,"
+        " gap_min long, gap_max long"
+    )
+    state_schema = "last_ms long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts, order_col]
+        )
+        (seed_ms,) = state.get if state.exists else (None,)
+        ms = _ts_ms(pdf[ts])
+        if seed_ms is not None:
+            keep = ms >= seed_ms
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return  # every row predated the committed seed
+        state.update((int(ms[-1]),))
+        if seed_ms is not None:
+            ms = np.concatenate([[seed_ms], ms])
+        if len(ms) < 2:
+            return
+        gaps = np.diff(ms).astype(np.float64)
+        yield pd.DataFrame(
+            {
+                key: [k[0]],
+                "delta_n": [len(gaps)],
+                "delta_sum": [float(gaps.sum())],
+                "delta_sumsq": [float((gaps * gaps).sum())],
+                "gap_min": [int(gaps.min())],
+                "gap_max": [int(gaps.max())],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1714,3 +1714,60 @@ def test_state_store_metrics_reports_stateful_operator(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert S.state_store_metrics(q2) == []
+
+
+def test_gap_deltas_stream_matches_batch(spark, events, two_batch_stream, tmp_path):
+    """Merged per-batch gap partials must reproduce the batch cadence
+    stats exactly — including the gap that STRADDLES the micro-batch
+    boundary (carried by the one-value last-timestamp state)."""
+    import numpy as np
+
+    got = S.run_available_now(
+        S.gap_deltas(two_batch_stream), str(tmp_path / "ck"), "update"
+    ).toPandas()
+    merged = got.groupby("user_id").agg(
+        n=("delta_n", "sum"),
+        s=("delta_sum", "sum"),
+        ss=("delta_sumsq", "sum"),
+        lo=("gap_min", "min"),
+        hi=("gap_max", "max"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        events.select(
+            "user_id",
+            (
+                F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+            ).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_ms").alias("n"),
+            F.sum("gap_ms").alias("s"),
+            F.sum(F.col("gap_ms") * F.col("gap_ms")).alias("ss"),
+            F.min("gap_ms").alias("lo"),
+            F.max("gap_ms").alias("hi"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    merged = merged.sort_index()
+    assert list(merged.index) == list(want.index)
+    assert (merged["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (merged["lo"].to_numpy() == want["lo"].to_numpy()).all()
+    assert (merged["hi"].to_numpy() == want["hi"].to_numpy()).all()
+    assert np.allclose(merged["s"], want["s"], rtol=0, atol=0)
+    # sum-of-squares overflows double's exact-integer range (~9e15), so
+    # the float partial drifts ulps from the exact BIGINT batch sum
+    assert np.allclose(merged["ss"], want["ss"], rtol=1e-12)
+    # derived stats round-trip: mean and sample stddev from partials
+    n, s, ss = merged["n"], merged["s"], merged["ss"]
+    mean = s / n
+    var = (ss - n * mean**2) / (n - 1).where(n > 1, np.nan)
+    batch = want["s"] / want["n"]
+    assert np.allclose(mean, batch)
+    assert (var.dropna() >= -1e-9).all()
