@@ -816,3 +816,82 @@ def bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_pieces")
     )
+
+
+@query(
+    "streaming_gap_profile",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events WHERE user_id % 4 = 2
+    )
+    SELECT user_id,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           round(avg(gap_ms) / 1000.0, 4) AS avg_gap_s,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    HAVING count(gap_ms) >= 2
+    """,
+)
+def streaming_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user cadence profile built THROUGH Structured Streaming
+    under the oracle gate: two micro-batches split at the median
+    timestamp, :func:`..streaming.stateful.gap_deltas` carries each
+    key's last committed event time across the boundary (so the
+    straddling gap is counted exactly), and the emitted algebraic
+    partials merge into the same n/avg/min/max the batch lag-window
+    SQL produces.  avg comes from Σgap/n where Σgap is a sum of exact
+    integer milliseconds (< 2⁵³ — bit-identical in both engines);
+    stddev is deliberately left to the batch twin (`event_gap_stats`)
+    because its Σgap² partial drifts ulps at BIGINT scale.  Same
+    deterministic quarter-key-space slicing as the other driver-gated
+    stateful replays."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import gap_deltas
+    from .registry import scratch_dir
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 4 == 2)
+        .select("user_id", "event_id", "ts")
+    )
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(mid)),
+        ev.filter(F.col("ts") > F.lit(mid)),
+    ]
+    src_dir = scratch_dir("src_gap_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scratch_dir("ck_gap_stream_") as ck:
+            got = run_available_now(gap_deltas(sdf), ck, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return (
+        got.groupBy("user_id")
+        .agg(
+            F.sum("delta_n").cast("long").alias("n_gaps"),
+            F.sum("delta_sum").alias("s"),
+            F.min("gap_min").cast("long").alias("min_gap_ms"),
+            F.max("gap_max").cast("long").alias("max_gap_ms"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(F.col("s") / F.col("n_gaps") / 1000.0, 4).alias(
+                "avg_gap_s"
+            ),
+            "min_gap_ms",
+            "max_gap_ms",
+        )
+    )
