@@ -172,3 +172,34 @@ def test_funnel_single_sort_single_exchange(plan_of):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_session_paths_reuse_user_sort(plan_of):
+    """top_session_paths: the within-session rank must reuse the
+    user-keyed exchange (HashPartitioning(user_id) satisfies the
+    (user, session)-clustered requirement) — exactly ONE fact-table
+    exchange plus the path-count exchange."""
+    plan = plan_of("top_session_paths")
+    n_exch = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exch <= 2, plan
+
+
+def test_interpurchase_segment_attach_is_broadcast(plan_of):
+    """interpurchase_interval_stats: the customer-dimension attach must
+    be a BroadcastHashJoin, never a shuffle of the gap stream."""
+    plan = plan_of("interpurchase_interval_stats")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_equi_depth_assignment_is_joinless(plan_of):
+    """equi_depth_histogram: bucket assignment must be a flat literal
+    comparison chain — no join of any kind in the plan."""
+    plan = plan_of("equi_depth_histogram")
+    assert "Join" not in plan, plan
+
+
+def test_k_anonymity_single_scan_no_join(plan_of):
+    plan = plan_of("k_anonymity_audit")
+    assert "Join" not in plan, plan
+    # formatted explain lists each scan twice (tree node + details)
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
