@@ -73,6 +73,11 @@ HEADLINE = [
     "changepoint_single_split",
     "assoc_rules_parts",
     "sssp_cosupplier",
+    "local_clustering_coeff",
+    "link_prediction_scores",
+    "personalized_pagerank",
+    "prefix_jaccard_join",
+    "equi_depth_histogram",
 ]
 
 
