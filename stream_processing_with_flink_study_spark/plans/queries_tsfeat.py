@@ -504,3 +504,125 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("resid", 4).alias("resid"),
         (F.abs(F.round("resid", 4)) > F.col("thr")).alias("anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# forecast-baseline evaluation: naive / seasonal-naive / dow-mean, MAE+MASE
+# --------------------------------------------------------------------------
+@query(
+    "forecast_baseline_eval",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT d, y, row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    train AS MATERIALIZED (SELECT * FROM idx WHERE rn <= n - 6),
+    test AS (SELECT * FROM idx WHERE rn > n - 6),
+    last_tr AS (
+      SELECT y AS yl FROM train ORDER BY rn DESC LIMIT 1
+    ),
+    naive_in AS (
+      SELECT avg(abs(y - ly)) AS mae0 FROM (
+        SELECT y, lag(y) OVER (ORDER BY rn) AS ly FROM train)
+      WHERE ly IS NOT NULL
+    ),
+    dow_mean AS (
+      SELECT isodow(d) - 1 AS dw, avg(y) AS ym FROM train GROUP BY 1
+    ),
+    preds AS (
+      SELECT t.y,
+             (SELECT yl FROM last_tr) AS p_naive,
+             (SELECT y FROM idx i WHERE i.rn = t.rn - 7) AS p_snaive,
+             dm.ym AS p_dow
+      FROM test t LEFT JOIN dow_mean dm ON dm.dw = isodow(t.d) - 1
+    ),
+    m AS (
+      SELECT avg(abs(y - p_naive)) AS e_naive,
+             avg(abs(y - p_snaive)) AS e_snaive,
+             avg(abs(y - p_dow)) AS e_dow,
+             (SELECT mae0 FROM naive_in) AS mae0
+      FROM preds
+    )
+    SELECT 'naive' AS model, round(e_naive, 4) AS mae,
+           round(e_naive / mae0, 4) AS mase FROM m
+    UNION ALL
+    SELECT 'seasonal_naive', round(e_snaive, 4),
+           round(e_snaive / mae0, 4) FROM m
+    UNION ALL
+    SELECT 'dow_mean', round(e_dow, 4), round(e_dow / mae0, 4) FROM m
+    """,
+)
+def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation on the daily event-value series —
+    hold out the last 6 days, score three standard baselines (naive
+    last-value, seasonal-naive y(t−7), train day-of-week mean) by MAE
+    and MASE (MAE scaled by the train set's one-step naive MAE — the
+    scale-free metric forecasting papers report; MASE < 1 beats the
+    naive walk).  Together with ``stl_decompose_daily`` this is the
+    fit+evaluate half of a time-series workflow, built entirely from
+    windows — no model library.
+
+    Scale shape: one map-side-combined daily aggregate over the raw
+    events; every later frame is day-count-sized (the single-partition
+    ordering windows run on ~10² rows).  The ratio is computed from
+    unrounded doubles on both sides and rounded once at output."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("y")
+    )
+    widx = Window.orderBy("d")
+    idx = daily.select(
+        "d", "y", F.row_number().over(widx).alias("rn")
+    ).persist()
+    n = idx.count()
+    ntr = n - 6
+    train = idx.filter(F.col("rn") <= ntr)
+    test = idx.filter(F.col("rn") > ntr)
+    yl = train.orderBy(F.desc("rn")).first()["y"]
+    mae0 = (
+        train.select(
+            (
+                F.abs(F.col("y") - F.lag("y").over(Window.orderBy("rn")))
+            ).alias("ae")
+        )
+        .agg(F.avg("ae"))
+        .first()[0]
+    )
+    dow_mean = train.groupBy(F.weekday("d").alias("dw")).agg(
+        F.avg("y").alias("ym")
+    )
+    idx7 = idx.select(
+        (F.col("rn") + 7).alias("rn"), F.col("y").alias("p_snaive")
+    )
+    preds = (
+        test.join(idx7, "rn", "left")
+        .join(
+            F.broadcast(dow_mean),
+            F.weekday(test["d"]) == dow_mean["dw"],
+            "left",
+        )
+        .select(
+            "y",
+            F.lit(yl).alias("p_naive"),
+            "p_snaive",
+            F.col("ym").alias("p_dow"),
+        )
+    )
+    m = preds.agg(
+        F.avg(F.abs(F.col("y") - F.col("p_naive"))).alias("e_naive"),
+        F.avg(F.abs(F.col("y") - F.col("p_snaive"))).alias("e_snaive"),
+        F.avg(F.abs(F.col("y") - F.col("p_dow"))).alias("e_dow"),
+    )
+    return m.selectExpr(
+        f"""stack(3,
+          'naive', round(e_naive, 4), round(e_naive / {mae0!r}, 4),
+          'seasonal_naive', round(e_snaive, 4),
+            round(e_snaive / {mae0!r}, 4),
+          'dow_mean', round(e_dow, 4), round(e_dow / {mae0!r}, 4)
+        ) AS (model, mae, mase)"""
+    )
