@@ -398,3 +398,53 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_groups).cast("long").alias("n_groupby_groups"),
         F.lit(null_groups).cast("long").alias("n_null_groups"),
     )
+
+
+# --------------------------------------------------------------------------
+# correlated LATERAL subquery: per-key top-N as the SQL surface writes it
+# --------------------------------------------------------------------------
+@query(
+    "lateral_topn_per_key",
+    """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    """,
+)
+def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via a correlated LATERAL subquery —
+    the way analysts WRITE per-key top-N in modern SQL (DuckDB,
+    Postgres, Spark 3.4+ all accept the same text).  Semantically this
+    is ``top_spenders_per_segment``'s ranked window; the point of the
+    battery entry is the SURFACE: Catalyst decorrelates the LATERAL
+    into a ranked-window DomainJoin, so the executed plan is the same
+    one shuffle-per-key rank — no nested-loop per-row subquery
+    survives at scale (deterministic cut: price DESC, orderkey).
+
+    Scale shape: dimension filter prunes customers at the scan;
+    decorrelation turns the correlated LIMIT into a window over the
+    orders side partitioned by custkey — one keyed exchange."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 4) AS price
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+        """
+    )
