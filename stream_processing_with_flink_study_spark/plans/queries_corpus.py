@@ -1592,3 +1592,137 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.7
     )
+
+
+# --------------------------------------------------------------------------
+# Cavnar-Trenkle char-trigram language ID with accuracy eval
+# --------------------------------------------------------------------------
+@query(
+    "char_ngram_lang_id",
+    """
+    WITH tri AS MATERIALIZED (
+      SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+      FROM documents, unnest(range(1, len(text) - 1)) AS x(i)
+    ),
+    lang_prof AS MATERIALIZED (
+      SELECT lang, g, row_number() OVER (
+        PARTITION BY lang ORDER BY count(*) DESC, g) AS r
+      FROM tri GROUP BY lang, g QUALIFY r <= 20
+    ),
+    doc_prof AS MATERIALIZED (
+      SELECT doc_id, min(lang) AS true_lang, g, row_number() OVER (
+        PARTITION BY doc_id ORDER BY count(*) DESC, g) AS dr
+      FROM tri GROUP BY doc_id, g QUALIFY dr <= 20
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    dist AS (
+      SELECT d.doc_id, min(d.true_lang) AS true_lang, l.lang,
+             sum(coalesce(abs(d.dr - p.r), 20)) AS oop
+      FROM doc_prof d
+      CROSS JOIN langs l
+      LEFT JOIN lang_prof p ON p.lang = l.lang AND p.g = d.g
+      GROUP BY d.doc_id, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY oop ASC, lang) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT true_lang AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS accuracy
+    FROM pred GROUP BY true_lang
+    """,
+)
+def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle character-trigram language identification,
+    EVALUATED against the ground-truth ``lang`` column: per-language
+    top-20 trigram rank profiles, per-doc profiles, out-of-place
+    distance (|rank difference|, missing → max penalty 20), argmin
+    language, accuracy per true language.  The classic n-gram-profile
+    classifier — a real upgrade over the stopword-list heuristic
+    (``lang_id_pred``) because it needs no hand lists, and the eval
+    makes it a measured model, not a feature.
+
+    Scale shape: ONE trigram explode feeds both profile builds
+    (map-side combined counts; profiles are lang×20 and doc×20 sized);
+    the scoring join runs doc-profile rows × |langs| with the tiny
+    language profile BROADCAST, so the corpus-sized stream shuffles
+    only for the per-doc count.  Every distance is an exact integer
+    sum; prediction and accuracy are engine-stable by construction
+    ((dist, lang) and (count, trigram) total orders)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("_t")
+    )
+    # bind _t as an attribute BEFORE the lambda (word_shingles perf
+    # note: outer non-attribute expressions re-evaluate per element)
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - 2),
+                lambda i: F.col("_t").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    ).persist()
+    tri.count()  # one explode feeds both profile builds
+    wl = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    lang_prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 20)
+        .select(F.col("lang").alias("p_lang"), "g", "r")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+    doc_prof = (
+        tri.groupBy("doc_id", "g")
+        .agg(
+            F.min("lang").alias("true_lang"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn("dr", F.row_number().over(wd))
+        .filter(F.col("dr") <= 20)
+        .select("doc_id", "true_lang", "g", "dr")
+    )
+    langs = docs.select(F.col("lang").alias("c_lang")).distinct()
+    dist = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(lang_prof),
+            (F.col("p_lang") == F.col("c_lang"))
+            & (lang_prof["g"] == doc_prof["g"]),
+            "left",
+        )
+        .groupBy("doc_id", "c_lang")
+        .agg(
+            F.min("true_lang").alias("true_lang"),
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("dr") - F.col("r")), F.lit(20)
+                )
+            ).alias("oop"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.asc("oop"), F.asc("c_lang")
+    )
+    pred = (
+        dist.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("c_lang").alias("pred_lang"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        correct.cast("long").alias("n_correct"),
+        F.round(correct * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+    )
