@@ -531,3 +531,64 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 4).alias("hi"),
         F.round(F.avg("v"), 4).alias("avg_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline: dominance query as one sorted window, not a self-join
+# --------------------------------------------------------------------------
+@query(
+    "pareto_skyline_orders",
+    """
+    WITH pts AS MATERIALIZED (
+      SELECT o_totalprice AS p, o_orderdate AS d, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT round(p, 4) AS price,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                AS BIGINT) AS epoch_day,
+           CAST(c AS BIGINT) AS n_orders
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p >= a.p AND b.d >= a.d AND (b.p > a.p OR b.d > a.d)
+    )
+    """,
+)
+def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of orders (maximize price AND recency): the
+    set of orders no other order beats on both dimensions — the
+    dominance query behind best-offer screens and multi-objective
+    candidate pruning.  The ORACLE is the textbook quadratic
+    NOT EXISTS (obviously correct ground truth); the Spark plan is the
+    O(n log n) form: sort distinct points by (price DESC, date DESC)
+    and keep a point iff its date strictly exceeds the running max
+    date of everything sorted before it — every dominator sorts
+    earlier, so one window pass decides dominance.  Exact (price,
+    date) duplicates collapse to one counted point first (identical
+    points never dominate each other).
+
+    Scale shape: the distinct-point aggregate is the only fact-sized
+    shuffle; the skyline window runs on the (much smaller) point set.
+    The single global sort shown here becomes repartitionByRange +
+    per-partition running max + a broadcast of per-partition prefix
+    maxima at 100 TB — same algebra, two passes, no quadratic step
+    anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.groupBy(
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("p"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pts.withColumn("m0", F.max("d").over(w))
+        .filter(F.col("m0").isNull() | (F.col("d") > F.col("m0")))
+        .select(
+            F.round("p", 4).alias("price"),
+            F.datediff(F.to_date("d"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("epoch_day"),
+            F.col("c").cast("long").alias("n_orders"),
+        )
+    )
