@@ -333,3 +333,152 @@ def source_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction with a deterministic hash A/B split
+# --------------------------------------------------------------------------
+@query(
+    "cuped_variance_reduction",
+    """
+    WITH pre AS MATERIALIZED (
+      SELECT o_custkey AS k, sum(o_totalprice) AS x FROM orders
+      WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ),
+    post AS MATERIALIZED (
+      SELECT o_custkey AS k, sum(o_totalprice) AS y FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    ),
+    xy AS MATERIALIZED (
+      SELECT coalesce(pre.k, post.k) AS k,
+             coalesce(x, 0) AS x, coalesce(y, 0) AS y,
+             CASE WHEN substr(md5('exp1|' || coalesce(pre.k, post.k)),
+                             1, 8) < '80000000'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM pre FULL OUTER JOIN post ON post.k = pre.k
+    ),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy
+    ),
+    th AS (
+      SELECT n, sy / n AS my, sx / n AS mx,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+             (syy - sy * sy / n) / (n - 1) AS var_y,
+             ((syy - sy * sy / n)
+              - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                / (sxx - sx * sx / n)) / (n - 1) AS var_adj
+      FROM mom
+    ),
+    arms AS (
+      SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+             avg(CASE WHEN arm = 'A' THEN y END) AS mean_y_a,
+             avg(CASE WHEN arm = 'B' THEN y END) AS mean_y_b,
+             avg(CASE WHEN arm = 'A'
+                      THEN y - (SELECT theta FROM th)
+                             * (x - (SELECT mx FROM th)) END) AS adj_a,
+             avg(CASE WHEN arm = 'B'
+                      THEN y - (SELECT theta FROM th)
+                             * (x - (SELECT mx FROM th)) END) AS adj_b
+      FROM xy
+    )
+    SELECT CAST(th.n AS BIGINT) AS n_customers,
+           CAST(arms.n_a AS BIGINT) AS n_a,
+           CAST(arms.n_b AS BIGINT) AS n_b,
+           round(th.theta, 4) AS theta,
+           round(arms.mean_y_a, 4) AS mean_y_a,
+           round(arms.mean_y_b, 4) AS mean_y_b,
+           round(arms.adj_a, 4) AS mean_adj_a,
+           round(arms.adj_b, 4) AS mean_adj_b,
+           round(1.0 - th.var_adj / th.var_y, 4) AS var_reduction
+    FROM th, arms
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled pre-period covariate adjustment) — the
+    experimentation-platform primitive: per-customer POST-period spend
+    adjusted by θ·(pre-period spend − mean), θ = cov(x,y)/var(x), with
+    a deterministic md5 hash A/B split (same salt-hash convention as
+    ``leakage_safe_splits`` — assignment is reproducible and
+    independent of the covariate).  Reported: θ, per-arm raw and
+    adjusted means, and the variance-reduction factor 1 − var(y_adj)/
+    var(y) — the % of metric noise the pre-period covariate removes,
+    i.e. how much smaller the experiment can be.
+
+    Scale shape: two date-pruned keyed aggregates (pre/post spend) and
+    a full-outer merge; θ and the variances assemble from ONE moment
+    rollup (n, Σx, Σy, Σxy, Σx², Σy² — map-side combined, scalar
+    output) in a single expression on each engine, with rounding
+    absorbing summation-order jitter.  Adjusted-mean pass reuses the
+    merged frame — nothing quadratic, nothing collected but scalars."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit("1997-01-01").cast("date")
+    pre = (
+        orders.filter(F.col("o_orderdate") < split)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    post = (
+        orders.filter(F.col("o_orderdate") >= split)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    xy = (
+        pre.join(post, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("x", F.lit(0.0)).alias("x"),
+            F.coalesce("y", F.lit(0.0)).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1|"), F.col("k"))), 1, 8
+                )
+                < "80000000",
+                "A",
+            ).otherwise("B"),
+        )
+        .persist()
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    n, sx, sy, sxy, sxx, syy = mom
+    cxy = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    theta = cxy / vx
+    mx = sx / n
+    var_y = vy / (n - 1)
+    var_adj = (vy - cxy * cxy / vx) / (n - 1)
+    adj = F.col("y") - F.lit(theta) * (F.col("x") - F.lit(mx))
+    arms = xy.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.avg(F.when(F.col("arm") == "A", F.col("y"))).alias("mean_y_a"),
+        F.avg(F.when(F.col("arm") == "B", F.col("y"))).alias("mean_y_b"),
+        F.avg(F.when(F.col("arm") == "A", adj)).alias("adj_a"),
+        F.avg(F.when(F.col("arm") == "B", adj)).alias("adj_b"),
+    )
+    return arms.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.lit(theta), 4).alias("theta"),
+        F.round("mean_y_a", 4).alias("mean_y_a"),
+        F.round("mean_y_b", 4).alias("mean_y_b"),
+        F.round("adj_a", 4).alias("mean_adj_a"),
+        F.round("adj_b", 4).alias("mean_adj_b"),
+        F.round(F.lit(1.0 - var_adj / var_y), 4).alias("var_reduction"),
+    )
