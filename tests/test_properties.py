@@ -336,3 +336,48 @@ def test_prefix_filter_jaccard_is_lossless(spark, seeds, edits, t10):
         ).collect()
     }
     assert got == _ref_jaccard_pairs(docs, 3, t)
+
+
+def _ref_skyline(pts):
+    """Brute-force 2-D dominance: keep (p, d) iff no other point is
+    >= in both dims and > in at least one."""
+    out = set()
+    for a in pts:
+        if not any(
+            b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            for b in pts
+        ):
+            out.add(a)
+    return out
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_window_form_matches_brute_force(spark, pts):
+    """The sorted-running-max skyline (pareto_skyline_orders' plan
+    shape) must equal quadratic dominance for any point multiset —
+    including duplicates and single-dimension ties."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(pts, "p long, d long").groupBy(
+        "p", "d"
+    ).count()
+    w = Window.orderBy(F.desc("p"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    got = {
+        (r["p"], r["d"])
+        for r in df.withColumn("m0", F.max("d").over(w))
+        .filter(F.col("m0").isNull() | (F.col("d") > F.col("m0")))
+        .collect()
+    }
+    assert got == _ref_skyline(set(pts))
