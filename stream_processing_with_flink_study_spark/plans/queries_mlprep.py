@@ -1185,3 +1185,96 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("wnorm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (variance-optimal budget split)
+# --------------------------------------------------------------------------
+@query(
+    "neyman_allocation_sample",
+    """
+    WITH s AS MATERIALIZED (
+      SELECT event_type, count(*) AS nh, stddev_samp(value) AS sh
+      FROM events GROUP BY 1
+    ),
+    wsum AS (SELECT sum(nh * sh) AS w FROM s),
+    alloc AS MATERIALIZED (
+      SELECT event_type, nh, sh,
+             CAST(floor(round(500.0 * nh * sh / (SELECT w FROM wsum),
+                              6)) AS BIGINT) AS n_alloc
+      FROM s
+    ),
+    ranked AS (
+      SELECT event_type, value, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY md5('ney0|' || event_id), event_id) AS r
+      FROM events
+    ),
+    samp AS (
+      SELECT r.event_type, r.value FROM ranked r
+      JOIN alloc a ON a.event_type = r.event_type
+      WHERE r.r <= a.n_alloc
+    )
+    SELECT a.event_type,
+           CAST(a.nh AS BIGINT) AS stratum_n,
+           round(a.sh, 4) AS stratum_std,
+           a.n_alloc,
+           round(avg(s.value), 4) AS sampled_mean
+    FROM alloc a LEFT JOIN samp s ON s.event_type = a.event_type
+    GROUP BY a.event_type, a.nh, a.sh, a.n_alloc
+    """,
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with NEYMAN allocation — the
+    variance-optimal way to spend a fixed labeling/review budget: each
+    stratum (event type) gets n_h ∝ N_h·S_h, so noisy-and-large
+    strata are sampled hardest (proportional allocation wastes budget
+    on homogeneous strata).  Selection inside a stratum is the
+    deterministic md5-rank convention (``sample_deterministic``), so
+    the draw is reproducible and oracle-checkable.
+
+    Scale shape: one pass for the stratum moments (map-side combined),
+    one per-stratum hash-rank window for the draw (the only fact-sized
+    shuffle), allocation math on the stratum-count-sized frame.  The
+    floor() boundary rides round(·, 6) on BOTH sides so stddev
+    summation jitter can never flip an allocation."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.stddev_samp("value").alias("sh"),
+    ).persist()
+    w = s.agg(F.sum(F.col("nh") * F.col("sh"))).first()[0]
+    alloc = s.select(
+        "event_type",
+        "nh",
+        "sh",
+        F.floor(
+            F.round(500.0 * F.col("nh") * F.col("sh") / F.lit(w), 6)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("ney0|"), F.col("event_id"))), "event_id"
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("r"),
+    )
+    samp = ranked.join(F.broadcast(alloc), "event_type").filter(
+        F.col("r") <= F.col("n_alloc")
+    )
+    agg = samp.groupBy("event_type").agg(
+        F.avg("value").alias("mean_v")
+    )
+    return (
+        alloc.join(agg, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("stratum_n"),
+            F.round("sh", 4).alias("stratum_std"),
+            "n_alloc",
+            F.round("mean_v", 4).alias("sampled_mean"),
+        )
+    )
