@@ -592,3 +592,128 @@ def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier: time-to-second-order survival with right-censoring
+# --------------------------------------------------------------------------
+@query(
+    "kaplan_meier_reorder",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    firsts AS (SELECT k, d AS d1 FROM seq WHERE rn = 1),
+    seconds AS (SELECT k, d AS d2 FROM seq WHERE rn = 2),
+    obs AS MATERIALIZED (
+      SELECT f.k,
+             CASE WHEN s.d2 IS NOT NULL
+                  THEN date_diff('day', f.d1, s.d2)
+                  ELSE date_diff('day', f.d1, (SELECT h FROM horizon))
+             END AS t,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f LEFT JOIN seconds s ON s.k = f.k
+    ),
+    grp AS MATERIALIZED (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d_i,
+             count(*) AS c_all
+      FROM obs GROUP BY t
+    ),
+    atrisk AS (
+      SELECT t, d_i,
+             (SELECT count(*) FROM obs) - coalesce(sum(c_all) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_i
+      FROM grp
+    ),
+    terms AS (
+      SELECT t, d_i, n_i, (n_i - d_i) * 1.0 / n_i AS term FROM atrisk
+    ),
+    km AS (
+      SELECT t, d_i, n_i,
+             CASE WHEN sum(CASE WHEN term = 0 THEN 1 ELSE 0 END) OVER (
+                    ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                  THEN 0.0
+                  ELSE exp(sum(CASE WHEN term > 0 THEN ln(term)
+                               ELSE 0 END) OVER (
+                    ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS surv
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_i AS BIGINT) AS n_at_risk,
+           d_i AS n_events,
+           round(surv - 1e-9, 4) AS survival
+    FROM km WHERE d_i > 0
+    """,
+)
+def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for TIME TO SECOND ORDER, with
+    right-censoring at the dataset horizon — the honest repurchase
+    curve: customers who simply haven't reordered YET leave the
+    at-risk set at their censor time instead of polluting the estimate
+    (naive repeat-rate metrics get this wrong by construction).
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over event times.
+
+    Scale shape: one customer-keyed window ranks the orders; the curve
+    itself lives on the DISTINCT-gap-day frame (~10³ rows), where the
+    at-risk counts are a right-to-left cumulative and the product is
+    exp(Σ ln(·)) — both single ordered windows over the tiny frame.
+    Counts are exact integers in both engines; the product's window
+    SUM differs across engines only by summation-tree order (~1e-15),
+    absorbed by the round(x − 1e-9, 4) convention (see
+    plans/registry.py header)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(wq).alias("rn"),
+    ).persist()
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate"))
+    ).first()[0]
+    firsts = seq.filter(F.col("rn") == 1).select(
+        "k", F.col("d").alias("d1")
+    )
+    seconds = seq.filter(F.col("rn") == 2).select(
+        "k", F.col("d").alias("d2")
+    )
+    obs = firsts.join(seconds, "k", "left").select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff(F.lit(horizon), F.col("d1")))
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).persist()
+    total = obs.count()
+    grp = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_i"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    wt = Window.orderBy("t")
+    prev = F.coalesce(
+        F.sum("c_all").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    term = (F.col("n_i") - F.col("d_i")) * 1.0 / F.col("n_i")
+    wcum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = F.sum(F.when(term == 0, 1).otherwise(0)).over(wcum)
+    lnsum = F.sum(F.when(term > 0, F.log(term)).otherwise(0.0)).over(wcum)
+    km = grp.withColumn("n_i", F.lit(total) - prev).withColumn(
+        "surv",
+        F.when(hit_zero > 0, F.lit(0.0)).otherwise(F.exp(lnsum)),
+    )
+    return km.filter(F.col("d_i") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_i").cast("long").alias("n_at_risk"),
+        F.col("d_i").alias("n_events"),
+        F.round(F.col("surv") - 1e-9, 4).alias("survival"),
+    )
