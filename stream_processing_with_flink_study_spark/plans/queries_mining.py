@@ -895,3 +895,93 @@ def streaming_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_ms",
         )
     )
+
+
+@query(
+    "attribution_position_based",
+    """
+    WITH purchases AS MATERIALIZED (
+      SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS MATERIALIZED (
+      SELECT user_id, event_id AS t_id, event_type, epoch_ms(ts) AS t_ms
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    path AS MATERIALIZED (
+      SELECT p.p_id, t.event_type, t.t_ms, t.t_id,
+             row_number() OVER (
+               PARTITION BY p.p_id ORDER BY t.t_ms, t.t_id) AS pos,
+             count(*) OVER (PARTITION BY p.p_id) AS m
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ms < p.p_ms AND t.t_ms >= p.p_ms - 3600000
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN m = 1 THEN 1.0
+                  WHEN m = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = m THEN 0.4
+                  ELSE 0.2 / (m - 2) END AS credit
+      FROM path
+    )
+    SELECT event_type,
+           round(sum(credit), 4) AS total_credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credited GROUP BY event_type
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) MULTI-touch attribution — 40% of each
+    conversion's credit to the first touch in the 1-hour window, 40%
+    to the last, the middle 20% split evenly — next to
+    ``attribution_last_touch``'s winner-takes-all.  Multi-touch is
+    what marketing mix decisions actually consume; the two queries
+    disagree exactly where last-touch over-credits the final
+    retargeting hit.
+
+    Scale shape: one time-range join (purchase × preceding touches
+    within the window — the same bounded-interval shape as
+    ``interval_join_events``; bin it as in ``interval_join_binned`` at
+    100 TB), then per-conversion position windows on the joined frame
+    and a channel-sized rollup.  Credits are exact rationals summed
+    and rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_millis("ts").alias("p_ms"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        "event_type",
+        F.unix_millis("ts").alias("t_ms"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ms") < F.col("p_ms"))
+        & (F.col("t_ms") >= F.col("p_ms") - 3600000),
+    )
+    wp = Window.partitionBy("p_id").orderBy("t_ms", "t_id")
+    path = joined.select(
+        "p_id",
+        "event_type",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("m"),
+    )
+    credit = (
+        F.when(F.col("m") == 1, 1.0)
+        .when(F.col("m") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("m")), 0.4)
+        .otherwise(0.2 / (F.col("m") - 2))
+    )
+    return (
+        path.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("total_credit"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+    )
