@@ -717,3 +717,86 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_i").alias("n_events"),
         F.round(F.col("surv") - 1e-9, 4).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# cohort LTV triangle: cumulative revenue per customer by cohort x age
+# --------------------------------------------------------------------------
+@query(
+    "cohort_ltv_curve",
+    """
+    WITH firsts AS MATERIALIZED (
+      SELECT o_custkey AS k, min(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT f.k, date_trunc('month', f.d1) AS cm,
+             (year(CAST(o.o_orderdate AS DATE)) * 12
+              + month(CAST(o.o_orderdate AS DATE)))
+             - (year(f.d1) * 12 + month(f.d1)) AS age,
+             o.o_totalprice AS rev
+      FROM firsts f JOIN orders o ON o.o_custkey = f.k
+    ),
+    cell AS MATERIALIZED (
+      SELECT cm, age, sum(rev) AS r FROM base GROUP BY 1, 2
+    ),
+    cn AS MATERIALIZED (
+      SELECT date_trunc('month', d1) AS cm, count(*) AS n
+      FROM firsts GROUP BY 1
+    ),
+    cum AS (
+      SELECT cm, age,
+             sum(r) OVER (PARTITION BY cm ORDER BY age
+                          ROWS UNBOUNDED PRECEDING) AS cr
+      FROM cell
+    )
+    SELECT strftime(cum.cm, '%Y-%m') AS cohort_month,
+           CAST(age AS INT) AS age_months,
+           CAST(cn.n AS BIGINT) AS cohort_size,
+           round(cr / cn.n - 1e-9, 4) AS cum_ltv
+    FROM cum JOIN cn ON cn.cm = cum.cm
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — customers grouped by FIRST-order month,
+    cumulative revenue per cohort member at each month of age: the
+    payback-period / LTV:CAC artifact finance reads next to
+    ``cohort_retention``'s activity view (retention says who came
+    back; LTV says what they were worth).
+
+    Scale shape: first-order dates are one keyed aggregate; the
+    revenue attach joins orders back on the customer key (same
+    shuffle key, AQE-coalesced); the triangle itself is
+    cohort×age-sized, where the cumulative window runs per cohort.
+    Month age is exact integer arithmetic (y·12+m differences) on both
+    engines — no fractional months_between ambiguity."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    firsts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.min("d").alias("d1")
+    )
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    base = firsts.join(
+        orders, orders["o_custkey"] == firsts["k"]
+    ).select(
+        F.date_trunc("month", "d1").cast("date").alias("cm"),
+        (mnum(F.col("d")) - mnum(F.col("d1"))).alias("age"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    cell = base.groupBy("cm", "age").agg(F.sum("rev").alias("r"))
+    cn = firsts.groupBy(
+        F.date_trunc("month", "d1").cast("date").alias("cm")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("cm").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cell.withColumn("cr", F.sum("r").over(wc))
+    return cum.join(F.broadcast(cn), "cm").select(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        F.col("age").cast("int").alias("age_months"),
+        F.col("n").cast("long").alias("cohort_size"),
+        F.round(F.col("cr") / F.col("n") - 1e-9, 4).alias("cum_ltv"),
+    )
