@@ -626,3 +626,81 @@ def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
           'dow_mean', round(e_dow, 4), round(e_dow / {mae0!r}, 4)
         ) AS (model, mae, mase)"""
     )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day activity streak per user
+# --------------------------------------------------------------------------
+@query(
+    "longest_activity_streak",
+    """
+    WITH days AS MATERIALIZED (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS DATE) AS anchor
+      FROM days
+    ),
+    runs AS MATERIALIZED (
+      SELECT user_id, count(*) AS len FROM isl
+      GROUP BY user_id, anchor
+    ),
+    per_user AS (
+      SELECT user_id, max(len) AS longest,
+             CAST(sum(len) AS BIGINT) AS n_active_days,
+             count(*) AS n_streaks
+      FROM runs GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_active_days AS BIGINT) AS n_active_days,
+           CAST(longest AS BIGINT) AS longest_streak,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY longest DESC, user_id) AS rn
+      FROM per_user
+    ) WHERE rn <= 20
+    """,
+)
+def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: subtracting each active day's per-user
+    rank from the day itself collapses every unbroken run onto one
+    anchor date, so streaks fall out of a plain GROUP BY (no
+    iterative chasing, no self-join).  Engagement/retention teams
+    read exactly this for habit-formation metrics.
+
+    Scale shape: per-doc distinct days dedup map-side inside the
+    first aggregate; ONE user-keyed sort powers the rank; runs and
+    per-user rollups stay on the same key (no re-shuffle); the top-20
+    cut orders by (streak, user) so the cut is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    wr = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor",
+        F.date_sub(F.col("d"), F.row_number().over(wr)),
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.max("len").alias("longest"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    wtop = Window.orderBy(F.desc("longest"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id",
+            F.col("n_active_days").cast("long").alias("n_active_days"),
+            F.col("longest").cast("long").alias("longest_streak"),
+            F.col("n_streaks").cast("long").alias("n_streaks"),
+        )
+    )
