@@ -888,3 +888,112 @@ def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pb") - F.col("pa")) * F.col("qb"), 4
         ).alias("price_effect"),
     )
+
+
+# --------------------------------------------------------------------------
+# growth accounting: new / retained / resurrected / churned per month
+# --------------------------------------------------------------------------
+@query(
+    "growth_accounting_monthly",
+    """
+    WITH act AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS k,
+             (year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE))) AS m
+      FROM orders
+    ),
+    firsts AS MATERIALIZED (SELECT k, min(m) AS fm FROM act GROUP BY k),
+    lab AS MATERIALIZED (
+      SELECT a.k, a.m,
+             CASE WHEN a.m = f.fm THEN 'new'
+                  WHEN p.k IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM act a
+      JOIN firsts f ON f.k = a.k
+      LEFT JOIN act p ON p.k = a.k AND p.m = a.m - 1
+    ),
+    churn AS (
+      SELECT a.m + 1 AS m, count(*) AS n_churned
+      FROM act a LEFT JOIN act nx ON nx.k = a.k AND nx.m = a.m + 1
+      WHERE nx.k IS NULL AND a.m < (SELECT max(m) FROM act)
+      GROUP BY a.m + 1
+    )
+    SELECT CAST(l.m AS INT) AS month_num,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(coalesce(max(c.n_churned), 0) AS BIGINT) AS n_churned
+    FROM lab l LEFT JOIN churn c ON c.m = l.m
+    GROUP BY l.m
+    """,
+)
+def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly GROWTH ACCOUNTING of the customer base — every active
+    customer classified as new (first-ever month), retained (also
+    active last month) or resurrected (returning after a gap), plus
+    the churned count (active last month, gone this month): the
+    net-MAU decomposition growth teams publish (new + retained +
+    resurrected − churned_next explains every month-over-month
+    delta).
+
+    Scale shape: activity collapses to distinct (customer, month)
+    pairs in one map-side-combined aggregate; first-month and
+    adjacent-month lookups are self-joins ON THE SAME customer key
+    (one shuffle partitioning reused three times); output is
+    month-count-sized.  Month keys are exact y·12+m integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    act = orders.select(
+        F.col("o_custkey").alias("k"),
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+        ).alias("m"),
+    ).distinct().persist()
+    act.count()
+    firsts = act.groupBy("k").agg(F.min("m").alias("fm"))
+    prev = act.select("k", (F.col("m") + 1).alias("m"), F.lit(1).alias("had_prev"))
+    lab = (
+        act.join(firsts, "k")
+        .join(prev, ["k", "m"], "left")
+        .select(
+            "m",
+            F.when(F.col("m") == F.col("fm"), "new")
+            .when(F.col("had_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    max_m = act.agg(F.max("m")).first()[0]
+    nxt = act.select("k", (F.col("m") - 1).alias("m"), F.lit(1).alias("has_next"))
+    churn = (
+        act.join(nxt, ["k", "m"], "left")
+        .filter(F.col("has_next").isNull() & (F.col("m") < max_m))
+        .groupBy((F.col("m") + 1).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    agg = lab.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("status") == "retained", 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(F.col("status") == "resurrected", 1).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    return agg.join(F.broadcast(churn), "m", "left").select(
+        F.col("m").cast("int").alias("month_num"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("n_resurrected").cast("long").alias("n_resurrected"),
+        F.coalesce(F.col("n_churned"), F.lit(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
