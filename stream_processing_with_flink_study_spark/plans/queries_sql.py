@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import query
@@ -447,4 +448,98 @@ def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# hierarchical share-of-parent rollup: region -> nation -> segment
+# --------------------------------------------------------------------------
+@query(
+    "hierarchical_share_rollup",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             c.c_mktsegment AS segment,
+             sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT region, nation, segment,
+           round(rev, 4) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY region, nation) - 1e-9,
+                 4) AS share_of_nation,
+           round(sum(rev) OVER (PARTITION BY region, nation)
+                 / sum(rev) OVER (PARTITION BY region) - 1e-9, 4)
+             AS nation_share_of_region,
+           round(sum(rev) OVER (PARTITION BY region)
+                 / sum(rev) OVER () - 1e-9, 4) AS region_share_of_total
+    FROM base
+    """,
+)
+def hierarchical_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at every level of the region → nation → segment
+    hierarchy in ONE pass — each leaf row carries its share of the
+    nation, the nation's share of the region, and the region's share
+    of the total: the drill-down decomposition BI tools render as a
+    treemap/sunburst.
+
+    Scale shape: the fact shuffles once into the leaf aggregate
+    (dimension attaches are broadcasts); all three parent totals are
+    WINDOW sums over the leaf frame (leaf-cardinality-sized, ~10²
+    rows) — no second fact pass, no self-join per level, no
+    grouping-sets re-aggregation.  Shares ride round(x − 1e-9, 4)
+    since window-sum trees differ across engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    base = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_nat = Window.partitionBy("region", "nation")
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return base.select(
+        "region",
+        "nation",
+        "segment",
+        F.round("rev", 4).alias("revenue"),
+        F.round(
+            F.col("rev") / F.sum("rev").over(w_nat) - 1e-9, 4
+        ).alias("share_of_nation"),
+        F.round(
+            F.sum("rev").over(w_nat) / F.sum("rev").over(w_reg) - 1e-9,
+            4,
+        ).alias("nation_share_of_region"),
+        F.round(
+            F.sum("rev").over(w_reg) / F.sum("rev").over(w_all) - 1e-9,
+            4,
+        ).alias("region_share_of_total"),
     )
