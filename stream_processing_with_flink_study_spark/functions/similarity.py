@@ -724,3 +724,81 @@ def whiten(
             yield out
 
     return df.select(*id_cols, vec_col).mapInPandas(project, out_schema)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank: per query, greedily pick k
+    results from the cosine top-``pool`` candidates maximizing
+    λ·sim(q, d) − (1 − λ)·max_{s∈selected} sim(d, s) — the standard
+    redundancy-killer between retrieval and the consumer (RAG context
+    assembly, deduped search pages).
+
+    Scale shape: candidate generation is the DISTRIBUTED part
+    (:func:`brute_force_topk` — swap in the IVF/PQ tier at scale);
+    the greedy loop runs driver-side on pool-sized candidate sets
+    (pool² sims per query, by design tiny — production MMR works the
+    same way).  Deterministic: candidates arrive in (sim desc, id)
+    order and ties break on id, so output is reproducible.
+    Output: (q_id, rank, n_id, relevance, mmr_score)."""
+    cand = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    rows = (
+        cand.join(vecs, "n_id")
+        .select("q_id", "n_id", "cosine_sim", "rank", "n_vec")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    out = []
+    for q_id in sorted(by_q):
+        cands = sorted(by_q[q_id], key=lambda r: r["rank"])
+        mat = np.array([r["n_vec"] for r in cands], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        rel = np.array([r["cosine_sim"] for r in cands])
+        chosen: list[int] = []
+        remaining = list(range(len(cands)))
+        while remaining and len(chosen) < k:
+            best_i, best_score = None, None
+            for i in remaining:
+                red = max((sims[i][j] for j in chosen), default=0.0)
+                score = lam * rel[i] - (1 - lam) * red
+                if (
+                    best_score is None
+                    or score > best_score + 1e-12
+                    or (
+                        abs(score - best_score) <= 1e-12
+                        and cands[i]["n_id"] < cands[best_i]["n_id"]
+                    )
+                ):
+                    best_i, best_score = i, score
+            chosen.append(best_i)
+            remaining.remove(best_i)
+            out.append(
+                (
+                    q_id,
+                    len(chosen),
+                    cands[best_i]["n_id"],
+                    float(rel[best_i]),
+                    round(float(best_score), 4),
+                )
+            )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out,
+        "q_id long, rank int, n_id long, relevance double,"
+        " mmr_score double",
+    )

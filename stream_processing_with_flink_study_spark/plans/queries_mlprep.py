@@ -1278,3 +1278,20 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_v", 4).alias("sampled_mean"),
         )
     )
+
+
+@query("mmr_diverse_topk")  # greedy selection loop → rows-only check
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 for three deterministic query vectors
+    (:func:`..functions.similarity.mmr_rerank`, λ = 0.7 over the
+    cosine top-30 pool) — the redundancy-killer between ANN retrieval
+    and the consumer.  Rows-only: the greedy argmax chain is not
+    SQL-expressible; determinism (fixed candidate order, id
+    tie-breaks) and the diversity property (pairwise similarity of
+    the MMR set ≤ that of the plain top-k) are pinned in
+    tests/test_similarity.py."""
+    from ..functions.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 167 == 1)
+    return mmr_rerank(emb, queries, k=10, pool=30)

@@ -297,3 +297,49 @@ class TestPrefixJaccard:
             .collect()
         }
         assert got == truth and len(truth) > 0
+
+
+class TestMMR:
+    def test_mmr_is_deterministic_and_diverse(self, spark):
+        import numpy as np
+
+        from stream_processing_with_flink_study_spark.functions.similarity import (
+            brute_force_topk,
+            mmr_rerank,
+        )
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        queries = emb.filter(F.col("vec_id") % 167 == 1)
+        a = mmr_rerank(emb, queries, k=8, pool=25).collect()
+        b = mmr_rerank(emb, queries, k=8, pool=25).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # rank 1 must be the plain top-1 (no redundancy term yet)
+        top1 = {
+            r["q_id"]: r["n_id"]
+            for r in brute_force_topk(emb, queries, k=1).collect()
+        }
+        for r in a:
+            if r["rank"] == 1:
+                assert top1[r["q_id"]] == r["n_id"]
+
+        def mean_pairwise(ids):
+            vecs = {
+                v["vec_id"]: np.array(v["embedding"])
+                for v in emb.filter(
+                    F.col("vec_id").isin([int(i) for i in ids])
+                ).collect()
+            }
+            m = np.array([vecs[i] for i in ids], dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ m.T
+            n = len(ids)
+            return (s.sum() - n) / (n * (n - 1))
+
+        plain = brute_force_topk(emb, queries, k=8).collect()
+        for q in {r["q_id"] for r in a}:
+            mmr_ids = [r["n_id"] for r in a if r["q_id"] == q]
+            plain_ids = [r["n_id"] for r in plain if r["q_id"] == q]
+            # diversity: MMR set is no more self-similar than top-k
+            assert (
+                mean_pairwise(mmr_ids) <= mean_pairwise(plain_ids) + 1e-9
+            )
