@@ -1295,3 +1295,140 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 167 == 1)
     return mmr_rerank(emb, queries, k=10, pool=30)
+
+
+# --------------------------------------------------------------------------
+# nearest-centroid classifier eval: per-label precision / recall / F1
+# --------------------------------------------------------------------------
+@query(
+    "centroid_classifier_eval",
+    """
+    WITH dims AS MATERIALIZED (
+      SELECT label, i, avg(embedding[i]) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS MATERIALIZED (
+      SELECT label, list(m ORDER BY i) AS cent FROM dims GROUP BY label
+    ),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id, e.label AS true_label, c.label AS c_label,
+             list_cosine_similarity(e.embedding, c.cent) AS cs
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    pred AS MATERIALIZED (
+      SELECT vec_id, true_label, c_label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY round(cs, 6) DESC, c_label) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    per AS (
+      SELECT l.label,
+             (SELECT count(*) FROM pred
+              WHERE true_label = l.label AND pred_label = l.label) AS tp,
+             (SELECT count(*) FROM pred
+              WHERE true_label = l.label) AS n_true,
+             (SELECT count(*) FROM pred
+              WHERE pred_label = l.label) AS n_pred
+      FROM (SELECT DISTINCT label FROM embeddings) l
+    )
+    SELECT label,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           round(tp * 1.0 / n_pred, 4) AS precision,
+           round(tp * 1.0 / n_true, 4) AS recall,
+           round(2.0 * tp / (n_pred + n_true), 4) AS f1
+    FROM per
+    """,
+)
+def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier over the embedding table, EVALUATED:
+    per-label precision / recall / F1 of predicting each vector's
+    label from its closest label centroid — the measured-model
+    companion to ``label_centroid_margin``'s noise screen (margin says
+    which vectors look mislabeled; this says how separable the label
+    space actually is).
+
+    Scale shape: centroids are one dimension-keyed aggregate
+    (label×dim-sized); scoring crosses the corpus with the BROADCAST
+    centroid table; the argmax window partitions per vector.  The
+    argmax orders by cs ROUNDED to 6 (both engines' dot products
+    differ in the last ulps — the tie-break must see identical keys)
+    with the label as tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "x")
+    ).groupBy("label", "i0").agg(F.avg("x").alias("m"))
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i0", "m"))
+            ).alias("arr")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("arr", lambda s: s["m"]).alias("cent"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cent", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "c_label",
+        (dot / (norm(F.col("embedding")) * norm(F.col("cent")))).alias(
+            "cs"
+        ),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.asc("c_label")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+        .persist()
+    )
+    n_true = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_pred = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        pred.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    return (
+        n_true.join(n_pred, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.round(
+                F.coalesce("tp", F.lit(0)) * 1.0 / F.col("n_pred"), 4
+            ).alias("precision"),
+            F.round(
+                F.coalesce("tp", F.lit(0)) * 1.0 / F.col("n_true"), 4
+            ).alias("recall"),
+            F.round(
+                2.0
+                * F.coalesce("tp", F.lit(0))
+                / (F.col("n_pred") + F.col("n_true")),
+                4,
+            ).alias("f1"),
+        )
+    )
