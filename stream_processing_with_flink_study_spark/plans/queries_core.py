@@ -997,3 +997,100 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_churned"),
     )
+
+
+# --------------------------------------------------------------------------
+# dormancy risk: days-quiet vs the customer's OWN cadence
+# --------------------------------------------------------------------------
+@query(
+    "dormancy_risk_screen",
+    """
+    WITH horizon AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ),
+    seq AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    per AS MATERIALIZED (
+      SELECT k, max(d) AS last_d,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             quantile_cont(gap, 0.5) AS med_gap
+      FROM seq GROUP BY k HAVING count(gap) >= 3
+    ),
+    risk AS (
+      SELECT k,
+             date_diff('day', last_d, (SELECT h FROM horizon))
+               AS days_quiet,
+             med_gap,
+             round(date_diff('day', last_d, (SELECT h FROM horizon))
+                   / med_gap, 4) AS risk_ratio
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_screened,
+           CAST(sum(CASE WHEN risk_ratio > 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_risk,
+           round(avg(risk_ratio), 4) AS avg_risk_ratio,
+           round(quantile_cont(risk_ratio, 0.9), 4) AS p90_risk_ratio,
+           CAST(max(days_quiet) AS BIGINT) AS max_days_quiet
+    FROM risk
+    """,
+)
+def dormancy_risk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy risk scaled to each customer's OWN cadence: days since
+    last order divided by the customer's median inter-order gap — a
+    weekly buyer quiet for a month screams churn; a quarterly buyer
+    quiet for a month is on schedule.  Population-level thresholds
+    (``customer_repeat_rate``) can't see the difference; this is the
+    personalized churn screen CRM pipelines page on.
+
+    Scale shape: one customer-keyed lag window (deterministic
+    (date, orderkey) order), a per-customer rollup with an exact
+    median, and a scalar summary — risk_ratio thresholds compare the
+    ROUNDED ratio so both engines make the same boundary call."""
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    )
+    per = (
+        seq.groupBy("k")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("gap").alias("n_gaps"),
+            F.percentile("gap", F.lit(0.5)).alias("med_gap"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+    risk = per.select(
+        F.datediff(F.lit(horizon), F.col("last_d")).alias("days_quiet"),
+        F.round(
+            F.datediff(F.lit(horizon), F.col("last_d"))
+            / F.col("med_gap"),
+            4,
+        ).alias("risk_ratio"),
+    )
+    return risk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_screened"),
+        F.sum(F.when(F.col("risk_ratio") > 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_risk"),
+        F.round(F.avg("risk_ratio"), 4).alias("avg_risk_ratio"),
+        F.round(F.percentile("risk_ratio", F.lit(0.9)), 4).alias(
+            "p90_risk_ratio"
+        ),
+        F.max("days_quiet").cast("long").alias("max_days_quiet"),
+    )

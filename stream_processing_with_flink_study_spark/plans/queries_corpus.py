@@ -1726,3 +1726,64 @@ def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("long").alias("n_correct"),
         F.round(correct * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
     )
+
+
+@query(
+    "term_burstiness",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    stats AS MATERIALIZED (
+      SELECT t, count(*) AS cf, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY t
+    )
+    SELECT t AS term,
+           CAST(cf AS BIGINT) AS collection_freq,
+           CAST(df AS BIGINT) AS doc_freq,
+           round(cf * 1.0 / df, 4) AS burstiness
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY cf * 1.0 / df DESC, t) AS rn
+      FROM stats WHERE cf >= 50
+    ) WHERE rn <= 30
+    """,
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term BURSTINESS — collection frequency over document frequency:
+    a term that appears 400 times across 20 docs (burstiness 20) is
+    boilerplate/template text; one spread across 400 docs is ordinary
+    vocabulary.  The screen that finds repeated navigation chrome and
+    license headers BEFORE they poison n-gram stats — upstream of the
+    dedup tier, not a duplicate of it.
+
+    Scale shape: one token explode into one combined (cf, df)
+    aggregate (count-distinct per term rides the same shuffle), then
+    a vocab-sized top-30 cut on (ratio, term) — engine-stable because
+    the ratio is an exact integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    )
+    stats = toks.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(
+        (F.col("cf") * 1.0 / F.col("df")).desc(), F.asc("t")
+    )
+    return (
+        stats.filter(F.col("cf") >= 50)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select(
+            F.col("t").alias("term"),
+            F.col("cf").cast("long").alias("collection_freq"),
+            F.col("df").cast("long").alias("doc_freq"),
+            F.round(F.col("cf") * 1.0 / F.col("df"), 4).alias(
+                "burstiness"
+            ),
+        )
+    )
