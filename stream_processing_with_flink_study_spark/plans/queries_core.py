@@ -1094,3 +1094,107 @@ def dormancy_risk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("days_quiet").cast("long").alias("max_days_quiet"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap CI: the distributed bootstrap, deterministic weights
+# --------------------------------------------------------------------------
+BOOT_REPS = 20
+# P(Poisson(1) <= k) for k = 0..3 as 32-bit hex thresholds; md5-derived
+# uniforms compare as fixed-width lowercase hex strings on both engines
+_BOOT_T = ("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797")
+
+
+def _boot_w_sql(r: int) -> str:
+    h = f"substr(md5('bs{r}|' || o_orderkey), 1, 8)"
+    return (
+        f"CASE WHEN {h} < '{_BOOT_T[0]}' THEN 0"
+        f" WHEN {h} < '{_BOOT_T[1]}' THEN 1"
+        f" WHEN {h} < '{_BOOT_T[2]}' THEN 2"
+        f" WHEN {h} < '{_BOOT_T[3]}' THEN 3 ELSE 4 END"
+    )
+
+
+def _boot_oracle() -> str:
+    reps = ",\n             ".join(
+        f"sum({_boot_w_sql(r)} * o_totalprice) * 1.0"
+        f" / sum({_boot_w_sql(r)}) AS m{r}"
+        for r in range(BOOT_REPS)
+    )
+    arr = ", ".join(f"m{r}" for r in range(BOOT_REPS))
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT avg(o_totalprice) AS point,
+             {reps}
+      FROM orders
+    ),
+    reps AS (SELECT point, unnest([{arr}]) AS mr FROM m)
+    SELECT round(avg(point), 4) AS point_mean,
+           CAST(count(*) AS BIGINT) AS n_reps,
+           round(stddev_samp(mr), 4) AS boot_se,
+           round(avg(point) - 1.96 * stddev_samp(mr), 4) AS ci_lo,
+           round(avg(point) + 1.96 * stddev_samp(mr), 4) AS ci_hi
+    FROM reps
+    """
+
+
+@query("poisson_bootstrap_ci", _boot_oracle())
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error and 95% CI for mean order value via the
+    POISSON bootstrap — the only bootstrap that works distributed:
+    instead of resampling n rows with replacement (impossible without
+    a global index), each row enters replicate r with weight
+    ~ Poisson(1), and every replicate mean is a weighted aggregate in
+    the SAME single scan.  Weights are deterministic md5 uniforms cut
+    at the Poisson CDF (fixed-width hex string compares — identical
+    in both engines), so the whole resampling procedure is
+    reproducible and oracle-checkable.
+
+    Scale shape: ONE pass computes the point estimate and all {reps}
+    replicate (Σwx, Σw) pairs map-side combined; the replicate frame
+    is {reps} rows.  This is how you bootstrap a 100 TB metric.""".format(
+        reps=BOOT_REPS
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def w(r: int):
+        h = F.substring(
+            F.md5(F.concat(F.lit(f"bs{r}|"), F.col("o_orderkey"))), 1, 8
+        )
+        return (
+            F.when(h < _BOOT_T[0], 0)
+            .when(h < _BOOT_T[1], 1)
+            .when(h < _BOOT_T[2], 2)
+            .when(h < _BOOT_T[3], 3)
+            .otherwise(4)
+        )
+
+    aggs = [F.avg("o_totalprice").alias("point")]
+    for r in range(BOOT_REPS):
+        aggs.append(
+            (
+                F.sum(w(r) * F.col("o_totalprice"))
+                * 1.0
+                / F.sum(w(r))
+            ).alias(f"m{r}")
+        )
+    m = orders.agg(*aggs)
+    reps = m.select(
+        "point",
+        F.explode(
+            F.array(*[F.col(f"m{r}") for r in range(BOOT_REPS)])
+        ).alias("mr"),
+    )
+    return reps.agg(
+        F.round(F.avg("point"), 4).alias("point_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.round(F.stddev_samp("mr"), 4).alias("boot_se"),
+        F.round(
+            F.avg("point") - 1.96 * F.stddev_samp("mr"), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.avg("point") + 1.96 * F.stddev_samp("mr"), 4
+        ).alias("ci_hi"),
+    )
