@@ -967,3 +967,126 @@ def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share - exp_share) * (share - exp_share) / exp_share, 6
         ).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov: doc-length drift between sources
+# --------------------------------------------------------------------------
+@query(
+    "ks_test_doc_length",
+    """
+    WITH ranked_src AS (
+      SELECT source, count(*) AS n, row_number() OVER (
+        ORDER BY count(*) DESC, source) AS r
+      FROM documents GROUP BY source
+    ),
+    ab AS MATERIALIZED (
+      SELECT (SELECT source FROM ranked_src WHERE r = 1) AS sa,
+             (SELECT source FROM ranked_src WHERE r = 2) AS sb,
+             (SELECT n FROM ranked_src WHERE r = 1) AS na,
+             (SELECT n FROM ranked_src WHERE r = 2) AS nb
+    ),
+    vals AS MATERIALIZED (
+      SELECT d.n_chars AS v,
+             sum(CASE WHEN d.source = ab.sa THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN d.source = ab.sb THEN 1 ELSE 0 END) AS cb
+      FROM documents d, ab
+      WHERE d.source = ab.sa OR d.source = ab.sb
+      GROUP BY d.n_chars
+    ),
+    ecdf AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               * 1.0 / (SELECT na FROM ab) AS fa,
+             sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               * 1.0 / (SELECT nb FROM ab) AS fb
+      FROM vals
+    ),
+    d AS (
+      SELECT v, abs(fa - fb) AS diff,
+             row_number() OVER (ORDER BY abs(fa - fb) DESC, v) AS r
+      FROM ecdf
+    )
+    SELECT ab.sa AS source_a, ab.sb AS source_b,
+           CAST(ab.na AS BIGINT) AS n_a, CAST(ab.nb AS BIGINT) AS n_b,
+           round(d.diff, 6) AS ks_stat,
+           CAST(d.v AS BIGINT) AS ks_at_value,
+           round(2 * exp(-2.0 * d.diff * d.diff * ab.na * ab.nb
+                         / (ab.na + ab.nb)), 6) AS p_approx
+    FROM d, ab WHERE d.r = 1
+    """,
+)
+def ks_test_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on document length between
+    the two largest sources — the nonparametric drift test that needs
+    no binning choices (unlike PSI, which this complements: PSI says
+    how much the histograms moved, KS says whether the distributions
+    differ at all, and where).
+
+    Scale shape: the two empirical CDFs are cumulative sums over the
+    DISTINCT-value frame (counts grouped per value first — the only
+    fact-sized shuffle), so D = max|F₁−F₂| is a window pass over
+    ~10³ rows.  ECDF steps are exact integer ratios, making the
+    argmax engine-stable with a value tie-break; the asymptotic
+    p-value (first Kolmogorov term) is one deterministic double
+    expression."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    top2 = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("source"))
+        .limit(2)
+        .collect()
+    )
+    (sa, na), (sb, nb) = (
+        (top2[0]["source"], top2[0]["n"]),
+        (top2[1]["source"], top2[1]["n"]),
+    )
+    vals = (
+        docs.filter(F.col("source").isin(sa, sb))
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("source") == sa, 1).otherwise(0)).alias(
+                "ca"
+            ),
+            F.sum(F.when(F.col("source") == sb, 1).otherwise(0)).alias(
+                "cb"
+            ),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = vals.select(
+        "v",
+        (F.sum("ca").over(wv) * 1.0 / na).alias("fa"),
+        (F.sum("cb").over(wv) * 1.0 / nb).alias("fb"),
+    )
+    wr = Window.orderBy(
+        F.abs(F.col("fa") - F.col("fb")).desc(), F.asc("v")
+    )
+    best = (
+        ecdf.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("v", F.abs(F.col("fa") - F.col("fb")).alias("diff"))
+    )
+    return best.select(
+        F.lit(sa).alias("source_a"),
+        F.lit(sb).alias("source_b"),
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round("diff", 6).alias("ks_stat"),
+        F.col("v").cast("long").alias("ks_at_value"),
+        F.round(
+            2
+            * F.exp(
+                -2.0
+                * F.col("diff")
+                * F.col("diff")
+                * na
+                * nb
+                / (na + nb)
+            ),
+            6,
+        ).alias("p_approx"),
+    )
