@@ -1198,3 +1198,66 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("point") + 1.96 * F.stddev_samp("mr"), 4
         ).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# revenue waterfall: gross -> discount -> net -> tax -> charged, by year
+# --------------------------------------------------------------------------
+@query(
+    "revenue_waterfall_yearly",
+    """
+    SELECT year(CAST(l_shipdate AS DATE)) AS ship_year,
+           round(sum(l_extendedprice), 4) AS gross,
+           round(sum(l_extendedprice * l_discount), 4) AS discount_amt,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS net,
+           round(sum(l_extendedprice * (1 - l_discount) * l_tax), 4)
+             AS tax_amt,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                 4) AS charged,
+           round(sum(l_extendedprice * l_discount)
+                 / sum(l_extendedprice), 6) AS discount_rate,
+           round(sum(l_extendedprice * (1 - l_discount) * l_tax)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+             AS effective_tax_rate
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def revenue_waterfall_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall by ship year — gross → −discount → net →
+    +tax → charged, with the effective discount and tax rates: the
+    bridge from list price to cash the finance close reconciles (and
+    TPC-H q1's pricing summary re-cut as a time series with explicit
+    step amounts, so consecutive columns difference to zero by
+    construction).
+
+    Scale shape: one map-side-combined aggregate over the fact table,
+    year-cardinality output; every step amount is a second expression
+    over the SAME scan — no second pass, no join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.sum("l_extendedprice")
+    disc = F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+    net = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    tax = F.sum(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * F.col("l_tax")
+    )
+    charged = F.sum(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    return li.groupBy(
+        F.year(F.to_date("l_shipdate")).alias("ship_year")
+    ).agg(
+        F.round(gross, 4).alias("gross"),
+        F.round(disc, 4).alias("discount_amt"),
+        F.round(net, 4).alias("net"),
+        F.round(tax, 4).alias("tax_amt"),
+        F.round(charged, 4).alias("charged"),
+        F.round(disc / gross, 6).alias("discount_rate"),
+        F.round(tax / net, 6).alias("effective_tax_rate"),
+    )
