@@ -23,5 +23,6 @@ from . import queries_mlops  # noqa: E402,F401
 from . import queries_graph  # noqa: E402,F401
 from . import queries_tsfeat  # noqa: E402,F401
 from . import queries_mining  # noqa: E402,F401
+from . import queries_eval  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,493 @@
+"""Model-evaluation / financial-analytics queries (sixth wave):
+ranking-quality metrics (ROC-AUC by rank-sum, decile gain/lift),
+closed-form OLS regression diagnostics, autocorrelation profiles,
+drawdown analysis, and a *native recursive CTE* amortization schedule
+(Spark 4's ``WITH RECURSIVE`` — the SQL-surface twin of the dataflow
+iteration in ``operators/graph.py``).
+
+These are the offline-eval counterparts of a training-data pipeline:
+once a quality score / classifier / ranking exists, AUC and decile
+lift quantify it, OLS gives the quick explanatory baseline, and the
+ACF/drawdown profiles describe the traffic series the stream operators
+ingest.
+
+Scale notes: every query aggregates its fact table in ONE pass before
+any window/join; windows run over group-reduced frames (customers,
+days, hours — orders of magnitude smaller than the fact tables), so
+the only full-size shuffle is the initial keyed aggregation.  The OLS
+query is the textbook numerically-stable two-pass: means first, then
+centered moments — catastrophic cancellation of ``S_xx - S_x^2/n`` at
+100 TB row counts is avoided by construction, and the second "pass" is
+a broadcast join of a 3-row means table, not a rescan shuffle.
+
+Cross-engine float determinism: ranks, counts and label sums are exact
+integers; per-customer/per-day money is rounded to cents *before* any
+ratio so both engines continue from bit-identical doubles; the
+amortization recursion runs entirely in BIGINT cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+LOYAL_MIN_ORDERS = 12
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+AMORT_MONTHS = 12
+AMORT_RATE = 0.01  # monthly
+
+
+@query(
+    "roc_auc_by_source",
+    """
+    WITH d AS (
+      SELECT source, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, pos,
+             rank() OVER (PARTITION BY source ORDER BY score) AS rk,
+             count(*) OVER (PARTITION BY source, score) AS nt
+      FROM d
+    )
+    SELECT source,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+           round((sum(pos * (rk + (nt - 1) / 2.0))
+                  - sum(pos) * (sum(pos) + 1) / 2.0)
+                 / (sum(pos) * sum(1 - pos)), 4) AS auc
+    FROM ranked
+    GROUP BY source
+    HAVING sum(pos) > 0 AND sum(1 - pos) > 0
+    """,
+)
+def roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a scalar score (doc length) against a binary label
+    (``lang = 'en'``), per source — the Mann-Whitney rank-sum identity
+    ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` with average
+    ranks for ties, i.e. exactly what sklearn's ``roc_auc_score``
+    computes, as two window functions and one aggregate.
+
+    This is the classifier-eval primitive of a data-quality pipeline:
+    scoring a corpus and checking whether the score separates a target
+    slice needs no per-threshold sweep — the rank-sum form is a single
+    sort per group (reference scope: keyed aggregation,
+    `정리/3주차.md` keyed-stream section).
+
+    Scale: one shuffle to partition by source, one in-partition sort;
+    ranks/labels are exact integers so the only float op is the final
+    division — bit-stable against the oracle by construction."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    ranked = d.select(
+        "source",
+        "pos",
+        F.rank().over(Window.partitionBy("source").orderBy("score")).alias("rk"),
+        F.count("*").over(Window.partitionBy("source", "score")).alias("nt"),
+    )
+    n_pos = F.sum("pos")
+    n_neg = F.sum(F.lit(1) - F.col("pos"))
+    r_pos = F.sum(F.col("pos") * (F.col("rk") + (F.col("nt") - 1) / 2.0))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            n_pos.cast("long").alias("n_pos"),
+            n_neg.cast("long").alias("n_neg"),
+            F.round(
+                (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4
+            ).alias("auc"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+
+
+@query(
+    "decile_lift_loyal",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             round(sum(o_totalprice), 2) AS spend,
+             count(*) AS n_ord
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, spend,
+             CASE WHEN n_ord >= {LOYAL_MIN_ORDERS} THEN 1 ELSE 0 END AS pos,
+             ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM cust
+    ),
+    per AS (
+      SELECT decile, count(*) AS n, sum(pos) AS n_pos
+      FROM scored GROUP BY decile
+    )
+    SELECT decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(n_pos * 1.0 / n, 4) AS pos_rate,
+           round(n_pos * 1.0 / sum(n_pos) OVER (), 4) AS capture,
+           round(sum(n_pos) OVER (ORDER BY decile)
+                 * 1.0 / sum(n_pos) OVER (), 4) AS cum_capture,
+           round((n_pos * 1.0 / n)
+                 / (sum(n_pos) OVER () * 1.0 / sum(n) OVER ()), 4) AS lift
+    FROM per
+    """,
+)
+def decile_lift_loyal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gain/lift table: customers ranked by lifetime spend,
+    scored against a "loyal" label (>= {LOYAL_MIN_ORDERS} orders) —
+    per-decile positive rate, capture, cumulative gain, and lift, the
+    campaign-targeting evaluation every scored customer list gets.
+
+    Determinism: spend is rounded to cents BEFORE the ntile ordering
+    and the ordering carries the customer key as tiebreak, so the
+    decile cut is identical across engines even where rounded spends
+    collide.  Scale: one groupBy(custkey) shuffle; the ntile runs over
+    the reduced customer frame (|C| << |O|), and the decile totals are
+    window sums over a 10-row aggregate."""
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.count("*").alias("n_ord"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "spend",
+        F.when(F.col("n_ord") >= LOYAL_MIN_ORDERS, 1).otherwise(0).alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(F.col("spend").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile")
+    tot_pos = F.sum("n_pos").over(w_all)
+    tot_n = F.sum("n").over(w_all)
+    return per.select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("n_pos") * 1.0 / F.col("n"), 4).alias("pos_rate"),
+        F.round(F.col("n_pos") * 1.0 / tot_pos, 4).alias("capture"),
+        F.round(F.sum("n_pos").over(w_cum) * 1.0 / tot_pos, 4).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("n_pos") * 1.0 / F.col("n")) / (tot_pos * 1.0 / tot_n), 4
+        ).alias("lift"),
+    )
+
+
+@query(
+    "ols_price_model",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS rf, l_quantity AS x1,
+             l_discount * 100.0 AS x2, l_extendedprice AS y
+      FROM lineitem
+    ),
+    means AS (
+      SELECT rf, count(*) AS n, avg(x1) AS mx1, avg(x2) AS mx2, avg(y) AS my
+      FROM base GROUP BY rf
+    ),
+    cent AS (
+      SELECT b.rf, m.n,
+             sum((x1 - mx1) * (x1 - mx1)) AS a11,
+             sum((x1 - mx1) * (x2 - mx2)) AS a12,
+             sum((x2 - mx2) * (x2 - mx2)) AS a22,
+             sum((x1 - mx1) * (y - my)) AS b1,
+             sum((x2 - mx2) * (y - my)) AS b2,
+             sum((y - my) * (y - my)) AS syy,
+             max(mx1) AS mx1, max(mx2) AS mx2, max(my) AS my
+      FROM base b JOIN means m ON b.rf = m.rf
+      GROUP BY b.rf, m.n
+    )
+    SELECT rf AS returnflag, CAST(n AS BIGINT) AS n,
+           round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 3)
+             AS beta_qty,
+           round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 3)
+             AS beta_disc_pct,
+           round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * mx1
+                    - (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) * mx2,
+                 2) AS intercept,
+           round(((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * b1
+                  + (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) * b2)
+                 / syy, 4) AS r2
+    FROM cent
+    """,
+)
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-predictor OLS per return flag: regress extended
+    price on quantity and discount (in pct points), solving the 2x2
+    normal equations by Cramer's rule — slope/intercept/R², the
+    explain-this-column baseline every feature store wants before
+    anyone reaches for an ML library.
+
+    Numerically this is the *stable two-pass* algorithm: group means
+    first, then centered second moments — never the cancellation-prone
+    ``S_xx - S_x²/n`` single-pass form, which loses ~half the mantissa
+    at 100 TB row counts.  The means frame is 3 rows, so the "second
+    pass" joins it back by broadcast; the fact table shuffles once
+    (groupBy rf) per pass and never self-joins.  Centered sums keep
+    cross-engine summation-order jitter at ~1e-12 relative, so the
+    3-decimal coefficient rounding is orders of magnitude coarser than
+    the noise floor."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("x1"),
+        (F.col("l_discount") * 100.0).alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    means = base.groupBy("rf").agg(
+        F.count("*").alias("n"),
+        F.avg("x1").alias("mx1"),
+        F.avg("x2").alias("mx2"),
+        F.avg("y").alias("my"),
+    )
+    j = base.join(F.broadcast(means), "rf")
+    cx1, cx2, cy = (
+        F.col("x1") - F.col("mx1"),
+        F.col("x2") - F.col("mx2"),
+        F.col("y") - F.col("my"),
+    )
+    cent = j.groupBy("rf", "n").agg(
+        F.sum(cx1 * cx1).alias("a11"),
+        F.sum(cx1 * cx2).alias("a12"),
+        F.sum(cx2 * cx2).alias("a22"),
+        F.sum(cx1 * cy).alias("b1"),
+        F.sum(cx2 * cy).alias("b2"),
+        F.sum(cy * cy).alias("syy"),
+        F.max("mx1").alias("mx1"),
+        F.max("mx2").alias("mx2"),
+        F.max("my").alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta1 = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    beta2 = (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    return cent.select(
+        F.col("rf").alias("returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(beta1, 3).alias("beta_qty"),
+        F.round(beta2, 3).alias("beta_disc_pct"),
+        F.round(
+            F.col("my") - beta1 * F.col("mx1") - beta2 * F.col("mx2"), 2
+        ).alias("intercept"),
+        F.round(
+            (beta1 * F.col("b1") + beta2 * F.col("b2")) / F.col("syy"), 4
+        ).alias("r2"),
+    )
+
+
+@query(
+    "acf_hourly_events",
+    f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(n) AS m, count(*) AS cnt FROM hourly
+    ),
+    ss AS (
+      SELECT sum((n - m) * (n - m)) AS den
+      FROM hourly CROSS JOIN stats
+    ),
+    lags AS (SELECT unnest(ARRAY{list(ACF_LAGS)}) AS lag_k)
+    SELECT l.lag_k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((a.n - s.m) * (b.n - s.m)) / max(ss.den), 4) AS acf
+    FROM hourly a
+    CROSS JOIN lags l
+    JOIN hourly b ON b.h = a.h - l.lag_k
+    CROSS JOIN stats s CROSS JOIN ss
+    GROUP BY l.lag_k
+    """,
+)
+def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of the hourly event-arrival series at
+    lags {1, 2, 3, 6, 12, 24} — the seasonality fingerprint (daily
+    cycle shows up as a high lag-24 ACF) that sizes stream windows and
+    picks forecast baselines.
+
+    Shape: events collapse to one row per epoch-hour in a single scan;
+    the lagged pairing is a self-equi-join of that tiny series on
+    integer hour keys shifted by each lag (no nested windows, so the
+    same text runs on both engines), and the global mean/denominator
+    frames are single-row broadcasts.  Counts are exact ints; the only
+    order-sensitive float sum is the centered-product numerator, ~1e-15
+    relative against a 4-decimal rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600))
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.agg(F.avg("n").alias("m"), F.count("*").alias("cnt"))
+    ss = hourly.crossJoin(F.broadcast(stats)).agg(
+        F.sum((F.col("n") - F.col("m")) * (F.col("n") - F.col("m"))).alias(
+            "den"
+        )
+    )
+    lags = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(k,) for k in ACF_LAGS], "lag_k INT"
+        )
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = a.crossJoin(lags).join(
+        b, F.col("b.h") == F.col("a.h") - F.col("lag_k")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ss))
+        .groupBy("lag_k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("a.n") - F.col("m")) * (F.col("b.n") - F.col("m"))
+                )
+                / F.max("den"),
+                4,
+            ).alias("acf"),
+        )
+    )
+
+
+@query(
+    "max_drawdown_yearly",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT EXTRACT(year FROM d) AS yr, d, rev,
+             max(rev) OVER (PARTITION BY EXTRACT(year FROM d)
+                            ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+      FROM daily
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(max(peak), 2) AS peak_rev,
+           round(max(1.0 - rev / peak), 4) AS max_drawdown
+    FROM dd
+    GROUP BY yr
+    """,
+)
+def max_drawdown_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest peak-to-trough collapse of the daily-revenue series per
+    year — the classic running-max drawdown from quantitative finance,
+    applied to order flow as a volatility/anomaly headline ("worst
+    within-year revenue dip off the year's running peak").
+
+    One scan reduces orders to ~365 rows per year; the running max is
+    a cumulative window over that reduced frame.  Daily revenue is
+    rounded to cents first, so peak/ratio arithmetic starts from
+    bit-identical doubles in both engines."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    dd = daily.select(
+        F.year("d").alias("yr"),
+        "d",
+        "rev",
+        F.max("rev")
+        .over(
+            Window.partitionBy(F.year("d"))
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("peak"),
+    )
+    return dd.groupBy(F.col("yr").cast("long").alias("yr")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.max("peak"), 2).alias("peak_rev"),
+        F.round(F.max(F.lit(1.0) - F.col("rev") / F.col("peak")), 4).alias(
+            "max_drawdown"
+        ),
+    )
+
+
+_AMORT_SQL = f"""
+WITH RECURSIVE principal AS (
+  SELECT n.n_name AS nation,
+         CAST(floor(round(sum(o.o_totalprice), 2) * 100 + 0.5) AS BIGINT)
+           AS principal_c
+  FROM {{orders}} o
+  JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+  JOIN {{nation}} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+loan AS (
+  SELECT nation, principal_c,
+         CAST(floor(principal_c * ({AMORT_RATE}
+               * power(1.0 + {AMORT_RATE}, {AMORT_MONTHS}))
+               / (power(1.0 + {AMORT_RATE}, {AMORT_MONTHS}) - 1.0))
+              AS BIGINT) AS payment_c
+  FROM principal
+),
+sched (nation, month, balance_c, interest_c, payment_c) AS (
+  SELECT nation, 0, principal_c, CAST(0 AS BIGINT), payment_c FROM loan
+  UNION ALL
+  SELECT nation, month + 1,
+         balance_c + CAST(floor(balance_c / 100.0) AS BIGINT) - payment_c,
+         CAST(floor(balance_c / 100.0) AS BIGINT),
+         payment_c
+  FROM sched WHERE month < {AMORT_MONTHS}
+)
+SELECT nation, CAST(month AS BIGINT) AS month,
+       round(balance_c / CAST(100 AS DOUBLE), 2) AS balance,
+       round(interest_c / CAST(100 AS DOUBLE), 2) AS interest,
+       round((payment_c - interest_c) / CAST(100 AS DOUBLE), 2)
+         AS principal_paid
+FROM sched WHERE month > 0
+"""
+
+
+@query(
+    "amortization_recursive_cte",
+    _AMORT_SQL.format(orders="orders", customer="customer", nation="nation"),
+)
+def amortization_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month fixed-payment amortization schedule per nation (the
+    nation's order revenue as principal, 1%/month annuity) computed
+    with Spark 4's native ``WITH RECURSIVE`` — the SQL-surface
+    counterpart of the engine's dataflow iteration (`operators/
+    graph.py`): per-group scalar recursion with a monotone bound, run
+    verbatim by both engines.
+
+    Determinism: the recursion runs entirely in BIGINT cents (interest
+    = floor(balance/100)), so every step is bit-exact — the one float
+    boundary is the annuity-factor payment, floored identically from
+    identical doubles.  Scale: the recursive frame is |nations| rows x
+    12 iterations over a one-pass revenue rollup; each iteration is a
+    narrow map, no shuffle growth."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"amortv_{t}")
+    return spark.sql(
+        _AMORT_SQL.format(
+            orders="amortv_orders",
+            customer="amortv_customer",
+            nation="amortv_nation",
+        )
+    )
