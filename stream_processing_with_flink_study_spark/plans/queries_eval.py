@@ -491,3 +491,104 @@ def amortization_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation="amortv_nation",
         )
     )
+
+
+POLICY_SPLIT_TS = "2024-01-16 00:00:00"
+POLICY_SEGMENTS = 4
+
+
+@query(
+    "policy_replay_eval",
+    f"""
+    WITH train AS (
+      SELECT user_id % {POLICY_SEGMENTS} AS seg, event_type,
+             round(avg(value), 4) AS m
+      FROM events WHERE ts < TIMESTAMP '{POLICY_SPLIT_TS}'
+      GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT seg, event_type AS rec_type, m AS rec_train_mean
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY seg
+                                     ORDER BY m DESC, event_type) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    ev AS (
+      SELECT user_id % {POLICY_SEGMENTS} AS seg, event_type, value
+      FROM events WHERE ts >= TIMESTAMP '{POLICY_SPLIT_TS}'
+    )
+    SELECT e.seg, r.rec_type, r.rec_train_mean,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(CASE WHEN e.event_type = r.rec_type
+                          THEN 1.0 ELSE 0.0 END), 4) AS match_rate,
+           round(sum(CASE WHEN e.event_type = r.rec_type
+                          THEN value ELSE 0 END)
+                 / sum(CASE WHEN e.event_type = r.rec_type
+                            THEN 1 ELSE 0 END), 4) AS matched_mean,
+           round(avg(value), 4) AS overall_mean,
+           round(sum(CASE WHEN e.event_type = r.rec_type
+                          THEN value ELSE 0 END)
+                 / sum(CASE WHEN e.event_type = r.rec_type
+                            THEN 1 ELSE 0 END)
+                 - avg(value), 4) AS uplift
+    FROM ev e JOIN rec r ON e.seg = r.seg
+    GROUP BY e.seg, r.rec_type, r.rec_train_mean
+    """,
+)
+def policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by replay (the Li et al. 2011
+    contextual-bandit protocol, degenerated to a static per-segment
+    policy so it stays join-expressible): learn "best event type by
+    mean reward" per user segment on the first half of the log, then
+    replay the held-out second half — match rate, mean reward on
+    matched events, and uplift vs the logging policy's overall mean.
+
+    This is the A/B-before-the-A/B primitive of a recommendation
+    pipeline: one pass over the train slice (groupBy seg x type), a
+    4-row policy table broadcast into one pass over the eval slice.
+    The time-based split predicate pushes into the parquet scan; no
+    per-event state, so the replay parallelizes trivially at 100 TB.
+    The argmax is taken over 4dp-rounded train means with the type
+    as tiebreak, so both engines pick identical policies."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = (F.col("user_id") % POLICY_SEGMENTS).alias("seg")
+    split = F.lit(POLICY_SPLIT_TS).cast("timestamp")
+    train = (
+        ev.filter(F.col("ts") < split)
+        .groupBy(seg, "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("m"))
+    )
+    rec = (
+        train.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("seg").orderBy(
+                    F.col("m").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "seg",
+            F.col("event_type").alias("rec_type"),
+            F.col("m").alias("rec_train_mean"),
+        )
+    )
+    eval_ev = ev.filter(F.col("ts") >= split).select(seg, "event_type", "value")
+    matched = F.when(F.col("event_type") == F.col("rec_type"), 1).otherwise(0)
+    matched_sum = F.sum(matched * F.col("value"))
+    matched_n = F.sum(matched)
+    return (
+        eval_ev.join(F.broadcast(rec), "seg")
+        .groupBy("seg", "rec_type", "rec_train_mean")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.round(F.avg(matched * F.lit(1.0)), 4).alias("match_rate"),
+            F.round(matched_sum / matched_n, 4).alias("matched_mean"),
+            F.round(F.avg("value"), 4).alias("overall_mean"),
+            F.round(matched_sum / matched_n - F.avg("value"), 4).alias(
+                "uplift"
+            ),
+        )
+    )

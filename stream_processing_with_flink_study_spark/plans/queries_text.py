@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import dedup, multimodal, packing, sampling, similarity, text
 from ..sources import load_table
@@ -928,3 +929,121 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.8)
     )
+
+
+RAKE_STOPWORDS = (
+    "the a an and of to in is on for with as by at be this that it from "
+    "or are was were but not have has had they you we his her its their "
+    "our your i he she them us"
+).split()
+RAKE_MAX_WORDS = 4
+RAKE_TOP = 30
+_RAKE_STOP_RE = r"\b(?:" + "|".join(RAKE_STOPWORDS) + r")\b"
+
+
+@query(
+    "rake_keywords",
+    f"""
+    WITH docs AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(text), '[^a-z ]+', '|', 'g'),
+               '{_RAKE_STOP_RE}', '|', 'g') AS s
+      FROM documents WHERE lang = 'en'
+    ),
+    occ AS MATERIALIZED (
+      SELECT p, len(string_split(p, ' ')) AS n_words
+      FROM (
+        SELECT trim(regexp_replace(x, ' +', ' ', 'g')) AS p
+        FROM docs, unnest(string_split(s, '|')) AS t(x)
+      ) WHERE p <> ''
+    ),
+    occ_ok AS MATERIALIZED (
+      SELECT * FROM occ WHERE n_words <= {RAKE_MAX_WORDS}
+    ),
+    wstat AS (
+      SELECT w, count(*) AS freq, CAST(sum(n_words) AS BIGINT) AS degree
+      FROM occ_ok, unnest(string_split(p, ' ')) AS u(w)
+      GROUP BY w
+    ),
+    pdist AS (
+      SELECT p, n_words, count(*) AS cnt FROM occ_ok GROUP BY p, n_words
+    ),
+    pscore AS (
+      SELECT d.p, d.n_words, d.cnt,
+             round(sum(ws.degree * 1.0 / ws.freq), 4) AS score
+      FROM pdist d, unnest(string_split(d.p, ' ')) AS u(w)
+      JOIN wstat ws ON ws.w = u.w
+      GROUP BY d.p, d.n_words, d.cnt
+    )
+    SELECT p AS phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(cnt AS BIGINT) AS cnt, score
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, p) AS rn FROM pscore
+    ) WHERE rn <= {RAKE_TOP}
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the English
+    corpus slice: candidate phrases are maximal stopword/punctuation-
+    free word runs; each word scores ``degree/frequency`` (degree =
+    summed length of the phrases it appears in), and a phrase scores
+    the sum of its member-word scores — the unsupervised keyphrase
+    baseline used to tag corpora before any model-based labeling.
+
+    Shape: documents are scanned ONCE; phrase splitting is two JVM
+    regex passes + a split (no Python in the pipeline), and the
+    word/phrase statistics are two groupBys over the exploded phrase
+    frame, joined back by a broadcast of the vocabulary-bounded word-
+    score table.  Degree/freq are exact integers, so word scores are
+    bit-identical ratios; the phrase-score sum (a few doubles) is
+    rounded at 4dp, orders beyond the ~1e-15 order jitter, and the
+    top-{RAKE_TOP} cut orders by (rounded score, phrase)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z ]+", "|"),
+        _RAKE_STOP_RE,
+        "|",
+    )
+    occ = (
+        docs.select(F.explode(F.split(s, r"\|")).alias("x"))
+        .select(F.trim(F.regexp_replace("x", " +", " ")).alias("p"))
+        .filter(F.col("p") != "")
+        .select("p", F.size(F.split("p", " ")).alias("n_words"))
+        .filter(F.col("n_words") <= RAKE_MAX_WORDS)
+    )
+    occ.persist()
+    wstat = (
+        occ.select(F.explode(F.split("p", " ")).alias("w"), "n_words")
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("n_words").cast("long").alias("degree"),
+        )
+    )
+    pdist = occ.groupBy("p", "n_words").agg(F.count("*").alias("cnt"))
+    pscore = (
+        pdist.select("p", "n_words", "cnt", F.explode(F.split("p", " ")).alias("w"))
+        .join(F.broadcast(wstat), "w")
+        .groupBy("p", "n_words", "cnt")
+        .agg(
+            F.round(
+                F.sum(F.col("degree") * 1.0 / F.col("freq")), 4
+            ).alias("score")
+        )
+    )
+    out = (
+        pscore.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("p"))
+            ),
+        )
+        .filter(F.col("rn") <= RAKE_TOP)
+        .select(
+            F.col("p").alias("phrase"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "score",
+        )
+    )
+    return out
