@@ -592,3 +592,164 @@ def policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MI_VALUE_THRESHOLD = 50.0
+
+
+@query(
+    "mutual_info_screen",
+    f"""
+    WITH feat AS (
+      SELECT fv.f AS feature, fv.v AS val,
+             CASE WHEN value >= {MI_VALUE_THRESHOLD} THEN 1 ELSE 0 END AS y
+      FROM events,
+           unnest([
+             {{'f': 'event_type', 'v': event_type}},
+             {{'f': 'hour', 'v': CAST(EXTRACT(hour FROM ts) AS VARCHAR)}},
+             {{'f': 'dow', 'v': CAST(EXTRACT(isodow FROM ts) AS VARCHAR)}},
+             {{'f': 'user_mod10', 'v': CAST(user_id % 10 AS VARCHAR)}}
+           ]) AS t(fv)
+    ),
+    cxy AS (
+      SELECT feature, val, y, count(*) AS c
+      FROM feat GROUP BY feature, val, y
+    ),
+    m AS (
+      SELECT feature, val, y, c,
+             sum(c) OVER (PARTITION BY feature, val) AS cx,
+             sum(c) OVER (PARTITION BY feature, y) AS cy,
+             sum(c) OVER (PARTITION BY feature) AS n
+      FROM cxy
+    ),
+    mi AS (
+      SELECT feature,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_levels,
+             round(sum((c * 1.0 / n) * ln((c * 1.0 * n) / (cx * 1.0 * cy))),
+                   4) AS mi_nats
+      FROM m GROUP BY feature
+    )
+    SELECT feature, n_levels, mi_nats FROM mi
+    """,
+)
+def mutual_info_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X; Y) between candidate categorical
+    features (event type, hour-of-day, ISO day-of-week, user-id bucket)
+    and a binary reward label (value >= {MI_VALUE_THRESHOLD}) — the
+    filter-method feature screen run before any model training.
+
+    One scan: each event fans out to 4 (feature, value, label) rows via
+    an exploded literal array (no per-feature rescan), one shuffle
+    groups the contingency cells, and the marginals come from window
+    sums over the tiny cell frame.  Every probability is a ratio of
+    exact BIGINT counts, so each ``p * ln(...)`` term is bit-identical
+    across engines; only the final sum (< 100 terms) sees order jitter,
+    absorbed by 4-decimal rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("value") >= MI_VALUE_THRESHOLD, 1).otherwise(0)
+    feat = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("f"),
+                    F.col("event_type").alias("v"),
+                ),
+                F.struct(
+                    F.lit("hour").alias("f"),
+                    F.hour("ts").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("dow").alias("f"),
+                    # weekday() is 0=Monday; +1 matches DuckDB's isodow
+                    (F.weekday("ts") + 1).cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("user_mod10").alias("f"),
+                    (F.col("user_id") % 10).cast("string").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        y.alias("y"),
+    ).select(
+        F.col("fv.f").alias("feature"), F.col("fv.v").alias("val"), "y"
+    )
+    cxy = feat.groupBy("feature", "val", "y").agg(F.count("*").alias("c"))
+    m = cxy.select(
+        "feature",
+        "val",
+        "y",
+        "c",
+        F.sum("c").over(Window.partitionBy("feature", "val")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("feature", "y")).alias("cy"),
+        F.sum("c").over(Window.partitionBy("feature")).alias("n"),
+    )
+    term = (F.col("c") * 1.0 / F.col("n")) * F.log(
+        (F.col("c") * 1.0 * F.col("n")) / (F.col("cx") * 1.0 * F.col("cy"))
+    )
+    return m.groupBy("feature").agg(
+        F.countDistinct("val").cast("long").alias("n_levels"),
+        F.round(F.sum(term), 4).alias("mi_nats"),
+    )
+
+
+CALIB_BINS = 10
+
+
+@query(
+    "calibration_bins",
+    f"""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             (rank() OVER (ORDER BY n_chars) - 1) * 1.0
+               / (count(*) OVER () - 1) AS score
+      FROM documents
+    ),
+    binned AS (
+      SELECT least(CAST(floor(score * {CALIB_BINS}) AS BIGINT),
+                   {CALIB_BINS - 1}) AS bin,
+             pos, score
+      FROM d
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 4) AS mean_score,
+           round(avg(pos * 1.0), 4) AS pos_rate,
+           round(avg(pos * 1.0) - avg(score), 4) AS gap
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / calibration table: treat the corpus-wide
+    percentile of doc length as a pseudo-probability of the ``en``
+    label and bin it into {CALIB_BINS} equal-width buckets — per-bin
+    mean score vs observed positive rate and their gap, whose
+    n-weighted absolute sum is the expected calibration error (ECE).
+
+    Companion to ``roc_auc_by_source``: AUC measures ranking,
+    calibration measures probability quality.  The percentile is
+    ``(rank-1)/(N-1)`` from an integer rank (tie-stable in both
+    engines); binning floors exact ratios, so bucket assignment can
+    never straddle engines.  Scale: one sort (the rank), then a
+    {CALIB_BINS}-row aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        (
+            (F.rank().over(Window.orderBy("n_chars")) - 1)
+            * 1.0
+            / (F.count("*").over(Window.partitionBy()) - 1)
+        ).alias("score"),
+    )
+    binned = d.select(
+        F.least(
+            F.floor(F.col("score") * CALIB_BINS).cast("long"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        "pos",
+        "score",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+        F.round(F.avg(F.col("pos") * 1.0), 4).alias("pos_rate"),
+        F.round(F.avg(F.col("pos") * 1.0) - F.avg("score"), 4).alias("gap"),
+    )
