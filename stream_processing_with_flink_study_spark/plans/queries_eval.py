@@ -753,3 +753,79 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("pos") * 1.0), 4).alias("pos_rate"),
         F.round(F.avg(F.col("pos") * 1.0) - F.avg("score"), 4).alias("gap"),
     )
+
+
+@query(
+    "streaming_drawdown_yearly",
+    """
+    WITH daily AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT yr, rev_c,
+             max(rev_c) OVER (PARTITION BY yr
+                              ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+      FROM daily
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak) AS BIGINT) AS peak_c,
+           round(max(1.0 - rev_c * 1.0 / peak), 4) AS max_dd
+    FROM dd GROUP BY yr
+    """,
+)
+def streaming_drawdown_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly max drawdown computed THROUGH Structured Streaming: the
+    order log replays as two micro-batches split on a date boundary,
+    :func:`..streaming.stateful.drawdown_partials` carries each year's
+    running revenue peak across the boundary, and the emitted
+    cumulative partials fold with a plain max — exercising the case a
+    per-batch rollup gets wrong (a trough in batch 2 measured against
+    a peak committed in batch 1).
+
+    Determinism vs the batch SQL oracle: daily revenue is a sum of
+    per-order integer cents (exact in both engines), the running peak
+    is an int64 running max, and the drawdown ratio divides the same
+    int64 pair — so stream and oracle agree bit-for-bit before the
+    single 4dp rounding."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import drawdown_partials
+    from .registry import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d_days"),
+        F.floor(F.round(F.col("o_totalprice"), 2) * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+    )
+    mid = orders.selectExpr("percentile_approx(d_days, 0.5) AS m").first().m
+    batches = [
+        orders.filter(F.col("d_days") <= F.lit(mid)),
+        orders.filter(F.col("d_days") > F.lit(mid)),
+    ]
+    src_dir = scratch_dir("src_dd_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scratch_dir("ck_dd_stream_") as ck:
+            got = run_available_now(drawdown_partials(sdf), ck, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return got.groupBy("yr").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("peak_c").cast("long").alias("peak_c"),
+        F.round(F.max("max_dd"), 4).alias("max_dd"),
+    )

@@ -815,3 +815,65 @@ def gap_deltas(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def drawdown_partials(
+    df: DataFrame,
+    key: str = "yr",
+    day_col: str = "d_days",
+    amount_col: str = "price_c",
+) -> DataFrame:
+    """Per-key running-peak drawdown PARTIALS — the streaming twin of
+    ``plans.queries_eval.max_drawdown_yearly``.  State is four scalars
+    per key: committed running peak, max drawdown so far, day count,
+    and the last committed day — so the peak carries across micro-batch
+    boundaries and a drop measured against a PREVIOUS batch's high is
+    never missed (the bug a naive per-batch max would have).
+
+    Rows arrive as (key, epoch-day, integer cents); each batch groups
+    them to a daily series in pandas, extends the running maximum from
+    the seeded peak (``np.maximum.accumulate`` over ints — exact), and
+    emits the CUMULATIVE (n_days, peak, max_dd) per key, so the
+    consumer folds batches with a plain max (every emitted field is
+    monotone).  Drawdown ratios are ``1 - rev/peak`` over exact int64
+    operands — bit-identical to the batch SQL's division.  Days never
+    straddle batches when the source splits on a date boundary; a
+    straggler older than the committed day is dropped, matching the
+    :func:`gap_deltas` ordering contract."""
+    out_schema = f"{key} long, n_days long, peak_c long, max_dd double"
+    state_schema = "peak_c long, max_dd double, n_days long, last_d long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            peak_c, max_dd, n_days, last_d = state.get
+        else:
+            peak_c, max_dd, n_days, last_d = 0, 0.0, 0, -(1 << 40)
+        pdf = pdf[pdf[day_col] > last_d]
+        if not len(pdf):
+            return
+        daily = pdf.groupby(day_col)[amount_col].sum().sort_index()
+        rev = daily.to_numpy(dtype=np.int64)
+        peaks = np.maximum.accumulate(np.maximum(rev, peak_c))
+        dd = 1.0 - rev * 1.0 / peaks
+        max_dd = max(max_dd, float(dd.max()))
+        peak_c = int(peaks[-1])
+        n_days += len(rev)
+        last_d = int(daily.index[-1])
+        state.update((peak_c, max_dd, n_days, last_d))
+        yield pd.DataFrame(
+            {
+                key: [k[0]],
+                "n_days": [n_days],
+                "peak_c": [peak_c],
+                "max_dd": [max_dd],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1771,3 +1771,32 @@ def test_gap_deltas_stream_matches_batch(spark, events, two_batch_stream, tmp_pa
     batch = want["s"] / want["n"]
     assert np.allclose(mean, batch)
     assert (var.dropna() >= -1e-9).all()
+
+
+def test_drawdown_partials_carries_peak_across_batches(spark, tmp_path):
+    """A trough in batch 2 must be measured against the PEAK committed
+    in batch 1 (100 -> 50 = 0.5), not batch 2's own local peak (which
+    would report 0.0) — the exact case a per-batch rollup gets wrong."""
+    cols = "yr LONG, d_days LONG, price_c LONG"
+    b1 = spark.createDataFrame(
+        [(2020, 1, 60), (2020, 1, 40), (2020, 2, 80)], cols
+    )  # day1 = 100 (peak), day2 = 80
+    b2 = spark.createDataFrame([(2020, 3, 50), (2020, 4, 110)], cols)
+    src = tmp_path / "src_ddp"
+    sdf = S.memory_batches_stream(spark, [b1, b2], str(src), files_per_trigger=1)
+    got = (
+        S.run_available_now(
+            S.drawdown_partials(sdf), str(tmp_path / "ck_ddp"), "update"
+        )
+        .toPandas()
+        .sort_values("n_days", ignore_index=True)
+    )
+    # batch 1: peak 100, worst dd = 1 - 80/100
+    assert got.loc[0, "n_days"] == 2
+    assert got.loc[0, "peak_c"] == 100
+    assert abs(got.loc[0, "max_dd"] - 0.2) < 1e-12
+    # batch 2: day3 dips to 50 against the carried peak of 100 -> 0.5,
+    # then day4 sets a new running peak of 110
+    assert got.loc[1, "n_days"] == 4
+    assert got.loc[1, "peak_c"] == 110
+    assert abs(got.loc[1, "max_dd"] - 0.5) < 1e-12
