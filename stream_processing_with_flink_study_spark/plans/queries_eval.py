@@ -829,3 +829,121 @@ def streaming_drawdown_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_c").cast("long").alias("peak_c"),
         F.round(F.max("max_dd"), 4).alias("max_dd"),
     )
+
+
+DBSCAN_EPS = 0.05
+DBSCAN_MIN_PTS = 3
+_CELL_OFF = 512
+_CELL_W = 1024
+
+
+@query(
+    "dbscan_grid_clusters",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT CAST(floor(embedding[1] / {DBSCAN_EPS}) AS BIGINT) AS ix,
+             CAST(floor(embedding[2] / {DBSCAN_EPS}) AS BIGINT) AS iy
+      FROM embeddings
+    ),
+    dense AS MATERIALIZED (
+      SELECT (ix + {_CELL_OFF}) * {_CELL_W} + iy + {_CELL_OFF} AS cid,
+             ix, iy, count(*) AS cnt
+      FROM pts GROUP BY ix, iy
+      HAVING count(*) >= {DBSCAN_MIN_PTS}
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.cid AS u, b.cid AS v
+      FROM dense a JOIN dense b
+        ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+       AND a.cid <> b.cid
+    ),
+    reach (v, lbl) AS (
+      SELECT cid, cid FROM dense
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    comp AS (
+      SELECT v AS cid, min(lbl) AS cluster FROM reach GROUP BY v
+    )
+    SELECT c.cluster,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(d.cnt) AS BIGINT) AS n_points,
+           min(d.ix) AS ix_min, max(d.ix) AS ix_max,
+           min(d.iy) AS iy_min, max(d.iy) AS iy_max
+    FROM comp c JOIN dense d ON d.cid = c.cid
+    GROUP BY c.cluster
+    """,
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated density clustering (the GriDBSCAN / cell-based
+    DBSCAN approximation): bucket the first two embedding components
+    into an eps-grid, keep cells with >= {DBSCAN_MIN_PTS} points as
+    dense "core" cells, and merge 8-adjacent dense cells into clusters
+    with the engine's dataflow connected components
+    (`operators/graph.py:connected_components`).  Per cluster: cell
+    count, point count, and grid bounding box.
+
+    The scale story is the whole point: the grid has a BOUNDED number
+    of occupied cells (<= (range/eps)² regardless of N), so after one
+    groupBy over the points the clustering runs on a frame that does
+    not grow with the corpus — the classic way to make density
+    clustering feasible where pairwise DBSCAN is O(N²).  Cell
+    adjacency is an equi-join on neighbor-shifted keys (an 8-row
+    offset table, broadcast), not a theta-join.  The DuckDB oracle
+    replays the component merge as a recursive min-label CTE (UNION-
+    distinct recursion — exactly the fixpoint the dataflow loop
+    computes), so the full output is hash-checked: every emitted
+    column is an exact integer."""
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.floor(F.element_at("embedding", 1) / DBSCAN_EPS)
+        .cast("long")
+        .alias("ix"),
+        F.floor(F.element_at("embedding", 2) / DBSCAN_EPS)
+        .cast("long")
+        .alias("iy"),
+    )
+    dense = (
+        pts.groupBy("ix", "iy")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= DBSCAN_MIN_PTS)
+        .withColumn(
+            "cid",
+            (F.col("ix") + _CELL_OFF) * _CELL_W + F.col("iy") + _CELL_OFF,
+        )
+    )
+    dense.persist()
+    offsets = emb.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx LONG, dy LONG",
+    )
+    shifted = dense.select("cid", "ix", "iy").crossJoin(
+        F.broadcast(offsets)
+    ).select(
+        F.col("cid").alias("u"),
+        (F.col("ix") + F.col("dx")).alias("jx"),
+        (F.col("iy") + F.col("dy")).alias("jy"),
+    )
+    edges = shifted.join(
+        dense.select(F.col("cid").alias("v"), F.col("ix").alias("jx"),
+                     F.col("iy").alias("jy")),
+        ["jx", "jy"],
+    ).filter(F.col("u") != F.col("v")).select("u", "v")
+    comp = connected_components(
+        edges, src="u", dst="v", vertices=dense.select("cid"), vertex_col="cid"
+    )
+    return (
+        comp.withColumnRenamed("id", "cid")
+        .join(dense, "cid")
+        .groupBy(F.col("comp").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("cnt").cast("long").alias("n_points"),
+            F.min("ix").alias("ix_min"),
+            F.max("ix").alias("ix_max"),
+            F.min("iy").alias("iy_min"),
+            F.max("iy").alias("iy_max"),
+        )
+    )
