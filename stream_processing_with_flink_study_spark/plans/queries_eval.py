@@ -947,3 +947,271 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("iy").alias("iy_max"),
         )
     )
+
+
+@query(
+    "unpivot_monthly_metrics",
+    """
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    )
+    SELECT month, metric, val FROM (
+      SELECT month, 'n_orders' AS metric, n_orders AS val FROM m
+      UNION ALL
+      SELECT month, 'revenue', revenue FROM m
+      UNION ALL
+      SELECT month, 'avg_price', avg_price FROM m
+    )
+    """,
+)
+def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the engine's native ``unpivot``
+    (melt) operator — the inverse of ``pivot_event_counts``: a monthly
+    metrics table (orders, revenue, average price) unfolds to
+    (month, metric, value) triples, the shape dashboards and metric
+    stores ingest.
+
+    ``DataFrame.unpivot`` is pure metadata over the aggregated frame
+    (no shuffle — each wide row fans to 3 narrow rows in place), so
+    the cost stays the single month rollup; the oracle spells the same
+    reshape as a UNION ALL, which is exactly the logical expansion
+    Spark plans for melt.  Values ride as doubles rounded to cents
+    before reshaping."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+    return m.unpivot("month", ["n_orders", "revenue", "avg_price"], "metric", "val")
+
+
+MARKOV_ATTR_ITERS = 12
+
+
+def _markov_attr_oracle() -> str:
+    """Unrolled fixed-point absorption iteration (recursive-term
+    aggregation is not legal SQL, same constraint as the pagerank
+    oracle) — `tprob` is referenced by every unrolled step, so it MUST
+    be materialized or DuckDB re-expands the fact scan per step."""
+    steps = []
+    prev = "it0"
+    for k in range(1, MARKOV_ATTR_ITERS + 1):
+        steps.append(f"""
+    it{k} AS (
+      SELECT sc.removed, t.src AS s,
+             sum(CASE WHEN t.dst = 'purchase' THEN t.p
+                      WHEN t.dst = 'dropout' OR t.dst = sc.removed THEN 0
+                      ELSE t.p * coalesce(prev.a, 0) END) AS a
+      FROM tprob t
+      CROSS JOIN scen sc
+      LEFT JOIN {prev} prev ON prev.removed = sc.removed AND prev.s = t.dst
+      WHERE t.src <> sc.removed
+      GROUP BY sc.removed, t.src
+    )""")
+        prev = f"it{k}"
+    unrolled = ",".join(steps)
+    return f"""
+    WITH ev_ord AS MATERIALIZED (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, pos FROM ev_ord
+      UNION ALL
+      SELECT DISTINCT user_id, 'start', 0 FROM ev_ord
+    ),
+    first_p AS (
+      SELECT user_id, min(pos) AS ppos FROM ev_ord
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    journey AS MATERIALIZED (
+      SELECT s.user_id, s.event_type, s.pos,
+             f.ppos IS NOT NULL AS has_conv
+      FROM seq s LEFT JOIN first_p f ON s.user_id = f.user_id
+      WHERE f.ppos IS NULL OR s.pos < f.ppos
+    ),
+    trans AS (
+      SELECT event_type AS src,
+             coalesce(lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY pos),
+                      CASE WHEN has_conv THEN 'purchase'
+                           ELSE 'dropout' END) AS dst
+      FROM journey
+    ),
+    tcnt AS MATERIALIZED (
+      SELECT src, dst, count(*) AS c FROM trans GROUP BY src, dst
+    ),
+    tprob AS MATERIALIZED (
+      SELECT src, dst, c * 1.0 / (sum(c) OVER (PARTITION BY src)) AS p
+      FROM tcnt
+    ),
+    scen AS MATERIALIZED (
+      SELECT DISTINCT src AS removed FROM tcnt WHERE src <> 'start'
+      UNION ALL SELECT 'base'
+    ),
+    it0 AS (
+      SELECT sc.removed, t.src AS s, CAST(0 AS DOUBLE) AS a
+      FROM (SELECT DISTINCT src FROM tcnt) t CROSS JOIN scen sc
+      WHERE t.src <> sc.removed
+    ),
+    {unrolled}
+    SELECT r.removed AS channel,
+           round(r.a, 4) AS p_conv_removed,
+           round(b.a, 4) AS p_conv_base,
+           round((b.a - r.a) / b.a, 4) AS removal_effect,
+           round(((b.a - r.a) / b.a)
+                 / sum((b.a - r.a) / b.a) OVER (), 4) AS attribution
+    FROM it{MARKOV_ATTR_ITERS} r
+    CROSS JOIN (SELECT a FROM it{MARKOV_ATTR_ITERS}
+                WHERE removed = 'base' AND s = 'start') b
+    WHERE r.removed <> 'base' AND r.s = 'start'
+    """
+
+
+@query("markov_attribution_removal", _markov_attr_oracle())
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain multi-touch attribution by REMOVAL EFFECT (Anderl
+    et al. 2014): build the first-order journey transition matrix
+    (start -> touches -> purchase | dropout, cut at first conversion),
+    then for each channel compute the absorption probability of
+    'purchase' with that channel knocked out (its inbound transitions
+    redirected to dropout); a channel's credit is its relative drop in
+    conversion probability.  This is the principled alternative to the
+    positional heuristics (`attribution_last_touch`,
+    `attribution_position_based`) — it credits channels by causal
+    leverage in the chain, not position.
+
+    Shape: journeys collapse to a transition-count matrix in one
+    windowed pass over events (the only full-size shuffle); the
+    absorption fixed point runs {MARKOV_ATTR_ITERS} rounds of
+    join-aggregate on a (channels+2)² matrix — a frame whose size
+    depends on the EVENT-TYPE alphabet, not the corpus, so the
+    iteration costs nothing at any scale (same regime as
+    `operators/graph.py:pagerank`, eager checkpoint per round to keep
+    lineage flat).  All transition probabilities are exact count
+    ratios; the oracle unrolls the identical fixed-iteration recursion,
+    so both engines converge on the same doubles within summation
+    jitter, far inside the 4dp rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    ev_ord = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("pos"),
+    )
+    seq = ev_ord.unionByName(
+        ev_ord.select("user_id").distinct().select(
+            "user_id", F.lit("start").alias("event_type"), F.lit(0).alias("pos")
+        )
+    )
+    first_p = (
+        ev_ord.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("ppos"))
+    )
+    journey = (
+        seq.join(first_p, "user_id", "left")
+        .filter(F.col("ppos").isNull() | (F.col("pos") < F.col("ppos")))
+        .select(
+            "user_id",
+            "event_type",
+            "pos",
+            F.col("ppos").isNotNull().alias("has_conv"),
+        )
+    )
+    trans = journey.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(
+                Window.partitionBy("user_id").orderBy("pos")
+            ),
+            F.when(F.col("has_conv"), "purchase").otherwise("dropout"),
+        ).alias("dst"),
+    )
+    tcnt = trans.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    tprob = tcnt.select(
+        "src",
+        "dst",
+        (
+            F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("src"))
+        ).alias("p"),
+    ).localCheckpoint()
+    scen = (
+        tcnt.select(F.col("src").alias("removed"))
+        .filter(F.col("removed") != "start")
+        .distinct()
+        .unionByName(
+            ev.sparkSession.createDataFrame([("base",)], "removed STRING")
+        )
+        .localCheckpoint()
+    )
+    states = tprob.select(F.col("src").alias("s")).distinct()
+    a = (
+        states.crossJoin(scen)
+        .filter(F.col("s") != F.col("removed"))
+        .withColumn("a", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for _ in range(MARKOV_ATTR_ITERS):
+        prev = a.select(
+            F.col("removed").alias("p_removed"),
+            F.col("s").alias("p_s"),
+            F.col("a").alias("p_a"),
+        )
+        a = (
+            tprob.crossJoin(F.broadcast(scen))
+            .filter(F.col("src") != F.col("removed"))
+            .join(
+                F.broadcast(prev),
+                (F.col("p_removed") == F.col("removed"))
+                & (F.col("p_s") == F.col("dst")),
+                "left",
+            )
+            .groupBy("removed", F.col("src").alias("s"))
+            .agg(
+                F.sum(
+                    F.when(F.col("dst") == "purchase", F.col("p"))
+                    .when(
+                        (F.col("dst") == "dropout")
+                        | (F.col("dst") == F.col("removed")),
+                        F.lit(0.0),
+                    )
+                    .otherwise(F.col("p") * F.coalesce(F.col("p_a"), F.lit(0.0)))
+                ).alias("a")
+            )
+            .localCheckpoint()
+        )
+    base = a.filter(
+        (F.col("removed") == "base") & (F.col("s") == "start")
+    ).select(F.col("a").alias("a_base"))
+    rem = a.filter((F.col("removed") != "base") & (F.col("s") == "start"))
+    effect = (F.col("a_base") - F.col("a")) / F.col("a_base")
+    return (
+        rem.crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            F.round(F.col("a"), 4).alias("p_conv_removed"),
+            F.round(F.col("a_base"), 4).alias("p_conv_base"),
+            F.round(effect, 4).alias("removal_effect"),
+            effect.alias("_eff"),
+        )
+        .withColumn(
+            "attribution",
+            F.round(F.col("_eff") / F.sum("_eff").over(Window.partitionBy()), 4),
+        )
+        .drop("_eff")
+    )
