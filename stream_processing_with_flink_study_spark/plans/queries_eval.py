@@ -329,6 +329,9 @@ def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive float sum is the centered-product numerator, ~1e-15
     relative against a 4-decimal rounding."""
     ev = load_table(spark, sf_dir, "events")
+    # the hourly series is tiny (one row per hour) but feeds FOUR
+    # consumers (mean, denominator, both sides of the lag self-join) —
+    # pin it so the fact table is scanned once, not five times
     hourly = (
         ev.groupBy(
             F.floor(F.unix_timestamp("ts") / F.lit(3600))
@@ -336,6 +339,7 @@ def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h")
         )
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     stats = hourly.agg(F.avg("n").alias("m"), F.count("*").alias("cnt"))
     ss = hourly.crossJoin(F.broadcast(stats)).agg(
