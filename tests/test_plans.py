@@ -203,3 +203,45 @@ def test_k_anonymity_single_scan_no_join(plan_of):
     assert "Join" not in plan, plan
     # formatted explain lists each scan twice (tree node + details)
     assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
+
+
+def test_ols_means_attach_is_broadcast(plan_of):
+    """ols_price_model: the second pass must attach the 3-row means
+    frame by BROADCAST — a shuffle here would turn the stable two-pass
+    into two full fact-table exchanges."""
+    plan = plan_of("ols_price_model")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_policy_replay_policy_is_broadcast(plan_of):
+    """policy_replay_eval: the 4-row policy table joins the replay
+    slice as a broadcast; the eval-half predicate must reach the scan."""
+    plan = plan_of("policy_replay_eval")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*ts[^\]]*\]", plan) or "ts" in (
+        re.search(r"PushedFilters: \[([^\]]*)\]", plan) or [""]
+    ), plan
+
+
+def test_mutual_info_single_scan(plan_of):
+    """mutual_info_screen: all four features fan out of ONE events
+    scan (explode), never one scan per feature."""
+    plan = plan_of("mutual_info_screen")
+    # formatted explain lists each scan twice (tree node + details)
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
+
+
+def test_calibration_single_scan_no_join(plan_of):
+    plan = plan_of("calibration_bins")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
+
+
+def test_decile_lift_single_fact_exchange(plan_of):
+    """decile_lift_loyal: one groupBy(custkey) exchange over orders;
+    everything after runs on the reduced customer frame (the global
+    ntile single-partition window is over |C| rows, accepted)."""
+    plan = plan_of("decile_lift_loyal")
+    n_exch = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exch <= 2, plan
