@@ -543,3 +543,120 @@ def hierarchical_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("region_share_of_total"),
     )
+
+
+@query(
+    "bitmap_distinct_users",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_merged,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_direct
+    FROM daily GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate family
+    (``bitmap_bit_position`` / ``bitmap_construct_agg`` /
+    ``bitmap_or_agg`` / ``bitmap_count``) — the mergeable-but-exact
+    alternative to HLL (`functions/sketch.py`) when the key domain is
+    dense integers: per-day bitmaps OR-merge into the per-type total
+    exactly, the same partial-merge shape a 1000-executor rollup or an
+    incremental daily pipeline needs, with none of HLL's error.
+
+    The query computes the distinct-user count BOTH ways — direct
+    bitmap over the whole slice (``nd_direct``) and OR-merge of daily
+    bitmaps (``nd_merged``) — and the oracle pins both to
+    ``count(DISTINCT ...)``: the equality of the three IS the
+    mergeability proof, hash-checked.  Keys group by
+    ``bitmap_bucket_number`` first (each bitmap covers one 32768-bit
+    bucket), so the pattern stays correct for arbitrarily large id
+    domains — counts sum across buckets."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    # per (type, day, bucket) bitmap partials — the "daily pipeline"
+    daily = ev.groupBy(
+        "event_type",
+        "d",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    merged = (
+        daily.groupBy("event_type", "bkt")
+        .agg(
+            F.expr("bitmap_or_agg(bm)").alias("bm"),
+            F.countDistinct("d").alias("nd_days"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("nd_days").cast("long").alias("n_days"),
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("nd_merged"),
+        )
+    )
+    direct = (
+        ev.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("nd_direct"))
+    )
+    return merged.join(direct, "event_type")
+
+
+@query(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           round(avg(k * 1.0), 4) AS k_avg,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` extraction — the open-schema path that replaces
+    per-access string re-parsing (``get_json_object``, exercised by
+    ``json_props_extract``) with a parse-once binary column, the way a
+    100 TB event lake should store ragged JSON.
+
+    Same one-scan shape as any scalar pipeline: parse + extract are
+    JVM expressions inside whole-stage codegen, aggregated per event
+    type; the oracle extracts the same field with DuckDB's JSON
+    functions, so values (exact ints, one 4dp-rounded mean) hash-match
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.round(F.avg(F.col("k") * 1.0), 4).alias("k_avg"),
+            F.countDistinct("k").cast("long").alias("k_distinct"),
+        )
+    )
