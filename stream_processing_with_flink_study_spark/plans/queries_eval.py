@@ -1219,3 +1219,69 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_eff")
     )
+
+
+HOLT_ALPHA = "CAST(0.3 AS DOUBLE)"
+HOLT_BETA = "CAST(0.1 AS DOUBLE)"
+
+_HOLT_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) - 1 AS idx,
+         month, y
+  FROM (
+    SELECT {{month_expr}} AS month, round(sum(o_totalprice), 2) AS y
+    FROM {{orders}}
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+  )
+),
+hw (idx, month, y, lvl, trend) AS (
+  SELECT m0.idx, m0.month, m0.y, m0.y, m1.y - m0.y
+  FROM monthly m0 JOIN monthly m1 ON m0.idx = 0 AND m1.idx = 1
+  UNION ALL
+  SELECT m.idx, m.month, m.y,
+         {HOLT_ALPHA} * m.y
+           + (1 - {HOLT_ALPHA}) * (h.lvl + h.trend),
+         {HOLT_BETA} * (({HOLT_ALPHA} * m.y
+                         + (1 - {HOLT_ALPHA}) * (h.lvl + h.trend)) - h.lvl)
+           + (1 - {HOLT_BETA}) * h.trend
+  FROM hw h JOIN monthly m ON m.idx = h.idx + 1
+)
+SELECT idx, month, y,
+       round(lvl, 2) AS level,
+       round(trend, 2) AS trend,
+       round(lag(lvl) OVER (ORDER BY idx)
+             + lag(trend) OVER (ORDER BY idx), 2) AS fitted
+FROM hw
+"""
+
+
+@query(
+    "holt_smoothing_monthly",
+    _HOLT_SQL.format(orders="orders", month_expr="strftime(o_orderdate, '%Y-%m')"),
+)
+def holt_smoothing_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.3 / beta=0.1) over the monthly revenue series, expressed
+    as a NATIVE recursive CTE — the inherently-sequential time-series
+    recurrence that window functions cannot express (each level
+    depends on the previous SMOOTHED level, not a fixed frame), run
+    verbatim by both engines with one-step-ahead fitted values.
+
+    Companion to ``forecast_baseline_eval`` (which scores the naive
+    baselines this model should beat) and ``ewma_smoothing`` (the
+    single-parameter special case).  Determinism: monthly revenue is
+    rounded to cents first, so every recursion step applies identical
+    IEEE ops to identical doubles — the stream of (level, trend) pairs
+    is bit-equal across engines with NO summation-order exposure.
+    Scale: the recursion runs on the month-collapsed frame (one row
+    per month regardless of corpus size); the only full-size work is
+    the initial one-pass rollup, and a per-key variant shards the
+    recursion by series key exactly like `amortization_recursive_cte`."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("holtv_orders")
+    return spark.sql(
+        _HOLT_SQL.format(
+            orders="holtv_orders",
+            month_expr="date_format(o_orderdate, 'yyyy-MM')",
+        )
+    )
