@@ -1231,7 +1231,7 @@ WITH RECURSIVE monthly AS (
   FROM (
     SELECT {{month_expr}} AS month, round(sum(o_totalprice), 2) AS y
     FROM {{orders}}
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
     GROUP BY 1
   )
 ),
