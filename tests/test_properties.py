@@ -381,3 +381,103 @@ def test_skyline_window_form_matches_brute_force(spark, pts):
         .collect()
     }
     assert got == _ref_skyline(set(pts))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 50)),
+        min_size=8,
+        max_size=40,
+    ).filter(lambda xs: 0 < sum(l for l, _ in xs) < len(xs))
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_rank_sum_auc_matches_pair_counting(spark, rows):
+    """The window rank-sum AUC (queries_eval.roc_auc_by_source form)
+    must equal the O(n²) definition: P(score_pos > score_neg) + ½
+    P(tie), for ANY label/score multiset."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(l, s) for l, s in rows], "pos INT, score INT"
+    )
+    ranked = df.select(
+        "pos",
+        F.rank().over(Window.orderBy("score")).alias("rk"),
+        F.count("*").over(Window.partitionBy("score")).alias("nt"),
+    )
+    got = ranked.agg(
+        (
+            (
+                F.sum(F.col("pos") * (F.col("rk") + (F.col("nt") - 1) / 2.0))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * F.sum(F.lit(1) - F.col("pos")))
+        ).alias("auc")
+    ).first()["auc"]
+    pos = [s for l, s in rows if l == 1]
+    neg = [s for l, s in rows if l == 0]
+    want = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert abs(got - want) < 1e-9
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal effects must lie in [0, 1] (knocking a channel out can
+    only lower absorption), attribution shares must sum to 1, and the
+    base conversion probability must dominate every knockout run."""
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    from .conftest import SF_SMALL
+
+    pdf = QUERIES["markov_attribution_removal"](spark, SF_SMALL).toPandas()
+    assert len(pdf) >= 2
+    assert (pdf["p_conv_base"] >= pdf["p_conv_removed"] - 1e-9).all()
+    assert ((pdf["removal_effect"] >= -1e-9) & (pdf["removal_effect"] <= 1 + 1e-9)).all()
+    assert abs(pdf["attribution"].sum() - 1.0) < 5e-3  # 4dp rounding slack
+
+
+def test_holt_constant_series_is_flat(spark):
+    """On a constant series Holt must return level == the constant and
+    trend == 0 at every step (fitted equals the constant from t=1)."""
+    months = [(f"m{i:02d}", 100.0) for i in range(12)]
+    spark.createDataFrame(months, "month STRING, y DOUBLE").createOrReplaceTempView(
+        "holt_const"
+    )
+    out = spark.sql(
+        """
+        WITH RECURSIVE monthly AS (
+          SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) - 1 AS idx,
+                 month, y FROM holt_const
+        ),
+        hw (idx, y, lvl, trend) AS (
+          SELECT m0.idx, m0.y, m0.y, m1.y - m0.y
+          FROM monthly m0 JOIN monthly m1 ON m0.idx = 0 AND m1.idx = 1
+          UNION ALL
+          SELECT m.idx, m.y,
+                 CAST(0.3 AS DOUBLE) * m.y + 0.7 * (h.lvl + h.trend),
+                 CAST(0.1 AS DOUBLE) * ((0.3 * m.y + 0.7 * (h.lvl + h.trend)) - h.lvl)
+                   + 0.9 * h.trend
+          FROM hw h JOIN monthly m ON m.idx = h.idx + 1
+        )
+        SELECT * FROM hw
+        """
+    ).toPandas()
+    assert len(out) == 12
+    assert (abs(out["lvl"] - 100.0) < 1e-9).all()
+    assert (abs(out["trend"]) < 1e-9).all()
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    """Bitmap-aggregate distinct (bucketed construct + OR-merge) must
+    equal COUNT(DISTINCT) for any id multiset, including ids far past
+    one bucket's 32768-bit span."""
+    ids = [0, 1, 5, 32767, 32768, 40000, 123456, 123456, 5, 999999]
+    df = spark.createDataFrame([(i,) for i in ids], "uid LONG")
+    got = (
+        df.groupBy(F.expr("bitmap_bucket_number(uid)").alias("b"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("nd"))
+        .first()["nd"]
+    )
+    assert got == len(set(ids))
