@@ -1285,3 +1285,116 @@ def holt_smoothing_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             month_expr="date_format(o_orderdate, 'yyyy-MM')",
         )
     )
+
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+MATRYOSHKA_K = 10
+MATRYOSHKA_QMOD = 50
+
+
+def _matryoshka_oracle() -> str:
+    blocks = []
+    selects = []
+    for d in MATRYOSHKA_DIMS:
+        blocks.append(f"""
+    t{d} AS MATERIALIZED (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, e.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(
+                            (q.q_vec::DOUBLE[])[1:{d}],
+                            (e.embedding::DOUBLE[])[1:{d}]) DESC,
+                          e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rk <= {MATRYOSHKA_K}
+    )""")
+        selects.append(f"""
+    SELECT CAST({d} AS BIGINT) AS dim,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           round(count(*) * 1.0 / (nq.n * {MATRYOSHKA_K}), 4) AS recall_at{MATRYOSHKA_K}
+    FROM t{d} a
+    JOIN t{max(MATRYOSHKA_DIMS)} f ON a.q_id = f.q_id AND a.n_id = f.n_id
+    CROSS JOIN nq GROUP BY nq.n""")
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id % {MATRYOSHKA_QMOD} = 0
+    ),
+    nq AS (SELECT count(*) AS n FROM q),
+    {",".join(blocks)}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@query("matryoshka_recall_eval", _matryoshka_oracle())
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval evaluation: for each
+    prefix length d in {MATRYOSHKA_DIMS}, run exact cosine top-10 with
+    vectors TRUNCATED to their first d components and report
+    recall@10 against the full-dimension neighbors — the measurement
+    that decides how many dimensions a 100 TB vector store actually
+    has to keep (Kusupati et al. 2022's evaluation protocol, minus the
+    nested-objective training).
+
+    Shape: the deterministic query subset broadcasts against the
+    corpus ONCE PER PRUNED DIM, each pass the same never-shuffle-the-
+    corpus regime as ``embedding_cosine_topk``; overlap and recall are
+    exact-integer set intersections (engine-identical because the
+    raw cosine stream is bit-equal, the proven property of the
+    brute-force family).  The d=64 row pins recall = 1.0 as a
+    self-check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.similarity import cosine
+
+    q = emb.filter(F.col("vec_id") % MATRYOSHKA_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    nq = q.agg(F.count("*").alias("n"))
+    tops = {}
+    for d in MATRYOSHKA_DIMS:
+        scored = (
+            emb.select(
+                F.col("vec_id").alias("n_id"),
+                F.slice("embedding", 1, d).alias("n_vec"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    q.select("q_id", F.slice("q_vec", 1, d).alias("qd"))
+                )
+            )
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                cosine(F.col("qd"), F.col("n_vec")).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc(), F.col("n_id")
+        )
+        tops[d] = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MATRYOSHKA_K)
+            .select("q_id", "n_id")
+        )
+    full = tops[max(MATRYOSHKA_DIMS)].localCheckpoint()
+    out = None
+    for d in MATRYOSHKA_DIMS:
+        hits = (
+            (tops[d] if d != max(MATRYOSHKA_DIMS) else full)
+            .join(full, ["q_id", "n_id"])
+            .crossJoin(F.broadcast(nq))
+            .groupBy("n")
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                F.col("n").cast("long").alias("n_queries"),
+                F.round(
+                    F.col("hits") * 1.0 / (F.col("n") * MATRYOSHKA_K), 4
+                ).alias(f"recall_at{MATRYOSHKA_K}"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
