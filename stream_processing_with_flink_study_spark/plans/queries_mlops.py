@@ -482,3 +482,125 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adj_b", 4).alias("mean_adj_b"),
         F.round(F.lit(1.0 - var_adj / var_y), 4).alias("var_reduction"),
     )
+
+
+MIX_TEMPERATURE = 0.7
+
+
+@query(
+    "mixture_temperature_weights",
+    f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, n_tokens,
+             round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS p_raw
+      FROM per_lang
+    )
+    SELECT lang, n_tokens, p_raw,
+           round(power(p_raw, {MIX_TEMPERATURE})
+                 / sum(power(p_raw, {MIX_TEMPERATURE})) OVER (), 4)
+             AS p_temp,
+           round((power(p_raw, {MIX_TEMPERATURE})
+                  / sum(power(p_raw, {MIX_TEMPERATURE})) OVER ()) / p_raw,
+                 4) AS upsample_factor
+    FROM shares
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixing weights (the multilingual
+    pretraining sampler of mT5/XLM-R: ``p_i ∝ p_raw^T`` with T < 1
+    flattening the head languages) — per language: raw token share,
+    T={MIX_TEMPERATURE} share, and the implied up/down-sampling factor.
+    Complements ``source_mixing_rates`` (equal-budget clipping) with
+    the smooth-reweighting recipe.
+
+    One scan tokenizes and rolls up per language; shares are window
+    ratios over the 5-row language frame.  ``p_raw`` is rounded to 6
+    before ``power`` so both engines exponentiate the same double
+    (libm pow differs across engines only in the last ulp — far inside
+    the 4dp output rounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    shares = per_lang.select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w), 6).alias(
+            "p_raw"
+        ),
+    )
+    powed = F.pow(F.col("p_raw"), MIX_TEMPERATURE)
+    p_temp = powed / F.sum(powed).over(w)
+    return shares.select(
+        "lang",
+        "n_tokens",
+        "p_raw",
+        F.round(p_temp, 4).alias("p_temp"),
+        F.round(p_temp / F.col("p_raw"), 4).alias("upsample_factor"),
+    )
+
+
+AB_Z_ALPHA = 1.959964  # two-sided 5%
+AB_Z_POWER = 0.841621  # 80% power
+AB_MDE = 0.05  # minimum detectable effect, relative
+
+
+@query(
+    "ab_test_sample_size",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 4) AS mean_v,
+             round(var_samp(value), 4) AS var_v
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, mean_v, var_v,
+           CAST(floor(2.0 * {(AB_Z_ALPHA + AB_Z_POWER) ** 2}
+                      * var_v / ((mean_v * {AB_MDE})
+                                 * (mean_v * {AB_MDE})) + 1) AS BIGINT)
+             AS n_per_arm,
+           round(2.0 * {(AB_Z_ALPHA + AB_Z_POWER) ** 2} * var_v
+                 / ((mean_v * {AB_MDE}) * (mean_v * {AB_MDE})) / n, 4)
+             AS arms_per_current_volume
+    FROM s
+    """,
+)
+def ab_test_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: per metric stream (event type), the
+    per-arm sample size needed to detect a {AB_MDE:.0%} relative lift
+    in mean value at alpha=0.05 / power=0.80 — the two-sample normal
+    approximation ``n = 2 (z_a + z_b)^2 sigma^2 / delta^2`` every A/B
+    platform runs before launch, plus how many experiment-arms of
+    traffic the CURRENT volume supplies.
+
+    One keyed aggregate; mean and variance are rounded to 4dp before
+    the closed-form (so both engines plug identical doubles into
+    identical arithmetic — the ceiling can never straddle), and the z
+    constants are baked literals, not engine quantile functions."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(F.var_samp("value"), 4).alias("var_v"),
+    )
+    k = 2.0 * (AB_Z_ALPHA + AB_Z_POWER) ** 2
+    delta2 = (F.col("mean_v") * AB_MDE) * (F.col("mean_v") * AB_MDE)
+    raw = k * F.col("var_v") / delta2
+    return s.select(
+        "event_type",
+        "n",
+        "mean_v",
+        "var_v",
+        F.floor(raw + 1).cast("long").alias("n_per_arm"),
+        F.round(raw / F.col("n"), 4).alias("arms_per_current_volume"),
+    )
