@@ -1398,3 +1398,132 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    blocks = []
+    prev_c = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        blocks.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, x, y, cid FROM (
+        SELECT p.vec_id, p.x, p.y, c.cid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round((p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy), 6),
+                          c.cid) AS rn
+        FROM pts p CROSS JOIN {prev_c} c
+      ) WHERE rn = 1
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT cid, round(avg(x), 6) AS cx, round(avg(y), 6) AS cy
+      FROM a{i} GROUP BY cid
+    )""")
+        prev_c = f"c{i}"
+    last_a, last_c = f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS}"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             x AS cx, y AS cy
+      FROM (SELECT * FROM pts ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    {",".join(blocks)}
+    SELECT a.cid,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(max(c.cx), 4) AS cx,
+           round(max(c.cy), 4) AS cy,
+           round(sum(round((a.x - c.cx) * (a.x - c.cx)
+                           + (a.y - c.cy) * (a.y - c.cy), 6)), 2) AS inertia
+    FROM {last_a} a JOIN {last_c} c ON a.cid = c.cid
+    GROUP BY a.cid
+    """
+
+
+@query("kmeans_lloyd_2d", _kmeans_oracle())
+def kmeans_lloyd_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k={KMEANS_K}, {KMEANS_ITERS} fixed iterations)
+    on the first two embedding components, FULLY hash-checked against
+    a DuckDB oracle that unrolls the identical iterations — the
+    centroid trainer behind the IVF index (`functions/similarity.py`
+    trains on a bounded sample and is rows-only checked; this is the
+    all-data dataflow form with an exact cross-engine contract).
+
+    Engine-stability is engineered at both fixed-point hazards: the
+    assignment argmin orders by the 6dp-ROUNDED squared distance with
+    the centroid id as tiebreak, and centroids are rounded to 6dp
+    after every mean — so both engines enter every round with
+    bit-identical state and the iteration can never fork (same
+    discipline as `centroid_classifier_eval`).  Scale: each round is
+    one broadcast of k centroids against the point frame + one keyed
+    mean — the canonical distributed k-means; deterministic first-k
+    init instead of k-means++ keeps the oracle exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).localCheckpoint()
+    c = (
+        pts.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.col("x").alias("cx"),
+            F.col("y").alias("cy"),
+        )
+        .localCheckpoint()
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        dist_r = F.round(
+            (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")),
+            6,
+        )
+        assigned = (
+            pts.crossJoin(F.broadcast(c))
+            .withColumn("dist_r", dist_r)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("dist_r", "cid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "x", "y", "cid")
+        ).localCheckpoint()
+        c = (
+            assigned.groupBy("cid")
+            .agg(
+                F.round(F.avg("x"), 6).alias("cx"),
+                F.round(F.avg("y"), 6).alias("cy"),
+            )
+            .localCheckpoint()
+        )
+    final_d = F.round(
+        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+        + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")),
+        6,
+    )
+    return (
+        assigned.join(c, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.round(F.max("cx"), 4).alias("cx"),
+            F.round(F.max("cy"), 4).alias("cy"),
+            F.round(F.sum(final_d), 2).alias("inertia"),
+        )
+    )
