@@ -604,3 +604,93 @@ def ab_test_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(raw + 1).cast("long").alias("n_per_arm"),
         F.round(raw / F.col("n"), 4).alias("arms_per_current_volume"),
     )
+
+
+SEG_SPLIT_TS = "1998-01-01 00:00:00"
+
+
+@query(
+    "segment_migration_matrix",
+    f"""
+    WITH h1 AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '{SEG_SPLIT_TS}'
+      GROUP BY o_custkey
+    ),
+    h2 AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{SEG_SPLIT_TS}'
+      GROUP BY o_custkey
+    ),
+    s1 AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS seg1
+      FROM h1
+    ),
+    s2 AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS seg2
+      FROM h2
+    ),
+    m AS (
+      SELECT coalesce(s1.seg1, 0) AS seg_from,
+             coalesce(s2.seg2, 0) AS seg_to,
+             count(*) AS n
+      FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT seg_from, seg_to, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY seg_from), 4)
+             AS p_transition
+    FROM m
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: spend-quartile (1 =
+    top) in the first history half vs the second, with segment 0 =
+    absent (new or churned) — the transition table behind retention
+    dashboards and LTV Markov models, and the longitudinal companion
+    to the static ``rfm_customer_segments``.
+
+    Both halves reduce to per-customer frames in one scan each (the
+    date predicate pushes to the scan), quartiles are cents-rounded
+    ntiles with key tiebreaks (engine-stable cuts, the
+    ``decile_lift_loyal`` discipline), and the matrix is a FULL OUTER
+    join of the two small frames — absent sides surface as
+    appear/churn rows instead of being dropped."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(SEG_SPLIT_TS).cast("timestamp")
+
+    def half(pred, seg_name):
+        h = (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        )
+        return h.select(
+            "o_custkey",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("spend").desc(), F.col("o_custkey")))
+            .alias(seg_name),
+        )
+
+    s1 = half(F.col("o_orderdate") < split, "seg1")
+    s2 = half(F.col("o_orderdate") >= split, "seg2")
+    m = (
+        s1.join(s2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce(F.col("seg1"), F.lit(0)).alias("seg_from"),
+            F.coalesce(F.col("seg2"), F.lit(0)).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").alias("n"))
+    )
+    return m.select(
+        "seg_from",
+        "seg_to",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("seg_from")),
+            4,
+        ).alias("p_transition"),
+    )
