@@ -78,6 +78,9 @@ HEADLINE = [
     "personalized_pagerank",
     "prefix_jaccard_join",
     "equi_depth_histogram",
+    "markov_attribution_removal",
+    "matryoshka_recall_eval",
+    "kmeans_lloyd_2d",
 ]
 
 
