@@ -701,3 +701,124 @@ def custom_source_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("temp_range"),
         )
     )
+
+
+@query(
+    "cogroup_order_reconcile",
+    """
+    WITH charge AS (
+      SELECT l_orderkey AS k,
+             count(*) AS n_lines,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS chg
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    r AS (
+      SELECT o.o_orderpriority,
+             c.n_lines,
+             round(c.chg / o.o_totalprice, 6) AS ratio
+      FROM orders o JOIN charge c ON c.k = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           round(avg(ratio), 4) AS avg_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation through the COGROUP UDF tier
+    (``groupBy().cogroup().applyInPandas`` — the one Arrow entry point
+    the battery had not yet exercised): orders and their line items
+    co-partition on a 256-way BUCKET of the order key, and each pandas
+    invocation receives BOTH frames for its bucket — headers and their
+    lines — recomputing the TPC-H charge ``Σ ext·(1-disc)·(1+tax)``
+    per order vectorized and rating it against the header total.
+
+    Cogroup is the right primitive when per-key logic needs two
+    streams side by side WITHOUT materializing a wide join first
+    (reference analogue: connect/CoProcessFunction, `정리/4주차.md`) —
+    Spark plans ONE co-partitioned shuffle of each input.  Bucketing
+    the cogroup key is the scale discipline: per-ORDER grouping would
+    mean one Python invocation per key (measured 69 s at sf0.01 —
+    pure interpreter overhead); 256 buckets amortize Arrow transfer
+    and pandas dispatch over ~N/256 orders each while staying
+    embarrassingly parallel.  Within a bucket, rows sort by
+    (order, linenumber) before the groupby-sum and each per-order
+    ratio rounds half-UP to 6dp, so the Arrow path and the oracle\'s
+    SQL aggregation agree bit-for-bit; per-bucket partials (sum/min/
+    max/counts) merge associatively in the final keyed aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 256).alias("bkt"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("bkt"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if odf.empty or ldf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "o_orderpriority",
+                    "n_orders",
+                    "n_lines",
+                    "sum_ratio",
+                    "min_ratio",
+                    "max_ratio",
+                ]
+            )
+        ldf = ldf.sort_values(["l_orderkey", "l_linenumber"])
+        chg = (
+            (
+                ldf["l_extendedprice"]
+                * (1 - ldf["l_discount"])
+                * (1 + ldf["l_tax"])
+            )
+            .groupby(ldf["l_orderkey"])
+            .agg(["sum", "size"])
+        )
+        m = odf.set_index("o_orderkey").join(chg, how="inner")
+        # half-UP to 6dp (Python round() is half-even; SQL round is not)
+        ratio = np.floor(m["sum"] / m["o_totalprice"] * 1e6 + 0.5) / 1e6
+        out = pd.DataFrame(
+            {"pri": m["o_orderpriority"], "ratio": ratio, "nl": m["size"]}
+        )
+        g = out.groupby("pri")
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g.size().index,
+                "n_orders": g.size().to_numpy(),
+                "n_lines": g["nl"].sum().to_numpy(),
+                "sum_ratio": g["ratio"].sum().to_numpy(),
+                "min_ratio": g["ratio"].min().to_numpy(),
+                "max_ratio": g["ratio"].max().to_numpy(),
+            }
+        )
+
+    partials = (
+        orders.groupBy("bkt")
+        .cogroup(lines.groupBy("bkt"))
+        .applyInPandas(
+            reconcile,
+            "o_orderpriority string, n_orders long, n_lines long,"
+            " sum_ratio double, min_ratio double, max_ratio double",
+        )
+    )
+    return partials.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.round(F.sum("sum_ratio") / F.sum("n_orders"), 4).alias("avg_ratio"),
+        F.round(F.min("min_ratio"), 6).alias("min_ratio"),
+        F.round(F.max("max_ratio"), 6).alias("max_ratio"),
+    )
