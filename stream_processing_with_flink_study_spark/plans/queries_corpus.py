@@ -1787,3 +1787,88 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "incremental_dedup_new_docs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT h FROM norm WHERE doc_id % 2 = 0),
+    incoming AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
+    tagged AS (
+      SELECT i.source,
+             CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+             CASE WHEN c.h IS NULL AND count(*) OVER (PARTITION BY i.h) > 1
+                    AND i.doc_id > min(i.doc_id) OVER (PARTITION BY i.h)
+                  THEN 1 ELSE 0 END AS dup_batch
+      FROM incoming i LEFT JOIN corpus c ON i.h = c.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(dup_corpus) AS BIGINT) AS n_dup_vs_corpus,
+           CAST(sum(dup_batch) AS BIGINT) AS n_dup_in_batch,
+           CAST(count(*) - sum(dup_corpus) - sum(dup_batch) AS BIGINT)
+             AS n_new,
+           round((count(*) - sum(dup_corpus) - sum(dup_batch)) * 1.0
+                 / count(*), 4) AS keep_rate
+    FROM tagged GROUP BY source
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the daily-crawl shape: an incoming
+    batch (odd doc ids) deduplicates against the already-ingested
+    corpus index (even ids) AND within itself, reporting per source
+    how much of the batch survives.  Corpus-side state is only the
+    normalized-hash index (16-byte digests — the thing a production
+    pipeline keeps partitioned on disk), never the historical text;
+    within-batch dups keep the min-id doc, matching
+    ``dedup_normalized_text``'s keeper rule.
+
+    Scale: the anti-join is hash-on-digest (broadcast-able while the
+    index fits, shuffle-on-digest beyond); both sides reduce to
+    digests before any exchange.  All outputs are exact counts plus
+    one ratio of counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    hashed = docs.select("doc_id", "source", F.md5(norm).alias("h"))
+    corpus = hashed.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    incoming = hashed.filter(F.col("doc_id") % 2 == 1)
+    tagged = incoming.join(
+        corpus.withColumn("in_corpus", F.lit(1)), "h", "left"
+    ).select(
+        "source",
+        "h",
+        "doc_id",
+        F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0).alias(
+            "dup_corpus"
+        ),
+    )
+    wh = Window.partitionBy("h")
+    tagged = tagged.withColumn(
+        "dup_batch",
+        F.when(
+            (F.col("dup_corpus") == 0)
+            & (F.count("*").over(wh) > 1)
+            & (F.col("doc_id") > F.min("doc_id").over(wh)),
+            1,
+        ).otherwise(0),
+    )
+    keep = F.count("*") - F.sum("dup_corpus") - F.sum("dup_batch")
+    return tagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_incoming"),
+        F.sum("dup_corpus").cast("long").alias("n_dup_vs_corpus"),
+        F.sum("dup_batch").cast("long").alias("n_dup_in_batch"),
+        keep.cast("long").alias("n_new"),
+        F.round(keep * 1.0 / F.count("*"), 4).alias("keep_rate"),
+    )
