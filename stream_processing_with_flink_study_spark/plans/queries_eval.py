@@ -1527,3 +1527,214 @@ def kmeans_lloyd_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(final_d), 2).alias("inertia"),
         )
     )
+
+
+DID_POLICY_TS = "1998-01-01 00:00:00"
+
+
+@query(
+    "did_estimator",
+    f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '{DID_POLICY_TS}'
+                  THEN 1 ELSE 0 END AS post,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    segs AS (SELECT DISTINCT seg FROM j),
+    cells AS (
+      SELECT s.seg AS treat_seg,
+             CASE WHEN j.seg = s.seg THEN 1 ELSE 0 END AS treated,
+             j.post,
+             count(*) AS n,
+             round(avg(j.y), 4) AS m
+      FROM j CROSS JOIN segs s
+      GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT treat_seg,
+             max(CASE WHEN treated = 1 AND post = 1 THEN m END) AS t_post,
+             max(CASE WHEN treated = 1 AND post = 0 THEN m END) AS t_pre,
+             max(CASE WHEN treated = 0 AND post = 1 THEN m END) AS c_post,
+             max(CASE WHEN treated = 0 AND post = 0 THEN m END) AS c_pre,
+             CAST(sum(CASE WHEN treated = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_treated
+      FROM cells GROUP BY treat_seg
+    )
+    SELECT treat_seg, n_treated, t_pre, t_post, c_pre, c_post,
+           round((t_post - t_pre) - (c_post - c_pre), 4) AS did
+    FROM wide
+    """,
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: for each market segment as the
+    "treated" group, the change in mean order value across the
+    {DID_POLICY_TS[:4]} policy date minus the same change in the rest
+    of the market — the parallel-trends causal estimator that belongs
+    next to ``cuped_variance_reduction`` in any experimentation stack
+    (DiD is what you run when you could NOT randomize).
+
+    One fact scan fans out to 5 treated-segment scenarios via a
+    broadcast cross join with the 5-row segment list (no per-scenario
+    rescan — the ``mutual_info_screen`` discipline); each scenario
+    reduces to its 2x2 (treated x post) cell means, pivoted wide with
+    max-of-single-cell.  Cell means round to 4dp before the DiD
+    arithmetic, so both engines difference identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    j = orders.join(cust, "o_custkey").select(
+        "seg",
+        F.when(
+            F.col("o_orderdate") >= F.lit(DID_POLICY_TS).cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("o_totalprice").alias("y"),
+    )
+    segs = j.select(F.col("seg").alias("treat_seg")).distinct()
+    cells = (
+        j.crossJoin(F.broadcast(segs))
+        .groupBy(
+            "treat_seg",
+            F.when(F.col("seg") == F.col("treat_seg"), 1)
+            .otherwise(0)
+            .alias("treated"),
+            "post",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("y"), 4).alias("m"))
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("m"))
+        )
+
+    wide = cells.groupBy("treat_seg").agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.sum(F.when(F.col("treated") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+    )
+    return wide.select(
+        "treat_seg",
+        "n_treated",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            4,
+        ).alias("did"),
+    )
+
+
+EB_MIN_N = 4
+EB_TOP = 20
+
+
+@query(
+    "eb_shrunk_return_rates",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem GROUP BY l_partkey
+    ),
+    rates AS (
+      SELECT l_partkey, n, k, k * 1.0 / n AS raw FROM per_part
+    ),
+    prior AS (
+      SELECT round(avg(raw), 6) AS m, round(var_samp(raw), 6) AS v
+      FROM rates WHERE n >= {EB_MIN_N}
+    ),
+    ab AS (
+      SELECT m, v, greatest(m * (1 - m) / v - 1, 1.0) AS nu FROM prior
+    ),
+    shrunk AS (
+      SELECT r.l_partkey, r.n, r.k,
+             round(r.raw, 4) AS raw_rate,
+             round((r.k + a.m * a.nu) / (r.n + a.nu), 4) AS shrunk_rate,
+             round(abs((r.k + a.m * a.nu) / (r.n + a.nu) - r.raw), 6)
+               AS shift
+      FROM rates r CROSS JOIN ab a
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           raw_rate, shrunk_rate, shift
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY shift DESC, l_partkey) AS rn
+      FROM shrunk
+    ) WHERE rn <= {EB_TOP}
+    """,
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates: a
+    beta-binomial prior fit by method of moments on the observed rate
+    distribution, then every part's rate shrunk toward the prior mean
+    in proportion to its sample size — the fix for "this part has a
+    100% return rate (n=1)" that every small-sample ranking needs
+    (Robinson's batting-average classic, on returns).  Output: the
+    {EB_TOP} parts the prior moves most.
+
+    One keyed aggregate; the prior is a 1-row broadcast; the shrink is
+    pure arithmetic.  Prior moments round to 6dp before deriving
+    (a, b), so both engines shrink with identical coefficients; the
+    top-k orders by the 6dp-rounded shift with the part key as
+    tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "k"
+        ),
+    )
+    rates = per_part.select(
+        "l_partkey", "n", "k", (F.col("k") * 1.0 / F.col("n")).alias("raw")
+    )
+    prior = rates.filter(F.col("n") >= EB_MIN_N).agg(
+        F.round(F.avg("raw"), 6).alias("m"),
+        F.round(F.var_samp("raw"), 6).alias("v"),
+    )
+    ab = prior.select(
+        "m",
+        F.greatest(
+            F.col("m") * (1 - F.col("m")) / F.col("v") - 1, F.lit(1.0)
+        ).alias("nu"),
+    )
+    shrunk_val = (F.col("k") + F.col("m") * F.col("nu")) / (
+        F.col("n") + F.col("nu")
+    )
+    shrunk = rates.crossJoin(F.broadcast(ab)).select(
+        "l_partkey",
+        "n",
+        "k",
+        F.round("raw", 4).alias("raw_rate"),
+        F.round(shrunk_val, 4).alias("shrunk_rate"),
+        F.round(F.abs(shrunk_val - F.col("raw")), 6).alias("shift"),
+    )
+    return (
+        shrunk.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("shift").desc(), F.col("l_partkey"))
+            ),
+        )
+        .filter(F.col("rn") <= EB_TOP)
+        .select(
+            "l_partkey",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            "raw_rate",
+            "shrunk_rate",
+            "shift",
+        )
+    )
