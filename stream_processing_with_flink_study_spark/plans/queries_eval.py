@@ -1738,3 +1738,95 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shift",
         )
     )
+
+
+CCF_LAGS = (-7, -3, -1, 0, 1, 3, 7)
+
+
+@query(
+    "ccf_orders_revenue",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(cnt) AS mc, avg(rev) AS mr FROM daily
+    ),
+    den AS (
+      SELECT sqrt(sum((cnt - mc) * (cnt - mc))
+                  * sum((rev - mr) * (rev - mr))) AS den
+      FROM daily CROSS JOIN stats
+    ),
+    lags AS (SELECT unnest(ARRAY{list(CCF_LAGS)}) AS lag_d)
+    SELECT l.lag_d,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((a.cnt - s.mc) * (b.rev - s.mr)) / max(dd.den), 4)
+             AS ccf
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b ON b.d = a.d + to_days(CAST(l.lag_d AS INT))
+    CROSS JOIN stats s CROSS JOIN den dd
+    GROUP BY l.lag_d
+    """,
+)
+def ccf_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily order COUNT and daily
+    REVENUE at leads/lags {CCF_LAGS}: does volume lead value?  The
+    lead-lag screen run before any transfer-function model or
+    marketing-spend attribution; lag 0 recovers the plain correlation
+    and the sign of the asymmetry says which series leads.
+
+    Same series-join shape as ``acf_hourly_events``: one scan reduces
+    orders to the daily frame (pinned — four consumers), pairing is a
+    calendar equi-join per lag, and the denominator is the product of
+    the two series' norms, computed once.  Counts are exact, revenue
+    is cents-rounded, so the centered products differ only in
+    summation order against the 4dp rounding."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count("*").cast("double").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        .localCheckpoint()
+    )
+    stats = daily.agg(F.avg("cnt").alias("mc"), F.avg("rev").alias("mr"))
+    den = daily.crossJoin(F.broadcast(stats)).agg(
+        F.sqrt(
+            F.sum((F.col("cnt") - F.col("mc")) * (F.col("cnt") - F.col("mc")))
+            * F.sum(
+                (F.col("rev") - F.col("mr")) * (F.col("rev") - F.col("mr"))
+            )
+        ).alias("den")
+    )
+    lags = F.broadcast(
+        daily.sparkSession.createDataFrame(
+            [(k,) for k in CCF_LAGS], "lag_d INT"
+        )
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("d").alias("bd"), F.col("rev").alias("brev")
+    ).alias("b")
+    pairs = a.crossJoin(lags).join(
+        b, F.col("bd") == F.date_add(F.col("a.d"), F.col("lag_d"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag_d")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("cnt") - F.col("mc")) * (F.col("brev") - F.col("mr"))
+                )
+                / F.max("den"),
+                4,
+            ).alias("ccf"),
+        )
+    )
