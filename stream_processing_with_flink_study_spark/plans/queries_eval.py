@@ -1345,7 +1345,14 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw cosine stream is bit-equal, the proven property of the
     brute-force family).  The d=64 row pins recall = 1.0 as a
     self-check."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE parquet scan: the 4 per-dim passes and the query subset all
+    # read the pinned projection, not the file (explain_audit flagged
+    # the naive form at 10 scans)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
     from ..functions.similarity import cosine
 
     q = emb.filter(F.col("vec_id") % MATRYOSHKA_QMOD == 0).select(
@@ -1595,7 +1602,9 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("post"),
         F.col("o_totalprice").alias("y"),
     )
-    segs = j.select(F.col("seg").alias("treat_seg")).distinct()
+    # scenario list comes from the DIMENSION (5 rows), so the fact
+    # join is scanned once — deriving it from `j` re-scans the fact
+    segs = cust.select(F.col("seg").alias("treat_seg")).distinct()
     cells = (
         j.crossJoin(F.broadcast(segs))
         .groupBy(
