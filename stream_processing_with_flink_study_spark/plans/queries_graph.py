@@ -1019,3 +1019,55 @@ def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train_edges long, n_new_edges long, n_hits_at_50 long,"
         " precision_at_50 double",
     )
+
+
+@query(
+    "degree_powerlaw_fit",
+    f"""
+    WITH {_cosupplier_edges_sql()},
+    und AS (
+      SELECT src AS v FROM pairs UNION ALL SELECT dst FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT v, count(*) AS d FROM und GROUP BY v
+    ),
+    dmin AS (SELECT min(d) AS dm FROM deg)
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS d_min,
+           CAST(max(d) AS BIGINT) AS d_max,
+           round(avg(d * 1.0), 4) AS d_mean,
+           round(1.0 + count(*) / sum(ln(d * 1.0 / (dm - 0.5))), 4)
+             AS alpha_mle
+    FROM deg CROSS JOIN dmin
+    """,
+)
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law exponent by the discrete MLE
+    (Clauset-Shalizi-Newman's ``α = 1 + n / Σ ln(d/(d_min-½))``) over
+    the co-supplier graph — the one-number heavy-tail diagnostic that
+    decides whether skew mitigation (salting, two-level aggregation)
+    is needed before any self-join on the entity graph.
+
+    Degrees are exact integer counts off the shared edge derivation
+    (one lineitem pass); the MLE is a single aggregate whose only
+    float exposure is a sum of ~|V| logs of exact ratios against a
+    4dp rounding.  At 100 TB the same two aggregates hold — degree is
+    a groupBy over the edge list, never an adjacency materialization."""
+    pairs = _cosupplier_edges(spark, sf_dir)
+    und = pairs.select(F.col("src").alias("v")).unionByName(
+        pairs.select(F.col("dst").alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("d"))
+    dmin = deg.agg(F.min("d").alias("dm"))
+    return deg.crossJoin(F.broadcast(dmin)).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.round(F.avg(F.col("d") * 1.0), 4).alias("d_mean"),
+        F.round(
+            1.0
+            + F.count("*")
+            / F.sum(F.log(F.col("d") * 1.0 / (F.col("dm") - 0.5))),
+            4,
+        ).alias("alpha_mle"),
+    )
