@@ -1,0 +1,449 @@
+"""Recommender / graph-analytics queries (seventh wave): item-item
+collaborative-filtering similarity, community-partition modularity,
+GNN-style neighborhood feature propagation, and gapped sequential
+pattern mining.
+
+These extend the reference's keyed/graph chapters (정리/5주차.md keyed
+state as the scope anchor) toward the co-occurrence feature mill a
+training-data pipeline runs over behavioral logs: "similar items" from
+co-purchase, "how modular is this partition" over an entity graph,
+"smooth node features over edges" (the message-passing primitive under
+every GraphSAGE-style featurizer), and "which ordered event patterns
+recur" (PrefixSpan level-2 with a bounded gap).
+
+Scale shapes (the point of each query, see per-query docstrings):
+- item-item similarity NEVER self-joins the fact table: per-basket
+  2-combinations explode inside one whole-stage-codegen expression
+  (Σ C(k,2) rows — baskets are small, so linear), pairs travel as
+  packed int64 keys, and the per-item counts broadcast back onto the
+  thresholded pair list.
+- modularity / feature propagation run over the group-reduced edge
+  list (|E| ≪ fact rows) with the tiny node→attribute dimension
+  broadcast.
+- sequential patterns use ONE ordered window per user (no per-user
+  self-join): the gapped successor list is a ROWS-frame window
+  aggregate, so the fan-out is ≤ GAP rows per event, linear.
+
+Cross-engine determinism: similarity/ratio floats divide exact BIGINT
+counts (IEEE division + sqrt are correctly rounded, hence
+bit-identical), window orderings always carry an integer tiebreak, and
+iterated propagation values are re-rounded every round on BOTH engines
+so float drift cannot compound (registry.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .queries_graph import (
+    _cosupplier_edges as cosupplier_edges,
+    _cosupplier_edges_sql as cosupplier_edges_sql,
+)
+from .registry import query
+
+ITEM_MIN_CO = 3  # min shared orders for an item pair
+ITEM_TOP_K = 5
+SEQ_GAP = 5  # max forward positions for a sequential pair
+SEQ_TOP = 25
+PROP_ALPHA = 0.5  # self-weight per propagation round
+
+
+@query(
+    "item_item_similar_parts",
+    f"""
+    WITH bask AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS co_cnt
+      FROM bask a JOIN bask b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {ITEM_MIN_CO}
+    ),
+    item AS (SELECT p, count(*) AS cnt FROM bask GROUP BY p),
+    sym AS (
+      SELECT pa AS item, pb AS other, co_cnt FROM co
+      UNION ALL
+      SELECT pb AS item, pa AS other, co_cnt FROM co
+    ),
+    scored AS (
+      SELECT s.item, s.other, s.co_cnt,
+             round(s.co_cnt / sqrt(ia.cnt * ib.cnt), 4) AS cosine
+      FROM sym s
+      JOIN item ia ON ia.p = s.item
+      JOIN item ib ON ib.p = s.other
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY item ORDER BY cosine DESC, co_cnt DESC, other
+      ) AS rk
+      FROM scored
+    )
+    SELECT item, other, CAST(co_cnt AS BIGINT) AS co_cnt, cosine, rk
+    FROM ranked WHERE rk <= {ITEM_TOP_K}
+    ORDER BY item, rk
+    """,
+)
+def item_item_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-k similar parts by cosine
+    over co-purchase counts (``cos(a,b) = c_ab / sqrt(c_a·c_b)``) — the
+    classic "customers who bought X also bought Y" candidate generator.
+
+    Scale shape: lineitem is scanned ONCE.  Baskets group to per-order
+    part sets; 2-combinations explode as packed int64 keys inside one
+    codegen'd higher-order expression (Σ C(k,2) — NO fact self-join,
+    unlike the oracle, which can afford one at sf0.01).  The pair list
+    is thresholded (≥{ITEM_MIN_CO} shared orders) before the per-item
+    counts — a reduced frame, broadcast — attach.  The top-k window
+    runs over the already-thin scored pairs.  At 100 TB the only
+    full-size shuffles are the basket groupBy and the 8-byte-key pair
+    count; everything after is proportional to surviving pairs.
+
+    Determinism: cosine divides exact counts through IEEE sqrt/division
+    (correctly rounded → bit-identical), and the rank ordering is on
+    the ROUNDED cosine with (co_cnt, other) integer tiebreaks, so both
+    engines cut the same top-k."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+    )
+    baskets = li.groupBy("okey").agg(F.collect_set("p").alias("arr")).persist()
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32) + F.greatest(x, y),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(packed).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= ITEM_MIN_CO)
+        .select(
+            F.shiftright("k", 32).alias("pa"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias("pb"),
+            "co_cnt",
+        )
+    )
+    item = (
+        baskets.select(F.explode("arr").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = co.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "co_cnt"
+    ).unionAll(
+        co.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "co_cnt"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(item.withColumnRenamed("cnt", "ca")),
+            sym.item == item.p,
+        )
+        .drop("p")
+        .join(
+            F.broadcast(item.withColumnRenamed("cnt", "cb")),
+            F.col("other") == item.p,
+        )
+        .select(
+            "item",
+            "other",
+            "co_cnt",
+            F.round(F.col("co_cnt") / F.sqrt(F.col("ca") * F.col("cb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("co_cnt").desc(), F.col("other")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ITEM_TOP_K)
+        .select("item", "other", F.col("co_cnt").cast("long"), "cosine", "rk")
+        .orderBy("item", "rk")
+    )
+
+
+@query(
+    "graph_modularity_nations",
+    f"""
+    WITH {cosupplier_edges_sql()},
+    attrs AS (
+      SELECT s_suppkey AS id, n_name AS com
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    ),
+    lab AS (
+      SELECT p.w, a.com AS ca, b.com AS cb
+      FROM pairs p
+      JOIN attrs a ON a.id = p.src
+      JOIN attrs b ON b.id = p.dst
+    ),
+    m AS (SELECT sum(w) AS mw FROM lab),
+    intra AS (
+      SELECT ca AS com, sum(w) AS intra_w FROM lab WHERE ca = cb GROUP BY ca
+    ),
+    deg AS (
+      SELECT com, sum(w) AS deg_w FROM (
+        SELECT ca AS com, w FROM lab
+        UNION ALL
+        SELECT cb AS com, w FROM lab
+      ) GROUP BY com
+    )
+    SELECT d.com AS community,
+           CAST(coalesce(i.intra_w, 0) AS BIGINT) AS intra_w,
+           CAST(d.deg_w AS BIGINT) AS deg_w,
+           round(coalesce(i.intra_w, 0) * 1.0 / (SELECT mw FROM m)
+                 - (d.deg_w / (2.0 * (SELECT mw FROM m)))
+                   * (d.deg_w / (2.0 * (SELECT mw FROM m))), 5) AS q_contrib
+    FROM deg d LEFT JOIN intra i ON i.com = d.com
+    ORDER BY community
+    """,
+)
+def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Newman modularity of the nation partition over the
+    co-supplier graph: per community ``Q_c = L_c/m − (d_c/2m)²`` —
+    the quality score every community detection (LPA, Louvain) is
+    judged by, here evaluating the geographic partition as the null
+    hypothesis.
+
+    Scale shape: edges derive from one lineitem scan (packed-pair
+    explode — see query_graph_shared); the supplier→nation attribute
+    map is a dimension broadcast onto both endpoints; everything after
+    is aggregation over |E| then |communities| rows.  The one-row
+    total-weight frame attaches via crossJoin(broadcast) — no driver
+    collect.
+
+    Determinism: L_c, d_c, m are exact BIGINTs; Q_c is two IEEE
+    divisions and one product on exact integers, bit-identical across
+    engines before the final round."""
+    edges = cosupplier_edges(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("nk")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("com")
+    )
+    attrs = sup.join(F.broadcast(nat), "nk").select("id", "com")
+    lab = (
+        edges.join(
+            F.broadcast(attrs.withColumnRenamed("com", "ca")),
+            edges.src == attrs.id,
+        )
+        .drop("id")
+        .join(
+            F.broadcast(attrs.withColumnRenamed("com", "cb")),
+            F.col("dst") == attrs.id,
+        )
+        .select("w", "ca", "cb")
+        .persist()
+    )
+    m = lab.agg(F.sum("w").alias("mw"))
+    intra = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("com"))
+        .agg(F.sum("w").alias("intra_w"))
+    )
+    deg = (
+        lab.select(F.col("ca").alias("com"), "w")
+        .unionAll(lab.select(F.col("cb").alias("com"), "w"))
+        .groupBy("com")
+        .agg(F.sum("w").alias("deg_w"))
+    )
+    out = (
+        deg.join(intra, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("com").alias("community"),
+            F.coalesce("intra_w", F.lit(0)).cast("long").alias("intra_w"),
+            F.col("deg_w").cast("long").alias("deg_w"),
+            F.round(
+                F.coalesce("intra_w", F.lit(0)) * 1.0 / F.col("mw")
+                - (F.col("deg_w") / (2.0 * F.col("mw")))
+                * (F.col("deg_w") / (2.0 * F.col("mw"))),
+                5,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+    return out
+
+
+def _prop_round_sql(prev: str, out: str) -> str:
+    """One SQL propagation round: ``x' = α·x + (1−α)·wmean(neighbors)``
+    (isolated nodes keep x), re-rounded to 4 decimals."""
+    return f"""
+    {out} AS (
+      SELECT n.id,
+             round({PROP_ALPHA} * n.x
+                   + (1 - {PROP_ALPHA}) * coalesce(s.nm, n.x) - 1e-9,
+                   4) AS x
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS id, sum(e.w * p.x) / sum(e.w) AS nm
+        FROM {prev} p JOIN sym e ON e.src = p.id
+        GROUP BY e.dst
+      ) s ON s.id = n.id
+    )"""
+
+
+@query(
+    "feature_propagation_2hop",
+    f"""
+    WITH {cosupplier_edges_sql()},
+    sym AS (
+      SELECT src, dst, w FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM pairs
+    ),
+    x0 AS (SELECT s_suppkey AS id, round(s_acctbal, 2) AS x FROM supplier),
+    {_prop_round_sql("x0", "x1")},
+    {_prop_round_sql("x1", "x2")}
+    SELECT x0.id AS s_suppkey, x0.x AS feat0, x1.x AS feat1, x2.x AS feat2
+    FROM x0 JOIN x1 ON x1.id = x0.id JOIN x2 ON x2.id = x0.id
+    ORDER BY feat2 DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def feature_propagation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style feature propagation: two synchronous rounds of
+    ``x' = α·x + (1−α)·weighted-neighbor-mean(x)`` over the co-supplier
+    graph, seeding with account balance — the message-passing primitive
+    under GraphSAGE-mean / label propagation / feature smoothing, as a
+    pure DataFrame join-aggregate (no UDF).
+
+    Scale shape: the symmetric edge list (one lineitem scan, packed-pair
+    explode) is persisted once and reused by both rounds; each round is
+    ONE shuffle join edge⋈features keyed on ``src`` followed by a
+    groupBy(dst) — exactly the co-partitioned round the large-graph
+    pagerank path uses, so a billion-node graph runs it unchanged.
+    Isolated nodes keep their feature via left-join coalesce.
+
+    Determinism: features re-round to 4 decimals EVERY round on both
+    engines (with the registry's −1e-9 half-boundary guard), so
+    summation-order ulps cannot compound across rounds; the final
+    ordering tiebreaks on the supplier key."""
+    edges = cosupplier_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst", "w")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .persist()
+    )
+    x = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.round("s_acctbal", 2).alias("x")
+    )
+    feats = [x]
+    for _ in range(2):
+        prev = feats[-1]
+        nm = (
+            sym.join(prev.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("nm"))
+        )
+        nxt = (
+            prev.join(nm, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    PROP_ALPHA * F.col("x")
+                    + (1 - PROP_ALPHA) * F.coalesce("nm", F.col("x"))
+                    - 1e-9,
+                    4,
+                ).alias("x"),
+            )
+        )
+        feats.append(nxt)
+    out = (
+        feats[0]
+        .withColumnRenamed("x", "feat0")
+        .join(feats[1].withColumnRenamed("x", "feat1"), "id")
+        .join(feats[2].withColumnRenamed("x", "feat2"), "id")
+        .select(
+            F.col("id").alias("s_suppkey"), "feat0", "feat1", "feat2"
+        )
+        .orderBy(F.col("feat2").desc(), "s_suppkey")
+        .limit(20)
+    )
+    return out
+
+
+@query(
+    "sequential_pattern_pairs",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND {SEQ_GAP} FOLLOWING
+             ) AS nexts
+      FROM events
+    ),
+    pairs AS (
+      SELECT s.user_id, s.a, u.b
+      FROM seq s, unnest(s.nexts) AS u(b)
+    ),
+    agg AS (
+      SELECT a, b, count(*) AS n_occur,
+             count(DISTINCT user_id) AS n_users
+      FROM pairs GROUP BY a, b
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_occur DESC, a, b) AS rk
+      FROM agg
+    )
+    SELECT a, b, CAST(n_occur AS BIGINT) AS n_occur,
+           CAST(n_users AS BIGINT) AS n_users, rk
+    FROM ranked WHERE rk <= {SEQ_TOP}
+    ORDER BY rk
+    """,
+)
+def sequential_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential pattern mining (PrefixSpan level 2): for every
+    ordered event-type pair ``a → b`` with ``b`` within the next
+    {SEQ_GAP} events of the same user, total occurrences and distinct-
+    user support — the "what follows what" mill behind next-event
+    features and funnel hypotheses, generalizing adjacent-only Markov
+    transitions to bounded-gap follows.
+
+    Scale shape: ONE ordered window per user (no per-user self-join —
+    the naive formulation is events⋈events on user, quadratic in
+    session length): the successor list is a ROWS-frame collect over
+    ≤{SEQ_GAP} rows, so the explode fan-out is linear (≤{SEQ_GAP}·|E|).
+    One shuffle partitions by user for the window; the pair count then
+    reduces tiny (type,type) keys.  Support counts are exact ints;
+    ranking tiebreaks lexicographically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, SEQ_GAP)
+    )
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.collect_list("event_type").over(w).alias("nexts"),
+    )
+    pairs = seq.select("user_id", "a", F.explode("nexts").alias("b"))
+    agg = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_occur"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    rw = Window.orderBy(F.col("n_occur").desc(), "a", "b")
+    return (
+        agg.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= SEQ_TOP)
+        .select(
+            "a",
+            "b",
+            F.col("n_occur").cast("long"),
+            F.col("n_users").cast("long"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
