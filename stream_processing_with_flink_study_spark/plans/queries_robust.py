@@ -1,0 +1,530 @@
+"""Robust statistics / evaluation-harness queries (seventh wave, part
+2): Theil–Sen robust trend, cross-source quantile normalization, Qini
+uplift curve, split-conformal prediction intervals, and a grid-bucketed
+geospatial distance join.
+
+These round out the offline-eval toolbox: a slope estimate outliers
+can't drag (Theil–Sen), a distribution aligner for heterogeneous
+sources (quantile normalization — the batch-effect fix from
+bioinformatics, equally the multi-corpus length equalizer), the
+uplift-modeling scorecard (Qini), distribution-free prediction
+intervals with finite-sample coverage (split conformal), and the
+nearest-facility join every logistics/geo feature needs, bucketed so it
+never goes quadratic.
+
+Scale shapes: every query reduces its fact table in one keyed pass
+before any window or join; the all-pairs constructions (Theil–Sen
+slopes, the geo oracle) run only over group-reduced frames (months,
+grid cells) and each docstring states the bounded-cardinality argument
+plus the swap-in at 100 TB (repeated-median windows, latitude-banded
+cells).
+
+Cross-engine determinism (registry.py conventions): money flows as
+BIGINT cents, interpolated percentiles are Spark ``percentile`` ≡
+DuckDB ``quantile_cont`` over identical exact inputs, threshold
+comparisons happen on values both engines hold bit-identically, and
+ntile orderings always carry a key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+QN_TILES = 100  # quantile-normalization resolution
+GEO_RADIUS_KM = 500.0
+GEO_LAT_CELL = 5  # degrees; ±60 lat clamp keeps 10° lon ≥ 500 km
+GEO_LON_CELL = 10
+
+
+@query(
+    "theil_sen_monthly_trend",
+    """
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.cents - a.cents) * 1.0 / (b.t - a.t) AS s
+      FROM m a JOIN m b ON b.t > a.t
+    ),
+    sl AS (SELECT round(quantile_cont(s, 0.5), 6) AS slope FROM slopes),
+    ic AS (
+      SELECT quantile_cont(m.cents - (SELECT slope FROM sl) * m.t, 0.5)
+             AS icept
+      FROM m
+    )
+    SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_months,
+           round((SELECT slope FROM sl) / 100.0, 4) AS slope_usd_per_month,
+           round((SELECT icept FROM ic) / 100.0, 4) AS intercept_usd
+    """,
+)
+def theil_sen_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly order revenue: the median of
+    all pairwise slopes, with the median-residual intercept — the slope
+    estimator with a 29% breakdown point, immune to the month outliers
+    that drag OLS (compare ``ols_price_model``'s closed form).
+
+    Scale shape: orders reduce to ONE ~80-row month frame (exact BIGINT
+    cents) in a single keyed pass; the all-pairs slope set is C(80,2) ≈
+    3.2k rows over the localCheckpointed series — the quadratic step
+    runs on the reduced frame, never the fact table.  For multi-decade
+    series the swap-in is the repeated-median over bounded time windows
+    (same frame, windowed pair explode).
+
+    Determinism: slopes divide exact BIGINT cents by exact month gaps
+    (IEEE division → bit-identical); the median interpolates identical
+    doubles on both engines; the slope is re-rounded to 6 decimals
+    BEFORE residuals so the intercept median sees identical inputs."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("t")
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .localCheckpoint()
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")) * 1.0
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("s")
+    )
+    sl = slopes.agg(F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope"))
+    resid = m.crossJoin(F.broadcast(sl)).select(
+        (F.col("cents") - F.col("slope") * F.col("t")).alias("r"), "slope"
+    )
+    ic = resid.groupBy("slope").agg(
+        F.expr("percentile(r, 0.5)").alias("icept")
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return n.crossJoin(F.broadcast(ic)).select(
+        "n_months",
+        F.round(F.col("slope") / 100.0, 4).alias("slope_usd_per_month"),
+        F.round(F.col("icept") / 100.0, 4).alias("intercept_usd"),
+    )
+
+
+@query(
+    "quantile_normalize_sources",
+    f"""
+    WITH tiled AS (
+      SELECT source, n_chars,
+             ntile({QN_TILES}) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS q
+      FROM documents
+    ),
+    per AS (
+      SELECT source, q,
+             round(sum(n_chars) * 1.0 / count(*), 4) AS mean_chars
+      FROM tiled GROUP BY source, q
+    ),
+    ref AS (
+      SELECT q, round(avg(mean_chars) - 1e-9, 4) AS norm_ref
+      FROM per GROUP BY q
+    )
+    SELECT p.source, p.q, p.mean_chars, r.norm_ref,
+           round(r.norm_ref - p.mean_chars, 4) AS shift
+    FROM per p JOIN ref r ON r.q = p.q
+    WHERE p.q % 10 = 0
+    ORDER BY p.source, p.q
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources: rank
+    each doc into {QN_TILES} within-source tiles, define the reference
+    distribution as the cross-source mean of per-tile means, and report
+    the per-source shift each tile needs — the batch-effect aligner
+    (Bolstad et al.) applied to corpus length equalization before
+    mixing heterogeneous sources into one training set.
+
+    Scale shape: one ntile window partitioned BY SOURCE (parallel
+    across sources; at 100 TB the exact ntile swaps for
+    approx-percentile bin edges, same downstream shape), then all
+    aggregation runs over the |sources|×{QN_TILES} reduced frame.
+
+    Determinism: tile cuts order by (n_chars, doc_id) — fully keyed;
+    per-tile means divide exact integer sums; the cross-source mean of
+    ROUNDED means gets the −1e-9 half-boundary guard before its own
+    rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    tiled = docs.select(
+        "source", "n_chars", F.ntile(QN_TILES).over(w).alias("q")
+    )
+    per = tiled.groupBy("source", "q").agg(
+        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "mean_chars"
+        )
+    )
+    ref = per.groupBy("q").agg(
+        F.round(F.avg("mean_chars") - 1e-9, 4).alias("norm_ref")
+    )
+    return (
+        per.join(F.broadcast(ref), "q")
+        .filter(F.col("q") % 10 == 0)
+        .select(
+            "source",
+            "q",
+            "mean_chars",
+            "norm_ref",
+            F.round(F.col("norm_ref") - F.col("mean_chars"), 4).alias("shift"),
+        )
+        .orderBy("source", "q")
+    )
+
+
+@query(
+    "qini_uplift_deciles",
+    """
+    WITH cust AS (
+      SELECT c.c_custkey,
+             c.c_custkey % 2 AS treat,
+             round(c.c_acctbal, 2) AS score,
+             CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS conv
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON o.o_custkey = c.c_custkey
+    ),
+    scored AS (
+      SELECT *, ntile(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+      FROM cust
+    ),
+    per AS (
+      SELECT decile,
+             sum(treat) AS n_t, sum(1 - treat) AS n_c,
+             sum(treat * conv) AS y_t, sum((1 - treat) * conv) AS y_c
+      FROM scored GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+             CAST(sum(y_t) OVER w AS BIGINT) AS cy_t,
+             CAST(sum(y_c) OVER w AS BIGINT) AS cy_c
+      FROM per
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT decile, cn_t, cn_c, cy_t, cy_c,
+           round(cy_t - cy_c * 1.0 * cn_t / cn_c, 4) AS qini,
+           round(cy_t * 1.0 / cn_t - cy_c * 1.0 / cn_c, 4) AS uplift_rate
+    FROM cum ORDER BY decile
+    """,
+)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve by score decile: cumulative incremental
+    conversions ``Q(k) = Yt(k) − Yc(k)·Nt(k)/Nc(k)`` plus the per-point
+    rate uplift — THE evaluation curve for uplift/targeting models
+    (Radcliffe), here over a deterministic key-parity pseudo-assignment
+    (an A/A-shaped harness: real experiments swap in their assignment
+    column, and a flat curve here is itself the sanity check).
+
+    Scale shape: one distinct-buyers semi-side reduced from orders
+    joins the customer dimension; the ntile runs over customers (a
+    dimension, |C| ≪ |O|) and everything after is a 10-row window.
+
+    Determinism: every count is an exact BIGINT; the decile cut orders
+    by cents-rounded balance with the customer key as tiebreak."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).alias("treat"),
+        F.round("c_acctbal", 2).alias("score"),
+    )
+    buyers = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    base = cust.join(
+        buyers, cust.c_custkey == buyers.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "treat",
+        "score",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("conv"),
+    )
+    scored = base.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "c_custkey")),
+    )
+    per = scored.groupBy("decile").agg(
+        F.sum("treat").alias("n_t"),
+        F.sum(1 - F.col("treat")).alias("n_c"),
+        F.sum(F.col("treat") * F.col("conv")).alias("y_t"),
+        F.sum((1 - F.col("treat")) * F.col("conv")).alias("y_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("n_t").over(w).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w).cast("long").alias("cn_c"),
+        F.sum("y_t").over(w).cast("long").alias("cy_t"),
+        F.sum("y_c").over(w).cast("long").alias("cy_c"),
+    )
+    return cum.select(
+        "decile",
+        "cn_t",
+        "cn_c",
+        "cy_t",
+        "cy_c",
+        F.round(
+            F.col("cy_t") - F.col("cy_c") * 1.0 * F.col("cn_t") / F.col("cn_c"),
+            4,
+        ).alias("qini"),
+        F.round(
+            F.col("cy_t") * 1.0 / F.col("cn_t")
+            - F.col("cy_c") * 1.0 / F.col("cn_c"),
+            4,
+        ).alias("uplift_rate"),
+    ).orderBy("decile")
+
+
+@query(
+    "conformal_interval_eval",
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg,
+             o_orderkey % 2 AS part,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer c ON c.c_custkey = o_custkey
+    ),
+    model AS (
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(floor(sum(cents) * 1.0 / count(*) + 0.5) AS BIGINT)
+               AS pred_cents
+      FROM o WHERE part = 0 GROUP BY seg
+    ),
+    qhat AS (
+      SELECT o.seg,
+             quantile_cont(abs(o.cents - m.pred_cents), 0.9) AS q_cents
+      FROM o JOIN model m ON m.seg = o.seg
+      WHERE o.part = 0 GROUP BY o.seg
+    ),
+    test AS (
+      SELECT o.seg,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(o.cents - m.pred_cents) <= q.q_cents
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM o
+      JOIN model m ON m.seg = o.seg
+      JOIN qhat q ON q.seg = o.seg
+      WHERE o.part = 1 GROUP BY o.seg
+    )
+    SELECT m.seg AS segment, m.n_cal, t.n_test,
+           round(m.pred_cents / 100.0, 2) AS pred_usd,
+           round(q.q_cents / 100.0, 2) AS qhat_usd,
+           round(t.n_covered * 1.0 / t.n_test, 4) AS coverage
+    FROM model m JOIN qhat q ON q.seg = m.seg JOIN test t ON t.seg = m.seg
+    ORDER BY segment
+    """,
+)
+def conformal_interval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals: fit a trivial per-segment
+    mean predictor on the calibration half (even order keys), take the
+    90th percentile of absolute calibration residuals as ``q̂``, and
+    measure empirical coverage of ``pred ± q̂`` on the test half — the
+    distribution-free interval recipe (Vovk; Lei et al.) whose coverage
+    guarantee needs only exchangeability, as a pure two-pass DataFrame
+    plan.
+
+    Scale shape: the fact table joins the customer dimension once and
+    reduces per (segment, half); the model and q̂ frames are
+    |segments|-row broadcasts back onto the aggregation — no per-row
+    state, second "pass" is a dimension join, not a rescan.
+
+    Determinism: money is exact BIGINT cents; the predictor is
+    floor-rounded to an exact integer before residuals, so residuals
+    are exact ints, the interpolated percentile sees identical inputs,
+    and the coverage comparison compares bit-identical values."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("ck"))
+        .select(
+            "seg",
+            (F.col("o_orderkey") % 2).alias("part"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .persist()
+    )
+    cal = o.filter(F.col("part") == 0)
+    model = cal.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.floor(F.sum("cents") * 1.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("pred_cents"),
+    )
+    qhat = (
+        cal.join(F.broadcast(model), "seg")
+        .groupBy("seg")
+        .agg(
+            F.expr("percentile(abs(cents - pred_cents), 0.9)").alias("q_cents")
+        )
+    )
+    test = (
+        o.filter(F.col("part") == 1)
+        .join(F.broadcast(model), "seg")
+        .join(F.broadcast(qhat), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("q_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        model.join(qhat, "seg")
+        .join(test, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            "n_cal",
+            "n_test",
+            F.round(F.col("pred_cents") / 100.0, 2).alias("pred_usd"),
+            F.round(F.col("q_cents") / 100.0, 2).alias("qhat_usd"),
+            F.round(F.col("n_covered") * 1.0 / F.col("n_test"), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+_GEO_C_LAT = "((c_custkey * 37) % 1200) / 10.0 - 60.0"
+_GEO_C_LON = "((c_custkey * 73) % 3600) / 10.0 - 180.0"
+_GEO_S_LAT = "((s_suppkey * 41) % 1200) / 10.0 - 60.0"
+_GEO_S_LON = "((s_suppkey * 79) % 3600) / 10.0 - 180.0"
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2 * 6371.0 * asin(sqrt("
+        f"sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" * sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2)"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2)))"
+    )
+
+
+@query(
+    "geo_grid_neighbor_join",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, {_GEO_C_LAT} AS lat, {_GEO_C_LON} AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, {_GEO_S_LAT} AS lat, {_GEO_S_LON} AS lon
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round({_haversine_sql("c.lat", "c.lon", "s.lat", "s.lon")}
+                   - 1e-9, 3) AS dist_km
+      FROM c, s
+    )
+    SELECT c_custkey, s_suppkey, dist_km
+    FROM pairs WHERE dist_km <= {GEO_RADIUS_KM}
+    ORDER BY dist_km, c_custkey, s_suppkey
+    """,
+)
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius join: every (customer, supplier) pair within
+    {GEO_RADIUS_KM} km by exact haversine distance, found via a
+    lat/lon GRID-CELL equi-join (coordinates are synthesized
+    deterministically from the keys — the container ships no geo data —
+    clamped to ±60° latitude).
+
+    Scale shape — the point of the query: the naive form is a full
+    cross join (the ORACLE runs exactly that, so driver parity PROVES
+    the grid prune lossless).  The Spark plan instead buckets both
+    sides into {GEO_LAT_CELL}°×{GEO_LON_CELL}° cells and equi-joins the
+    customer cell against the 9 neighbor cells of each supplier
+    (longitude wraps mod 360°): candidates drop from |C|·|S| to cell
+    occupancy products.  Cell size is chosen so no ≤{GEO_RADIUS_KM} km
+    pair can escape the 3×3 neighborhood at |lat| ≤ 60° (10° lon ≥
+    500 km there); at production scale the cells become
+    latitude-banded widths to lift the clamp, and the supplier
+    broadcast becomes a cell-keyed shuffle join with the same plan.
+
+    Determinism: trig inputs derive from exact integer arithmetic
+    identically on both engines; the rounded distance (−1e-9 guard)
+    is what both the threshold and the ordering compare."""
+    cdf = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_GEO_C_LAT} AS lat", f"{_GEO_C_LON} AS lon"
+    )
+    sdf = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{_GEO_S_LAT} AS lat", f"{_GEO_S_LON} AS lon"
+    )
+    n_lon_cells = 360 // GEO_LON_CELL
+    ccell = cdf.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90) / GEO_LAT_CELL).alias("la"),
+        F.floor((F.col("lon") + 180) / GEO_LON_CELL).alias("lo"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), i -> "
+        "struct(i div 3 - 1 AS dla, i % 3 - 1 AS dlo)))"
+    )
+    scell = (
+        sdf.select("s_suppkey", "lat", "lon",
+                   F.floor((F.col("lat") + 90) / GEO_LAT_CELL).alias("sla"),
+                   F.floor((F.col("lon") + 180) / GEO_LON_CELL).alias("slo"))
+        .select("*", offsets.alias("o"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.col("sla") + F.col("o.dla")).alias("la"),
+            F.pmod(F.col("slo") + F.col("o.dlo"), F.lit(n_lon_cells)).alias(
+                "lo"
+            ),
+        )
+    )
+    dist = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("s_lat") - F.col("lat")) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("s_lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("s_lon") - F.col("lon")) / 2), 2
+                )
+            )
+        )
+        - 1e-9,
+        3,
+    )
+    return (
+        ccell.join(F.broadcast(scell), ["la", "lo"])
+        .select("c_custkey", "s_suppkey", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= GEO_RADIUS_KM)
+        .orderBy("dist_km", "c_custkey", "s_suppkey")
+    )
