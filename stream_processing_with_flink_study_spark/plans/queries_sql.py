@@ -660,3 +660,134 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").cast("long").alias("k_distinct"),
         )
     )
+
+
+@query(
+    "sql_pipe_syntax_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS revenue_usd
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL *pipe syntax* (Spark 4 / GoogleSQL `FROM … |> …`): the
+    pricing-summary rollup written as a linear pipeline of `|>`
+    operators instead of nested SELECTs — the readability surface for
+    analysts, compiled by Catalyst to EXACTLY the plan the ANSI form
+    gets (the shipdate predicate still reaches the parquet scan as a
+    pushed filter; money sums ride exact BIGINT cents)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "piped_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM piped_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-01'
+        |> AGGREGATE
+             count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue_usd
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, sum_qty, revenue_usd
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_scripting_var_rollup",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    thr AS (
+      SELECT CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS t FROM c
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_big,
+           round(min(cents) / 100.0, 2) AS min_usd,
+           round(max(cents) / 100.0, 2) AS max_usd
+    FROM c WHERE cents > (SELECT t FROM thr)
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def sql_scripting_var_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL *scripting* (Spark 4 `BEGIN … END` compound statements with
+    script-local variables): a two-statement procedure — compute the
+    90th-percentile order value into a DECLAREd variable, then roll up
+    the orders above it — the migration target for stored-procedure
+    workloads.  The variable is script-scoped (no session leakage
+    between registry queries); the second statement is an ordinary
+    Catalyst plan whose `cents > thr` predicate is a folded literal by
+    the time it reaches the scan.  Threshold and money are exact BIGINT
+    cents on both engines (floor of the interpolated percentile), so
+    the boundary comparison cannot fork."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "scripted_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          SET thr = (
+            SELECT CAST(floor(percentile(
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.9))
+                   AS BIGINT)
+            FROM scripted_orders);
+          SELECT o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n_big,
+                 round(CAST(min(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100.0, 2) AS min_usd,
+                 round(CAST(max(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100.0, 2) AS max_usd
+          FROM scripted_orders
+          WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > thr
+          GROUP BY o_orderpriority
+          ORDER BY priority;
+        END
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate_topn",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY round(c_acctbal, 2) DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def sql_execute_immediate_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dynamic SQL (`EXECUTE IMMEDIATE … USING`): the
+    injection-safe template API — the segment and N arrive as BOUND
+    PARAMETERS, never string-spliced, the pattern every multi-tenant
+    report runner needs.  The bound predicate behaves exactly like a
+    literal to Catalyst (segment filter pushed to the scan).
+    Deterministic top-N: cents-rounded balance with key tiebreak."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "dyn_customer"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance
+           FROM dyn_customer
+           WHERE c_mktsegment = ?
+           ORDER BY round(c_acctbal, 2) DESC, c_custkey
+           LIMIT ?'
+        USING 'BUILDING', 10
+        """
+    )
