@@ -335,8 +335,16 @@ def feature_propagation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
         .persist()
     )
-    x = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("id"), F.round("s_acctbal", 2).alias("x")
+    # each later round AND the final three-way join re-reference every
+    # earlier round's frame; eager cuts pin each (supplier-sized) round
+    # to one computation — without them the analyzed plan rescans the
+    # supplier/lineitem sources once per reference (audit: 9 scans)
+    x = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("id"), F.round("s_acctbal", 2).alias("x")
+        )
+        .localCheckpoint()
     )
     feats = [x]
     for _ in range(2):
@@ -357,6 +365,7 @@ def feature_propagation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4,
                 ).alias("x"),
             )
+            .localCheckpoint()
         )
         feats.append(nxt)
     out = (
