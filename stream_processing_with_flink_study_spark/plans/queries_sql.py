@@ -791,3 +791,73 @@ def sql_execute_immediate_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 'BUILDING', 10
         """
     )
+
+
+@query(
+    "listagg_nation_suppliers",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (`LISTAGG … WITHIN GROUP`, new in
+    Spark 4 — the ISO form of the string_agg/group_concat every report
+    writer reaches for): per-nation CSV of supplier names.  The WITHIN
+    GROUP ordering makes the concatenation deterministic (unordered
+    collect_list + array_join is the classic nondeterminism trap this
+    function closes).  Scale: one dimension join + one groupBy; output
+    size is the real limit (documented — listagg is a reporting
+    aggregate, not a data-movement one)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "la_supplier"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("la_nation")
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)
+                 AS supplier_csv
+        FROM la_supplier JOIN la_nation ON n_nationkey = s_nationkey
+        GROUP BY n_name
+        ORDER BY nation
+        """
+    )
+
+
+@query(
+    "approx_topk_event_types",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    """,
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` frequent-items sketch (Spark 4 datasketches
+    surface): heavy hitters of the event-type column from ONE
+    fixed-size mergeable sketch instead of a full groupBy — the
+    shuffle-free path for "top values of a high-cardinality column"
+    dashboards.  Driver parity holds because k (64) exceeds the
+    column's distinct count, where the sketch is EXACT by
+    construction; at real cardinalities the estimates carry the
+    documented datasketches error bound and the exact twin
+    (`token_heavy_hitters`'s two-pass recount) is the verify path.
+    The result array is re-sorted (cnt desc, type) after explode so
+    the output ordering never depends on sketch internals."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 64)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+    )
