@@ -1090,3 +1090,79 @@ def ks_test_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@query(
+    "crypto_shred_erasure",
+    oracle="""
+    WITH marked AS (
+      SELECT c_mktsegment AS segment, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS erased
+      FROM customer
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(erased) AS BIGINT) AS n_erased,
+           CAST(sum(1 - erased) AS BIGINT) AS n_readable,
+           min(CASE WHEN erased = 0 THEN c_name END) AS first_readable_name
+    FROM marked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def crypto_shred_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten via CRYPTO-SHREDDING: PII columns are
+    stored AES-encrypted under a per-user key; "erasure" deletes only
+    the key row, after which the ciphertext is unreadable forever — the
+    pattern that makes deletion O(|users|) instead of rewriting
+    petabytes of immutable parquet.  This query runs the full loop in
+    one plan: encrypt names under per-user AES-256 keys (ECB here so
+    the driver oracle stays deterministic; production uses GCM),
+    drop the keys of every 7th user, left-join the surviving keyring,
+    decrypt what remains, and report per-segment erased/readable
+    counts plus the first still-readable plaintext — which the oracle
+    reproduces from the raw table, PROVING the encrypt→shred→decrypt
+    loop is lossless for retained users and total for erased ones.
+
+    Scale shape: the keyring is a per-user dimension (same key space
+    as the data's user column — co-partitioned equi-join, or broadcast
+    when it fits); encryption is a JVM codegen expression, no UDF."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.substring(
+        F.sha2(F.concat(F.lit("k"), F.col("c_custkey").cast("string")), 256),
+        1,
+        32,
+    )
+    enc = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "aes_encrypt(c_name, substring(sha2(concat('k', CAST(c_custkey"
+            " AS STRING)), 256), 1, 32), 'ECB', 'PKCS') "
+        ).alias("name_ct"),
+    )
+    keyring = (
+        cust.select("c_custkey", key.alias("k"))
+        .filter(F.col("c_custkey") % 7 != 0)  # the shred: keys deleted
+    )
+    joined = enc.join(keyring, "c_custkey", "left").select(
+        "segment",
+        F.when(
+            F.col("k").isNotNull(),
+            F.expr("CAST(aes_decrypt(name_ct, k, 'ECB', 'PKCS') AS STRING)"),
+        ).alias("name_plain"),
+    )
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("name_plain").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_erased"),
+            F.sum(F.when(F.col("name_plain").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_readable"),
+            F.min("name_plain").alias("first_readable_name"),
+        )
+        .orderBy("segment")
+    )
