@@ -1839,3 +1839,107 @@ def ccf_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccf"),
         )
     )
+
+
+@query(
+    "fixed_effects_within_ols",
+    """
+    WITH panel AS MATERIALIZED (
+      SELECT o_custkey AS ck,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) / 100.0 AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    cm AS MATERIALIZED (
+      SELECT ck, avg(x) AS cx, avg(y) AS cy FROM panel GROUP BY ck
+    ),
+    tm AS MATERIALIZED (
+      SELECT t, avg(x) AS tx, avg(y) AS ty FROM panel GROUP BY t
+    ),
+    gm AS MATERIALIZED (SELECT avg(x) AS gx, avg(y) AS gy FROM panel),
+    dem AS (
+      SELECT p.x - c.cx - m.tx + g.gx AS xt,
+             p.y - c.cy - m.ty + g.gy AS yt
+      FROM panel p
+      JOIN cm c ON c.ck = p.ck
+      JOIN tm m ON m.t = p.t
+      CROSS JOIN gm g
+    )
+    SELECT CAST((SELECT count(*) FROM panel) AS BIGINT) AS n_obs,
+           CAST((SELECT count(*) FROM cm) AS BIGINT) AS n_customers,
+           CAST((SELECT count(*) FROM tm) AS BIGINT) AS n_months,
+           round(sum(xt * yt) / sum(xt * xt), 4) AS slope_within,
+           round(sum(xt * yt) * sum(xt * yt)
+                 / (sum(xt * xt) * sum(yt * yt)), 4) AS r2_within
+    FROM dem
+    """,
+)
+def fixed_effects_within_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects panel regression (the workhorse of applied
+    econometrics): regress customer-month spend on order count after
+    absorbing BOTH customer and month fixed effects via the within
+    transformation ``ỹ = y − ȳ_i − ȳ_t + ȳ`` — equivalent to OLS with
+    thousands of dummy variables, at the cost of three mean tables
+    instead of a design matrix (Frisch–Waugh–Lovell).
+
+    Scale shape: orders reduce to the (customer, month) panel in ONE
+    keyed pass (checkpointed — four consumers); the entity/time mean
+    frames are group-reduced dimensions joined back (customer means
+    shuffle-join on the panel's own key; month means and the grand mean
+    broadcast), and the slope is a single centered-moment aggregate —
+    the numerically stable two-pass shape of ``ols_price_model``, never
+    a dummy-variable matrix.
+
+    Determinism: panel y is exact BIGINT cents over 100; means divide
+    exact sums; the final moment ratios round at 4 decimals (ulp-level
+    summation-order drift is 10 orders below)."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    panel = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("t"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            (F.sum(cents).cast("long") / 100.0).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    cm = panel.groupBy("ck").agg(
+        F.avg("x").alias("cx"), F.avg("y").alias("cy")
+    )
+    tm = panel.groupBy("t").agg(F.avg("x").alias("tx"), F.avg("y").alias("ty"))
+    gm = panel.agg(F.avg("x").alias("gx"), F.avg("y").alias("gy"))
+    dem = (
+        panel.join(cm, "ck")
+        .join(F.broadcast(tm), "t")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (F.col("x") - F.col("cx") - F.col("tx") + F.col("gx")).alias("xt"),
+            (F.col("y") - F.col("cy") - F.col("ty") + F.col("gy")).alias("yt"),
+        )
+    )
+    counts = panel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.countDistinct("ck").cast("long").alias("n_customers"),
+        F.countDistinct("t").cast("long").alias("n_months"),
+    )
+    mom = dem.agg(
+        F.sum(F.col("xt") * F.col("yt")).alias("sxy"),
+        F.sum(F.col("xt") * F.col("xt")).alias("sxx"),
+        F.sum(F.col("yt") * F.col("yt")).alias("syy"),
+    )
+    return counts.crossJoin(F.broadcast(mom)).select(
+        "n_obs",
+        "n_customers",
+        "n_months",
+        F.round(F.col("sxy") / F.col("sxx"), 4).alias("slope_within"),
+        F.round(
+            F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 4
+        ).alias("r2_within"),
+    )
