@@ -1872,3 +1872,181 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.cast("long").alias("n_new"),
         F.round(keep * 1.0 / F.count("*"), 4).alias("keep_rate"),
     )
+
+
+@query(
+    "scd2_asof_fact_resolve",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    versioned AS (
+      SELECT *,
+             CASE WHEN kind = 0 THEN CAST(row_number() OVER (
+               PARTITION BY user_id, kind ORDER BY ts, event_id) AS INT)
+             END AS v
+      FROM tagged
+    ),
+    resolved AS (
+      SELECT user_id, kind, value,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS version
+      FROM versioned
+    )
+    SELECT coalesce(version, 0) AS profile_version,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS total_value
+    FROM resolved WHERE kind = 1
+    GROUP BY 1 ORDER BY profile_version
+    """,
+)
+def scd2_asof_fact_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-versioned-dimension resolution: every purchase resolves
+    to the SCD-2 profile version (signup ordinal) valid AT ITS EVENT
+    TIME — the join every warehouse does between an immutable fact
+    stream and a slowly-changing dimension, rolled up as "purchases by
+    profile age" (version 0 = purchases before any signup).
+
+    Scale shape — the point: NOT a range join (fact ⋈ dim ON
+    valid_from ≤ ts < valid_to is a per-user interval cross product).
+    Both streams UNION into one frame and a single forward-fill window
+    (``last(version) IGNORE NULLS`` over user-time order, signup
+    sorting before fact at equal timestamps) resolves every fact in
+    one sort — the as-of union trick, one shuffle on the user key,
+    linear in |facts| + |versions|.
+
+    Determinism: version ordinals are exact ints keyed by
+    (ts, event_id); per-version value sums round at 4."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("kind"),
+    )
+    vw = Window.partitionBy("user_id", "kind").orderBy("ts", "event_id")
+    versioned = tagged.withColumn(
+        "v",
+        F.when(F.col("kind") == 0, F.row_number().over(vw).cast("int")),
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = versioned.select(
+        "user_id",
+        "kind",
+        "value",
+        F.last("v", ignorenulls=True).over(fw).alias("version"),
+    )
+    return (
+        resolved.filter(F.col("kind") == 1)
+        .groupBy(
+            F.coalesce("version", F.lit(0)).alias("profile_version")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("profile_version")
+    )
+
+
+@query(
+    "snapshot_diff_audit",
+    oracle="""
+    WITH snap1 AS (
+      SELECT doc_id, md5(text) AS digest, n_chars FROM documents
+    ),
+    snap2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END)
+               AS digest,
+             CASE WHEN doc_id % 17 = 0 THEN n_chars + 3 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000000, md5(text), n_chars
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    diff AS (
+      SELECT CASE
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN a.digest <> b.digest THEN 'changed'
+               ELSE 'unchanged'
+             END AS status,
+             coalesce(a.n_chars, 0) AS c1, coalesce(b.n_chars, 0) AS c2
+      FROM snap1 a FULL OUTER JOIN snap2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c1) AS BIGINT) AS chars_before,
+           CAST(sum(c2) AS BIGINT) AS chars_after
+    FROM diff GROUP BY status ORDER BY status
+    """,
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every document across two
+    releases as added / removed / changed / unchanged by content
+    digest, with char-volume movement per class — the release audit
+    every dataset version bump ships with (the second snapshot is
+    derived deterministically in-plan: drop every 13th doc, edit every
+    17th, add a copy of every 11th under a new id — both engines build
+    the identical pair of snapshots).
+
+    Scale shape: each snapshot reduces to (id, digest) — 16-byte md5,
+    not text — before the FULL OUTER equi-join on the id, so the diff
+    shuffles digests, never documents; in production the digests are
+    precomputed per release and this is a join of two manifest tables.
+    All outputs are exact counts/sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    snap1 = docs.select("doc_id", F.md5("text").alias("digest"), "n_chars")
+    changed = F.col("doc_id") % 17 == 0
+    snap2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(changed, F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ).alias("digest"),
+            F.when(changed, F.col("n_chars") + 3)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                F.md5("text").alias("digest"),
+                "n_chars",
+            )
+        )
+    )
+    a = snap1.alias("a")
+    b = snap2.alias("b")
+    diff = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.digest") != F.col("b.digest"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("a.n_chars"), F.lit(0)).alias("c1"),
+        F.coalesce(F.col("b.n_chars"), F.lit(0)).alias("c2"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c1").cast("long").alias("chars_before"),
+            F.sum("c2").cast("long").alias("chars_after"),
+        )
+        .orderBy("status")
+    )
