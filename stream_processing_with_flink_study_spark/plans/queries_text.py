@@ -1047,3 +1047,122 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "bitext_margin_mining",
+    oracle="""
+    WITH src AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+                 WHERE label = 0),
+    tgt AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings
+            WHERE label = 1),
+    scored AS MATERIALIZED (
+      SELECT sid, tid,
+             round(list_cosine_similarity(s.sv::DOUBLE[], t.tv::DOUBLE[]), 6)
+               AS sim
+      FROM src s CROSS JOIN tgt t
+    ),
+    fwd AS MATERIALIZED (
+      SELECT sid, avg(sim) AS fk FROM (
+        SELECT sid, sim, row_number() OVER (
+          PARTITION BY sid ORDER BY sim DESC, tid) AS rn
+        FROM scored
+      ) WHERE rn <= 4 GROUP BY sid
+    ),
+    bwd AS MATERIALIZED (
+      SELECT tid, avg(sim) AS bk FROM (
+        SELECT tid, sim, row_number() OVER (
+          PARTITION BY tid ORDER BY sim DESC, sid) AS rn
+        FROM scored
+      ) WHERE rn <= 4 GROUP BY tid
+    ),
+    margins AS (
+      SELECT s.sid, s.tid, s.sim,
+             round(s.sim / ((f.fk + b.bk) / 2) - 1e-9, 4) AS margin
+      FROM scored s
+      JOIN fwd f ON f.sid = s.sid
+      JOIN bwd b ON b.tid = s.tid
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY sid ORDER BY margin DESC, tid) AS rn
+      FROM margins
+    )
+    SELECT sid, tid, round(sim, 4) AS cosine_sim, margin
+    FROM best WHERE rn = 1 AND margin >= 1.0
+    ORDER BY margin DESC, sid, tid
+    LIMIT 30
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining with RATIO MARGIN scoring (Artetxe & Schwenk, the
+    LASER/CCMatrix recipe): label-0 vectors play the source language,
+    label-1 the target; each source's best target is scored by
+    ``sim / mean(avg-top-4 forward, avg-top-4 backward)`` and kept only
+    above margin 1.0 — raw cosine keeps hubs (vectors near everything),
+    the margin criterion kills them; this is the parallel-corpus miner
+    behind large-scale MT training data.
+
+    Scale shape: the dense score block is |src|·|tgt| with the smaller
+    side broadcast (the production path buckets through the ANN index
+    first — `ann_lsh_topk` — and margins only the candidate lists; the
+    exact block here doubles as that path's verify oracle).  The
+    forward/backward top-k means reduce per source/target then
+    broadcast back onto the scored block.
+
+    Determinism: sims round to 6 BEFORE ranking and averaging, margins
+    to 4 with the −1e-9 guard; every window carries an id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    )
+    tgt = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("tv")
+    )
+    scored = (
+        src.crossJoin(F.broadcast(tgt))
+        .select(
+            "sid",
+            "tid",
+            F.round(similarity.cosine(F.col("sv"), F.col("tv")), 6).alias(
+                "sim"
+            ),
+        )
+        .persist()
+    )
+    fw = Window.partitionBy("sid").orderBy(F.col("sim").desc(), "tid")
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= 4)
+        .groupBy("sid")
+        .agg(F.avg("sim").alias("fk"))
+    )
+    bw = Window.partitionBy("tid").orderBy(F.col("sim").desc(), "sid")
+    bwd = (
+        scored.withColumn("rn", F.row_number().over(bw))
+        .filter(F.col("rn") <= 4)
+        .groupBy("tid")
+        .agg(F.avg("sim").alias("bk"))
+    )
+    margins = (
+        scored.join(F.broadcast(fwd), "sid")
+        .join(F.broadcast(bwd), "tid")
+        .select(
+            "sid",
+            "tid",
+            "sim",
+            F.round(
+                F.col("sim") / ((F.col("fk") + F.col("bk")) / 2) - 1e-9, 4
+            ).alias("margin"),
+        )
+    )
+    mw = Window.partitionBy("sid").orderBy(F.col("margin").desc(), "tid")
+    return (
+        margins.withColumn("rn", F.row_number().over(mw))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= 1.0))
+        .select(
+            "sid", "tid", F.round("sim", 4).alias("cosine_sim"), "margin"
+        )
+        .orderBy(F.col("margin").desc(), "sid", "tid")
+        .limit(30)
+    )
