@@ -2050,3 +2050,90 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "streaming_scd2_resolve",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('signup', 'purchase')
+        AND user_id % 4 = 3
+    ),
+    versioned AS (
+      SELECT *,
+             CASE WHEN kind = 0 THEN CAST(row_number() OVER (
+               PARTITION BY user_id, kind ORDER BY ts, event_id) AS INT)
+             END AS v
+      FROM tagged
+    ),
+    resolved AS (
+      SELECT user_id, kind, value,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS version
+      FROM versioned
+    )
+    SELECT coalesce(version, 0) AS profile_version,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS total_value
+    FROM resolved WHERE kind = 1
+    GROUP BY 1 ORDER BY profile_version
+    """,
+)
+def streaming_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 fact resolution run THROUGH Structured Streaming under
+    the oracle gate: two event-time-ordered micro-batches, a keyed
+    ValueState version counter (:func:`..streaming.stateful.
+    scd2_version_resolve`) carrying each user's committed version count
+    across the batch boundary, and the emitted stamped facts roll up to
+    the same per-version totals the batch forward-fill window produces.
+    Same quarter-key-space slicing as the other driver-gated stateful
+    replays."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import scd2_version_resolve
+    from .registry import scratch_dir
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("signup", "purchase")
+            & (F.col("user_id") % 4 == 3)
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "signup", 0)
+            .otherwise(1)
+            .alias("kind"),
+        )
+    )
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(mid)),
+        ev.filter(F.col("ts") > F.lit(mid)),
+    ]
+    src_dir = scratch_dir("src_scd2_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scratch_dir("ck_scd2_stream_") as ck:
+            got = run_available_now(scd2_version_resolve(sdf), ck, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return (
+        got.groupBy(F.col("version").alias("profile_version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("profile_version")
+    )

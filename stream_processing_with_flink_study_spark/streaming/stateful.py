@@ -877,3 +877,62 @@ def drawdown_partials(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def scd2_version_resolve(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    kind_col: str = "kind",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming fact-to-SCD2 resolution — the stateful twin of
+    ``plans.queries_corpus.scd2_asof_fact_resolve``: state is ONE
+    counter per key (how many dimension versions committed so far, plus
+    the last committed order position), each ``kind=0`` row advances it,
+    each ``kind=1`` row emits itself stamped with the current version —
+    Flink's keyed ValueState enrichment (``정리/5주차.md:24-59``)
+    without ever materializing validity intervals or range-joining.
+
+    Rows sort by (ts, kind, order_col) inside the batch — the dimension
+    row wins a timestamp tie, matching the batch window's ordering —
+    and rows at-or-before the committed position are dropped (feed
+    event-time-ordered splits, as the driver query does)."""
+    out_schema = f"{key} long, version integer, {value_col} double"
+    state_schema = "n_versions integer, last_ms long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts, kind_col, order_col]
+        )
+        n_ver, last_ms = state.get if state.exists else (0, None)
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = ms > last_ms
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        kinds = pdf[kind_col].to_numpy()
+        # version at each row = committed count + signups seen so far
+        # in-batch (cumsum BEFORE the row for facts: a tie-sorted
+        # dimension row at the same instant already counted)
+        vers = n_ver + np.cumsum(kinds == 0)
+        facts = kinds == 1
+        state.update((int(vers[-1]), int(ms[-1])))
+        if facts.any():
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].to_numpy()[facts],
+                    "version": vers[facts].astype("int32"),
+                    value_col: pdf[value_col].to_numpy()[facts],
+                }
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
