@@ -1071,3 +1071,138 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("alpha_mle"),
     )
+
+
+HITS_ITERS = 4
+HITS_MIN_LINES = 2  # supplier->part edge needs this many lineitems
+
+
+def _hits_round_sql(prev_h: str, prev_a: str, out_h: str, out_a: str) -> str:
+    """One HITS round in SQL: authority pull, hub push, each L1-
+    normalized and re-rounded (−1e-9 guard) so engines cannot fork."""
+    return f"""
+    {out_a}_raw AS MATERIALIZED (
+      SELECT e.pk, sum(h.score * e.w) AS s
+      FROM bip e JOIN {prev_h} h ON h.sk = e.sk
+      GROUP BY e.pk
+    ),
+    {out_a} AS MATERIALIZED (
+      SELECT pk, round(s / (SELECT sum(s) FROM {out_a}_raw) - 1e-9, 6)
+               AS score
+      FROM {out_a}_raw
+    ),
+    {out_h}_raw AS MATERIALIZED (
+      SELECT e.sk, sum(a.score * e.w) AS s
+      FROM bip e JOIN {out_a} a ON a.pk = e.pk
+      GROUP BY e.sk
+    ),
+    {out_h} AS MATERIALIZED (
+      SELECT sk, round(s / (SELECT sum(s) FROM {out_h}_raw) - 1e-9, 6)
+               AS score
+      FROM {out_h}_raw
+    )"""
+
+
+def _hits_oracle() -> str:
+    rounds = ",".join(
+        _hits_round_sql(f"h{k - 1}", f"a{k - 1}", f"h{k}", f"a{k}")
+        for k in range(1, HITS_ITERS + 1)
+    )
+    return f"""
+    WITH bip AS MATERIALIZED (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+      HAVING count(*) >= {HITS_MIN_LINES}
+    ),
+    hn AS (SELECT count(DISTINCT sk) AS n FROM bip),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT sk, 1.0 / (SELECT n FROM hn) AS score FROM bip
+    ),
+    {rounds}
+    SELECT p.pk AS p_partkey,
+           round(a.score * (SELECT count(*) FROM a{HITS_ITERS}), 4)
+             AS authority_rel
+    FROM a{HITS_ITERS} a JOIN (SELECT DISTINCT pk FROM bip) p ON p.pk = a.pk
+    ORDER BY authority_rel DESC, p_partkey
+    LIMIT 20
+    """
+
+
+@query("hits_part_authority", _hits_oracle())
+def hits_part_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite supplier→part supply graph:
+    {HITS_ITERS} rounds of authority-pull / hub-push with L1
+    normalization — authoritative parts are those supplied heavily by
+    hub suppliers, the mutually-reinforcing ranking PageRank's single
+    score can't express.  Complements ``pagerank_cosupplier``:
+    same broadcast-iterate scaffolding, a DIFFERENT fixed point.
+
+    Scale shape: lineitem reduces to the weighted bipartite edge list
+    in one keyed pass (persisted; both directions of every round read
+    it); each half-round is one join + keyed sum over |E|, with the
+    score vector broadcast while node counts permit and the same
+    co-partitioned-join flip as the pagerank operator beyond (the edge
+    cache is the shuffle-side contract).  Scores re-round to 6 every
+    normalization with the −1e-9 guard, so iteration drift cannot fork
+    engines; output is relative to uniform (score · N)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bip = (
+        li.groupBy(
+            F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= HITS_MIN_LINES)
+        .persist()
+    )
+    h = (
+        bip.select("sk")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bip.select("sk").distinct().agg(
+                    (1.0 / F.count(F.lit(1))).alias("score")
+                )
+            )
+        )
+        .localCheckpoint()
+    )
+    # L1 normalization via a global window over the group-reduced score
+    # frame: every intermediate is then referenced ONCE, so the whole
+    # {HITS_ITERS}-round chain stays a single linear lazy plan — one job,
+    # no per-round eager cuts, no 2^rounds recompute
+    norm = Window.partitionBy()
+    a = None
+    for _ in range(HITS_ITERS):
+        a = (
+            bip.join(F.broadcast(h), "sk")
+            .groupBy("pk")
+            .agg(F.sum(F.col("score") * F.col("w")).alias("s"))
+            .select(
+                "pk",
+                F.round(
+                    F.col("s") / F.sum("s").over(norm) - 1e-9, 6
+                ).alias("score"),
+            )
+        )
+        h = (
+            bip.join(F.broadcast(a), "pk")
+            .groupBy("sk")
+            .agg(F.sum(F.col("score") * F.col("w")).alias("s"))
+            .select(
+                "sk",
+                F.round(
+                    F.col("s") / F.sum("s").over(norm) - 1e-9, 6
+                ).alias("score"),
+            )
+        )
+    a = a.localCheckpoint()  # final frame is read twice (count + output)
+    n_auth = a.count()
+    return (
+        a.select(
+            F.col("pk").alias("p_partkey"),
+            F.round(F.col("score") * n_auth, 4).alias("authority_rel"),
+        )
+        .orderBy(F.col("authority_rel").desc(), "p_partkey")
+        .limit(20)
+    )
