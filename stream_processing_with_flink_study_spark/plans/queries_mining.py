@@ -985,3 +985,115 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_touches"),
         )
     )
+
+
+VOPT_BINS = 8
+
+
+@query("v_optimal_histogram")  # driver-side DP on bounded stats → rows-only
+def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram (Jagadish et al., VLDB'98): choose
+    {VOPT_BINS} contiguous bins over the value domain minimizing total
+    within-bin variance (SSE) — the optimality target equi-width and
+    equi-depth histograms approximate, and the classic selectivity-
+    estimation structure every optimizer paper benchmarks against.
+
+    Scale shape (the two-level pattern every bounded-domain DP gets):
+    the fact table reduces in ONE pass to per-unit-bucket moment
+    partials (n, Σx, Σx²) — cardinality bounded by the VALUE DOMAIN,
+    not row count; the O(B·K²) dynamic program runs driver-side on
+    those ≤few-hundred rows (the same bounded-collect contract as IVF
+    centroid training), and the chosen boundaries broadcast back for
+    the exact per-bin aggregation at full scale.  SSE is additive in
+    the moments (Σx² − (Σx)²/n), which is what makes the partials
+    sufficient.
+
+    tests/test_wave7.py pins the optimality property: total SSE ≤
+    equi-width SSE at the same bin budget, bins partition the domain,
+    and counts conserve."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy(F.floor("value").cast("long").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+        .orderBy("v")
+        .collect()  # bounded by the value domain, not row count
+    )
+    v = np.array([r.v for r in buckets], dtype=np.int64)
+    n = np.array([r.n for r in buckets], dtype=np.float64)
+    s = np.array([r.s for r in buckets])
+    ss = np.array([r.ss for r in buckets])
+    cn, cs, css = (np.concatenate(([0.0], np.cumsum(a))) for a in (n, s, ss))
+    K = len(v)
+
+    def sse(i: int, j: int) -> float:  # buckets i..j-1 as one bin
+        nn = cn[j] - cn[i]
+        if nn <= 0:
+            return 0.0
+        return float((css[j] - css[i]) - (cs[j] - cs[i]) ** 2 / nn)
+
+    B = min(VOPT_BINS, K)
+    cost = np.full((B + 1, K + 1), np.inf)
+    back = np.zeros((B + 1, K + 1), dtype=np.int64)
+    cost[0, 0] = 0.0
+    for b in range(1, B + 1):
+        for j in range(b, K + 1):
+            for i in range(b - 1, j):
+                c = cost[b - 1, i] + sse(i, j)
+                if c < cost[b, j]:
+                    cost[b, j] = c
+                    back[b, j] = i
+    cuts = [K]
+    for b in range(B, 0, -1):
+        cuts.append(int(back[b, cuts[-1]]))
+    cuts = cuts[::-1]  # [0, ..., K]
+    # edges tile the domain: each bin's hi IS the next bin's lo, so the
+    # histogram is a true partition even across empty unit buckets
+    edges = (
+        [int(v[0])]
+        + [int(v[cuts[b]]) for b in range(1, B)]
+        + [int(v[-1]) + 1]
+    )
+    bounds = [(edges[b], edges[b + 1]) for b in range(B)]
+    # broadcast the B boundaries back; exact per-bin stats at full scale
+    cond = F.lit(None).cast("int")
+    for idx in range(B - 1, -1, -1):
+        lo, hi = bounds[idx]
+        cond = F.when(
+            (F.col("value") >= lo) & (F.col("value") < hi), idx
+        ).otherwise(cond) if idx < B - 1 else F.when(
+            F.col("value") >= lo, idx
+        ).otherwise(cond)
+    assigned = ev.select("value", cond.alias("bin"))
+    lo_map = F.create_map(
+        *[F.lit(x) for pair in enumerate(b[0] for b in bounds) for x in pair]
+    )
+    hi_map = F.create_map(
+        *[F.lit(x) for pair in enumerate(b[1] for b in bounds) for x in pair]
+    )
+    return (
+        assigned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(
+                F.sum(F.col("value") * F.col("value"))
+                - F.sum("value") * F.sum("value") / F.count(F.lit(1)),
+                2,
+            ).alias("sse"),
+        )
+        .select(
+            "bin",
+            lo_map[F.col("bin")].alias("lo"),
+            hi_map[F.col("bin")].alias("hi"),
+            "n_rows",
+            "mean_value",
+            "sse",
+        )
+        .orderBy("bin")
+    )

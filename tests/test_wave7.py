@@ -209,3 +209,42 @@ def test_quantile_normalize_reference_is_cross_source_mean(spark):
         means = [g.mean_chars for g in grp]
         ref = grp[0].norm_ref
         assert min(means) - 1e-3 <= ref <= max(means) + 1e-3, (q, grp)
+
+
+def test_v_optimal_histogram_beats_equi_width(spark):
+    """V-optimality: total SSE at B bins must be <= the equi-width
+    B-bin SSE on the same data; bins partition the domain; counts
+    conserve."""
+    from stream_processing_with_flink_study_spark.plans.queries_mining import (  # noqa: E501
+        VOPT_BINS,
+    )
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    out = QUERIES["v_optimal_histogram"](spark, SF_SMALL).collect()
+    assert len(out) <= VOPT_BINS
+    # contiguous partition of the domain
+    for a, b in zip(out, out[1:]):
+        assert a.hi == b.lo
+    ev = load_table(spark, SF_SMALL, "events")
+    n_total = ev.count()
+    assert sum(r.n_rows for r in out) == n_total
+    sse_vopt = sum(r.sse for r in out)
+    lo, hi = out[0].lo, out[-1].hi
+    width = (hi - lo) / len(out)
+    ew = (
+        ev.selectExpr(
+            f"least(CAST(floor((value - {lo}) / {width}) AS INT), "
+            f"{len(out) - 1}) AS bin",
+            "value",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+            F.sum("value").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .selectExpr("sum(ss - s * s / n) AS sse")
+        .first()
+        .sse
+    )
+    assert sse_vopt <= ew + 1e-6, (sse_vopt, ew)
