@@ -1943,3 +1943,98 @@ def fixed_effects_within_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 4
         ).alias("r2_within"),
     )
+
+
+@query(
+    "gini_customer_spend",
+    """
+    WITH cust AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk
+      FROM cust
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(rk * cents) AS BIGINT) AS rs
+      FROM ranked
+    ),
+    lorenz AS (
+      SELECT CAST(ceil(rk * 10.0 / (SELECT n FROM tot)) AS INT) AS decile,
+             cents
+      FROM ranked
+    )
+    SELECT l.decile,
+           round(CAST(sum(l.cents) AS BIGINT) * 1.0 / t.s, 4)
+             AS spend_share,
+           round(2.0 * t.rs / (t.n * CAST(t.s AS DOUBLE))
+                 - (t.n + 1.0) / t.n, 4) AS gini
+    FROM lorenz l CROSS JOIN tot t
+    GROUP BY l.decile, t.n, t.s, t.rs
+    ORDER BY l.decile
+    """,
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini coefficient of customer spend: per-decile
+    share of total revenue plus the exact rank-formula Gini
+    ``2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` — the inequality measure behind
+    whale-concentration risk and data-source imbalance dashboards
+    (compare `revenue_concentration_pareto`'s top-k% view: the Gini is
+    its integral).
+
+    Scale shape: orders reduce per customer in one keyed pass; the
+    rank runs over the reduced customer frame and the Gini is one
+    aggregate of exact BIGINTs (rk·cents < 2⁶³ at any realistic
+    scale), so the whole statistic is two shuffles.
+
+    Determinism: the rank orders by (cents, custkey) — fully keyed;
+    every sum is an exact BIGINT; the two output ratios are single
+    IEEE divisions rounded at 4."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .localCheckpoint()  # ranked + totals + lorenz read one copy
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("rk"),
+    ).localCheckpoint()
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("rs"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.ceil(F.col("rk") * 10.0 / F.col("n")).cast("int").alias(
+                "decile"
+            ),
+            "cents",
+            "n",
+            "s",
+            "rs",
+        )
+        .groupBy("decile", "n", "s", "rs")
+        .agg(F.sum("cents").cast("long").alias("dc"))
+        .select(
+            "decile",
+            F.round(F.col("dc") * 1.0 / F.col("s"), 4).alias("spend_share"),
+            F.round(
+                2.0 * F.col("rs") / (F.col("n") * F.col("s").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("decile")
+    )
