@@ -597,3 +597,154 @@ def connected_components_star(
         prev.unpersist()
     e.unpersist()
     return out
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 16,
+    tail_threshold: int = 100_000,
+) -> DataFrame:
+    """Minimum spanning forest via PARALLEL BORŮVKA — the MST
+    algorithm that survives distribution (Kruskal's sorted-edge scan
+    and Prim's frontier are inherently sequential; Borůvka's rounds
+    are pure per-component min-aggregations).
+
+    Each round: (1) label every edge with its endpoints' current
+    components, (2) every component picks its minimum outgoing edge —
+    a keyed ``min_by`` with a deterministic (w, lo, hi) tie-break, so
+    equal-weight graphs still yield one reproducible forest, (3) the
+    picked edges contract via :func:`connected_components` ON THE
+    COMPONENT GRAPH (component-count-sized, shrinking geometrically —
+    the recursive CC runs on an ever-smaller frame, not on |V|).
+    Components at least halve per round, so ⌈log₂V⌉ rounds suffice;
+    every shuffle is |E| keyed messages or smaller.
+
+    HYBRID TAIL (standard practice — each round costs a fixed number
+    of jobs, so the log-depth tail of tiny rounds is pure scheduling
+    overhead): once the CONTRACTED component graph holds ≤
+    ``tail_threshold`` cross-edges, it is collected and finished with
+    a sequential Kruskal union-find keyed on component ids — bounded
+    by the threshold, never by |V| or |E|, and gated by an explicit
+    count so a graph that is still big keeps iterating distributed.
+
+    Returns the chosen edges ``(src, dst, w)``; Σw and the edge
+    multiset are MST-invariants (identical for every valid MST even
+    under weight ties), which is what the tests pin."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+            F.col(weight).alias("ew"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    chosen: DataFrame | None = None
+    spark = edges.sparkSession
+    for _ in range(max_rounds):
+        lab = (
+            e.join(
+                comp.select(
+                    F.col("id").alias("a"), F.col("comp").alias("ca")
+                ),
+                "a",
+            )
+            .join(
+                comp.select(
+                    F.col("id").alias("b"), F.col("comp").alias("cb")
+                ),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint()
+        )
+        # one cross-edge per (component-pair) suffices for the MST: the
+        # cheapest — shrinks the frame the tail-check counts
+        lab = (
+            lab.groupBy("ca", "cb")
+            .agg(
+                F.min_by(
+                    F.struct("ew", "a", "b"),
+                    F.struct("ew", F.least("a", "b"), F.greatest("a", "b")),
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"),
+                    F.col("e.ew").alias("ew"), "ca", "cb")
+            .localCheckpoint()
+        )
+        n_cross = lab.count()
+        if n_cross == 0:
+            break
+        if n_cross <= tail_threshold:
+            # bounded driver tail: Kruskal union-find on COMPONENT ids
+            rows = lab.collect()
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            picked_rows = []
+            for r in sorted(
+                rows, key=lambda r: (r.ew, min(r.a, r.b), max(r.a, r.b))
+            ):
+                ra, rb = find(r.ca), find(r.cb)
+                if ra != rb:
+                    parent[ra] = rb
+                    picked_rows.append((r.a, r.b, r.ew))
+            tail_df = spark.createDataFrame(
+                picked_rows, schema=lab.select("a", "b", "ew").schema
+            )
+            chosen = (
+                tail_df if chosen is None else chosen.unionByName(tail_df)
+            )
+            return chosen.localCheckpoint()
+        cand = F.struct("ew", "a", "b", "ca", "cb")
+        order = F.struct(
+            F.col("ew"), F.least("a", "b"), F.greatest("a", "b")
+        )
+        halves = lab.select(
+            F.col("ca").alias("c"), cand.alias("e"), order.alias("o")
+        ).unionByName(
+            lab.select(F.col("cb").alias("c"), cand.alias("e"), order.alias("o"))
+        )
+        sel = (
+            halves.groupBy("c")
+            .agg(F.min_by("e", "o").alias("e"))
+            .select("e.a", "e.b", "e.ew", "e.ca", "e.cb")
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint()
+        )
+        picked = sel.select("a", "b", "ew")
+        chosen = picked if chosen is None else chosen.unionByName(picked)
+        merged = connected_components(
+            sel.select(
+                F.col("ca").alias("id_a"), F.col("cb").alias("id_b")
+            )
+        )
+        comp = (
+            comp.join(
+                merged.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("newc")
+                ),
+                "comp",
+                "left",
+            )
+            .select("id", F.coalesce("newc", F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+    if chosen is None:
+        return e.select("a", "b", "ew").limit(0)
+    return chosen.localCheckpoint()

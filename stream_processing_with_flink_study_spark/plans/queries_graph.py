@@ -1206,3 +1206,46 @@ def hits_part_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority_rel").desc(), "p_partkey")
         .limit(20)
     )
+
+
+@query("mst_cosupplier")  # MST is not expressible in portable SQL → rows-only
+def mst_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the co-supplier graph with edge cost
+    = 1/shared-orders (strongly-connected suppliers are "close"): the
+    cheapest backbone connecting every supplier cluster — the
+    single-linkage clustering dendrogram's edge set, and the classic
+    network-design primitive.
+
+    Runs :func:`..operators.graph.boruvka_mst` (parallel Borůvka —
+    per-component min-edge rounds, component-graph contraction, and a
+    size-gated sequential tail; see its docstring).  Output is the
+    one-row forest summary — edge count, component count from the
+    forest identity |C| = |V| − |E_mst|, total/min/max cost — all MST
+    INVARIANTS (every valid MST shares the same weight multiset), so
+    the rows-only driver check is semantically tight;
+    tests/test_wave7.py pins exact equality against a sequential
+    Kruskal on the collected sf0.001 graph.  (No CC pass over the
+    forest: an MST of a dense graph is long-diameter, the worst case
+    for label propagation — the closed-form identity replaces it.)"""
+    from ..operators.graph import boruvka_mst
+
+    edges = _cosupplier_edges(spark, sf_dir).select(
+        "src", "dst", (1.0 / F.col("w")).alias("cost")
+    )
+    mst = boruvka_mst(edges, weight="cost")
+    n_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    return mst.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_mst_edges"),
+        (F.lit(n_nodes) - F.count(F.lit(1))).cast("long").alias(
+            "n_components"
+        ),
+        F.round(F.sum("ew"), 4).alias("total_cost"),
+        F.round(F.min("ew"), 4).alias("min_edge"),
+        F.round(F.max("ew"), 4).alias("max_edge"),
+    )

@@ -248,3 +248,68 @@ def test_v_optimal_histogram_beats_equi_width(spark):
         .sse
     )
     assert sse_vopt <= ew + 1e-6, (sse_vopt, ew)
+
+
+def test_boruvka_mst_matches_sequential_kruskal(spark):
+    """The distributed Borůvka forest must carry the same total weight
+    and edge count per component as a sequential Kruskal union-find on
+    the collected sf0.001 co-supplier graph (MST weight is unique even
+    under ties)."""
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        boruvka_mst,
+    )
+    from stream_processing_with_flink_study_spark.plans.queries_graph import (
+        _cosupplier_edges,
+    )
+
+    edges = _cosupplier_edges(spark, SF_SMALL).select(
+        "src", "dst", (1.0 / F.col("w")).alias("cost")
+    )
+    rows = [(r.src, r.dst, r.cost) for r in edges.collect()]
+    assert rows, "co-supplier graph should be non-empty at sf0.001"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal_w, kruskal_n = 0.0, 0
+    for a, b, w in sorted(rows, key=lambda t: (t[2], min(t[:2]), max(t[:2]))):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            kruskal_w += w
+            kruskal_n += 1
+
+    mst = boruvka_mst(edges, weight="cost").collect()
+    assert len(mst) == kruskal_n
+    assert sum(r.ew for r in mst) == pytest.approx(kruskal_w, rel=1e-9)
+
+
+def test_boruvka_forced_distributed_equals_tail_path(spark):
+    """With tail_threshold=0 every round runs distributed (no driver
+    Kruskal); the forest weight must match the hybrid default and the
+    hand-verified MST."""
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        boruvka_mst,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1.0), (2, 3, 2.0), (1, 3, 4.0),
+            (3, 4, 1.0), (2, 4, 5.0), (5, 6, 3.0),
+        ],
+        "src long, dst long, w double",
+    )
+    forced = sorted(
+        (r.a, r.b, r.ew) for r in boruvka_mst(edges, tail_threshold=0).collect()
+    )
+    hybrid = sorted(
+        (r.a, r.b, r.ew) for r in boruvka_mst(edges).collect()
+    )
+    assert forced == hybrid == [
+        (1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (5, 6, 3.0)
+    ]
