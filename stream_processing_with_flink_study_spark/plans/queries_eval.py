@@ -2038,3 +2038,172 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "reciprocal_rank_fusion",
+    """
+    WITH cust AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_ord
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS r_spend,
+             row_number() OVER (ORDER BY n_ord DESC, o_custkey) AS r_freq
+      FROM cust
+    ),
+    fused AS (
+      SELECT o_custkey, r_spend, r_freq,
+             round(1.0 / (60 + r_spend) + 1.0 / (60 + r_freq), 6) AS rrf
+      FROM ranked
+    )
+    SELECT o_custkey, CAST(r_spend AS BIGINT) AS r_spend,
+           CAST(r_freq AS BIGINT) AS r_freq, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, o_custkey) AS BIGINT)
+             AS fused_rank
+    FROM fused
+    ORDER BY fused_rank
+    LIMIT 20
+    """,
+)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., k=60): merge two
+    rankings of the same items — customers by total spend and by order
+    frequency — via ``Σ 1/(k + rankᵢ)``, the score-free rank combiner
+    behind every hybrid (BM25 + dense) retrieval stack; RRF needs no
+    score calibration between the lists, which is exactly why it wins
+    there.
+
+    Scale shape: one keyed reduction of orders, two window ranks over
+    the reduced customer frame, a takeOrdered top-20.  Determinism:
+    ranks are integers with key tiebreaks; the RRF sum of two exact
+    reciprocals rounds at 6 before the fused ordering."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(cents).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ord"),
+        )
+        .localCheckpoint()  # two rank windows + fusion read one copy
+    )
+    ranked = cust.select(
+        "o_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("r_spend"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_ord").desc(), "o_custkey"))
+        .alias("r_freq"),
+    )
+    fused = ranked.select(
+        "o_custkey",
+        F.col("r_spend").cast("long"),
+        F.col("r_freq").cast("long"),
+        F.round(
+            1.0 / (60 + F.col("r_spend")) + 1.0 / (60 + F.col("r_freq")), 6
+        ).alias("rrf"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf").desc(), "o_custkey"))
+            .cast("long"),
+        )
+        .orderBy("fused_rank")
+        .limit(20)
+    )
+
+
+@query(
+    "ndcg_ranking_eval",
+    """
+    WITH scored AS MATERIALIZED (
+      SELECT source,
+             CAST(n_chars % 4 AS INT) AS rel,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ),
+    dcg AS (
+      SELECT source,
+             sum((pow(2, rel) - 1) / ln(rk + 1.0)) AS dcg
+      FROM scored WHERE rk <= 10 GROUP BY source
+    ),
+    ideal AS (
+      SELECT source,
+             sum((pow(2, rel) - 1) / ln(irk + 1.0)) AS idcg
+      FROM (
+        SELECT source, rel, row_number() OVER (
+          PARTITION BY source ORDER BY rel DESC, rk
+        ) AS irk
+        FROM scored
+      ) WHERE irk <= 10 GROUP BY source
+    )
+    SELECT d.source, round(d.dcg, 4) AS dcg_at_10,
+           round(i.idcg, 4) AS idcg_at_10,
+           round(d.dcg / i.idcg - 1e-9, 4) AS ndcg_at_10
+    FROM dcg d JOIN ideal i ON i.source = d.source
+    ORDER BY d.source
+    """,
+)
+def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per source: discounted cumulative gain of a length-based
+    ranking against graded relevance (``n_chars % 4`` as a
+    deterministic 0–3 grade stand-in), normalized by the ideal
+    ordering — THE graded ranking metric for search/retrieval evals,
+    complementing the binary-label ROC-AUC harness.
+
+    Scale shape: two windows per source over the same scanned frame
+    (rank by score; rank by grade for the ideal), both parallel across
+    sources, then source-count-sized aggregation.  Determinism: grades
+    and ranks are exact ints; gains divide through IEEE pow/ln
+    identically; the final ratio carries the −1e-9 guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    scored = docs.select(
+        "source",
+        (F.col("n_chars") % 4).cast("int").alias("rel"),
+        F.row_number().over(sw).alias("rk"),
+    ).localCheckpoint()  # dcg + ideal rank read one copy
+    dcg = (
+        scored.filter(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.pow(2, F.col("rel")) - 1) / F.log(F.col("rk") + 1.0)
+            ).alias("dcg")
+        )
+    )
+    iw = Window.partitionBy("source").orderBy(F.col("rel").desc(), "rk")
+    ideal = (
+        scored.withColumn("irk", F.row_number().over(iw))
+        .filter(F.col("irk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.pow(2, F.col("rel")) - 1) / F.log(F.col("irk") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(ideal, "source")
+        .select(
+            "source",
+            F.round("dcg", 4).alias("dcg_at_10"),
+            F.round("idcg", 4).alias("idcg_at_10"),
+            F.round(F.col("dcg") / F.col("idcg") - 1e-9, 4).alias(
+                "ndcg_at_10"
+            ),
+        )
+        .orderBy("source")
+    )
