@@ -404,43 +404,55 @@ def bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    k = stats.count()
-    # each round references p TWICE (p_i and p_j sides); without an
-    # eager cut the lazy broadcast chain recomputes all prior rounds
-    # 2^round times (measured 82 s -> ~3 s with the checkpoint)
-    p = stats.select("bk", (F.lit(1.0) / k).alias("p")).localCheckpoint()
+    # the strength vector is ALPHABET-bounded (25 brands) — like the
+    # k-means centroid rounds, it lives on the driver and re-enters
+    # each round as a map literal: no per-round broadcast joins, no
+    # eager checkpoints, and each MM round is one shallow job over the
+    # cached games frame (7.2 s -> ~2 s at sf0.1 vs the join form,
+    # whose double p-reference otherwise demands a checkpoint per
+    # round to avoid 2^rounds recompute)
+    strengths = {
+        r.bk: 1.0 / stats.count() for r in stats.select("bk").collect()
+    }
+    k = len(strengths)
     for _ in range(BT_ROUNDS):
-        denom = (
-            games.join(
-                F.broadcast(p.withColumnRenamed("bk", "bi").withColumnRenamed("p", "pi")),
+        pmap = F.create_map(
+            *[F.lit(x) for bk, pv in sorted(strengths.items()) for x in (bk, pv)]
+        )
+        praw_rows = (
+            games.select(
                 "bi",
-            )
-            .join(
-                F.broadcast(p.withColumnRenamed("bk", "bj").withColumnRenamed("p", "pj")),
                 "bj",
+                "games",
+                pmap[F.col("bi")].alias("pi"),
+                pmap[F.col("bj")].alias("pj"),
             )
             .groupBy(F.col("bi").alias("bk"))
             .agg(F.sum(F.col("games") / (F.col("pi") + F.col("pj"))).alias("den"))
+            .join(stats, "bk")
+            .select("bk", (F.col("wins") * 1.0 / F.col("den")).alias("praw"))
+            .collect()
         )
-        praw = stats.join(denom, "bk").select(
-            "bk", (F.col("wins") * 1.0 / F.col("den")).alias("praw")
-        )
-        tot = praw.agg(F.sum("praw").alias("tot"))
-        p = (
-            praw.crossJoin(F.broadcast(tot))
-            .select(
-                "bk",
-                F.round(F.col("praw") / F.col("tot") - 1e-9, 6).alias("p"),
+        tot = sum(r.praw for r in sorted(praw_rows, key=lambda r: r.bk))
+        strengths = {
+            # floor(x*1e6+0.5)/1e6 == SQL round-half-up on positives
+            # (pure-Python round() is half-even and would fork from
+            # the oracle); the -1e-9 guard matches the SQL side
+            r.bk: __import__("math").floor(
+                (r.praw / tot - 1e-9) * 1e6 + 0.5
             )
-            .localCheckpoint()
-        )
+            / 1e6
+            for r in praw_rows
+        }
+    smap = F.create_map(
+        *[F.lit(x) for bk, pv in sorted(strengths.items()) for x in (bk, pv)]
+    )
     return (
-        stats.join(p, "bk")
-        .select(
+        stats.select(
             F.col("bk").alias("brand_key"),
             "wins",
             "games",
-            F.round(F.col("p") * k - 1e-9, 4).alias("strength_rel"),
+            F.round(smap[F.col("bk")] * k - 1e-9, 4).alias("strength_rel"),
         )
         .orderBy(F.col("strength_rel").desc(), "brand_key")
     )
