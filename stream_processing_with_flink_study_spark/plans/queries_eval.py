@@ -2207,3 +2207,177 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "wasserstein_source_shift",
+    """
+    WITH per AS MATERIALIZED (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    tot AS MATERIALIZED (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY source
+    ),
+    grid AS MATERIALIZED (SELECT DISTINCT v FROM per),
+    cdf AS MATERIALIZED (
+      SELECT t.source, g.v,
+             CAST(coalesce(sum(p.c), 0) AS BIGINT) * 1.0 / t.n AS f
+      FROM grid g
+      CROSS JOIN tot t
+      LEFT JOIN per p ON p.source = t.source AND p.v <= g.v
+      GROUP BY t.source, g.v, t.n
+    ),
+    steps AS (
+      SELECT source, v, f,
+             lead(v) OVER (PARTITION BY source ORDER BY v) - v AS dv
+      FROM cdf
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             sum(abs(a.f - b.f) * a.dv) AS w1
+      FROM steps a
+      JOIN steps b ON b.v = a.v AND b.source > a.source
+      WHERE a.dv IS NOT NULL
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, round(w1 - 1e-9, 4) AS w1_chars
+    FROM pairs
+    ORDER BY src_a, src_b
+    """,
+)
+def wasserstein_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1-D Wasserstein-1 (earth-mover) distance between the
+    per-source document-length distributions: ``W₁ = ∫|F_a − F_b| dv``
+    over the merged support — the distribution-shift metric that, unlike
+    KL/PSI (bin-ratio based) or KS (sup-norm), weighs HOW FAR mass must
+    move, the right scalar for "did this source's length profile
+    drift".  In 1-D the optimal transport reduces exactly to this CDF
+    integral — no LP solve.
+
+    Scale shape: documents reduce to (source, value, count) in one
+    pass — cardinality bounded by the VALUE DOMAIN like the v-optimal
+    histogram; the CDF builds per source on the merged grid and the
+    pairwise integral runs over |sources|²·|grid| reduced rows.  At
+    extreme domains the exact grid swaps for quantile-sketch CDFs
+    (same integral on the sketch knots).
+
+    Determinism: CDF values divide exact BIGINTs; step widths are
+    exact ints; the integral sum rounds at 4 with the −1e-9 guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # grid + cdf + totals read one copy
+    )
+    tot = per.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = per.select("v").distinct()
+    # per-source CDF on the merged grid: join counts at <= v via a
+    # cross of grid x sources, then a cumulative window (cheaper than
+    # the oracle's theta-join: one sort per source)
+    filled = (
+        grid.crossJoin(tot)
+        .join(per, ["source", "v"], "left")
+        .select("source", "v", "n", F.coalesce("c", F.lit(0)).alias("cv"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = filled.select(
+        "source",
+        "v",
+        (F.sum("cv").over(w) * 1.0 / F.col("n")).alias("f"),
+    )
+    lw = Window.partitionBy("source").orderBy("v")
+    steps = cdf.select(
+        "source", "v", "f", (F.lead("v").over(lw) - F.col("v")).alias("dv")
+    ).filter(F.col("dv").isNotNull())
+    a = steps.alias("a")
+    b = steps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.v") == F.col("a.v"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("a.f") - F.col("b.f")) * F.col("a.dv"))
+                - 1e-9,
+                4,
+            ).alias("w1_chars")
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ISO_BINS = 20
+
+
+@query("isotonic_calibration")  # PAV pooling is not SQL → rows-only
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration via Pool-Adjacent-Violators: fit the best
+    MONOTONE mapping from a score (corpus-wide length percentile) to a
+    binary label rate (`lang = 'en'`) — the non-parametric calibrator
+    (Zadrozny & Elkan) that fixes what Platt scaling's sigmoid can't,
+    and the standard post-hoc step for classifier probabilities.
+
+    Scale shape (the bounded-DP pattern of `v_optimal_histogram`): one
+    pass reduces events to {ISO_BINS} score-bin partials (n, positives);
+    PAV pools adjacent violators driver-side on those ≤{ISO_BINS} rows
+    (weighted-mean merges, a stack algorithm); the fitted step function
+    broadcasts back as a literal CASE for the full-scale assignment
+    report.  tests/test_wave7.py pins the PAV laws: output monotone,
+    weighted mean conserved, and pooling only where the raw rates
+    violated monotonicity.
+
+    Output per bin: raw rate vs calibrated rate vs bin mass — the
+    reliability-diagram columns after repair."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = docs.select(
+        (F.ntile(ISO_BINS).over(w) - 1).alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .orderBy("bin")
+        .collect()  # bounded by ISO_BINS, never by row count
+    )
+    # PAV: merge adjacent pools while the left pool's rate exceeds the
+    # right's; each pool carries (sum_pos, n, members)
+    pools: list[list[float]] = []  # [sum_pos, n, first_bin, last_bin]
+    for r in per:
+        pools.append([float(r.n_pos), float(r.n), r.bin, r.bin])
+        while len(pools) > 1 and (
+            pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+        ):
+            b = pools.pop()
+            a = pools.pop()
+            pools.append([a[0] + b[0], a[1] + b[1], a[2], b[3]])
+    fitted: dict[int, float] = {}
+    for sp, n, lo, hi in pools:
+        rate = sp / n
+        for b in range(int(lo), int(hi) + 1):
+            fitted[b] = rate
+    fmap = F.create_map(
+        *[F.lit(x) for b, rt in sorted(fitted.items()) for x in (b, rt)]
+    )
+    out = spark.createDataFrame(
+        [(r.bin, r.n, r.n_pos) for r in per], "bin int, n long, n_pos long"
+    )
+    return out.select(
+        "bin",
+        "n",
+        F.round(F.col("n_pos") * 1.0 / F.col("n"), 4).alias("raw_rate"),
+        F.round(fmap[F.col("bin")], 4).alias("calibrated_rate"),
+    ).orderBy("bin")

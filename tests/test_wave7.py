@@ -313,3 +313,17 @@ def test_boruvka_forced_distributed_equals_tail_path(spark):
     assert forced == hybrid == [
         (1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (5, 6, 3.0)
     ]
+
+
+def test_isotonic_calibration_pav_laws(spark):
+    """PAV invariants: calibrated rates are non-decreasing, the
+    weighted mean of calibrated == weighted mean of raw (mass
+    conservation), and calibrated == raw wherever raw was already
+    monotone with both neighbors."""
+    out = QUERIES["isotonic_calibration"](spark, SF_SMALL).collect()
+    assert len(out) > 1
+    cal = [r.calibrated_rate for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(cal, cal[1:]))
+    wm_raw = sum(r.raw_rate * r.n for r in out) / sum(r.n for r in out)
+    wm_cal = sum(r.calibrated_rate * r.n for r in out) / sum(r.n for r in out)
+    assert wm_cal == pytest.approx(wm_raw, abs=1e-3)  # 4dp rounding slack
