@@ -704,3 +704,259 @@ def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_streaks").cast("long").alias("n_streaks"),
         )
     )
+
+
+PH_DELTA_C = 500_00  # Page-Hinkley drift allowance, cents
+PH_LAMBDA_C = 20_000_00  # alarm threshold, cents
+
+
+@query(
+    "page_hinkley_drift",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, cents,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(sum(cents) OVER w AS BIGINT) AS cs
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    ph AS (
+      SELECT d, t,
+             cs - t * (cs * 1.0 / t) - t * {PH_DELTA_C} AS ph_t
+      FROM cum
+    ),
+    tracked AS (
+      SELECT d, t, ph_t,
+             min(ph_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS ph_min
+      FROM ph
+    ),
+    scored AS (
+      SELECT CAST(epoch_ms(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_ms,
+             CAST(t AS BIGINT) AS t,
+             round((ph_t - ph_min) / 100.0 - 1e-9, 2) AS ph_stat_usd,
+             (ph_t - ph_min > {PH_LAMBDA_C}) AS alarm
+      FROM tracked
+    )
+    SELECT * FROM scored
+    ORDER BY ph_stat_usd DESC, t
+    LIMIT 20
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-shift detection on daily order revenue: the
+    classic sequential change detector ``PH_t = Σ(xᵢ − x̄_t − δ)``
+    (top-20 excursions reported, flagged against the λ alarm line —
+    the statistic stays informative even on drift-free spans) — the principled
+    upgrade of the reference's threshold smoke alert, and the standard
+    drift monitor streaming feature pipelines run on their input
+    statistics.
+
+    The sequential-looking recurrence is FULLY window-expressible:
+    ``Σxᵢ`` and ``t`` are one cumulative frame, the running mean
+    multiplies out algebraically (``PH_t = CS_t − t·x̄_t − t·δ``), and
+    the running minimum is a second cumulative frame — no recursion,
+    no UDF, so it runs at any series length, unlike recursive-CTE
+    formulations bounded by recursion depth.
+
+    Determinism: cumulative sums are exact BIGINT cents; x̄_t is one
+    division; output rounds at 2 with the −1e-9 guard."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        F.sum("cents").over(w).cast("long").alias("cs"),
+    )
+    ph = cum.select(
+        "d",
+        "t",
+        (
+            F.col("cs")
+            - F.col("t") * (F.col("cs") * 1.0 / F.col("t"))
+            - F.col("t") * PH_DELTA_C
+        ).alias("ph_t"),
+    )
+    mw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tracked = ph.select(
+        "d", "t", "ph_t", F.min("ph_t").over(mw).alias("ph_min")
+    )
+    return (
+        tracked.select(
+            F.unix_millis(F.col("d").cast("timestamp")).alias("day_ms"),
+            "t",
+            F.round(
+                (F.col("ph_t") - F.col("ph_min")) / 100.0 - 1e-9, 2
+            ).alias("ph_stat_usd"),
+            (F.col("ph_t") - F.col("ph_min") > PH_LAMBDA_C).alias("alarm"),
+        )
+        .orderBy(F.col("ph_stat_usd").desc(), "t")
+        .limit(20)
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM m a JOIN m b ON b.t > a.t
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT (SELECT n FROM nn) AS n_months,
+           CAST(sum(sgn) AS BIGINT) AS s_stat,
+           round(sum(sgn) / sqrt(
+             (SELECT n FROM nn) * ((SELECT n FROM nn) - 1.0)
+             * (2 * (SELECT n FROM nn) + 5) / 18.0) - 1e-9, 4) AS z_approx
+    FROM pairs
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on monthly revenue:
+    ``S = Σ_{{i<j}} sign(x_j − x_i)`` with its normal approximation —
+    the non-parametric companion of the Theil–Sen slope (the classic
+    pair: MK answers *is there a trend*, Theil–Sen *how steep*),
+    immune to outliers and distribution shape.
+
+    Scale shape: identical to ``theil_sen_monthly_trend`` — one keyed
+    reduction to the ~80-row month frame, all-pairs on the
+    checkpointed reduced series only.  S is an exact integer; the z
+    denominator is the closed-form no-ties variance (month revenues in
+    cents never tie here; the tie-correction term is the documented
+    extension)."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("t")
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .localCheckpoint()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    n = m.count()
+    return pairs.agg(
+        F.lit(n).cast("long").alias("n_months"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.round(
+            F.sum("sgn")
+            / float(__import__("math").sqrt(n * (n - 1.0) * (2 * n + 5) / 18.0))
+            - 1e-9,
+            4,
+        ).alias("z_approx"),
+    )
+
+
+@query(
+    "spearman_spend_frequency",
+    """
+    WITH cust AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_ord
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rank() OVER (ORDER BY cents)
+               + (count(*) OVER (PARTITION BY cents) - 1) / 2.0 AS ra,
+             rank() OVER (ORDER BY n_ord)
+               + (count(*) OVER (PARTITION BY n_ord) - 1) / 2.0 AS rb
+      FROM cust
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+             sum(ra * rb) AS sab
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           round((n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+                 - 1e-9, 4) AS spearman_rho
+    FROM mom
+    """,
+)
+def spearman_spend_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer spend and order
+    frequency with PROPER TIE HANDLING (average ranks = min-rank +
+    (tie-group−1)/2, then Pearson on the ranks) — the monotone-
+    association measure that survives outliers and nonlinearity, and
+    the exact form most engines' shortcut ``1 − 6Σd²/…`` gets WRONG
+    under ties.
+
+    Scale shape: one keyed reduction of orders; two rank windows over
+    the reduced customer frame (global order — the documented
+    exact-statistic trade, per `decile_lift_loyal`); one moment
+    aggregate.  Determinism: average ranks are exact .5-grid doubles,
+    their products exact well below 2⁵³, so both engines aggregate
+    identical values; the final ratio rounds at 4 with the −1e-9
+    guard."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(cents).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ord"),
+        )
+        .localCheckpoint()  # two rank windows read one copy
+    )
+    ranked = cust.select(
+        (
+            F.rank().over(Window.orderBy("cents"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("cents")) - 1) / 2.0
+        ).alias("ra"),
+        (
+            F.rank().over(Window.orderBy("n_ord"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("n_ord")) - 1) / 2.0
+        ).alias("rb"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    return mom.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            / F.sqrt(
+                (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+                * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+            )
+            - 1e-9,
+            4,
+        ).alias("spearman_rho"),
+    )
