@@ -727,10 +727,14 @@ PH_LAMBDA_C = 20_000_00  # alarm threshold, cents
       WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW)
     ),
-    ph AS (
-      SELECT d, t,
-             cs - t * (cs * 1.0 / t) - t * {PH_DELTA_C} AS ph_t
+    mean_cum AS (
+      SELECT d, t, cs,
+             sum(cs * 1.0 / t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS a
       FROM cum
+    ),
+    ph AS (
+      SELECT d, t, cs - a - t * {PH_DELTA_C} AS ph_t FROM mean_cum
     ),
     tracked AS (
       SELECT d, t, ph_t,
@@ -759,12 +763,14 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift monitor streaming feature pipelines run on their input
     statistics.
 
-    The sequential-looking recurrence is FULLY window-expressible:
-    ``Σxᵢ`` and ``t`` are one cumulative frame, the running mean
-    multiplies out algebraically (``PH_t = CS_t − t·x̄_t − t·δ``), and
-    the running minimum is a second cumulative frame — no recursion,
-    no UDF, so it runs at any series length, unlike recursive-CTE
-    formulations bounded by recursion depth.
+    The sequential-looking recurrence is FULLY window-expressible by
+    expanding the definition: ``PH_T = Σ_t(x_t − x̄_t − δ) = CS_T −
+    Σ_{t≤T}(CS_t/t) − T·δ`` — one cumulative frame for ``CS_t``, a
+    second cumulative frame summing the running means ``CS_t/t``, and
+    a third for the running minimum; no recursion, no UDF, so it runs
+    at any series length, unlike recursive-CTE formulations bounded
+    by recursion depth.  (A naive ``CS_T − T·x̄_T`` telescopes to
+    zero — the running-mean sum is the whole statistic.)
 
     Determinism: cumulative sums are exact BIGINT cents; x̄_t is one
     division; output rounds at 2 with the −1e-9 guard."""
@@ -780,14 +786,17 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
         F.sum("cents").over(w).cast("long").alias("cs"),
     )
-    ph = cum.select(
+    aw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    mean_cum = cum.select(
         "d",
         "t",
-        (
-            F.col("cs")
-            - F.col("t") * (F.col("cs") * 1.0 / F.col("t"))
-            - F.col("t") * PH_DELTA_C
-        ).alias("ph_t"),
+        "cs",
+        F.sum(F.col("cs") * 1.0 / F.col("t")).over(aw).alias("a"),
+    )
+    ph = mean_cum.select(
+        "d",
+        "t",
+        (F.col("cs") - F.col("a") - F.col("t") * PH_DELTA_C).alias("ph_t"),
     )
     mw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     tracked = ph.select(
@@ -959,4 +968,105 @@ def spearman_spend_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1e-9,
             4,
         ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "streaming_page_hinkley",
+    f"""
+    WITH daily AS MATERIALIZED (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, cents,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(sum(cents) OVER w AS BIGINT) AS cs
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    mean_cum AS (
+      SELECT d, t, cs,
+             sum(cs * 1.0 / t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS a
+      FROM cum
+    ),
+    ph AS (
+      SELECT d, t, cs - a - t * {PH_DELTA_C} AS ph_t FROM mean_cum
+    ),
+    tracked AS (
+      SELECT d, t, ph_t,
+             min(ph_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS ph_min
+      FROM ph
+    ),
+    scored AS (
+      SELECT CAST(epoch_ms(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_ms,
+             CAST(t AS BIGINT) AS t,
+             round((ph_t - ph_min) / 100.0 - 1e-9, 2) AS ph_stat_usd,
+             (ph_t - ph_min > {PH_LAMBDA_C}) AS alarm
+      FROM tracked
+    )
+    SELECT * FROM scored
+    ORDER BY ph_stat_usd DESC, t
+    LIMIT 20
+    """,
+)
+def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Page–Hinkley detector run THROUGH Structured Streaming under
+    the oracle gate: the daily revenue series feeds as two event-time-
+    ordered micro-batches; :func:`..streaming.stateful.
+    page_hinkley_partials` carries (t, ΣX, Σ running-means, min PH)
+    across the batch boundary, so the statistic continues EXACTLY where
+    the previous batch committed — the drift monitor as a keyed
+    ValueState process function, matching the batch three-window form
+    bit-for-bit (integer-cent cumsums are exact in float64; the
+    running-mean sum accumulates in the same ascending order both
+    ways)."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import page_hinkley_partials
+    from .registry import scratch_dir
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("dd"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .select(
+            F.lit(0).cast("long").alias("k"),
+            F.col("dd").cast("timestamp").alias("d"),
+            F.col("cents").cast("double"),
+        )
+    )
+    mid = daily.selectExpr("percentile_approx(d, 0.5) AS m").first().m
+    batches = [
+        daily.filter(F.col("d") <= F.lit(mid)),
+        daily.filter(F.col("d") > F.lit(mid)),
+    ]
+    src_dir = scratch_dir("src_ph_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scratch_dir("ck_ph_stream_") as ck:
+            got = run_available_now(
+                page_hinkley_partials(sdf, delta=PH_DELTA_C), ck, "update"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return (
+        got.select(
+            F.col("ts_ms").alias("day_ms"),
+            "t",
+            F.round(F.col("ph_exc") / 100.0 - 1e-9, 2).alias("ph_stat_usd"),
+            (F.col("ph_exc") > PH_LAMBDA_C).alias("alarm"),
+        )
+        .orderBy(F.col("ph_stat_usd").desc(), "t")
+        .limit(20)
     )

@@ -936,3 +936,77 @@ def scd2_version_resolve(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def page_hinkley_partials(
+    df: DataFrame,
+    key: str = "k",
+    ts: str = "d",
+    value_col: str = "cents",
+    delta: float = 0.0,
+) -> DataFrame:
+    """Streaming Page–Hinkley — the stateful twin of
+    ``plans.queries_tsfeat.page_hinkley_drift``: state per key is the
+    committed (t, Σx, Σ running-means, running-min PH, last event
+    time); each batch
+    extends the cumulative statistic vectorized (cumsum — the
+    recurrence is algebraic, see the batch twin) and emits every
+    point's PH excursion over the carried running minimum.  Emission is
+    per-point (not pre-thresholded), so the consumer applies whatever
+    λ/top-k policy the batch query uses and the results coincide on
+    event-time-ordered feeds.
+
+    Ordering contract matches :func:`gap_deltas`: rows sort by the
+    event-time column inside the batch; rows at-or-before the committed
+    time are dropped."""
+    out_schema = f"{key} long, t long, ts_ms long, ph_exc double"
+    state_schema = "t long, cs double, a double, ph_min double, last_ms long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
+        if state.exists:
+            t0, cs0, a0, ph_min, last_ms = state.get
+        else:
+            t0, cs0, a0, ph_min, last_ms = 0, 0.0, 0.0, None, None
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = ms > last_ms
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        x = pdf[value_col].to_numpy(dtype="float64")
+        t = t0 + np.arange(1, len(x) + 1, dtype="float64")
+        cs = cs0 + np.cumsum(x)
+        # PH_T = CS_T - Σ_{t<=T}(CS_t/t) - T·δ; the running-mean sum A
+        # is itself cumulative, so it carries in state like CS
+        a = a0 + np.cumsum(cs / t)
+        ph = cs - a - t * delta
+        seeded = ph if ph_min is None else np.concatenate(([ph_min], ph))
+        run_min = np.minimum.accumulate(seeded)
+        if ph_min is not None:
+            run_min = run_min[1:]
+        state.update(
+            (
+                int(t[-1]),
+                float(cs[-1]),
+                float(a[-1]),
+                float(run_min[-1]),
+                int(ms[-1]),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key: [k[0]] * len(x),
+                "t": t.astype("int64"),
+                "ts_ms": ms,
+                "ph_exc": ph - run_min,
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
