@@ -327,3 +327,77 @@ def test_isotonic_calibration_pav_laws(spark):
     wm_raw = sum(r.raw_rate * r.n for r in out) / sum(r.n for r in out)
     wm_cal = sum(r.calibrated_rate * r.n for r in out) / sum(r.n for r in out)
     assert wm_cal == pytest.approx(wm_raw, abs=1e-3)  # 4dp rounding slack
+
+
+def test_page_hinkley_state_survives_checkpoint_restart(spark, tmp_path):
+    """Savepoint-restore for the drift monitor: batch 1 runs through
+    `page_hinkley_partials` with a checkpoint; a SECOND query started
+    from the same checkpoint processes batch 2 only, and the carried
+    (t, ΣX, Σ running-means, min-PH) state makes the post-restart
+    excursions identical to a single-pass numpy computation over the
+    full series — the drift statistic never resets on restart."""
+    import os
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from stream_processing_with_flink_study_spark import streaming as S
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        page_hinkley_partials,
+    )
+
+    vals = [100.0] * 60 + [200.0] * 40  # planted upward shift at t=61
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc).replace(
+            minute=i // 60, second=i % 60), v)
+        for i, v in enumerate(vals)
+    ]
+    mk = lambda rs: spark.createDataFrame(rs, "k long, d timestamp, cents double")
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+
+    def write_batch(df, i):
+        d = f"{src}/b{i:05d}"
+        df.coalesce(1).write.mode("append").parquet(d)
+        for root, _, files in os.walk(d):
+            for f_ in files:
+                os.utime(
+                    os.path.join(root, f_),
+                    (1_600_000_000 + i, 1_600_000_000 + i),
+                )
+
+    schema = mk(rows[:1]).schema
+
+    def run_once():
+        sdf = S.file_stream(spark, f"{src}/b*", schema=schema)
+        q = (
+            page_hinkley_partials(sdf)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(mk(rows[:70]), 0)
+    run_once()
+    write_batch(mk(rows[70:]), 1)
+    run_once()  # restart from the same checkpoint; only batch 1 is new
+
+    got = {
+        r.t: r.ph_exc for r in spark.read.parquet(out).collect()
+    }
+    # single-pass reference
+    x = np.array(vals)
+    t = np.arange(1, len(x) + 1, dtype=float)
+    cs = np.cumsum(x)
+    ph = cs - np.cumsum(cs / t)
+    exc = ph - np.minimum.accumulate(ph)
+    assert len(got) == len(vals)
+    for i in (59, 69, 70, 99):  # around the boundary and the tail
+        assert got[i + 1] == pytest.approx(exc[i], rel=1e-12), i
+    # the shift is detected: excursion grows after t=61, flat before
+    assert got[60] < 1e-6 and got[100] > 100
