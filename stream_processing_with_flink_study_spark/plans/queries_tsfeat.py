@@ -1070,3 +1070,115 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ph_stat_usd").desc(), "t")
         .limit(20)
     )
+
+
+SPRT_P0 = 0.30  # null conversion rate (purchase share of view+purchase)
+SPRT_P1 = 0.35  # alternative
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+
+
+def _sprt_consts() -> tuple[float, float, float, float]:
+    import math
+
+    lr_pos = math.log(SPRT_P1 / SPRT_P0)
+    lr_neg = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    upper = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    return lr_pos, lr_neg, upper, lower
+
+
+@query(
+    "sprt_conversion_monitor",
+    f"""
+    WITH trials AS (
+      SELECT ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    walk AS (
+      SELECT ts, y,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             sum(CASE WHEN y = 1 THEN {_sprt_consts()[0]!r}
+                      ELSE {_sprt_consts()[1]!r} END) OVER w AS llr
+      FROM trials
+      WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    ),
+    marked AS (
+      SELECT t, llr,
+             CASE WHEN llr >= {_sprt_consts()[2]!r} THEN 'accept_h1'
+                  WHEN llr <= {_sprt_consts()[3]!r} THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM walk
+    ),
+    firsts AS (
+      SELECT decision, min(t) AS first_t
+      FROM marked WHERE decision <> 'continue' GROUP BY decision
+    )
+    SELECT m.decision,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(min(m.t) AS BIGINT) AS first_t,
+           round(min(m.llr) - 1e-9, 4) AS min_llr,
+           round(max(m.llr) - 1e-9, 4) AS max_llr
+    FROM marked m
+    GROUP BY m.decision
+    ORDER BY m.decision
+    """,
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the conversion
+    stream: each view/purchase trial adds its Bernoulli log-likelihood
+    ratio (H₁: p={SPRT_P1} vs H₀: p={SPRT_P0}); the walk crosses
+    ``ln((1−β)/α)`` to accept H₁ or ``ln(β/(1−α))`` to accept H₀ —
+    sequential testing with guaranteed error rates at a fraction of the
+    fixed-n sample size, the foundation of always-valid experiment
+    monitors (and, like Page–Hinkley, a "sequential" recurrence that is
+    really one cumulative window: the LLR is a plain running sum).
+
+    Output: per decision region, step counts and the first crossing
+    time — the full trajectory summary, not just the terminal verdict,
+    so drifting walks are visible.
+
+    Determinism: the LLR constants are Python-computed double literals
+    identical in both engines; the running sum adds the same two
+    constants in the same (ts, event_id) order; rounds carry the −1e-9
+    guard."""
+    lr_pos, lr_neg, upper, lower = _sprt_consts()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = ev.select(
+        F.row_number().over(Window.orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", lr_pos).otherwise(
+                lr_neg
+            )
+        )
+        .over(w)
+        .alias("llr"),
+    )
+    marked = walk.select(
+        "t",
+        "llr",
+        F.when(F.col("llr") >= upper, "accept_h1")
+        .when(F.col("llr") <= lower, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+    return (
+        marked.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.min("t").cast("long").alias("first_t"),
+            F.round(F.min("llr") - 1e-9, 4).alias("min_llr"),
+            F.round(F.max("llr") - 1e-9, 4).alias("max_llr"),
+        )
+        .orderBy("decision")
+    )
