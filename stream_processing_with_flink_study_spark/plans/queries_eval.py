@@ -2381,3 +2381,239 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_pos") * 1.0 / F.col("n"), 4).alias("raw_rate"),
         F.round(fmap[F.col("bin")], 4).alias("calibrated_rate"),
     ).orderBy("bin")
+
+
+HUBER_K = 1.345
+HUBER_ROUNDS = 3
+
+
+def _huber_round_sql(prev: str, out: str) -> str:
+    """One IRLS round in SQL: Huber weights from the previous rounded
+    fit, then weighted least squares, re-rounded."""
+    return f"""
+    {out}_w AS (
+      SELECT b.rf, b.x, b.y,
+             CASE WHEN abs(b.y - p.a - p.b * b.x) <= {HUBER_K} * p.s
+                  THEN 1.0
+                  ELSE {HUBER_K} * p.s / abs(b.y - p.a - p.b * b.x)
+             END AS w
+      FROM base b JOIN {prev} p ON p.rf = b.rf
+    ),
+    {out}_m AS MATERIALIZED (
+      SELECT rf, sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+             sum(w * x * x) AS swxx, sum(w * x * y) AS swxy
+      FROM {out}_w GROUP BY rf
+    ),
+    {out} AS MATERIALIZED (
+      SELECT m.rf,
+             round((m.sw * m.swxy - m.swx * m.swy)
+                   / (m.sw * m.swxx - m.swx * m.swx) - 1e-9, 4) AS b,
+             round((m.swy - (m.sw * m.swxy - m.swx * m.swy)
+                    / (m.sw * m.swxx - m.swx * m.swx) * m.swx)
+                   / m.sw - 1e-9, 4) AS a,
+             p.s
+      FROM {out}_m m JOIN {prev} p ON p.rf = m.rf
+    )"""
+
+
+def _huber_oracle() -> str:
+    rounds = ",".join(
+        _huber_round_sql(f"p{k - 1}", f"p{k}")
+        for k in range(1, HUBER_ROUNDS + 1)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS rf, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+    ),
+    m0 AS MATERIALIZED (
+      SELECT rf, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM base GROUP BY rf
+    ),
+    ols AS MATERIALIZED (
+      SELECT rf, n,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx) - 1e-9, 4)
+               AS b,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n - 1e-9, 4) AS a
+      FROM m0
+    ),
+    p0 AS MATERIALIZED (
+      SELECT o.rf, o.b, o.a,
+             round(1.4826 * quantile_cont(abs(b2.y - o.a - o.b * b2.x), 0.5)
+                   - 1e-9, 4) AS s
+      FROM ols o JOIN base b2 ON b2.rf = o.rf
+      GROUP BY o.rf, o.b, o.a
+    ),
+    {rounds},
+    downw AS (
+      SELECT b.rf, CAST(sum(CASE WHEN abs(b.y - p.a - p.b * b.x)
+                                      > {HUBER_K} * p.s
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_downweighted
+      FROM base b JOIN p{HUBER_ROUNDS} p ON p.rf = b.rf
+      GROUP BY b.rf
+    )
+    SELECT o.rf AS returnflag, o.n,
+           round(o.b - 1e-9, 3) AS ols_slope,
+           round(p.b - 1e-9, 3) AS huber_slope,
+           round(p.a - 1e-9, 2) AS huber_intercept,
+           round(p.s - 1e-9, 2) AS scale_mad,
+           d.n_downweighted
+    FROM ols o
+    JOIN p{HUBER_ROUNDS} p ON p.rf = o.rf
+    JOIN downw d ON d.rf = o.rf
+    ORDER BY returnflag
+    """
+
+
+@query("huber_irls_price_model", _huber_oracle())
+def huber_irls_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression via IRLS: per return flag, regress
+    extended price on quantity with Huber weights (k={HUBER_K}, scale
+    = 1.4826·MAD of the OLS residuals, {HUBER_ROUNDS} reweighting
+    rounds) — the M-estimator between OLS (outlier-dragged) and
+    Theil–Sen (pairs-based): full efficiency on clean data, bounded
+    influence under contamination; both slopes are reported so the
+    robustness delta is visible.
+
+    Scale shape (the alphabet-bounded-state pattern of
+    ``bradley_terry_brands``): the fit parameters are 3 rows (return
+    flags) held driver-side between rounds and re-entering as map
+    literals, so each IRLS round is ONE weighted-moment aggregation
+    over the cached base frame — no joins, no checkpoints, rounds cost
+    |data|/round exactly like the map-side combine they compile to.
+    The only percentile is the one MAD (exact interpolated, both
+    engines).
+
+    Determinism: parameters re-round to 4 every round (−1e-9 guard),
+    so weight boundaries and accumulated moments cannot fork
+    engines."""
+    import math
+
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+        )
+        .persist()
+    )
+
+    def rnd(v: float, p: int = 4) -> float:
+        return math.floor((v - 1e-9) * 10**p + 0.5) / 10**p
+
+    m0 = base.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    params: dict[str, dict[str, float]] = {}
+    for r in m0.collect():
+        b = (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)
+        a = (r.sy - b * r.sx) / r.n
+        params[r.rf] = {
+            "n": r.n,
+            "ols_b": rnd(b),
+            "b": rnd(b),
+            "a": rnd(a),
+        }
+    amap = F.create_map(
+        *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["a"])]
+    )
+    bmap = F.create_map(
+        *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["b"])]
+    )
+    resid = F.abs(F.col("y") - amap[F.col("rf")] - bmap[F.col("rf")] * F.col("x"))
+    mads = (
+        base.select("rf", resid.alias("r"))
+        .groupBy("rf")
+        .agg(F.expr("percentile(r, 0.5)").alias("med"))
+        .collect()
+    )
+    for r in mads:
+        params[r.rf]["s"] = rnd(1.4826 * r.med)
+    for _ in range(HUBER_ROUNDS):
+        amap = F.create_map(
+            *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["a"])]
+        )
+        bmap = F.create_map(
+            *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["b"])]
+        )
+        smap = F.create_map(
+            *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["s"])]
+        )
+        rr = F.abs(
+            F.col("y") - amap[F.col("rf")] - bmap[F.col("rf")] * F.col("x")
+        )
+        wcol = F.when(rr <= HUBER_K * smap[F.col("rf")], 1.0).otherwise(
+            HUBER_K * smap[F.col("rf")] / rr
+        )
+        mom = (
+            base.select("rf", "x", "y", wcol.alias("w"))
+            .groupBy("rf")
+            .agg(
+                F.sum("w").alias("sw"),
+                F.sum(F.col("w") * F.col("x")).alias("swx"),
+                F.sum(F.col("w") * F.col("y")).alias("swy"),
+                F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+                F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+            )
+            .collect()
+        )
+        for r in mom:
+            b = (r.sw * r.swxy - r.swx * r.swy) / (
+                r.sw * r.swxx - r.swx * r.swx
+            )
+            a = (r.swy - b * r.swx) / r.sw
+            params[r.rf]["b"] = rnd(b)
+            params[r.rf]["a"] = rnd(a)
+    amap = F.create_map(
+        *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["a"])]
+    )
+    bmap = F.create_map(
+        *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["b"])]
+    )
+    smap = F.create_map(
+        *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["s"])]
+    )
+    rr = F.abs(F.col("y") - amap[F.col("rf")] - bmap[F.col("rf")] * F.col("x"))
+    downw = base.groupBy("rf").agg(
+        F.sum(
+            F.when(rr > HUBER_K * smap[F.col("rf")], 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_downweighted")
+    )
+    fitted = spark.createDataFrame(
+        [
+            (
+                rf,
+                int(p["n"]),
+                rnd(p["ols_b"], 3),
+                rnd(p["b"], 3),
+                rnd(p["a"], 2),
+                rnd(p["s"], 2),
+            )
+            for rf, p in sorted(params.items())
+        ],
+        "rf string, n long, ols_slope double, huber_slope double,"
+        " huber_intercept double, scale_mad double",
+    )
+    return (
+        fitted.join(downw, "rf")
+        .select(
+            F.col("rf").alias("returnflag"),
+            "n",
+            "ols_slope",
+            "huber_slope",
+            "huber_intercept",
+            "scale_mad",
+            "n_downweighted",
+        )
+        .orderBy("returnflag")
+    )
