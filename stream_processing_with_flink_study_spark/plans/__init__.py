@@ -26,6 +26,7 @@ from . import queries_mining  # noqa: E402,F401
 from . import queries_eval  # noqa: E402,F401
 from . import queries_recsys  # noqa: E402,F401
 from . import queries_robust  # noqa: E402,F401
+from . import queries_ledger  # noqa: E402,F401
 from . import queries_textmining  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
