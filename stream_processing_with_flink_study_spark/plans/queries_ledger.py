@@ -40,9 +40,7 @@ from .registry import query
 _CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
 
 
-@query(
-    "lindley_clamped_balance",
-    f"""
+_LINDLEY_ORACLE = f"""
     WITH d AS (
       SELECT user_id, ts, event_id,
              CASE WHEN event_type IN ('purchase', 'signup')
@@ -73,8 +71,10 @@ _CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
     FROM b
     GROUP BY user_id
     ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("lindley_clamped_balance", _LINDLEY_ORACLE)
 def lindley_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user credit ledger that can never go negative (purchases and
     signups credit, everything else debits; debits against an empty
@@ -528,4 +528,62 @@ def technical_indicators_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rsi - 1e-9, 4).alias("rsi14"),
         )
         .orderBy("day_ms")
+    )
+
+
+@query("streaming_lindley_balance", _LINDLEY_ORACLE)
+def streaming_lindley_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clamped ledger run THROUGH Structured Streaming under the
+    SAME oracle as the batch form: the per-user delta stream feeds as
+    two event-time-ordered micro-batches; :func:`..streaming.stateful.
+    lindley_balance_partials` carries (cumsum, running-min) ValueState
+    across the batch boundary — the Lindley recurrence in its natural
+    sequential form — and the emitted per-row balances aggregate to the
+    identical per-user summary (integer-cent state transitions are
+    exact, so batch reflection identity ≡ streaming recursion
+    bit-for-bit)."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import lindley_balance_partials
+    from .registry import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    d = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), cents
+        ).otherwise(-cents).alias("delta"),
+    )
+    mid = d.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    batches = [
+        d.filter(F.col("ts") <= F.lit(mid)),
+        d.filter(F.col("ts") > F.lit(mid)),
+    ]
+    src_dir = scratch_dir("src_lindley_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scratch_dir("ck_lindley_stream_") as ck:
+            got = run_available_now(
+                lindley_balance_partials(sdf), ck, "update"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return (
+        got.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max_by("bal", "t").cast("long").alias("final_balance_cents"),
+            F.max("bal").cast("long").alias("peak_balance_cents"),
+            F.sum(F.when(F.col("bal") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("floor_hits"),
+        )
+        .orderBy("user_id")
     )

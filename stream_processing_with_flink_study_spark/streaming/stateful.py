@@ -1010,3 +1010,75 @@ def page_hinkley_partials(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def lindley_balance_partials(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    delta_col: str = "delta",
+) -> DataFrame:
+    """Streaming clamped ledger — the ValueState twin of
+    ``plans.queries_ledger.lindley_clamped_balance``: state per user is
+    the committed (cumulative sum, running min of the cumulative sum,
+    last (ts_ms, order)) triple; each batch extends the Lindley
+    reflection form ``bal = cs − min(0, running_min(cs))`` vectorized
+    over the batch and carries both accumulators forward, so the
+    balance continues EXACTLY where the previous batch committed.
+    Integer-cent deltas make every state transition exact — the batch
+    and streaming forms are bit-equal on event-time-ordered feeds.
+
+    Ordering contract: rows sort by (ts, order_col) inside the batch;
+    rows at-or-before the committed (ts_ms, order) are dropped."""
+    out_schema = f"{key} long, t long, ts_ms long, bal long"
+    state_schema = "t long, cs long, runmin long, last_ms long, last_ord long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts, order_col]
+        )
+        if state.exists:
+            t0, cs0, runmin0, last_ms, last_ord = state.get
+        else:
+            t0, cs0, runmin0, last_ms, last_ord = 0, 0, 0, None, None
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = (ms > last_ms) | (
+                (ms == last_ms) & (pdf[order_col].to_numpy() > last_ord)
+            )
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        d = pdf[delta_col].to_numpy(dtype="int64")
+        cs = cs0 + np.cumsum(d)
+        runmin = np.minimum.accumulate(
+            np.minimum(cs, runmin0)
+        )  # runmin0 <= 0 always (seeded at 0), so the clamp floor carries
+        bal = cs - np.minimum(runmin, 0)
+        t = t0 + np.arange(1, len(d) + 1, dtype="int64")
+        state.update(
+            (
+                int(t[-1]),
+                int(cs[-1]),
+                int(runmin[-1]),
+                int(ms[-1]),
+                int(pdf[order_col].iloc[-1]),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key: [k[0]] * len(d),
+                "t": t,
+                "ts_ms": ms,
+                "bal": bal,
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
