@@ -1,0 +1,888 @@
+"""Statistical-diagnostics queries (eighth wave, continued): the
+inference layer a data platform runs AFTER fitting something — log-rank
+survival comparison, OLS residual diagnostics (Durbin-Watson serial
+correlation + Breusch-Pagan heteroskedasticity), Kendall's τ-b, PR-AUC
+(average precision), the Murphy decomposition of the Brier score,
+Cohen's κ inter-rater agreement, and delete-one-group jackknife
+standard errors.
+
+Oracle-determinism strategy (see plans/registry.py conventions):
+- model coefficients come from EXACT BIGINT moment sums (integer sums
+  are order-independent, unlike float sums), so the fitted α/β — and
+  therefore every per-row residual — are bit-identical doubles across
+  engines; only the final O(1) diagnostic ratios touch order-dependent
+  float sums, where the −1e-9-guarded rounding is many orders above
+  the jitter floor;
+- decision flags (χ² significance, BP rejection) compare the ROUNDED
+  statistic to the literal critical value so both engines make the
+  same boundary call;
+- rank/count-based statistics (τ-b, AP, κ, Brier bins) are rational
+  functions of exact integers end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+CHI2_95_DF1 = 3.8415  # chi-square 95th percentile, 1 degree of freedom
+
+
+@query(
+    "log_rank_survival",
+    f"""
+    WITH seq AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    firsts AS (SELECT k, d AS d1 FROM seq WHERE rn = 1),
+    seconds AS (SELECT k, d AS d2 FROM seq WHERE rn = 2),
+    obs AS MATERIALIZED (
+      SELECT f.k,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+             CASE WHEN s.d2 IS NOT NULL
+                  THEN date_diff('day', f.d1, s.d2)
+                  ELSE date_diff('day', f.d1, (SELECT h FROM horizon))
+             END AS t,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f
+      LEFT JOIN seconds s ON s.k = f.k
+      JOIN customer c ON c.c_custkey = f.k
+    ),
+    grp AS MATERIALIZED (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(ev) AS BIGINT) AS d_all,
+             CAST(sum(g) AS BIGINT) AS c_1,
+             CAST(sum(g * ev) AS BIGINT) AS d_1
+      FROM obs GROUP BY t
+    ),
+    atrisk AS (
+      SELECT t, d_all, d_1,
+             (SELECT count(*) FROM obs) - coalesce(sum(c_all) OVER wp, 0)
+               AS n_all,
+             (SELECT sum(g) FROM obs) - coalesce(sum(c_1) OVER wp, 0)
+               AS n_1
+      FROM grp
+      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ),
+    terms AS (
+      SELECT d_1, d_all,
+             d_all * CAST(n_1 AS DOUBLE) / n_all AS e_1,
+             CASE WHEN n_all > 1
+                  THEN d_all * (CAST(n_1 AS DOUBLE) / n_all)
+                       * (1.0 - CAST(n_1 AS DOUBLE) / n_all)
+                       * (n_all - d_all) / (n_all - 1)
+                  ELSE 0.0 END AS v
+      FROM atrisk WHERE d_all > 0
+    ),
+    agg AS (
+      SELECT CAST((SELECT sum(g) FROM obs) AS BIGINT) AS n_building,
+             CAST((SELECT count(*) - sum(g) FROM obs) AS BIGINT)
+               AS n_other,
+             CAST(sum(d_1) AS BIGINT) AS observed_events,
+             sum(e_1) AS e1, sum(v) AS v1
+      FROM terms
+    )
+    SELECT n_building, n_other, observed_events,
+           round(e1 - 1e-9, 4) AS expected_events,
+           round((observed_events - e1) * (observed_events - e1) / v1
+                 - 1e-9, 4) AS chi2,
+           round((observed_events - e1) * (observed_events - e1) / v1
+                 - 1e-9, 4) > {CHI2_95_DF1!r} AS reject_null
+    FROM agg
+    """,
+)
+def log_rank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing time-to-second-order survival between
+    BUILDING-segment customers and everyone else — the standard
+    two-sample censored-data test: at every event time the observed
+    group-1 events are compared with the hypergeometric expectation
+    ``d·n₁/n`` given the at-risk sets, and ``(O−E)²/V ~ χ²(1)``.
+    Extends :func:`queries_core.kaplan_meier_reorder` from estimation
+    to inference.
+
+    Scale shape: the customer-keyed ranking window and the broadcast
+    join to the customer dim are the only fact-sized stages; the test
+    statistic lives on the distinct-gap-day frame (~10³ rows) where
+    at-risk counts are one right-to-left cumulative per group.  Counts
+    are exact integers; E and V are sums of rationals over the tiny
+    frame, rounded with the −1e-9 guard, and the rejection flag
+    compares the ROUNDED χ² to the critical value."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(wq).alias("rn"),
+    )
+    horizon = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    firsts = seq.filter(F.col("rn") == 1).select("k", F.col("d").alias("d1"))
+    seconds = seq.filter(F.col("rn") == 2).select("k", F.col("d").alias("d2"))
+    obs = (
+        firsts.join(seconds, "k", "left")
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("k"),
+                    F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                    .otherwise(0)
+                    .alias("g"),
+                )
+            ),
+            "k",
+        )
+        .select(
+            "g",
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff(F.lit(horizon), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    grp = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum("ev").cast("long").alias("d_all"),
+        F.sum("g").cast("long").alias("c_1"),
+        F.sum(F.col("g") * F.col("ev")).cast("long").alias("d_1"),
+    )
+    w_tot = Window.partitionBy()
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    atrisk = grp.select(
+        "d_all",
+        "d_1",
+        (
+            F.sum("c_all").over(w_tot)
+            - F.coalesce(F.sum("c_all").over(wp), F.lit(0))
+        ).alias("n_all"),
+        (
+            F.sum("c_1").over(w_tot)
+            - F.coalesce(F.sum("c_1").over(wp), F.lit(0))
+        ).alias("n_1"),
+        F.sum("c_1").over(w_tot).alias("tot_1"),
+        F.sum("c_all").over(w_tot).alias("tot_all"),
+    )
+    frac1 = F.col("n_1").cast("double") / F.col("n_all")
+    terms = atrisk.filter(F.col("d_all") > 0).select(
+        "d_1",
+        "tot_1",
+        "tot_all",
+        (F.col("d_all") * frac1).alias("e_1"),
+        F.when(
+            F.col("n_all") > 1,
+            F.col("d_all")
+            * frac1
+            * (1.0 - frac1)
+            * (F.col("n_all") - F.col("d_all"))
+            / (F.col("n_all") - 1),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.max("tot_1").cast("long").alias("n_building"),
+        (F.max("tot_all") - F.max("tot_1")).cast("long").alias("n_other"),
+        F.sum("d_1").cast("long").alias("observed_events"),
+        F.sum("e_1").alias("e1"),
+        F.sum("v").alias("v1"),
+    )
+    chi2 = F.round(
+        (F.col("observed_events") - F.col("e1"))
+        * (F.col("observed_events") - F.col("e1"))
+        / F.col("v1")
+        - 1e-9,
+        4,
+    )
+    return agg.select(
+        "n_building",
+        "n_other",
+        "observed_events",
+        F.round(F.col("e1") - 1e-9, 4).alias("expected_events"),
+        chi2.alias("chi2"),
+        (chi2 > CHI2_95_DF1).alias("reject_null"),
+    )
+
+
+@query(
+    "ols_residual_diagnostics",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    mom AS MATERIALIZED (
+      SELECT rf, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(yc) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * yc) AS BIGINT) AS sxy
+      FROM base GROUP BY rf
+    ),
+    fit AS MATERIALIZED (
+      SELECT rf, n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               AS beta_c,
+             (CAST(sy AS DOUBLE)
+                - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS alpha_c
+      FROM mom
+    ),
+    res AS MATERIALIZED (
+      SELECT b.rf, f.n, b.x,
+             b.yc - f.alpha_c - f.beta_c * b.x AS e,
+             lag(b.yc - f.alpha_c - f.beta_c * b.x) OVER (
+               PARTITION BY b.rf
+               ORDER BY b.l_shipdate, b.l_orderkey, b.l_linenumber,
+                        b.yc, b.x)
+               AS e_prev
+      FROM base b JOIN fit f ON b.rf = f.rf
+    ),
+    diag AS (
+      SELECT rf, max(n) AS n,
+             sum(CASE WHEN e_prev IS NULL THEN 0.0
+                      ELSE (e - e_prev) * (e - e_prev) END) AS dw_num,
+             sum(e * e) AS see,
+             count(*) AS nn,
+             sum(x) AS sx2, sum(CAST(x AS DOUBLE) * x) AS sxx2,
+             sum(e * e * x) AS sze,
+             sum(e * e * e * e) AS szz,
+             avg(e * e) AS mz
+      FROM res GROUP BY rf
+    )
+    SELECT rf AS returnflag, CAST(n AS BIGINT) AS n,
+           round(dw_num / see - 1e-9, 4) AS durbin_watson,
+           round(1.0 - (dw_num / see) / 2.0 - 1e-9, 4) AS rho1,
+           round(nn * pow(sze - mz * sx2, 2)
+                 / ((sxx2 - CAST(sx2 AS DOUBLE) * sx2 / nn)
+                    * (szz - mz * mz * nn))
+                 - 1e-9, 4) AS bp_lm,
+           round(nn * pow(sze - mz * sx2, 2)
+                 / ((sxx2 - CAST(sx2 AS DOUBLE) * sx2 / nn)
+                    * (szz - mz * mz * nn))
+                 - 1e-9, 4) > {CHI2_95_DF1!r} AS bp_reject
+    FROM diag
+    ORDER BY rf
+    """,
+)
+def ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual diagnostics for the price~quantity OLS fit, per return
+    flag: Durbin-Watson serial correlation over shipdate-ordered
+    residuals (with the implied lag-1 autocorrelation ρ₁ ≈ 1 − DW/2)
+    and the Breusch-Pagan LM test regressing squared residuals on the
+    regressor — the "is this model lying to you" battery that belongs
+    next to every fitted coefficient.
+
+    Determinism design: α and β are derived from EXACT BIGINT moment
+    sums (integer aggregation is order-independent), so every per-row
+    residual is a bit-identical double in both engines; the O(1)
+    diagnostic ratios are the only order-dependent float sums and sit
+    ~1e-12 relative — far under the 4-decimal rounding.  Scale shape:
+    one integer-moment aggregate (map-side combinable), one broadcast
+    of the 3-row fit, one shipdate sort per flag for the lag — no
+    self-joins, no second fact shuffle beyond the window sort."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("yc"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    mom = base.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+    )
+    beta = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = mom.select(
+        "rf",
+        "n",
+        beta.alias("beta_c"),
+        ((F.col("sy").cast("double") - beta * F.col("sx")) / F.col("n")).alias(
+            "alpha_c"
+        ),
+    )
+    e = F.col("yc") - F.col("alpha_c") - F.col("beta_c") * F.col("x")
+    # (shipdate, orderkey, linenumber) is NOT unique in this synthetic
+    # lineitem — 8 duplicate triples with different values exist, and a
+    # nondeterministic lag order there shifts DW by ~4e-4.  (yc, x)
+    # completes the total order and fully determines the residual.
+    wlag = Window.partitionBy("rf").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "yc", "x"
+    )
+    res = base.join(F.broadcast(fit), "rf").select(
+        "rf",
+        "n",
+        "x",
+        e.alias("e"),
+        F.lag(e).over(wlag).alias("e_prev"),
+    )
+    diag = res.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("e_prev").isNull(), 0.0).otherwise(
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+            )
+        ).alias("dw_num"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("sx2"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx2"),
+        F.sum(F.col("e") * F.col("e") * F.col("x")).alias("sze"),
+        F.sum(F.col("e") * F.col("e") * F.col("e") * F.col("e")).alias("szz"),
+        F.avg(F.col("e") * F.col("e")).alias("mz"),
+    )
+    dw = F.col("dw_num") / F.col("see")
+    bp = (
+        F.col("nn")
+        * F.pow(F.col("sze") - F.col("mz") * F.col("sx2"), 2)
+        / (
+            (
+                F.col("sxx2")
+                - F.col("sx2").cast("double") * F.col("sx2") / F.col("nn")
+            )
+            * (F.col("szz") - F.col("mz") * F.col("mz") * F.col("nn"))
+        )
+    )
+    bp_r = F.round(bp - 1e-9, 4)
+    return diag.select(
+        F.col("rf").alias("returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(dw - 1e-9, 4).alias("durbin_watson"),
+        F.round(1.0 - dw / 2.0 - 1e-9, 4).alias("rho1"),
+        bp_r.alias("bp_lm"),
+        (bp_r > CHI2_95_DF1).alias("bp_reject"),
+    ).orderBy("returnflag")
+
+
+@query(
+    "kendall_tau_monthly",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.rev AS r1, a.cnt AS c1, b.rev AS r2, b.cnt AS c2
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    counts AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN (r1 < r2 AND c1 < c2)
+                        OR (r1 > r2 AND c1 > c2) THEN 1 ELSE 0 END)
+             AS BIGINT) AS concordant,
+        CAST(sum(CASE WHEN (r1 < r2 AND c1 > c2)
+                        OR (r1 > r2 AND c1 < c2) THEN 1 ELSE 0 END)
+             AS BIGINT) AS discordant,
+        CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS ties_rev,
+        CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS ties_cnt
+      FROM pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_months,
+           concordant, discordant, ties_rev, ties_cnt,
+           round((concordant - discordant)
+                 / sqrt((CAST(n0 AS DOUBLE) - ties_rev)
+                        * (CAST(n0 AS DOUBLE) - ties_cnt))
+                 - 1e-9, 4) AS tau_b
+    FROM counts
+    """,
+)
+def kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between monthly revenue and monthly order count:
+    concordant/discordant pair counting with the tie-corrected
+    denominator — the rank correlation that, unlike Spearman's ρ
+    (:func:`queries_eval.spearman_spend_frequency`), has a direct
+    probabilistic reading (P[agree] − P[disagree]).
+
+    Scale shape: REDUCE FIRST — the fact table aggregates to one exact
+    integer-cent row per month (~84 rows), and the O(n²) pair join runs
+    on the reduced frame (3.5k pairs), never on facts.  This
+    aggregate-then-quadratic split is the standard way to make
+    pair-counting statistics feasible at any fact scale; every count
+    is an exact BIGINT so τ-b is engine-identical before rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+        )
+        .agg(
+            F.sum(cents).cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .persist()
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("a.m") < F.col("b.m")).select(
+        F.col("a.rev").alias("r1"),
+        F.col("a.cnt").alias("c1"),
+        F.col("b.rev").alias("r2"),
+        F.col("b.cnt").alias("c2"),
+    )
+    conc = (
+        (F.col("r1") < F.col("r2")) & (F.col("c1") < F.col("c2"))
+    ) | ((F.col("r1") > F.col("r2")) & (F.col("c1") > F.col("c2")))
+    disc = (
+        (F.col("r1") < F.col("r2")) & (F.col("c1") > F.col("c2"))
+    ) | ((F.col("r1") > F.col("r2")) & (F.col("c1") < F.col("c2")))
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_rev"),
+        F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_cnt"),
+    )
+    n_months = monthly.count()
+    out = counts.select(
+        F.lit(n_months).cast("long").alias("n_months"),
+        "concordant",
+        "discordant",
+        "ties_rev",
+        "ties_cnt",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n0").cast("double") - F.col("ties_rev"))
+                * (F.col("n0").cast("double") - F.col("ties_cnt"))
+            )
+            - 1e-9,
+            4,
+        ).alias("tau_b"),
+    )
+    monthly.unpersist()
+    return out
+
+
+@query(
+    "pr_auc_by_source",
+    """
+    WITH d AS (
+      SELECT source, doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, pos,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS k,
+             sum(pos) OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_pos
+      FROM d
+    )
+    SELECT source,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN pos = 1
+                          THEN CAST(cum_pos AS DOUBLE) / k
+                          ELSE 0 END) / sum(pos) - 1e-9, 4)
+             AS average_precision,
+           round(CAST(sum(pos) AS DOUBLE) / count(*) - 1e-9, 4)
+             AS prevalence
+    FROM ranked
+    GROUP BY source
+    HAVING sum(pos) > 0
+    ORDER BY source
+    """,
+)
+def pr_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of the doc-length score against the ``lang = 'en'``
+    label, per source — the rank metric that, unlike ROC-AUC
+    (:func:`queries_eval.roc_auc_by_source`), stays honest under heavy
+    class imbalance; prevalence is emitted alongside as the no-skill
+    baseline.  AP = mean over positives of precision-at-that-rank,
+    computed from one in-partition sort with a unique (score, doc_id)
+    tiebreak: ranks and cumulative positives are exact integers, so
+    each precision term is a rational of identical integers in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    ranked = d.select(
+        "source",
+        "pos",
+        F.row_number().over(w).alias("k"),
+        F.sum("pos")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_pos"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pos") == 1,
+                        F.col("cum_pos").cast("double") / F.col("k"),
+                    ).otherwise(0.0)
+                )
+                / F.sum("pos")
+                - 1e-9,
+                4,
+            ).alias("average_precision"),
+            F.round(
+                F.sum("pos").cast("double") / F.count(F.lit(1)) - 1e-9, 4
+            ).alias("prevalence"),
+        )
+        .filter(F.col("n_pos") > 0)
+        .orderBy("source")
+    )
+
+
+BRIER_BINS = 10
+
+
+@query(
+    "brier_decomposition",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    binned AS (
+      SELECT y,
+             ntile({BRIER_BINS}) OVER (ORDER BY n_chars, doc_id) AS b
+      FROM d
+    ),
+    probs AS (
+      SELECT y, b,
+             (2.0 * b - 1.0) / (2.0 * {BRIER_BINS}) AS p
+      FROM binned
+    ),
+    per_bin AS (
+      SELECT b, max(p) AS p,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(y) AS BIGINT) AS pos_k
+      FROM probs GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(pos_k) AS BIGINT) AS pos
+      FROM per_bin
+    )
+    SELECT t.n,
+           round(sum(p.n_k * (p.p - CAST(p.pos_k AS DOUBLE) / p.n_k)
+                             * (p.p - CAST(p.pos_k AS DOUBLE) / p.n_k))
+                 / t.n - 1e-9, 6) AS reliability,
+           round(sum(p.n_k
+                     * (CAST(p.pos_k AS DOUBLE) / p.n_k
+                        - CAST(t.pos AS DOUBLE) / t.n)
+                     * (CAST(p.pos_k AS DOUBLE) / p.n_k
+                        - CAST(t.pos AS DOUBLE) / t.n))
+                 / t.n - 1e-9, 6) AS resolution,
+           round((CAST(t.pos AS DOUBLE) / t.n)
+                 * (1.0 - CAST(t.pos AS DOUBLE) / t.n) - 1e-9, 6)
+             AS uncertainty,
+           round(sum(p.n_k * p.p * p.p
+                     - 2.0 * p.p * p.pos_k + p.pos_k) / t.n - 1e-9, 6)
+             AS brier_score
+    FROM per_bin p, tot t
+    GROUP BY t.n, t.pos
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — BS = reliability −
+    resolution + uncertainty — for a decile-grid forecaster of the
+    ``lang='en'`` label (each length-decile predicts its grid midpoint
+    probability, so predictions are constant within bins and the
+    decomposition is EXACT; the emitted brier_score equals REL − RES +
+    UNC to the last bit).  This is the canonical answer to "is my
+    probability model calibrated, and does it actually discriminate?".
+
+    All four terms are rational functions of exact integer bin counts
+    (grid probabilities are fixed literals), so both engines compute
+    identical doubles; the only distributed work is one sort for the
+    decile ntile and one count aggregate per bin."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = d.select(
+        "y",
+        F.ntile(BRIER_BINS).over(Window.orderBy("n_chars", "doc_id")).alias(
+            "b"
+        ),
+    )
+    probs = binned.withColumn(
+        "p", (2.0 * F.col("b") - 1.0) / (2.0 * BRIER_BINS)
+    )
+    per_bin = probs.groupBy("b").agg(
+        F.max("p").alias("p"),
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("y").cast("long").alias("pos_k"),
+    )
+    w_tot = Window.partitionBy()
+    t = per_bin.select(
+        "*",
+        F.sum("n_k").over(w_tot).alias("n"),
+        F.sum("pos_k").over(w_tot).alias("pos"),
+    )
+    ybar_k = F.col("pos_k").cast("double") / F.col("n_k")
+    ybar = F.col("pos").cast("double") / F.col("n")
+    return t.groupBy("n", "pos").agg(
+        F.round(
+            F.sum(
+                F.col("n_k") * (F.col("p") - ybar_k) * (F.col("p") - ybar_k)
+            )
+            / F.max("n")
+            - 1e-9,
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(F.col("n_k") * (ybar_k - ybar) * (ybar_k - ybar))
+            / F.max("n")
+            - 1e-9,
+            6,
+        ).alias("resolution"),
+        F.round(ybar * (1.0 - ybar) - 1e-9, 6).alias("uncertainty"),
+        F.round(
+            F.sum(
+                F.col("n_k") * F.col("p") * F.col("p")
+                - 2.0 * F.col("p") * F.col("pos_k")
+                + F.col("pos_k")
+            )
+            / F.max("n")
+            - 1e-9,
+            6,
+        ).alias("brier_score"),
+    ).select(
+        "n", "reliability", "resolution", "uncertainty", "brier_score"
+    )
+
+
+# Rater B flags a doc "dense" when spaces make up < 12% of characters —
+# integer cross-multiplication keeps the threshold exact on both sides.
+KAPPA_SPACE_PCT_X100 = 1200
+KAPPA_LEN_THRESHOLD = 500
+
+
+@query(
+    "cohens_kappa_heuristics",
+    f"""
+    WITH r AS (
+      SELECT lang,
+             CASE WHEN n_chars >= {KAPPA_LEN_THRESHOLD} THEN 1 ELSE 0 END
+               AS a,
+             CASE WHEN 10000 * (length(text)
+                                - length(replace(text, ' ', '')))
+                       < {KAPPA_SPACE_PCT_X100} * length(text)
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cm AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM r GROUP BY lang
+    )
+    SELECT lang, n, n11, n10, n01, n00,
+           round((n11 + n00) * 1.0 / n - 1e-9, 4) AS p_observed,
+           round(((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+                  + (n01 + n00) * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * n) - 1e-9, 4) AS p_expected,
+           round(((n11 + n00) * 1.0 / n
+                  - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+                     + (n01 + n00) * CAST(n10 + n00 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+                           + (n01 + n00) * CAST(n10 + n00 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * n)) - 1e-9, 4) AS kappa
+    FROM cm
+    ORDER BY lang
+    """,
+)
+def cohens_kappa_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between two independent document heuristics
+    — rater A flags long documents (≥500 chars), rater B flags "dense"
+    text (space ratio < 12%, decided by integer cross-multiplication so
+    the boundary is exact) — per language: the chance-corrected
+    agreement measure behind every labeling-quality audit.  κ = (p_o −
+    p_e)/(1 − p_e) from the 2×2 confusion counts; one scan, one tiny
+    groupBy, every input an exact integer."""
+    d = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    r = d.select(
+        "lang",
+        F.when(F.col("n_chars") >= KAPPA_LEN_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(
+            10000 * spaces < KAPPA_SPACE_PCT_X100 * F.length("text"), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cm = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10"))
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00"))
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return cm.select(
+        "lang",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po - 1e-9, 4).alias("p_observed"),
+        F.round(pe - 1e-9, 4).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe) - 1e-9, 4).alias("kappa"),
+    ).orderBy("lang")
+
+
+@query(
+    "jackknife_source_sensitivity",
+    """
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS s_g
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS g
+      FROM per_source
+    ),
+    loo AS (
+      SELECT p.source, p.n_g, t.g,
+             CAST(t.s AS DOUBLE) / t.n AS theta,
+             CAST(t.s - p.s_g AS DOUBLE) / (t.n - p.n_g) AS theta_loo
+      FROM per_source p, tot t
+    ),
+    pseudo AS (
+      SELECT source, n_g, g, theta,
+             g * theta - (g - 1) * theta_loo AS pv,
+             theta_loo,
+             avg(theta_loo) OVER () AS loo_bar
+      FROM loo
+    )
+    SELECT source,
+           n_g AS n_docs,
+           round(theta_loo - 1e-9, 4) AS loo_mean_chars,
+           round(pv - 1e-9, 4) AS pseudovalue,
+           round(theta_loo - theta - 1e-9, 4) AS influence,
+           round(sqrt((g - 1.0) / g
+                      * sum((theta_loo - loo_bar)
+                            * (theta_loo - loo_bar)) OVER ())
+                 - 1e-9, 4) AS jackknife_se
+    FROM pseudo
+    ORDER BY source
+    """,
+)
+def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife over sources for the corpus mean
+    document length: each source's leave-it-out estimate, pseudovalue,
+    influence (how much dropping that source moves the global mean),
+    and the grouped-jackknife standard error — the resampling-free way
+    to answer "which upstream feed dominates my corpus statistics, and
+    what is their sampling uncertainty?".
+
+    The totals-minus-group trick computes every leave-one-out estimate
+    from ONE scan: per-source exact integer (count, sum) partials plus
+    the grand total — no G rescans, which is what makes the jackknife
+    viable when G is large and the facts are 100 TB.  All inputs are
+    exact BIGINTs; the derived doubles are engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("n_chars").cast("long").alias("s_g"),
+    )
+    w_tot = Window.partitionBy()
+    t = per_source.select(
+        "*",
+        F.sum("n_g").over(w_tot).alias("n"),
+        F.sum("s_g").over(w_tot).alias("s"),
+        F.count(F.lit(1)).over(w_tot).alias("g"),
+    )
+    theta = F.col("s").cast("double") / F.col("n")
+    theta_loo = (F.col("s") - F.col("s_g")).cast("double") / (
+        F.col("n") - F.col("n_g")
+    )
+    pseudo = t.select(
+        "source",
+        "n_g",
+        "g",
+        theta.alias("theta"),
+        theta_loo.alias("theta_loo"),
+        (F.col("g") * theta - (F.col("g") - 1) * theta_loo).alias("pv"),
+        F.avg(theta_loo).over(w_tot).alias("loo_bar"),
+    )
+    return pseudo.select(
+        "source",
+        F.col("n_g").alias("n_docs"),
+        F.round(F.col("theta_loo") - 1e-9, 4).alias("loo_mean_chars"),
+        F.round(F.col("pv") - 1e-9, 4).alias("pseudovalue"),
+        F.round(F.col("theta_loo") - F.col("theta") - 1e-9, 4).alias(
+            "influence"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("g") - 1.0)
+                / F.col("g")
+                * F.sum(
+                    (F.col("theta_loo") - F.col("loo_bar"))
+                    * (F.col("theta_loo") - F.col("loo_bar"))
+                ).over(w_tot)
+            )
+            - 1e-9,
+            4,
+        ).alias("jackknife_se"),
+    ).orderBy("source")
