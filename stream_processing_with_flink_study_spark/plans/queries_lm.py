@@ -1,0 +1,325 @@
+"""Language-model-flavored corpus queries (eighth wave, continued):
+Flesch reading-ease profiling and a HELD-OUT trigram stupid-backoff
+cross-entropy screen — the order-3 upgrade of the corpus xent family
+(``queries_corpus.unigram_xent_filter`` / ``bigram_xent_filter``) where,
+because the LM is counted on a train split and scored on the held-out
+half, the backoff path actually fires on unseen n-grams (the in-corpus
+order-2 filter never backs off by construction).
+
+Oracle-determinism notes (see plans/registry.py conventions):
+- syllable/word/sentence counts are regexp-match counts — identical
+  integer inputs on both engines (`regexp_extract_all` semantics agree
+  for the character classes used);
+- backoff LEVEL decisions are NULL-presence checks on exact integer
+  count joins — no float boundary anywhere; probabilities are rationals
+  of identical integers, so per-position log₂ terms are bit-identical
+  and only the per-group averages carry the −1e-9-guarded rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..sources import load_table
+from .registry import query
+
+BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+@query(
+    "flesch_reading_ease",
+    """
+    WITH c AS (
+      SELECT source, lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sents
+      FROM documents
+    ),
+    s AS (
+      SELECT source, lang, words, syl, sents,
+             206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                     - 84.6 * (CAST(syl AS DOUBLE) / words) AS fre
+      FROM c WHERE words > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(fre) - 1e-9, 4) AS avg_reading_ease,
+           round(min(fre) - 1e-9, 4) AS min_reading_ease,
+           round(avg(CAST(words AS DOUBLE) / sents) - 1e-9, 4)
+             AS avg_words_per_sentence,
+           round(avg(CAST(syl AS DOUBLE) / words) - 1e-9, 4)
+             AS avg_syllables_per_word,
+           CAST(sum(CASE WHEN round(fre - 1e-9, 4) >= 60.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_english
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per source — ``206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/word)`` with the standard vowel-group
+    syllable heuristic — the readability screen a curation pipeline
+    runs to spot sources whose "text" is actually tables, code, or
+    keyword stuffing (absurd words-per-sentence or syllable densities).
+    The plain-English count thresholds the ROUNDED score (FRE ≥ 60) so
+    both engines agree on boundary docs.  One scan, three regexp match
+    counts per doc, one tiny groupBy — embarrassingly parallel at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    c = d.select(
+        "source",
+        words.alias("words"),
+        syl.alias("syl"),
+        sents.alias("sents"),
+    ).filter(F.col("words") > 0)
+    wps = F.col("words").cast("double") / F.col("sents")
+    spw = F.col("syl").cast("double") / F.col("words")
+    s = c.withColumn("fre", 206.835 - 1.015 * wps - 84.6 * spw)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("fre") - 1e-9, 4).alias("avg_reading_ease"),
+            F.round(F.min("fre") - 1e-9, 4).alias("min_reading_ease"),
+            F.round(F.avg(wps) - 1e-9, 4).alias("avg_words_per_sentence"),
+            F.round(F.avg(spw) - 1e-9, 4).alias("avg_syllables_per_word"),
+            F.sum(
+                F.when(F.round(F.col("fre") - 1e-9, 4) >= 60.0, 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_plain_english"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "trigram_backoff_xent",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, doc_id % 2 = 0 AS is_train,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT doc_id, source, is_train,
+             arr[i] AS w1, arr[i + 1] AS w2, arr[i + 2] AS w3
+      FROM toks, unnest(range(1, len(arr) - 1)) AS x(i)
+    ),
+    c3 AS MATERIALIZED (
+      SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+      FROM tri WHERE is_train GROUP BY w1, w2, w3
+    ),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM tri WHERE is_train GROUP BY w1, w2
+    ),
+    c1 AS MATERIALIZED (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c
+      FROM tri WHERE is_train GROUP BY w1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+    scored AS MATERIALIZED (
+      SELECT q.source,
+             CASE WHEN t3.c IS NOT NULL THEN 3
+                  WHEN b23.c IS NOT NULL THEN 2
+                  WHEN u3.c IS NOT NULL THEN 1
+                  ELSE 0 END AS lvl,
+             CASE WHEN t3.c IS NOT NULL
+                    THEN log2(CAST(t3.c AS DOUBLE) / b12.c)
+                  WHEN b23.c IS NOT NULL
+                    THEN log2({BACKOFF!r} * CAST(b23.c AS DOUBLE) / u2.c)
+                  WHEN u3.c IS NOT NULL
+                    THEN log2({BACKOFF!r} * {BACKOFF!r}
+                              * CAST(u3.c AS DOUBLE) / tot.t)
+                  ELSE log2({BACKOFF!r} * {BACKOFF!r} * 1.0 / tot.t)
+             END AS logp
+      FROM tri q
+      LEFT JOIN c3 t3 ON t3.w1 = q.w1 AND t3.w2 = q.w2 AND t3.w3 = q.w3
+      LEFT JOIN c2 b12 ON b12.w1 = q.w1 AND b12.w2 = q.w2
+      LEFT JOIN c2 b23 ON b23.w1 = q.w2 AND b23.w2 = q.w3
+      LEFT JOIN c1 u2 ON u2.w1 = q.w2
+      LEFT JOIN c1 u3 ON u3.w1 = q.w3
+      CROSS JOIN tot
+      WHERE NOT q.is_train
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(-logp) - 1e-9, 4) AS xent_bits,
+           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_trigram,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_bigram,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_unigram,
+           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov,
+           round(sum(CASE WHEN lvl = 3 THEN 1.0 ELSE 0 END) / count(*)
+                 - 1e-9, 4) AS trigram_hit_rate
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def trigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram cross-entropy with STUPID BACKOFF (Brants et
+    al., "Large Language Models in Machine Translation", 2007): count
+    the n-gram tables on the even-doc_id train split, score the odd
+    half — S(w₃|w₁w₂) falls back 0.4·S(w₃|w₂), then 0.4²·c(w₃)/T, then
+    an 0.4²/T OOV floor.  Because scoring is held-out, every backoff
+    level genuinely fires (the in-corpus bigram filter never backs
+    off), making this the honest perplexity screen for spotting
+    machine-generated or off-domain text.
+
+    Scale shape: one trigram explode feeds all three count tables
+    (map-side combinable groupBys) AND the scoring stream; the count
+    tables are vocab-sized, so the five lookups attach by BROADCAST
+    hash joins — the held-out stream itself shuffles only for the
+    final per-source rollup.  Level decisions are NULL-checks on
+    integer joins; each log₂ term is a rational of identical integers,
+    bit-identical across engines before the rounded average."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = text.tokens("text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        arr.alias("arr"),
+    )
+    n = F.size("arr")
+    tri = (
+        toks.select(
+            "doc_id",
+            "source",
+            "is_train",
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.zip_with(
+                            F.col("arr"),
+                            F.slice(F.col("arr"), 2, F.greatest(n - 1, F.lit(0))),
+                            lambda a, b: F.struct(
+                                a.alias("w1"), b.alias("w2")
+                            ),
+                        ),
+                        F.slice(F.col("arr"), 3, F.greatest(n - 2, F.lit(0))),
+                        lambda ab, c: F.struct(
+                            ab.w1.alias("w1"),
+                            ab.w2.alias("w2"),
+                            c.alias("w3"),
+                        ),
+                    ),
+                    lambda s: s.w1.isNotNull()
+                    & s.w2.isNotNull()
+                    & s.w3.isNotNull(),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "source",
+            "is_train",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+        .persist()
+    )
+    train = tri.filter("is_train")
+    c3 = train.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    t_total = train.count()
+    q = tri.filter(~F.col("is_train"))
+    b23 = c2.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c2").alias("c23"),
+    )
+    u2 = c1.select(F.col("w1").alias("w2"), F.col("c1").alias("cu2"))
+    u3 = c1.select(F.col("w1").alias("w3"), F.col("c1").alias("cu3"))
+    j = (
+        q.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(b23), ["w2", "w3"], "left")
+        .join(F.broadcast(u2), ["w2"], "left")
+        .join(F.broadcast(u3), ["w3"], "left")
+    )
+    lvl = (
+        F.when(F.col("c3").isNotNull(), 3)
+        .when(F.col("c23").isNotNull(), 2)
+        .when(F.col("cu3").isNotNull(), 1)
+        .otherwise(0)
+    )
+    logp = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.log2(F.col("c3").cast("double") / F.col("c2")),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.log2(
+                F.lit(BACKOFF) * F.col("c23").cast("double") / F.col("cu2")
+            ),
+        )
+        .when(
+            F.col("cu3").isNotNull(),
+            F.log2(
+                F.lit(BACKOFF * BACKOFF)
+                * F.col("cu3").cast("double")
+                / F.lit(float(t_total))
+            ),
+        )
+        .otherwise(
+            F.log2(F.lit(BACKOFF * BACKOFF) * 1.0 / F.lit(float(t_total)))
+        )
+    )
+    scored = j.select("source", lvl.alias("lvl"), logp.alias("logp"))
+    out = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(-F.col("logp")) - 1e-9, 4).alias("xent_bits"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_trigram"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_bigram"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_unigram"),
+            F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("oov"),
+            F.round(
+                F.sum(F.when(F.col("lvl") == 3, 1.0).otherwise(0.0))
+                / F.count(F.lit(1))
+                - 1e-9,
+                4,
+            ).alias("trigram_hit_rate"),
+        )
+        .orderBy("source")
+    )
+    tri.unpersist()
+    return out
