@@ -1182,3 +1182,166 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decision")
     )
+
+
+HURST_SCALES = (8, 16, 32, 64, 128)
+
+
+@query(
+    "hurst_rescaled_range",
+    f"""
+    WITH daily AS (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY o_orderdate) AS rn
+      FROM orders GROUP BY o_orderdate
+    ),
+    fanout AS (
+      SELECT sc.s, d.rn, d.cents,
+             CAST(floor((d.rn - 1.0) / sc.s) AS BIGINT) AS blk
+      FROM daily d
+      CROSS JOIN (VALUES {", ".join(f"({s})" for s in HURST_SCALES)})
+        AS sc(s)
+    ),
+    walk AS (
+      SELECT s, blk, cents,
+             row_number() OVER wo AS k,
+             sum(cents) OVER (PARTITION BY s, blk ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(cents) OVER (PARTITION BY s, blk) AS tot,
+             count(*) OVER (PARTITION BY s, blk) AS cnt
+      FROM fanout
+      WINDOW wo AS (PARTITION BY s, blk ORDER BY rn)
+    ),
+    blocks AS (
+      SELECT s, blk,
+             max(cnt) AS cnt,
+             max(cs - k * (CAST(tot AS DOUBLE) / cnt))
+               - min(cs - k * (CAST(tot AS DOUBLE) / cnt)) AS r_range,
+             CAST(max(tot) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM walk GROUP BY s, blk
+    ),
+    rs AS (
+      SELECT s, cnt,
+             r_range / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt) AS q
+      FROM blocks
+      WHERE cnt = s
+        AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) > 0
+    ),
+    per_scale AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+             avg(q) AS mean_rs
+      FROM rs GROUP BY s
+    ),
+    reg AS (
+      SELECT s, n_blocks, mean_rs,
+             ln(CAST(s AS DOUBLE)) AS x, ln(mean_rs) AS y,
+             count(*) OVER () AS np,
+             avg(ln(CAST(s AS DOUBLE))) OVER () AS mx,
+             avg(ln(mean_rs)) OVER () AS my
+      FROM per_scale
+    )
+    SELECT s AS scale, n_blocks,
+           round(mean_rs - 1e-9, 4) AS mean_rs,
+           round(sum((x - mx) * (y - my)) OVER ()
+                 / sum((x - mx) * (x - mx)) OVER () - 1e-9, 4)
+             AS hurst_exponent
+    FROM reg
+    ORDER BY s
+    """,
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily-revenue series by classic rescaled-
+    range (R/S) analysis: for each block size s, partition the series
+    into s-day blocks, compute the range of the mean-adjusted
+    cumulative walk over its in-block standard deviation, and fit
+    log E[R/S] ~ H·log s — H≈0.5 is a memoryless walk, H>0.5
+    long-range persistence (trending demand), H<0.5 mean reversion.
+
+    Scale shape: the fact table reduces to one exact-cent row per day
+    FIRST; the multi-scale fanout is a 5× cross join of the reduced
+    series, and every block statistic rides ONE (s, blk)-partitioned
+    window shuffle.  The cumulative walk is integer-exact (cumsum of
+    BIGINT cents), block μ and σ come from exact integer moments, so
+    R/S is engine-identical per block; only the per-scale average and
+    the 5-point log-log regression touch order-dependent float sums,
+    absorbed by the rounding guard."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        orders.groupBy("o_orderdate")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .select(
+            "cents",
+            F.row_number().over(Window.orderBy("o_orderdate")).alias("rn"),
+        )
+    )
+    scales = F.explode(
+        F.array(*[F.lit(s) for s in HURST_SCALES])
+    ).alias("s")
+    fanout = daily.select("rn", "cents", scales).select(
+        "s",
+        "rn",
+        "cents",
+        F.floor((F.col("rn") - 1.0) / F.col("s")).cast("long").alias("blk"),
+    )
+    wp = Window.partitionBy("s", "blk")
+    wo = wp.orderBy("rn")
+    walk = fanout.select(
+        "s",
+        "blk",
+        "cents",
+        F.row_number().over(wo).alias("k"),
+        F.sum("cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cs"),
+        F.sum("cents").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    dev = F.col("cs") - F.col("k") * (
+        F.col("tot").cast("double") / F.col("cnt")
+    )
+    blocks = walk.groupBy("s", "blk").agg(
+        F.max("cnt").alias("cnt"),
+        (F.max(dev) - F.min(dev)).alias("r_range"),
+        F.max("tot").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    ss = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ) / F.col("cnt")
+    rs = blocks.filter((F.col("cnt") == F.col("s")) & (ss > 0)).select(
+        "s", (F.col("r_range") / F.sqrt(ss / F.col("cnt"))).alias("q")
+    )
+    per_scale = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.avg("q").alias("mean_rs"),
+    )
+    w_all = Window.partitionBy()
+    reg = per_scale.select(
+        "s",
+        "n_blocks",
+        "mean_rs",
+        F.log(F.col("s").cast("double")).alias("x"),
+        F.log("mean_rs").alias("y"),
+    ).select(
+        "*",
+        F.avg("x").over(w_all).alias("mx"),
+        F.avg("y").over(w_all).alias("my"),
+    )
+    return reg.select(
+        F.col("s").alias("scale"),
+        "n_blocks",
+        F.round(F.col("mean_rs") - 1e-9, 4).alias("mean_rs"),
+        F.round(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .over(w_all)
+            / F.sum(
+                (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+            ).over(w_all)
+            - 1e-9,
+            4,
+        ).alias("hurst_exponent"),
+    ).orderBy("scale")
