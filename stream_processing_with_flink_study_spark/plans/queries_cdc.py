@@ -1,0 +1,484 @@
+"""Warehouse-ops queries, second batch (eighth wave, continued):
+largest-remainder money proration, CDC log compaction to net effects,
+Welch's unequal-variance t-test, and pairwise Jensen-Shannon
+divergence between source language mixes.
+
+Oracle-determinism notes (see plans/registry.py conventions):
+- proration is EXACT integer arithmetic end-to-end: BIGINT cent
+  products stay under 2^53-free territory (pure BIGINT div/mod), the
+  largest-remainder ranks break ties on line number, and the invariant
+  Σalloc = target is checkable as integer equality;
+- CDC net-op classification is string/date logic over min_by/max_by
+  with unique (date, orderkey) tiebreaks — no floats at all;
+- Welch's t and its Satterthwaite df derive from exact integer-cent
+  moments, so both engines compute identical doubles; the significance
+  flag compares the ROUNDED |t| to the literal critical value;
+- JSD terms are rationals of exact counts on a DENSIFIED source×lang
+  grid (absent cells coalesce to hard zeros on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+T_CRIT_95 = 1.96  # two-sided 5% normal critical value (df ≫ 30 here)
+CDC_SNAPSHOT_DATE = "1995-01-01"
+
+
+@query(
+    "proration_largest_remainder",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS w,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS t,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    tot AS (
+      SELECT l_orderkey, sum(w) AS ww, count(*) AS nl
+      FROM li GROUP BY l_orderkey
+    ),
+    base AS MATERIALIZED (
+      SELECT li.l_orderkey, li.l_linenumber, li.o_orderpriority, li.t,
+             (li.t * li.w) // tt.ww AS alloc0,
+             (li.t * li.w) % tt.ww AS rem,
+             tt.nl
+      FROM li JOIN tot tt ON li.l_orderkey = tt.l_orderkey
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             t - sum(alloc0) OVER (PARTITION BY l_orderkey) AS leftover
+      FROM base
+    ),
+    alloc AS (
+      SELECT o_orderpriority, l_orderkey, t,
+             alloc0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc,
+             CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS bumped
+      FROM ranked
+    ),
+    per_order AS (
+      SELECT o_orderpriority, l_orderkey,
+             max(t) AS t,
+             CAST(sum(alloc) AS BIGINT) AS alloc_sum,
+             CAST(sum(bumped) AS BIGINT) AS bumped,
+             count(*) AS nl
+      FROM alloc GROUP BY o_orderpriority, l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(nl) AS BIGINT) AS n_lines,
+           CAST(sum(alloc_sum) AS BIGINT) AS total_alloc_cents,
+           CAST(sum(bumped) AS BIGINT) AS lines_bumped,
+           bool_and(alloc_sum = t) AS balanced
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prorate each order's header total across its line items
+    proportionally to extended price, in EXACT integer cents, using
+    the largest-remainder (Hamilton) method: every line gets
+    ``⌊T·wᵢ/W⌋`` and the leftover pennies go to the largest
+    fractional remainders (line number breaks ties) — the billing /
+    revenue-allocation primitive where "sum of parts equals the
+    invoice, to the penny" is a hard requirement floats cannot meet.
+
+    The per-order invariant Σalloc = T holds by construction and is
+    enforced in tests.  Scale shape: one fact-fact join co-partitioned
+    on orderkey, one per-order window for ranks — the same single
+    shuffle a groupBy would need; everything is BIGINT div/mod, no
+    floats anywhere."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("w"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .alias("t"),
+                "o_orderpriority",
+            ),
+            "l_orderkey",
+        )
+    )
+    tot = li.groupBy("l_orderkey").agg(F.sum("w").alias("ww"))
+    base = li.join(tot, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        "t",
+        F.expr("t * w DIV ww").alias("alloc0"),
+        F.expr("(t * w) % ww").alias("rem"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(wo.orderBy(F.desc("rem"), "l_linenumber"))
+        .alias("rk"),
+        (F.col("t") - F.sum("alloc0").over(wo)).alias("leftover"),
+    )
+    alloc = ranked.select(
+        "o_orderpriority",
+        "l_orderkey",
+        "t",
+        (
+            F.col("alloc0")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+        F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0).alias(
+            "bumped"
+        ),
+    )
+    per_order = alloc.groupBy("o_orderpriority", "l_orderkey").agg(
+        F.max("t").alias("t"),
+        F.sum("alloc").cast("long").alias("alloc_sum"),
+        F.sum("bumped").cast("long").alias("bumped"),
+        F.count(F.lit(1)).alias("nl"),
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("nl").cast("long").alias("n_lines"),
+            F.sum("alloc_sum").cast("long").alias("total_alloc_cents"),
+            F.sum("bumped").cast("long").alias("lines_bumped"),
+            F.bool_and(F.col("alloc_sum") == F.col("t")).alias("balanced"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "cdc_net_effect",
+    f"""
+    WITH log AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ),
+    pre AS (
+      SELECT DISTINCT k FROM log WHERE d < DATE '{CDC_SNAPSHOT_DATE}'
+    ),
+    win AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_ops,
+             max_by(op, date_diff('day', DATE '1970-01-01', d)
+                        * 1000000000000 + o_orderkey) AS last_op
+      FROM log WHERE d >= DATE '{CDC_SNAPSHOT_DATE}'
+      GROUP BY k
+    ),
+    net AS (
+      SELECT w.k, w.n_ops,
+             CASE WHEN w.last_op = 'D' AND p.k IS NOT NULL THEN 'DELETE'
+                  WHEN w.last_op = 'D' THEN 'NOOP'
+                  WHEN p.k IS NOT NULL THEN 'UPDATE'
+                  ELSE 'INSERT' END AS net_op
+      FROM win w LEFT JOIN pre p ON p.k = w.k
+    )
+    SELECT net_op,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_ops) AS BIGINT) AS n_ops_compacted,
+           round(sum(n_ops) * 1.0 / count(*) - 1e-9, 4)
+             AS avg_ops_per_key
+    FROM net
+    GROUP BY net_op
+    ORDER BY net_op
+    """,
+)
+def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse a change stream (every order is an
+    upsert of its customer's record; finalized orders with key%10=0
+    act as deletes) into per-key NET effects against the 1995-01-01
+    snapshot — create+delete inside the window cancels to NOOP,
+    pre-existing keys net to UPDATE or DELETE, new keys to INSERT.
+    This is the Debezium→warehouse merge-prep operator: shipping net
+    effects instead of raw ops cuts the MERGE's write amplification by
+    avg_ops_per_key.
+
+    Scale shape: ONE groupBy over the windowed log with ``max_by(op,
+    (date, orderkey))`` picking the final op (unique tiebreak — no
+    sort-the-whole-log step), plus a semi-join-shaped membership probe
+    against pre-window keys; all string/integer logic, no floats."""
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0),
+            "D",
+        )
+        .otherwise("U")
+        .alias("op"),
+    )
+    pre = (
+        log.filter(F.col("d") < F.lit(CDC_SNAPSHOT_DATE))
+        .select("k")
+        .distinct()
+        .withColumn("existed", F.lit(1))
+    )
+    win = (
+        log.filter(F.col("d") >= F.lit(CDC_SNAPSHOT_DATE))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ops"),
+            F.max_by(
+                "op",
+                F.datediff("d", F.lit("1970-01-01")).cast("long")
+                * F.lit(1000000000000)
+                + F.col("o_orderkey"),
+            ).alias("last_op"),
+        )
+    )
+    net = win.join(pre, "k", "left").select(
+        "n_ops",
+        F.when(
+            (F.col("last_op") == "D") & F.col("existed").isNotNull(), "DELETE"
+        )
+        .when(F.col("last_op") == "D", "NOOP")
+        .when(F.col("existed").isNotNull(), "UPDATE")
+        .otherwise("INSERT")
+        .alias("net_op"),
+    )
+    return (
+        net.groupBy("net_op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_ops").cast("long").alias("n_ops_compacted"),
+            F.round(
+                F.sum("n_ops") * 1.0 / F.count(F.lit(1)) - 1e-9, 4
+            ).alias("avg_ops_per_key"),
+        )
+        .orderBy("net_op")
+    )
+
+
+@query(
+    "welch_ttest_segments",
+    f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    m AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM j GROUP BY seg
+    ),
+    p AS (
+      SELECT
+        max(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS na,
+        max(CASE WHEN seg = 'HOUSEHOLD' THEN n END) AS nb,
+        max(CASE WHEN seg = 'AUTOMOBILE'
+                 THEN CAST(s1 AS DOUBLE) / n END) AS ma,
+        max(CASE WHEN seg = 'HOUSEHOLD'
+                 THEN CAST(s1 AS DOUBLE) / n END) AS mb,
+        max(CASE WHEN seg = 'AUTOMOBILE'
+                 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1) END) AS va,
+        max(CASE WHEN seg = 'HOUSEHOLD'
+                 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1) END) AS vb
+      FROM m
+    )
+    SELECT na AS n_auto, nb AS n_household,
+           round(ma / 100.0 - 1e-9, 2) AS mean_auto_usd,
+           round(mb / 100.0 - 1e-9, 2) AS mean_household_usd,
+           round((ma - mb) / sqrt(va / na + vb / nb) - 1e-9, 4)
+             AS t_stat,
+           round(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1)
+                    + pow(vb / nb, 2) / (nb - 1)) - 1e-9, 1)
+             AS welch_df,
+           abs(round((ma - mb) / sqrt(va / na + vb / nb) - 1e-9, 4))
+             > {T_CRIT_95!r} AS significant
+    FROM p
+    """,
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test for mean order value between
+    AUTOMOBILE and HOUSEHOLD customers, with the Welch-Satterthwaite
+    effective degrees of freedom — the default two-sample test (never
+    assume equal variances) behind every segment-comparison dashboard.
+    Means and variances derive from exact integer-cent moments, so t
+    and df are engine-identical doubles; significance compares the
+    ROUNDED |t| against the z critical value (df is ~10⁴ here, where
+    t and z coincide to 3 decimals).  One broadcast dim join + one
+    map-side-combinable moment aggregate — single fact scan."""
+    j = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer")
+                .filter(
+                    F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")
+                )
+                .select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("seg"),
+                )
+            ),
+            "o_custkey",
+        )
+        .select(
+            "seg",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    m = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    p = m.agg(
+        F.max(F.when(F.col("seg") == "AUTOMOBILE", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("seg") == "HOUSEHOLD", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("seg") == "AUTOMOBILE", mean)).alias("ma"),
+        F.max(F.when(F.col("seg") == "HOUSEHOLD", mean)).alias("mb"),
+        F.max(F.when(F.col("seg") == "AUTOMOBILE", var)).alias("va"),
+        F.max(F.when(F.col("seg") == "HOUSEHOLD", var)).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    t_r = F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2) - 1e-9, 4)
+    return p.select(
+        F.col("na").alias("n_auto"),
+        F.col("nb").alias("n_household"),
+        F.round(F.col("ma") / 100.0 - 1e-9, 2).alias("mean_auto_usd"),
+        F.round(F.col("mb") / 100.0 - 1e-9, 2).alias("mean_household_usd"),
+        t_r.alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            )
+            - 1e-9,
+            1,
+        ).alias("welch_df"),
+        (F.abs(t_r) > T_CRIT_95).alias("significant"),
+    )
+
+
+@query(
+    "jsd_source_pairs",
+    """
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    grid AS (
+      SELECT s.source, l.lang, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+      LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+    ),
+    dist AS MATERIALIZED (
+      SELECT source, lang,
+             CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source) AS p
+      FROM grid
+    ),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2, a.lang,
+             a.p AS p, b.p AS q
+      FROM dist a JOIN dist b
+        ON a.lang = b.lang AND a.source < b.source
+    )
+    SELECT s1, s2,
+           round(sum(CASE WHEN p > 0
+                          THEN p / 2 * log2(2 * p / (p + q)) ELSE 0 END
+                   + CASE WHEN q > 0
+                          THEN q / 2 * log2(2 * q / (p + q)) ELSE 0 END)
+                 - 1e-9, 4) AS jsd_bits
+    FROM pairs
+    GROUP BY s1, s2
+    ORDER BY s1, s2
+    """,
+)
+def jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    language mixes — the SYMMETRIC, bounded (≤1 bit) cousin of the
+    per-source KL screen (:func:`queries_mining.source_kl_divergence`),
+    which is what you actually want for a source-similarity matrix
+    (KL is asymmetric and blows up on zeros; JSD handles disjoint
+    support gracefully).
+
+    Zero-support correctness: the source×lang grid is DENSIFIED first
+    (absent cells are hard zeros on both engines), so p=0 terms drop
+    out identically rather than depending on join-miss behavior.
+    Scale shape: the corpus reduces to a |S|×|L| cell table in one
+    map-side-combined count; the pair join is |S|²·|L| over that tiny
+    table — the quadratic never touches facts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(docs.select("lang").distinct())
+        .join(counts, ["source", "lang"], "left")
+        .select("source", "lang", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    dist = grid.select(
+        "source",
+        "lang",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("source"))
+        ).alias("p"),
+    )
+    a = dist.alias("a")
+    b = dist.select(
+        F.col("source").alias("s2"),
+        F.col("lang").alias("lang"),
+        F.col("p").alias("q"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") < F.col("b.s2")),
+    ).select(
+        F.col("a.source").alias("s1"),
+        F.col("b.s2").alias("s2"),
+        F.col("a.p").alias("p"),
+        F.col("b.q").alias("q"),
+    )
+    term = F.when(
+        F.col("p") > 0,
+        F.col("p") / 2 * F.log2(2 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0,
+        F.col("q") / 2 * F.log2(2 * F.col("q") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(F.round(F.sum(term) - 1e-9, 4).alias("jsd_bits"))
+        .orderBy("s1", "s2")
+    )
