@@ -136,9 +136,7 @@ CUSUM_K_SIGMA = 0.5
 CUSUM_H_SIGMA = 4.0
 
 
-@query(
-    "cusum_control_chart",
-    f"""
+_CUSUM_ORACLE = f"""
     WITH v AS (
       SELECT user_id, ts, event_id, {_CENTS} AS cents
       FROM events
@@ -191,8 +189,10 @@ CUSUM_H_SIGMA = 4.0
     FROM s
     GROUP BY user_id
     ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("cusum_control_chart", _CUSUM_ORACLE)
 def cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided tabular CUSUM per user's value stream: the high page
     ``sh_t = max(0, sh_{t-1} + (x_t − μ − kσ))`` and its mirror-image
@@ -584,6 +584,103 @@ def streaming_lindley_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("bal") == 0, 1).otherwise(0))
             .cast("long")
             .alias("floor_hits"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("streaming_cusum_chart", _CUSUM_ORACLE)
+def streaming_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-sided CUSUM run THROUGH Structured Streaming under the
+    SAME oracle as the batch chart: per-user slack-adjusted deviations
+    (from exact batch-side moments — the Phase-I/Phase-II split of
+    real SPC deployments, where control limits are estimated offline
+    and monitoring is online) feed as two event-time-ordered
+    micro-batches; :func:`..streaming.stateful.cusum_partials` carries
+    both Lindley (cumsum, running-min) pairs across the boundary and
+    the emitted pages aggregate to the identical per-user summary
+    (same addends, same ascending order → bit-equal doubles)."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import cusum_partials
+    from .registry import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    v = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        cents.alias("cents"),
+    )
+    m = (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    p = m.select(
+        "user_id",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    slack = F.lit(CUSUM_K_SIGMA) * F.col("sigma")
+    feed = v.join(F.broadcast(p), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("cents") - F.col("mu") - slack).alias("y_hi"),
+        (F.col("mu") - F.col("cents") - slack).alias("y_lo"),
+    )
+    mid = feed.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    batches = [
+        feed.filter(F.col("ts") <= F.lit(mid)),
+        feed.filter(F.col("ts") > F.lit(mid)),
+    ]
+    src_dir = scratch_dir("src_cusum_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with scratch_dir("ck_cusum_stream_") as ck:
+            got = run_available_now(cusum_partials(sdf), ck, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    s = got.join(F.broadcast(p), "user_id").select(
+        "user_id",
+        "n",
+        "sigma",
+        F.round(F.col("sh") / 100.0 - 1e-9, 4).alias("sh"),
+        F.round(F.col("sl") / 100.0 - 1e-9, 4).alias("sl"),
+        F.round(
+            F.lit(CUSUM_H_SIGMA) * F.col("sigma") / 100.0 - 1e-9, 4
+        ).alias("h"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_obs"),
+            F.round(F.max("sigma") / 100.0 - 1e-9, 4).alias("sigma_usd"),
+            F.sum(F.when(F.col("sh") > F.col("h"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_alarms"),
+            F.sum(F.when(F.col("sl") > F.col("h"), 1).otherwise(0))
+            .cast("long")
+            .alias("low_alarms"),
+            F.round(F.max("sh") - 1e-9, 4).alias("max_sh_usd"),
+            F.round(F.max("sl") - 1e-9, 4).alias("max_sl_usd"),
         )
         .orderBy("user_id")
     )

@@ -1082,3 +1082,77 @@ def lindley_balance_partials(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def cusum_partials(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "y_hi",
+    value_lo_col: str = "y_lo",
+) -> DataFrame:
+    """Streaming two-sided tabular CUSUM — the ValueState twin of
+    ``plans.queries_ledger.cusum_control_chart``: the slack-adjusted
+    deviations (x−μ−kσ and μ−x−kσ, computed batch-side from exact
+    moments and joined into the feed) arrive per event; state per key
+    carries BOTH Lindley pairs (cumsum, running min) so the high and
+    low pages continue exactly where the previous micro-batch
+    committed.  Cumsums here are doubles, but they accumulate the SAME
+    addends in the SAME ascending (ts, order) sequence as the batch
+    window, so the emitted pages are bit-equal to the batch form.
+
+    Ordering contract matches :func:`lindley_balance_partials`."""
+    out_schema = f"{key} long, t long, ts_ms long, sh double, sl double"
+    state_schema = (
+        "t long, cs_hi double, mn_hi double, cs_lo double, mn_lo double, "
+        "last_ms long, last_ord long"
+    )
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts, order_col]
+        )
+        if state.exists:
+            t0, ch0, mh0, cl0, ml0, last_ms, last_ord = state.get
+        else:
+            t0, ch0, mh0, cl0, ml0, last_ms, last_ord = (
+                0, 0.0, 0.0, 0.0, 0.0, None, None,
+            )
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = (ms > last_ms) | (
+                (ms == last_ms) & (pdf[order_col].to_numpy() > last_ord)
+            )
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        ch = ch0 + np.cumsum(pdf[value_col].to_numpy(dtype="float64"))
+        cl = cl0 + np.cumsum(pdf[value_lo_col].to_numpy(dtype="float64"))
+        mh = np.minimum.accumulate(np.minimum(ch, mh0))
+        ml = np.minimum.accumulate(np.minimum(cl, ml0))
+        sh = ch - np.minimum(mh, 0.0)
+        sl = cl - np.minimum(ml, 0.0)
+        t = t0 + np.arange(1, len(ch) + 1, dtype="int64")
+        state.update(
+            (
+                int(t[-1]),
+                float(ch[-1]),
+                float(mh[-1]),
+                float(cl[-1]),
+                float(ml[-1]),
+                int(ms[-1]),
+                int(pdf[order_col].iloc[-1]),
+            )
+        )
+        yield pd.DataFrame(
+            {key: [k[0]] * len(ch), "t": t, "ts_ms": ms, "sh": sh, "sl": sl}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
