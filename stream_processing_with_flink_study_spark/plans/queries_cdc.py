@@ -40,16 +40,16 @@ CDC_SNAPSHOT_DATE = "1995-01-01"
              o.o_orderpriority
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
-    tot AS (
-      SELECT l_orderkey, sum(w) AS ww, count(*) AS nl
-      FROM li GROUP BY l_orderkey
+    wsum AS (
+      SELECT l_orderkey, l_linenumber, o_orderpriority, t, w,
+             CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS ww
+      FROM li
     ),
     base AS MATERIALIZED (
-      SELECT li.l_orderkey, li.l_linenumber, li.o_orderpriority, li.t,
-             (li.t * li.w) // tt.ww AS alloc0,
-             (li.t * li.w) % tt.ww AS rem,
-             tt.nl
-      FROM li JOIN tot tt ON li.l_orderkey = tt.l_orderkey
+      SELECT l_orderkey, l_linenumber, o_orderpriority, t,
+             (t * w) // ww AS alloc0,
+             (t * w) % ww AS rem
+      FROM wsum
     ),
     ranked AS (
       SELECT *,
@@ -117,8 +117,9 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
     )
-    tot = li.groupBy("l_orderkey").agg(F.sum("w").alias("ww"))
-    base = li.join(tot, "l_orderkey").select(
+    base = li.withColumn(
+        "ww", F.sum("w").over(Window.partitionBy("l_orderkey")).cast("long")
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "o_orderpriority",
@@ -436,13 +437,17 @@ def jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count; the pair join is |S|²·|L| over that tiny
     table — the quadratic never touches facts."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # one fact scan: the |S|×|L| grid (and the pair self-join) derive
+    # from the eagerly-materialized cell table, never from documents
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     grid = (
-        docs.select("source")
+        counts.select("source")
         .distinct()
-        .crossJoin(docs.select("lang").distinct())
+        .crossJoin(counts.select("lang").distinct())
         .join(counts, ["source", "lang"], "left")
         .select("source", "lang", F.coalesce("c", F.lit(0)).alias("c"))
     )

@@ -127,10 +127,16 @@ def log_rank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wq).alias("rn"),
     )
     horizon = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
-    firsts = seq.filter(F.col("rn") == 1).select("k", F.col("d").alias("d1"))
-    seconds = seq.filter(F.col("rn") == 2).select("k", F.col("d").alias("d2"))
+    # one pass over the ranked frame: pivot rn∈{1,2} into (d1, d2)
+    # columns instead of materializing firsts/seconds and re-joining —
+    # halves the fact scans versus the Kaplan-Meier formulation
     obs = (
-        firsts.join(seconds, "k", "left")
+        seq.filter(F.col("rn") <= 2)
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
         .join(
             F.broadcast(
                 cust.select(

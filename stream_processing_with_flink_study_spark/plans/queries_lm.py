@@ -128,12 +128,12 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tri WHERE is_train GROUP BY w1, w2, w3
     ),
     c2 AS MATERIALIZED (
-      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
-      FROM tri WHERE is_train GROUP BY w1, w2
+      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c
+      FROM c3 GROUP BY w1, w2
     ),
     c1 AS MATERIALIZED (
-      SELECT w1, CAST(count(*) AS BIGINT) AS c
-      FROM tri WHERE is_train GROUP BY w1
+      SELECT w1, CAST(sum(c) AS BIGINT) AS c
+      FROM c2 GROUP BY w1
     ),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
     scored AS MATERIALIZED (
@@ -239,17 +239,21 @@ def trigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.w2").alias("w2"),
             F.col("g.w3").alias("w3"),
         )
-        .persist()
     )
-    train = tri.filter("is_train")
-    c3 = train.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c3")
+    # c2/c1 are PREFIX SUMS of c3 (every trigram row contributes its
+    # (w1,w2) / w1 position exactly once), so one eager vocab-sized
+    # trigram count table feeds every LM level — the corpus is scanned
+    # twice total (count build + held-out scoring), never once per
+    # n-gram order, and nothing fact-sized stays cached.
+    c3 = (
+        tri.filter("is_train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .localCheckpoint()
     )
-    c2 = train.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
-    )
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    t_total = train.count()
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    t_total = c1.agg(F.sum("c1")).first()[0]
     q = tri.filter(~F.col("is_train"))
     b23 = c2.select(
         F.col("w1").alias("w2"),
@@ -321,5 +325,4 @@ def trigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    tri.unpersist()
     return out
