@@ -274,3 +274,162 @@ def test_hurst_output_shape(spark):
     assert 0.0 < h < 1.0
     rs_vals = [r.mean_rs for r in out]
     assert rs_vals == sorted(rs_vals)  # E[R/S] grows with scale
+
+
+def test_proration_balances_every_order(spark):
+    out = QUERIES["proration_largest_remainder"](spark, SF_SMALL).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.balanced is True
+        assert 0 <= r.lines_bumped <= r.n_lines
+
+
+def test_proration_hand_case(spark):
+    """T=100 cents over weights (1,1,1): base 33 each, 1 penny to the
+    lowest line number among equal remainders — sums to exactly 100."""
+    rows = [(1, i, 1, 100) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "ok long, ln long, w long, t long")
+    base = df.withColumn(
+        "ww", F.sum("w").over(Window.partitionBy("ok")).cast("long")
+    ).select(
+        "ok",
+        "ln",
+        "t",
+        F.expr("t * w DIV ww").alias("a0"),
+        F.expr("(t * w) % ww").alias("rem"),
+    )
+    wo = Window.partitionBy("ok")
+    ranked = base.select(
+        "*",
+        F.row_number().over(wo.orderBy(F.desc("rem"), "ln")).alias("rk"),
+        (F.col("t") - F.sum("a0").over(wo)).alias("left"),
+    )
+    alloc = {
+        r.ln: r.a0 + (1 if r.rk <= r.left else 0)
+        for r in ranked.collect()
+    }
+    assert alloc == {1: 34, 2: 33, 3: 33}
+    assert sum(alloc.values()) == 100
+
+
+def test_cdc_net_effect_synthetic_paths(spark):
+    """All four net classes on a hand log: pre-existing updated key →
+    UPDATE, pre-existing deleted → DELETE, new then deleted → NOOP,
+    new surviving → INSERT."""
+    from datetime import date
+
+    rows = [
+        # k=1: pre-window op, window update        -> UPDATE
+        (1, date(1994, 1, 1), 1, "U"),
+        (1, date(1996, 1, 1), 2, "U"),
+        # k=2: pre-window op, window delete last   -> DELETE
+        (2, date(1994, 2, 1), 3, "U"),
+        (2, date(1996, 2, 1), 4, "U"),
+        (2, date(1996, 3, 1), 5, "D"),
+        # k=3: created and deleted inside window   -> NOOP
+        (3, date(1996, 1, 1), 6, "U"),
+        (3, date(1997, 1, 1), 7, "D"),
+        # k=4: created inside window, survives     -> INSERT
+        (4, date(1997, 5, 1), 8, "U"),
+    ]
+    log = spark.createDataFrame(rows, "k long, d date, okey long, op string")
+    snap = date(1995, 1, 1)
+    pre = (
+        log.filter(F.col("d") < F.lit(snap))
+        .select("k")
+        .distinct()
+        .withColumn("existed", F.lit(1))
+    )
+    win = (
+        log.filter(F.col("d") >= F.lit(snap))
+        .groupBy("k")
+        .agg(
+            F.max_by(
+                "op",
+                F.datediff("d", F.lit("1970-01-01")).cast("long")
+                * F.lit(1000000000000)
+                + F.col("okey"),
+            ).alias("last_op")
+        )
+    )
+    net = {
+        r.k: r.net
+        for r in win.join(pre, "k", "left")
+        .select(
+            "k",
+            F.when(
+                (F.col("last_op") == "D") & F.col("existed").isNotNull(),
+                "DELETE",
+            )
+            .when(F.col("last_op") == "D", "NOOP")
+            .when(F.col("existed").isNotNull(), "UPDATE")
+            .otherwise("INSERT")
+            .alias("net"),
+        )
+        .collect()
+    }
+    assert net == {1: "UPDATE", 2: "DELETE", 3: "NOOP", 4: "INSERT"}
+
+
+def test_lindley_state_survives_checkpoint_restart(spark, tmp_path):
+    """The clamped ledger's (cumsum, running-min) ValueState survives a
+    query restart: batch 2 resumes from the committed floor instead of
+    re-clamping from zero — post-restart balances equal the single-pass
+    loop over the full delta sequence."""
+    import os
+    from datetime import datetime, timezone
+
+    from stream_processing_with_flink_study_spark import streaming as S
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        lindley_balance_partials,
+    )
+
+    deltas = [50, -120, 30, -10, 200, -500, 40, 40]
+    rows = [
+        (
+            7,
+            datetime(2024, 1, 1, 0, 0, i, tzinfo=timezone.utc),
+            i,
+            d,
+        )
+        for i, d in enumerate(deltas)
+    ]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "user_id long, ts timestamp, event_id long, delta long"
+    )
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+
+    def write_batch(df, i):
+        d = f"{src}/b{i:05d}"
+        df.coalesce(1).write.mode("append").parquet(d)
+        for root, _, files in os.walk(d):
+            for f_ in files:
+                os.utime(
+                    os.path.join(root, f_),
+                    (1_600_000_000 + i, 1_600_000_000 + i),
+                )
+
+    schema = mk(rows[:1]).schema
+
+    def run_once():
+        sdf = S.file_stream(spark, f"{src}/b*", schema=schema)
+        q = (
+            lindley_balance_partials(sdf)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(mk(rows[:4]), 0)
+    run_once()
+    write_batch(mk(rows[4:]), 1)
+    run_once()  # restart; only the second half is new input
+
+    got = {r.t: r.bal for r in spark.read.parquet(out).collect()}
+    assert len(got) == len(deltas)
+    assert [got[i + 1] for i in range(len(deltas))] == _lindley_loop(deltas)
