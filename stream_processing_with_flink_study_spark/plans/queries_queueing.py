@@ -1,0 +1,388 @@
+"""Queueing / hazard / intermittent-demand queries (eighth wave,
+continued): sweep-line session concurrency with an EXACT Little's-law
+identity check, the Nelson-Aalen cumulative-hazard estimator (the
+hazard-scale companion of Kaplan-Meier), and Croston's method for
+intermittent demand as a native recursive CTE (the Holt pattern).
+
+Oracle-determinism notes (see plans/registry.py conventions):
+- the sweep line runs on integer epoch-millis with a total (t, Δ,
+  session) order; the concurrency integral is exact integer
+  milliseconds, so Little's L = λ·W holds as INTEGER EQUALITY
+  (busy integral = Σ session durations), not approximately;
+- Nelson-Aalen terms are rationals of exact at-risk/death counts over
+  the tiny distinct-gap-day frame;
+- the Croston recursion applies identical IEEE ops to identical
+  doubles on both engines (integer demands and gaps), like Holt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+SESSION_GAP_MS = 43_200_000  # 12 h — matches event_sessions_batch
+
+
+@query(
+    "concurrency_littles_law",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('millisecond', lag(ts) OVER w, ts)
+                     > {SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT user_id, ts,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    sessions AS MATERIALIZED (
+      SELECT user_id * 100000 + session_seq AS sid,
+             epoch_ms(min(ts)) AS start_ms,
+             epoch_ms(max(ts)) AS end_ms
+      FROM marked GROUP BY user_id, session_seq
+    ),
+    sweep AS (
+      SELECT start_ms AS t, 1 AS delta, sid FROM sessions
+      UNION ALL
+      SELECT end_ms AS t, -1 AS delta, sid FROM sessions
+    ),
+    walk AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta DESC, sid
+                              ROWS UNBOUNDED PRECEDING) AS c,
+             lead(t) OVER (ORDER BY t, delta DESC, sid) AS t_next
+      FROM sweep
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions,
+        (SELECT CAST(sum(end_ms - start_ms) AS BIGINT) FROM sessions)
+          AS total_session_ms,
+        CAST(sum(CASE WHEN t_next IS NULL THEN 0
+                      ELSE c * (t_next - t) END) AS BIGINT)
+          AS busy_integral_ms,
+        CAST(max(c) AS BIGINT) AS peak_concurrency,
+        CAST(max(t) - min(t) AS BIGINT) AS span_ms
+      FROM walk
+    )
+    SELECT n_sessions, total_session_ms, busy_integral_ms,
+           peak_concurrency,
+           busy_integral_ms = total_session_ms AS little_exact,
+           round(n_sessions * 3600000.0 / span_ms - 1e-9, 4)
+             AS lambda_per_hour,
+           round(total_session_ms / 60000.0 / n_sessions - 1e-9, 4)
+             AS w_mean_min,
+           round(busy_integral_ms * 1.0 / span_ms - 1e-9, 4) AS l_avg
+    FROM agg
+    """,
+)
+def concurrency_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency over 12h-gap user sessions: every session
+    emits (+1 at start, −1 at end), the ordered prefix sum is the
+    number of simultaneously-active sessions, and integrating it over
+    the event segments gives the busy time — which must equal the sum
+    of session durations EXACTLY (integer milliseconds), i.e. Little's
+    law L·T = λT·W = Σ durations as an identity, verified by the
+    ``little_exact`` column rather than asserted approximately.  Peak
+    concurrency and the (λ, W, L) triple are the capacity-planning
+    numbers every ops review asks for.
+
+    Scale shape: sessionization is one user-keyed window; the sweep
+    itself sorts the (2 × #sessions) boundary events — at 100 TB this
+    becomes repartitionByRange(t) + per-partition prefix sums + a
+    broadcast of per-partition offsets (the standard distributed scan
+    decomposition); here the boundary stream is tiny and a single sort
+    suffices."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+                > SESSION_GAP_MS
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    marked = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    sessions = marked.groupBy("user_id", "session_seq").agg(
+        F.unix_millis(F.min("ts")).alias("start_ms"),
+        F.unix_millis(F.max("ts")).alias("end_ms"),
+    ).select(
+        (F.col("user_id") * 100000 + F.col("session_seq")).alias("sid"),
+        "start_ms",
+        "end_ms",
+    ).localCheckpoint()
+    sweep = sessions.select(
+        F.col("start_ms").alias("t"), F.lit(1).alias("delta"), "sid"
+    ).unionByName(
+        sessions.select(
+            F.col("end_ms").alias("t"), F.lit(-1).alias("delta"), "sid"
+        )
+    )
+    wo = Window.orderBy("t", F.desc("delta"), "sid")
+    walk = sweep.select(
+        "t",
+        F.sum("delta")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.lead("t").over(wo).alias("t_next"),
+    )
+    totals = sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("end_ms") - F.col("start_ms"))
+        .cast("long")
+        .alias("total_session_ms"),
+    )
+    agg = walk.agg(
+        F.sum(
+            F.when(F.col("t_next").isNull(), 0).otherwise(
+                F.col("c") * (F.col("t_next") - F.col("t"))
+            )
+        )
+        .cast("long")
+        .alias("busy_integral_ms"),
+        F.max("c").cast("long").alias("peak_concurrency"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_ms"),
+    ).crossJoin(F.broadcast(totals))
+    return agg.select(
+        "n_sessions",
+        "total_session_ms",
+        "busy_integral_ms",
+        "peak_concurrency",
+        (F.col("busy_integral_ms") == F.col("total_session_ms")).alias(
+            "little_exact"
+        ),
+        F.round(
+            F.col("n_sessions") * 3600000.0 / F.col("span_ms") - 1e-9, 4
+        ).alias("lambda_per_hour"),
+        F.round(
+            F.col("total_session_ms") / 60000.0 / F.col("n_sessions") - 1e-9,
+            4,
+        ).alias("w_mean_min"),
+        F.round(
+            F.col("busy_integral_ms") * 1.0 / F.col("span_ms") - 1e-9, 4
+        ).alias("l_avg"),
+    )
+
+
+@query(
+    "nelson_aalen_hazard",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    obs AS MATERIALIZED (
+      SELECT CASE WHEN d2 IS NOT NULL
+                  THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, (SELECT h FROM horizon))
+             END AS t,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM (
+        SELECT k,
+               max(CASE WHEN rn = 1 THEN d END) AS d1,
+               max(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM seq WHERE rn <= 2 GROUP BY k
+      )
+    ),
+    grp AS MATERIALIZED (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d_i, count(*) AS c_all
+      FROM obs GROUP BY t
+    ),
+    atrisk AS (
+      SELECT t, d_i,
+             (SELECT count(*) FROM obs) - coalesce(sum(c_all) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_i
+      FROM grp
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_i AS BIGINT) AS n_at_risk,
+           d_i AS n_events,
+           round(sum(CAST(d_i AS DOUBLE) / n_i) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) - 1e-9, 4)
+             AS cum_hazard,
+           round(sqrt(sum(CAST(d_i AS DOUBLE) / (n_i * n_i)) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING)) - 1e-9, 4)
+             AS hazard_se
+    FROM atrisk
+    WHERE d_i > 0
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-second-
+    order, right-censored at the horizon — ``H(t) = Σ d_i/n_i`` with
+    its Poisson-variance standard error — the hazard-scale companion
+    of :func:`queries_core.kaplan_meier_reorder` (NA is the estimator
+    of choice when hazards, not survival probabilities, drive the
+    decision: reorder-rate-per-day curves, maintenance scheduling).
+    Same one-window scale shape as KM: facts reduce to the distinct-
+    gap-day frame, where the at-risk counts are one right-to-left
+    cumulative and H rides a second tiny window."""
+    orders = load_table(spark, sf_dir, "orders")
+    wq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(wq).alias("rn"),
+    )
+    horizon = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    obs = (
+        seq.filter(F.col("rn") <= 2)
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+        .select(
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff(F.lit(horizon), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    grp = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_i"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    w_tot = Window.partitionBy()
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    atrisk = grp.select(
+        "t",
+        "d_i",
+        (
+            F.sum("c_all").over(w_tot)
+            - F.coalesce(F.sum("c_all").over(wp), F.lit(0))
+        ).alias("n_i"),
+    )
+    return atrisk.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_i").cast("long").alias("n_at_risk"),
+        F.col("d_i").alias("n_events"),
+        F.round(
+            F.sum(F.col("d_i").cast("double") / F.col("n_i")).over(wc) - 1e-9,
+            4,
+        ).alias("cum_hazard"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.col("d_i").cast("double")
+                    / (F.col("n_i") * F.col("n_i"))
+                ).over(wc)
+            )
+            - 1e-9,
+            4,
+        ).alias("hazard_se"),
+    ).filter(F.col("n_events") > 0)
+
+
+CROSTON_ALPHA = "CAST(0.2 AS DOUBLE)"
+CROSTON_PART_MOD = 97
+
+CROSTON_MAX_STEPS = 48  # UnionLoop costs ~0.3s/step; 48 keeps the
+# series meaningful and the bench lean (both engines cap depth at 100)
+
+_CROSTON_SQL = f"""
+WITH RECURSIVE nz AS (
+  SELECT * FROM (
+    SELECT CAST(row_number() OVER (ORDER BY dd) AS BIGINT) - 1 AS idx,
+           {{epoch_expr}} AS day_ms, y,
+           {{gap_expr}} AS q
+    FROM (
+      SELECT dd, CAST(sum(qty) AS BIGINT) AS y
+      FROM {{demand}}
+      GROUP BY dd
+    )
+  ) WHERE idx < {CROSTON_MAX_STEPS}
+),
+cr (idx, day_ms, y, q, z, p) AS (
+  SELECT n0.idx, n0.day_ms, n0.y, n0.q,
+         CAST(n0.y AS DOUBLE), CAST(n1.q AS DOUBLE)
+  FROM nz n0 JOIN nz n1 ON n0.idx = 0 AND n1.idx = 1
+  UNION ALL
+  SELECT n.idx, n.day_ms, n.y, n.q,
+         {CROSTON_ALPHA} * n.y + (1 - {CROSTON_ALPHA}) * c.z,
+         {CROSTON_ALPHA} * n.q + (1 - {CROSTON_ALPHA}) * c.p
+  FROM cr c JOIN nz n ON n.idx = c.idx + 1
+)
+SELECT idx, day_ms, y, q,
+       round(z - 1e-9, 4) AS demand_level,
+       round(p - 1e-9, 4) AS interval_level,
+       round(z / p - 1e-9, 4) AS forecast_per_day
+FROM cr
+"""
+
+
+@query(
+    "croston_intermittent",
+    _CROSTON_SQL.format(
+        demand=f"""(
+      SELECT CAST(l_shipdate AS DATE) AS dd,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem WHERE l_partkey % {CROSTON_PART_MOD} = 0
+    )""",
+        epoch_expr="epoch_ms(CAST(dd AS TIMESTAMP))",
+        gap_expr="CAST(coalesce(date_diff('day', lag(dd) OVER "
+        "(ORDER BY dd), dd), 0) AS BIGINT)",
+    ),
+)
+def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the spare-parts
+    forecasting standard): smooth the nonzero demand sizes and the
+    inter-demand intervals SEPARATELY (α=0.2) and forecast their ratio
+    — on sparse series, plain exponential smoothing decays toward zero
+    between demands and systematically under-forecasts; Croston does
+    not.  The demand stream is the shipped quantity of a sparse part
+    slice (1/97th of parts), aggregated per ship-day.
+
+    Like Holt, the level recursions depend on the previous SMOOTHED
+    value — inexpressible as a window function — so both engines run
+    the SAME native recursive CTE over the day-collapsed frame;
+    integer demands and gaps make every step's IEEE arithmetic
+    bit-identical.  Scale: the only fact-sized work is the initial
+    filtered rollup; the recursion runs on the tiny nonzero-day
+    frame."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "croston_lineitem"
+    )
+    return spark.sql(
+        _CROSTON_SQL.format(
+            demand=f"""(
+      SELECT CAST(l_shipdate AS DATE) AS dd,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM croston_lineitem WHERE l_partkey % {CROSTON_PART_MOD} = 0
+    )""",
+            epoch_expr="unix_millis(CAST(dd AS TIMESTAMP))",
+            gap_expr="CAST(coalesce(datediff(dd, lag(dd) OVER "
+            "(ORDER BY dd)), 0) AS BIGINT)",
+        )
+    )
