@@ -892,3 +892,266 @@ def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jackknife_se"),
     ).orderBy("source")
+
+
+@query(
+    "capture_recapture_dedup",
+    """
+    WITH flags AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN count(*) OVER (PARTITION BY md5(substr(
+                    lower(trim(text)), 1, 128))) > 1
+                  THEN 1 ELSE 0 END AS cap_a,
+             CASE WHEN count(*) OVER (PARTITION BY md5(coalesce(
+                    array_to_string(list_sort(regexp_split_to_array(
+                      lower(trim(text)), '\\s+')), ' '), ''))) > 1
+                  THEN 1 ELSE 0 END AS cap_b
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(cap_a) AS BIGINT) AS n_dup_a,
+             CAST(sum(cap_b) AS BIGINT) AS n_dup_b,
+             CAST(sum(cap_a * cap_b) AS BIGINT) AS overlap,
+             CAST(sum(CASE WHEN cap_a = 1 OR cap_b = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS union_caught
+      FROM flags
+    )
+    SELECT n_docs, n_dup_a, n_dup_b, overlap, union_caught,
+           round((n_dup_a + 1.0) * (n_dup_b + 1.0) / (overlap + 1.0)
+                 - 1.0 - 1e-9, 2) AS chapman_total_dups,
+           round(((n_dup_a + 1.0) * (n_dup_b + 1.0) / (overlap + 1.0)
+                  - 1.0) - union_caught - 1e-9, 2) AS undetected_est,
+           round(union_caught
+                 / ((n_dup_a + 1.0) * (n_dup_b + 1.0) / (overlap + 1.0)
+                    - 1.0) - 1e-9, 4) AS est_coverage
+    FROM agg
+    """,
+)
+def capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture (with the Chapman
+    small-sample correction) applied to DEDUP COVERAGE: two imperfect
+    duplicate detectors — a 128-char prefix hash and a bag-of-words
+    hash — each "capture" a subset of the true duplicate population;
+    from the two catch sizes and their overlap, ``N̂ = (n_A+1)(n_B+1)/
+    (m+1) − 1`` estimates how many duplicates EXIST, including the ones
+    neither method caught.  This is the standard answer to "what's our
+    dedup recall?" when no labeled truth exists (same trick ecologists
+    use for fish).
+
+    Both detectors are one window over a deterministic md5 key (no
+    joins); the estimator is arithmetic over five exact counts.  At
+    100 TB each capture flag is a groupBy-count broadcast or window
+    per hash — two shuffles total."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    prefix_hash = F.md5(F.substring(F.lower(F.trim(F.col("text"))), 1, 128))
+    bow_hash = F.md5(
+        F.coalesce(
+            F.array_join(F.array_sort(T.tokens("text")), " "), F.lit("")
+        )
+    )
+    flags = d.select(
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy(prefix_hash)) > 1, 1
+        )
+        .otherwise(0)
+        .alias("cap_a"),
+        F.when(F.count(F.lit(1)).over(Window.partitionBy(bow_hash)) > 1, 1)
+        .otherwise(0)
+        .alias("cap_b"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("cap_a").cast("long").alias("n_dup_a"),
+        F.sum("cap_b").cast("long").alias("n_dup_b"),
+        F.sum(F.col("cap_a") * F.col("cap_b")).cast("long").alias("overlap"),
+        F.sum(
+            F.when((F.col("cap_a") == 1) | (F.col("cap_b") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("union_caught"),
+    )
+    chapman = (F.col("n_dup_a") + 1.0) * (F.col("n_dup_b") + 1.0) / (
+        F.col("overlap") + 1.0
+    ) - 1.0
+    return agg.select(
+        "n_docs",
+        "n_dup_a",
+        "n_dup_b",
+        "overlap",
+        "union_caught",
+        F.round(chapman - 1e-9, 2).alias("chapman_total_dups"),
+        F.round(chapman - F.col("union_caught") - 1e-9, 2).alias(
+            "undetected_est"
+        ),
+        F.round(F.col("union_caught") / chapman - 1e-9, 4).alias(
+            "est_coverage"
+        ),
+    )
+
+
+@query(
+    "g_test_source_lang",
+    """
+    WITH obs AS MATERIALIZED (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang
+    ),
+    margins AS (
+      SELECT o.source, o.lang, o.o,
+             rs.n * cs.n * 1.0 / (SELECT sum(o) FROM obs) AS e
+      FROM obs o
+      JOIN (SELECT source, sum(o) AS n FROM obs GROUP BY source) rs
+        ON rs.source = o.source
+      JOIN (SELECT lang, sum(o) AS n FROM obs GROUP BY lang) cs
+        ON cs.lang = o.lang
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT source) - 1)
+                * (count(DISTINCT lang) - 1) AS BIGINT) AS dof,
+           round(2 * sum(o * ln(o / e)) - 1e-9, 4) AS g_stat,
+           round(2 * sum(o * ln(o / e))
+                 / (2 * (SELECT sum(o) FROM obs)) - 1e-9, 6)
+             AS mutual_info_nats
+    FROM margins
+    """,
+)
+def g_test_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of source×lang independence — the
+    information-theoretic twin of :func:`queries_corpus.
+    chi2_source_lang`: ``G = 2Σ o·ln(o/e)`` equals ``2N·I(source;
+    lang)`` exactly, so the mutual information falls out for free
+    (emitted in nats) — χ² is only its second-order Taylor
+    approximation, and they diverge exactly where it matters (cells
+    with large o/e ratios).  Same one-scan contingency-table scale
+    shape as the χ² query; zero-count cells never appear in the obs
+    table so o·ln(o/e) is always finite."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rs = obs.groupBy("source").agg(F.sum("o").alias("rn"))
+    cs = obs.groupBy("lang").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("tn"))
+    m = (
+        obs.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "o",
+            (F.col("rn") * F.col("cn") / F.col("tn")).alias("e"),
+            "tn",
+        )
+    )
+    g = 2 * F.sum(F.col("o") * F.log(F.col("o") / F.col("e")))
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).cast("long").alias("dof"),
+        F.round(g - 1e-9, 4).alias("g_stat"),
+        F.round(g / (2 * F.first("tn")) - 1e-9, 6).alias(
+            "mutual_info_nats"
+        ),
+    )
+
+
+@query(
+    "cochran_armitage_trend",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend,
+             CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS repeat_c
+      FROM orders GROUP BY o_custkey
+    ),
+    binned AS (
+      SELECT repeat_c,
+             ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+      FROM cust
+    ),
+    per AS MATERIALIZED (
+      SELECT decile AS s,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(repeat_c) AS BIGINT) AS r_i
+      FROM binned GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(r_i) AS BIGINT) AS r,
+             CAST(sum(s * n_i) AS BIGINT) AS sn,
+             CAST(sum(s * s * n_i) AS BIGINT) AS ssn,
+             CAST(sum(s * r_i) AS BIGINT) AS sr
+      FROM per
+    )
+    SELECT n AS n_customers, r AS n_repeat,
+           round((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * r / n)
+                 / sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                        * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
+                 - 1e-9, 4) AS z_trend,
+           round(pow((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * r / n), 2)
+                 / ((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
+                 - 1e-9, 4) AS chi2_trend,
+           round(pow((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * r / n), 2)
+                 / ((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
+                 - 1e-9, 4) > {CHI2_95_DF1!r} AS reject_no_trend
+    FROM tot
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in repeat-customer rate
+    across spend deciles — the right test when categories are ORDERED
+    (a plain χ² ignores the ordering and wastes power): with integer
+    scores s=1..10, ``T = Σs·r − (Σs·n)·R/N`` and ``z = T/sqrt(p̄(1−p̄)
+    (Σs²n − (Σsn)²/N))``.  Every moment is an exact BIGINT over ten
+    decile rows (the fact table collapses to per-customer exact cents
+    first, then one ntile sort), so z is engine-identical; the
+    rejection flag compares the ROUNDED χ²=z² to the critical value."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("spend"),
+        F.when(F.count(F.lit(1)) >= 2, 1).otherwise(0).alias("repeat_c"),
+    )
+    binned = cust.select(
+        "repeat_c",
+        F.ntile(10).over(Window.orderBy("spend", "o_custkey")).alias("s"),
+    )
+    per = binned.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("repeat_c").cast("long").alias("r_i"),
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("s") * F.col("n_i")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i"))
+        .cast("long")
+        .alias("ssn"),
+        F.sum(F.col("s") * F.col("r_i")).cast("long").alias("sr"),
+    )
+    pbar = F.col("r").cast("double") / F.col("n")
+    t_num = F.col("sr").cast("double") - F.col("sn").cast("double") * F.col(
+        "r"
+    ) / F.col("n")
+    denom = pbar * (1.0 - pbar) * (
+        F.col("ssn").cast("double")
+        - F.col("sn").cast("double") * F.col("sn") / F.col("n")
+    )
+    chi2_r = F.round(F.pow(t_num, 2) / denom - 1e-9, 4)
+    return tot.select(
+        F.col("n").alias("n_customers"),
+        F.col("r").alias("n_repeat"),
+        F.round(t_num / F.sqrt(denom) - 1e-9, 4).alias("z_trend"),
+        chi2_r.alias("chi2_trend"),
+        (chi2_r > CHI2_95_DF1).alias("reject_no_trend"),
+    )
