@@ -1069,7 +1069,7 @@ def g_test_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS spend,
-             CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS repeat_c
+             CASE WHEN count(*) >= 12 THEN 1 ELSE 0 END AS repeat_c
       FROM orders GROUP BY o_custkey
     ),
     binned AS (
@@ -1091,7 +1091,7 @@ def g_test_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(s * r_i) AS BIGINT) AS sr
       FROM per
     )
-    SELECT n AS n_customers, r AS n_repeat,
+    SELECT n AS n_customers, r AS n_loyal,
            round((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * r / n)
                  / sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
                         * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
@@ -1108,8 +1108,9 @@ def g_test_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cochran-Armitage test for a LINEAR TREND in repeat-customer rate
-    across spend deciles — the right test when categories are ORDERED
+    """Cochran-Armitage test for a LINEAR TREND in loyal-customer rate
+    (12+ orders — the decile_lift_loyal outcome; >=2 is degenerate here,
+    every customer reorders) across spend deciles — the right test when categories are ORDERED
     (a plain χ² ignores the ordering and wastes power): with integer
     scores s=1..10, ``T = Σs·r − (Σs·n)·R/N`` and ``z = T/sqrt(p̄(1−p̄)
     (Σs²n − (Σsn)²/N))``.  Every moment is an exact BIGINT over ten
@@ -1120,7 +1121,7 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(cents).cast("long").alias("spend"),
-        F.when(F.count(F.lit(1)) >= 2, 1).otherwise(0).alias("repeat_c"),
+        F.when(F.count(F.lit(1)) >= 12, 1).otherwise(0).alias("repeat_c"),
     )
     binned = cust.select(
         "repeat_c",
@@ -1150,7 +1151,7 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2_r = F.round(F.pow(t_num, 2) / denom - 1e-9, 4)
     return tot.select(
         F.col("n").alias("n_customers"),
-        F.col("r").alias("n_repeat"),
+        F.col("r").alias("n_loyal"),
         F.round(t_num / F.sqrt(denom) - 1e-9, 4).alias("z_trend"),
         chi2_r.alias("chi2_trend"),
         (chi2_r > CHI2_95_DF1).alias("reject_no_trend"),
