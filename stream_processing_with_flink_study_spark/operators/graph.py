@@ -748,3 +748,79 @@ def boruvka_mst(
     if chosen is None:
         return e.select("a", "b", "ew").limit(0)
     return chosen.localCheckpoint()
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 6,
+    beta: float = 1.0,
+    broadcast_threshold: int = BROADCAST_NODE_LIMIT,
+) -> DataFrame:
+    """Katz centrality over a DIRECTED weighted edge list: ``x ←
+    β·1 + α·Aᵀx`` for ``iters`` synchronous rounds from x₀ = 0 —
+    the truncated Katz series Σ_k α^k (Aᵀ)^k β1, i.e. influence that
+    counts ALL walks with geometric attenuation, not just the
+    stationary-visit mass PageRank measures (a node next to one
+    well-connected hub scores high under Katz even with tiny
+    stationary probability).
+
+    α is set DATA-DEPENDENTLY to ``0.5 / max weighted in-degree`` —
+    the max in-degree bounds the spectral radius of A, so the series
+    provably converges; the bound is an exact integer aggregate,
+    making α a bit-identical double in any engine.
+
+    Scale shape: identical to :func:`pagerank` — one persisted,
+    src-hash-partitioned edge cache, per-round broadcast (or
+    shuffle-hash above ``broadcast_threshold``) of the |V|-row score
+    vector, eager per-round persists with previous-round unpersist, so
+    repeated calls never accumulate cached blocks."""
+    spark = edges.sparkSession
+    fedges = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("ew"),
+        )
+        .repartition(8, "src")
+        .persist()
+    )
+    dmax = (
+        fedges.groupBy("dst").agg(F.sum("ew").alias("wdeg"))
+        .agg(F.max("wdeg"))
+        .first()[0]
+    )
+    alpha = 0.5 / float(dmax)
+    nodes = fedges.select(F.col("src").alias("id")).distinct()
+    n_nodes = nodes.count()
+    use_broadcast = n_nodes <= broadcast_threshold
+    scores = nodes.select("id", F.lit(0.0).alias("score"))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    prev_scores: DataFrame | None = None
+    try:
+        for _ in range(iters):
+            rhs = (
+                F.broadcast(scores)
+                if use_broadcast
+                else scores.hint("shuffle_hash")
+            )
+            acc = (
+                fedges.join(rhs, fedges.src == scores.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("score") * F.col("ew")).alias("acc"))
+            )
+            scores = acc.select(
+                F.col("dst").alias("id"),
+                (F.lit(beta) + F.lit(alpha) * F.col("acc")).alias("score"),
+            ).persist()
+            scores.count()
+            if prev_scores is not None:
+                prev_scores.unpersist()
+            prev_scores = scores
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        fedges.unpersist()
+    return scores

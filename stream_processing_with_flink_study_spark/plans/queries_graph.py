@@ -1249,3 +1249,89 @@ def mst_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ew"), 4).alias("min_edge"),
         F.round(F.max("ew"), 4).alias("max_edge"),
     )
+
+
+KATZ_ITERS = 6
+KATZ_BETA = 1.0
+
+
+def _katz_oracle() -> str:
+    """Unrolled fixed-iteration Katz chain (same portability rationale
+    as ``_pagerank_oracle``); every round references the edge table, so
+    it is MATERIALIZED — DuckDB would otherwise inline (and recompute)
+    the pair derivation once per round."""
+    steps = []
+    for k in range(1, KATZ_ITERS + 1):
+        steps.append(f"""
+    kz{k} AS (
+      SELECT n.id,
+             {KATZ_BETA!r} + (SELECT a FROM al) * coalesce(s.acc, 0)
+               AS score
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.score * e.ew) AS acc
+        FROM kz{k - 1} p JOIN edges e ON e.src = p.id
+        GROUP BY e.dst
+      ) s ON s.id = n.id
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH {_cosupplier_edges_sql()},
+    edges AS MATERIALIZED (
+      SELECT src, dst, CAST(w AS DOUBLE) AS ew FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst, CAST(w AS DOUBLE) AS ew FROM pairs
+    ),
+    al AS (
+      SELECT 0.5 / max(wdeg) AS a FROM (
+        SELECT dst, sum(ew) AS wdeg FROM edges GROUP BY dst
+      )
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    kz0 AS (SELECT id, 0.0 AS score FROM nodes),
+    {chain}
+    SELECT id AS s_suppkey,
+           round(score - 1e-9, 5) AS katz_score
+    FROM kz{KATZ_ITERS}
+    ORDER BY katz_score DESC, s_suppkey
+    LIMIT 20
+    """
+
+
+@query("katz_centrality_cosupplier", _katz_oracle())
+def katz_centrality_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality over the symmetric co-supplier graph — the
+    walk-counting influence measure that complements PageRank
+    (stationary visits), PPR (seed proximity) and HITS (bipartite
+    hub/authority): ``x = Σ α^k (Aᵀ)^k β1`` truncated at 6 rounds,
+    with α = 0.5/max-weighted-degree so the series provably converges
+    (the degree bound dominates the spectral radius).
+
+    Scale shape: edge derivation touches lineitem once (packed-int64
+    2-combination explode, same as ``pagerank_cosupplier``); the
+    iteration is :func:`..operators.graph.katz_centrality` — the same
+    persisted edge cache + broadcast-or-shuffle-hash per-round regime
+    as PageRank, so the billion-node path is already wired.  α is an
+    exact-integer-derived double, every round applies identical IEEE
+    ops, and the final 5-decimal rounding sits far above the keyed-sum
+    jitter."""
+    from ..operators.graph import katz_centrality
+
+    edges = _cosupplier_edges(spark, sf_dir).persist()
+    sym = edges.union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    scores = katz_centrality(sym, iters=KATZ_ITERS, beta=KATZ_BETA)
+    out = (
+        scores.select(
+            F.col("id").alias("s_suppkey"),
+            F.round(F.col("score") - 1e-9, 5).alias("katz_score"),
+        )
+        .orderBy(F.desc("katz_score"), "s_suppkey")
+        .limit(20)
+    )
+    rows = out.collect()
+    edges.unpersist()
+    scores.unpersist()
+    return spark.createDataFrame(rows, out.schema)
