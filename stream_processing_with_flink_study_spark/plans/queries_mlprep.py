@@ -1432,3 +1432,155 @@ def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+JL_K = 16  # projection target dimension
+JL_DIM = 64
+JL_SAMPLE_MOD = 7
+
+
+@query(
+    "jl_projection_distortion",
+    f"""
+    WITH rmat AS MATERIALIZED (
+      SELECT i.i, j.j,
+             CASE WHEN substr(md5(i.i || '_' || j.j), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(range(1, {JL_DIM} + 1)) AS i) i
+      CROSS JOIN (SELECT unnest(range(1, {JL_K} + 1)) AS j) j
+    ),
+    smp AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % {JL_SAMPLE_MOD} = 0
+    ),
+    diffs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.i,
+             a.v[x.i] - b.v[x.i] AS d
+      FROM smp a
+      JOIN smp b ON a.vec_id < b.vec_id,
+      unnest(range(1, {JL_DIM} + 1)) AS x(i)
+    ),
+    orig AS (
+      SELECT id_a, id_b, sum(d * d) AS d_orig2
+      FROM diffs GROUP BY id_a, id_b
+    ),
+    projected AS (
+      SELECT f.id_a, f.id_b, r.j, sum(f.d * r.s) AS pj
+      FROM diffs f JOIN rmat r ON r.i = f.i
+      GROUP BY f.id_a, f.id_b, r.j
+    ),
+    dproj AS (
+      SELECT id_a, id_b, sum(pj * pj) / {JL_K} AS d_proj2
+      FROM projected GROUP BY id_a, id_b
+    ),
+    ratios AS (
+      SELECT round(p.d_proj2 / o.d_orig2 - 1e-9, 4) AS ratio
+      FROM dproj p JOIN orig o
+        ON p.id_a = o.id_a AND p.id_b = o.id_b
+      WHERE o.d_orig2 > 0
+    )
+    SELECT CAST((SELECT count(*) FROM smp) AS BIGINT) AS n_vectors,
+           CAST({JL_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ratio) - 1e-9, 4) AS mean_ratio,
+           round(min(ratio) - 1e-9, 4) AS min_ratio,
+           round(max(ratio) - 1e-9, 4) AS max_ratio,
+           round(sum(CASE WHEN ratio >= 0.5 AND ratio <= 1.5
+                          THEN 1.0 ELSE 0 END) / count(*) - 1e-9, 4)
+             AS frac_within_50pct
+    FROM ratios
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 → 16 dims with a
+    deterministic md5-seeded ±1 Achlioptas matrix) and its distortion
+    audit: for every sampled vector pair, the ratio of projected to
+    original squared distance — the JL lemma says E[ratio] = 1 with
+    concentration ~exp(−kε²/8), and the emitted min/max/frac-within-50%
+    columns SHOW the guarantee instead of assuming it.  This is the
+    dimensionality-reduction primitive for cheap first-pass ANN and
+    dedup at 100 TB (project once, filter coarsely, verify exactly).
+
+    The projection is LINEAR, so distortion is measured on difference
+    vectors directly — no projected-vector storage.  Scale shape: the
+    ±1 matrix is a 1024-row broadcast table; the pair×dim explode
+    shuffles once per rollup level; the sign entries are md5-derived on
+    both engines, so every term is bit-identical before the rounded
+    ratio."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % JL_SAMPLE_MOD == 0
+    )
+    smp = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rmat = (
+        spark.range(1, JL_DIM + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(
+            spark.range(1, JL_K + 1).select(F.col("id").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("i"), F.col("j"))), 1, 1
+                ).between("0", "7"),
+                1.0,
+            )
+            .otherwise(-1.0)
+            .alias("s"),
+        )
+    )
+    a, b = smp.alias("a"), smp.alias("b")
+    diffs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.posexplode(
+                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x - y)
+            ).alias("pos", "d"),
+        )
+        .select("id_a", "id_b", (F.col("pos") + 1).alias("i"), "d")
+    )
+    orig = diffs.groupBy("id_a", "id_b").agg(
+        F.sum(F.col("d") * F.col("d")).alias("d_orig2")
+    )
+    projected = (
+        diffs.join(F.broadcast(rmat), "i")
+        .groupBy("id_a", "id_b", "j")
+        .agg(F.sum(F.col("d") * F.col("s")).alias("pj"))
+    )
+    dproj = projected.groupBy("id_a", "id_b").agg(
+        (F.sum(F.col("pj") * F.col("pj")) / JL_K).alias("d_proj2")
+    )
+    ratios = (
+        dproj.join(orig, ["id_a", "id_b"])
+        .filter(F.col("d_orig2") > 0)
+        .select(
+            F.round(
+                F.col("d_proj2") / F.col("d_orig2") - 1e-9, 4
+            ).alias("ratio")
+        )
+    )
+    n_vectors = smp.count()
+    return ratios.agg(
+        F.lit(n_vectors).cast("long").alias("n_vectors"),
+        F.lit(JL_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio") - 1e-9, 4).alias("mean_ratio"),
+        F.round(F.min("ratio") - 1e-9, 4).alias("min_ratio"),
+        F.round(F.max("ratio") - 1e-9, 4).alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ratio") >= 0.5) & (F.col("ratio") <= 1.5), 1.0
+                ).otherwise(0.0)
+            )
+            / F.count(F.lit(1))
+            - 1e-9,
+            4,
+        ).alias("frac_within_50pct"),
+    )
