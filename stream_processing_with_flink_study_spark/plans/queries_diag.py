@@ -1156,3 +1156,273 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2_r.alias("chi2_trend"),
         (chi2_r > CHI2_95_DF1).alias("reject_no_trend"),
     )
+
+
+KDE_GRID_POINTS = 20
+
+
+@query(
+    "kde_doc_length",
+    f"""
+    WITH cells AS MATERIALIZED (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY n_chars
+    ),
+    mom AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS s1,
+             CAST(sum(v * v * c) AS BIGINT) AS s2,
+             CAST(min(v) AS BIGINT) AS lo,
+             CAST(max(v) AS BIGINT) AS hi
+      FROM cells
+    ),
+    bw AS (
+      SELECT n, lo, hi,
+             1.06 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                         / (n - 1))
+                  * pow(CAST(n AS DOUBLE), -0.2) AS h
+      FROM mom
+    ),
+    grid AS (
+      SELECT g.g,
+             b.lo + (b.hi - b.lo) * (g.g - 1.0)
+               / ({KDE_GRID_POINTS} - 1.0) AS x,
+             b.h, b.n
+      FROM (SELECT unnest(range(1, {KDE_GRID_POINTS} + 1)) AS g) g
+      CROSS JOIN bw b
+    )
+    SELECT CAST(g.g AS BIGINT) AS grid_idx,
+           round(g.x - 1e-9, 2) AS grid_x,
+           round(sum(c.c * exp(-(c.v - g.x) * (c.v - g.x)
+                               / (2 * g.h * g.h)))
+                 / (g.n * g.h * sqrt(2 * pi())) * 1000000 - 1e-9, 4)
+             AS density_ppm
+    FROM grid g CROSS JOIN cells c
+    GROUP BY g.g, g.x, g.h, g.n
+    ORDER BY grid_idx
+    """,
+)
+def kde_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of the document-length
+    distribution at 20 evenly-spaced grid points, with the Silverman
+    rule-of-thumb bandwidth from exact integer moments — the smooth
+    answer to "what does my length distribution actually look like"
+    that histograms quantize away (multimodality from mixed sources
+    shows up as separated humps).
+
+    Scale shape: REDUCE FIRST — the corpus collapses to its distinct-
+    value histogram (|V| cells ≪ N docs) in one map-side-combined
+    count, and the kernel sum runs on grid × cells, never grid × docs;
+    the same two-level shape holds at 100 TB with a coarser pre-bin.
+    Bandwidth and grid are exact-integer-derived doubles; each exp
+    term applies identical IEEE ops on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mom = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v") * F.col("c")).cast("long").alias("s2"),
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+    )
+    bw = mom.select(
+        "n",
+        "lo",
+        "hi",
+        (
+            1.06
+            * F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+            * F.pow(F.col("n").cast("double"), -0.2)
+        ).alias("h"),
+    )
+    grid = (
+        spark.range(1, KDE_GRID_POINTS + 1)
+        .select(F.col("id").alias("g"))
+        .crossJoin(F.broadcast(bw))
+        .select(
+            "g",
+            (
+                F.col("lo")
+                + (F.col("hi") - F.col("lo"))
+                * (F.col("g") - 1.0)
+                / (KDE_GRID_POINTS - 1.0)
+            ).alias("x"),
+            "h",
+            "n",
+        )
+    )
+    kern = F.col("c") * F.exp(
+        -(F.col("v") - F.col("x"))
+        * (F.col("v") - F.col("x"))
+        / (2 * F.col("h") * F.col("h"))
+    )
+    return (
+        grid.crossJoin(cells)
+        .groupBy("g", "x", "h", "n")
+        .agg(
+            F.round(
+                F.sum(kern)
+                / (F.col("n") * F.col("h") * F.sqrt(F.lit(2 * 3.141592653589793)))
+                * 1000000
+                - 1e-9,
+                4,
+            ).alias("density_ppm")
+        )
+        .select(
+            F.col("g").cast("long").alias("grid_idx"),
+            F.round(F.col("x") - 1e-9, 2).alias("grid_x"),
+            "density_ppm",
+        )
+        .orderBy("grid_idx")
+    )
+
+
+NW_LAGS = 5
+Z_95 = 1.96
+
+
+@query(
+    "newey_west_mean_ci",
+    f"""
+    WITH daily AS (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY o_orderdate) AS t
+      FROM orders GROUP BY o_orderdate
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS tt,
+             CAST(sum(cents) AS BIGINT) AS s1
+      FROM daily
+    ),
+    dev AS MATERIALIZED (
+      SELECT d.t, d.cents - CAST(m.s1 AS DOUBLE) / m.tt AS e, m.tt
+      FROM daily d CROSS JOIN mom m
+    ),
+    lagged AS (
+      SELECT t, e, tt,
+             {", ".join(f"lag(e, {j}) OVER (ORDER BY t) AS e{j}"
+                        for j in range(1, NW_LAGS + 1))}
+      FROM dev
+    ),
+    gam AS (
+      SELECT max(tt) AS tt,
+             sum(e * e) / max(tt) AS g0,
+             {", ".join(
+               f"sum(CASE WHEN e{j} IS NULL THEN 0 ELSE e * e{j} END)"
+               f" / max(tt) AS g{j}" for j in range(1, NW_LAGS + 1))}
+      FROM lagged
+    ),
+    s AS (
+      SELECT tt, g0,
+             g0 + 2 * ({" + ".join(
+               f"(1.0 - {j}.0 / {NW_LAGS + 1}) * g{j}"
+               for j in range(1, NW_LAGS + 1))}) AS s_hac,
+             (SELECT CAST(s1 AS DOUBLE) / tt FROM mom) AS mu
+      FROM gam
+    )
+    SELECT CAST(tt AS BIGINT) AS n_days,
+           round(mu / 100.0 - 1e-9, 2) AS mean_usd,
+           round(sqrt(g0 / tt) / 100.0 - 1e-9, 2) AS se_iid_usd,
+           round(sqrt(s_hac / tt) / 100.0 - 1e-9, 2) AS se_hac_usd,
+           round(sqrt(s_hac / g0) - 1e-9, 4) AS se_inflation,
+           round((mu - {Z_95!r} * sqrt(s_hac / tt)) / 100.0 - 1e-9, 2)
+             AS ci_lo_usd,
+           round((mu + {Z_95!r} * sqrt(s_hac / tt)) / 100.0 - 1e-9, 2)
+             AS ci_hi_usd
+    FROM s
+    """,
+)
+def newey_west_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC confidence interval for mean daily revenue: the
+    Bartlett-weighted long-run variance ``S = γ₀ + 2Σ(1−j/(L+1))γⱼ``
+    (L=5) replaces the iid variance, widening the CI by the
+    autocorrelation the naive SE ignores — se_inflation says exactly
+    how wrong the iid answer was (revenue series are serially
+    correlated; an iid CI on them is fiction).
+
+    Scale shape: facts reduce to one exact-cent row per day; all five
+    lags ride ONE ordered window pass over the tiny series; the
+    autocovariances are O(1) aggregates.  μ comes from exact integer
+    sums so deviations are bit-identical doubles; the -1e-9-guarded
+    rounding absorbs the order-dependent covariance sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(cents).cast("long").alias("cents")
+    ).select(
+        "cents", F.row_number().over(Window.orderBy("o_orderdate")).alias("t")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("tt"),
+        F.sum("cents").cast("long").alias("s1"),
+    )
+    dev = daily.crossJoin(F.broadcast(mom)).select(
+        "t",
+        (F.col("cents") - F.col("s1").cast("double") / F.col("tt")).alias(
+            "e"
+        ),
+        "tt",
+    )
+    wo = Window.orderBy("t")
+    lagged = dev.select(
+        "e",
+        "tt",
+        *[F.lag("e", j).over(wo).alias(f"e{j}") for j in range(1, NW_LAGS + 1)],
+    )
+    gam = lagged.agg(
+        F.max("tt").alias("tt"),
+        (F.sum(F.col("e") * F.col("e")) / F.max("tt")).alias("g0"),
+        *[
+            (
+                F.sum(
+                    F.when(F.col(f"e{j}").isNull(), 0.0).otherwise(
+                        F.col("e") * F.col(f"e{j}")
+                    )
+                )
+                / F.max("tt")
+            ).alias(f"g{j}")
+            for j in range(1, NW_LAGS + 1)
+        ],
+    )
+    s_hac = F.col("g0") + 2 * sum(
+        (1.0 - j / (NW_LAGS + 1)) * F.col(f"g{j}")
+        for j in range(1, NW_LAGS + 1)
+    )
+    mu = mom.select(
+        (F.col("s1").cast("double") / F.col("tt")).alias("mu")
+    )
+    out = gam.withColumn("s_hac", s_hac).crossJoin(F.broadcast(mu))
+    return out.select(
+        F.col("tt").cast("long").alias("n_days"),
+        F.round(F.col("mu") / 100.0 - 1e-9, 2).alias("mean_usd"),
+        F.round(
+            F.sqrt(F.col("g0") / F.col("tt")) / 100.0 - 1e-9, 2
+        ).alias("se_iid_usd"),
+        F.round(
+            F.sqrt(F.col("s_hac") / F.col("tt")) / 100.0 - 1e-9, 2
+        ).alias("se_hac_usd"),
+        F.round(F.sqrt(F.col("s_hac") / F.col("g0")) - 1e-9, 4).alias(
+            "se_inflation"
+        ),
+        F.round(
+            (F.col("mu") - Z_95 * F.sqrt(F.col("s_hac") / F.col("tt")))
+            / 100.0
+            - 1e-9,
+            2,
+        ).alias("ci_lo_usd"),
+        F.round(
+            (F.col("mu") + Z_95 * F.sqrt(F.col("s_hac") / F.col("tt")))
+            / 100.0
+            - 1e-9,
+            2,
+        ).alias("ci_hi_usd"),
+    )
