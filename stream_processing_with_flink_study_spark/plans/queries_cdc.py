@@ -487,3 +487,204 @@ def jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term) - 1e-9, 4).alias("jsd_bits"))
         .orderBy("s1", "s2")
     )
+
+
+@query(
+    "shift_share_growth",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(sum(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+                            AND o.o_orderdate < DATE '1997-01-01'
+                           THEN CAST(floor(o.o_totalprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS rev0,
+             CAST(sum(CASE WHEN o.o_orderdate >= DATE '1997-01-01'
+                            AND o.o_orderdate < DATE '1998-01-01'
+                           THEN CAST(floor(o.o_totalprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS rev1
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    tot AS (
+      SELECT CAST(sum(rev0) AS BIGINT) AS t0,
+             CAST(sum(rev1) AS BIGINT) AS t1
+      FROM seg
+    )
+    SELECT s.segment,
+           round(s.rev0 / 100.0 - 1e-9, 2) AS rev_1996_usd,
+           round(s.rev1 / 100.0 - 1e-9, 2) AS rev_1997_usd,
+           round(100.0 * (s.rev1 - s.rev0) / s.rev0 - 1e-9, 4)
+             AS growth_pct,
+           round(s.rev0 * (CAST(t.t1 AS DOUBLE) / t.t0 - 1.0) / 100.0
+                 - 1e-9, 2) AS national_effect_usd,
+           round((s.rev1 - s.rev0
+                  - s.rev0 * (CAST(t.t1 AS DOUBLE) / t.t0 - 1.0)) / 100.0
+                 - 1e-9, 2) AS competitive_shift_usd,
+           round(10000.0 * s.rev1 / t.t1 - 10000.0 * s.rev0 / t.t0
+                 - 1e-9, 2) AS share_change_bps
+    FROM seg s CROSS JOIN tot t
+    ORDER BY s.segment
+    """,
+)
+def shift_share_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of 1996→1997 revenue growth per market
+    segment: each segment's change splits into the NATIONAL effect
+    (what it would have gained growing at the overall rate) and the
+    COMPETITIVE shift (out/under-performance vs that counterfactual),
+    plus the share change in basis points — the regional-economics
+    standard for "did this segment grow, or did the tide lift it?".
+    One broadcast dim join, one conditional-sum aggregate over exact
+    integer cents; all effects are rationals of exact BIGINTs."""
+    j = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        ),
+        "o_custkey",
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    in96 = (F.col("o_orderdate") >= F.lit("1996-01-01")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    in97 = (F.col("o_orderdate") >= F.lit("1997-01-01")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    seg = j.groupBy("segment").agg(
+        F.sum(F.when(in96, cents).otherwise(0)).cast("long").alias("rev0"),
+        F.sum(F.when(in97, cents).otherwise(0)).cast("long").alias("rev1"),
+    )
+    tot = seg.agg(
+        F.sum("rev0").cast("long").alias("t0"),
+        F.sum("rev1").cast("long").alias("t1"),
+    )
+    g = F.col("t1").cast("double") / F.col("t0") - 1.0
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.round(F.col("rev0") / 100.0 - 1e-9, 2).alias("rev_1996_usd"),
+            F.round(F.col("rev1") / 100.0 - 1e-9, 2).alias("rev_1997_usd"),
+            F.round(
+                100.0 * (F.col("rev1") - F.col("rev0")) / F.col("rev0")
+                - 1e-9,
+                4,
+            ).alias("growth_pct"),
+            F.round(F.col("rev0") * g / 100.0 - 1e-9, 2).alias(
+                "national_effect_usd"
+            ),
+            F.round(
+                (F.col("rev1") - F.col("rev0") - F.col("rev0") * g) / 100.0
+                - 1e-9,
+                2,
+            ).alias("competitive_shift_usd"),
+            F.round(
+                10000.0 * F.col("rev1") / F.col("t1")
+                - 10000.0 * F.col("rev0") / F.col("t0")
+                - 1e-9,
+                2,
+            ).alias("share_change_bps"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "fisher_price_index",
+    """
+    WITH pp AS (
+      SELECT l_partkey AS pk,
+             CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS period,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    matched AS MATERIALIZED (
+      SELECT p0.pk,
+             CAST(p0.cents AS DOUBLE) / p0.qty AS p0,
+             CAST(p1.cents AS DOUBLE) / p1.qty AS p1,
+             p0.qty AS q0, p1.qty AS q1
+      FROM pp p0 JOIN pp p1 ON p0.pk = p1.pk
+      WHERE p0.period = 0 AND p1.period = 1
+    ),
+    idx AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             sum(p1 * q0) / sum(p0 * q0) AS laspeyres,
+             sum(p1 * q1) / sum(p0 * q1) AS paasche
+      FROM matched
+    )
+    SELECT n_parts,
+           round(laspeyres - 1e-9, 4) AS laspeyres,
+           round(paasche - 1e-9, 4) AS paasche,
+           round(sqrt(laspeyres * paasche) - 1e-9, 4) AS fisher,
+           round(100.0 * (sqrt(laspeyres * paasche) - 1.0) - 1e-9, 2)
+             AS fisher_inflation_pct
+    FROM idx
+    """,
+)
+def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher ideal price indices for 1997 vs
+    1996 over parts shipped in both years (unit price = revenue/
+    quantity per part-year): Laspeyres weights by base-year baskets
+    (overstates inflation under substitution), Paasche by current
+    baskets (understates), and their geometric mean — Fisher's ideal
+    index — is the superlative estimate national statistics agencies
+    actually publish.  One filtered scan (the date predicate reaches
+    the parquet scan), one (part, year) aggregate in exact integers,
+    and a part-keyed self-join of the reduced frame."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pp = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.when(F.col("l_shipdate") >= F.lit("1997-01-01"), 1)
+        .otherwise(0)
+        .alias("period"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("qty"),
+    )
+    p0 = pp.filter(F.col("period") == 0).select(
+        "pk",
+        (F.col("cents").cast("double") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    p1 = pp.filter(F.col("period") == 1).select(
+        "pk",
+        (F.col("cents").cast("double") / F.col("qty")).alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    both = p0.join(p1, "pk")
+    idx = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (
+            F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+        ).alias("paasche"),
+    )
+    fisher = F.sqrt(F.col("laspeyres") * F.col("paasche"))
+    return idx.select(
+        "n_parts",
+        F.round(F.col("laspeyres") - 1e-9, 4).alias("laspeyres"),
+        F.round(F.col("paasche") - 1e-9, 4).alias("paasche"),
+        F.round(fisher - 1e-9, 4).alias("fisher"),
+        F.round(100.0 * (fisher - 1.0) - 1e-9, 2).alias(
+            "fisher_inflation_pct"
+        ),
+    )
