@@ -1345,3 +1345,209 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hurst_exponent"),
     ).orderBy("scale")
+
+
+@query(
+    "binary_segmentation_2level",
+    """
+    WITH s AS MATERIALIZED (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+             row_number() OVER w AS k,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS MATERIALIZED (
+      SELECT *, max(CASE WHEN k = n THEN cum END)
+                  OVER (PARTITION BY user_id) AS total
+      FROM s
+    ),
+    sc1 AS (
+      SELECT user_id, k, ts_ms, n, cum, total,
+             abs(cum / k - (total - cum) / (n - k))
+               * sqrt(k * (n - k) * 1.0 / n) AS score,
+             (total - cum) / (n - k) - cum / k AS shift
+      FROM t WHERE k < n AND n >= 40
+    ),
+    r1 AS MATERIALIZED (
+      SELECT user_id, k AS k1, ts_ms, n, cum AS c1, total,
+             score, shift
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY score DESC, k) AS r
+        FROM sc1
+      ) WHERE r = 1
+    ),
+    segs AS (
+      SELECT t.user_id, t.k, t.ts_ms,
+             CASE WHEN t.k <= r.k1 THEN 'L' ELSE 'R' END AS seg,
+             CASE WHEN t.k <= r.k1 THEN t.k ELSE t.k - r.k1 END AS j,
+             CASE WHEN t.k <= r.k1 THEN t.cum ELSE t.cum - r.c1 END
+               AS lcum,
+             CASE WHEN t.k <= r.k1 THEN r.k1 ELSE t.n - r.k1 END AS m,
+             CASE WHEN t.k <= r.k1 THEN r.c1 ELSE r.total - r.c1 END
+               AS lsum
+      FROM t JOIN r1 r ON t.user_id = r.user_id
+    ),
+    sc2 AS (
+      SELECT user_id, seg, k, ts_ms,
+             abs(lcum / j - (lsum - lcum) / (m - j))
+               * sqrt(j * (m - j) * 1.0 / m) AS score,
+             (lsum - lcum) / (m - j) - lcum / j AS shift
+      FROM segs WHERE j < m AND m >= 20
+    ),
+    r2 AS (
+      SELECT user_id, seg, k, ts_ms, score, shift
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, seg ORDER BY score DESC, k) AS r
+        FROM sc2
+      ) WHERE r = 1
+    )
+    SELECT user_id, 'ROOT' AS seg, CAST(k1 AS BIGINT) AS split_k,
+           ts_ms AS split_ts_ms,
+           round(score - 1e-9, 4) AS cusum_score,
+           round(shift - 1e-9, 4) AS mean_shift
+    FROM r1
+    UNION ALL
+    SELECT user_id, seg, CAST(k AS BIGINT) AS split_k,
+           ts_ms AS split_ts_ms,
+           round(score - 1e-9, 4) AS cusum_score,
+           round(shift - 1e-9, 4) AS mean_shift
+    FROM r2
+    ORDER BY user_id, seg
+    """,
+)
+def binary_segmentation_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE changepoints by two-level binary segmentation: find the
+    best split per series (ROOT), then re-score each half and report
+    its best sub-split (L / R) — the standard greedy multi-changepoint
+    recursion, truncated at depth 2.  The key algebra: level-2 scores
+    need NO re-windowing — a segment's local cumulative sums are just
+    ``cum`` (left) or ``cum − cum@k1`` (right), so the second level is
+    a broadcast join of the 1-row-per-user split table back onto the
+    SAME materialized (k, cum, n) frame, not a second shuffle-sort.
+
+    Same cross-engine rounding story as ``changepoint_single_split``
+    (quantized sources put split means on round-half boundaries; the
+    −1e-9 nudge de-fences them); argmaxes break ties on k."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.row_number().over(wo).alias("k"),
+        F.sum("value")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    t = s.withColumn(
+        "total",
+        F.max(F.when(F.col("k") == F.col("n"), F.col("cum"))).over(wp),
+    ).localCheckpoint()
+    mean_l = F.col("cum") / F.col("k")
+    mean_r = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("k"))
+    sc1 = t.filter((F.col("k") < F.col("n")) & (F.col("n") >= 40)).select(
+        "user_id",
+        "k",
+        "ts_ms",
+        "n",
+        "cum",
+        "total",
+        (
+            F.abs(mean_l - mean_r)
+            * F.sqrt(F.col("k") * (F.col("n") - F.col("k")) * 1.0 / F.col("n"))
+        ).alias("score"),
+        (mean_r - mean_l).alias("shift"),
+    )
+    r1 = (
+        sc1.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("score"), "k")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.col("k").alias("k1"),
+            "ts_ms",
+            "n",
+            F.col("cum").alias("c1"),
+            "total",
+            "score",
+            "shift",
+        )
+    )
+    segs = t.join(
+        F.broadcast(
+            r1.select("user_id", "k1", "c1", F.col("total").alias("tot"))
+        ),
+        "user_id",
+    ).select(
+        "user_id",
+        "k",
+        "ts_ms",
+        F.when(F.col("k") <= F.col("k1"), "L").otherwise("R").alias("seg"),
+        F.when(F.col("k") <= F.col("k1"), F.col("k"))
+        .otherwise(F.col("k") - F.col("k1"))
+        .alias("j"),
+        F.when(F.col("k") <= F.col("k1"), F.col("cum"))
+        .otherwise(F.col("cum") - F.col("c1"))
+        .alias("lcum"),
+        F.when(F.col("k") <= F.col("k1"), F.col("k1"))
+        .otherwise(F.col("n") - F.col("k1"))
+        .alias("m"),
+        F.when(F.col("k") <= F.col("k1"), F.col("c1"))
+        .otherwise(F.col("tot") - F.col("c1"))
+        .alias("lsum"),
+    )
+    lmean_l = F.col("lcum") / F.col("j")
+    lmean_r = (F.col("lsum") - F.col("lcum")) / (F.col("m") - F.col("j"))
+    sc2 = segs.filter(
+        (F.col("j") < F.col("m")) & (F.col("m") >= 20)
+    ).select(
+        "user_id",
+        "seg",
+        "k",
+        "ts_ms",
+        (
+            F.abs(lmean_l - lmean_r)
+            * F.sqrt(F.col("j") * (F.col("m") - F.col("j")) * 1.0 / F.col("m"))
+        ).alias("score"),
+        (lmean_r - lmean_l).alias("shift"),
+    )
+    r2 = (
+        sc2.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("user_id", "seg").orderBy(
+                    F.desc("score"), "k"
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("user_id", "seg", "k", "ts_ms", "score", "shift")
+    )
+    root = r1.select(
+        "user_id",
+        F.lit("ROOT").alias("seg"),
+        F.col("k1").cast("long").alias("split_k"),
+        F.col("ts_ms").alias("split_ts_ms"),
+        F.round(F.col("score") - 1e-9, 4).alias("cusum_score"),
+        F.round(F.col("shift") - 1e-9, 4).alias("mean_shift"),
+    )
+    kids = r2.select(
+        "user_id",
+        "seg",
+        F.col("k").cast("long").alias("split_k"),
+        F.col("ts_ms").alias("split_ts_ms"),
+        F.round(F.col("score") - 1e-9, 4).alias("cusum_score"),
+        F.round(F.col("shift") - 1e-9, 4).alias("mean_shift"),
+    )
+    return root.unionByName(kids).orderBy("user_id", "seg")
