@@ -553,17 +553,20 @@ def shift_share_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     in97 = (F.col("o_orderdate") >= F.lit("1997-01-01")) & (
         F.col("o_orderdate") < F.lit("1998-01-01")
     )
+    # totals via a whole-frame window on the 5-row segment frame — a
+    # separate agg + cross join would rescan the fact join twice
+    w_tot = Window.partitionBy()
     seg = j.groupBy("segment").agg(
         F.sum(F.when(in96, cents).otherwise(0)).cast("long").alias("rev0"),
         F.sum(F.when(in97, cents).otherwise(0)).cast("long").alias("rev1"),
-    )
-    tot = seg.agg(
-        F.sum("rev0").cast("long").alias("t0"),
-        F.sum("rev1").cast("long").alias("t1"),
+    ).select(
+        "*",
+        F.sum("rev0").over(w_tot).cast("long").alias("t0"),
+        F.sum("rev1").over(w_tot).cast("long").alias("t1"),
     )
     g = F.col("t1").cast("double") / F.col("t0") - 1.0
     return (
-        seg.crossJoin(F.broadcast(tot))
+        seg
         .select(
             "segment",
             F.round(F.col("rev0") / 100.0 - 1e-9, 2).alias("rev_1996_usd"),
@@ -645,30 +648,28 @@ def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
-    pp = li.groupBy(
-        F.col("l_partkey").alias("pk"),
-        F.when(F.col("l_shipdate") >= F.lit("1997-01-01"), 1)
-        .otherwise(0)
-        .alias("period"),
-    ).agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
-        .cast("long")
-        .alias("cents"),
-        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
-        .cast("long")
-        .alias("qty"),
+    # one-pass conditional pivot (cents/qty per period in one groupBy)
+    # — the per-period filter + self-join form scans lineitem twice
+    y97 = F.col("l_shipdate") >= F.lit("1997-01-01")
+    ecents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    iqty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    both = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.when(~y97, ecents).otherwise(0)).cast("long").alias("c0"),
+            F.sum(F.when(~y97, iqty).otherwise(0)).cast("long").alias("q0"),
+            F.sum(F.when(y97, ecents).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(y97, iqty).otherwise(0)).cast("long").alias("q1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+        .select(
+            "pk",
+            (F.col("c0").cast("double") / F.col("q0")).alias("p0"),
+            (F.col("c1").cast("double") / F.col("q1")).alias("p1"),
+            "q0",
+            "q1",
+        )
     )
-    p0 = pp.filter(F.col("period") == 0).select(
-        "pk",
-        (F.col("cents").cast("double") / F.col("qty")).alias("p0"),
-        F.col("qty").alias("q0"),
-    )
-    p1 = pp.filter(F.col("period") == 1).select(
-        "pk",
-        (F.col("cents").cast("double") / F.col("qty")).alias("p1"),
-        F.col("qty").alias("q1"),
-    )
-    both = p0.join(p1, "pk")
     idx = both.agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         (

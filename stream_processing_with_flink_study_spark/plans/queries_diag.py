@@ -1031,9 +1031,11 @@ def g_test_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the χ² query; zero-count cells never appear in the obs
     table so o·ln(o/e) is always finite."""
     docs = load_table(spark, sf_dir, "documents")
+    # the contingency table feeds margins, totals AND the statistic —
+    # checkpoint the ~100-cell frame so documents is scanned once
     obs = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    )
+    ).localCheckpoint()
     rs = obs.groupBy("source").agg(F.sum("o").alias("rn"))
     cs = obs.groupBy("lang").agg(F.sum("o").alias("cn"))
     tot = obs.agg(F.sum("o").alias("tn"))
@@ -1217,9 +1219,11 @@ def kde_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bandwidth and grid are exact-integer-derived doubles; each exp
     term applies identical IEEE ops on both engines."""
     d = load_table(spark, sf_dir, "documents")
+    # the |V|-cell histogram feeds both the moments and the kernel sum —
+    # checkpoint so the corpus is scanned exactly once
     cells = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint()
     mom = cells.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.col("v") * F.col("c")).cast("long").alias("s1"),
@@ -1356,11 +1360,13 @@ def newey_west_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding absorbs the order-dependent covariance sums."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    # the day-collapsed series feeds moments, deviations and mu —
+    # checkpoint the ~2.5k-row frame so orders is scanned once
     daily = orders.groupBy("o_orderdate").agg(
         F.sum(cents).cast("long").alias("cents")
     ).select(
         "cents", F.row_number().over(Window.orderBy("o_orderdate")).alias("t")
-    )
+    ).localCheckpoint()
     mom = daily.agg(
         F.count(F.lit(1)).cast("long").alias("tt"),
         F.sum("cents").cast("long").alias("s1"),

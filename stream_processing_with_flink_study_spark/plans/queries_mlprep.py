@@ -1511,9 +1511,11 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % JL_SAMPLE_MOD == 0
     )
+    # tiny sampled frame, referenced by both join sides and the count —
+    # checkpoint once so embeddings parquet is scanned exactly once
     smp = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).localCheckpoint()
     rmat = (
         spark.range(1, JL_DIM + 1)
         .select(F.col("id").alias("i"))
