@@ -1097,3 +1097,175 @@ def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "good_turing_vocab_richness",
+    """
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS t
+      FROM documents
+    ),
+    tc AS MATERIALIZED (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, t
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END) / sum(c)
+                 - 1e-9, 6) AS gt_unseen_mass,
+           round(count(*)
+                 + sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
+                   * sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
+                   / (2.0 * greatest(sum(CASE WHEN c = 2 THEN 1
+                                         ELSE 0 END), 1))
+                 - 1e-9, 2) AS chao1_richness,
+           round((count(*)
+                  + sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
+                    * sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
+                    / (2.0 * greatest(sum(CASE WHEN c = 2 THEN 1
+                                          ELSE 0 END), 1))
+                  - count(*))
+                 / (count(*)
+                    + sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
+                      * sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
+                      / (2.0 * greatest(sum(CASE WHEN c = 2 THEN 1
+                                            ELSE 0 END), 1)))
+                 - 1e-9, 4) AS unseen_vocab_share
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def good_turing_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass and Chao1 richness per source: the
+    singleton fraction ``f₁/N`` estimates the probability the NEXT
+    token is a never-seen type (Good-Turing), and ``V + f₁²/(2f₂)``
+    estimates how many types EXIST including unseen ones (Chao1, the
+    ecologists' species-richness bound) — together they answer "how
+    much more vocabulary would more crawling buy?" for each source,
+    which is exactly the marginal-value question corpus acquisition
+    budgets hang on.
+
+    One token explode, one (source, type) count, one per-source
+    rollup of exact integer frequency-of-frequencies — every estimate
+    is a rational of exact BIGINTs."""
+    from ..functions import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens("text")).alias("t")
+    )
+    tc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1.0).otherwise(0.0))
+    f2d = 2.0 * F.greatest(
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)), F.lit(1)
+    )
+    chao1 = F.count(F.lit(1)) + f1 * f1 / f2d
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("f2"),
+            F.round(f1 / F.sum("c") - 1e-9, 6).alias("gt_unseen_mass"),
+            F.round(chao1 - 1e-9, 2).alias("chao1_richness"),
+            F.round(
+                (chao1 - F.count(F.lit(1))) / chao1 - 1e-9, 4
+            ).alias("unseen_vocab_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "markov_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_t,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+      FROM events
+    ),
+    tc AS MATERIALIZED (
+      SELECT prev_t, next_t, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE next_t IS NOT NULL
+      GROUP BY prev_t, next_t
+    ),
+    terms AS (
+      SELECT prev_t, c,
+             -(c * 1.0 / sum(c) OVER ())
+               * log2(c * 1.0 / sum(c) OVER (PARTITION BY prev_t))
+               AS hterm
+      FROM tc
+    ),
+    rows_h AS (
+      SELECT prev_t,
+             CAST(sum(c) AS BIGINT) AS row_n,
+             sum(hterm) AS weighted_h_part
+      FROM terms
+      GROUP BY prev_t
+    )
+    SELECT CAST(sum(row_n) AS BIGINT) AS n_transitions,
+           round(sum(weighted_h_part) - 1e-9, 4) AS entropy_rate_bits,
+           round(log2(count(*) * 1.0) - 1e-9, 4) AS max_entropy_bits,
+           round(1.0 - sum(weighted_h_part) / log2(count(*) * 1.0)
+                 - 1e-9, 4) AS predictability
+    FROM rows_h
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the event-type Markov chain:
+    ``H = −Σ_{ij} (c_ij/N)·log₂(c_ij/c_i·)`` — the expected per-step
+    surprise given the previous event, weighted by the EMPIRICAL state
+    occupancy (not the stationary distribution, so it is exactly the
+    plug-in conditional entropy of the observed transition stream).
+    ``predictability = 1 − H/log₂|S|`` says how far user behavior is
+    from a uniform random walk — the one-number answer to "is a
+    next-event model worth building?" and the ceiling for
+    ``markov_hitrate_eval``.
+
+    Same single shuffle-sort as ``markov_transitions``; the entropy
+    algebra runs on the |S|² count frame, all rationals of exact
+    integers under the rounding guard."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_t"),
+        F.lead("event_type").over(w).alias("next_t"),
+    ).filter(F.col("next_t").isNotNull())
+    tc = seq.groupBy("prev_t", "next_t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("prev_t")
+    rows_h = tc.select(
+        "prev_t",
+        "c",
+        (
+            -(F.col("c") * 1.0 / F.sum("c").over(w_all))
+            * F.log2(F.col("c") * 1.0 / F.sum("c").over(w_row))
+        ).alias("hterm"),
+    ).groupBy("prev_t").agg(
+        F.sum("c").cast("long").alias("row_n"),
+        F.sum("hterm").alias("weighted_h_part"),
+    )
+    h = F.sum("weighted_h_part")
+    smax = F.log2(F.count(F.lit(1)) * 1.0)
+    return rows_h.agg(
+        F.sum("row_n").cast("long").alias("n_transitions"),
+        F.round(h - 1e-9, 4).alias("entropy_rate_bits"),
+        F.round(smax - 1e-9, 4).alias("max_entropy_bits"),
+        F.round(1.0 - h / smax - 1e-9, 4).alias("predictability"),
+    )
