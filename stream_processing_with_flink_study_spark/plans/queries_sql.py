@@ -861,3 +861,60 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "event_type")
     )
+
+
+@query(
+    "sql_udf_tiered_revenue",
+    """
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('SMALL', 1, 10), ('MEDIUM', 11, 30), ('LARGE', 31, 100)
+    )
+    SELECT l.l_returnflag AS returnflag, t.tier,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+                     * (1.0 + l.l_tax)) - 1e-9, 2) AS net_revenue
+    FROM lineitem l
+    JOIN tiers t ON l.l_quantity >= t.lo AND l.l_quantity <= t.hi
+    GROUP BY l.l_returnflag, t.tier
+    ORDER BY returnflag, tier
+    """,
+)
+def sql_udf_tiered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-language UDFs (`CREATE FUNCTION ... RETURN expr` /
+    `RETURNS TABLE`): a scalar SQL UDF computes the net price and a SQL
+    TABLE FUNCTION defines the quantity-tier dimension — both are
+    catalog objects written in pure SQL, and because the body is SQL
+    (not Python), Catalyst INLINES them into the plan: the scalar UDF
+    whole-stage-codegens and the table function folds to a 3-row local
+    relation broadcast against the scan.  This is the governed-semantic
+    layer pattern (shared business definitions) at zero UDF overhead —
+    the oracle is the same query with both bodies inlined by hand,
+    proving the inlining is semantics-preserving."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sqludf_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_net_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_qty_tiers() "
+        "RETURNS TABLE (tier STRING, lo INT, hi INT) RETURN "
+        "SELECT * FROM VALUES ('SMALL', 1, 10), ('MEDIUM', 11, 30), "
+        "('LARGE', 31, 100) AS t(tier, lo, hi)"
+    )
+    return spark.sql(
+        """
+        SELECT l.l_returnflag AS returnflag, t.tier,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(sqludf_net_price(l.l_extendedprice, l.l_discount,
+                                          l.l_tax)) - 1e-9, 2)
+                 AS net_revenue
+        FROM sqludf_lineitem l
+        JOIN sqludf_qty_tiers() t
+          ON l.l_quantity >= t.lo AND l.l_quantity <= t.hi
+        GROUP BY l.l_returnflag, t.tier
+        ORDER BY returnflag, tier
+        """
+    )
