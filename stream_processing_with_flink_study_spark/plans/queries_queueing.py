@@ -386,3 +386,103 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(ORDER BY dd)), 0) AS BIGINT)",
         )
     )
+
+
+@query(
+    "streaming_croston",
+    _CROSTON_SQL.format(
+        demand=f"""(
+      SELECT CAST(l_shipdate AS DATE) AS dd,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem WHERE l_partkey % {CROSTON_PART_MOD} = 0
+    )""",
+        epoch_expr="epoch_ms(CAST(dd AS TIMESTAMP))",
+        gap_expr="CAST(coalesce(date_diff('day', lag(dd) OVER "
+        "(ORDER BY dd), dd), 0) AS BIGINT)",
+    ),
+)
+def streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method run THROUGH Structured Streaming under the SAME
+    oracle as the recursive-CTE form: the nonzero-demand series feeds
+    as two event-time-ordered micro-batches; :func:`..streaming.
+    stateful.croston_partials` carries (z, p) ValueState across the
+    boundary — including the held-first-observation base case, which
+    re-emits row 0 once its successor's gap arrives (update-mode
+    semantics) — and applies the identical IEEE recursion, so the
+    rolled-up levels are bit-equal to the batch recursion.  The point:
+    a recurrence that batch SQL needs WITH RECURSIVE for is the
+    NATURAL shape of keyed streaming state."""
+    from pyspark.sql.window import Window
+
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import croston_partials
+    from .registry import scratch_dir
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % CROSTON_PART_MOD == 0
+    )
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("dd")
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.orderBy("dd")
+    nz = (
+        daily.select(
+            "dd",
+            "y",
+            (F.row_number().over(wo) - 1).cast("long").alias("idx"),
+            F.coalesce(
+                F.datediff("dd", F.lag("dd").over(wo)), F.lit(0)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .filter(F.col("idx") < CROSTON_MAX_STEPS)
+        .select(
+            F.lit(0).cast("long").alias("k"),
+            F.col("dd").cast("timestamp").alias("d"),
+            "y",
+            "q",
+            "idx",
+        )
+    )
+    half = CROSTON_MAX_STEPS // 2
+    batches = [
+        nz.filter(F.col("idx") < half).drop("idx"),
+        nz.filter(F.col("idx") >= half).drop("idx"),
+    ]
+    src_dir = scratch_dir("src_croston_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with scratch_dir("ck_croston_stream_") as ck:
+            got = run_available_now(
+                croston_partials(sdf, alpha=0.2), ck, "update"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    agg = got.groupBy("idx").agg(
+        F.max("day_ms").alias("day_ms"),
+        F.max("y").alias("y"),
+        F.max("q").alias("q"),
+        F.max("z").alias("z"),
+        F.max("p").alias("p"),
+    )
+    return agg.select(
+        "idx",
+        "day_ms",
+        "y",
+        "q",
+        F.round(F.col("z") - 1e-9, 4).alias("demand_level"),
+        F.round(F.col("p") - 1e-9, 4).alias("interval_level"),
+        F.round(F.col("z") / F.col("p") - 1e-9, 4).alias(
+            "forecast_per_day"
+        ),
+    ).orderBy("idx")

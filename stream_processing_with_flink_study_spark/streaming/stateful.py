@@ -1156,3 +1156,86 @@ def cusum_partials(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def croston_partials(
+    df: DataFrame,
+    alpha: float,
+    key: str = "k",
+    ts: str = "d",
+    value_col: str = "y",
+    gap_col: str = "q",
+) -> DataFrame:
+    """Streaming Croston — the ValueState twin of
+    ``plans.queries_queueing.croston_intermittent``: state per key is
+    (step idx, demand level z, interval level p, and the held first
+    observation); the recursion ``z ← αy + (1−α)z`` / ``p ← αq +
+    (1−α)p`` initializes exactly like the recursive CTE's base case
+    (z₀ = y₀, p₀ = q₁ — the first gap arrives with the SECOND
+    observation, so row 0 is emitted immediately with NULL levels and
+    RE-EMITTED corrected when row 1 lands, per update-mode semantics)
+    and applies the same IEEE ops in the same order — bit-equal to the
+    batch recursive CTE on ordered feeds."""
+    out_schema = (
+        f"{key} long, idx long, day_ms long, y long, q long, "
+        "z double, p double"
+    )
+    state_schema = (
+        "idx long, z double, p double, "
+        "y0 long, q0 long, day0_ms long, last_ms long"
+    )
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
+        if state.exists:
+            idx, z, p, y0, q0, day0_ms, last_ms = state.get
+        else:
+            idx, z, p, y0, q0, day0_ms, last_ms = (
+                -1, None, None, None, None, None, None,
+            )
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = ms > last_ms
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        out = []
+        for day_ms, y, q in zip(
+            ms, pdf[value_col].astype("int64"), pdf[gap_col].astype("int64")
+        ):
+            if idx == -1:
+                # hold the first observation until its successor's gap
+                idx, y0, q0, day0_ms = 0, int(y), int(q), int(day_ms)
+                out.append((k[0], 0, int(day_ms), int(y), int(q), None, None))
+                continue
+            if idx == 0:
+                # base case: re-emit row 0 with (z0=y0, p0=q1)
+                z, p = float(y0), float(q)
+                out.append((k[0], 0, day0_ms, y0, q0, z, p))
+            idx += 1
+            z = alpha * float(y) + (1 - alpha) * z
+            p = alpha * float(q) + (1 - alpha) * p
+            out.append((k[0], idx, int(day_ms), int(y), int(q), z, p))
+        state.update(
+            (
+                int(idx),
+                float(z) if z is not None else None,
+                float(p) if p is not None else None,
+                int(y0) if y0 is not None else None,
+                int(q0) if q0 is not None else None,
+                int(day0_ms) if day0_ms is not None else None,
+                int(ms[-1]),
+            )
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[key, "idx", "day_ms", "y", "q", "z", "p"],
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
