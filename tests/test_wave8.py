@@ -433,3 +433,89 @@ def test_lindley_state_survives_checkpoint_restart(spark, tmp_path):
     got = {r.t: r.bal for r in spark.read.parquet(out).collect()}
     assert len(got) == len(deltas)
     assert [got[i + 1] for i in range(len(deltas))] == _lindley_loop(deltas)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=1_000_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_largest_remainder_properties(weights, target):
+    """Hamilton proration: allocations sum EXACTLY to the target and
+    each differs from the unrounded share by less than one cent."""
+    ww = sum(weights)
+    base = [target * w // ww for w in weights]
+    rem = [(target * w) % ww for w in weights]
+    leftover = target - sum(base)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    assert sum(alloc) == target
+    for i, w in enumerate(weights):
+        assert abs(alloc[i] - target * w / ww) < 1.0
+
+
+def test_katz_hand_graph(spark):
+    """Star graph: the hub's Katz score exceeds every leaf's, and a
+    two-round hand computation matches the operator exactly."""
+    from stream_processing_with_flink_study_spark.operators.graph import (
+        katz_centrality,
+    )
+
+    # hub 0 <-> leaves 1..4, unit weights, symmetric
+    edges = [(0, i, 1) for i in range(1, 5)] + [(i, 0, 1) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r.id: r.score for r in katz_centrality(df, iters=2).collect()}
+    # dmax = weighted in-degree of hub = 4 -> alpha = 0.125
+    a = 0.5 / 4
+    # round 1: all scores = 1.  round 2: hub = 1 + a*4, leaf = 1 + a*1
+    assert out[0] == pytest.approx(1 + a * 4, rel=1e-12)
+    for leaf in range(1, 5):
+        assert out[leaf] == pytest.approx(1 + a * 1, rel=1e-12)
+    assert out[0] > out[1]
+
+
+def test_littles_law_exact_identity(spark):
+    r = QUERIES["concurrency_littles_law"](spark, SF_SMALL).first()
+    assert r.little_exact is True
+    assert r.busy_integral_ms == r.total_session_ms
+    assert r.peak_concurrency >= 1
+    # L = lambda * W in consistent units (identity, so near-exact)
+    lam_per_min = r.lambda_per_hour / 60.0
+    assert r.l_avg == pytest.approx(lam_per_min * r.w_mean_min, rel=1e-3)
+
+
+def test_good_turing_bounds(spark):
+    out = QUERIES["good_turing_vocab_richness"](spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.gt_unseen_mass <= 1.0
+        assert r.chao1_richness >= r.vocab - 1e-9
+        assert r.f1 + r.f2 <= r.vocab
+
+
+def test_markov_entropy_bounded_by_log_states(spark):
+    r = QUERIES["markov_entropy_rate"](spark, SF_SMALL).first()
+    assert 0.0 <= r.entropy_rate_bits <= r.max_entropy_bits + 1e-9
+    assert 0.0 <= r.predictability <= 1.0
+
+
+def test_streaming_croston_matches_batch(spark):
+    """The ValueState recursion and the recursive CTE agree row for
+    row (bit-equal levels under identical rounding)."""
+    batch = {
+        r.idx: r for r in QUERIES["croston_intermittent"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    stream = {
+        r.idx: r for r in QUERIES["streaming_croston"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert batch.keys() == stream.keys()
+    for i in batch:
+        assert batch[i].demand_level == stream[i].demand_level, i
+        assert batch[i].interval_level == stream[i].interval_level, i
+        assert batch[i].forecast_per_day == stream[i].forecast_per_day, i
