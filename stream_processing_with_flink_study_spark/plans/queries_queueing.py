@@ -486,3 +486,158 @@ def streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_per_day"
         ),
     ).orderBy("idx")
+
+
+# --------------------------------------------------------------------------
+# token-bucket rate limiting (two-sided clamped recurrence)
+# --------------------------------------------------------------------------
+RL_CAP = 600_000  # bucket capacity, micro-tokens (6 requests)
+RL_COST = 300_000  # micro-tokens per admitted request
+RL_RATE = 1  # refill, micro-tokens per elapsed second
+RL_MAX_REPLAY = 12  # batch replay window (recursion depth bound)
+
+_RATE_LIMITER_SQL = f"""
+WITH RECURSIVE req AS (
+  SELECT * FROM (
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS idx,
+           {{epoch}} AS ts_ms,
+           CAST(coalesce(({{epoch}} - lag({{epoch}}) OVER w) {{idiv}} 1000, 0)
+                AS BIGINT) AS gap_s
+    FROM {{events}} WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE idx <= {{max_idx}}
+),
+rl (user_id, idx, tok, allowed) AS (
+  SELECT user_id, idx,
+         CAST({RL_CAP} - {RL_COST} AS BIGINT), {RL_CAP} >= {RL_COST}
+  FROM req WHERE idx = 1
+  UNION ALL
+  SELECT n.user_id, n.idx,
+         least({RL_CAP}, r.tok + n.gap_s * {RL_RATE})
+           - CASE WHEN least({RL_CAP}, r.tok + n.gap_s * {RL_RATE})
+                       >= {RL_COST}
+                  THEN {RL_COST} ELSE 0 END,
+         least({RL_CAP}, r.tok + n.gap_s * {RL_RATE}) >= {RL_COST}
+  FROM rl r JOIN req n
+    ON n.user_id = r.user_id AND n.idx = r.idx + 1
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_denied,
+       CAST(max_by(tok, idx) AS BIGINT) AS final_tokens
+FROM rl GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "rate_limiter_replay",
+    _RATE_LIMITER_SQL.format(
+        events="events", epoch="epoch_ms(ts)", idiv="//",
+        max_idx=RL_MAX_REPLAY,
+    ),
+)
+def rate_limiter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay (the API-gateway / quota-audit
+    primitive): per user, each click request refills ⌊Δt⌋·rate
+    micro-tokens capped at {RL_CAP}, is admitted iff the bucket holds
+    {RL_COST}, and admitted requests drain it (replay bounded to the
+    first {RL_MAX_REPLAY} requests per user — recursion depth IS the
+    cost driver; the streaming twin replays unbounded).  The recurrence
+    ``tok ← min(cap, tok + refill) − cost·allowed`` is clamped on BOTH
+    sides — unlike the one-sided Lindley ledger
+    (``lindley_clamped_balance``), it provably has NO prefix-sum
+    flattening, so both engines run the SAME native recursive CTE
+    (per-user recursion in lockstep, depth = max clicks/user).
+    All-integer arithmetic makes every step exact.
+
+    Scale shape: the recursion is depth-bounded (Spark's recursion
+    level limit), which is fine for bounded per-key replay windows;
+    the UNBOUNDED path is the streaming twin
+    (``streaming_rate_limiter``), whose keyed ValueState replays the
+    identical recurrence forever — the pairing demonstrates when
+    batch SQL recursion stops scaling and keyed stream state takes
+    over."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "rate_limiter_events"
+    )
+    return spark.sql(
+        _RATE_LIMITER_SQL.format(
+            events="rate_limiter_events",
+            epoch="unix_millis(ts)",
+            idiv="DIV",
+            max_idx=RL_MAX_REPLAY,
+        )
+    )
+
+
+@query(
+    "streaming_rate_limiter",
+    _RATE_LIMITER_SQL.format(
+        events="events", epoch="epoch_ms(ts)", idiv="//",
+        max_idx=10**9,
+    ),
+)
+def streaming_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token bucket run THROUGH Structured Streaming under the SAME
+    oracle as the recursive-CTE form: clicks feed as two
+    event-time-ordered micro-batches;
+    :func:`..streaming.stateful.token_bucket_partials` carries
+    (idx, tokens, last_ts) ValueState across the boundary and applies
+    the identical integer recurrence, so the per-user decision log —
+    and therefore the admitted/denied rollup — is bit-equal to the
+    batch recursion.  The point: the two-sided clamp that forces batch
+    SQL into depth-bounded recursion is ONE comparison per event in
+    keyed stream state, with no depth limit — this is the 100 TB
+    shape."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import token_bucket_partials
+    from .registry import scratch_dir
+
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+    )
+    cut = clicks.agg(
+        F.expr("percentile_approx(unix_millis(ts), 0.5)")
+    ).collect()[0][0]
+    batches = [
+        clicks.filter(F.unix_millis("ts") <= cut),
+        clicks.filter(F.unix_millis("ts") > cut),
+    ]
+    src_dir = scratch_dir("src_rate_limiter_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with scratch_dir("ck_rate_limiter_stream_") as ck:
+            got = run_available_now(
+                token_bucket_partials(
+                    sdf, cap=RL_CAP, cost=RL_COST, rate_per_s=RL_RATE
+                ),
+                ck,
+                "update",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return (
+        got.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_allowed"),
+            F.sum(F.when(F.col("allowed"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_denied"),
+            F.max_by("tok", "idx").cast("long").alias("final_tokens"),
+        )
+        .orderBy("user_id")
+    )

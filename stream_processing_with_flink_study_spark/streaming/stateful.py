@@ -1239,3 +1239,81 @@ def croston_partials(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def token_bucket_partials(
+    df: DataFrame,
+    cap: int,
+    cost: int,
+    rate_per_s: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming token-bucket rate limiter — the ValueState twin of
+    ``plans.queries_queueing.rate_limiter_replay``: state per key is
+    (request idx, remaining micro-tokens, last (ts_ms, order)); each
+    request refills ``⌊Δt_s⌋·rate`` micro-tokens capped at ``cap``,
+    then admits iff the bucket holds ``cost``.  The recurrence
+    ``tok ← min(cap, tok + refill) − cost·allowed`` is clamped on BOTH
+    sides, so unlike the Lindley ledger it has no prefix-sum
+    flattening — batch SQL needs WITH RECURSIVE (depth-bounded), while
+    keyed state replays it unbounded: the streaming form IS the scale
+    path.  All-integer arithmetic makes batch and streaming bit-equal
+    on event-time-ordered feeds.
+
+    Ordering contract: rows sort by (ts, order_col) inside the batch;
+    rows at-or-before the committed (ts_ms, order) are dropped."""
+    out_schema = f"{key} long, idx long, ts_ms long, tok long, allowed boolean"
+    state_schema = "idx long, tok long, last_ms long, last_ord long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts, order_col]
+        )
+        if state.exists:
+            idx, tok, last_ms, last_ord = state.get
+        else:
+            idx, tok, last_ms, last_ord = 0, None, None, None
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = (ms > last_ms) | (
+                (ms == last_ms) & (pdf[order_col].to_numpy() > last_ord)
+            )
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        ords = pdf[order_col].to_numpy(dtype="int64")
+        out_idx, out_ms, out_tok, out_allowed = [], [], [], []
+        for i in range(len(pdf)):
+            t_ms = int(ms[i])
+            if tok is None:  # very first request: bucket starts full
+                avail = cap
+            else:
+                avail = min(cap, tok + ((t_ms - last_ms) // 1000) * rate_per_s)
+            allowed = avail >= cost
+            tok = avail - cost if allowed else avail
+            last_ms = t_ms
+            idx += 1
+            out_idx.append(idx)
+            out_ms.append(t_ms)
+            out_tok.append(tok)
+            out_allowed.append(allowed)
+        state.update((int(idx), int(tok), int(last_ms), int(ords[-1])))
+        yield pd.DataFrame(
+            {
+                key: [k[0]] * len(out_idx),
+                "idx": out_idx,
+                "ts_ms": out_ms,
+                "tok": out_tok,
+                "allowed": out_allowed,
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
