@@ -236,3 +236,35 @@ def simhash64_arrow(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return sh(c)
+
+
+def zlib_size_arrow(col: Column | str, level: int = 6) -> Column:
+    """Compressed byte size of a text column under zlib (DEFLATE) at
+    the given level, Arrow-batched — the raw ingredient of the
+    compression-ratio quality signal (Rae et al. 2021 "Gopher" §A.1.1
+    use it to drop machine-generated / highly repetitive documents:
+    text that compresses too well is boilerplate or spam, text that
+    barely compresses is often binary junk or ciphertext).
+
+    zlib is deterministic for a fixed level and library build, and the
+    signal consumer only thresholds RATIOS, so cross-build drift is a
+    non-issue; cross-ENGINE oracles are impossible (no SQL zlib), so
+    queries built on this are rows-only checked plus property-tested
+    (`tests/test_wave9.py`: repetition compresses strictly better than
+    high-entropy text; ratio bounded by (0, 1.1]).
+
+    Returns IntegerType byte count; the ratio is left to the caller so
+    the division happens once, JVM-side, against ``octet_length``."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def zs(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(zlib.compress(t.encode("utf-8"), level)) for t in texts],
+            dtype="int32",
+        )
+
+    return zs(col if isinstance(col, Column) else F.col(col))

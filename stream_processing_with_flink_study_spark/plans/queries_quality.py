@@ -1166,3 +1166,57 @@ def crypto_shred_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query("compression_ratio_quality")  # rows-only: no SQL zlib exists
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher's repetition filter,
+    Rae et al. 2021): zlib-compressed bytes / raw bytes per document —
+    low ratios flag boilerplate/template spam, ratios near 1 flag
+    high-entropy junk.  Rolled up per source: mean ratio (exact
+    integer byte sums divided once), the share of documents under the
+    0.4 "too compressible" red line, and min/max.
+
+    Scale shape: ONE Arrow-batched pandas UDF pass computes compressed
+    sizes (`functions/text.py:zlib_size_arrow`); everything else —
+    octet_length, the ratio, the rollup — stays JVM-side.  No oracle:
+    DuckDB has no zlib; determinism and direction are pinned by
+    property tests instead (`tests/test_wave9.py`)."""
+    from ..functions.text import zlib_size_arrow
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") > 0
+    )
+    scored = docs.select(
+        "source",
+        F.octet_length("text").cast("long").alias("raw_bytes"),
+        zlib_size_arrow("text").cast("long").alias("zlib_bytes"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("raw_bytes").cast("long").alias("raw_bytes"),
+            F.sum("zlib_bytes").cast("long").alias("zlib_bytes"),
+            F.round(
+                F.sum("zlib_bytes") / F.sum("raw_bytes") - 1e-9, 4
+            ).alias("mean_ratio"),
+            F.round(
+                F.avg(
+                    (
+                        F.col("zlib_bytes") * 10
+                        < F.col("raw_bytes") * 4
+                    ).cast("int")
+                )
+                - 1e-9,
+                4,
+            ).alias("share_too_compressible"),
+            F.round(
+                F.min(F.col("zlib_bytes") / F.col("raw_bytes")) - 1e-9, 4
+            ).alias("min_ratio"),
+            F.round(
+                F.max(F.col("zlib_bytes") / F.col("raw_bytes")) - 1e-9, 4
+            ).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )

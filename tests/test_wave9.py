@@ -1,0 +1,240 @@
+"""Semantic / invariant tests for the ninth-wave queries — the oracle
+gate proves engine parity; these pin the SEMANTICS: KMV mergeability
+and error bounds, Shapley efficiency, Fellegi-Sunter operating point,
+token-bucket invariants and batch/streaming agreement, compression-
+ratio direction and determinism, ABC mass conservation.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark.plans import QUERIES
+from stream_processing_with_flink_study_spark.plans.queries_queueing import (
+    RL_CAP,
+    RL_COST,
+    RL_MAX_REPLAY,
+    RL_RATE,
+)
+
+from .conftest import SF_MEDIUM, SF_SMALL
+
+
+# --------------------------------------------------------------------------
+# KMV sketch
+# --------------------------------------------------------------------------
+def _kmv_hashes(keys):
+    """Replicate the query's md5-uniform hash driver-side."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT k, (CAST(concat('0x', substr(md5(concat('kmv0|', "
+        "CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0) / 4294967297.0 "
+        "FROM (SELECT unnest(?) AS k)",
+        [list(keys)],
+    ).fetchall()
+    return dict(rows)
+
+
+def test_kmv_merge_law():
+    """Bottom-k of a union == bottom-k of the merged bottom-k lists —
+    the mergeability property that makes KMV a distributed sketch."""
+    a = list(range(0, 500))
+    b = list(range(300, 900))
+    h = _kmv_hashes(set(a) | set(b))
+    k = 64
+    bottom = lambda xs: sorted(h[x] for x in set(xs))[:k]  # noqa: E731
+    merged = sorted(set(bottom(a)) | set(bottom(b)))[:k]
+    assert merged == bottom(a + b)
+
+
+def test_kmv_estimate_bounds(spark):
+    """(k−1)/h_(k) lands within the sketch's coarse error envelope and
+    is EXACT below k."""
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["kmv_distinct_sketch"](spark, SF_MEDIUM).collect()
+    }
+    for r in got.values():
+        if r["true_ndv"] < 64:
+            assert r["kmv_estimate"] == float(r["true_ndv"])
+        else:
+            assert abs(r["kmv_estimate"] - r["true_ndv"]) / r["true_ndv"] < 0.5
+
+
+# --------------------------------------------------------------------------
+# Shapley attribution
+# --------------------------------------------------------------------------
+def test_shapley_efficiency_axiom(spark):
+    """Σφ_i = v(full) − v(none) — the efficiency axiom that uniquely
+    characterizes Shapley among credit splits (within output
+    rounding)."""
+    rows = QUERIES["shapley_attribution"](spark, SF_SMALL).collect()
+    assert len(rows) == 3
+    total = sum(r["shapley_value"] for r in rows)
+    gap = rows[0]["v_full"] - rows[0]["v_none"]
+    assert abs(total - gap) < 5e-4
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter linkage
+# --------------------------------------------------------------------------
+def test_fellegi_sunter_operating_point(spark):
+    """The chosen m/u weights put the linker at the designed operating
+    point: ~90% recall (the 10% segment-flip rate is the only true-pair
+    killer) at high precision."""
+    df = QUERIES["fellegi_sunter_linkage"](spark, SF_MEDIUM).toPandas()
+    recall = df.n_true_links.sum() / df.n_true_pairs.sum()
+    precision = df.n_true_links.sum() / df.n_link.sum()
+    assert 0.80 <= recall <= 0.95
+    assert precision >= 0.90
+    assert (df.n_true_pairs >= df.n_true_links).all()
+
+
+# --------------------------------------------------------------------------
+# token-bucket rate limiter
+# --------------------------------------------------------------------------
+def _bucket_loop(ts_ms: list[int]) -> tuple[int, int, int]:
+    """Literal sequential token bucket — the definition."""
+    tok, allowed, denied = None, 0, 0
+    prev = None
+    for t in ts_ms:
+        avail = (
+            RL_CAP
+            if tok is None
+            else min(RL_CAP, tok + ((t - prev) // 1000) * RL_RATE)
+        )
+        if avail >= RL_COST:
+            tok, allowed = avail - RL_COST, allowed + 1
+        else:
+            tok, denied = avail, denied + 1
+        prev = t
+    return tok, allowed, denied
+
+
+def test_rate_limiter_matches_sequential_definition(spark):
+    """The recursive-CTE rollup equals the literal per-user Python loop
+    on the replay window, and admits AND denies at the chosen
+    constants."""
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    clicks = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_millis("ts").alias("ms"), "event_id")
+        .orderBy("user_id", "ms", "event_id")
+        .collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for r in clicks:
+        per_user.setdefault(r["user_id"], []).append(r["ms"])
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["rate_limiter_replay"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_user)
+    tot_allowed = tot_denied = 0
+    for u, ts in per_user.items():
+        tok, allowed, denied = _bucket_loop(ts[:RL_MAX_REPLAY])
+        r = got[u]
+        assert (r["final_tokens"], r["n_allowed"], r["n_denied"]) == (
+            tok,
+            allowed,
+            denied,
+        ), u
+        assert 0 <= r["final_tokens"] <= RL_CAP
+        tot_allowed += allowed
+        tot_denied += denied
+    assert tot_allowed > 0 and tot_denied > 0
+
+
+def test_streaming_rate_limiter_agrees_with_batch_loop(spark):
+    """The ValueState twin replays the FULL stream (no depth bound) and
+    still matches the sequential definition exactly."""
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    clicks = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_millis("ts").alias("ms"), "event_id")
+        .orderBy("user_id", "ms", "event_id")
+        .collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for r in clicks:
+        per_user.setdefault(r["user_id"], []).append(r["ms"])
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["streaming_rate_limiter"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_user)
+    for u, ts in per_user.items():
+        tok, allowed, denied = _bucket_loop(ts)
+        r = got[u]
+        assert (r["final_tokens"], r["n_allowed"], r["n_denied"]) == (
+            tok,
+            allowed,
+            denied,
+        ), u
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal
+# --------------------------------------------------------------------------
+def test_compression_ratio_direction_and_determinism(spark):
+    """Repetition compresses strictly better than high-entropy text;
+    the UDF is deterministic across invocations; ratios live in
+    (0, 1.1]."""
+    from stream_processing_with_flink_study_spark.functions.text import (
+        zlib_size_arrow,
+    )
+
+    import hashlib
+
+    entropy = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [("rep", "spam ham " * 400), ("rnd", entropy)], "id string, text string"
+    )
+    scored = df.select(
+        "id",
+        (zlib_size_arrow("text") / F.octet_length("text")).alias("ratio"),
+    )
+    first = {r["id"]: r["ratio"] for r in scored.collect()}
+    second = {r["id"]: r["ratio"] for r in scored.collect()}
+    assert first == second
+    assert 0 < first["rep"] < 0.05
+    assert first["rep"] < first["rnd"] <= 1.1
+
+
+def test_compression_query_shape(spark):
+    out = QUERIES["compression_ratio_quality"](spark, SF_SMALL)
+    rows = out.collect()
+    assert rows and all(0 < r["mean_ratio"] <= 1.1 for r in rows)
+    assert all(r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# ABC classes
+# --------------------------------------------------------------------------
+def test_abc_mass_conservation(spark):
+    df = QUERIES["abc_inventory_classes"](spark, SF_MEDIUM).toPandas()
+    assert list(df.abc_class) == ["A", "B", "C"]
+    assert abs(df.revenue_share.sum() - 1.0) < 5e-3
+    assert abs(df.part_share.sum() - 1.0) < 5e-3
+    # Pareto shape: A carries ~80% of revenue with a minority of parts
+    a = df[df.abc_class == "A"].iloc[0]
+    assert 0.75 <= a.revenue_share <= 0.81
+
+
+# --------------------------------------------------------------------------
+# identity stitching
+# --------------------------------------------------------------------------
+def test_identity_stitch_structure(spark):
+    rows = QUERIES["identity_stitch_components"](spark, SF_MEDIUM).collect()
+    assert rows, "sf0.01 must produce at least one stitched component"
+    for r in rows:
+        assert r["n_aliases"] >= 2
+        assert r["n_events"] >= r["n_aliases"]
