@@ -181,3 +181,73 @@ def funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"))
     )
+
+
+@query(
+    "statestore_inspect",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4's ``statestore`` batch source
+    over a streaming checkpoint — the state-processor/queryable-state
+    operational surface, reference scope 정리/5주차.md): run a keyed
+    streaming aggregation over the events table in two micro-batches,
+    then read the checkpoint's COMMITTED operator state back as a batch
+    DataFrame and emit it.
+
+    The point of the oracle: for a streaming count/sum aggregation the
+    keyed state IS the running aggregate, so the state files must
+    hash-equal a plain batch GROUP BY of the same input — a full-value
+    check that the state backend's on-disk contents, not just the sink
+    output, are correct.  Scale shape: the state read is a
+    partition-parallel scan of the backend's files (no driver
+    materialization); filters on partition_id / batchId prune."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.statestore import read_state
+    from .registry import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_millis(ts), 0.5)")
+    ).collect()[0][0]
+    batches = [
+        ev.filter(F.unix_millis("ts") <= cut).drop("ts"),
+        ev.filter(F.unix_millis("ts") > cut).drop("ts"),
+    ]
+    src_dir = scratch_dir("src_statestore_inspect_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with scratch_dir("ck_statestore_inspect_") as ck:
+            run_available_now(agg, ck, "update")
+            # read the checkpoint's committed keyed state AFTER the run
+            state = read_state(spark, ck).select(
+                "key.*", "value.*"
+            ).toDF("event_type", "n_events", "value_cents")
+            out = [
+                (r[0], r[1], r[2])
+                for r in state.orderBy("event_type").collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return spark.createDataFrame(
+        out, "event_type string, n_events long, value_cents long"
+    ).orderBy("event_type")

