@@ -1432,3 +1432,168 @@ def newey_west_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("ci_hi_usd"),
     )
+
+
+# Abramowitz & Stegun 26.2.17 normal-tail polynomial — literal
+# coefficients evaluated with the SAME Horner expression on both
+# engines, so p-values are bit-identical doubles.
+_AS_T0 = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+BH_Q = 0.10  # target false-discovery rate
+
+
+def _sql_two_sided_p(z: str) -> str:
+    b1, b2, b3, b4, b5 = _AS_B
+    return (
+        f"2.0 * ({_INV_SQRT_2PI} * exp(-(({z}) * ({z})) / 2.0)"
+        f" * ((((({b5} * (1.0 / (1.0 + {_AS_T0} * abs({z})))"
+        f" + {b4}) * (1.0 / (1.0 + {_AS_T0} * abs({z})))"
+        f" + {b3}) * (1.0 / (1.0 + {_AS_T0} * abs({z})))"
+        f" + {b2}) * (1.0 / (1.0 + {_AS_T0} * abs({z})))"
+        f" + {b1}) * (1.0 / (1.0 + {_AS_T0} * abs({z})))))"
+    )
+
+
+@query(
+    "bh_fdr_nation_tests",
+    f"""
+    WITH x AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(floor(o.o_totalprice) AS BIGINT) AS dol
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per AS (
+      SELECT nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dol) AS BIGINT) AS sx,
+             CAST(sum(dol * dol) AS BIGINT) AS sxx
+      FROM x GROUP BY nationkey
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sx) AS BIGINT) AS sxt
+      FROM per
+    ),
+    zed AS MATERIALIZED (
+      SELECT p.nationkey, p.n,
+             (CAST(p.sx AS DOUBLE) / p.n - CAST(t.sxt AS DOUBLE) / t.nt)
+               / sqrt((CAST(p.sxx AS DOUBLE) / p.n
+                       - (CAST(p.sx AS DOUBLE) / p.n)
+                         * (CAST(p.sx AS DOUBLE) / p.n)) / p.n) AS z
+      FROM per p CROSS JOIN tot t
+    ),
+    pvals AS MATERIALIZED (
+      SELECT nationkey, n, z, {_sql_two_sided_p("z")} AS p FROM zed
+    ),
+    ranked AS (
+      SELECT nationkey, n, z, p,
+             CAST(row_number() OVER (ORDER BY p, nationkey) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ),
+    cut AS (
+      SELECT coalesce(max(CASE WHEN p <= rk * {BH_Q} / m THEN rk END), 0)
+               AS k_star
+      FROM ranked
+    )
+    SELECT r.nationkey, r.n, round(r.z - 1e-9, 4) AS z,
+           round(r.p - 1e-9, 6) AS p_value,
+           round(r.rk * {BH_Q} / r.m - 1e-9, 6) AS bh_threshold,
+           r.rk <= c.k_star AS rejected
+    FROM ranked r CROSS JOIN cut c
+    ORDER BY r.nationkey
+    """,
+)
+def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control (JRSS-B 1995 —
+    THE multiple-testing correction) over the 25 simultaneous
+    per-nation "does this nation's mean order value differ from the
+    global mean" z-tests: rank p-values ascending, find the largest k
+    with p_(k) ≤ k·q/m, reject exactly ranks 1..k (step-up).  Running
+    25 uncorrected tests at α=0.05 expects ≥1 false alarm; BH caps the
+    EXPECTED false-discovery fraction at q={BH_Q} — the correction the
+    per-segment drift/DQ batteries in this repo should feed before
+    anyone pages an on-call.
+
+    p-values come from the Abramowitz-Stegun 26.2.17 tail polynomial —
+    literal coefficients in an identical Horner chain on both engines,
+    over z-scores derived from exact integer-dollar moments, so every
+    boundary call is made on bit-identical doubles.  Scale shape: one
+    co-partitioned fact join collapses to 25 moment rows; ranking and
+    the step-up cut are windows on that tiny frame."""
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", F.floor("o_totalprice").cast("long").alias("dol")
+        )
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nationkey"),
+            ),
+            "o_custkey",
+        )
+    )
+    per = x.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dol").cast("long").alias("sx"),
+        F.sum(F.col("dol") * F.col("dol")).cast("long").alias("sxx"),
+    )
+    w = Window.partitionBy()
+    zed = per.select(
+        "nationkey",
+        "n",
+        (
+            (F.col("sx").cast("double") / F.col("n")
+             - F.sum("sx").over(w).cast("double") / F.sum("n").over(w))
+            / F.sqrt(
+                (
+                    F.col("sxx").cast("double") / F.col("n")
+                    - (F.col("sx").cast("double") / F.col("n"))
+                    * (F.col("sx").cast("double") / F.col("n"))
+                )
+                / F.col("n")
+            )
+        ).alias("z"),
+    )
+    t = 1.0 / (1.0 + _AS_T0 * F.abs(F.col("z")))
+    b1, b2, b3, b4, b5 = _AS_B
+    p = 2.0 * (
+        _INV_SQRT_2PI
+        * F.exp(-(F.col("z") * F.col("z")) / 2.0)
+        * (((((b5 * t + b4) * t + b3) * t + b2) * t + b1) * t)
+    )
+    ranked = zed.withColumn("p", p).select(
+        "nationkey",
+        "n",
+        "z",
+        "p",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("p", "nationkey"))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).cast("long").alias("m"),
+    )
+    k_star = F.coalesce(
+        F.max(
+            F.when(
+                F.col("p") <= F.col("rk") * BH_Q / F.col("m"), F.col("rk")
+            )
+        ).over(w),
+        F.lit(0),
+    )
+    return (
+        ranked.withColumn("k_star", k_star)
+        .select(
+            "nationkey",
+            "n",
+            F.round(F.col("z") - 1e-9, 4).alias("z"),
+            F.round(F.col("p") - 1e-9, 6).alias("p_value"),
+            F.round(F.col("rk") * BH_Q / F.col("m") - 1e-9, 6).alias(
+                "bh_threshold"
+            ),
+            (F.col("rk") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("nationkey")
+    )

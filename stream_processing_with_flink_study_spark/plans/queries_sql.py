@@ -918,3 +918,85 @@ def sql_udf_tiered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY returnflag, tier
         """
     )
+
+
+@query(
+    "collated_segment_rollup",
+    """
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg_mixed,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    dim(dim_seg, tier) AS (
+      VALUES ('Machinery', 'industrial'), ('Building', 'industrial'),
+             ('Automobile', 'consumer'), ('Household', 'consumer'),
+             ('Furniture', 'consumer')
+    )
+    SELECT lower(min(m.seg_mixed)) AS segment,
+           d.tier,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT m.seg_mixed) AS BIGINT) AS n_case_variants,
+           CAST(sum(m.cents) AS BIGINT) AS acctbal_cents
+    FROM mixed m JOIN dim d ON lower(m.seg_mixed) = lower(d.dim_seg)
+    GROUP BY lower(m.seg_mixed), d.tier
+    ORDER BY segment
+    """,
+)
+def collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: group and JOIN on a mixed-case key
+    under ``COLLATE UTF8_LCASE`` — governed case-insensitive semantics
+    declared on the expression, with NO lower()/upper() rewrites in the
+    query logic (the dim join matches 'Household' to both 'household'
+    and 'HOUSEHOLD' natively).  The oracle replays the same query via
+    explicit lower() normalization, PROVING the collation's equivalence
+    contract on ASCII keys; ``n_case_variants`` counts the raw
+    (binary-collation) spellings inside each collated group, showing
+    both collations coexisting in one aggregate.
+
+    Scale shape: collation comparison is JVM-side (no UDF); the
+    grouping shuffles on the collated key exactly like any groupBy,
+    and the 5-row dim broadcasts."""
+    mixed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mixed"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("Machinery", "industrial"),
+            ("Building", "industrial"),
+            ("Automobile", "consumer"),
+            ("Household", "consumer"),
+            ("Furniture", "consumer"),
+        ],
+        "dim_seg string, tier string",
+    )
+    joined = mixed.join(
+        F.broadcast(dim),
+        F.expr("seg_mixed COLLATE UTF8_LCASE = dim_seg COLLATE UTF8_LCASE"),
+    )
+    return (
+        joined.groupBy(
+            F.expr("seg_mixed COLLATE UTF8_LCASE").alias("_ckey"), F.col("tier")
+        )
+        .agg(
+            F.lower(F.min("seg_mixed")).alias("segment"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count_distinct(F.expr("seg_mixed COLLATE UTF8_BINARY"))
+            .cast("long")
+            .alias("n_case_variants"),
+            F.sum("cents").cast("long").alias("acctbal_cents"),
+        )
+        .select(
+            "segment", "tier", "n_customers", "n_case_variants",
+            "acctbal_cents",
+        )
+        .orderBy("segment")
+    )

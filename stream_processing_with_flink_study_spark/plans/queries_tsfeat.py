@@ -1551,3 +1551,128 @@ def binary_segmentation_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("shift") - 1e-9, 4).alias("mean_shift"),
     )
     return root.unionByName(kids).orderBy("user_id", "seg")
+
+
+HAAR_START = "1995-01-01"
+HAAR_LEN = 256  # 2^8 days
+HAAR_LEVELS = 8
+
+
+@query(
+    "haar_wavelet_energy",
+    f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '{HAAR_START}', CAST(o_orderdate AS DATE))
+               AS idx,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '{HAAR_START}'
+        AND date_diff('day', DATE '{HAAR_START}', CAST(o_orderdate AS DATE))
+            < {HAAR_LEN}
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT CAST(g.range AS BIGINT) AS idx FROM range({HAAR_LEN}) g
+    ),
+    series AS MATERIALIZED (
+      SELECT g.idx, coalesce(d.dol, 0) // 100 AS y
+      FROM grid g LEFT JOIN daily d ON d.idx = g.idx
+    ),
+    fan AS (
+      SELECT s.idx, s.y, CAST(l.range AS BIGINT) + 1 AS lvl
+      FROM series s CROSS JOIN range({HAAR_LEVELS}) l
+    ),
+    coeffs AS (
+      SELECT lvl, idx // (1 << lvl) AS block,
+             CAST(sum(CASE WHEN (idx // (1 << (lvl - 1))) % 2 = 0
+                      THEN y ELSE -y END) AS BIGINT) AS d
+      FROM fan GROUP BY lvl, block
+    ),
+    energy AS (
+      SELECT lvl,
+             CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(max(abs(d)) AS BIGINT) AS max_abs_coeff
+      FROM coeffs GROUP BY lvl
+    )
+    SELECT lvl, n_coeffs, energy, max_abs_coeff,
+           round(CAST(energy AS DOUBLE)
+                 / nullif(sum(energy) OVER (), 0) - 1e-9, 4)
+             AS energy_share
+    FROM energy ORDER BY lvl
+    """,
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution Haar wavelet decomposition of the daily revenue
+    series (256 days, 8 dyadic levels): the unnormalized detail
+    coefficient at level ℓ is (first-half sum − second-half sum) of
+    each 2^ℓ-day block, so the per-level ENERGY spectrum localizes
+    variability by timescale — day-to-day noise (level 1) vs weekly
+    swings (~level 3) vs regime drift (level 8) — the classic
+    time-series-mining feature (Chan & Fu, ICDE'99) that one global
+    variance number cannot resolve.
+
+    Every coefficient is an EXACT BIGINT (integer hundred-dollar daily
+    units keep Σd² far from 2^63), so the full spectrum hash-matches.
+    Scale shape: one fact scan collapses to 256 day rows; ALL levels'
+    coefficients come from one 8× fanout of that tiny frame and ONE
+    groupBy — sign patterns computed from the index, never an
+    iterative cascade."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(HAAR_START).cast("date")
+            )
+            .cast("long")
+            .alias("idx"),
+            F.floor("o_totalprice").cast("long").alias("dol"),
+        )
+        .filter((F.col("idx") >= 0) & (F.col("idx") < HAAR_LEN))
+        .groupBy("idx")
+        .agg(F.sum("dol").cast("long").alias("dol"))
+    )
+    grid = spark.range(HAAR_LEN).select(F.col("id").cast("long").alias("idx"))
+    series = grid.join(daily, "idx", "left").select(
+        "idx",
+        (F.coalesce(F.col("dol"), F.lit(0)) / F.lit(100))
+        .cast("long")
+        .alias("y"),
+    )
+    fan = series.select(
+        "idx",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(HAAR_LEVELS))).alias("lvl"),
+    ).withColumn("lvl", F.col("lvl").cast("long"))
+    half = F.expr("CAST(pow(2, lvl - 1) AS LONG)")
+    coeffs = (
+        fan.withColumn(
+            "block", (F.col("idx") / (half * 2)).cast("long")
+        )
+        .withColumn(
+            "signed",
+            F.when(
+                ((F.col("idx") / half).cast("long") % 2) == 0, F.col("y")
+            ).otherwise(-F.col("y")),
+        )
+        .groupBy("lvl", "block")
+        .agg(F.sum("signed").cast("long").alias("d"))
+    )
+    energy = coeffs.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+        F.max(F.abs("d")).cast("long").alias("max_abs_coeff"),
+    )
+    w = Window.partitionBy()
+    return energy.select(
+        "lvl",
+        "n_coeffs",
+        "energy",
+        "max_abs_coeff",
+        F.round(
+            F.col("energy")
+            / F.nullif(F.sum("energy").over(w), F.lit(0))
+            - 1e-9,
+            4,
+        ).alias("energy_share"),
+    ).orderBy("lvl")
