@@ -283,3 +283,54 @@ def test_state_metadata_inventory(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_statestore_join_sides(spark, tmp_path):
+    """A stream-stream join keeps per-side buffers; the statestore
+    reader's joinSide option exposes each side's buffered rows — the
+    state-debugging path for join-state blowups."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src"); ck = str(tmp_path / "ck")
+    left_in = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("v"),
+        F.expr("timestamp_millis(1700000000000 + id*1000)").alias("ts"),
+    )
+    right_in = spark.range(40).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 2).alias("w"),
+        F.expr("timestamp_millis(1700000000000 + id*1000)").alias("ts"),
+    )
+    left_in.write.mode("overwrite").parquet(src + "/l/b0")
+    right_in.write.mode("overwrite").parquet(src + "/r/b0")
+    l = (
+        spark.readStream.schema("k long, v long, ts timestamp")
+        .parquet(src + "/l/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    r = (
+        spark.readStream.schema("k long, w long, ts timestamp")
+        .parquet(src + "/r/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    j = l.alias("l").join(r.alias("r"), F.expr("l.k = r.k AND l.ts = r.ts"))
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_ssj_state")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    meta = spark.read.format("state-metadata").load(ck).collect()
+    assert any("symmetricHashJoin" in r["operatorName"] for r in meta)
+    left_state = (
+        spark.read.format("statestore").option("joinSide", "left").load(ck)
+    )
+    right_state = (
+        spark.read.format("statestore").option("joinSide", "right").load(ck)
+    )
+    assert left_state.count() == 50
+    assert right_state.count() == 40
