@@ -326,3 +326,269 @@ def trigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenization
+# --------------------------------------------------------------------------
+ULM_MAX_PIECE = 4  # max piece length (chars)
+ULM_MAX_WORD = 12  # words longer than this are dropped (data max: 8)
+ULM_TOP_GRAMS = 300  # multi-char vocabulary budget (all 1-grams kept)
+ULM_TOP_OUT = 20  # emitted leaderboard size
+
+_ULM_SQL = f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcount,
+         CAST(length(w) AS BIGINT) AS wlen
+  FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  )
+  WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+    AND length(w) <= {ULM_MAX_WORD}
+  GROUP BY w
+),
+grams AS MATERIALIZED (
+  SELECT substr(w.word, CAST(i.range AS INTEGER), CAST(n.range AS INTEGER))
+           AS piece,
+         CAST(n.range AS BIGINT) AS plen,
+         CAST(sum(w.wcount) AS BIGINT) AS cnt
+  FROM words w, range(1, {ULM_MAX_WORD} + 1) i, range(1, {ULM_MAX_PIECE} + 1) n
+  WHERE CAST(i.range AS BIGINT) + CAST(n.range AS BIGINT) - 1 <= w.wlen
+  GROUP BY 1, 2
+),
+vocab AS MATERIALIZED (
+  SELECT piece, plen, cnt,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE)
+                        / sum(cnt) OVER ()) * 1e6 + 0.5) AS BIGINT)
+           AS cost
+  FROM (
+    SELECT piece, plen, cnt FROM grams WHERE plen = 1
+    UNION ALL
+    SELECT piece, plen, cnt FROM (
+      SELECT piece, plen, cnt,
+             row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+      FROM grams WHERE plen > 1
+    ) WHERE rk <= {ULM_TOP_GRAMS}
+  )
+),
+paths (word, wcount, wlen, pos, cost, np, path) AS (
+  SELECT word, wcount, wlen, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), ''
+  FROM words
+  UNION
+  SELECT p.word, p.wcount, p.wlen, p.pos + v.plen, p.cost + v.cost,
+         p.np + 1,
+         CASE WHEN p.path = '' THEN v.piece
+              ELSE p.path || '|' || v.piece END
+  FROM paths p JOIN vocab v
+    ON p.pos + v.plen <= p.wlen
+   AND substr(p.word, CAST(p.pos AS INTEGER) + 1,
+              CAST(v.plen AS INTEGER)) = v.piece
+),
+best AS MATERIALIZED (
+  SELECT word, wcount, cost, np, path
+  FROM (
+    SELECT word, wcount, cost, np, path,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY cost, np, path) AS rk
+    FROM paths WHERE pos = wlen
+  ) WHERE rk = 1
+),
+usage AS (
+  SELECT u.piece, CAST(sum(b.wcount) AS BIGINT) AS n_uses
+  FROM best b, unnest(string_split(b.path, '|')) AS u(piece)
+  GROUP BY u.piece
+),
+summary AS (
+  SELECT round(CAST(sum(np * wcount) AS DOUBLE) / sum(wcount) - 1e-9, 4)
+           AS pieces_per_token
+  FROM best
+)
+SELECT u.piece, v.cost AS cost_micro_nll, u.n_uses,
+       round(CAST(u.n_uses AS DOUBLE)
+             / sum(u.n_uses) OVER () - 1e-9, 4) AS usage_share,
+       s.pieces_per_token
+FROM usage u JOIN vocab v ON v.piece = u.piece CROSS JOIN summary s
+ORDER BY u.n_uses DESC, u.piece LIMIT {ULM_TOP_OUT}
+"""
+
+
+@query("unigram_lm_tokenize", _ULM_SQL)
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (the SentencePiece/Kudo-2018 inference
+    step): segment every corpus token into the MIN-COST sequence of
+    vocabulary pieces, where a piece's cost is its fixed-point negative
+    log-probability under the corpus character-n-gram unigram model
+    (all 1-grams — the lossless fallback — plus the top
+    {ULM_TOP_GRAMS} multi-char grams).  Emitted: the piece-usage
+    leaderboard and the corpus pieces-per-token rate — the
+    "how well does this vocabulary compress the corpus" number
+    tokenizer training sweeps optimize.
+
+    Exactness: piece costs are INTEGER micro-nats (floor(−ln p·1e6)),
+    so segmentation totals are exact BIGINTs and the
+    (cost, n_pieces, path) tiebreak is deterministic — the Spark side
+    enumerates segmentations per DISTINCT word (bounded: ≤ 2^11 for
+    {ULM_MAX_WORD}-char words) inside one Arrow batch, while the
+    DuckDB oracle enumerates the same lattice as a recursive CTE and
+    must pick the identical winner, hash-checked end to end.
+
+    Scale shape: like BPE training (`functions/bpe.py`), the corpus
+    collapses to DISTINCT words first — segmentation cost is
+    vocabulary-bounded, not corpus-bounded; the vocab (≤ {ULM_TOP_GRAMS}
+    + alphabet rows) is the one bounded driver collect, shipped into
+    the Arrow UDF like IVF centroids."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(
+            (F.col("word") != "")
+            & F.col("word").rlike("^[a-z]+$")
+            & (F.length("word") <= ULM_MAX_WORD)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+        .withColumn("wlen", F.length("word").cast("long"))
+    )
+    words.persist()
+    grams = (
+        words.select(
+            "word",
+            "wcount",
+            "wlen",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(ULM_MAX_WORD))
+            ).alias("i"),
+        )
+        .select(
+            "word",
+            "wcount",
+            "wlen",
+            "i",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(ULM_MAX_PIECE))
+            ).alias("n"),
+        )
+        .filter(F.col("i") + F.col("n") - 1 <= F.col("wlen"))
+        .select(
+            F.expr("substr(word, i, n)").alias("piece"),
+            F.col("n").cast("long").alias("plen"),
+            "wcount",
+        )
+        .groupBy("piece", "plen")
+        .agg(F.sum("wcount").cast("long").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    multi = (
+        grams.filter(F.col("plen") > 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("cnt"), "piece")
+            ),
+        )
+        .filter(F.col("rk") <= ULM_TOP_GRAMS)
+        .drop("rk")
+    )
+    vocab = grams.filter(F.col("plen") == 1).unionByName(multi)
+    vocab = vocab.withColumn(
+        "cost",
+        F.floor(
+            -F.log(
+                F.col("cnt")
+                / F.sum("cnt").over(Window.partitionBy())
+            )
+            * 1e6
+            + 0.5
+        ).cast("long"),
+    )
+    vocab.persist()
+    # the one bounded driver collect (<= alphabet + ULM_TOP_GRAMS rows)
+    vtable = {
+        r["piece"]: int(r["cost"]) for r in vocab.select("piece", "cost").collect()
+    }
+
+    def segment(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = []
+            for word, wcount in zip(pdf["word"], pdf["wcount"]):
+                n = len(word)
+                # enumerate all vocab segmentations, pick the exact
+                # (cost, n_pieces, path) minimum — same rule as the
+                # oracle's recursive lattice
+                best = None
+                stack = [(0, 0, 0, [])]
+                while stack:
+                    pos, cost, np_, path = stack.pop()
+                    if pos == n:
+                        cand = (cost, np_, "|".join(path))
+                        if best is None or cand < best:
+                            best = cand
+                        continue
+                    for ln in range(1, min(ULM_MAX_PIECE, n - pos) + 1):
+                        piece = word[pos : pos + ln]
+                        c = vtable.get(piece)
+                        if c is not None:
+                            stack.append(
+                                (pos + ln, cost + c, np_ + 1, path + [piece])
+                            )
+                out.append(
+                    (word, int(wcount), best[0], best[1], best[2])
+                )
+            yield pd.DataFrame(
+                out, columns=["word", "wcount", "cost", "np", "path"]
+            )
+
+    best = words.select("word", "wcount").mapInPandas(
+        segment, "word string, wcount long, cost long, np long, path string"
+    )
+    best.persist()
+    usage = (
+        best.select(
+            F.explode(F.split("path", r"\|")).alias("piece"), "wcount"
+        )
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("long").alias("n_uses"))
+    )
+    summary = best.agg(
+        F.round(
+            F.sum(F.col("np") * F.col("wcount"))
+            / F.sum("wcount")
+            - 1e-9,
+            4,
+        ).alias("pieces_per_token")
+    )
+    out = (
+        usage.join(
+            F.broadcast(vocab.select("piece", F.col("cost").alias("cost_micro_nll"))),
+            "piece",
+        )
+        .withColumn(
+            "usage_share",
+            F.round(
+                F.col("n_uses")
+                / F.sum("n_uses").over(Window.partitionBy())
+                - 1e-9,
+                4,
+            ),
+        )
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "piece", "cost_micro_nll", "n_uses", "usage_share",
+            "pieces_per_token",
+        )
+        .orderBy(F.desc("n_uses"), "piece")
+        .limit(ULM_TOP_OUT)
+    )
+    result = out.localCheckpoint()
+    words.unpersist()
+    vocab.unpersist()
+    best.unpersist()
+    return result
