@@ -276,14 +276,14 @@ def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH j AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             CAST(floor(o.o_totalprice) AS BIGINT) AS dol
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
     ),
     m AS (
       SELECT seg, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s1,
-             CAST(sum(cents * cents) AS BIGINT) AS s2
+             CAST(sum(dol) AS BIGINT) AS s1,
+             CAST(sum(dol * dol) AS BIGINT) AS s2
       FROM j GROUP BY seg
     ),
     p AS (
@@ -303,8 +303,8 @@ def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT na AS n_auto, nb AS n_household,
-           round(ma / 100.0 - 1e-9, 2) AS mean_auto_usd,
-           round(mb / 100.0 - 1e-9, 2) AS mean_household_usd,
+           round(ma - 1e-9, 2) AS mean_auto_usd,
+           round(mb - 1e-9, 2) AS mean_household_usd,
            round((ma - mb) / sqrt(va / na + vb / nb) - 1e-9, 4)
              AS t_stat,
            round(pow(va / na + vb / nb, 2)
@@ -321,8 +321,10 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUTOMOBILE and HOUSEHOLD customers, with the Welch-Satterthwaite
     effective degrees of freedom — the default two-sample test (never
     assume equal variances) behind every segment-comparison dashboard.
-    Means and variances derive from exact integer-cent moments, so t
-    and df are engine-identical doubles; significance compares the
+    Means and variances derive from exact integer-DOLLAR moments
+    (cents² would pass 2^63 around one million fact rows — dollar
+    units keep Σx² exact through sf10), so t and df are
+    engine-identical doubles; significance compares the
     ROUNDED |t| against the z critical value (df is ~10⁴ here, where
     t and z coincide to 3 decimals).  One broadcast dim join + one
     map-side-combinable moment aggregate — single fact scan."""
@@ -343,15 +345,13 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "seg",
-            F.floor(F.col("o_totalprice") * 100 + 0.5)
-            .cast("long")
-            .alias("cents"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("dol"),
         )
     )
     m = j.groupBy("seg").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+        F.sum("dol").cast("long").alias("s1"),
+        F.sum(F.col("dol") * F.col("dol")).cast("long").alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = (
@@ -371,8 +371,8 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("na").alias("n_auto"),
         F.col("nb").alias("n_household"),
-        F.round(F.col("ma") / 100.0 - 1e-9, 2).alias("mean_auto_usd"),
-        F.round(F.col("mb") / 100.0 - 1e-9, 2).alias("mean_household_usd"),
+        F.round(F.col("ma") - 1e-9, 2).alias("mean_auto_usd"),
+        F.round(F.col("mb") - 1e-9, 2).alias("mean_household_usd"),
         t_r.alias("t_stat"),
         F.round(
             F.pow(se2, 2)

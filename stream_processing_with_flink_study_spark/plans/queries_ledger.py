@@ -416,7 +416,7 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT o_orderdate AS dd,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders
       WHERE o_orderdate >= DATE '1996-10-01'
@@ -444,15 +444,15 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CURRENT ROW)
     )
     SELECT epoch_ms(CAST(dd AS TIMESTAMP)) AS day_ms,
-           round(cents / 100.0 - 1e-9, 2) AS close_usd,
-           round(s1_20 / 20.0 / 100.0 - 1e-9, 2) AS sma20_usd,
-           round((s1_20 / 20.0 + 2 * sqrt(
+           round(CAST(cents AS DOUBLE) - 1e-9, 2) AS close_usd,
+           round(s1_20 / 20.0 - 1e-9, 2) AS sma20_usd,
+           round(s1_20 / 20.0 + 2 * sqrt(
                     (CAST(s2_20 AS DOUBLE) - CAST(s1_20 AS DOUBLE)
-                       * s1_20 / 20.0) / 19.0)) / 100.0 - 1e-9, 2)
+                       * s1_20 / 20.0) / 19.0) - 1e-9, 2)
              AS boll_up_usd,
-           round((s1_20 / 20.0 - 2 * sqrt(
+           round(s1_20 / 20.0 - 2 * sqrt(
                     (CAST(s2_20 AS DOUBLE) - CAST(s1_20 AS DOUBLE)
-                       * s1_20 / 20.0) / 19.0)) / 100.0 - 1e-9, 2)
+                       * s1_20 / 20.0) / 19.0) - 1e-9, 2)
              AS boll_dn_usd,
            round(CASE WHEN losses14 = 0 THEN 100.0
                       ELSE 100.0 - 100.0 / (1.0 + CAST(gains14 AS DOUBLE)
@@ -467,7 +467,8 @@ def technical_indicators_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling technical indicators over the 1997 daily-revenue series:
     20-day SMA and Bollinger bands, and 14-day SMA-variant RSI.  The
     Bollinger σ comes from windowed EXACT integer sums (Σx, Σx² in
-    BIGINT cents — never an engine stddev over doubles), so every
+    BIGINT DOLLARS — cent² window sums would pass 2^63 around one
+    million fact rows, and never an engine stddev over doubles), so every
     band is a deterministic function of identical integers; RSI's
     gain/loss split rides the lag-difference, also exact.  The series
     is pre-aggregated to one row per day (a few hundred rows) before
@@ -478,7 +479,7 @@ def technical_indicators_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-10-01"))
         & (F.col("o_orderdate") <= F.lit("1997-12-31"))
     )
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cents = F.floor(F.col("o_totalprice")).cast("long")
     daily = orders.groupBy(F.col("o_orderdate").alias("dd")).agg(
         F.sum(cents).cast("long").alias("cents")
     )
@@ -521,10 +522,10 @@ def technical_indicators_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.filter((F.col("rn") >= 20) & (F.col("dd") >= F.lit("1997-01-01")))
         .select(
             F.unix_millis(F.col("dd").cast("timestamp")).alias("day_ms"),
-            F.round(F.col("cents") / 100.0 - 1e-9, 2).alias("close_usd"),
-            F.round(sma / 100.0 - 1e-9, 2).alias("sma20_usd"),
-            F.round((sma + 2 * sd) / 100.0 - 1e-9, 2).alias("boll_up_usd"),
-            F.round((sma - 2 * sd) / 100.0 - 1e-9, 2).alias("boll_dn_usd"),
+            F.round(F.col("cents").cast("double") - 1e-9, 2).alias("close_usd"),
+            F.round(sma - 1e-9, 2).alias("sma20_usd"),
+            F.round(sma + 2 * sd - 1e-9, 2).alias("boll_up_usd"),
+            F.round(sma - 2 * sd - 1e-9, 2).alias("boll_dn_usd"),
             F.round(rsi - 1e-9, 4).alias("rsi14"),
         )
         .orderBy("day_ms")

@@ -1191,7 +1191,7 @@ HURST_SCALES = (8, 16, 32, 64, 128)
     "hurst_rescaled_range",
     f"""
     WITH daily AS (
-      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      SELECT CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
                   AS BIGINT) AS cents,
              row_number() OVER (ORDER BY o_orderdate) AS rn
       FROM orders GROUP BY o_orderdate
@@ -1260,16 +1260,18 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     log E[R/S] ~ H·log s — H≈0.5 is a memoryless walk, H>0.5
     long-range persistence (trending demand), H<0.5 mean reversion.
 
-    Scale shape: the fact table reduces to one exact-cent row per day
-    FIRST; the multi-scale fanout is a 5× cross join of the reduced
-    series, and every block statistic rides ONE (s, blk)-partitioned
-    window shuffle.  The cumulative walk is integer-exact (cumsum of
-    BIGINT cents), block μ and σ come from exact integer moments, so
+    Scale shape: the fact table reduces to one exact integer-DOLLAR
+    row per day FIRST (cent² block moments would pass 2^63 at ~10⁶
+    fact rows; dollar units stay exact through sf10); the multi-scale
+    fanout is a 5× cross join of the reduced series, and every block
+    statistic rides ONE (s, blk)-partitioned window shuffle.  The
+    cumulative walk is integer-exact, block μ and σ come from exact
+    integer moments, so
     R/S is engine-identical per block; only the per-scale average and
     the 5-point log-log regression touch order-dependent float sums,
     absorbed by the rounding guard."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cents = F.floor(F.col("o_totalprice")).cast("long")
     daily = (
         orders.groupBy("o_orderdate")
         .agg(F.sum(cents).cast("long").alias("cents"))
