@@ -334,3 +334,48 @@ def test_statestore_join_sides(spark, tmp_path):
     )
     assert left_state.count() == 50
     assert right_state.count() == 40
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's OptimizeSkewedJoin splits the hot hash partition at
+    runtime — THE engine-level answer to skewed join keys (the manual
+    alternative is `salted_skew_join`).  1.8 M of 2 M left rows share
+    one key; with skew thresholds lowered to test scale, the executed
+    final plan must carry the SortMergeJoin(skew=true) marker and the
+    query must still return the exact row count."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20000",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "20000",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(2000000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id") % 100)
+            .otherwise(1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2000).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = left.join(right, "k").filter(
+            (F.col("v") + F.col("w")) % 99991 == 0
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert len(rows) == 401  # exact join+filter cardinality, pinned
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
