@@ -1220,3 +1220,142 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Mondrian k-anonymity generalization
+# --------------------------------------------------------------------------
+MONDRIAN_K = 25
+MONDRIAN_LEVELS = 3
+
+_MONDRIAN_LEVEL = """
+, stats{lvl} AS (
+  SELECT *,
+         count(*) OVER wn AS n,
+         max(q1) OVER wn - min(q1) OVER wn AS r1,
+         max(q2) OVER wn - min(q2) OVER wn AS r2,
+         row_number() OVER (PARTITION BY node ORDER BY q1, uid) AS rk1,
+         row_number() OVER (PARTITION BY node ORDER BY q2, uid) AS rk2
+  FROM lvl{prev}
+  WINDOW wn AS (PARTITION BY node)
+),
+med{lvl} AS (
+  SELECT node,
+         max(CASE WHEN rk1 = floor((n + 1) / 2.0) THEN q1 END) AS m1,
+         max(CASE WHEN rk2 = floor((n + 1) / 2.0) THEN q2 END) AS m2,
+         max(CASE WHEN r1 * {g2} >= r2 * {g1} THEN 1 ELSE 0 END) AS use_q1
+  FROM stats{lvl} GROUP BY node
+),
+cand{lvl} AS (
+  SELECT s.uid, s.q1, s.q2, s.node, s.n, m.use_q1,
+         CASE WHEN m.use_q1 = 1 THEN s.q1 <= m.m1
+              ELSE s.q2 <= m.m2 END AS go_left
+  FROM stats{lvl} s JOIN med{lvl} m ON s.node = m.node
+),
+sizes{lvl} AS (
+  SELECT node,
+         CAST(sum(CASE WHEN go_left THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(sum(CASE WHEN go_left THEN 0 ELSE 1 END) AS BIGINT) AS nr
+  FROM cand{lvl} GROUP BY node
+),
+lvl{lvl} AS (
+  SELECT c.uid, c.q1, c.q2,
+         CASE WHEN z.nl >= {k} AND z.nr >= {k}
+              THEN c.node || (CASE WHEN c.go_left THEN 'L' ELSE 'R' END)
+              ELSE c.node END AS node
+  FROM cand{lvl} c JOIN sizes{lvl} z ON c.node = z.node
+)
+"""
+
+
+def _mondrian_sql(table: str) -> str:
+    """Shared ANSI SQL for Mondrian (both engines run this text)."""
+    body = f"""
+WITH pts AS (
+  SELECT c_custkey AS uid,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS q1,
+         CAST(c_custkey % 199 AS BIGINT) AS q2
+  FROM {table}
+),
+g AS (
+  SELECT max(q1) - min(q1) AS g1, max(q2) - min(q2) AS g2 FROM pts
+),
+lvl0 AS (
+  SELECT uid, q1, q2, '*' AS node FROM pts
+)"""
+    for lvl in range(1, MONDRIAN_LEVELS + 1):
+        body += _MONDRIAN_LEVEL.format(
+            lvl=lvl,
+            prev=lvl - 1,
+            k=MONDRIAN_K,
+            g1="(SELECT g1 FROM g)",
+            g2="(SELECT g2 FROM g)",
+        )
+    body += f"""
+SELECT node,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(q1) AS BIGINT) AS q1_min, CAST(max(q1) AS BIGINT) AS q1_max,
+       CAST(min(q2) AS BIGINT) AS q2_min, CAST(max(q2) AS BIGINT) AS q2_max,
+       count(*) >= {MONDRIAN_K} AS k_ok,
+       CAST(count(*) * count(*) AS BIGINT) AS discernibility
+FROM lvl{MONDRIAN_LEVELS}
+GROUP BY node ORDER BY node
+"""
+    return body
+
+
+@query("mondrian_k_anonymize", _mondrian_sql("customer"))
+def mondrian_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian multidimensional k-anonymity (LeFevre et al. ICDE'06)
+    — the GENERALIZATION half that the ``k_anonymity_audit`` only
+    measures: recursively split the quasi-identifier space (account
+    balance × a synthetic second QI) on the in-node low median of the
+    widest normalized dimension, refusing any split that would leave a
+    child below k={MONDRIAN_K}; leaves become the published
+    equivalence classes, reported with their bounds and the
+    discernibility-metric Σn² cost.
+
+    Every decision is exact-integer (cross-multiplied range
+    comparison, rank-based low median, integer child counts), so both
+    engines take IDENTICAL splits at every level — the whole
+    depth-{MONDRIAN_LEVELS} partition tree is hash-checked, not just
+    the leaf counts.  Scale shape: each level is one window pass over
+    the points partitioned by node (node count ≤ 2^level); levels are
+    staged CTEs, so the plan is {MONDRIAN_LEVELS} shuffles of the
+    points frame — never a driver loop over nodes."""
+    # Spark inlines chained CTEs (each level references its
+    # predecessor three times -> 3^levels plan blowup, measured 16 s at
+    # sf0.1), so the Spark path stages one level at a time over
+    # localCheckpointed temp views; the DuckDB oracle keeps the single
+    # recursive text.  Same math, same splits.
+    pts = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS uid",
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS q1",
+        "CAST(c_custkey % 199 AS BIGINT) AS q2",
+    )
+    g = pts.selectExpr(
+        "max(q1) - min(q1) AS g1", "max(q2) - min(q2) AS g2"
+    ).collect()[0]
+    lvl = pts.selectExpr("uid", "q1", "q2", "'*' AS node").localCheckpoint()
+    for _ in range(MONDRIAN_LEVELS):
+        lvl.createOrReplaceTempView("mondrian_lvl_prev")
+        lvl = spark.sql(
+            _MONDRIAN_LEVEL.format(
+                lvl=1, prev="_PREV", k=MONDRIAN_K,
+                g1=int(g["g1"]), g2=int(g["g2"]),
+            )
+            .replace("lvl_PREV", "mondrian_lvl_prev")
+            .replace("\n, stats1 AS", "WITH stats1 AS", 1)
+            + " SELECT uid, q1, q2, node FROM lvl1"
+        ).localCheckpoint()
+    lvl.createOrReplaceTempView("mondrian_final")
+    return spark.sql(f"""
+SELECT node,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(q1) AS BIGINT) AS q1_min, CAST(max(q1) AS BIGINT) AS q1_max,
+       CAST(min(q2) AS BIGINT) AS q2_min, CAST(max(q2) AS BIGINT) AS q2_max,
+       count(*) >= {MONDRIAN_K} AS k_ok,
+       CAST(count(*) * count(*) AS BIGINT) AS discernibility
+FROM mondrian_final
+GROUP BY node ORDER BY node
+""")

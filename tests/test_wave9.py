@@ -379,3 +379,20 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mondrian_partition_invariants(spark):
+    """Mondrian leaves partition the population: sizes sum to the
+    customer count, every leaf satisfies k, and the tree actually
+    split (the root alone would hide the integer-division bug class
+    where both engines agree on a wrong no-split answer)."""
+    from stream_processing_with_flink_study_spark.plans.queries_quality import (
+        MONDRIAN_K,
+    )
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    rows = QUERIES["mondrian_k_anonymize"](spark, SF_MEDIUM).collect()
+    n_cust = load_table(spark, SF_MEDIUM, "customer").count()
+    assert len(rows) >= 4, "depth-3 Mondrian must split at sf0.01"
+    assert sum(r["n"] for r in rows) == n_cust
+    assert all(r["k_ok"] and r["n"] >= MONDRIAN_K for r in rows)
