@@ -1535,31 +1535,40 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    a, b = smp.alias("a"), smp.alias("b")
-    diffs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.posexplode(
-                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x - y)
-            ).alias("pos", "d"),
+    # project each VECTOR once (linearity: P(a-b) = P(a) - P(b)), then
+    # measure pair distortion with per-row array expressions — the
+    # previous pair-then-explode shape shuffled |pairs|*k groups
+    # (measured 12.3 s at sf0.1); this one shuffles |vectors|*k
+    # (23 k groups) and the 1 M-pair stage is shuffle-free.
+    pv = (
+        smp.select("vec_id", F.posexplode("v").alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+        .join(F.broadcast(rmat), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("pj"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "pj"))),
+                lambda st: st["pj"],
+            ).alias("pvec")
         )
-        .select("id_a", "id_b", (F.col("pos") + 1).alias("i"), "d")
     )
-    orig = diffs.groupBy("id_a", "id_b").agg(
-        F.sum(F.col("d") * F.col("d")).alias("d_orig2")
-    )
-    projected = (
-        diffs.join(F.broadcast(rmat), "i")
-        .groupBy("id_a", "id_b", "j")
-        .agg(F.sum(F.col("d") * F.col("s")).alias("pj"))
-    )
-    dproj = projected.groupBy("id_a", "id_b").agg(
-        (F.sum(F.col("pj") * F.col("pj")) / JL_K).alias("d_proj2")
+    both = smp.join(pv, "vec_id")
+    a, b = both.alias("a"), both.alias("b")
+    sq_sum = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
     ratios = (
-        dproj.join(orig, ["id_a", "id_b"])
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            sq_sum(F.col("a.v"), F.col("b.v")).alias("d_orig2"),
+            (sq_sum(F.col("a.pvec"), F.col("b.pvec")) / JL_K).alias(
+                "d_proj2"
+            ),
+        )
         .filter(F.col("d_orig2") > 0)
         .select(
             F.round(
