@@ -1269,3 +1269,118 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(smax - 1e-9, 4).alias("max_entropy_bits"),
         F.round(1.0 - h / smax - 1e-9, 4).alias("predictability"),
     )
+
+
+# --------------------------------------------------------------------------
+# two-component Gaussian mixture via EM
+# --------------------------------------------------------------------------
+GMM_ROUNDS = 3
+GMM_INIT = (0.5, 50.0, 100.0, 0.5, 300.0, 100.0)  # w1 m1 s1 w2 m2 s2
+
+
+def _gmm_resp(w1, m1, s1, w2, m2, s2):
+    """SQL text for the E-step responsibility of component 1 (the
+    1/sqrt(2*pi) factor cancels in the ratio)."""
+    f1 = f"({w1} / {s1} * exp(-(x - {m1}) * (x - {m1}) / (2.0 * {s1} * {s1})))"
+    f2 = f"({w2} / {s2} * exp(-(x - {m2}) * (x - {m2}) / (2.0 * {s2} * {s2})))"
+    return f1, f2
+
+
+def _gmm_round_sql(src: str, params: str) -> str:
+    """One EM round: E-step from the (rounded) params row, M-step to
+    the next (rounded) params row."""
+    f1, f2 = _gmm_resp("p.w1", "p.m1", "p.s1", "p.w2", "p.m2", "p.s2")
+    return f"""
+  SELECT round(sum(r1) / count(*) - 1e-9, 6) AS w1,
+         round(sum(r1 * x) / sum(r1) - 1e-9, 6) AS m1,
+         round(sqrt(sum(r1 * x * x) / sum(r1)
+                    - (sum(r1 * x) / sum(r1))
+                      * (sum(r1 * x) / sum(r1))) - 1e-9, 6) AS s1,
+         round(sum(1.0 - r1) / count(*) - 1e-9, 6) AS w2,
+         round(sum((1.0 - r1) * x) / sum(1.0 - r1) - 1e-9, 6) AS m2,
+         round(sqrt(sum((1.0 - r1) * x * x) / sum(1.0 - r1)
+                    - (sum((1.0 - r1) * x) / sum(1.0 - r1))
+                      * (sum((1.0 - r1) * x) / sum(1.0 - r1))) - 1e-9, 6)
+           AS s2
+  FROM (
+    SELECT x, {f1} / ({f1} + {f2}) AS r1
+    FROM {src} CROSS JOIN {params} p
+  )
+"""
+
+
+def _gmm_oracle() -> str:
+    w1, m1, s1, w2, m2, s2 = GMM_INIT
+    sql = f"""
+    WITH x AS MATERIALIZED (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) / 1000.0 AS x FROM orders
+    ),
+    p0 AS (SELECT {w1} AS w1, {m1} AS m1, {s1} AS s1,
+                  {w2} AS w2, {m2} AS m2, {s2} AS s2)"""
+    for r in range(1, GMM_ROUNDS + 1):
+        sql += f""",
+    p{r} AS MATERIALIZED ({_gmm_round_sql("x", f"p{r - 1}")})"""
+    f1, f2 = _gmm_resp("p.w1", "p.m1", "p.s1", "p.w2", "p.m2", "p.s2")
+    sql += f"""
+    SELECT CAST((SELECT count(*) FROM x) AS BIGINT) AS n,
+           round(p.w1 - 1e-9, 4) AS w1,
+           round(p.m1 - 1e-9, 4) AS mean1_kusd,
+           round(p.s1 - 1e-9, 4) AS sigma1_kusd,
+           round(p.w2 - 1e-9, 4) AS w2,
+           round(p.m2 - 1e-9, 4) AS mean2_kusd,
+           round(p.s2 - 1e-9, 4) AS sigma2_kusd,
+           round((SELECT avg(ln(({f1} + {f2})
+                               * 0.3989422804014327))
+                  FROM x CROSS JOIN p{GMM_ROUNDS} p) - 1e-9, 6)
+             AS avg_loglik
+    FROM p{GMM_ROUNDS} p
+    """
+    return sql
+
+
+@query("gmm_em_order_values", _gmm_oracle())
+def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit by {GMM_ROUNDS} EM rounds
+    over order totals (k$) — SOFT clustering with per-component weight,
+    mean, and sigma, the model-based sibling of ``kmeans_lloyd_2d``'s
+    hard assignment, plus the average log-likelihood the fit maximizes.
+
+    Cross-engine determinism follows the Lloyd recipe: every M-step
+    parameter is rounded to 6 decimals before the next E-step, so both
+    engines enter each round with IDENTICAL literal parameters and the
+    1e-12-level float-sum divergence inside a round can never compound
+    across rounds.  Scale shape: each round is ONE map-side-combinable
+    aggregate over the fact frame (responsibilities are scalar
+    expressions of literals — no shuffle beyond the aggregate); rounds
+    are driver-orchestrated like IRLS/Lloyd with map-literal params."""
+    x = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(floor(o_totalprice) AS BIGINT) / 1000.0 AS x"
+    )
+    x.persist()
+    x.createOrReplaceTempView("gmm_x")
+    params = GMM_INIT
+    for _ in range(GMM_ROUNDS):
+        p_sql = (
+            f"(SELECT {params[0]} AS w1, {params[1]} AS m1,"
+            f" {params[2]} AS s1, {params[3]} AS w2,"
+            f" {params[4]} AS m2, {params[5]} AS s2)"
+        )
+        row = spark.sql(_gmm_round_sql("gmm_x", p_sql)).collect()[0]
+        params = tuple(
+            float(row[c]) for c in ("w1", "m1", "s1", "w2", "m2", "s2")
+        )
+    f1, f2 = _gmm_resp(*params)
+    out = spark.sql(f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round({params[0]} - 1e-9, 4) AS w1,
+           round({params[1]} - 1e-9, 4) AS mean1_kusd,
+           round({params[2]} - 1e-9, 4) AS sigma1_kusd,
+           round({params[3]} - 1e-9, 4) AS w2,
+           round({params[4]} - 1e-9, 4) AS mean2_kusd,
+           round({params[5]} - 1e-9, 4) AS sigma2_kusd,
+           round(avg(ln(({f1} + {f2}) * 0.3989422804014327)) - 1e-9, 6)
+             AS avg_loglik
+    FROM gmm_x
+    """).localCheckpoint()
+    x.unpersist()
+    return out

@@ -1000,3 +1000,54 @@ def collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_LATERAL_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_top_lines,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(t.cents) AS BIGINT) AS top2_cents,
+       round(CAST(sum(t.cents) AS DOUBLE)
+             / count(DISTINCT o.o_orderkey) / 100.0 - 1e-9, 2)
+         AS top2_usd_per_order
+FROM {orders} o,
+LATERAL (
+  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM {lineitem} l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l.l_extendedprice DESC, l.l_linenumber
+  LIMIT 2
+) t
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query(
+    "lateral_top_lines_per_order",
+    _LATERAL_SQL.format(orders="orders", lineitem="lineitem"),
+)
+def lateral_top_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    supported natively by Spark 4's analyzer): for EACH order, an
+    inner ordered-and-limited subquery returns its top-2 line items by
+    price — the "top-N per outer row" idiom SQL users reach for before
+    learning window functions, now expressible verbatim.  Catalyst
+    decorrelates it into the same ranked-window plan the hand-written
+    form produces (DomainJoin rewrite), so the declarative form costs
+    nothing — both engines run the IDENTICAL text.
+
+    Scale shape: after decorrelation this is one co-partitioned
+    join + per-key rank, not a per-row subquery execution — the plan
+    to check is the absence of a nested-loop node."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lateral_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lateral_lineitem"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(
+            orders="lateral_orders", lineitem="lateral_lineitem"
+        )
+    )

@@ -251,3 +251,69 @@ def statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_type string, n_events long, value_cents long"
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured Streaming's ``dropDuplicatesWithinWatermark`` (the
+    bounded-state streaming dedup added for at-least-once sources like
+    Kafka producer retries): every event is fed TWICE — duplicates in
+    the same micro-batch and duplicates straddling the batch boundary
+    (first-half events are fed twice in batch 1 and once more in
+    batch 2) — and the operator must collapse the stream back to one
+    row per event_id while keeping only a watermark-delay window of
+    key state, NOT the unbounded key set ``dropDuplicates`` would
+    hold.
+
+    The delay here (40 days) exceeds the corpus span so the guarantee
+    window provably covers every duplicate and the output is EXACTLY
+    the distinct input (oracle: n_unique per type, and n_fed = 2×);
+    in production you size the delay to the duplicate horizon (producer
+    retry window), which is what makes the state bounded at 100 TB —
+    that sizing contract is the point of the demo.  Contrast with
+    ``dedup_first_event`` (TTL ValueState, keep-first semantics with
+    explicit timers)."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from .registry import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+    b1 = ev.filter(F.col("ts") <= F.lit(mid))
+    b2 = ev.filter(F.col("ts") > F.lit(mid))
+    # duplicates inside each batch AND the last slice of b1 replayed in
+    # b2 (cross-boundary duplicates, still inside the delay window)
+    batches = [
+        b1.unionByName(b1),
+        b2.unionByName(b2).unionByName(b1),
+    ]
+    src_dir = scratch_dir("src_dedup_wm_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        deduped = sdf.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        with scratch_dir("ck_dedup_wm_") as ck:
+            got = run_available_now(deduped, ck, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return (
+        got.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )
