@@ -1597,3 +1597,113 @@ def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# generalized ESD (iterative Grubbs) outlier detection
+# --------------------------------------------------------------------------
+ESD_ROUNDS = 3
+ESD_LAMBDA = 3.5  # fixed three-sigma-family critical value
+
+
+def _esd_round(prev: str, rnd: int) -> str:
+    """One ESD round over the surviving daily frame: exact integer
+    moments -> |z| argmax -> peel it."""
+    return f"""
+, st{rnd} AS (
+  SELECT *,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(dol) OVER () AS BIGINT) AS s1,
+         CAST(sum(dol * dol) OVER () AS BIGINT) AS s2
+  FROM {prev}
+),
+z{rnd} AS (
+  SELECT *,
+         abs(dol - CAST(s1 AS DOUBLE) / n)
+           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  / (n - 1)) AS r,
+         row_number() OVER (
+           ORDER BY abs(dol - CAST(s1 AS DOUBLE) / n) DESC, dd) AS rk
+  FROM st{rnd}
+),
+out{rnd} AS (
+  SELECT CAST({rnd} AS BIGINT) AS seq, dd, dol, r FROM z{rnd} WHERE rk = 1
+),
+keep{rnd} AS (
+  SELECT dd, dol FROM z{rnd} WHERE rk > 1
+)"""
+
+
+def _esd_tail(epoch_expr: str) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM out{r}" for r in range(1, ESD_ROUNDS + 1)
+    )
+    return f"""
+, cand AS ({unions}),
+flagged AS (
+  SELECT seq, dd, dol, r,
+         coalesce(max(CASE WHEN r > {ESD_LAMBDA} THEN seq END)
+                    OVER (), 0) AS k_star
+  FROM cand
+)
+SELECT seq, {epoch_expr} AS day_ms,
+       dol AS revenue_usd,
+       round(r - 1e-9, 4) AS esd_stat,
+       CAST({ESD_LAMBDA} AS DOUBLE) AS lambda_crit,
+       seq <= k_star AS is_outlier
+FROM flagged ORDER BY seq
+"""
+
+
+def _esd_sql(table: str) -> str:
+    sql = f"""
+WITH keep0 AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS dd,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+  FROM {table}
+  GROUP BY 1
+)"""
+    for r in range(1, ESD_ROUNDS + 1):
+        sql += _esd_round(f"keep{r - 1}", r)
+    return sql + _esd_tail("epoch_ms(CAST(dd AS TIMESTAMP))")
+
+
+@query(
+    "esd_outlier_days",
+    _esd_sql("orders").replace(
+        "epoch_ms(CAST(dd AS TIMESTAMP))", "epoch_ms(CAST(dd AS TIMESTAMP))"
+    ),
+)
+def esd_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier detection (Rosner 1983, the engine
+    inside Twitter's S-H-ESD anomaly detector) on daily revenue:
+    iteratively peel the most extreme |x−x̄|/s day and RE-ESTIMATE the
+    moments before testing the next — the masking-resistant upgrade
+    over a one-shot z-threshold, which a cluster of outliers can hide
+    from by inflating s.  Up to {ESD_ROUNDS} candidates are tested
+    against a fixed λ={ESD_LAMBDA} (three-sigma-family; the exact
+    Rosner λ_i needs t-quantiles neither SQL dialect has) and the
+    step-up rule flags every candidate up to the last exceedance.
+
+    Determinism: moments are exact integer-dollar sums, so each
+    round's argmax pick (day tiebreak) and statistic are engine-
+    identical.  Scale shape: the fact scan collapses to one row per
+    day FIRST and is MATERIALIZED once; each peel round is window
+    passes over the tiny daily frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "esd_orders"
+    )
+    daily = spark.sql("""
+      SELECT CAST(o_orderdate AS DATE) AS dd,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+      FROM esd_orders GROUP BY 1
+    """).localCheckpoint()
+    daily.createOrReplaceTempView("esd_keep0")
+    # same round/flag text as the oracle, but rooted at the
+    # checkpointed daily view (Spark would otherwise inline the fact
+    # scan 2^rounds times) and emitting epoch millis Spark-side
+    body = "WITH keep0 AS (SELECT dd, dol FROM esd_keep0)"
+    for r in range(1, ESD_ROUNDS + 1):
+        body += _esd_round(f"keep{r - 1}", r)
+    body += _esd_tail("unix_millis(CAST(dd AS TIMESTAMP))")
+    return spark.sql(body)

@@ -528,3 +528,84 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_km") <= GEO_RADIUS_KM)
         .orderBy("dist_km", "c_custkey", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# geofence point-in-polygon classification
+# --------------------------------------------------------------------------
+# literal fences over the 2-D embedding plane: a convex hexagon "zone"
+# and a triangular "restricted" pocket inside it
+GEOFENCE_HEX = (
+    (0.25, 0.0), (0.125, 0.2165), (-0.125, 0.2165),
+    (-0.25, 0.0), (-0.125, -0.2165), (0.125, -0.2165),
+)
+GEOFENCE_TRI = ((0.0, 0.02), (0.1, 0.15), (-0.1, 0.15))
+
+
+def _pip_sql(px: str, py: str, poly) -> str:
+    """Ray-casting parity as a sum of literal edge-crossing terms —
+    identical expression text on both engines."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN ({y1} > {py}) <> ({y2} > {py})"
+            f" AND {px} < {x1} + ({py} - {y1}) * ({x2} - {x1})"
+            f" / ({y2} - {y1}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+_GEOFENCE_SQL = f"""
+WITH pts AS (
+  SELECT vec_id,
+         embedding[{{ix}}] AS px, embedding[{{iy}}] AS py
+  FROM {{embeddings}}
+),
+zoned AS (
+  SELECT vec_id, px, py,
+         CASE WHEN {_pip_sql("px", "py", GEOFENCE_TRI)} THEN 'restricted'
+              WHEN {_pip_sql("px", "py", GEOFENCE_HEX)} THEN 'zone'
+              ELSE 'outside' END AS fence
+  FROM pts
+)
+SELECT fence,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(CAST(floor(px * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 - 1e-9, 4) AS centroid_x,
+       round(CAST(sum(CAST(floor(py * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 - 1e-9, 4) AS centroid_y,
+       round(max(px * px + py * py) - 1e-9, 4) AS max_r2
+FROM zoned GROUP BY fence ORDER BY fence
+"""
+
+
+@query(
+    "geofence_point_in_polygon",
+    _GEOFENCE_SQL.format(embeddings="embeddings", ix=1, iy=2),
+)
+def geofence_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing / point-in-polygon classification (the location-zone
+    primitive behind delivery zones, air-quality districts, and
+    restricted-area alerts): each 2-D point is tested against a convex
+    hexagonal zone with a triangular restricted pocket by RAY-CASTING
+    parity — the polygon's edges unroll into literal crossing terms, so
+    membership is a branch-free scalar expression, no UDF and no
+    geometry library.
+
+    Both engines evaluate the IDENTICAL edge-term text on identical
+    doubles, so every membership call agrees bit-for-bit.  Scale shape:
+    pure per-row expression + one aggregate — the classic pre-filter
+    before exact geo joins; for polygon SETS you'd grid-index first
+    (`grid_geo_join`) and run this test only inside candidate cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("geofence_embeddings")
+    # Spark SQL array subscripts are 0-based; DuckDB's are 1-based —
+    # the shared text takes the index as a parameter
+    return spark.sql(
+        _GEOFENCE_SQL.format(
+            embeddings="geofence_embeddings", ix=0, iy=1
+        )
+    )
