@@ -1335,3 +1335,138 @@ def katz_centrality_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     scores.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
+# k-truss peeling
+# --------------------------------------------------------------------------
+TRUSS_K = 4  # every surviving edge must sit in >= k-2 = 2 triangles
+TRUSS_ROUNDS = 3
+
+
+def _truss_round(prev: str, rnd: int) -> str:
+    """One peel round: per-edge triangle support on the surviving
+    subgraph (triangles enumerated on the oriented src<dst list; each
+    triangle supports all three of its edges), then drop weak edges."""
+    return f"""
+, tri{rnd} AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.src = e1.dst
+  JOIN {prev} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup{rnd} AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS sup FROM (
+    SELECT a AS src, b AS dst FROM tri{rnd}
+    UNION ALL SELECT a, c FROM tri{rnd}
+    UNION ALL SELECT b, c FROM tri{rnd}
+  ) GROUP BY src, dst
+),
+keep{rnd} AS (
+  SELECT e.src, e.dst
+  FROM {prev} e JOIN sup{rnd} s
+    ON e.src = s.src AND e.dst = s.dst
+  WHERE s.sup >= {TRUSS_K - 2}
+),
+n{rnd} AS (
+  SELECT CAST({rnd} AS BIGINT) AS round,
+         (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS edges_before,
+         (SELECT CAST(count(*) AS BIGINT) FROM keep{rnd}) AS edges_after
+)"""
+
+
+def _truss_tail() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM n{r}" for r in range(1, TRUSS_ROUNDS + 1)
+    )
+    return f"""
+SELECT round, edges_before, edges_after,
+       edges_before - edges_after AS dropped,
+       edges_before = edges_after AS converged
+FROM ({unions}) ORDER BY round
+"""
+
+
+def _truss_oracle() -> str:
+    sql = f"WITH {_cosupplier_edges_sql(min_weight=3)}, " \
+          "keep0 AS MATERIALIZED (SELECT src, dst FROM pairs)"
+    for r in range(1, TRUSS_ROUNDS + 1):
+        sql += _truss_round(f"keep{r - 1}", r)
+    return sql + _truss_tail()
+
+
+@query("k_truss_cosupplier", _truss_oracle())
+def k_truss_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (Cohen 2008) of the thresholded
+    co-supplier graph: iteratively peel every edge supported by fewer
+    than k−2 triangles until the {TRUSS_K}-truss remains — the
+    community-core extractor that, unlike k-core (degree-based,
+    ``k_core_decomposition``), demands TRIANGLE-dense membership and
+    so rejects hub-and-spoke artifacts co-occurrence graphs are full
+    of.  Emitted: per peel round, edges before/after and convergence.
+
+    Both engines peel the identical subgraph per round (exact integer
+    supports on the canonical src<dst list).  Scale shape: support
+    counting per round is the SAME oriented wedge join as
+    ``triangle_stats`` — |wedges| work, never node-pair-quadratic;
+    each round's survivor frame is localCheckpointed so Spark's plan
+    stays linear in rounds (the oracle's CTE chain is MATERIALIZED for
+    the same reason)."""
+    edges = (
+        _cosupplier_edges(spark, sf_dir)
+        .filter(F.col("w") >= 3)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    rows = []
+    cur = edges
+    for rnd in range(1, TRUSS_ROUNDS + 1):
+        e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+            .join(
+                e3,
+                (F.col("e3.src") == F.col("e1.src"))
+                & (F.col("e3.dst") == F.col("e2.dst")),
+            )
+            .select(
+                F.col("e1.src").alias("a"),
+                F.col("e1.dst").alias("b"),
+                F.col("e2.dst").alias("c"),
+            )
+        )
+        sup = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                tri.select(F.col("a").alias("src"), F.col("c").alias("dst"))
+            )
+            .unionByName(
+                tri.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        )
+        nxt = (
+            cur.join(sup, ["src", "dst"])
+            .filter(F.col("sup") >= TRUSS_K - 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        before, after = cur.count(), nxt.count()
+        rows.append((rnd, before, after))
+        cur = nxt
+    return (
+        edges.sparkSession.createDataFrame(
+            rows, "round long, edges_before long, edges_after long"
+        )
+        .select(
+            "round",
+            "edges_before",
+            "edges_after",
+            (F.col("edges_before") - F.col("edges_after")).alias("dropped"),
+            (F.col("edges_before") == F.col("edges_after")).alias(
+                "converged"
+            ),
+        )
+        .orderBy("round")
+    )
