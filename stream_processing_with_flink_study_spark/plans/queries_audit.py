@@ -283,3 +283,90 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# randomized response (local differential privacy)
+# --------------------------------------------------------------------------
+RR_FLIP = 0.25  # flip probability -> epsilon = ln((1-p)/p) = ln 3
+
+
+@query(
+    "randomized_response_survey",
+    f"""
+    WITH truth AS (
+      SELECT o_orderkey,
+             o_orderpriority = '1-URGENT' AS answer,
+             {_sql_uniform("concat('rr0|', o_orderkey)")} AS u
+      FROM orders
+    ),
+    reported AS (
+      SELECT CASE WHEN u < {RR_FLIP} THEN NOT answer ELSE answer END
+               AS reported,
+             answer
+      FROM truth
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN answer THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reported,
+           round((CAST(sum(CASE WHEN reported THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) - {RR_FLIP})
+                 / (1.0 - 2 * {RR_FLIP}) - 1e-9, 4) AS debiased_rate,
+           round(CAST(sum(CASE WHEN answer THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) - 1e-9, 4) AS true_rate,
+           round(ln((1.0 - {RR_FLIP}) / {RR_FLIP}) - 1e-9, 4) AS epsilon
+    FROM reported
+    """,
+)
+def randomized_response_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965 — the original LOCAL
+    differential-privacy mechanism, the ancestor of RAPPOR): each
+    respondent flips their sensitive yes/no answer with probability
+    p={RR_FLIP} BEFORE it leaves the device, giving per-record
+    plausible deniability (ε = ln((1−p)/p) ≈ 1.1); the aggregator
+    inverts the known noise channel — rate = (observed − p)/(1 − 2p) —
+    to recover the population rate without ever holding a truthful
+    record.  Complements ``dp_laplace_counts`` (central DP: noise at
+    release) with the collect-side mechanism.
+
+    The flips are md5-seeded, so the oracle replays the exact channel;
+    `true_rate` is emitted only to exhibit the debiasing accuracy.
+    Scale shape: one scan, branch-free per-row flip, one aggregate."""
+    truth = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("answer"),
+        _spark_uniform(F.concat(F.lit("rr0|"), F.col("o_orderkey"))).alias(
+            "u"
+        ),
+    )
+    reported = truth.select(
+        "answer",
+        F.when(F.col("u") < RR_FLIP, ~F.col("answer"))
+        .otherwise(F.col("answer"))
+        .alias("reported"),
+    )
+    n = F.count(F.lit(1))
+    n_rep = F.sum(F.when(F.col("reported"), 1).otherwise(0))
+    return reported.agg(
+        n.cast("long").alias("n"),
+        F.sum(F.when(F.col("answer"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        n_rep.cast("long").alias("n_reported"),
+        F.round(
+            (n_rep.cast("double") / n - RR_FLIP) / (1.0 - 2 * RR_FLIP)
+            - 1e-9,
+            4,
+        ).alias("debiased_rate"),
+        F.round(
+            F.sum(F.when(F.col("answer"), 1).otherwise(0)).cast("double")
+            / n
+            - 1e-9,
+            4,
+        ).alias("true_rate"),
+        F.round(
+            F.log((1.0 - RR_FLIP) / F.lit(RR_FLIP)) - 1e-9, 4
+        ).alias("epsilon"),
+    )

@@ -1678,3 +1678,168 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("energy_share"),
     ).orderBy("lvl")
+
+
+FC_LAST = "2001-07"
+FC_PREV = "2001-06"
+
+
+@query(
+    "hierarchical_forecast_reconcile",
+    f"""
+    WITH m AS MATERIALIZED (
+      SELECT n.n_regionkey AS rkey, c.c_nationkey AS nkey,
+             CAST(sum(CASE WHEN strftime(o.o_orderdate, '%Y-%m')
+                                = '{FC_LAST}'
+                      THEN CAST(floor(o.o_totalprice * 100 + 0.5)
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS y1,
+             CAST(sum(CASE WHEN strftime(o.o_orderdate, '%Y-%m')
+                                = '{FC_PREV}'
+                      THEN CAST(floor(o.o_totalprice * 100 + 0.5)
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS y0
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nf AS MATERIALIZED (
+      SELECT rkey, nkey, y1,
+             CASE WHEN y0 > 0
+                  THEN CAST(y1 AS DOUBLE) * y1 / y0
+                  ELSE CAST(y1 AS DOUBLE) END AS fc_n
+      FROM m
+    ),
+    rf AS (
+      SELECT rkey,
+             CAST(sum(y1) AS BIGINT) AS ry1,
+             CAST(sum(y0) AS BIGINT) AS ry0
+      FROM m GROUP BY rkey
+    ),
+    base AS (
+      SELECT r.rkey, r.ry1,
+             CASE WHEN r.ry0 > 0
+                  THEN CAST(r.ry1 AS DOUBLE) * r.ry1 / r.ry0
+                  ELSE CAST(r.ry1 AS DOUBLE) END AS fc_r,
+             bu.bottom_up, bu.td_mass
+      FROM rf r JOIN (
+        SELECT n.rkey,
+               sum(n.fc_n) AS bottom_up,
+               sum(CASE WHEN q.ry1 > 0
+                        THEN CAST(n.y1 AS DOUBLE) / q.ry1 ELSE 0.0 END)
+                 AS td_mass
+        FROM nf n JOIN rf q ON n.rkey = q.rkey
+        GROUP BY n.rkey
+      ) bu ON bu.rkey = r.rkey
+    )
+    SELECT rkey AS region,
+           ry1 AS last_month_cents,
+           round(fc_r / 100.0 - 1e-9, 2) AS base_forecast_usd,
+           round(bottom_up / 100.0 - 1e-9, 2) AS bottom_up_usd,
+           round((bottom_up - fc_r) / 100.0 - 1e-9, 2)
+             AS incoherence_usd,
+           round(td_mass - 1e-9, 4) AS top_down_share_sum
+    FROM base ORDER BY rkey
+    """,
+)
+def hierarchical_forecast_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical forecast reconciliation (Hyndman et al.'s coherence
+    problem): drift-forecast next month's revenue independently at the
+    REGION level and at the NATION level (fc = y_T²/y_{{T−1}}, a
+    deliberately nonlinear base forecaster), exhibit the incoherence
+    gap (Σ nation forecasts ≠ region forecast — the reason reconciled
+    forecasting exists), and verify the two classical fixes: bottom-up
+    (sum the children) and top-down (split the parent by last-month
+    shares — the share masses are emitted and must equal 1 whenever
+    the parent has mass).
+
+    All inputs are exact integer cents, all divides are of identical
+    doubles, outputs rounded once.  Scale shape: one fact pass
+    collapses to the (nation × 2 months) frame; everything downstream
+    is 25-row arithmetic — the hierarchy matrix never materializes."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_regionkey").alias("rkey"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "rkey",
+            F.col("c_nationkey").alias("nkey"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("rkey", "nkey")
+        .agg(
+            F.sum(F.when(F.col("ym") == FC_LAST, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y1"),
+            F.sum(F.when(F.col("ym") == FC_PREV, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y0"),
+        )
+    )
+    m.persist()
+    drift = lambda y1, y0: F.when(  # noqa: E731
+        y0 > 0, y1.cast("double") * y1 / y0
+    ).otherwise(y1.cast("double"))
+    nf = m.select(
+        "rkey", "y1", drift(F.col("y1"), F.col("y0")).alias("fc_n")
+    )
+    rf = m.groupBy("rkey").agg(
+        F.sum("y1").cast("long").alias("ry1"),
+        F.sum("y0").cast("long").alias("ry0"),
+    )
+    bu = (
+        nf.join(rf.select("rkey", "ry1"), "rkey")
+        .groupBy("rkey")
+        .agg(
+            F.sum("fc_n").alias("bottom_up"),
+            F.sum(
+                F.when(
+                    F.col("ry1") > 0,
+                    F.col("y1").cast("double") / F.col("ry1"),
+                ).otherwise(0.0)
+            ).alias("td_mass"),
+        )
+    )
+    out = (
+        rf.join(bu, "rkey")
+        .select(
+            F.col("rkey").alias("region"),
+            F.col("ry1").alias("last_month_cents"),
+            F.round(
+                drift(F.col("ry1"), F.col("ry0")) / 100.0 - 1e-9, 2
+            ).alias("base_forecast_usd"),
+            F.round(F.col("bottom_up") / 100.0 - 1e-9, 2).alias(
+                "bottom_up_usd"
+            ),
+            F.round(
+                (F.col("bottom_up") - drift(F.col("ry1"), F.col("ry0")))
+                / 100.0
+                - 1e-9,
+                2,
+            ).alias("incoherence_usd"),
+            F.round(F.col("td_mass") - 1e-9, 4).alias("top_down_share_sum"),
+        )
+        .orderBy("region")
+    )
+    result = out.localCheckpoint()
+    m.unpersist()
+    return result
