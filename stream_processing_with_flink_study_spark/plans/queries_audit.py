@@ -245,8 +245,12 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The estimator is fully deterministic (md5-uniform hashes), so this
     sketch gets an EXACT cross-engine oracle — something HLL's
-    engine-specific registers cannot.  Scale shape: map-side top-k per
-    partition then a k-row merge per group; nothing grows with N."""
+    engine-specific registers cannot.  Scale shape: the distinct +
+    rank form shown shuffles every distinct member once (exact, fine
+    through sf10); at true retrieval scale the final rank becomes a
+    two-level bottom-k — per-bucket window then a (k x buckets)-row
+    merge — with the same estimator; the hash being value-keyed is
+    what makes that merge (and any sketch union) exact."""
     hashed = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderpriority", "o_custkey")

@@ -295,10 +295,11 @@ def identity_stitch_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     ).join(
-        F.broadcast(
-            comp.select(
-                F.col("id").alias("user_id"), F.col("comp").alias("canonical")
-            )
+        # no broadcast hint: the id->canonical map is user-cardinality
+        # (unbounded at 100 TB) — AQE broadcasts it while it's small and
+        # shuffle-joins co-partitioned on user_id once it isn't
+        comp.select(
+            F.col("id").alias("user_id"), F.col("comp").alias("canonical")
         ),
         "user_id",
     )
