@@ -452,3 +452,163 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n_tokens") - F.avg("n_tokens")) / F.max("n_tokens"), 4
         ).alias("pad_waste"),
     )
+
+
+# --------------------------------------------------------------------------
+# budget-constrained curation (knapsack greedy + LP bound)
+# --------------------------------------------------------------------------
+KNAPSACK_BUDGET_FRAC = 5  # budget = total_tokens / 5 (integer division)
+
+
+@query(
+    "knapsack_budget_curation",
+    f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS cost,
+             CAST(len(list_distinct(list_filter(string_split(lower(text),
+                                                             ' '),
+                                                x -> x <> '')))
+                  AS BIGINT) AS value
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(sum(cost) AS BIGINT) AS total_tokens,
+             CAST(sum(cost) // {KNAPSACK_BUDGET_FRAC} AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM scored WHERE cost > 0
+    ),
+    ranked AS (
+      SELECT s.*, t.budget, t.total_tokens, t.n_docs,
+             CAST(value AS DOUBLE) / cost AS ratio,
+             CAST(sum(cost) OVER (ORDER BY CAST(value AS DOUBLE) / cost
+                                  DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cost
+      FROM scored s CROSS JOIN tot t
+      WHERE s.cost > 0
+    ),
+    picked AS (
+      SELECT * FROM ranked WHERE cum_cost <= budget
+    ),
+    frontier AS (
+      SELECT min_by(ratio, cum_cost) AS next_ratio
+      FROM ranked WHERE cum_cost > budget
+    )
+    SELECT max(p.n_docs) AS n_docs,
+           max(p.total_tokens) AS total_tokens,
+           max(p.budget) AS budget,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(p.cost) AS BIGINT) AS selected_tokens,
+           CAST(sum(p.value) AS BIGINT) AS selected_value,
+           round(sum(p.value)
+                 + coalesce((SELECT next_ratio FROM frontier), 0.0)
+                   * (max(p.budget) - sum(p.cost)) - 1e-9, 4)
+             AS lp_upper_bound,
+           round((sum(p.value)
+                  + coalesce((SELECT next_ratio FROM frontier), 0.0)
+                    * (max(p.budget) - sum(p.cost)))
+                 / sum(p.value) - 1e-9, 6) AS bound_over_greedy
+    FROM picked p
+    """,
+)
+def knapsack_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus curation as a 0/1 knapsack: select
+    documents maximizing total DISTINCT-token value under a hard token
+    budget (total/{KNAPSACK_BUDGET_FRAC}), by the classic
+    density-greedy (value-per-token descending) — and CERTIFY the
+    selection with the fractional-relaxation LP upper bound, computed
+    in the same pass: greedy + the first rejected item's density times
+    the leftover budget bounds ANY feasible selection, so
+    `bound_over_greedy` ≈ 1 is a proof of near-optimality shipped with
+    the output, not a hope.  This is the "what subset do we train on
+    under a token budget" decision made auditable.
+
+    Exactness: values/costs are exact integers, the greedy order is a
+    deterministic (density, doc_id) sort, cumulative costs are BIGINT.
+    Scale shape: one scan to score, one global sort (the same
+    TakeOrdered shape as every top-k), windows on the sorted frame —
+    no per-item iteration; the LP bound is one extra aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("cost"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            )
+        )
+        .cast("long")
+        .alias("value"),
+    ).filter(F.col("cost") > 0)
+    docs.persist()
+    tot = docs.agg(
+        F.sum("cost").cast("long").alias("total_tokens"),
+        (F.sum("cost") / KNAPSACK_BUDGET_FRAC)
+        .cast("long")
+        .alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    ranked = docs.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (F.col("value").cast("double") / F.col("cost")).alias("ratio"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.desc("ratio"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = ranked.withColumn(
+        "cum_cost", F.sum("cost").over(w).cast("long")
+    )
+    ranked.persist()
+    picked = ranked.filter(F.col("cum_cost") <= F.col("budget"))
+    frontier = ranked.filter(F.col("cum_cost") > F.col("budget")).agg(
+        F.min_by("ratio", "cum_cost").alias("next_ratio")
+    )
+    out = (
+        picked.agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("total_tokens").alias("total_tokens"),
+            F.max("budget").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("cost").cast("long").alias("selected_tokens"),
+            F.sum("value").cast("long").alias("selected_value"),
+        )
+        .crossJoin(F.broadcast(frontier))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "budget",
+            "n_selected",
+            "selected_tokens",
+            "selected_value",
+            F.round(
+                F.col("selected_value")
+                + F.coalesce(F.col("next_ratio"), F.lit(0.0))
+                * (F.col("budget") - F.col("selected_tokens"))
+                - 1e-9,
+                4,
+            ).alias("lp_upper_bound"),
+            F.round(
+                (
+                    F.col("selected_value")
+                    + F.coalesce(F.col("next_ratio"), F.lit(0.0))
+                    * (F.col("budget") - F.col("selected_tokens"))
+                )
+                / F.col("selected_value")
+                - 1e-9,
+                6,
+            ).alias("bound_over_greedy"),
+        )
+    )
+    result = out.localCheckpoint()
+    docs.unpersist()
+    ranked.unpersist()
+    return result
