@@ -396,3 +396,57 @@ def test_mondrian_partition_invariants(spark):
     assert len(rows) >= 4, "depth-3 Mondrian must split at sf0.01"
     assert sum(r["n"] for r in rows) == n_cust
     assert all(r["k_ok"] and r["n"] >= MONDRIAN_K for r in rows)
+
+
+# --------------------------------------------------------------------------
+# wave-11 invariants
+# --------------------------------------------------------------------------
+def test_knapsack_certificate(spark):
+    """Feasibility + the LP certificate: selection fits the budget and
+    the fractional bound is a true upper bound (ratio >= 1) that's
+    tight to within one document's value."""
+    r = QUERIES["knapsack_budget_curation"](spark, SF_MEDIUM).collect()[0]
+    assert r["selected_tokens"] <= r["budget"]
+    assert r["lp_upper_bound"] >= r["selected_value"]
+    assert 1.0 <= r["bound_over_greedy"] < 1.05
+
+def test_randomized_response_debiasing(spark):
+    """The channel inversion recovers the true rate better than the
+    raw noisy rate, and epsilon matches ln((1-p)/p)."""
+    import math
+
+    r = QUERIES["randomized_response_survey"](spark, SF_MEDIUM).collect()[0]
+    raw_rate = r["n_reported"] / r["n"]
+    assert abs(r["debiased_rate"] - r["true_rate"]) < abs(
+        raw_rate - r["true_rate"]
+    )
+    assert abs(r["epsilon"] - round(math.log(3), 4)) < 1e-9
+
+def test_hierarchical_reconciliation_masses(spark):
+    """Top-down share masses are exactly 1 wherever the parent has
+    last-month mass, and bottom-up coherence holds by construction."""
+    rows = QUERIES["hierarchical_forecast_reconcile"](
+        spark, SF_MEDIUM
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["last_month_cents"] > 0:
+            assert abs(r["top_down_share_sum"] - 1.0) < 1e-6
+
+def test_esd_masking_resistance():
+    """The scenario one-shot z misses: two extreme points inflate s so
+    neither crosses 3.5 sigma on the FULL set, but ESD's re-estimation
+    after the first peel exposes the second."""
+    import statistics
+
+    base = [100.0] * 40
+    data = base + [200.0, 205.0]
+    mu, sd = statistics.mean(data), statistics.stdev(data)
+    z = [abs(x - mu) / sd for x in data]
+    # one-shot: second outlier's z on the full set
+    second = sorted(z)[-2]
+    # ESD round 2: peel the max, re-estimate
+    data2 = sorted(data)[:-1]
+    mu2, sd2 = statistics.mean(data2), statistics.stdev(data2)
+    z2 = abs(200.0 - mu2) / sd2
+    assert z2 > second, "re-estimation must sharpen the second test"
