@@ -1595,3 +1595,88 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("frac_within_50pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# semantic decontamination
+# --------------------------------------------------------------------------
+SEMDECON_EVAL_MOD = 101
+SEMDECON_THRESHOLD = 0.35  # sized to the synthetic corpus (max cos 0.44
+# vs the eval slice); a production eval-leak sweep runs at ~0.95+
+
+
+@query(
+    "semantic_decontaminate",
+    f"""
+    WITH ev AS MATERIALIZED (
+      SELECT vec_id AS eval_id, embedding FROM embeddings
+      WHERE vec_id % {SEMDECON_EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {SEMDECON_EVAL_MOD} <> 0
+    ),
+    scored AS (
+      SELECT t.vec_id, e.eval_id,
+             round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 4)
+               AS cosine_sim
+      FROM tr t CROSS JOIN ev e
+    ),
+    best AS (
+      SELECT vec_id,
+             max_by(eval_id, CAST(floor(cosine_sim * 10000 + 0.5) AS BIGINT)
+                             * 100000000 - eval_id) AS eval_id,
+             max(cosine_sim) AS cosine_sim
+      FROM scored GROUP BY vec_id
+    )
+    SELECT vec_id, eval_id, cosine_sim
+    FROM best WHERE cosine_sim >= {SEMDECON_THRESHOLD}
+    ORDER BY vec_id
+    """,
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the fuzzy sibling
+    of ``decontaminate_ngrams``: flag every training vector whose best
+    cosine against the held-out EVAL slice crosses a similarity
+    threshold, catching paraphrased or lightly-edited eval leakage that
+    exact n-gram overlap misses (the Llama/GPT-4 report methodology).
+    Emits (train id, nearest eval id, rounded similarity) for the
+    flagged set — the audit trail a removal pass consumes.
+
+    Determinism: similarities are rounded to 4 BEFORE both the argmax
+    tiebreak (larger eval_id wins exact ties, pinned on both engines)
+    and the threshold call.  Scale shape: the eval side is tiny and
+    broadcast (train×eval, never train²); at retrieval scale the
+    cross-score swaps for the IVF/LSH candidate path
+    (`ivf_ann_topk` / `ann_lsh_topk`) with this exact scorer as the
+    verify stage."""
+    from ..functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").cast("array<double>").alias("ve"),
+    )
+    tr = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vt")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine(F.col("vt"), F.col("ve")), 4).alias("cosine_sim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "eval_id",
+                F.floor(F.col("cosine_sim") * 10000 + 0.5).cast("long")
+                * 100000000
+                - F.col("eval_id"),
+            ).alias("eval_id"),
+            F.max("cosine_sim").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= SEMDECON_THRESHOLD)
+        .orderBy("vec_id")
+    )
