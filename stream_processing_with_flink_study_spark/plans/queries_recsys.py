@@ -456,3 +456,153 @@ def sequential_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# negative sampling for contrastive training
+# --------------------------------------------------------------------------
+NEG_K = 5  # negatives kept per user
+NEG_CANDIDATES = 16  # hash draws per user (expected collisions/positives
+# leave comfortably more than NEG_K survivors)
+
+
+@query(
+    "negative_sampling_contrastive",
+    f"""
+    WITH pos AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+    draws AS (
+      SELECT c.c_custkey AS custkey, CAST(j.range AS BIGINT) AS j,
+             CAST(concat('0x', substr(md5(concat('neg0|', c.c_custkey,
+                                                 '|', j.range)), 1, 8))
+                  AS BIGINT) % (SELECT n_parts FROM np) AS partkey
+      FROM customer c CROSS JOIN range({NEG_CANDIDATES}) j
+    ),
+    dedup AS (
+      SELECT custkey, partkey, min(j) AS j
+      FROM draws GROUP BY custkey, partkey
+    ),
+    negs AS MATERIALIZED (
+      SELECT d.custkey, d.partkey, d.j,
+             row_number() OVER (PARTITION BY d.custkey ORDER BY d.j)
+               AS rk
+      FROM dedup d ANTI JOIN pos p
+        ON d.custkey = p.custkey AND d.partkey = p.partkey
+    ),
+    kept AS (
+      SELECT custkey, partkey, j FROM negs WHERE rk <= {NEG_K}
+    )
+    SELECT CAST(count(DISTINCT custkey) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_negatives,
+           CAST(sum(CASE WHEN j >= {NEG_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resampled,
+           round(CAST(count(*) AS DOUBLE)
+                 / count(DISTINCT custkey) - 1e-9, 4) AS negs_per_user,
+           CAST(min(u.short) AS BIGINT) AS min_user_negs
+    FROM kept
+    CROSS JOIN (
+      SELECT min(cnt) AS short FROM (
+        SELECT custkey, count(*) AS cnt FROM kept GROUP BY custkey
+      )
+    ) u
+    """,
+)
+def negative_sampling_contrastive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Negative sampling for contrastive / two-tower training (the
+    recsys data-prep step behind every BPR / InfoNCE loss): for each
+    customer, draw {NEG_CANDIDATES} candidate part ids DIRECTLY by
+    hashing (user, draw-index) into the item-id space, drop collisions
+    and true positives with one anti-join, and keep the first
+    {NEG_K} survivors by draw order.  The point of the construction:
+    candidate generation is O(users × draws) — it NEVER materializes
+    the users × items cross space the naive "rank all non-interacted
+    items" form requires, which is the difference between feasible and
+    not at a billion users × a hundred-million items.
+
+    Deterministic md5 draws make the sample reproducible and
+    oracle-replayable; the rollup audits the budget (negs_per_user
+    ≈ {NEG_K}, resample depth, worst-served user).  Per-user shortfall
+    is possible only if a user's positives cover nearly the whole
+    catalog — flagged by min_user_negs."""
+    pos = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", F.col("l_partkey").alias("partkey")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("custkey", "partkey")
+        .distinct()
+    )
+    n_parts = load_table(spark, sf_dir, "part").count()
+    draws = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("custkey"))
+        .select(
+            "custkey",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(NEG_CANDIDATES - 1))
+            ).alias("j"),
+        )
+        .withColumn("j", F.col("j").cast("long"))
+        .withColumn(
+            "partkey",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg0|"),
+                            F.col("custkey").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_parts,
+        )
+    )
+    dedup = draws.groupBy("custkey", "partkey").agg(F.min("j").alias("j"))
+    negs = dedup.join(pos, ["custkey", "partkey"], "left_anti").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("custkey").orderBy("j")),
+    )
+    kept = negs.filter(F.col("rk") <= NEG_K).select("custkey", "partkey", "j")
+    kept.persist()
+    shortest = kept.groupBy("custkey").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").alias("short")
+    )
+    out = (
+        kept.agg(
+            F.count_distinct("custkey").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_negatives"),
+            F.sum(F.when(F.col("j") >= NEG_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_resampled"),
+            F.round(
+                F.count(F.lit(1)) / F.count_distinct("custkey") - 1e-9, 4
+            ).alias("negs_per_user"),
+        )
+        .crossJoin(F.broadcast(shortest))
+        .select(
+            "n_users",
+            "n_negatives",
+            "n_resampled",
+            "negs_per_user",
+            F.col("short").cast("long").alias("min_user_negs"),
+        )
+    )
+    result = out.localCheckpoint()
+    kept.unpersist()
+    return result
