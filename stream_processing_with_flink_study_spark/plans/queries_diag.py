@@ -1707,3 +1707,180 @@ def esd_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         body += _esd_round(f"keep{r - 1}", r)
     body += _esd_tail("unix_millis(CAST(dd AS TIMESTAMP))")
     return spark.sql(body)
+
+
+# --------------------------------------------------------------------------
+# permutation test (md5-seeded exact resampling)
+# --------------------------------------------------------------------------
+PERM_B = 64  # label permutations
+
+
+@query(
+    "permutation_test_segments",
+    f"""
+    WITH x AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             c_mktsegment = 'AUTOMOBILE' AS grp,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    sizes AS (
+      SELECT CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN grp THEN cents ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(cents) AS BIGINT) AS st
+      FROM x
+    ),
+    perms AS (
+      SELECT x.id, x.cents, CAST(b.range AS BIGINT) AS b,
+             row_number() OVER (
+               PARTITION BY b.range
+               ORDER BY md5(concat('perm0|', b.range, '|', x.id)), x.id)
+               AS rnk
+      FROM x CROSS JOIN range({PERM_B}) b
+    ),
+    perm_stats AS MATERIALIZED (
+      SELECT p.b,
+             abs(CAST(sum(CASE WHEN p.rnk <= s.na THEN p.cents ELSE 0 END)
+                      AS DOUBLE) / s.na
+                 - CAST(s.st - sum(CASE WHEN p.rnk <= s.na
+                                   THEN p.cents ELSE 0 END) AS DOUBLE)
+                   / (s.n - s.na)) AS stat
+      FROM perms p CROSS JOIN sizes s
+      GROUP BY p.b, s.na, s.n, s.st
+    ),
+    observed AS (
+      SELECT abs(CAST(sa AS DOUBLE) / na
+                 - CAST(st - sa AS DOUBLE) / (n - na)) AS obs,
+             na, n FROM sizes
+    )
+    SELECT o.na AS n_auto, o.n - o.na AS n_household,
+           round(o.obs / 100.0 - 1e-9, 4) AS observed_gap_usd,
+           CAST({PERM_B} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN round(p.stat - 1e-9, 4)
+                              >= round(o.obs - 1e-9, 4)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+           round((sum(CASE WHEN round(p.stat - 1e-9, 4)
+                                >= round(o.obs - 1e-9, 4)
+                      THEN 1 ELSE 0 END) + 1.0)
+                 / ({PERM_B} + 1.0) - 1e-9, 4) AS p_value
+    FROM perm_stats p CROSS JOIN observed o
+    GROUP BY o.na, o.n, o.obs
+    """,
+)
+def permutation_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-resampling permutation test (Fisher's distribution-free
+    inference — no normality assumption, unlike ``welch_ttest_segments``
+    on the same comparison): the mean-balance gap between AUTOMOBILE
+    and HOUSEHOLD customers is compared against {PERM_B} md5-seeded
+    label permutations (rank by a keyed hash = a reproducible uniform
+    shuffle), with the add-one p-value (Phipson-Smyth) that keeps the
+    estimate valid at finite B.
+
+    Every permutation's group sums are EXACT integers (the hash ranks
+    are identical on both engines), so the only doubles are the final
+    means — rounded before the as-extreme comparison so both engines
+    count the same exceedances.  Scale shape: the fan-out is
+    B × rows with ONE window per permutation partition; at 100 TB
+    you'd keep B moderate and the frame pre-aggregated — the shape
+    stays one shuffle keyed by (b)."""
+    x = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(
+            F.col("c_custkey").alias("id"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("grp"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    x.persist()
+    sizes = x.agg(
+        F.sum(F.when(F.col("grp"), 1).otherwise(0)).cast("long").alias("na"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("grp"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum("cents").cast("long").alias("st"),
+    )
+    perms = x.select(
+        "id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+    ).withColumn("b", F.col("b").cast("long"))
+    perms = perms.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("b").orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit("perm0|"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("id").cast("string"),
+                    )
+                ),
+                "id",
+            )
+        ),
+    )
+    ps = (
+        perms.crossJoin(F.broadcast(sizes))
+        .groupBy("b", "na", "n", "st")
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") <= F.col("na"), F.col("cents")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("sa_perm")
+        )
+        .select(
+            "b",
+            F.abs(
+                F.col("sa_perm").cast("double") / F.col("na")
+                - (F.col("st") - F.col("sa_perm")).cast("double")
+                / (F.col("n") - F.col("na"))
+            ).alias("stat"),
+        )
+    )
+    obs = sizes.select(
+        "na",
+        "n",
+        F.abs(
+            F.col("sa").cast("double") / F.col("na")
+            - (F.col("st") - F.col("sa")).cast("double")
+            / (F.col("n") - F.col("na"))
+        ).alias("obs"),
+    )
+    extreme = F.sum(
+        F.when(
+            F.round(F.col("stat") - 1e-9, 4)
+            >= F.round(F.col("obs") - 1e-9, 4),
+            1,
+        ).otherwise(0)
+    )
+    out = (
+        ps.crossJoin(F.broadcast(obs))
+        .groupBy("na", "n", "obs")
+        .agg(extreme.cast("long").alias("n_as_extreme"))
+        .select(
+            F.col("na").alias("n_auto"),
+            (F.col("n") - F.col("na")).alias("n_household"),
+            F.round(F.col("obs") / 100.0 - 1e-9, 4).alias(
+                "observed_gap_usd"
+            ),
+            F.lit(PERM_B).cast("long").alias("n_perms"),
+            "n_as_extreme",
+            F.round(
+                (F.col("n_as_extreme") + 1.0) / (PERM_B + 1.0) - 1e-9, 4
+            ).alias("p_value"),
+        )
+    )
+    result = out.localCheckpoint()
+    x.unpersist()
+    return result

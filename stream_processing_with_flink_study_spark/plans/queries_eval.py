@@ -2617,3 +2617,131 @@ def huber_irls_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# kernel MMD two-sample test
+# --------------------------------------------------------------------------
+MMD_BANDWIDTH = 4.0  # RBF 2*sigma^2, sized to the unit-ish embeddings
+
+
+@query(
+    "mmd_embedding_shift",
+    f"""
+    WITH a AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+               AS nn
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    b AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+               AS nn
+      FROM embeddings WHERE vec_id % 7 = 1
+    ),
+    kaa AS (
+      SELECT avg(exp(-(x.nn + y.nn
+                       - 2 * list_dot_product(x.v, y.v))
+                     / {MMD_BANDWIDTH})) AS m,
+             count(*) AS np
+      FROM a x JOIN a y ON x.vec_id <> y.vec_id
+    ),
+    kbb AS (
+      SELECT avg(exp(-(x.nn + y.nn
+                       - 2 * list_dot_product(x.v, y.v))
+                     / {MMD_BANDWIDTH})) AS m,
+             count(*) AS np
+      FROM b x JOIN b y ON x.vec_id <> y.vec_id
+    ),
+    kab AS (
+      SELECT avg(exp(-(x.nn + y.nn
+                       - 2 * list_dot_product(x.v, y.v))
+                     / {MMD_BANDWIDTH})) AS m,
+             count(*) AS np
+      FROM a x CROSS JOIN b y
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           round((SELECT m FROM kaa) - 1e-9, 6) AS mean_k_aa,
+           round((SELECT m FROM kbb) - 1e-9, 6) AS mean_k_bb,
+           round((SELECT m FROM kab) - 1e-9, 6) AS mean_k_ab,
+           round((SELECT m FROM kaa) + (SELECT m FROM kbb)
+                 - 2 * (SELECT m FROM kab) - 1e-9, 6) AS mmd2
+    """,
+)
+def mmd_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel maximum mean discrepancy (Gretton et al. JMLR'12) between
+    two embedding samples — the MULTIVARIATE two-sample test the 1-D
+    drift stack (KS / PSI / Wasserstein) cannot express: MMD² =
+    E[k(a,a')] + E[k(b,b')] − 2·E[k(a,b)] under an RBF kernel, ≈0 iff
+    the two samples share a distribution in representation space.
+    This is the check that catches "the new crawl's embeddings live
+    somewhere else" even when every coordinate's marginal matches.
+
+    Pairwise kernels expand via the dot-product identity
+    ‖x−y‖² = ⟨x,x⟩+⟨y,y⟩−2⟨x,y⟩ (per-vector norms computed once);
+    both engines sum identical doubles, and the pair means are rounded
+    once.  Scale shape: bounded samples (the standard MMD protocol —
+    the estimator needs only hundreds of points per side), so the pair
+    blocks are sample²; norms ride the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+    def side(mod_val: int) -> DataFrame:
+        v = F.col("embedding").cast("array<double>")
+        return emb.filter(F.col("vec_id") % 7 == mod_val).select(
+            "vec_id", v.alias("v"), dot(v, v).alias("nn")
+        )
+
+    a, b = side(0).localCheckpoint(), side(1).localCheckpoint()
+
+    def kmean(x: DataFrame, y: DataFrame, self_pair: bool) -> DataFrame:
+        xa = x.select(
+            F.col("vec_id").alias("xid"),
+            F.col("v").alias("xv"),
+            F.col("nn").alias("xn"),
+        )
+        ya = y.select(
+            F.col("vec_id").alias("yid"),
+            F.col("v").alias("yv"),
+            F.col("nn").alias("yn"),
+        )
+        pairs = xa.crossJoin(ya)
+        if self_pair:
+            pairs = pairs.filter(F.col("xid") != F.col("yid"))
+        k = F.exp(
+            -(
+                F.col("xn")
+                + F.col("yn")
+                - 2 * dot(F.col("xv"), F.col("yv"))
+            )
+            / MMD_BANDWIDTH
+        )
+        return pairs.agg(F.avg(k).alias("m"))
+
+    kaa = kmean(a, a, True).select(F.col("m").alias("m_aa"))
+    kbb = kmean(b, b, True).select(F.col("m").alias("m_bb"))
+    kab = kmean(a, b, False).select(F.col("m").alias("m_ab"))
+    counts = a.agg(F.count(F.lit(1)).cast("long").alias("n_a")).crossJoin(
+        b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(kaa))
+        .crossJoin(F.broadcast(kbb))
+        .crossJoin(F.broadcast(kab))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("m_aa") - 1e-9, 6).alias("mean_k_aa"),
+            F.round(F.col("m_bb") - 1e-9, 6).alias("mean_k_bb"),
+            F.round(F.col("m_ab") - 1e-9, 6).alias("mean_k_ab"),
+            F.round(
+                F.col("m_aa") + F.col("m_bb") - 2 * F.col("m_ab") - 1e-9, 6
+            ).alias("mmd2"),
+        )
+    )
