@@ -1843,3 +1843,103 @@ def hierarchical_forecast_reconcile(
     result = out.localCheckpoint()
     m.unpersist()
     return result
+
+
+@query(
+    "runs_test_daily_revenue",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS dd,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS dol
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT max(dol) AS m FROM (
+        SELECT dol, row_number() OVER (ORDER BY dol, dd) AS rk,
+               count(*) OVER () AS n
+        FROM daily
+      ) WHERE rk * 2 <= n + 1
+    ),
+    signs AS (
+      SELECT dd, dol > (SELECT m FROM med) AS above
+      FROM daily WHERE dol <> (SELECT m FROM med)
+    ),
+    runs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(sum(CASE WHEN above <> lag_above OR lag_above IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM (
+        SELECT above, lag(above) OVER (ORDER BY dd) AS lag_above
+        FROM signs
+      )
+    )
+    SELECT n, n_plus, n - n_plus AS n_minus, n_runs,
+           round(1.0 + 2.0 * n_plus * (n - n_plus) / n - 1e-9, 4)
+             AS expected_runs,
+           round((n_runs - (1.0 + 2.0 * n_plus * (n - n_plus) / n))
+                 / sqrt(2.0 * n_plus * (n - n_plus)
+                        * (2.0 * n_plus * (n - n_plus) - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))) - 1e-9, 4)
+             AS z_score
+    FROM runs
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: dichotomize
+    each day against the (low-)median, count sign RUNS, and compare to
+    the exact expectation 1 + 2·n₊n₋/n — too FEW runs means trending /
+    positive autocorrelation, too MANY means oscillation; the classic
+    "is this sequence random in ORDER, not just in distribution" check
+    that marginals-based drift tests never see.  Median days are
+    excluded (standard treatment), the median itself is the exact
+    rank-based low median (no engine percentile), and all run counts
+    are integers — only the final z touches doubles.
+
+    Scale shape: one fact pass to the daily frame, one ordered window
+    for the run boundaries — the reduce-first-then-window shape every
+    series query here uses."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "runs_orders"
+    )
+    daily = spark.sql("""
+      SELECT CAST(o_orderdate AS DATE) AS dd,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+      FROM runs_orders GROUP BY 1
+    """).localCheckpoint()
+    daily.createOrReplaceTempView("runs_daily")
+    return spark.sql("""
+    WITH med AS (
+      SELECT max(dol) AS m FROM (
+        SELECT dol, row_number() OVER (ORDER BY dol, dd) AS rk,
+               count(*) OVER () AS n
+        FROM runs_daily
+      ) WHERE rk * 2 <= n + 1
+    ),
+    signs AS (
+      SELECT dd, dol > (SELECT m FROM med) AS above
+      FROM runs_daily WHERE dol <> (SELECT m FROM med)
+    ),
+    runs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(sum(CASE WHEN above <> lag_above OR lag_above IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM (
+        SELECT above, lag(above) OVER (ORDER BY dd) AS lag_above
+        FROM signs
+      )
+    )
+    SELECT n, n_plus, n - n_plus AS n_minus, n_runs,
+           round(1.0 + 2.0 * n_plus * (n - n_plus) / n - 1e-9, 4)
+             AS expected_runs,
+           round((n_runs - (1.0 + 2.0 * n_plus * (n - n_plus) / n))
+                 / sqrt(2.0 * n_plus * (n - n_plus)
+                        * (2.0 * n_plus * (n - n_plus) - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))) - 1e-9, 4)
+             AS z_score
+    FROM runs
+    """)
