@@ -2745,3 +2745,158 @@ def mmd_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mmd2"),
         )
     )
+
+
+@query(
+    "theil_decomposition_nations",
+    """
+    WITH x AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation,
+             CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS dol
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+      HAVING sum(CAST(floor(o.o_totalprice) AS BIGINT)) > 0
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dol) AS BIGINT) AS s
+      FROM x
+    ),
+    grp AS MATERIALIZED (
+      SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(dol) AS BIGINT) AS sg,
+             sum((CAST(dol AS DOUBLE) / (SELECT s FROM tot))
+                 * ln(CAST(dol AS DOUBLE) * (SELECT n FROM tot)
+                      / (SELECT s FROM tot))) AS t_contrib
+      FROM x GROUP BY nation
+    ),
+    within AS (
+      SELECT g.nation, g.ng, g.sg,
+             sum((CAST(x.dol AS DOUBLE) / g.sg)
+                 * ln(CAST(x.dol AS DOUBLE) * g.ng / g.sg)) AS t_within
+      FROM grp g JOIN x ON x.nation = g.nation
+      GROUP BY g.nation, g.ng, g.sg
+    ),
+    parts AS (
+      SELECT w.nation, w.ng, w.sg, w.t_within,
+             (CAST(w.sg AS DOUBLE) / t.s) AS share,
+             (CAST(w.sg AS DOUBLE) / t.s)
+               * ln((CAST(w.sg AS DOUBLE) / t.s)
+                    / (CAST(w.ng AS DOUBLE) / t.n)) AS t_between_part,
+             (SELECT sum(t_contrib) FROM grp) AS t_total
+      FROM within w CROSS JOIN tot t
+    )
+    SELECT nation, ng AS n_customers, sg AS spend_usd,
+           round(share - 1e-9, 4) AS spend_share,
+           round(t_within - 1e-9, 6) AS theil_within,
+           round(t_between_part - 1e-9, 6) AS theil_between_part,
+           round(t_total - 1e-9, 6) AS theil_total,
+           round(sum(share * t_within) OVER ()
+                 + sum(t_between_part) OVER () - 1e-9, 6)
+             AS theil_recomposed
+    FROM parts ORDER BY nation
+    """,
+)
+def theil_decomposition_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality index with its EXACT between/within
+    decomposition (the property Gini famously lacks): customer-spend
+    inequality splits additively into between-nation inequality plus
+    the spend-share-weighted within-nation terms, and the emitted
+    `theil_recomposed` column must equal `theil_total` — the identity
+    is part of the output, so the decomposition audits itself.  This
+    is the source-imbalance diagnostic that says WHERE concentration
+    lives (a few rich markets vs whales inside each market).
+
+    All mass terms are exact integer dollars; the ln arguments are
+    ratios of identical doubles; one fact pass collapses to customers,
+    then two group rollups.  Pairs with ``gini_customer_spend``
+    (rank-based, non-decomposable) on the same frame."""
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nation"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("o_custkey", "nation")
+        .agg(
+            F.sum(F.floor("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("dol")
+        )
+        .filter(F.col("dol") > 0)
+        .select("nation", "dol")
+    )
+    x.persist()
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dol").cast("long").alias("s"),
+    )
+    xt = x.crossJoin(F.broadcast(tot))
+    grp = xt.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("dol").cast("long").alias("sg"),
+        F.sum(
+            (F.col("dol").cast("double") / F.col("s"))
+            * F.log(
+                F.col("dol").cast("double") * F.col("n") / F.col("s")
+            )
+        ).alias("t_contrib"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    within = (
+        x.join(
+            F.broadcast(
+                grp.select("nation", "ng", "sg", "n", "s", "t_contrib")
+            ),
+            "nation",
+        )
+        .groupBy("nation", "ng", "sg", "n", "s")
+        .agg(
+            F.sum(
+                (F.col("dol").cast("double") / F.col("sg"))
+                * F.log(
+                    F.col("dol").cast("double") * F.col("ng") / F.col("sg")
+                )
+            ).alias("t_within")
+        )
+    )
+    t_total = grp.agg(F.sum("t_contrib").alias("t_total"))
+    share = F.col("sg").cast("double") / F.col("s")
+    between = share * F.log(
+        share / (F.col("ng").cast("double") / F.col("n"))
+    )
+    w_all = Window.partitionBy()
+    out = (
+        within.crossJoin(F.broadcast(t_total))
+        .select(
+            "nation",
+            F.col("ng").alias("n_customers"),
+            F.col("sg").alias("spend_usd"),
+            F.round(share - 1e-9, 4).alias("spend_share"),
+            F.round(F.col("t_within") - 1e-9, 6).alias("theil_within"),
+            F.round(between - 1e-9, 6).alias("theil_between_part"),
+            F.round(F.col("t_total") - 1e-9, 6).alias("theil_total"),
+            (share * F.col("t_within")).alias("_sw"),
+            between.alias("_bp"),
+        )
+        .withColumn(
+            "theil_recomposed",
+            F.round(
+                F.sum("_sw").over(w_all) + F.sum("_bp").over(w_all) - 1e-9,
+                6,
+            ),
+        )
+        .drop("_sw", "_bp")
+        .orderBy("nation")
+    )
+    result = out.localCheckpoint()
+    x.unpersist()
+    return result
