@@ -450,3 +450,53 @@ def test_esd_masking_resistance():
     mu2, sd2 = statistics.mean(data2), statistics.stdev(data2)
     z2 = abs(200.0 - mu2) / sd2
     assert z2 > second, "re-estimation must sharpen the second test"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),  # value
+            st.integers(min_value=1, max_value=50),  # cost
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=400),
+)
+@settings(max_examples=300, deadline=None)
+def test_knapsack_lp_bound_theory(items, budget):
+    """The certificate the query ships, proven on random instances:
+    fractional-LP bound >= exact 0/1 optimum >= greedy value, and the
+    greedy is within one item's value of the bound (the classical
+    density-greedy guarantee)."""
+    order = sorted(
+        range(len(items)),
+        key=lambda i: (-(items[i][0] / items[i][1]), i),
+    )
+    # the query's "cum_cost <= budget" filter keeps the maximal density
+    # PREFIX (cumulative cost is monotone along the sort), which is
+    # exactly Dantzig's LP structure: full prefix + fractional breaker.
+    greedy_v = cum = 0
+    next_ratio = None
+    for i in order:
+        v, c = items[i]
+        if cum + c <= budget:
+            cum += c
+            greedy_v += v
+        else:
+            next_ratio = v / c
+            break
+    bound = greedy_v + (next_ratio or 0.0) * (budget - cum)
+    # exact 0/1 optimum by DP over the bounded budget
+    dp = [0] * (budget + 1)
+    for v, c in items:
+        for b in range(budget, c - 1, -1):
+            dp[b] = max(dp[b], dp[b - c] + v)
+    opt = dp[budget]
+    assert greedy_v <= opt <= bound + 1e-9
+    max_item_v = max(v for v, _ in items)
+    assert bound - greedy_v <= max_item_v + 1e-9
