@@ -647,7 +647,7 @@ def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t AS BIGINT) AS t_days,
            CAST(n_i AS BIGINT) AS n_at_risk,
            d_i AS n_events,
-           round(surv - 1e-9, 4) AS survival
+           round(surv - 1e-9, 4) + 0.0 AS survival
     FROM km WHERE d_i > 0
     """,
 )
@@ -715,7 +715,7 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("t_days"),
         F.col("n_i").cast("long").alias("n_at_risk"),
         F.col("d_i").alias("n_events"),
-        F.round(F.col("surv") - 1e-9, 4).alias("survival"),
+        (F.round(F.col("surv") - 1e-9, 4) + 0.0).alias("survival"),
     )
 
 

@@ -542,7 +542,7 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(cr, 4) AS corr_qty_price,
       round(cv, 4) AS covar_qty_price,
       round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
-            / pow(m2r - mu * mu, 1.5), 4) AS skew_qty
+            / pow(m2r - mu * mu, 1.5), 4) + 0.0 AS skew_qty
     FROM g
     """,
 )
@@ -574,10 +574,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vp", 4).alias("var_pop_qty"),
         F.round("cr", 4).alias("corr_qty_price"),
         F.round("cv", 4).alias("covar_qty_price"),
-        F.round(
-            (m3r - 3 * mu * m2r + 2 * mu * mu * mu)
-            / F.pow(m2r - mu * mu, F.lit(1.5)),
-            4,
+        (
+            F.round(
+                (m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                / F.pow(m2r - mu * mu, F.lit(1.5)),
+                4,
+            )
+            + 0.0  # -0.0 → +0.0 (driver hashes raw bits; see registry header)
         ).alias("skew_qty"),
     )
 

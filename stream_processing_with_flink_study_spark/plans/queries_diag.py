@@ -739,7 +739,8 @@ KAPPA_LEN_THRESHOLD = 500
                     / (CAST(n AS DOUBLE) * n))
                  / (1.0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
                            + (n01 + n00) * CAST(n10 + n00 AS DOUBLE))
-                          / (CAST(n AS DOUBLE) * n)) - 1e-9, 4) AS kappa
+                          / (CAST(n AS DOUBLE) * n)) - 1e-9, 4) + 0.0
+             AS kappa
     FROM cm
     ORDER BY lang
     """,
@@ -788,7 +789,7 @@ def cohens_kappa_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         F.round(po - 1e-9, 4).alias("p_observed"),
         F.round(pe - 1e-9, 4).alias("p_expected"),
-        F.round((po - pe) / (1.0 - pe) - 1e-9, 4).alias("kappa"),
+        (F.round((po - pe) / (1.0 - pe) - 1e-9, 4) + 0.0).alias("kappa"),
     ).orderBy("lang")
 
 
@@ -921,7 +922,7 @@ def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n_dup_a + 1.0) * (n_dup_b + 1.0) / (overlap + 1.0)
                  - 1.0 - 1e-9, 2) AS chapman_total_dups,
            round(((n_dup_a + 1.0) * (n_dup_b + 1.0) / (overlap + 1.0)
-                  - 1.0) - union_caught - 1e-9, 2) AS undetected_est,
+                  - 1.0) - union_caught - 1e-9, 2) + 0.0 AS undetected_est,
            round(union_caught
                  / ((n_dup_a + 1.0) * (n_dup_b + 1.0) / (overlap + 1.0)
                     - 1.0) - 1e-9, 4) AS est_coverage
@@ -985,7 +986,7 @@ def capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap",
         "union_caught",
         F.round(chapman - 1e-9, 2).alias("chapman_total_dups"),
-        F.round(chapman - F.col("union_caught") - 1e-9, 2).alias(
+        (F.round(chapman - F.col("union_caught") - 1e-9, 2) + 0.0).alias(
             "undetected_est"
         ),
         F.round(F.col("union_caught") / chapman - 1e-9, 4).alias(

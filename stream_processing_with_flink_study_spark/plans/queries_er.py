@@ -380,9 +380,9 @@ def identity_stitch_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              + {ONE_SIXTH} * (v5 - v1) + {ONE_THIRD} * (v7 - v3),
              v0, v7, n_users FROM pv
     )
-    SELECT channel, round(shapley - 1e-9, 4) AS shapley_value,
-           round(v0 - 1e-9, 4) AS v_none,
-           round(v7 - 1e-9, 4) AS v_full,
+    SELECT channel, round(shapley - 1e-9, 4) + 0.0 AS shapley_value,
+           round(v0 - 1e-9, 4) + 0.0 AS v_none,
+           round(v7 - 1e-9, 4) + 0.0 AS v_full,
            n_users
     FROM phi ORDER BY channel
     """,
@@ -490,8 +490,8 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rows.select(
         F.col("s.channel").alias("channel"),
-        F.round(F.col("s.shapley") - 1e-9, 4).alias("shapley_value"),
-        F.round(F.col("v0") - 1e-9, 4).alias("v_none"),
-        F.round(F.col("v7") - 1e-9, 4).alias("v_full"),
+        (F.round(F.col("s.shapley") - 1e-9, 4) + 0.0).alias("shapley_value"),
+        (F.round(F.col("v0") - 1e-9, 4) + 0.0).alias("v_none"),
+        (F.round(F.col("v7") - 1e-9, 4) + 0.0).alias("v_full"),
         "n_users",
     ).orderBy("channel")

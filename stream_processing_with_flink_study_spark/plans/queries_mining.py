@@ -1117,7 +1117,7 @@ def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
            round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END) / sum(c)
-                 - 1e-9, 6) AS gt_unseen_mass,
+                 - 1e-9, 6) + 0.0 AS gt_unseen_mass,
            round(count(*)
                  + sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
                    * sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
@@ -1135,7 +1135,7 @@ def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END)
                       / (2.0 * greatest(sum(CASE WHEN c = 2 THEN 1
                                             ELSE 0 END), 1)))
-                 - 1e-9, 4) AS unseen_vocab_share
+                 - 1e-9, 4) + 0.0 AS unseen_vocab_share
     FROM tc
     GROUP BY source
     ORDER BY source
@@ -1179,10 +1179,13 @@ def good_turing_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
             .cast("long")
             .alias("f2"),
-            F.round(f1 / F.sum("c") - 1e-9, 6).alias("gt_unseen_mass"),
+            (F.round(f1 / F.sum("c") - 1e-9, 6) + 0.0).alias(
+                "gt_unseen_mass"
+            ),
             F.round(chao1 - 1e-9, 2).alias("chao1_richness"),
-            F.round(
-                (chao1 - F.count(F.lit(1))) / chao1 - 1e-9, 4
+            (
+                F.round((chao1 - F.count(F.lit(1))) / chao1 - 1e-9, 4)
+                + 0.0
             ).alias("unseen_vocab_share"),
         )
         .orderBy("source")

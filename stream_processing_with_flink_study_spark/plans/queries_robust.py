@@ -443,7 +443,7 @@ def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     pairs AS (
       SELECT c.c_custkey, s.s_suppkey,
              round({_haversine_sql("c.lat", "c.lon", "s.lat", "s.lon")}
-                   - 1e-9, 3) AS dist_km
+                   - 1e-9, 3) + 0.0 AS dist_km
       FROM c, s
     )
     SELECT c_custkey, s_suppkey, dist_km
@@ -524,7 +524,7 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ccell.join(F.broadcast(scell), ["la", "lo"])
-        .select("c_custkey", "s_suppkey", dist.alias("dist_km"))
+        .select("c_custkey", "s_suppkey", (dist + 0.0).alias("dist_km"))
         .filter(F.col("dist_km") <= GEO_RADIUS_KM)
         .orderBy("dist_km", "c_custkey", "s_suppkey")
     )

@@ -628,7 +628,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_lang_centroids",
     oracle="""
     SELECT d.lang, g.idx - 1 AS dim_idx,
-           round(avg(CAST(e.embedding[g.idx] AS DOUBLE)), 4) AS centroid_val
+           round(avg(CAST(e.embedding[g.idx] AS DOUBLE)), 4) + 0.0
+           AS centroid_val
     FROM embeddings e
     JOIN documents d ON e.vec_id = d.doc_id
     CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS idx) g
@@ -647,7 +648,11 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(docs), emb.vec_id == docs.doc_id)
         .select("lang", F.posexplode("embedding").alias("dim_idx", "val"))
         .groupBy("lang", "dim_idx")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+        .agg(
+            (F.round(F.avg(F.col("val").cast("double")), 4) + 0.0).alias(
+                "centroid_val"
+            )
+        )
     )
 
 

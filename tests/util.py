@@ -30,7 +30,17 @@ def assert_matches_oracle(spark_df, duck_con, sql: str) -> None:
         sv, ov = s[c], o[c]
         assert str(sv.dtype) == str(ov.dtype), f"{c}: {sv.dtype} != {ov.dtype}"
         if str(sv.dtype).startswith("float"):
-            ok = ((sv.isna() & ov.isna()) | ((sv - ov).abs() < 1e-12)).all()
+            # bitwise: as strict as the driver's value hash (-0.0 != +0.0,
+            # no epsilon).  NaNs are pandas-canonical → NaN == NaN bitwise.
+            import numpy as np
+
+            sa = sv.to_numpy(dtype="float64", na_value=np.nan)
+            oa = ov.to_numpy(dtype="float64", na_value=np.nan)
+            bad = sa.view("int64") != oa.view("int64")
+            assert not bad.any(), (
+                f"float mismatch in column {c} at sorted row "
+                f"{int(bad.argmax())}: spark={sa[bad.argmax()]!r} "
+                f"oracle={oa[bad.argmax()]!r}"
+            )
         else:
-            ok = sv.equals(ov)
-        assert ok, f"value mismatch in column {c}"
+            assert sv.equals(ov), f"value mismatch in column {c}"

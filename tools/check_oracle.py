@@ -63,9 +63,16 @@ def compare(name: str, spark_df, con, sql: str | None) -> tuple[bool, str]:
         if sv.dtype != ov.dtype:
             return False, f"col {c} dtype {sv.dtype} != {ov.dtype}"
         if str(sv.dtype).startswith("float"):
-            eq = (sv.fillna(-1e308) == ov.fillna(-1e308)) | (
-                (sv - ov).abs() < 1e-12
-            )
+            # BITWISE equality, exactly as strict as the driver's value
+            # hash: -0.0 != +0.0 and no epsilon tolerance.  Round 6's
+            # `abs(diff) < 1e-12` here let 9 signed-zero divergences sit
+            # locally green while the driver hashed them red.  NaNs are
+            # pandas-canonical on both sides, so NaN == NaN bitwise.
+            import numpy as np
+
+            sa = sv.to_numpy(dtype="float64", na_value=np.nan)
+            oa = ov.to_numpy(dtype="float64", na_value=np.nan)
+            eq = pd.Series(sa.view("int64") == oa.view("int64"))
         else:
             eq = sv.fillna("␀") == ov.fillna("␀") if sv.dtype == object else sv.isna().eq(ov.isna()) & (sv.fillna(0) == ov.fillna(0))
         if not eq.all():
