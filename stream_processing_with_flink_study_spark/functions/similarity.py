@@ -16,6 +16,8 @@ wide vectors.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -745,8 +747,15 @@ def mmr_rerank(
     (:func:`brute_force_topk` — swap in the IVF/PQ tier at scale);
     the greedy loop runs driver-side on pool-sized candidate sets
     (pool² sims per query, by design tiny — production MMR works the
-    same way).  Deterministic: candidates arrive in (sim desc, id)
-    order and ties break on id, so output is reproducible.
+    same way).  Cross-engine determinism (the DuckDB oracle unrolls
+    the same greedy as k staged CTEs): relevance is the 4-decimal
+    cosine from the candidate stage; redundancy sims use the
+    SEQUENTIAL fold ``dot/(sqrt(Σa²)·sqrt(Σb²))`` which is bit-equal
+    to DuckDB's ``list_cosine_similarity`` (verified pairwise, see
+    tests), so every score is the identical double in both engines
+    and the argmax (score desc, id asc — EXACT compare, no epsilon)
+    picks the identical candidate.  ``mmr_score`` is emitted RAW;
+    callers that hash-compare round it under the repo convention.
     Output: (q_id, rank, n_id, relevance, mmr_score)."""
     cand = brute_force_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
@@ -759,18 +768,34 @@ def mmr_rerank(
         .select("q_id", "n_id", "cosine_sim", "rank", "n_vec")
         .collect()
     )
+
+    def seq_cos(a: list, b: list) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
     by_q: dict = {}
     for r in rows:
         by_q.setdefault(r["q_id"], []).append(r)
     out = []
     for q_id in sorted(by_q):
         cands = sorted(by_q[q_id], key=lambda r: r["rank"])
-        mat = np.array([r["n_vec"] for r in cands], dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        rel = np.array([r["cosine_sim"] for r in cands])
+        n = len(cands)
+        sims = [
+            [
+                seq_cos(cands[i]["n_vec"], cands[j]["n_vec"])
+                if i != j
+                else 1.0
+                for j in range(n)
+            ]
+            for i in range(n)
+        ]
+        rel = [r["cosine_sim"] for r in cands]
         chosen: list[int] = []
-        remaining = list(range(len(cands)))
+        remaining = list(range(n))
         while remaining and len(chosen) < k:
             best_i, best_score = None, None
             for i in remaining:
@@ -778,9 +803,9 @@ def mmr_rerank(
                 score = lam * rel[i] - (1 - lam) * red
                 if (
                     best_score is None
-                    or score > best_score + 1e-12
+                    or score > best_score
                     or (
-                        abs(score - best_score) <= 1e-12
+                        score == best_score
                         and cands[i]["n_id"] < cands[best_i]["n_id"]
                     )
                 ):
@@ -793,7 +818,7 @@ def mmr_rerank(
                     len(chosen),
                     cands[best_i]["n_id"],
                     float(rel[best_i]),
-                    round(float(best_score), 4),
+                    float(best_score),
                 )
             )
     spark = corpus.sparkSession

@@ -1260,30 +1260,81 @@ FROM hw
     "holt_smoothing_monthly",
     _HOLT_SQL.format(orders="orders", month_expr="strftime(o_orderdate, '%Y-%m')"),
 )
-def holt_smoothing_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt double-exponential smoothing (level + linear trend,
-    alpha=0.3 / beta=0.1) over the monthly revenue series, expressed
-    as a NATIVE recursive CTE — the inherently-sequential time-series
-    recurrence that window functions cannot express (each level
-    depends on the previous SMOOTHED level, not a fixed frame), run
-    verbatim by both engines with one-step-ahead fitted values.
-
-    Companion to ``forecast_baseline_eval`` (which scores the naive
-    baselines this model should beat) and ``ewma_smoothing`` (the
-    single-parameter special case).  Determinism: monthly revenue is
-    rounded to cents first, so every recursion step applies identical
-    IEEE ops to identical doubles — the stream of (level, trend) pairs
-    is bit-equal across engines with NO summation-order exposure.
-    Scale: the recursion runs on the month-collapsed frame (one row
-    per month regardless of corpus size); the only full-size work is
-    the initial one-pass rollup, and a per-key variant shards the
-    recursion by series key exactly like `amortization_recursive_cte`."""
+def holt_recursive_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Spark ``WITH RECURSIVE`` form of Holt smoothing —
+    kept as the capability demo and equivalence witness for the
+    driver-side form below (`tests/test_recursive_forms.py` asserts
+    bit-equality at sf0.001).  Not registered: ~32 UnionLoop rounds ×
+    ~0.3 s job-launch floor was 10 s of the round-6 bench for an
+    O(months)-row recursion."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("holtv_orders")
     return spark.sql(
         _HOLT_SQL.format(
             orders="holtv_orders",
             month_expr="date_format(o_orderdate, 'yyyy-MM')",
         )
+    )
+
+
+def holt_smoothing_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.3 / beta=0.1) over the monthly revenue series — the
+    inherently-sequential recurrence that window functions cannot
+    express (each level depends on the previous SMOOTHED level, not a
+    fixed frame).  The DuckDB oracle runs a native recursive CTE; the
+    Spark side computes the SAME recursion driver-side on the
+    collected month frame (the v-optimal/isotonic bounded-frame
+    pattern): one row per month regardless of corpus size, so the
+    collect is bounded by the calendar, never by row count, and the
+    only fact-sized work is the distributed monthly rollup.
+
+    Companion to ``forecast_baseline_eval`` (which scores the naive
+    baselines this model should beat) and ``ewma_smoothing`` (the
+    single-parameter special case).  Determinism: monthly revenue is
+    rounded to cents first, so every recursion step applies identical
+    IEEE ops to identical doubles on both engines; the final rounding
+    and the lag-based one-step-ahead fitted values run as Spark
+    expressions.  `holt_recursive_df` keeps the native WITH RECURSIVE
+    form, equivalence-tested; a per-key variant shards the recursion
+    by series key exactly like `amortization_recursive_cte`."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("holtv_orders")
+    monthly = spark.sql(
+        """
+        SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) - 1
+                 AS idx, month, y
+        FROM (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 round(sum(o_totalprice), 2) AS y
+          FROM holtv_orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          GROUP BY 1
+        )
+        """
+    ).collect()  # bounded by the calendar (one row/month), not by data
+    rows = sorted(monthly, key=lambda r: r.idx)
+    alpha, beta = 0.3, 0.1  # same doubles as the oracle's CASTs
+    out = []
+    if len(rows) >= 2:  # oracle base case joins idx 0 with idx 1
+        lvl, trend = rows[0].y, rows[1].y - rows[0].y
+        for r in rows:
+            if r.idx > 0:
+                new_lvl = alpha * r.y + (1 - alpha) * (lvl + trend)
+                trend = beta * (new_lvl - lvl) + (1 - beta) * trend
+                lvl = new_lvl
+            out.append((r.idx, r.month, r.y, lvl, trend))
+    df = spark.createDataFrame(
+        out, "idx BIGINT, month STRING, y DOUBLE, lvl DOUBLE, trend DOUBLE"
+    )
+    w = Window.orderBy("idx")
+    return df.select(
+        "idx",
+        "month",
+        "y",
+        F.round("lvl", 2).alias("level"),
+        F.round("trend", 2).alias("trend"),
+        F.round(
+            F.lag("lvl").over(w) + F.lag("trend").over(w), 2
+        ).alias("fitted"),
     )
 
 
@@ -2319,7 +2370,51 @@ def wasserstein_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 ISO_BINS = 20
 
 
-@query("isotonic_calibration")  # PAV pooling is not SQL → rows-only
+@query(
+    "isotonic_calibration",
+    f"""
+    WITH binned AS (
+      SELECT ntile({ISO_BINS}) OVER (ORDER BY n_chars, doc_id) - 1 AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    per AS MATERIALIZED (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    ),
+    pre AS MATERIALIZED (
+      SELECT bin, n, n_pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(n_pos) OVER (ORDER BY bin) AS cp
+      FROM per
+    ),
+    iv AS MATERIALIZED (
+      -- every interval average avg(l..r) from exact prefix sums
+      SELECT l.bin AS l, r.bin AS r,
+             (r.cp - coalesce(lp.cp, 0)) * 1.0
+               / (r.cn - coalesce(lp.cn, 0)) AS avg_lr
+      FROM pre l JOIN pre r ON r.bin >= l.bin
+      LEFT JOIN pre lp ON lp.bin = l.bin - 1
+    ),
+    innermin AS (
+      -- min over r >= i of avg(l..r), per (i, l <= i)
+      SELECT i.bin AS i, v.l AS l, min(v.avg_lr) AS m
+      FROM per i JOIN iv v ON v.l <= i.bin AND v.r >= i.bin
+      GROUP BY 1, 2
+    ),
+    fit AS MATERIALIZED (
+      -- minimax characterization of isotonic regression:
+      -- fitted(i) = max over l <= i of min over r >= i of avg(l..r)
+      SELECT i, max(m) AS cal FROM innermin GROUP BY i
+    )
+    SELECT p.bin, p.n,
+           round(p.n_pos * 1.0 / p.n - 1e-9, 4) + 0.0 AS raw_rate,
+           round(f.cal - 1e-9, 4) + 0.0 AS calibrated_rate
+    FROM per p JOIN fit f ON f.i = p.bin
+    ORDER BY p.bin
+    """,
+)
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration via Pool-Adjacent-Violators: fit the best
     MONOTONE mapping from a score (corpus-wide length percentile) to a
@@ -2335,6 +2430,13 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     report.  tests/test_wave7.py pins the PAV laws: output monotone,
     weighted mean conserved, and pooling only where the raw rates
     violated monotonicity.
+
+    The DuckDB oracle is EXACT via the minimax characterization of
+    isotonic regression — fitted(i) = max_{l≤i} min_{r≥i}
+    avg(l..r) — which needs no recursion: all {ISO_BINS}·({ISO_BINS}+1)/2
+    interval averages come from exact integer prefix sums, so the
+    driver hash-checks the PAV stack against a closed form it cannot
+    share a bug with.
 
     Output per bin: raw rate vs calibrated rate vs bin mass — the
     reliability-diagram columns after repair."""
@@ -2378,8 +2480,12 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "bin",
         "n",
-        F.round(F.col("n_pos") * 1.0 / F.col("n"), 4).alias("raw_rate"),
-        F.round(fmap[F.col("bin")], 4).alias("calibrated_rate"),
+        (F.round(F.col("n_pos") * 1.0 / F.col("n") - 1e-9, 4) + 0.0).alias(
+            "raw_rate"
+        ),
+        (F.round(fmap[F.col("bin")] - 1e-9, 4) + 0.0).alias(
+            "calibrated_rate"
+        ),
     ).orderBy("bin")
 
 

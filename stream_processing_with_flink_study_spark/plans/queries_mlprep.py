@@ -1280,21 +1280,109 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mmr_diverse_topk")  # greedy selection loop → rows-only check
+MMR_K = 10
+MMR_POOL = 30
+MMR_QMOD = 167
+_MMR_LAM = "CAST(0.7 AS DOUBLE)"
+
+
+def _mmr_oracle() -> str:
+    """The MMR greedy unrolled as MMR_K staged CTEs (the Mondrian
+    staged pattern — DuckDB inlines plain CTEs, so every stage is AS
+    MATERIALIZED).  Stage t scores every not-yet-picked candidate as
+    λ·rel − (1−λ)·max(sim to picks so far) and takes the per-query
+    argmax with (score desc, id) tie-break.  Works as an exact hash
+    twin because every input double is bit-equal to the Spark side's:
+    rel is the 4-decimal candidate cosine, and the redundancy sims are
+    ``list_cosine_similarity`` ≡ the sequential fold mmr_rerank uses
+    (see its docstring)."""
+    stages = []
+    for t in range(1, MMR_K + 1):
+        if t == 1:
+            red, joinred, excl = "0.0", "", ""
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT q_id, n_id FROM p{i}" for i in range(1, t)
+            )
+            stages.append(f"pk{t} AS MATERIALIZED ({prev})")
+            joinred = f"""
+      LEFT JOIN (
+        SELECT s.q_id, s.i AS n_id, max(s.s) AS red
+        FROM sims s JOIN pk{t} p ON p.q_id = s.q_id AND p.n_id = s.j
+        GROUP BY 1, 2
+      ) r ON r.q_id = c.q_id AND r.n_id = c.n_id"""
+            red = "coalesce(r.red, 0.0)"
+            excl = f"""
+      WHERE NOT EXISTS (SELECT 1 FROM pk{t} p2
+                        WHERE p2.q_id = c.q_id AND p2.n_id = c.n_id)"""
+        stages.append(f"""p{t} AS MATERIALIZED (
+      SELECT q_id, n_id, rel, score, {t} AS rank FROM (
+        SELECT c.q_id, c.n_id, c.rel,
+               {_MMR_LAM} * c.rel - (1 - {_MMR_LAM}) * {red} AS score,
+               row_number() OVER (PARTITION BY c.q_id ORDER BY
+                 {_MMR_LAM} * c.rel - (1 - {_MMR_LAM}) * {red} DESC,
+                 c.n_id) AS rn
+        FROM cand c{joinred}{excl}
+      ) WHERE rn = 1
+    )""")
+    allp = " UNION ALL ".join(
+        f"SELECT * FROM p{t}" for t in range(1, MMR_K + 1)
+    )
+    stages_sql = ",\n    ".join(stages)
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      FROM embeddings WHERE vec_id % {MMR_QMOD} = 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT q_id, n_id, rel + 0.0 AS rel, n_vec FROM (
+        SELECT q.q_id, e.vec_id AS n_id,
+               round(list_cosine_similarity(
+                 q.q_vec, e.embedding::DOUBLE[]), 4) AS rel,
+               e.embedding::DOUBLE[] AS n_vec,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[])
+                   DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.q_id
+      ) WHERE rk <= {MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+             list_cosine_similarity(a.n_vec, b.n_vec) AS s
+      FROM cand a JOIN cand b
+        ON a.q_id = b.q_id AND a.n_id != b.n_id
+    ),
+    {stages_sql}
+    SELECT q_id, CAST(rank AS INT) AS rank, n_id,
+           rel AS relevance,
+           round(score - 1e-9, 4) + 0.0 AS mmr_score
+    FROM ({allp})
+    ORDER BY q_id, rank
+    """
+
+
+@query("mmr_diverse_topk", _mmr_oracle())
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified top-10 for three deterministic query vectors
+    """MMR-diversified top-10 per query vector
     (:func:`..functions.similarity.mmr_rerank`, λ = 0.7 over the
     cosine top-30 pool) — the redundancy-killer between ANN retrieval
-    and the consumer.  Rows-only: the greedy argmax chain is not
-    SQL-expressible; determinism (fixed candidate order, id
-    tie-breaks) and the diversity property (pairwise similarity of
-    the MMR set ≤ that of the plain top-k) are pinned in
-    tests/test_similarity.py."""
+    and the consumer.  Hash-checked against a DuckDB oracle that
+    unrolls the SAME greedy as staged CTEs (see ``_mmr_oracle``);
+    the diversity property (pairwise similarity of the MMR set ≤ that
+    of the plain top-k) stays pinned in tests/test_similarity.py."""
     from ..functions.similarity import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 167 == 1)
-    return mmr_rerank(emb, queries, k=10, pool=30)
+    queries = emb.filter(F.col("vec_id") % MMR_QMOD == 1)
+    out = mmr_rerank(emb, queries, k=MMR_K, pool=MMR_POOL)
+    return out.select(
+        "q_id",
+        "rank",
+        "n_id",
+        "relevance",
+        (F.round(F.col("mmr_score") - 1e-9, 4) + 0.0).alias("mmr_score"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -355,22 +355,13 @@ FROM cr
         "(ORDER BY dd), dd), 0) AS BIGINT)",
     ),
 )
-def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Croston's method for INTERMITTENT demand (the spare-parts
-    forecasting standard): smooth the nonzero demand sizes and the
-    inter-demand intervals SEPARATELY (α=0.2) and forecast their ratio
-    — on sparse series, plain exponential smoothing decays toward zero
-    between demands and systematically under-forecasts; Croston does
-    not.  The demand stream is the shipped quantity of a sparse part
-    slice (1/97th of parts), aggregated per ship-day.
-
-    Like Holt, the level recursions depend on the previous SMOOTHED
-    value — inexpressible as a window function — so both engines run
-    the SAME native recursive CTE over the day-collapsed frame;
-    integer demands and gaps make every step's IEEE arithmetic
-    bit-identical.  Scale: the only fact-sized work is the initial
-    filtered rollup; the recursion runs on the tiny nonzero-day
-    frame."""
+def croston_recursive_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Spark ``WITH RECURSIVE`` form of Croston's method —
+    kept as the capability demo and equivalence witness for the
+    driver-side form below (`tests/test_recursive_forms.py` asserts
+    bit-equality at sf0.001).  Not registered: each UnionLoop round
+    costs ~0.4 s of job-launch floor, so 48 rounds were 21 s of the
+    round-6 bench for an O(48)-row recursion."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "croston_lineitem"
     )
@@ -385,6 +376,80 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_expr="CAST(coalesce(datediff(dd, lag(dd) OVER "
             "(ORDER BY dd)), 0) AS BIGINT)",
         )
+    )
+
+
+def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the spare-parts
+    forecasting standard): smooth the nonzero demand sizes and the
+    inter-demand intervals SEPARATELY (α=0.2) and forecast their ratio
+    — on sparse series, plain exponential smoothing decays toward zero
+    between demands and systematically under-forecasts; Croston does
+    not.  The demand stream is the shipped quantity of a sparse part
+    slice (1/97th of parts), aggregated per ship-day.
+
+    The level recursions depend on the previous SMOOTHED value —
+    inexpressible as a window function — so the DuckDB oracle runs a
+    native recursive CTE.  The Spark side computes the SAME recursion
+    driver-side on the collected day frame (the v-optimal/isotonic
+    bounded-frame pattern): the frame is capped at
+    ``CROSTON_MAX_STEPS`` = 48 rows by construction — never by row
+    count — so the collect is O(1), while the only fact-sized work is
+    the distributed filtered rollup that produces it.  Integer demands
+    and gaps make every step's IEEE arithmetic bit-identical to the
+    oracle's recursion (0.2·y + (1−0.2)·z on the same doubles); the
+    final rounding happens in Spark expressions under the repo
+    convention.  `croston_recursive_df` keeps the native WITH
+    RECURSIVE form, equivalence-tested; `streaming_croston` is the
+    honest unbounded path (ValueState carries (z, p))."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "croston_lineitem"
+    )
+    nz = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT CAST(row_number() OVER (ORDER BY dd) AS BIGINT) - 1
+                   AS idx,
+                 unix_millis(CAST(dd AS TIMESTAMP)) AS day_ms, y,
+                 CAST(coalesce(datediff(dd, lag(dd) OVER (ORDER BY dd)),
+                               0) AS BIGINT) AS q
+          FROM (
+            SELECT dd, CAST(sum(qty) AS BIGINT) AS y
+            FROM (
+              SELECT CAST(l_shipdate AS DATE) AS dd,
+                     CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+              FROM croston_lineitem
+              WHERE l_partkey % {CROSTON_PART_MOD} = 0
+            )
+            GROUP BY dd
+          )
+        ) WHERE idx < {CROSTON_MAX_STEPS}
+        """
+    ).collect()  # bounded by CROSTON_MAX_STEPS=48, never by row count
+    rows = sorted(nz, key=lambda r: r.idx)
+    alpha = 0.2  # same double as the oracle's CAST(0.2 AS DOUBLE)
+    out = []
+    if len(rows) >= 2:  # oracle base case joins idx 0 with idx 1
+        z, p = float(rows[0].y), float(rows[1].q)
+        for r in rows:
+            if r.idx > 0:
+                z = alpha * r.y + (1 - alpha) * z
+                p = alpha * r.q + (1 - alpha) * p
+            out.append((r.idx, r.day_ms, r.y, r.q, z, p))
+    df = spark.createDataFrame(
+        out, "idx BIGINT, day_ms BIGINT, y BIGINT, q BIGINT, "
+        "z DOUBLE, p DOUBLE"
+    )
+    return df.select(
+        "idx",
+        "day_ms",
+        "y",
+        "q",
+        F.round(F.col("z") - 1e-9, 4).alias("demand_level"),
+        F.round(F.col("p") - 1e-9, 4).alias("interval_level"),
+        F.round(F.col("z") / F.col("p") - 1e-9, 4).alias(
+            "forecast_per_day"
+        ),
     )
 
 
