@@ -80,7 +80,8 @@ def main() -> None:
         if args.dump:
             print(plan)
         any_flags |= bool(flags)
-    sys.exit(0)
+    # CI-shaped: a flagged plan fails the run instead of scrolling past
+    sys.exit(1 if any_flags else 0)
 
 
 if __name__ == "__main__":
