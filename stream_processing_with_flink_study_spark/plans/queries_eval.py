@@ -1256,10 +1256,11 @@ FROM hw
 """
 
 
-@query(
-    "holt_smoothing_monthly",
-    _HOLT_SQL.format(orders="orders", month_expr="strftime(o_orderdate, '%Y-%m')"),
+_HOLT_ORACLE = _HOLT_SQL.format(
+    orders="orders", month_expr="strftime(o_orderdate, '%Y-%m')"
 )
+
+
 def holt_recursive_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The native Spark ``WITH RECURSIVE`` form of Holt smoothing —
     kept as the capability demo and equivalence witness for the
@@ -1276,6 +1277,7 @@ def holt_recursive_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("holt_smoothing_monthly", _HOLT_ORACLE)
 def holt_smoothing_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + linear trend,
     alpha=0.3 / beta=0.1) over the monthly revenue series — the

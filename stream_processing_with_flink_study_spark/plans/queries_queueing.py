@@ -342,19 +342,18 @@ FROM cr
 """
 
 
-@query(
-    "croston_intermittent",
-    _CROSTON_SQL.format(
-        demand=f"""(
+_CROSTON_ORACLE = _CROSTON_SQL.format(
+    demand=f"""(
       SELECT CAST(l_shipdate AS DATE) AS dd,
              CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
       FROM lineitem WHERE l_partkey % {CROSTON_PART_MOD} = 0
     )""",
-        epoch_expr="epoch_ms(CAST(dd AS TIMESTAMP))",
-        gap_expr="CAST(coalesce(date_diff('day', lag(dd) OVER "
-        "(ORDER BY dd), dd), 0) AS BIGINT)",
-    ),
+    epoch_expr="epoch_ms(CAST(dd AS TIMESTAMP))",
+    gap_expr="CAST(coalesce(date_diff('day', lag(dd) OVER "
+    "(ORDER BY dd), dd), 0) AS BIGINT)",
 )
+
+
 def croston_recursive_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The native Spark ``WITH RECURSIVE`` form of Croston's method —
     kept as the capability demo and equivalence witness for the
@@ -379,6 +378,7 @@ def croston_recursive_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("croston_intermittent", _CROSTON_ORACLE)
 def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston's method for INTERMITTENT demand (the spare-parts
     forecasting standard): smooth the nonzero demand sizes and the
