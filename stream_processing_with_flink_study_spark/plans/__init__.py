@@ -34,5 +34,6 @@ from . import queries_queueing  # noqa: E402,F401
 from . import queries_textmining  # noqa: E402,F401
 from . import queries_audit  # noqa: E402,F401
 from . import queries_er  # noqa: E402,F401
+from . import queries_stattests  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,533 @@
+"""Nonparametric and homogeneity-of-variance test battery.
+
+Round-7 analytics wave: the classical significance tests an analyst
+runs BEFORE trusting a segment comparison — rank tests that don't
+assume normality (Kruskal-Wallis, Friedman, Cliff's delta), paired /
+stratified categorical tests (McNemar, Cochran-Mantel-Haenszel), and
+the variance-homogeneity gates for ANOVA (Brown-Forsythe, Bartlett).
+
+Cross-engine determinism rules used throughout (see plans/registry.py
+header):
+- every rank is the AVERAGE rank via ``rank() + (ties-1)/2`` on exact
+  integer keys (cents/dollars/char counts) — halves are exact doubles,
+  so rank SUMS are exact and order-insensitive;
+- second moments use integer DOLLAR units (Σv² in cents passes 2^63
+  near 1M fact rows — the round-6 overflow lesson), and squares of
+  >2^31 sums go through CAST(x AS DOUBLE) first ((Σv)² in BIGINT
+  overflows even in dollars);
+- the few cross-group double sums (≤ 20 terms) are absorbed by the
+  ``round(x - 1e-9, k) + 0.0`` output convention.
+
+Both engines run the SAME SQL text modulo dialect slots (integer
+division, date difference), formatted per engine — the comparison is
+between Spark's and DuckDB's execution of one algebra, not two
+hand-kept implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from .registry import query
+
+# dialect slots: {IDIV} infix integer division, {DD} day difference
+_SPARK = {"IDIV": "DIV", "DD": "datediff({b}, {a})"}
+_DUCK = {"IDIV": "//", "DD": "date_diff('day', {a}, {b})"}
+
+
+def _render(template: str, dialect: dict) -> str:
+    out = template.replace("{IDIV}", dialect["IDIV"])
+    while "{DD:" in out:
+        pre, rest = out.split("{DD:", 1)
+        args, post = rest.split("}", 1)
+        a, b = args.split("|")
+        out = pre + dialect["DD"].format(a=a, b=b) + post
+    return out
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H: order value across the 5 order priorities
+# --------------------------------------------------------------------------
+_KW_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM {orders}
+),
+r AS (
+  SELECT grp,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / CAST(2 AS DOUBLE)
+           AS ar
+  FROM o
+),
+g AS {MAT}(
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g, sum(ar) AS s_g
+  FROM r GROUP BY grp
+),
+ties AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tsum
+  FROM (SELECT count(*) AS t FROM o GROUP BY v)
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         sum(s_g * s_g / n_g) AS srn
+  FROM g
+),
+stat AS {MAT}(
+  SELECT tot.n,
+         (CAST(12 AS DOUBLE) / (tot.n * (tot.n + CAST(1 AS DOUBLE)))
+            * tot.srn
+          - CAST(3 AS DOUBLE) * (tot.n + 1)) AS h_raw,
+         (CAST(1 AS DOUBLE)
+          - ties.tsum / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n))
+           AS corr
+  FROM tot, ties
+)
+SELECT g.grp AS o_orderpriority, g.n_g AS n,
+       round(g.s_g / g.n_g - 1e-9, 4) + 0.0 AS mean_rank,
+       round(stat.h_raw - 1e-9, 4) + 0.0 AS h,
+       round(stat.h_raw / stat.corr - 1e-9, 4) + 0.0 AS h_tie_corrected,
+       CAST(4 AS BIGINT) AS df
+FROM g CROSS JOIN stat
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "kruskal_wallis_priority",
+    _render(_KW_SQL, _DUCK).replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does order value differ across the five
+    order priorities? — the rank-based one-way ANOVA that needs no
+    normality assumption, with the standard tie correction
+    ``1 − Σ(t³−t)/(N³−N)``.
+
+    Scale shape: ONE global sort assigns average ranks (the same sort
+    a percentile needs); everything after is a 5-row group frame.
+    Rank sums are exact (average ranks are halves, Σ < 2^53); the tie
+    term sums exact small integers; N³ goes through DOUBLE (N³ in
+    BIGINT overflows past N ≈ 2M).  Both engines run the same SQL
+    text modulo dialect slots."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("kw_orders")
+    return spark.sql(
+        _render(_KW_SQL, _SPARK)
+        .replace("{orders}", "kw_orders")
+        .replace("{MAT}", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# McNemar: do the two document-quality heuristics disagree symmetrically?
+# --------------------------------------------------------------------------
+MCN_LEN = 500
+MCN_SPACE_PCT_X100 = 1200
+
+_MCN_SQL = f"""
+WITH flags AS (
+  SELECT lang,
+         CASE WHEN n_chars >= {MCN_LEN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN 10000 * (length(text) - length(replace(text, ' ', '')))
+                   < {MCN_SPACE_PCT_X100} * length(text)
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+cm AS {{MAT}}(
+  SELECT lang,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(count(*) AS BIGINT) AS n
+  FROM flags GROUP BY lang
+)
+SELECT lang, n, n10, n01,
+       round((n10 - n01) * CAST(n10 - n01 AS DOUBLE)
+             / nullif(n10 + n01, 0) - 1e-9, 4) + 0.0 AS mcnemar_chi2,
+       round(greatest(abs(n10 - n01) - 1, 0)
+             * CAST(greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+             / nullif(n10 + n01, 0) - 1e-9, 4) + 0.0 AS mcnemar_cc
+FROM cm ORDER BY lang
+"""
+
+
+@query(
+    "mcnemar_doc_heuristics",
+    _MCN_SQL.replace("{MAT}", "MATERIALIZED "),
+)
+def mcnemar_doc_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test per language on the SAME two document heuristics
+    ``cohens_kappa_heuristics`` scores for agreement: kappa asks "do
+    the raters agree?", McNemar asks the complementary question — "when
+    they disagree, is the disagreement SYMMETRIC?" (a one-sided
+    disagreement means one heuristic is systematically stricter, which
+    calibrating a labeling pipeline must know).  χ² = (b−c)²/(b+c) on
+    the discordant counts, plus the Edwards continuity correction
+    (clamped at 0 for b = c).
+
+    One scan, one tiny groupBy; every input an exact integer — the
+    space-ratio boundary is decided by integer cross-multiplication.
+    NULL (not ∞) when there are no discordant pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mcn_documents")
+    return spark.sql(
+        _MCN_SQL.replace("documents", "mcn_documents").replace("{MAT}", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel across source strata
+# --------------------------------------------------------------------------
+_CMH_SQL = f"""
+WITH flags AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS x,
+         CASE WHEN n_chars >= {MCN_LEN} THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+strata AS {{MAT}}(
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS r1,
+         CAST(sum(y) AS BIGINT) AS c1,
+         CAST(sum(x * y) AS BIGINT) AS a
+  FROM flags GROUP BY source
+),
+terms AS (
+  SELECT source, n, r1, c1, a,
+         a - CAST(r1 AS DOUBLE) * c1 / n AS dev,
+         CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+           / (CAST(n AS DOUBLE) * n * (n - 1)) AS v,
+         CAST(a AS DOUBLE) * ((n - r1) - (c1 - a)) / n AS rr,
+         CAST(r1 - a AS DOUBLE) * (c1 - a) / n AS ss
+  FROM strata WHERE n > 1
+),
+agg AS {{MAT}}(
+  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+         sum(dev) AS sdev, sum(v) AS sv,
+         sum(rr) AS srr, sum(ss) AS sss
+  FROM terms
+)
+SELECT k_strata,
+       round(sdev * sdev / sv - 1e-9, 4) + 0.0 AS cmh_chi2,
+       round((abs(sdev) - 0.5) * (abs(sdev) - 0.5) / sv - 1e-9, 4) + 0.0
+         AS cmh_chi2_cc,
+       round(srr / sss - 1e-9, 4) + 0.0 AS mh_common_odds_ratio
+FROM agg
+"""
+
+
+@query("cmh_lang_length", _CMH_SQL.replace("{MAT}", "MATERIALIZED "))
+def cmh_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test: is English associated with long
+    documents AFTER controlling for source? — the stratified 2×2 test
+    that kills Simpson's-paradox false positives (a marginal χ² sees
+    source mix, not the within-source effect), plus the Mantel-Haenszel
+    common odds ratio ΣR/ΣS.  The continuity-corrected form subtracts
+    0.5 from |Σ(a − E)|.
+
+    One scan, one 20-row stratum frame; every per-stratum term is a
+    rational of exact counts computed through DOUBLE (the 4-count
+    product overflows BIGINT past ~50k-doc strata); the two final
+    20-term sums are guarded by the rounding convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("cmh_documents")
+    return spark.sql(
+        _CMH_SQL.replace("documents", "cmh_documents").replace("{MAT}", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) across order priorities
+# --------------------------------------------------------------------------
+_BF_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice) AS BIGINT) AS v
+  FROM {orders}
+),
+m AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_g
+  FROM o
+),
+med AS {MAT}(
+  SELECT grp, v AS med FROM m WHERE rn = (n_g + 1) {IDIV} 2
+),
+z AS (
+  SELECT o.grp, abs(o.v - med.med) AS z
+  FROM o JOIN med ON med.grp = o.grp
+),
+g AS {MAT}(
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(z * z) AS BIGINT) AS szz
+  FROM z GROUP BY grp
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(sz) AS BIGINT) AS sz_all,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+),
+stat AS {MAT}(
+  SELECT tot.n, tot.k,
+         sum(g.n_g * (g.sz / CAST(g.n_g AS DOUBLE)
+                      - CAST(tot.sz_all AS DOUBLE) / tot.n)
+                   * (g.sz / CAST(g.n_g AS DOUBLE)
+                      - CAST(tot.sz_all AS DOUBLE) / tot.n)) AS ssb,
+         sum(g.szz - CAST(g.sz AS DOUBLE) * g.sz / g.n_g) AS ssw
+  FROM g CROSS JOIN tot
+  GROUP BY tot.n, tot.k
+)
+SELECT g.grp AS o_orderpriority, g.n_g AS n, med.med AS median_usd,
+       round(g.sz / CAST(g.n_g AS DOUBLE) - 1e-9, 4) + 0.0
+         AS mean_abs_dev_usd,
+       round((stat.n - stat.k) * stat.ssb
+             / ((stat.k - 1) * stat.ssw) - 1e-9, 4) + 0.0
+         AS brown_forsythe_w,
+       stat.k - 1 AS df1, stat.n - stat.k AS df2
+FROM g JOIN med ON med.grp = g.grp CROSS JOIN stat
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "brown_forsythe_priority",
+    _render(_BF_SQL, _DUCK).replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (the median-based Levene): are order-value
+    SPREADS equal across the five priorities? — the robust
+    variance-homogeneity gate run before trusting any ANOVA, using
+    absolute deviations from the group MEDIAN (mean-based Levene
+    inflates under skew; order values are very skewed).
+
+    Determinism: the group median is the LOWER median — the element at
+    row_number (n+1) div 2 under an integer ORDER BY — so it is an
+    exact integer dollar value in both engines (percentile_cont
+    interpolation differs cross-engine; a positional pick cannot).
+    z = |v − med| is then an exact integer, the W statistic a rational
+    of exact BIGINT moments (dollar units: Σz² in cents would pass
+    2^63 near 1M rows).  Two shuffles on the fact frame (median rank,
+    then the z rollup); the stat frame is 5 rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bf_orders")
+    return spark.sql(
+        _render(_BF_SQL, _SPARK)
+        .replace("{orders}", "bf_orders")
+        .replace("{MAT}", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cliff's delta: document length, English vs German
+# --------------------------------------------------------------------------
+_CLIFF_SQL = """
+WITH xx AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cx
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+yy AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cy
+  FROM documents WHERE lang = 'de' GROUP BY 1
+),
+vals AS {MAT}(
+  SELECT coalesce(xx.v, yy.v) AS v,
+         coalesce(cx, 0) AS cx, coalesce(cy, 0) AS cy
+  FROM xx FULL OUTER JOIN yy ON yy.v = xx.v
+),
+cum AS (
+  SELECT v, cx, cy,
+         coalesce(sum(cy) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS y_below,
+         sum(cy) OVER () AS ny,
+         sum(cx) OVER () AS nx
+  FROM vals
+),
+agg AS {MAT}(
+  SELECT CAST(max(nx) AS BIGINT) AS n_en,
+         CAST(max(ny) AS BIGINT) AS n_de,
+         CAST(sum(cx * y_below) AS BIGINT) AS n_gt,
+         CAST(sum(cx * (ny - y_below - cy)) AS BIGINT) AS n_lt,
+         CAST(sum(cx * cy) AS BIGINT) AS n_eq
+  FROM cum
+)
+SELECT n_en, n_de, n_gt, n_lt, n_eq,
+       round((n_gt - n_lt) / (CAST(n_en AS DOUBLE) * n_de) - 1e-9, 4)
+         + 0.0 AS cliffs_delta
+FROM agg
+"""
+
+
+@query("cliffs_delta_doclen", _CLIFF_SQL.replace("{MAT}", "MATERIALIZED "))
+def cliffs_delta_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta for English vs German document lengths — the
+    ordinal effect size behind the rank tests: P(X > Y) − P(X < Y),
+    readable where a p-value is not (|δ| ≈ 0.15 small / 0.33 medium /
+    0.47 large).
+
+    Scale shape — the point: the naive form is an n×m pair count.
+    This computes it EXACTLY from the merged value histogram: group
+    both sides by value (one shuffle each), full-join the histograms,
+    and one cumulative window turns "pairs where x > y" into
+    Σ cx·(#y below) — cost is O(distinct values), never O(pairs).
+    All counts exact BIGINTs (products < 2^63 through corpus sizes
+    of ~10^9 per side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("cliff_documents")
+    return spark.sql(
+        _CLIFF_SQL.replace("documents", "cliff_documents").replace(
+            "{MAT}", ""
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Friedman test: weekday effect on daily revenue, blocked by week
+# --------------------------------------------------------------------------
+_FRIED_SQL = """
+WITH days AS (
+  SELECT CAST(o_orderdate AS DATE) AS dd,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM {orders} GROUP BY 1
+),
+keyed AS (
+  SELECT {DD:DATE '1992-01-06'|dd} {IDIV} 7 AS wk,
+         {DD:DATE '1992-01-06'|dd} % 7 AS wd,
+         cents
+  FROM days
+  WHERE {DD:DATE '1992-01-06'|dd} >= 0
+),
+full_weeks AS {MAT}(
+  SELECT wk FROM keyed GROUP BY wk HAVING count(*) = 7
+),
+ranked AS (
+  SELECT k.wk, k.wd,
+         rank() OVER (PARTITION BY k.wk ORDER BY k.cents)
+           + (count(*) OVER (PARTITION BY k.wk, k.cents) - 1)
+             / CAST(2 AS DOUBLE) AS ar
+  FROM keyed k JOIN full_weeks f ON f.wk = k.wk
+),
+rj AS {MAT}(
+  SELECT wd, sum(ar) AS r_j, CAST(count(*) AS BIGINT) AS b
+  FROM ranked GROUP BY wd
+),
+stat AS {MAT}(
+  SELECT CAST(max(b) AS BIGINT) AS n_weeks,
+         CAST(12 AS DOUBLE) / (max(b) * 7 * CAST(8 AS DOUBLE))
+           * sum(r_j * r_j)
+         - CAST(3 AS DOUBLE) * max(b) * 8 AS chi2_f
+  FROM rj
+)
+SELECT rj.wd AS weekday_idx, rj.b AS n_weeks,
+       round(rj.r_j - 1e-9, 4) + 0.0 AS rank_sum,
+       round(rj.r_j / rj.b - 1e-9, 4) + 0.0 AS mean_rank,
+       round(stat.chi2_f - 1e-9, 4) + 0.0 AS friedman_chi2,
+       CAST(6 AS BIGINT) AS df
+FROM rj CROSS JOIN stat
+ORDER BY weekday_idx
+"""
+
+
+@query(
+    "friedman_weekday_revenue",
+    _render(_FRIED_SQL, _DUCK).replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def friedman_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: does the day-of-week change daily revenue, with
+    each calendar week as its own block? — the repeated-measures rank
+    ANOVA that removes week-to-week level shifts (holiday seasons,
+    growth) a pooled Kruskal-Wallis would smear into noise.
+
+    Blocks are Monday-anchored epoch weeks from pure integer day
+    arithmetic (``days-since-1992-01-06 div/mod 7`` — no cross-engine
+    ISO-week semantics), incomplete weeks are dropped, and within-week
+    average ranks over exact cent sums are exact halves.  The fact
+    scan collapses to one row per day; everything after lives on the
+    calendar-bounded week frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "fried_orders"
+    )
+    return spark.sql(
+        _render(_FRIED_SQL, _SPARK)
+        .replace("{orders}", "fried_orders")
+        .replace("{MAT}", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bartlett's test across order priorities
+# --------------------------------------------------------------------------
+_BART_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice) AS BIGINT) AS v
+  FROM {orders}
+),
+g AS {MAT}(
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v * v) AS BIGINT) AS svv
+  FROM o GROUP BY grp
+),
+v AS (
+  SELECT grp, n_g,
+         (svv - CAST(sv AS DOUBLE) * sv / n_g) / (n_g - 1) AS s2
+  FROM g
+),
+tot AS {MAT}(
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         sum((n_g - 1) * s2) AS pooled_num,
+         sum((n_g - 1) * ln(s2)) AS sum_ln,
+         sum(CAST(1 AS DOUBLE) / (n_g - 1)) AS sum_inv
+  FROM v
+)
+SELECT v.grp AS o_orderpriority, v.n_g AS n,
+       round(v.s2 - 1e-9, 2) + 0.0 AS var_usd2,
+       round(((tot.n - tot.k) * ln(tot.pooled_num / (tot.n - tot.k))
+              - tot.sum_ln)
+             / (1 + (tot.sum_inv - CAST(1 AS DOUBLE) / (tot.n - tot.k))
+                    / (3 * (tot.k - 1))) - 1e-9, 4) + 0.0
+         AS bartlett_stat,
+       tot.k - 1 AS df
+FROM v CROSS JOIN tot
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "bartlett_priority",
+    _render(_BART_SQL, _DUCK).replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def bartlett_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equal variances across the five order
+    priorities — the parametric (normality-assuming) sharp-edged twin
+    of ``brown_forsythe_priority``: more powerful when the data IS
+    normal, famously fragile when it isn't, which is exactly why the
+    pair belongs together (disagreement between them is itself the
+    diagnostic).
+
+    One map-side-combined aggregate produces exact BIGINT dollar
+    moments per group (dollar units keep Σv² under 2^63 through sf10;
+    (Σv)² goes through DOUBLE); every variance is a rational of those
+    moments, and ln() runs on identical doubles in both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bart_orders"
+    )
+    return spark.sql(
+        _render(_BART_SQL, _SPARK)
+        .replace("{orders}", "bart_orders")
+        .replace("{MAT}", "")
+    )

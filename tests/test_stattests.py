@@ -1,0 +1,100 @@
+"""Laws + planted-signal checks for the stat-tests wave.
+
+Both engines run the SAME SQL text for these queries, so the oracle
+gate proves dialect portability, not correctness — these tests pin the
+math independently: exact rank-sum identities, completeness laws, and
+planted shifts the statistics MUST detect (the Page-Hinkley lesson:
+a telescoped-to-zero statistic passes a shared-SQL oracle forever)."""
+
+from __future__ import annotations
+
+from stream_processing_with_flink_study_spark.plans import QUERIES
+from stream_processing_with_flink_study_spark.plans.queries_stattests import (
+    _KW_SQL,
+    _SPARK,
+    _render,
+)
+
+from .conftest import SF_MEDIUM, SF_SMALL
+
+
+def test_kruskal_wallis_rank_identity_and_tie_correction(spark):
+    rows = QUERIES["kruskal_wallis_priority"](spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    n = sum(r["n"] for r in rows)
+    # average ranks are exact halves: Σ n_g·mean_rank_g == N(N+1)/2
+    total_rank = sum(r["n"] * r["mean_rank"] for r in rows)
+    assert abs(total_rank - n * (n + 1) / 2) < 1e-4 * n
+    h, hc = rows[0]["h"], rows[0]["h_tie_corrected"]
+    assert h >= 0
+    assert hc >= h - 1e-9  # correction factor ≤ 1 inflates H
+
+
+def test_kruskal_wallis_detects_planted_shift(spark):
+    # same SQL the registered query runs, over synthetic groups:
+    # identical distributions → H ≈ 0; one shifted group → H large
+    base = [(g, float(v)) for g in ("a", "b", "c") for v in range(200)]
+    shifted = [
+        (g, float(v) + (1000.0 if g == "a" else 0.0))
+        for g in ("a", "b", "c")
+        for v in range(200)
+    ]
+    out = {}
+    for tag, data in (("null", base), ("shift", shifted)):
+        df = spark.createDataFrame(
+            data, "o_orderpriority string, o_totalprice double"
+        )
+        df.createOrReplaceTempView("kw_orders")
+        out[tag] = spark.sql(
+            _render(_KW_SQL, _SPARK)
+            .replace("{orders}", "kw_orders")
+            .replace("{MAT}", "")
+        ).collect()[0]["h_tie_corrected"]
+    assert out["null"] < 1.0  # identical groups: no signal
+    assert out["shift"] > 100.0  # one group dominates the top ranks
+
+
+def test_friedman_rank_sum_identity(spark):
+    # sf0.001 has no complete order-weeks (~0.6 orders/day); sf0.01 does
+    rows = QUERIES["friedman_weekday_revenue"](spark, SF_MEDIUM).collect()
+    assert len(rows) == 7
+    b = rows[0]["n_weeks"]
+    assert b > 0
+    # within each complete week ranks sum to 28 → Σ rank_sums = 28b
+    assert abs(sum(r["rank_sum"] for r in rows) - 28 * b) < 1e-3
+    assert rows[0]["friedman_chi2"] >= -1e-9
+
+
+def test_cliffs_delta_pair_completeness(spark):
+    r = QUERIES["cliffs_delta_doclen"](spark, SF_SMALL).collect()[0]
+    # every (en, de) pair is counted exactly once
+    assert r["n_gt"] + r["n_lt"] + r["n_eq"] == r["n_en"] * r["n_de"]
+    assert -1.0 <= r["cliffs_delta"] <= 1.0
+
+
+def test_mcnemar_continuity_correction_bounds(spark):
+    for r in QUERIES["mcnemar_doc_heuristics"](spark, SF_SMALL).collect():
+        if r["mcnemar_chi2"] is not None:
+            assert r["mcnemar_chi2"] >= 0
+            assert r["mcnemar_cc"] <= r["mcnemar_chi2"] + 1e-9
+
+
+def test_cmh_and_bartlett_laws(spark):
+    cmh = QUERIES["cmh_lang_length"](spark, SF_SMALL).collect()[0]
+    assert cmh["k_strata"] == 20
+    assert cmh["cmh_chi2"] >= 0
+    assert cmh["mh_common_odds_ratio"] > 0
+    rows = QUERIES["bartlett_priority"](spark, SF_SMALL).collect()
+    # Jensen: the Bartlett statistic is non-negative by log-concavity
+    assert rows[0]["bartlett_stat"] >= -1e-9
+    assert all(r["var_usd2"] > 0 for r in rows)
+
+
+def test_brown_forsythe_outputs(spark):
+    rows = QUERIES["brown_forsythe_priority"](spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    assert rows[0]["brown_forsythe_w"] >= 0
+    assert all(r["mean_abs_dev_usd"] >= 0 for r in rows)
+    assert all(r["median_usd"] > 0 for r in rows)
+    assert rows[0]["df1"] == 4
+    assert rows[0]["df2"] == sum(r["n"] for r in rows) - 5
