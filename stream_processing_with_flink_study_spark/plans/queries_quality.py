@@ -1359,3 +1359,266 @@ SELECT node,
 FROM mondrian_final
 GROUP BY node ORDER BY node
 """)
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit: sensitive-attribute diversity inside QI classes
+# --------------------------------------------------------------------------
+@query(
+    "l_diversity_audit",
+    """
+    WITH cls AS MATERIALIZED (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    per AS MATERIALIZED (
+      SELECT c_nationkey, bal_band,
+             CAST(sum(n) AS BIGINT) AS class_n,
+             CAST(count(*) AS BIGINT) AS distinct_l,
+             ln(CAST(sum(n) AS DOUBLE))
+               - sum(n * ln(CAST(n AS DOUBLE))) / sum(n) AS h
+      FROM cls GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(distinct_l) AS BIGINT) AS l_min,
+           round(min(exp(h)) - 1e-9, 4) + 0.0 AS entropy_l_min,
+           CAST(sum(CASE WHEN distinct_l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_3,
+           round(sum(CASE WHEN distinct_l < 3 THEN class_n ELSE 0 END)
+                 * 1.0 / sum(class_n) - 1e-9, 4) + 0.0 AS rows_at_risk_share
+    FROM per
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a QI class
+    of size 50 is useless if all 50 share one sensitive value
+    (homogeneity attack).  Over QI = (nation, $1000 balance band) with
+    the market segment as the sensitive attribute, reports distinct-l
+    (min distinct sensitive values per class) and entropy-l
+    (min exp(H) — Machanavajjhala et al.'s stricter form that a
+    99:1 skewed class fails even with 2 distinct values), companion to
+    ``k_anonymity_audit`` / ``mondrian_k_anonymity``.
+
+    Scale shape: one (QI, sensitive) groupBy, then a class-sized
+    rollup — the entropy needs no window because
+    H = ln(Σn) − Σ n·ln n / Σn is one aggregate over exact integer
+    counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = F.col("n")
+    per = cls.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").cast("long").alias("class_n"),
+        F.count(F.lit(1)).cast("long").alias("distinct_l"),
+        (
+            F.log(F.sum("n").cast("double"))
+            - F.sum(n * F.log(n.cast("double"))) / F.sum("n")
+        ).alias("h"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("distinct_l").cast("long").alias("l_min"),
+        (F.round(F.min(F.exp("h")) - 1e-9, 4) + 0.0).alias(
+            "entropy_l_min"
+        ),
+        F.sum(F.when(F.col("distinct_l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_3"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("distinct_l") < 3, F.col("class_n")
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.sum("class_n")
+                - 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("rows_at_risk_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit: EMD between class and global sensitive distributions
+# --------------------------------------------------------------------------
+@query(
+    "t_closeness_audit",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS dec
+      FROM customer
+    ),
+    cell AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, dec,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY 1, 2, 3
+    ),
+    cls AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS cn
+      FROM cell GROUP BY 1, 2
+    ),
+    gdist AS MATERIALIZED (
+      SELECT dec, CAST(sum(n) AS BIGINT) AS gn FROM cell GROUP BY dec
+    ),
+    tot AS (SELECT CAST(sum(gn) AS BIGINT) AS t FROM gdist),
+    gcum AS MATERIALIZED (
+      -- global CDF on the 10-row decile frame, BEFORE the grid fanout
+      SELECT dec, sum(gn) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+               * 1.0 AS cgn
+      FROM gdist
+    ),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.cn, gcum.dec,
+             gcum.cgn, coalesce(cell.n, 0) AS n
+      FROM cls CROSS JOIN gcum
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                    AND cell.c_mktsegment = cls.c_mktsegment
+                    AND cell.dec = gcum.dec
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, cn, dec, cgn,
+             sum(n * 1.0 / cn) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY dec
+               ROWS UNBOUNDED PRECEDING) AS cp,
+             dec < 9 AS inner_edge
+      FROM grid
+    ),
+    emd AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, cn,
+             round(sum(CASE WHEN inner_edge
+                            THEN abs(cp - cgn / tot.t) ELSE 0 END)
+                   / 9 - 1e-9, 6) + 0.0 AS emd
+      FROM cum CROSS JOIN tot
+      GROUP BY 1, 2, cn, tot.t
+    ),
+    worst AS (
+      SELECT * FROM (
+        SELECT c_nationkey, c_mktsegment, cn, emd,
+               row_number() OVER (ORDER BY emd DESC, c_nationkey,
+                                  c_mktsegment) AS rn
+        FROM emd
+      ) WHERE rn = 1
+    )
+    SELECT CAST((SELECT count(*) FROM emd) AS BIGINT) AS n_classes,
+           worst.emd AS t_closeness,
+           worst.c_nationkey AS worst_nationkey,
+           worst.c_mktsegment AS worst_segment,
+           worst.cn AS worst_class_n,
+           round((SELECT avg(emd) FROM emd) - 1e-9, 6) + 0.0 AS mean_emd
+    FROM worst
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the attack l-diversity misses: a class can
+    be diverse yet still leak if its sensitive DISTRIBUTION differs
+    from the table's (skewness attack: "everyone in this class is in
+    the top balance decile").  Sensitive attribute = account-balance
+    decile (ordered); per QI class (nation, segment) the distance to
+    the global distribution is the 1-D Earth Mover's Distance on the
+    ordered deciles — Σ|CDF_class − CDF_global| over the 9 inner
+    edges / 9, the ordered-attribute EMD of Li et al.  t = max over
+    classes.
+
+    Scale shape: the deciles are one global sort (reused rank
+    machinery); after the (QI, decile) rollup everything lives on a
+    classes×10 grid built by CROSS JOIN so empty cells exist (the
+    Wasserstein grid lesson).  CDFs are ORDERED window sums (engine-
+    identical); the per-class EMD is rounded to 6 BEFORE the max-rank
+    so the worst-class pick cannot flip on a last-ulp difference."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.ntile(10).over(w) - 1).alias("dec"),
+    )
+    cell = s.groupBy("c_nationkey", "c_mktsegment", "dec").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    cls = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("cn")
+    )
+    glob = cell.groupBy("dec").agg(F.sum("n").cast("long").alias("gn"))
+    tot = glob.agg(F.sum("gn").cast("long").alias("t"))
+    wg = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    # global CDF on the 10-row decile frame, BEFORE the grid fanout
+    gcum = glob.select("dec", (F.sum("gn").over(wg) * 1.0).alias("cgn"))
+    grid = (
+        cls.crossJoin(F.broadcast(gcum))
+        .join(cell, ["c_nationkey", "c_mktsegment", "dec"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "cn",
+            "dec",
+            "cgn",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "cn",
+        "dec",
+        "cgn",
+        F.sum(F.col("n") * 1.0 / F.col("cn")).over(wc).alias("cp"),
+        (F.col("dec") < 9).alias("inner_edge"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "cn", "t")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("inner_edge"),
+                            F.abs(F.col("cp") - F.col("cgn") / F.col("t")),
+                        ).otherwise(0.0)
+                    )
+                    / 9
+                    - 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("emd")
+        )
+        .persist()
+    )
+    worst = (
+        emd.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("emd").desc(), "c_nationkey", "c_mktsegment"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    stats = emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        (F.round(F.avg("emd") - 1e-9, 6) + 0.0).alias("mean_emd"),
+    )
+    return worst.crossJoin(F.broadcast(stats)).select(
+        "n_classes",
+        F.col("emd").alias("t_closeness"),
+        F.col("c_nationkey").alias("worst_nationkey"),
+        F.col("c_mktsegment").alias("worst_segment"),
+        F.col("cn").alias("worst_class_n"),
+        "mean_emd",
+    )

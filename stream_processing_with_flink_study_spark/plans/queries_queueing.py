@@ -706,3 +706,153 @@ def streaming_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# historical VaR / CVaR of daily revenue changes
+# --------------------------------------------------------------------------
+_VAR_SQL = """
+WITH days AS (
+  SELECT dd, cents,
+         cents - lag(cents) OVER (ORDER BY dd) AS d
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS dd,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM {orders} GROUP BY 1
+  )
+),
+diffs AS (
+  SELECT dd, d FROM days WHERE d IS NOT NULL
+),
+ranked AS {MAT}(
+  SELECT d,
+         row_number() OVER (ORDER BY d, dd) AS rn,
+         row_number() OVER (ORDER BY d DESC, dd DESC) AS rn_hi,
+         count(*) OVER () AS n
+  FROM diffs
+),
+k AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             (CAST(max(n) AS BIGINT) + 19) {IDIV} 20 AS k
+      FROM ranked)
+SELECT k.n AS n_days,
+       round(-(SELECT d FROM ranked, k WHERE rn = k.k) / 100.0
+             - 1e-9, 2) + 0.0 AS var95_usd,
+       round(-(SELECT sum(d) FROM ranked, k WHERE rn <= k.k)
+             / (k.k * 100.0) - 1e-9, 2) + 0.0 AS cvar95_usd,
+       round((SELECT d FROM ranked, k WHERE rn_hi = k.k) / 100.0
+             - 1e-9, 2) + 0.0 AS var95_gain_usd
+FROM k
+"""
+
+
+@query(
+    "var_cvar_daily_revenue",
+    _VAR_SQL.replace("{orders}", "orders").replace("{IDIV}", "//").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def var_cvar_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and CVaR (expected shortfall) of
+    the day-over-day revenue CHANGE — "on a bad day (1-in-20), how
+    much does revenue drop, and how bad is the average such day?"
+    CVaR is the coherent-risk upgrade of VaR (subadditive; it sees
+    how heavy the tail is, not just where it starts).
+
+    Determinism: the 5% cut is the POSITIONAL order statistic at
+    k = ⌈n/20⌉ computed by integer arithmetic ((n+19) div 20) and a
+    (diff, day) tie-broken row_number — no percentile interpolation
+    semantics to disagree on — and CVaR is the exact integer mean of
+    the cent diffs at rank ≤ k.  One fact rollup to days, one lag,
+    one sort of the day frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "var_orders"
+    )
+    return spark.sql(
+        _VAR_SQL.replace("{orders}", "var_orders")
+        .replace("{IDIV}", "DIV")
+        .replace("{MAT}", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# newsvendor: critical-fractile stocking for the sparse-part demand
+# --------------------------------------------------------------------------
+NV_CU = 9  # unit underage cost (lost margin)
+NV_CO = 1  # unit overage cost (holding/scrap)
+
+_NV_SQL = f"""
+WITH demand AS (
+  SELECT dd, CAST(sum(qty) AS BIGINT) AS y
+  FROM (
+    SELECT CAST(l_shipdate AS DATE) AS dd,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+    FROM {{lineitem}} WHERE l_partkey % {CROSTON_PART_MOD} = 0
+  ) GROUP BY dd
+),
+ranked AS {{MAT}}(
+  SELECT y, row_number() OVER (ORDER BY y, dd) AS rn,
+         count(*) OVER () AS n, sum(y) OVER () AS s
+  FROM demand
+),
+q AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(max(s) AS BIGINT) AS s,
+         (SELECT y FROM ranked
+          WHERE rn = ({NV_CU} * (SELECT max(n) FROM ranked)
+                      + {NV_CU + NV_CO} - 1) {{IDIV}} {NV_CU + NV_CO})
+           AS q_star
+  FROM ranked
+),
+costs AS {{MAT}}(
+  SELECT q.n, q.s, q.q_star, q.s {{IDIV}} q.n AS q_mean,
+         CAST(sum(greatest(r.y - q.q_star, 0)) AS BIGINT) AS under_star,
+         CAST(sum(greatest(q.q_star - r.y, 0)) AS BIGINT) AS over_star,
+         CAST(sum(greatest(r.y - q.s {{IDIV}} q.n, 0)) AS BIGINT)
+           AS under_mean,
+         CAST(sum(greatest(q.s {{IDIV}} q.n - r.y, 0)) AS BIGINT)
+           AS over_mean
+  FROM ranked r CROSS JOIN q
+  GROUP BY q.n, q.s, q.q_star
+)
+SELECT n AS n_days, q_star, q_mean,
+       round(({NV_CU}.0 * under_star + {NV_CO}.0 * over_star) / n
+             - 1e-9, 4) + 0.0 AS exp_cost_star,
+       round(({NV_CU}.0 * under_mean + {NV_CO}.0 * over_mean) / n
+             - 1e-9, 4) + 0.0 AS exp_cost_mean_stock,
+       round(CAST(1 AS DOUBLE)
+             - ({NV_CU}.0 * under_star + {NV_CO}.0 * over_star)
+               / ({NV_CU}.0 * under_mean + {NV_CO}.0 * over_mean)
+             - 1e-9, 4) + 0.0 AS savings_share
+FROM costs
+"""
+
+
+@query(
+    "newsvendor_stock_level",
+    _NV_SQL.replace("{lineitem}", "lineitem").replace("{IDIV}", "//").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stocking for the intermittent-part
+    daily demand (the SAME sparse slice ``croston_intermittent``
+    forecasts): with underage cost {NV_CU} and overage cost {NV_CO},
+    the optimal stock is the cu/(cu+co) = 0.9 empirical demand
+    quantile — and the query also prices the naive stock-the-mean
+    policy to show the asymmetric-cost gap (``savings_share``), which
+    is the entire reason the newsvendor model exists.
+
+    Determinism: the quantile is the positional order statistic at
+    ⌈0.9·n⌉ via pure integer arithmetic; both policies' expected
+    costs are exact integer sums of one-sided deviations.  Tests pin
+    the optimality law: the fractile stock's cost is minimal on the
+    empirical distribution, so ≤ the mean-stock cost."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "nv_lineitem"
+    )
+    return spark.sql(
+        _NV_SQL.replace("{lineitem}", "nv_lineitem")
+        .replace("{IDIV}", "DIV")
+        .replace("{MAT}", "")
+    )

@@ -1943,3 +1943,87 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS z_score
     FROM runs
     """)
+
+
+# --------------------------------------------------------------------------
+# DFT periodogram at fixed calendar harmonics
+# --------------------------------------------------------------------------
+_DFT_SQL = """
+WITH days AS (
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM {orders} GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS tn, CAST(sum(v) AS BIGINT) AS s
+  FROM days
+),
+terms AS (
+  -- c4/s4: cos/sin quantized to 1e-4 BEFORE the big sum, so the
+  -- spectral sums are EXACT BIGINTs (order-free) in both engines;
+  -- y = Tn*v - S is the T-scaled demeaned series, also exact
+  SELECT p.p,
+         (tot.tn * d.v - tot.s)
+           * CAST(floor(cos(2 * pi() * (d.t % p.p) / p.p) * 10000 + 0.5)
+                  AS BIGINT) AS yc,
+         (tot.tn * d.v - tot.s)
+           * CAST(floor(sin(2 * pi() * (d.t % p.p) / p.p) * 10000 + 0.5)
+                  AS BIGINT) AS ys
+  FROM days d
+  CROSS JOIN (VALUES (7), (30), (91), (365)) AS p(p)
+  CROSS JOIN tot
+),
+spec AS {MAT}(
+  SELECT p,
+         CAST(sum(yc) AS BIGINT) AS sa,
+         CAST(sum(ys) AS BIGINT) AS sb
+  FROM terms GROUP BY p
+),
+pw AS {MAT}(
+  SELECT p,
+         (CAST(sa AS DOUBLE) / (10000.0 * tot.tn * tot.tn))
+           * (CAST(sa AS DOUBLE) / (10000.0 * tot.tn * tot.tn))
+         + (CAST(sb AS DOUBLE) / (10000.0 * tot.tn * tot.tn))
+           * (CAST(sb AS DOUBLE) / (10000.0 * tot.tn * tot.tn)) AS pwr,
+         tot.tn AS tn
+  FROM spec CROSS JOIN tot
+)
+SELECT CAST(p AS BIGINT) AS period_days,
+       round(2 * sqrt(pwr) - 1e-9, 2) + 0.0 AS amplitude_usd,
+       round(pwr / sum(pwr) OVER () - 1e-9, 4) + 0.0 AS power_share
+FROM pw ORDER BY period_days
+"""
+
+
+@query(
+    "dft_periodogram_daily",
+    _DFT_SQL.replace("{orders}", "orders")
+    .replace("{DD}", "date_diff('day', DATE '1992-01-01', "
+             "CAST(o_orderdate AS DATE))")
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def dft_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT periodogram of daily revenue at the four
+    calendar harmonics an analyst actually asks about (weekly /
+    monthly / quarterly / yearly): a_p = Σ x_t·cos(2πt/p),
+    b_p = Σ x_t·sin(2πt/p) over the demeaned series, amplitude
+    2·√(a²+b²)/T in dollars and each period's share of the tested
+    power — the spectral twin of ``acf_daily_revenue`` (ACF asks "is
+    lag-k correlated", the periodogram asks "how LOUD is period p").
+
+    Cross-engine exactness (the trick): cos/sin values are quantized
+    to 1e-4 integers BEFORE the corpus-sized sum, and the series is
+    demeaned in T-scaled integers (y = T·v − S), so both spectral
+    sums are exact BIGINTs — no summation-order exposure at any
+    scale.  Headroom: |y·c4| < T·v·10⁴ ≈ 5×10¹⁷ per term-sum at
+    sf0.1; switch v to k$ units past sf1.  Scale shape: one fact
+    rollup to days, a 4× literal fanout, one exact aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "dft_orders"
+    )
+    return spark.sql(
+        _DFT_SQL.replace("{orders}", "dft_orders")
+        .replace("{DD}", "datediff(CAST(o_orderdate AS DATE), "
+                 "DATE '1992-01-01')")
+        .replace("{MAT}", "")
+    )

@@ -98,3 +98,37 @@ def test_brown_forsythe_outputs(spark):
     assert all(r["median_usd"] > 0 for r in rows)
     assert rows[0]["df1"] == 4
     assert rows[0]["df2"] == sum(r["n"] for r in rows) - 5
+
+
+def test_newsvendor_fractile_beats_mean_stock(spark):
+    # the empirical critical fractile MINIMIZES empirical newsvendor
+    # cost, so it cannot lose to stocking the mean — an optimality law
+    # the shared-SQL oracle could never certify
+    r = QUERIES["newsvendor_stock_level"](spark, SF_SMALL).collect()[0]
+    assert r["exp_cost_star"] <= r["exp_cost_mean_stock"] + 1e-9
+    assert 0 <= r["savings_share"] <= 1
+    assert r["q_star"] >= r["q_mean"]  # cu >> co pushes the stock UP
+
+
+def test_var_cvar_tail_ordering(spark):
+    r = QUERIES["var_cvar_daily_revenue"](spark, SF_SMALL).collect()[0]
+    # the mean of the worst 5% is at least as bad as its best member
+    assert r["cvar95_usd"] >= r["var95_usd"] - 1e-9
+    assert r["n_days"] > 100
+
+
+def test_dft_power_shares_partition(spark):
+    rows = QUERIES["dft_periodogram_daily"](spark, SF_SMALL).collect()
+    assert [r["period_days"] for r in rows] == [7, 30, 91, 365]
+    assert abs(sum(r["power_share"] for r in rows) - 1.0) < 1e-3
+    assert all(r["amplitude_usd"] >= 0 for r in rows)
+
+
+def test_privacy_audit_consistency(spark):
+    ld = QUERIES["l_diversity_audit"](spark, SF_SMALL).collect()[0]
+    # entropy-l never exceeds distinct-l (Jensen), both >= 1
+    assert 1 <= ld["entropy_l_min"] <= ld["l_min"] + 1e-9 or ld[
+        "l_min"
+    ] >= ld["entropy_l_min"] - 1e-9
+    tc = QUERIES["t_closeness_audit"](spark, SF_SMALL).collect()[0]
+    assert 0 <= tc["mean_emd"] <= tc["t_closeness"] <= 1
