@@ -592,3 +592,271 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab.unpersist()
     best.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier, trained and evaluated in SQL
+# --------------------------------------------------------------------------
+NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out fifth
+
+
+@query(
+    "naive_bayes_lang_eval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, doc_id % {NB_TEST_MOD} = 0 AS is_test, t
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
+    ),
+    tc AS MATERIALIZED (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE NOT is_test GROUP BY lang, t
+    ),
+    lt AS MATERIALIZED (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM tc GROUP BY lang
+    ),
+    voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tc),
+    pd AS (
+      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM tok WHERE NOT is_test GROUP BY lang
+    ),
+    langs AS MATERIALIZED (
+      -- per-lang constants, all in exact integer micro-nats
+      SELECT lt.lang, lt.tot, voc.v,
+             CAST(floor(ln(CAST(1 AS DOUBLE) / (lt.tot + voc.v)) * 1000000
+                        + 0.5) AS BIGINT) AS lp0,
+             CAST(floor(ln(pd.nd * CAST(1 AS DOUBLE)
+                           / (SELECT sum(nd) FROM pd)) * 1000000 + 0.5)
+                  AS BIGINT) AS prior6
+      FROM lt JOIN pd ON pd.lang = lt.lang CROSS JOIN voc
+    ),
+    probs AS MATERIALIZED (
+      SELECT tc.lang, tc.t,
+             CAST(floor(ln((tc.c + CAST(1 AS DOUBLE)) / (lg.tot + lg.v))
+                        * 1000000 + 0.5) AS BIGINT) AS lp6
+      FROM tc JOIN langs lg ON lg.lang = tc.lang
+    ),
+    dt AS MATERIALIZED (
+      SELECT doc_id, lang AS true_lang, t, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok WHERE is_test GROUP BY doc_id, lang, t
+    ),
+    scored AS MATERIALIZED (
+      SELECT dt.doc_id, dt.true_lang, lg.lang AS c_lang,
+             CAST(sum(dt.cnt * coalesce(p.lp6, lg.lp0)) AS BIGINT)
+               + max(lg.prior6) AS s
+      FROM dt CROSS JOIN langs lg
+      LEFT JOIN probs p ON p.lang = lg.lang AND p.t = dt.t
+      GROUP BY dt.doc_id, dt.true_lang, lg.lang
+    ),
+    pred AS MATERIALIZED (
+      SELECT doc_id, true_lang, c_lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY s DESC, c_lang) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    acc AS (
+      SELECT round(sum(CASE WHEN true_lang = pred_lang THEN 1.0
+                            ELSE 0 END) / count(*) - 1e-9, 4) + 0.0 AS a
+      FROM pred
+    ),
+    per AS (
+      SELECT l.lang,
+             (SELECT CAST(count(*) AS BIGINT) FROM pred
+              WHERE true_lang = l.lang) AS n_true,
+             (SELECT CAST(count(*) AS BIGINT) FROM pred
+              WHERE pred_lang = l.lang) AS n_pred,
+             (SELECT CAST(count(*) AS BIGINT) FROM pred
+              WHERE true_lang = l.lang AND pred_lang = l.lang) AS tp
+      FROM (SELECT DISTINCT lang FROM langs) l
+    )
+    SELECT lang, n_true, n_pred, tp,
+           round(tp / nullif(CAST(n_pred AS DOUBLE), 0) - 1e-9, 4) + 0.0
+             AS precision,
+           round(tp / nullif(CAST(n_true AS DOUBLE), 0) - 1e-9, 4) + 0.0
+             AS recall,
+           round(2.0 * tp / nullif(n_pred + CAST(n_true AS DOUBLE), 0)
+                 - 1e-9, 4) + 0.0 AS f1,
+           acc.a AS accuracy
+    FROM per CROSS JOIN acc
+    ORDER BY lang
+    """,
+)
+def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — TRAINED AND
+    EVALUATED entirely in the engine: Laplace-smoothed token
+    likelihoods and class priors fit on 4/5 of the corpus (doc_id mod
+    {NB_TEST_MOD} split), argmax posterior on the held-out fifth,
+    per-language precision/recall/F1 plus overall accuracy.  The
+    generative-model companion to the discriminative heuristics
+    (``char_ngram_lang_id``, ``stopword_lang_id``) — and the shape of
+    every fastText-style quality/domain classifier a training-data
+    pipeline runs at corpus scale.
+
+    Cross-engine exactness (the unigram-LM micro-nat pattern): every
+    log-probability is quantized to an exact integer micro-nat BEFORE
+    the per-document sum, so document scores are exact BIGINTs —
+    argmax can never flip on summation order — and ties break on
+    language code.
+
+    Scale shape: training is two token-keyed aggregates (the model is
+    |vocab|×|langs| rows — broadcastable here, a token-keyed shuffle
+    join at 100 TB); scoring joins test doc-token counts against the
+    model and reduces per (doc, lang).  No Python anywhere.
+
+    The driver corpus shares one token pool across languages, so
+    measured accuracy (~0.42) reflects data separability, not the
+    model; tests/test_stattests.py runs the SAME pipeline
+    (:func:`nb_lang_eval_frame`) on a planted separable corpus and
+    requires accuracy 1.0."""
+    return nb_lang_eval_frame(load_table(spark, sf_dir, "documents"))
+
+
+def nb_lang_eval_frame(docs: DataFrame) -> DataFrame:
+    """The Naive Bayes train+eval pipeline over any (doc_id, lang,
+    text) frame — factored out so tests can run it on planted
+    corpora; see :func:`naive_bayes_lang_eval`."""
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % NB_TEST_MOD == 0).alias("is_test"),
+        F.explode(text.tokens("text")).alias("t"),
+    ).persist()
+    tc = (
+        tok.filter(~F.col("is_test"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    lt = tc.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    voc = tc.agg(F.countDistinct("t").cast("long").alias("v"))
+    pd_ = (
+        tok.filter(~F.col("is_test"))
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    )
+    ntd = pd_.agg(F.sum("nd").cast("long").alias("ntd"))
+    micronat = lambda x: F.floor(F.log(x) * 1000000 + 0.5).cast(  # noqa: E731
+        "long"
+    )
+    langs = (
+        lt.join(pd_, "lang")
+        .crossJoin(F.broadcast(voc))
+        .crossJoin(F.broadcast(ntd))
+        .select(
+            "lang",
+            "tot",
+            "v",
+            micronat(
+                F.lit(1.0) / (F.col("tot") + F.col("v"))
+            ).alias("lp0"),
+            micronat(
+                F.col("nd") * F.lit(1.0) / F.col("ntd")
+            ).alias("prior6"),
+        )
+        .persist()
+    )
+    probs = tc.join(langs.select("lang", "tot", "v"), "lang").select(
+        "lang",
+        "t",
+        micronat(
+            (F.col("c") + F.lit(1.0)) / (F.col("tot") + F.col("v"))
+        ).alias("lp6"),
+    )
+    dt = (
+        tok.filter(F.col("is_test"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lg = langs.select("lang", "lp0", "prior6").withColumnRenamed(
+        "lang", "c_lang"
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(lg))
+        .join(
+            F.broadcast(probs.withColumnRenamed("lang", "c_lang")),
+            ["c_lang", "t"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "c_lang")
+        .agg(
+            (
+                F.sum(
+                    F.col("cnt") * F.coalesce(F.col("lp6"), F.col("lp0"))
+                ).cast("long")
+                + F.max("prior6")
+            ).alias("s")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wv = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.asc("c_lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("c_lang").alias("pred_lang"))
+        .persist()
+    )
+    acc = pred.agg(
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("true_lang") == F.col("pred_lang"), 1.0
+                    ).otherwise(0.0)
+                )
+                / F.count(F.lit(1))
+                - 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("accuracy")
+    )
+    t_cnt = pred.groupBy(
+        F.col("true_lang").alias("lang_t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    p_cnt = pred.groupBy(
+        F.col("pred_lang").alias("lang_p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    tp_cnt = (
+        pred.filter(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang_tp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    base = langs.select(F.col("lang")).distinct()
+    per = (
+        base.join(t_cnt, base.lang == t_cnt.lang_t, "left")
+        .join(p_cnt, base.lang == p_cnt.lang_p, "left")
+        .join(tp_cnt, base.lang == tp_cnt.lang_tp, "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    pr = F.col("tp") / F.nullif(F.col("n_pred").cast("double"), F.lit(0))
+    rc = F.col("tp") / F.nullif(F.col("n_true").cast("double"), F.lit(0))
+    f1 = (
+        2.0
+        * F.col("tp")
+        / F.nullif(
+            (F.col("n_pred") + F.col("n_true")).cast("double"), F.lit(0)
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(acc))
+        .select(
+            "lang",
+            "n_true",
+            "n_pred",
+            "tp",
+            (F.round(pr - 1e-9, 4) + 0.0).alias("precision"),
+            (F.round(rc - 1e-9, 4) + 0.0).alias("recall"),
+            (F.round(f1 - 1e-9, 4) + 0.0).alias("f1"),
+            "accuracy",
+        )
+        .orderBy("lang")
+    )

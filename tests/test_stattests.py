@@ -132,3 +132,29 @@ def test_privacy_audit_consistency(spark):
     ] >= ld["entropy_l_min"] - 1e-9
     tc = QUERIES["t_closeness_audit"](spark, SF_SMALL).collect()[0]
     assert 0 <= tc["mean_emd"] <= tc["t_closeness"] <= 1
+
+
+def test_naive_bayes_confusion_laws_and_planted_separability(spark):
+    rows = QUERIES["naive_bayes_lang_eval"](spark, SF_SMALL).collect()
+    n_test = sum(r["n_true"] for r in rows)
+    assert sum(r["n_pred"] for r in rows) == n_test  # every doc predicted once
+    assert all(r["tp"] <= min(r["n_true"], r["n_pred"]) for r in rows)
+    total_tp = sum(r["tp"] for r in rows)
+    assert abs(rows[0]["accuracy"] - total_tp / n_test) < 1e-3
+
+    # planted separable corpus: disjoint vocabularies MUST classify
+    # perfectly — catches any scoring/argmax bug the shared-pool
+    # driver corpus (acc ~0.42 by data ceiling) would hide
+    from stream_processing_with_flink_study_spark.plans.queries_lm import (
+        nb_lang_eval_frame,
+    )
+
+    data = []
+    for i in range(120):
+        lang = ("aa", "bb", "cc")[i % 3]
+        word = {"aa": "apfel", "bb": "baum", "cc": "chat"}[lang]
+        data.append((i, lang, (word + " ") * 5 + "shared filler"))
+    docs = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in nb_lang_eval_frame(docs).collect()}
+    assert out["aa"]["accuracy"] == 1.0
+    assert all(r["f1"] == 1.0 for r in out.values())
