@@ -2027,3 +2027,247 @@ def dft_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "DATE '1992-01-01')")
         .replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Chow-style sup-F structural break scan over the daily revenue trend
+# --------------------------------------------------------------------------
+_CHOW_SQL = """
+WITH days AS (
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM {orders} GROUP BY 1
+),
+pre AS (
+  -- exact BIGINT prefix moments in day order: the whole scan reduces
+  -- to O(1) arithmetic per candidate break
+  SELECT t, y,
+         row_number() OVER (ORDER BY t) AS rn,
+         sum(y)     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cy,
+         sum(t)     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ct,
+         sum(t * t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ctt,
+         sum(t * y) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cty,
+         sum(y * y) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cyy
+  FROM days
+),
+tot AS (
+  SELECT CAST(max(rn) AS BIGINT) AS n,
+         CAST(max(cy) AS BIGINT) AS sy, CAST(max(ct) AS BIGINT) AS st,
+         CAST(max(ctt) AS BIGINT) AS stt,
+         CAST(max(cty) AS BIGINT) AS sty,
+         CAST(max(cyy) AS BIGINT) AS syy
+  FROM pre
+),
+cand AS MATERIALIZED (
+  SELECT p.t AS c, p.rn,
+         -- left-segment SSE from prefix moments
+         p.cyy - (CAST(p.cy AS DOUBLE) * p.cy * p.ctt
+                  - 2.0 * p.cy * p.ct * p.cty
+                  + CAST(p.rn AS DOUBLE) * p.cty * p.cty)
+                 / (CAST(p.rn AS DOUBLE) * p.ctt
+                    - CAST(p.ct AS DOUBLE) * p.ct) AS sse_l,
+         (tot.syy - p.cyy)
+           - (CAST(tot.sy - p.cy AS DOUBLE) * (tot.sy - p.cy)
+                * (tot.stt - p.ctt)
+              - 2.0 * (tot.sy - p.cy) * (tot.st - p.ct)
+                * (tot.sty - p.cty)
+              + CAST(tot.n - p.rn AS DOUBLE) * (tot.sty - p.cty)
+                * (tot.sty - p.cty))
+             / (CAST(tot.n - p.rn AS DOUBLE) * (tot.stt - p.ctt)
+                - CAST(tot.st - p.ct AS DOUBLE) * (tot.st - p.ct))
+           AS sse_r,
+         tot.syy - (CAST(tot.sy AS DOUBLE) * tot.sy * tot.stt
+                    - 2.0 * tot.sy * tot.st * tot.sty
+                    + CAST(tot.n AS DOUBLE) * tot.sty * tot.sty)
+                   / (CAST(tot.n AS DOUBLE) * tot.stt
+                      - CAST(tot.st AS DOUBLE) * tot.st) AS sse_p,
+         tot.n
+  FROM pre p CROSS JOIN tot
+  WHERE p.rn >= 60 AND p.rn <= tot.n - 60 AND p.t % 13 = 0
+),
+f AS MATERIALIZED (
+  SELECT c, n,
+         round((sse_p - sse_l - sse_r) / 2
+               / ((sse_l + sse_r) / (n - 4)) - 1e-9, 6) + 0.0 AS f_stat
+  FROM cand
+)
+SELECT CAST((SELECT count(*) FROM f) AS BIGINT) AS n_candidates,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(c AS BIGINT) AS break_day_idx,
+       f_stat AS sup_f
+FROM (
+  SELECT *, row_number() OVER (ORDER BY f_stat DESC, c) AS rk FROM f
+) WHERE rk = 1
+"""
+
+
+@query(
+    "chow_supf_break_scan",
+    _CHOW_SQL.replace("{orders}", "orders").replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    ),
+)
+def chow_supf_break_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-break scan (Quandt/Andrews sup-F built from Chow
+    tests): fit revenue-vs-time OLS pooled and split at every
+    candidate break, F-score the SSE reduction, and report the
+    maximizing break — the econometric "did the data-generating
+    process CHANGE, and when?" companion to the sequential detectors
+    (``pelt_changepoint``-style cost scans, Page-Hinkley): those ask
+    "drift from a reference", this asks "best single regime split".
+
+    Scale shape — the point: ONE ordered prefix-moment pass makes
+    every candidate's two-segment SSE an O(1) formula (the v-optimal
+    trick on a time axis), so scanning 180 candidates costs one
+    window, not 180 regressions.  All moments are exact BIGINTs
+    (dollar units; Σy² needs k$ past sf1); the 15%-trimmed candidate
+    grid (rn ≥ 60 from both ends, every 13th day) is the standard
+    Andrews trim; F values round to 6 BEFORE the argmax rank."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "chow_orders"
+    )
+    return spark.sql(
+        _CHOW_SQL.replace("{orders}", "chow_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace(" MATERIALIZED", "")
+    )
+
+
+# --------------------------------------------------------------------------
+# Granger causality between daily order count and daily revenue
+# --------------------------------------------------------------------------
+_GRANGER_SQL = """
+WITH days AS (
+  SELECT {DD} AS t,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM {orders} GROUP BY 1
+),
+lagged AS MATERIALIZED (
+  SELECT a, b, a1, b1 FROM (
+    SELECT {tgt} AS a, {src} AS b,
+           lag({tgt}) OVER (ORDER BY t) AS a1,
+           lag({src}) OVER (ORDER BY t) AS b1
+    FROM days
+  ) WHERE a1 IS NOT NULL
+),
+m AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS sa,
+         CAST(sum(a1) AS BIGINT) AS sa1,
+         CAST(sum(b1) AS BIGINT) AS sb1,
+         CAST(sum(a1 * a1) AS BIGINT) AS sa1a1,
+         CAST(sum(b1 * b1) AS BIGINT) AS sb1b1,
+         CAST(sum(a1 * b1) AS BIGINT) AS sa1b1,
+         CAST(sum(a * a1) AS BIGINT) AS saa1,
+         CAST(sum(a * b1) AS BIGINT) AS sab1,
+         CAST(sum(a * a) AS BIGINT) AS saa
+  FROM lagged
+),
+solved AS MATERIALIZED (
+  -- unrestricted a_t ~ 1 + a_{t-1} + b_{t-1} via Cramer on the 3x3
+  -- normal equations; restricted drops b_{t-1} (2x2 closed form)
+  SELECT n,
+         (CAST(n AS DOUBLE) * (sa1a1 * CAST(sb1b1 AS DOUBLE)
+                               - CAST(sa1b1 AS DOUBLE) * sa1b1)
+          - CAST(sa1 AS DOUBLE) * (sa1 * CAST(sb1b1 AS DOUBLE)
+                                   - CAST(sb1 AS DOUBLE) * sa1b1)
+          + CAST(sb1 AS DOUBLE) * (sa1 * CAST(sa1b1 AS DOUBLE)
+                                   - CAST(sb1 AS DOUBLE) * sa1a1))
+           AS det_u,
+         (CAST(sa AS DOUBLE) * (sa1a1 * CAST(sb1b1 AS DOUBLE)
+                                - CAST(sa1b1 AS DOUBLE) * sa1b1)
+          - CAST(sa1 AS DOUBLE) * (saa1 * CAST(sb1b1 AS DOUBLE)
+                                   - CAST(sab1 AS DOUBLE) * sa1b1)
+          + CAST(sb1 AS DOUBLE) * (saa1 * CAST(sa1b1 AS DOUBLE)
+                                   - CAST(sab1 AS DOUBLE) * sa1a1))
+           AS det_c,
+         (CAST(n AS DOUBLE) * (saa1 * CAST(sb1b1 AS DOUBLE)
+                               - CAST(sab1 AS DOUBLE) * sa1b1)
+          - CAST(sa AS DOUBLE) * (sa1 * CAST(sb1b1 AS DOUBLE)
+                                  - CAST(sb1 AS DOUBLE) * sa1b1)
+          + CAST(sb1 AS DOUBLE) * (sa1 * CAST(sab1 AS DOUBLE)
+                                   - CAST(sb1 AS DOUBLE) * saa1))
+           AS det_ba,
+         (CAST(n AS DOUBLE) * (sa1a1 * CAST(sab1 AS DOUBLE)
+                               - CAST(sa1b1 AS DOUBLE) * saa1)
+          - CAST(sa1 AS DOUBLE) * (sa1 * CAST(sab1 AS DOUBLE)
+                                   - CAST(sb1 AS DOUBLE) * saa1)
+          + CAST(sa AS DOUBLE) * (sa1 * CAST(sa1b1 AS DOUBLE)
+                                  - CAST(sb1 AS DOUBLE) * sa1a1))
+           AS det_bb,
+         sa, sa1, sb1, sa1a1, sb1b1, sa1b1, saa1, sab1, saa
+  FROM m
+),
+sse AS MATERIALIZED (
+  SELECT n,
+         saa - (det_c / det_u) * sa - (det_ba / det_u) * saa1
+             - (det_bb / det_u) * sab1 AS sse_u,
+         saa
+           - (CAST(sa AS DOUBLE) * sa1a1 - CAST(sa1 AS DOUBLE) * saa1)
+             / (CAST(n AS DOUBLE) * sa1a1 - CAST(sa1 AS DOUBLE) * sa1)
+             * sa
+           - (CAST(n AS DOUBLE) * saa1 - CAST(sa1 AS DOUBLE) * sa)
+             / (CAST(n AS DOUBLE) * sa1a1 - CAST(sa1 AS DOUBLE) * sa1)
+             * saa1 AS sse_r,
+         det_bb / det_u AS beta_cross
+  FROM solved
+)
+SELECT '{label}' AS direction, n AS n_days,
+       round(beta_cross - 1e-9, 6) + 0.0 AS beta_lagged_other,
+       round((sse_r - sse_u) / (sse_u / (n - 3)) - 1e-9, 4) + 0.0
+         AS granger_f
+FROM sse
+"""
+
+
+def _granger_union(dialect_dd: str, orders: str) -> str:
+    xy = (
+        _GRANGER_SQL.replace("{tgt}", "y")
+        .replace("{src}", "x")
+        .replace("{label}", "count->revenue")
+    )
+    yx = (
+        _GRANGER_SQL.replace("{tgt}", "x")
+        .replace("{src}", "y")
+        .replace("{label}", "revenue->count")
+    )
+    sql = f"SELECT * FROM ({xy}) UNION ALL SELECT * FROM ({yx}) ORDER BY direction"
+    return sql.replace("{orders}", orders).replace("{DD}", dialect_dd)
+
+
+@query(
+    "granger_count_revenue",
+    _granger_union(
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+        "orders",
+    ),
+)
+def granger_count_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality, BOTH directions, between daily order count
+    and daily revenue (k$): does yesterday's count predict today's
+    revenue beyond yesterday's revenue, and vice versa?  VAR(1)
+    F-test — the unrestricted regression a_t ~ 1 + a_{t−1} + b_{t−1}
+    against the restricted AR(1), solved by Cramer's rule on the 3×3
+    normal equations exactly as ``two_pass_ols``/``twoway_fe_panel``
+    do.
+
+    Determinism: every moment is an exact BIGINT (revenue in k$ keeps
+    Σy² tiny); determinants and SSEs are fixed IEEE expressions over
+    those integers, identical in both engines.  Scale shape: one fact
+    rollup to days, one lag window, two 1-row moment frames — the
+    regression cost does not grow with the corpus."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "granger_orders"
+    )
+    return spark.sql(
+        _granger_union(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+            "granger_orders",
+        ).replace(" MATERIALIZED", "")
+    )

@@ -158,3 +158,46 @@ def test_naive_bayes_confusion_laws_and_planted_separability(spark):
     out = {r["lang"]: r for r in nb_lang_eval_frame(docs).collect()}
     assert out["aa"]["accuracy"] == 1.0
     assert all(r["f1"] == 1.0 for r in out.values())
+
+
+def test_ipw_removes_planted_confounding(spark):
+    # two strata; treatment assignment AND outcome both depend on the
+    # stratum, treatment itself has zero effect: the naive diff must be
+    # visibly nonzero, the stratified-IPW estimate near zero
+    from stream_processing_with_flink_study_spark.plans.queries_cdc import (
+        ipw_ate_frame,
+    )
+
+    rows = []
+    # stratum A: 80% treated, outcome rate 0.6 regardless of t
+    # stratum B: 20% treated, outcome rate 0.1 regardless of t
+    # t keys off i%10, y off (i//10)%10 — exactly independent over
+    # range(1000), so the within-stratum effect is exactly zero
+    for i in range(1000):
+        rows.append(
+            ("A", 1 if i % 10 < 8 else 0, 1 if (i // 10) % 10 < 6 else 0)
+        )
+        rows.append(
+            ("B", 1 if i % 10 < 2 else 0, 1 if (i // 10) % 10 < 1 else 0)
+        )
+    base = spark.createDataFrame(rows, "s string, t int, y int")
+    r = ipw_ate_frame(base).collect()[0]
+    assert abs(r["naive_diff"]) > 0.1  # confounding clearly visible
+    assert abs(r["ate_ipw"]) < 0.005  # ...and removed by stratified IPW
+    assert abs(r["confounding_bias"]) > 0.1
+
+
+def test_chow_supf_positive_and_trimmed(spark):
+    r = QUERIES["chow_supf_break_scan"](spark, SF_SMALL).collect()[0]
+    assert r["sup_f"] >= 0  # split can only reduce SSE
+    assert r["n_candidates"] > 10
+    assert 0 < r["break_day_idx"]
+
+
+def test_granger_both_directions(spark):
+    rows = QUERIES["granger_count_revenue"](spark, SF_SMALL).collect()
+    assert sorted(r["direction"] for r in rows) == [
+        "count->revenue",
+        "revenue->count",
+    ]
+    assert all(r["granger_f"] >= -1e-9 for r in rows)
