@@ -2140,3 +2140,160 @@ def streaming_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("profile_version")
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM: held-out cross-entropy per source
+# --------------------------------------------------------------------------
+KN_D = 0.75  # absolute discount (exact binary fraction)
+
+@query(
+    "kneser_ney_heldout_xent",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, doc_id % 10 = 0 AS held,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, source, held, arr[i] AS w1, arr[i + 1] AS w2
+      FROM toks, unnest(range(1, len(arr))) AS x(i)
+    ),
+    bc AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM ex WHERE NOT held GROUP BY w1, w2
+    ),
+    c1 AS MATERIALIZED (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1r
+      FROM bc GROUP BY w1
+    ),
+    nl AS MATERIALIZED (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM bc GROUP BY w2
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+    scored AS MATERIALIZED (
+      SELECT e.doc_id, e.source,
+             CAST(floor(-log2(
+               CASE WHEN c.c1 IS NULL
+                    THEN coalesce(n.n1l, 0.5) / tt.t
+                    ELSE (greatest(CAST(coalesce(b.c12, 0) AS DOUBLE)
+                                     - {KN_D}, 0.0)
+                          + {KN_D} * c.n1r
+                            * (coalesce(n.n1l, 0.5) / tt.t)) / c.c1
+               END) * 1000000 + 0.5) AS BIGINT) AS q,
+             CASE WHEN c.c1 IS NULL THEN 1 ELSE 0 END AS oovc
+      FROM ex e
+      LEFT JOIN bc b ON b.w1 = e.w1 AND b.w2 = e.w2
+      LEFT JOIN c1 c ON c.w1 = e.w1
+      LEFT JOIN nl n ON n.w2 = e.w2
+      CROSS JOIN tt
+      WHERE e.held
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(q) AS DOUBLE) / 1000000 / count(*) - 1e-9, 4)
+             + 0.0 AS xent_bits,
+           round(CAST(sum(oovc) AS DOUBLE) / count(*) - 1e-9, 4) + 0.0
+             AS oov_context_share
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def kneser_ney_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM — the smoothing that made
+    KenLM the standard corpus-quality screen — trained on 90% of the
+    corpus (doc_id % 10 ≠ 0) and evaluated as held-out cross-entropy
+    on the other 10%, grouped by source.  Unlike the in-corpus
+    ``bigram_xent_filter`` (no smoothing, scores its own training
+    data), this is a REAL generalization measure: unseen bigrams fall
+    back to the continuation probability N₁₊(·w₂)/|bigram types| —
+    "how many contexts does w₂ complete?" — with absolute discount
+    d = 0.75 re-distributing mass via λ(w₁) = d·N₁₊(w₁·)/c(w₁);
+    unseen continuations get the conventional 0.5 pseudo-type and an
+    unseen CONTEXT backs off fully (share reported as
+    ``oov_context_share``).
+
+    Cross-engine determinism (the unigram-LM micro-nat pattern): d and
+    the 0.5 pseudo-count are exact binary fractions, every count is
+    BIGINT, each bigram's −log₂ p quantizes to integer micro-bits
+    BEFORE the per-source sum — so the mean is a ratio of exact
+    integers, immune to summation order.
+
+    Scale shape: ONE bigram explode feeds train counts and held-out
+    scoring; bc/c1/nl are vocab-sized (sublinear in corpus) and attach
+    by broadcast; the only corpus-sized shuffle is the per-source
+    aggregate.  tests/test_wl_kn_weibull.py pins the probability-law
+    invariant (Σ_w2 p(w₂|w₁) = 1 on a closed toy corpus) and that
+    formulaic text scores lower xent than shuffled text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 10 == 0).alias("held"),
+        text.tokens("text").alias("arr"),
+    )
+    arr = F.col("arr")
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    ex = docs.select(
+        "doc_id", "source", "held", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id", "source", "held",
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+    )
+    train = ex.filter(~F.col("held"))
+    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1r")
+    )
+    nl = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    pcont = F.coalesce(F.col("n1l"), F.lit(0.5)) / F.col("t")
+    p = F.when(F.col("c1").isNull(), pcont).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                - F.lit(KN_D),
+                F.lit(0.0),
+            )
+            + F.lit(KN_D) * F.col("n1r") * pcont
+        )
+        / F.col("c1")
+    )
+    scored = (
+        ex.filter(F.col("held"))
+        .join(F.broadcast(bc), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(nl), "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(-F.log2(p) * 1000000 + 0.5).cast("long").alias("q"),
+            F.when(F.col("c1").isNull(), 1).otherwise(0).alias("oovc"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            cnt.alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum("q").cast("double") / 1000000 / cnt - 1e-9, 4
+                )
+                + 0.0
+            ).alias("xent_bits"),
+            (
+                F.round(F.sum("oovc").cast("double") / cnt - 1e-9, 4) + 0.0
+            ).alias("oov_context_share"),
+        )
+        .orderBy("source")
+    )

@@ -1470,3 +1470,153 @@ def k_truss_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# --------------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement: structural fingerprint of the graph
+# --------------------------------------------------------------------------
+WL_ROUNDS = 2
+
+_WL_ROUND_SQL = """
+SELECT e.src AS id,
+       md5(n.lab || '|' || {AGG}) AS lab
+FROM {edges} e
+JOIN {labels} n ON n.id = e.src
+JOIN {labels} m ON m.id = e.dst
+GROUP BY e.src, n.lab
+"""
+
+
+def _wl_oracle() -> str:
+    rounds = []
+    for r in range(1, WL_ROUNDS + 1):
+        body = (
+            _WL_ROUND_SQL.replace(
+                "{AGG}", "string_agg(m.lab, ',' ORDER BY m.lab)"
+            )
+            .replace("{edges}", "edges")
+            .replace("{labels}", f"l{r - 1}")
+        )
+        rounds.append(f"l{r} AS MATERIALIZED ({body})")
+    stats = []
+    for r in range(WL_ROUNDS + 1):
+        stats.append(f"""
+    SELECT CAST({r} AS BIGINT) AS wl_round,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(DISTINCT lab) AS BIGINT) AS n_classes,
+           (SELECT CAST(max(cnt) AS BIGINT)
+            FROM (SELECT count(*) AS cnt FROM l{r} GROUP BY lab))
+             AS largest_class
+    FROM l{r}""")
+    return f"""
+    WITH ok AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    cp AS MATERIALIZED (
+      SELECT a.p AS src, b.p AS dst
+      FROM ok a JOIN ok b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp
+    ),
+    l0 AS MATERIALIZED (
+      SELECT src AS id, CAST(count(*) AS VARCHAR) AS lab
+      FROM edges GROUP BY src
+    ),
+    {",".join(rounds)}
+    {" UNION ALL ".join(stats)}
+    ORDER BY wl_round
+    """
+
+
+@query("wl_refinement_classes", _wl_oracle())
+def wl_refinement_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement over the part co-purchase
+    graph (parts linked when they appear in the same order — chosen
+    over the co-supplier graph because its degree distribution is
+    genuinely irregular, so refinement has structure to find):
+    start every node at its degree, then repeatedly re-label each node
+    with md5(own label | sorted multiset of neighbor labels) — the
+    1-WL structural fingerprint used for graph-isomorphism screening
+    and as the feature map of WL graph kernels.  Reported per round:
+    number of color classes and the largest class — refinement can
+    only split classes, so ``n_classes`` is monotone non-decreasing
+    (pinned by tests/test_wl_kn_weibull.py).
+
+    Cross-engine determinism: labels are md5 hex strings over exact
+    integer degrees; the neighbor multiset is serialized SORTED
+    (DuckDB ``string_agg(... ORDER BY)`` ≡ Spark ``LISTAGG ... WITHIN
+    GROUP``), so both engines hash identical strings.
+
+    Scale shape: the edge list comes from ONE lineitem pass (per-order
+    collect_set + packed-int64 2-combination explode — the
+    ``_cosupplier_edges`` pattern, no self-join); each round is one
+    |E|-sized join keyed on node id + one groupBy — the same shuffle
+    pattern as a PageRank step; rounds are staged through
+    ``localCheckpoint`` so the lineage (and DuckDB's inlining) can't
+    grow 2^rounds.  Reference scope: iterative keyed state,
+    정리/5주차.md."""
+    grouped = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p"))
+        .groupBy("okey")
+        .agg(F.collect_set("p").alias("arr"))
+    )
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32) + F.greatest(x, y),
+            ),
+        )
+    )
+    edges = (
+        grouped.select(F.explode(packed).alias("k"))
+        .distinct()
+        .select(
+            F.shiftright("k", 32).alias("src"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias("dst"),
+        )
+    )
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    sym.createOrReplaceTempView("wl_edges")
+    labels = [
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("string").alias("lab"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
+    ]
+    for r in range(1, WL_ROUNDS + 1):
+        labels[-1].createOrReplaceTempView(f"wl_l{r - 1}")
+        labels.append(
+            spark.sql(
+                _WL_ROUND_SQL.replace(
+                    "{AGG}",
+                    "listagg(m.lab, ',') WITHIN GROUP (ORDER BY m.lab)",
+                )
+                .replace("{edges}", "wl_edges")
+                .replace("{labels}", f"wl_l{r - 1}")
+            ).localCheckpoint()
+        )
+    stats = None
+    for r, lab in enumerate(labels):
+        s = lab.agg(
+            F.lit(r).cast("long").alias("wl_round"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.countDistinct("lab").alias("n_classes"),
+        ).crossJoin(
+            lab.groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.max("cnt").alias("largest_class"))
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    return stats.orderBy("wl_round")

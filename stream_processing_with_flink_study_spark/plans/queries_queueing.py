@@ -856,3 +856,98 @@ def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{IDIV}", "DIV")
         .replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Weibull reliability fit on interpurchase intervals (median-rank regression)
+# --------------------------------------------------------------------------
+_WEIBULL_SQL = """
+WITH iv AS (
+  SELECT {DD} AS t
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS dl
+    FROM {orders}
+  ) WHERE dl IS NOT NULL AND {DD} >= 1
+),
+ranked AS (
+  SELECT t,
+         row_number() OVER (ORDER BY t) AS i,
+         count(*) OVER () AS n
+  FROM iv
+),
+q AS {MAT}(
+  -- 1e-4-quantized logs -> exact BIGINT regression moments (ties share
+  -- x, and the multiset of plotting positions per tie group is fixed,
+  -- so within-tie rank order can never change any moment)
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(yq * yq) AS BIGINT) AS syy
+  FROM (
+    SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             AS xq,
+           CAST(floor(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) * 10000 + 0.5)
+                AS BIGINT) AS yq
+    FROM ranked
+  )
+),
+fit AS {MAT}(
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS k,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM q
+)
+SELECT n AS n_intervals,
+       round(k - 1e-9, 4) + 0.0 AS shape_k,
+       -- intercept b = (Σy − kΣx)/n in 1e-4 units; scale λ = exp(−b/k)
+       round(exp(-((syd - k * sxd) / n / 10000.0) / k) - 1e-9, 2) + 0.0
+         AS scale_days,
+       round((n * sxyd - sxd * syd) * (n * sxyd - sxd * syd)
+             / ((n * sxxd - sxd * sxd) * (n * syyd - syd * syd))
+             - 1e-9, 4) + 0.0 AS r2
+FROM fit
+"""
+
+
+@query(
+    "weibull_interpurchase_fit",
+    _WEIBULL_SQL.replace("{orders}", "orders")
+    .replace("{DD}", "date_diff('day', dl, d)")
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def weibull_interpurchase_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull reliability fit of customer interpurchase times by
+    median-rank regression — the classic probability-plot estimator:
+    sort the n intervals, assign Bernard plotting positions
+    F̂ᵢ = (i−0.3)/(n+0.4), and regress ln(−ln(1−F̂)) on ln t; the slope
+    is the Weibull shape k (k < 1 ⇒ reorder hazard FALLS with time —
+    churn risk concentrates early; k > 1 ⇒ wear-out buying) and
+    exp(−b/k) is the scale in days.  ``r2`` reports how Weibull the
+    data actually is.
+
+    Determinism: both log coordinates are quantized to exact 1e-4
+    integer units BEFORE the moments, so all five regression sums are
+    exact BIGINT (xq ≤ 9e4 ⇒ Σxq² ≈ 1e16 at sf10 — under 2^63); ties
+    share x and the multiset of ranks within a tie group is fixed, so
+    the window's within-tie order cannot affect any sum.  Slope and R²
+    are fixed IEEE trees; λ's single exp() lands on a 2-dp round with
+    the standing −1e-9 guard.
+
+    Scale shape: one orders scan with a per-customer lag window (same
+    partitioning as ``interpurchase_interval_stats``), one global rank
+    sort (the percentile pattern), O(1) estimation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "weib_orders"
+    )
+    return spark.sql(
+        _WEIBULL_SQL.replace("{orders}", "weib_orders")
+        .replace("{DD}", "datediff(d, dl)")
+        .replace("{MAT}", "")
+    )
