@@ -3008,3 +3008,230 @@ def theil_decomposition_nations(
     result = out.localCheckpoint()
     x.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# entropic optimal transport (Sinkhorn) between segment spend deciles
+# --------------------------------------------------------------------------
+OT_ROUNDS = 8
+_OT_SCALE = 262144.0  # 4^9: kernel denominator, exact double
+
+_OT_PREP = """
+spine AS ({SPINE}),
+kmat AS {MAT}(
+  SELECT a.i AS i, b.i AS j,
+         CAST(power(4, 9 - abs(a.i - b.i)) AS BIGINT) AS pw,
+         CAST(abs(a.i - b.i) AS BIGINT) AS d
+  FROM spine a CROSS JOIN spine b
+),
+ra AS {MAT}(
+  SELECT s.i, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN {COUNTS} c ON c.i = s.i AND c.seg = 'a'
+),
+rb AS {MAT}(
+  SELECT s.i, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN {COUNTS} c ON c.i = s.i AND c.seg = 'b'
+),
+na AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ra),
+nb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM rb)
+"""
+
+# one Sinkhorn half-step: u = r / (K v), re-quantized to exact 1e-6 ints
+_OT_U = """
+  SELECT r.i,
+         CAST(floor(CAST(r.n AS DOUBLE) * 262144.0 * 1000000000000.0
+                    / (CAST(na.t AS DOUBLE) * s.s) + 0.5) AS BIGINT) AS uq
+  FROM ra r
+  JOIN (SELECT k.i, CAST(sum(k.pw * v.vq) AS BIGINT) AS s
+        FROM kmat k JOIN {V} v ON v.j = k.j GROUP BY k.i) s ON s.i = r.i
+  CROSS JOIN na
+"""
+_OT_V = """
+  SELECT c.i AS j,
+         CAST(floor(CAST(c.n AS DOUBLE) * 262144.0 * 1000000000000.0
+                    / (CAST(nb.t AS DOUBLE) * s.s) + 0.5) AS BIGINT) AS vq
+  FROM rb c
+  JOIN (SELECT k.j, CAST(sum(k.pw * u.uq) AS BIGINT) AS s
+        FROM kmat k JOIN {U} u ON u.i = k.i GROUP BY k.j) s ON s.j = c.i
+  CROSS JOIN nb
+"""
+
+_OT_FINAL = """
+plan AS {MAT}(
+  SELECT k.i, k.j, k.d,
+         CAST(floor(CAST(u.uq AS DOUBLE) * v.vq * k.pw / 262144.0
+                    / 1000000000000.0 * 1000000000.0 + 0.5) AS BIGINT)
+           AS mq
+  FROM kmat k JOIN {U} u ON u.i = k.i JOIN {V} v ON v.j = k.j
+),
+marg AS {MAT}(
+  SELECT p.i, CAST(sum(p.mq) AS BIGINT) AS rowm FROM plan p GROUP BY p.i
+),
+merr AS (
+  SELECT max(abs(m.rowm
+                 - CAST(floor(CAST(r.n AS DOUBLE) / na.t * 1000000000.0
+                              + 0.5) AS BIGINT))) AS e
+  FROM marg m JOIN ra r ON r.i = m.i CROSS JOIN na
+),
+cum AS {MAT}(
+  SELECT a.i,
+         CAST(sum(a.n) OVER (ORDER BY a.i ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS ca,
+         CAST(sum(b.n) OVER (ORDER BY a.i ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cb
+  FROM ra a JOIN rb b ON b.i = a.i
+),
+w1 AS (
+  SELECT CAST(sum(abs(c.ca * nb.t - c.cb * na.t)) AS BIGINT) AS wnum
+  FROM cum c CROSS JOIN na CROSS JOIN nb
+)
+SELECT na.t AS n_a, nb.t AS n_b,
+       round(CAST((SELECT CAST(sum(p.mq * p.d) AS BIGINT) FROM plan p)
+                  AS DOUBLE) / 1000000000.0 - 1e-9, 6) + 0.0
+         AS sinkhorn_cost,
+       round(CAST(w1.wnum AS DOUBLE) / na.t / nb.t - 1e-9, 6) + 0.0
+         AS w1_exact,
+       round(CAST(merr.e AS DOUBLE) / 1000000000.0 - 1e-9, 6) + 0.0
+         AS max_marginal_err
+FROM na CROSS JOIN nb CROSS JOIN w1 CROSS JOIN merr
+"""
+
+_OT_COUNTS_TPCH = """(
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END
+           AS seg,
+         d.i, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT o_orderkey, o_custkey,
+           ntile(10) OVER (
+             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                      o_orderkey
+           ) AS i
+    FROM {orders}
+  ) d JOIN {customer} c ON c.c_custkey = d.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1, 2
+)"""
+
+
+def _sinkhorn_oracle() -> str:
+    rounds = [
+        "v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS vq FROM spine)"
+    ]
+    for t in range(1, OT_ROUNDS + 1):
+        rounds.append(
+            f"u{t} AS MATERIALIZED ({_OT_U.replace('{V}', f'v{t - 1}')})"
+        )
+        rounds.append(
+            f"v{t} AS MATERIALIZED ({_OT_V.replace('{U}', f'u{t}')})"
+        )
+    prep = (
+        _OT_PREP.replace("{SPINE}", "SELECT unnest(range(1, 11)) AS i")
+        .replace("{MAT}", "MATERIALIZED ")
+        .replace(
+            "{COUNTS}",
+            _OT_COUNTS_TPCH.replace("{orders}", "orders").replace(
+                "{customer}", "customer"
+            ),
+        )
+    )
+    final = (
+        _OT_FINAL.replace("{U}", f"u{OT_ROUNDS}")
+        .replace("{V}", f"v{OT_ROUNDS}")
+        .replace("{MAT}", "MATERIALIZED ")
+    )
+    return "WITH " + prep.strip() + ",\n" + ",\n".join(rounds) + ",\n" + final
+
+
+def sinkhorn_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Exact-integer Sinkhorn over a (seg ∈ {'a','b'}, i ∈ 1..10, n)
+    decile-count frame.  The 10-vector scaling fixed point runs
+    driver-side (the bounded-frame recursion pattern of
+    ``v_optimal_histogram`` / ``croston_intermittent``) with the SAME
+    quantized arithmetic the DuckDB oracle unrolls in SQL — every u/v
+    entry is an exact 1e-6 integer, every kernel weight the exact
+    integer 4^(9−|i−j|), so two independent implementations must agree
+    bit-for-bit; the plan/cost/marginal/W1 assembly stays in Spark
+    SQL."""
+    import math
+
+    counts.createOrReplaceTempView("ot_counts")
+    rows = counts.collect()
+    nmap = {("a", i): 0 for i in range(1, 11)}
+    nmap.update({("b", i): 0 for i in range(1, 11)})
+    for r in rows:
+        nmap[(r["seg"], r["i"])] = int(r["n"])
+    ra = [nmap[("a", i)] for i in range(1, 11)]
+    rb = [nmap[("b", i)] for i in range(1, 11)]
+    na, nb = float(sum(ra)), float(sum(rb))
+    pw = [
+        [int(_OT_SCALE / 4 ** abs(i - j)) for j in range(10)]
+        for i in range(10)
+    ]
+    vq = [1_000_000] * 10
+    uq = [0] * 10
+    for _ in range(OT_ROUNDS):
+        for i in range(10):
+            s = float(sum(pw[i][j] * vq[j] for j in range(10)))
+            uq[i] = math.floor(
+                float(ra[i]) * 262144.0 * 1000000000000.0 / (na * s) + 0.5
+            )
+        for j in range(10):
+            s = float(sum(pw[i][j] * uq[i] for i in range(10)))
+            vq[j] = math.floor(
+                float(rb[j]) * 262144.0 * 1000000000000.0 / (nb * s) + 0.5
+            )
+    uv = ", ".join(
+        f"({i + 1}, {uq[i]}, {vq[i]})" for i in range(10)
+    )
+    sql = (
+        "WITH "
+        + _OT_PREP.replace(
+            "{SPINE}", "SELECT explode(sequence(1, 10)) AS i"
+        )
+        .replace("{MAT}", "")
+        .replace("{COUNTS}", "ot_counts")
+        .strip()
+        + f",\nuv AS (SELECT * FROM VALUES {uv} AS t(i, uq, vq)),\n"
+        + _OT_FINAL.replace("{U}", "(SELECT i, uq FROM uv)")
+        .replace("{V}", "(SELECT i AS j, vq FROM uv)")
+        .replace("{MAT}", "")
+    )
+    return spark.sql(sql)
+
+
+@query("sinkhorn_ot_segments", _sinkhorn_oracle())
+def sinkhorn_ot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropic optimal transport (Sinkhorn) between the BUILDING and
+    MACHINERY segments' order-value DECILE distributions — "how much
+    spend mass must move how far" with an entropy-smoothed plan — plus
+    the exact 1-D Wasserstein distance (the closed-form CDF-difference
+    optimum) as the unregularized floor, and the plan's worst marginal
+    violation as the convergence certificate.  Kernel
+    K_ij = 4^(−|i−j|), 8 scaling rounds.
+
+    Cross-engine exactness is the point: kernel weights are exact
+    integers 4^(9−|i−j|), u/v re-quantize to exact 1e-6 integers each
+    half-step, so every K·v contraction is an exact BIGINT dot product
+    — summation order CANNOT matter, and the oracle's fully-unrolled
+    16-CTE SQL chain must agree bit-for-bit with this side's
+    driver-computed fixed point (two independent implementations, one
+    algebra).  W1 is cross-multiplied integer CDF math.
+
+    Scale shape: the corpus-sized work is one global decile sort and
+    one counts groupBy; the transport problem itself is O(10²)
+    regardless of scale factor.  Laws (tests/test_sinkhorn.py):
+    identical marginals ⇒ W1 = 0; a planted 2-decile shift ⇒ W1 = 2
+    with sinkhorn_cost ≥ W1 − ε; marginal error → 0."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ot_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ot_customer"
+    )
+    counts = spark.sql(
+        "SELECT * FROM "
+        + _OT_COUNTS_TPCH.replace("{orders}", "ot_orders").replace(
+            "{customer}", "ot_customer"
+        )
+    ).localCheckpoint()
+    return sinkhorn_from_counts(spark, counts)
