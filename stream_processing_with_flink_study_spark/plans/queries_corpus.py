@@ -2297,3 +2297,77 @@ def kneser_ney_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# lexical diversity battery: Yule's K, Simpson's D, Herdan's C, TTR, hapax
+# --------------------------------------------------------------------------
+_LEXDIV_SQL = """
+WITH tf AS {MAT}(
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM ({EXPLODE}) GROUP BY source, tok
+),
+spec AS {MAT}(
+  SELECT source, c AS m, CAST(count(*) AS BIGINT) AS vm
+  FROM tf GROUP BY source, c
+),
+agg AS {MAT}(
+  SELECT source,
+         CAST(sum(m * vm) AS BIGINT) AS n,
+         CAST(sum(vm) AS BIGINT) AS v,
+         CAST(sum(m * m * vm) AS BIGINT) AS m2,
+         CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT) AS v1
+  FROM spec GROUP BY source
+)
+SELECT source, n AS n_tokens, v AS vocab,
+       round(10000.0 * (m2 - n) / (CAST(n AS DOUBLE) * n) - 1e-9, 6)
+         + 0.0 AS yules_k,
+       round((CAST(m2 AS DOUBLE) - n)
+             / (CAST(n AS DOUBLE) * (n - 1)) - 1e-9, 8) + 0.0
+         AS simpson_d,
+       -- 1e-6-quantized logs: the ratio divides identical integers
+       round(CAST(CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT) AS DOUBLE)
+             / CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) - 1e-9, 6) + 0.0 AS herdan_c,
+       round(CAST(v AS DOUBLE) / n - 1e-9, 6) + 0.0 AS ttr,
+       round(CAST(v1 AS DOUBLE) / v - 1e-9, 6) + 0.0 AS hapax_share
+FROM agg ORDER BY source
+"""
+
+
+@query(
+    "lexical_diversity_battery",
+    _LEXDIV_SQL.replace("{MAT}", "MATERIALIZED ").replace(
+        "{EXPLODE}",
+        "SELECT source, unnest(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')) AS tok FROM documents",
+    ),
+)
+def lexical_diversity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity battery per source: Yule's K and Simpson's D
+    (repeat-rate measures, length-robust — high K = formulaic
+    vocabulary reuse, the spam smell), Herdan's C (log-log type/token
+    slope), raw TTR and the hapax share (V₁/V — how much of the
+    vocabulary occurs once; collapses when a corpus is template
+    spam).  Complements ``token_entropy`` / ``good_turing_vocab
+    _richness`` with the classical stylometry set.
+
+    Determinism: everything derives from the integer frequency
+    spectrum (m, V_m) — N, V, Σm²V_m, V₁ are exact BIGINTs (Σm²V_m ≤
+    N² ≈ 4e18 at sf10, inside int64); Yule/Simpson/TTR are single
+    divisions of exact integers; Herdan's C quantizes both logs to
+    1e-6 integers before the one division.
+
+    Scale shape: one token explode → (source, token) count (map-side
+    combinable) → spectrum rollup; everything after is O(distinct
+    frequencies), which is O(√N) by Zipf."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "source", F.explode(text.tokens("text")).alias("tok")
+    ).createOrReplaceTempView("lexdiv_toks")
+    return spark.sql(
+        _LEXDIV_SQL.replace("{MAT}", "").replace(
+            "{EXPLODE}", "SELECT source, tok FROM lexdiv_toks"
+        )
+    )

@@ -3235,3 +3235,199 @@ def sinkhorn_ot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
     return sinkhorn_from_counts(spark, counts)
+
+
+# --------------------------------------------------------------------------
+# power iteration: top principal component of the embedding covariance
+# --------------------------------------------------------------------------
+PI_DIMS = 8
+PI_ROUNDS = 12
+
+
+def _pi_mom_sql(idx: str, table: str) -> str:
+    """Single-scan moment stage; ``idx`` formats a 1-based embedding
+    element as DOUBLE in the engine's dialect."""
+    eq = ", ".join(
+        f"CAST(floor({idx.format(i=i)} * 10000 + 0.5) AS BIGINT) AS e{i}"
+        for i in range(1, PI_DIMS + 1)
+    )
+    s = ", ".join(
+        f"CAST(sum(e{i}) AS BIGINT) AS s{i}" for i in range(1, PI_DIMS + 1)
+    )
+    g = ", ".join(
+        f"CAST(sum(e{i} * e{j}) AS BIGINT) AS g{i}_{j}"
+        for i in range(1, PI_DIMS + 1)
+        for j in range(i, PI_DIMS + 1)
+    )
+    return (
+        f"SELECT CAST(count(*) AS BIGINT) AS n, {s}, {g} "
+        f"FROM (SELECT {eq} FROM {table})"
+    )
+
+
+def _pi_cmat_sql() -> str:
+    """Quantized covariance cells (integer 1e-8-of-eq² units) from the
+    moment row — 64 rows via UNION ALL, symmetric g lookup."""
+    cells = []
+    for i in range(1, PI_DIMS + 1):
+        for j in range(1, PI_DIMS + 1):
+            a, b = min(i, j), max(i, j)
+            cells.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"CAST(floor(CAST(g{a}_{b} AS DOUBLE) / n "
+                f"- CAST(s{i} AS DOUBLE) / n * (CAST(s{j} AS DOUBLE) / n) "
+                f"+ 0.5) AS BIGINT) AS cq FROM mom"
+            )
+    return " UNION ALL ".join(cells)
+
+
+_PI_FINAL = """
+num AS {MAT}(
+  SELECT CAST(sum(CAST(floor(CAST(a.wq AS DOUBLE) * c.cq * b.wq
+                             / 1000000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM cmat c JOIN wf a ON a.i = c.i JOIN wf b ON b.i = c.j
+),
+den AS (SELECT CAST(sum(wq * wq) AS BIGINT) AS v FROM wf)
+SELECT (SELECT n FROM mom) AS n_vectors,
+       -- num is eq2*w2 (1e-12-quantized terms), den is w2*1e12;
+       -- eq2 -> real value2 costs 1e8: num*1e12/den/1e8 = num*1e4/den
+       round(CAST(num.v AS DOUBLE) * 10000.0 / den.v
+             - 1e-9, 6) + 0.0 AS top_eigenvalue,
+       {LOADINGS}
+FROM num CROSS JOIN den
+"""
+
+
+def _pi_loadings() -> str:
+    return ",\n       ".join(
+        f"round((SELECT CAST(wq AS DOUBLE) FROM wf WHERE i = {i})"
+        f" / 1000000.0 - 1e-9, 6) + 0.0 AS loading_{i}"
+        for i in range(1, PI_DIMS + 1)
+    )
+
+
+def _pi_oracle() -> str:
+    rounds = [
+        "w0 AS (SELECT unnest(range(1, "
+        f"{PI_DIMS + 1})) AS i, CAST(1000000 AS BIGINT) AS wq)"
+    ]
+    for t in range(1, PI_ROUNDS + 1):
+        rounds.append(f"""mv{t} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.cq * w.wq) AS BIGINT) AS v
+  FROM cmat c JOIN w{t - 1} w ON w.i = c.j GROUP BY c.i
+),
+mx{t} AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM mv{t}),
+w{t} AS MATERIALIZED (
+  SELECT v.i,
+         CAST(floor(CAST(v.v AS DOUBLE) * 1000000.0 / x.m + 0.5)
+              AS BIGINT) AS wq
+  FROM mv{t} v CROSS JOIN mx{t} x
+)""")
+    flip = f"""flip AS (
+  SELECT CASE WHEN (SELECT wq FROM w{PI_ROUNDS}
+                    ORDER BY abs(wq) DESC, i LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS f
+),
+wf AS MATERIALIZED (
+  SELECT w.i, CAST(w.wq * p.f AS BIGINT) AS wq
+  FROM w{PI_ROUNDS} w CROSS JOIN flip p
+)"""
+    return (
+        "WITH mom AS MATERIALIZED ("
+        + _pi_mom_sql("CAST(embedding[{i}] AS DOUBLE)", "embeddings")
+        + "),\ncmat AS MATERIALIZED ("
+        + _pi_cmat_sql()
+        + "),\n"
+        + ",\n".join(rounds)
+        + ",\n"
+        + flip
+        + ",\n"
+        + _PI_FINAL.replace("{MAT}", "MATERIALIZED ").replace(
+            "{LOADINGS}", _pi_loadings()
+        )
+    )
+
+
+@query("power_iteration_top_pc", _pi_oracle())
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (first-8-dim) embedding
+    covariance by power iteration — the dominant drift/variance
+    direction of an embedding table, with the top eigenvalue as the
+    "how concentrated is the variance" scalar.  Unlike
+    ``pca_whiten_embeddings`` (numpy mapInPandas, rows-only check),
+    this spectral computation carries a FULL DuckDB value oracle: the
+    oracle unrolls all 12 matrix-vector rounds in SQL and must agree
+    bit-for-bit with this side's driver-computed fixed point.
+
+    Determinism: embedding values quantize to 1e-4 integers at the
+    scan; the 8×8 covariance quantizes each cell to an integer; every
+    matrix-vector product is then an exact BIGINT dot product, with
+    the iterate re-quantized to 1e-6 integers under max-norm (no sqrt)
+    each round; the eigenvector's global sign — the one genuine
+    ambiguity — is pinned by forcing the largest-|component| (ties →
+    lowest index) positive.  Rayleigh numerator terms quantize to
+    integers before the 64-term sum.
+
+    Scale shape: ONE pass over the table computes all 44 moments
+    (map-side-combinable integer sums — only 44 numbers shuffle); the
+    iteration is O(8²) on the driver per the bounded-frame pattern
+    (``sinkhorn_ot_segments``, ``v_optimal_histogram``).  Laws
+    (tests/test_wave12.py): planted dominant direction is recovered;
+    C·v = λv residual is small; loadings have unit max-norm."""
+    import math
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "pi_embeddings"
+    )
+    mom = spark.sql(
+        _pi_mom_sql(
+            "CAST(element_at(embedding, {i}) AS DOUBLE)", "pi_embeddings"
+        )
+    ).collect()[0]
+    n = float(mom["n"])
+    cq = {}
+    for i in range(1, PI_DIMS + 1):
+        for j in range(1, PI_DIMS + 1):
+            a, b = min(i, j), max(i, j)
+            cq[(i, j)] = math.floor(
+                float(mom[f"g{a}_{b}"]) / n
+                - float(mom[f"s{i}"]) / n * (float(mom[f"s{j}"]) / n)
+                + 0.5
+            )
+    wq = [1_000_000] * PI_DIMS
+    for _ in range(PI_ROUNDS):
+        mv = [
+            sum(cq[(i, j)] * wq[j - 1] for j in range(1, PI_DIMS + 1))
+            for i in range(1, PI_DIMS + 1)
+        ]
+        mx = max(abs(v) for v in mv)
+        wq = [
+            math.floor(float(v) * 1000000.0 / float(mx) + 0.5) for v in mv
+        ]
+    lead = max(range(PI_DIMS), key=lambda k: (abs(wq[k]), -k))
+    if wq[lead] < 0:
+        wq = [-w for w in wq]
+    mom_row = ", ".join(
+        [f"CAST({int(mom['n'])} AS BIGINT) AS n"]
+        + [
+            f"CAST({int(mom[f's{i}'])} AS BIGINT) AS s{i}"
+            for i in range(1, PI_DIMS + 1)
+        ]
+    )
+    cmat_vals = ", ".join(
+        f"({i}, {j}, {cq[(i, j)]})"
+        for i in range(1, PI_DIMS + 1)
+        for j in range(1, PI_DIMS + 1)
+    )
+    wf_vals = ", ".join(f"({i + 1}, {wq[i]})" for i in range(PI_DIMS))
+    return spark.sql(
+        f"WITH mom AS (SELECT {mom_row}),\n"
+        f"cmat AS (SELECT i, j, CAST(cq AS BIGINT) AS cq "
+        f"FROM VALUES {cmat_vals} AS t(i, j, cq)),\n"
+        f"wf AS (SELECT i, CAST(wq AS BIGINT) AS wq "
+        f"FROM VALUES {wf_vals} AS t(i, wq)),\n"
+        + _PI_FINAL.replace("{MAT}", "").replace(
+            "{LOADINGS}", _pi_loadings()
+        )
+    )

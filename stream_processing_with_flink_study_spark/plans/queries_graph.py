@@ -1620,3 +1620,140 @@ def wl_refinement_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = s if stats is None else stats.unionByName(s)
     return stats.orderBy("wl_round")
+
+
+# --------------------------------------------------------------------------
+# rich-club coefficient: do high-degree parts preferentially interconnect?
+# --------------------------------------------------------------------------
+_RICHCLUB_SQL = """
+deg AS {MAT}(
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(d) AS BIGINT) AS m_all FROM deg),
+ranked AS {MAT}(
+  SELECT id, d, row_number() OVER (ORDER BY d, id) AS rk FROM deg
+),
+lv AS (
+  SELECT 1 AS lvl, CAST(0.5 AS DOUBLE) AS pct
+  UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)
+  UNION ALL SELECT 3, CAST(0.9 AS DOUBLE)
+),
+thr AS {MAT}(
+  SELECT l.lvl, l.pct, r.d AS kthr
+  FROM lv l CROSS JOIN nn
+  JOIN ranked r ON r.rk = CAST(ceil(l.pct * nn.n) AS BIGINT)
+),
+rich AS {MAT}(
+  SELECT t.lvl, t.pct, t.kthr, g.id
+  FROM thr t JOIN deg g ON g.d > t.kthr
+),
+nr AS {MAT}(
+  SELECT lvl, pct, kthr, CAST(count(*) AS BIGINT) AS n_rich
+  FROM rich GROUP BY lvl, pct, kthr
+),
+ew AS {MAT}(
+  SELECT a.lvl, CAST(count(*) AS BIGINT) AS m
+  FROM edges e
+  JOIN rich a ON a.id = e.src
+  JOIN rich b ON b.id = e.dst AND b.lvl = a.lvl
+  GROUP BY a.lvl
+)
+SELECT n.lvl, n.pct AS degree_pctile, n.kthr AS k_threshold,
+       n.n_rich, CAST(coalesce(e.m, 0) AS BIGINT) AS edges_within,
+       CASE WHEN n.n_rich >= 2
+            THEN round(CAST(coalesce(e.m, 0) AS DOUBLE)
+                       / (CAST(n.n_rich AS DOUBLE) * (n.n_rich - 1))
+                       - 1e-9, 6) + 0.0
+            ELSE 0.0 END AS phi,
+       CASE WHEN n.n_rich >= 2
+            THEN round(CAST(coalesce(e.m, 0) AS DOUBLE)
+                       / (CAST(n.n_rich AS DOUBLE) * (n.n_rich - 1))
+                       / (CAST(nn.m_all AS DOUBLE)
+                          / (CAST(nn.n AS DOUBLE) * (nn.n - 1)))
+                       - 1e-9, 4) + 0.0
+            ELSE 0.0 END AS density_ratio
+FROM nr n LEFT JOIN ew e ON e.lvl = n.lvl CROSS JOIN nn
+ORDER BY n.lvl
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric unweighted part co-purchase edges via the single-scan
+    packed-combination pattern (see :func:`_cosupplier_edges`)."""
+    grouped = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("okey")
+        .agg(F.collect_set("p").alias("arr"))
+    )
+    packed = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.shiftleft(F.least(x, y), 32) + F.greatest(x, y),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(packed).alias("k"))
+        .distinct()
+        .select(
+            F.shiftright("k", 32).alias("src"),
+            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias(
+                "dst"
+            ),
+        )
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@query(
+    "rich_club_coefficient",
+    """
+    WITH ok AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    cp AS MATERIALIZED (
+      SELECT a.p AS src, b.p AS dst
+      FROM ok a JOIN ok b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp
+    ),
+    """
+    + _RICHCLUB_SQL.replace("{MAT}", "MATERIALIZED "),
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the part co-purchase graph at the 50th
+    / 75th / 90th degree percentiles: φ(k) = density of the subgraph
+    induced by nodes with degree > k, and its ratio to the whole
+    graph's density — ratio ≫ 1 means popular parts form a core that
+    co-sells together (the assortative "rich club" of basket
+    analysis), ratio ≈ 1 means popularity is structurally neutral.
+
+    Determinism: thresholds are exact positional order statistics
+    (``row_number`` over (degree, id) at ceil(p·n)), memberships are
+    strict integer comparisons, both densities are single divisions of
+    exact BIGINT counts — no floating intermediate until the final
+    rounded ratios.
+
+    Scale shape: edge derivation is the one-scan packed-combination
+    pattern shared with ``wl_refinement_classes``; the rich-subgraph
+    edge count is an |E|-sized join against the (≤ half of nodes)
+    membership frame, grouped to 3 rows.  tests/test_wave12.py pins
+    the monotone-threshold law (k₅₀ ≤ k₇₅ ≤ k₉₀, n_rich decreasing)
+    and a planted core-periphery graph where the club lights up."""
+    _copurchase_edges(spark, sf_dir).createOrReplaceTempView(
+        "rc_edges"
+    )
+    return spark.sql(
+        "WITH edges AS (SELECT src, dst FROM rc_edges),\n"
+        + _RICHCLUB_SQL.replace("{MAT}", "")
+    )

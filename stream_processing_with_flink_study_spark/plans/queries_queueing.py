@@ -951,3 +951,121 @@ def weibull_interpurchase_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{DD}", "datediff(d, dl)")
         .replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Erlang-C staffing: agents needed so P(wait) <= SLA at the peak hour
+# --------------------------------------------------------------------------
+ERLANG_C_MAX = 40
+ERLANG_SLA = 0.2  # max acceptable P(wait); exact binary fraction
+# service time = 1/16 hour (3.75 min): exact binary fraction, so the
+# offered load a = lambda/16 is an exact double for any integer lambda
+
+_ERLANG_TAIL = """
+erlc AS {MAT}(
+  SELECT b.c, b.bq,
+         CASE WHEN CAST(b.c AS DOUBLE) > CAST(p.lam AS DOUBLE) / 16.0
+              THEN round((b.bq / 1000000000000.0)
+                         / (1.0 - (CAST(p.lam AS DOUBLE) / 16.0 / b.c)
+                                  * (1.0 - b.bq / 1000000000000.0))
+                         - 1e-9, 6) + 0.0
+              ELSE NULL END AS p_wait
+  FROM btab b CROSS JOIN peak p
+),
+sel AS (
+  SELECT min(c) AS cstar FROM erlc
+  WHERE p_wait IS NOT NULL AND p_wait <= {SLA}
+)
+SELECT p.lam AS peak_arrivals_per_hr,
+       round(CAST(p.lam AS DOUBLE) / 16.0 - 1e-9, 4) + 0.0
+         AS offered_load_erlangs,
+       CAST(coalesce(s.cstar, -1) AS BIGINT) AS agents_needed,
+       (SELECT e.p_wait FROM erlc e CROSS JOIN sel s2
+        WHERE e.c = s2.cstar) AS p_wait_at_staffing,
+       CASE WHEN s.cstar IS NOT NULL
+            THEN round(CAST(p.lam AS DOUBLE) / 16.0 / s.cstar - 1e-9, 4)
+                 + 0.0
+            ELSE CAST(NULL AS DOUBLE) END AS utilization
+FROM peak p CROSS JOIN sel s
+"""
+
+
+def _erlang_oracle() -> str:
+    rounds = ["b0 AS (SELECT CAST(1000000000000 AS BIGINT) AS bq)"]
+    for c in range(1, ERLANG_C_MAX + 1):
+        # Erlang-B recursion B(c) = aB/(c + aB), re-quantized to exact
+        # 1e-12 ints each step so both engines walk identical states
+        rounds.append(f"""b{c} AS (
+  SELECT CAST(floor(CAST(p.lam AS DOUBLE) / 16.0 * b.bq
+                    / ({c} * 1000000000000.0
+                       + CAST(p.lam AS DOUBLE) / 16.0 * b.bq)
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS bq
+  FROM b{c - 1} b CROSS JOIN peak p
+)""")
+    btab = " UNION ALL ".join(
+        f"SELECT {c} AS c, bq FROM b{c}" for c in range(1, ERLANG_C_MAX + 1)
+    )
+    return (
+        """
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    peak AS (SELECT CAST(max(c) AS BIGINT) AS lam FROM hours),
+    """
+        + ",\n".join(rounds)
+        + f",\nbtab AS MATERIALIZED ({btab}),\n"
+        + _ERLANG_TAIL.replace("{MAT}", "MATERIALIZED ").replace(
+            "{SLA}", str(ERLANG_SLA)
+        )
+    )
+
+
+@query("erlang_c_staffing", _erlang_oracle())
+def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing: given the PEAK hourly event arrival rate and
+    a 3.75-minute mean handle time (1/16 h — an exact binary fraction,
+    so the offered load a = λ/16 is an exact double), how many agents
+    c are needed so the probability an arrival waits, C(c, a), is ≤
+    20%?  Classic M/M/c: Erlang-B by the stable recursion
+    B(c) = aB(c−1)/(c + aB(c−1)), then C = B/(1 − ρ(1−B)), scanning
+    c = 1..40 for the smallest compliant staffing (−1 if the table is
+    exhausted — the bounded-recursion honesty flag).
+
+    Determinism: B re-quantizes to an exact 1e-12 integer each step —
+    the recursion is a walk through identical integer states in the
+    driver-side loop here and the oracle's 40 unrolled CTEs; the SLA
+    compare uses the ROUNDED P(wait) on both sides.  Complements
+    ``concurrency_littles_law`` (measured L = λW) with the normative
+    staffing answer.
+
+    Scale shape: the corpus work is one hourly count rollup; the
+    recursion runs on a single scalar — driver-side per the
+    bounded-frame pattern (``croston_intermittent`` lesson: recursion
+    ROUNDS, not data, are the cost of the SQL form)."""
+    import math
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "erl_events"
+    )
+    lam = spark.sql(
+        "SELECT CAST(max(c) AS BIGINT) AS lam FROM ("
+        "SELECT date_trunc('hour', ts) AS h, count(*) AS c "
+        "FROM erl_events GROUP BY 1)"
+    ).collect()[0]["lam"]
+    bq, vals = 1_000_000_000_000, []
+    for c in range(1, ERLANG_C_MAX + 1):
+        bq = math.floor(
+            float(lam) / 16.0 * bq
+            / (c * 1000000000000.0 + float(lam) / 16.0 * bq)
+            * 1000000000000.0
+            + 0.5
+        )
+        vals.append(f"({c}, {bq})")
+    return spark.sql(
+        f"WITH peak AS (SELECT CAST({lam} AS BIGINT) AS lam),\n"
+        f"btab AS (SELECT * FROM VALUES {', '.join(vals)} AS t(c, bq)),\n"
+        + _ERLANG_TAIL.replace("{MAT}", "").replace(
+            "{SLA}", str(ERLANG_SLA)
+        )
+    )
