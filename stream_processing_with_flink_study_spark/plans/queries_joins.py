@@ -234,3 +234,123 @@ def smoke_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts.select(
         "message", F.unix_millis("ts").alias("ts_ms"), "temperature"
     )
+
+
+# --------------------------------------------------------------------------
+# Allen's interval algebra: relation census over consecutive order spans
+# --------------------------------------------------------------------------
+_ALLEN_CASE = """
+  CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+       WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+       WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+       WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+       WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+       WHEN e1 = s2 THEN 'meets'
+       WHEN e2 = s1 THEN 'met_by'
+       WHEN e1 < s2 THEN 'precedes'
+       WHEN e2 < s1 THEN 'preceded_by'
+       WHEN s1 > s2 AND e1 < e2 THEN 'during'
+       WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+       WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+       WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+       ELSE 'other' END
+"""
+
+_ALLEN_SQL = f"""
+WITH spans AS {{MAT}}(
+  SELECT o.o_custkey AS cust, o.o_orderkey AS okey,
+         CAST({{DDS}} AS BIGINT) AS s,
+         CAST({{DDE}} AS BIGINT) AS e
+  FROM {{orders}} o
+  JOIN (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM {{lineitem}} GROUP BY l_orderkey) li
+    ON li.l_orderkey = o.o_orderkey
+),
+pairs AS {{MAT}}(
+  SELECT s AS s1, e AS e1,
+         lead(s) OVER w AS s2, lead(e) OVER w AS e2
+  FROM spans
+  WINDOW w AS (PARTITION BY cust ORDER BY s, okey)
+),
+rel AS {{MAT}}(
+  SELECT {_ALLEN_CASE} AS relation
+  FROM pairs WHERE s2 IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rel)
+SELECT r.relation, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(count(*) AS DOUBLE) / max(tot.n) - 1e-9, 6) + 0.0
+         AS share
+FROM rel r CROSS JOIN tot
+GROUP BY r.relation ORDER BY r.relation
+"""
+
+
+@query(
+    "allen_interval_census",
+    _ALLEN_SQL.replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem")
+    .replace(
+        "{DDS}",
+        "date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))",
+    )
+    .replace(
+        "{DDE}", "date_diff('day', DATE '1992-01-01', li.last_ship)"
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of Allen's 13 interval-algebra relations between each
+    customer's CONSECUTIVE order fulfilment spans ([order date, last
+    ship date]) — the temporal-reasoning vocabulary (precedes / meets
+    / overlaps / starts / during / finishes / equals + inverses) that
+    powers conflict detection and process-overlap analytics; here it
+    answers "does a customer's next order start before the previous
+    one finished shipping?".  The CASE ladder is ordered so
+    equality-constrained relations match before their open-interval
+    generalizations, making the 13 branches a PARTITION of all (s,e)
+    configurations — the ``other`` bucket must be empty, and
+    tests/test_wave13.py proves exactly that plus a 13-way hand-built
+    fixture hitting every branch.
+
+    Determinism: endpoints are integer day offsets; every branch is an
+    integer comparison; shares are single divisions of exact counts.
+    Scale shape: one lineitem rollup, one orders join, one
+    per-customer window — the same partitioning every per-customer
+    sequence query reuses (no extra shuffle class), then a 13-row
+    aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "allen_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "allen_lineitem"
+    )
+    return spark.sql(
+        _ALLEN_SQL.replace("{orders}", "allen_orders")
+        .replace("{lineitem}", "allen_lineitem")
+        .replace(
+            "{DDS}",
+            "datediff(CAST(o.o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{DDE}", "datediff(li.last_ship, DATE '1992-01-01')")
+        .replace("{MAT}", "")
+    )
+
+
+def allen_census_frame(pairs: DataFrame) -> DataFrame:
+    """Relation census over any (s1, e1, s2, e2) integer frame —
+    factored out so tests can enumerate all 13 configurations; see
+    :func:`allen_interval_census`."""
+    pairs.createOrReplaceTempView("allen_pairs_frame")
+    return pairs.sparkSession.sql(
+        f"""
+        WITH rel AS (
+          SELECT {_ALLEN_CASE} AS relation FROM allen_pairs_frame
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rel)
+        SELECT r.relation, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(count(*) AS DOUBLE) / max(tot.n) - 1e-9, 6)
+                 + 0.0 AS share
+        FROM rel r CROSS JOIN tot
+        GROUP BY r.relation ORDER BY r.relation
+        """
+    )

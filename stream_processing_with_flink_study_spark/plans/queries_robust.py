@@ -609,3 +609,158 @@ def geofence_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             embeddings="geofence_embeddings", ix=0, iy=1
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RANSAC line fit on the daily revenue trend (md5-seeded consensus)
+# --------------------------------------------------------------------------
+RANSAC_CANDS = 64
+
+_RANSAC_SQL = f"""
+WITH days AS {{MAT}}(
+  SELECT {{DD}} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM {{orders}} GROUP BY 1
+),
+cand AS ({{SPINE}}),
+draw AS {{MAT}}(
+  -- candidate s samples 2 days: the 2 smallest md5('ransac|s|t') keys
+  SELECT c.s, d.t, d.y,
+         row_number() OVER (
+           PARTITION BY c.s
+           ORDER BY md5(concat('ransac|', c.s, '|', d.t)), d.t
+         ) AS rn
+  FROM days d CROSS JOIN cand c
+),
+lines AS {{MAT}}(
+  SELECT s,
+         (CAST(y2 - y1 AS DOUBLE)) / (t2 - t1) AS b,
+         y1 - (CAST(y2 - y1 AS DOUBLE)) / (t2 - t1) * t1 AS a
+  FROM (
+    SELECT s,
+           max(CASE WHEN rn = 1 THEN t END) AS t1,
+           max(CASE WHEN rn = 1 THEN y END) AS y1,
+           max(CASE WHEN rn = 2 THEN t END) AS t2,
+           max(CASE WHEN rn = 2 THEN y END) AS y2
+    FROM draw WHERE rn <= 2 GROUP BY s
+  ) WHERE t2 <> t1
+),
+thr AS (
+  SELECT CAST(floor(0.1 * avg(CAST(y AS DOUBLE)) + 0.5) AS BIGINT) AS h
+  FROM days
+),
+votes AS {{MAT}}(
+  SELECT l.s, CAST(count(*) AS BIGINT) AS inliers
+  FROM days d CROSS JOIN lines l CROSS JOIN thr
+  WHERE abs(d.y - (l.a + l.b * d.t)) <= thr.h
+  GROUP BY l.s
+),
+best AS {{MAT}}(
+  SELECT s, inliers FROM votes ORDER BY inliers DESC, s LIMIT 1
+),
+refit AS {{MAT}}(
+  -- exact-integer OLS over the winning consensus set
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d.t) AS BIGINT) AS st,
+         CAST(sum(d.y) AS BIGINT) AS sy,
+         CAST(sum(d.t * d.t) AS BIGINT) AS stt,
+         CAST(sum(d.t * d.y) AS BIGINT) AS sty
+  FROM days d CROSS JOIN (SELECT l.* FROM lines l JOIN best b ON b.s = l.s) l
+  CROSS JOIN thr
+  WHERE abs(d.y - (l.a + l.b * d.t)) <= thr.h
+),
+naive AS {{MAT}}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(t * y) AS BIGINT) AS sty
+  FROM days
+)
+SELECT naive.n AS n_days,
+       CAST({RANSAC_CANDS} AS BIGINT) AS n_candidates,
+       best.inliers AS best_inliers,
+       round(CAST(best.inliers AS DOUBLE) / naive.n - 1e-9, 4) + 0.0
+         AS inlier_share,
+       round((CAST(refit.n AS DOUBLE) * refit.sty
+              - CAST(refit.st AS DOUBLE) * refit.sy)
+             / (CAST(refit.n AS DOUBLE) * refit.stt
+                - CAST(refit.st AS DOUBLE) * refit.st) - 1e-9, 4) + 0.0
+         AS slope_ransac,
+       round((CAST(naive.n AS DOUBLE) * naive.sty
+              - CAST(naive.st AS DOUBLE) * naive.sy)
+             / (CAST(naive.n AS DOUBLE) * naive.stt
+                - CAST(naive.st AS DOUBLE) * naive.st) - 1e-9, 4) + 0.0
+         AS slope_ols
+FROM naive CROSS JOIN best CROSS JOIN refit
+"""
+
+
+def _ransac_sql(orders: str, dd: str, spine: str, mat: str) -> str:
+    return (
+        _RANSAC_SQL.replace("{orders}", orders)
+        .replace("{DD}", dd)
+        .replace("{SPINE}", spine)
+        .replace("{MAT}", mat)
+    )
+
+
+@query(
+    "ransac_trend_fit",
+    _ransac_sql(
+        "orders",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+        f"SELECT unnest(range(1, {RANSAC_CANDS + 1})) AS s",
+        "MATERIALIZED ",
+    ),
+)
+def ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus line through the daily-revenue series: 64
+    md5-seeded 2-point candidate lines, each voted on by every day
+    within a 10%-of-mean residual band; the winner is refit by exact
+    OLS on its consensus set, reported against the all-points OLS
+    slope.  RANSAC is the robust fit that survives gross outliers
+    Theil-Sen and Huber both dilute — the planted test
+    (tests/test_wave13.py) drops 20% wild contamination on a known
+    slope and RANSAC must still recover it while plain OLS visibly
+    bends.
+
+    Determinism: the "random" 2-point draws are the 2 smallest
+    md5('ransac|s|t') strings per candidate — reproducible in any
+    engine (the ``permutation_test_segments`` seeding pattern);
+    candidate slopes are fixed IEEE trees over integer dollars, the
+    inlier predicate compares against an integer threshold, and the
+    refit/naive OLS moments are exact BIGINTs.  Winner ties break on
+    candidate id.
+
+    Scale shape: one fact rollup to O(days); the vote stage is
+    |days| × 64 — bounded by calendar × candidates, independent of
+    corpus rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ransac_orders"
+    )
+    return spark.sql(
+        _ransac_sql(
+            "ransac_orders",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+            f"SELECT explode(sequence(1, {RANSAC_CANDS})) AS s",
+            "",
+        )
+    )
+
+
+def ransac_frame(days: DataFrame) -> DataFrame:
+    """RANSAC over any (t, y) integer frame — factored out so tests can
+    plant contamination; see :func:`ransac_trend_fit`."""
+    days.createOrReplaceTempView("ransac_days_frame")
+    sql = _ransac_sql(
+        "unused",
+        "unused",
+        f"SELECT explode(sequence(1, {RANSAC_CANDS})) AS s",
+        "",
+    )
+    head = sql.index("cand AS")
+    return days.sparkSession.sql(
+        "WITH "
+        + sql[head:].replace("FROM days", "FROM ransac_days_frame")
+    )

@@ -2271,3 +2271,385 @@ def granger_count_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "granger_orders",
         ).replace(" MATERIALIZED", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Bass diffusion fit on customer adoption (first-order) curve
+# --------------------------------------------------------------------------
+_BASS_MONTH = (
+    "(year(CAST(o_orderdate AS DATE)) - 1992) * 12"
+    " + month(CAST(o_orderdate AS DATE)) - 1"
+)
+
+_BASS_PRE = """
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS mt FROM adopt),
+ser AS {MAT}(
+  SELECT m, a,
+         CAST(coalesce(sum(a) OVER (ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_prev
+  FROM adopt
+),
+qm AS {MAT}(
+  -- penetration-fraction regressors quantized to exact ints: the
+  -- moments are scale-free (x <= 1000, y <= 1e6 at ANY sf)
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(xq * xq * xq) AS BIGINT) AS sxxx,
+         CAST(sum(xq * xq * xq * xq) AS BIGINT) AS sxxxx,
+         CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq * yq) AS BIGINT) AS sxxy
+  FROM (
+    SELECT CAST(floor(CAST(s.cum_prev AS DOUBLE) / t.mt * 1000 + 0.5)
+                AS BIGINT) AS xq,
+           CAST(floor(CAST(s.a AS DOUBLE) / t.mt * 1000000 + 0.5)
+                AS BIGINT) AS yq
+    FROM ser s CROSS JOIN tot t
+  )
+)
+"""
+
+# Cramer runs on EXACT integers (DuckDB: HUGEINT; Spark side: Python
+# bigints) — the determinants cancel catastrophically, so any float
+# (or FMA-contracted) evaluation of them diverges across engines; the
+# exact-integer dets convert to identical doubles in both.
+_BASS_TAIL = """
+bass AS {MAT}(
+  SELECT n, ca, cb, cc,
+         CASE WHEN cb * cb - 4.0 * cc * ca >= 0 AND cc <> 0
+              THEN greatest(
+                     (-cb + sqrt(cb * cb - 4.0 * cc * ca)) / (2.0 * cc),
+                     (-cb - sqrt(cb * cb - 4.0 * cc * ca)) / (2.0 * cc))
+              ELSE CAST(NULL AS DOUBLE) END AS mhat
+  FROM coef
+)
+SELECT n AS n_months,
+       round(ca / mhat - 1e-9, 6) + 0.0 AS p_innovation,
+       round(-cc * mhat - 1e-9, 6) + 0.0 AS q_imitation,
+       round(mhat - 1e-9, 4) + 0.0 AS m_saturation_frac,
+       CASE WHEN ca / mhat > 0 AND -cc * mhat > 0
+            THEN round(ln(-cc * mhat / (ca / mhat))
+                       / (ca / mhat + (-cc * mhat)) - 1e-9, 2) + 0.0
+            ELSE CAST(NULL AS DOUBLE) END AS peak_month
+FROM bass
+"""
+
+_BASS_SOL_DUCK = """
+sol AS MATERIALIZED (
+  SELECT n,
+         CAST(n AS HUGEINT) * (CAST(sxx AS HUGEINT) * sxxxx
+                               - CAST(sxxx AS HUGEINT) * sxxx)
+         - CAST(sx AS HUGEINT) * (CAST(sx AS HUGEINT) * sxxxx
+                                  - CAST(sxx AS HUGEINT) * sxxx)
+         + CAST(sxx AS HUGEINT) * (CAST(sx AS HUGEINT) * sxxx
+                                   - CAST(sxx AS HUGEINT) * sxx) AS det,
+         CAST(sy AS HUGEINT) * (CAST(sxx AS HUGEINT) * sxxxx
+                                - CAST(sxxx AS HUGEINT) * sxxx)
+         - CAST(sx AS HUGEINT) * (CAST(sxy AS HUGEINT) * sxxxx
+                                  - CAST(sxxx AS HUGEINT) * sxxy)
+         + CAST(sxx AS HUGEINT) * (CAST(sxy AS HUGEINT) * sxxx
+                                   - CAST(sxx AS HUGEINT) * sxxy)
+           AS det_a,
+         CAST(n AS HUGEINT) * (CAST(sxy AS HUGEINT) * sxxxx
+                               - CAST(sxxx AS HUGEINT) * sxxy)
+         - CAST(sy AS HUGEINT) * (CAST(sx AS HUGEINT) * sxxxx
+                                  - CAST(sxxx AS HUGEINT) * sxx)
+         + CAST(sxx AS HUGEINT) * (CAST(sx AS HUGEINT) * sxxy
+                                   - CAST(sxy AS HUGEINT) * sxx)
+           AS det_b,
+         CAST(n AS HUGEINT) * (CAST(sxx AS HUGEINT) * sxxy
+                               - CAST(sxy AS HUGEINT) * sxxx)
+         - CAST(sx AS HUGEINT) * (CAST(sx AS HUGEINT) * sxxy
+                                  - CAST(sxy AS HUGEINT) * sxx)
+         + CAST(sy AS HUGEINT) * (CAST(sx AS HUGEINT) * sxxx
+                                  - CAST(sxx AS HUGEINT) * sxx)
+           AS det_c
+  FROM qm
+),
+coef AS MATERIALIZED (
+  SELECT n,
+         CAST(det_a AS DOUBLE) / CAST(det AS DOUBLE) / 1000000.0 AS ca,
+         CAST(det_b AS DOUBLE) / CAST(det AS DOUBLE) / 1000.0 AS cb,
+         CAST(det_c AS DOUBLE) / CAST(det AS DOUBLE) AS cc
+  FROM sol
+)
+"""
+
+
+def _bass_oracle(adopt_cte: str) -> str:
+    return (
+        "WITH "
+        + adopt_cte
+        + ",\n"
+        + _BASS_PRE.replace("{MAT}", "MATERIALIZED ").strip()
+        + ",\n"
+        + _BASS_SOL_DUCK.strip()
+        + ",\n"
+        + _BASS_TAIL.replace("{MAT}", "MATERIALIZED ")
+    )
+
+
+def _bass_spark(spark: SparkSession, adopt_cte: str) -> DataFrame:
+    """Spark side: exact BIGINT moments via SQL, Cramer on Python
+    bigints (exact — mirrors the oracle's HUGEINT dets bit-for-bit),
+    coefficients re-injected as full-precision double literals."""
+    qm = spark.sql(
+        "WITH "
+        + adopt_cte
+        + ",\n"
+        + _BASS_PRE.replace("{MAT}", "").strip()
+        + "\nSELECT * FROM qm"
+    ).collect()[0]
+    n, sx, sxx, sxxx, sxxxx = (
+        int(qm["n"]), int(qm["sx"]), int(qm["sxx"]),
+        int(qm["sxxx"]), int(qm["sxxxx"]),
+    )
+    sy, sxy, sxxy = int(qm["sy"]), int(qm["sxy"]), int(qm["sxxy"])
+    det = (
+        n * (sxx * sxxxx - sxxx * sxxx)
+        - sx * (sx * sxxxx - sxx * sxxx)
+        + sxx * (sx * sxxx - sxx * sxx)
+    )
+    det_a = (
+        sy * (sxx * sxxxx - sxxx * sxxx)
+        - sx * (sxy * sxxxx - sxxx * sxxy)
+        + sxx * (sxy * sxxx - sxx * sxxy)
+    )
+    det_b = (
+        n * (sxy * sxxxx - sxxx * sxxy)
+        - sy * (sx * sxxxx - sxxx * sxx)
+        + sxx * (sx * sxxy - sxy * sxx)
+    )
+    det_c = (
+        n * (sxx * sxxy - sxy * sxxx)
+        - sx * (sx * sxxy - sxy * sxx)
+        + sy * (sx * sxxx - sxx * sxx)
+    )
+    if float(det) == 0.0:
+        ca = cb = cc = float("nan")
+    else:
+        # float() each det FIRST (== CAST(huge AS DOUBLE)), then divide
+        ca = float(det_a) / float(det) / 1000000.0
+        cb = float(det_b) / float(det) / 1000.0
+        cc = float(det_c) / float(det)
+    lit = (
+        f"coef AS (SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST('{ca!r}' AS DOUBLE) AS ca, "
+        f"CAST('{cb!r}' AS DOUBLE) AS cb, "
+        f"CAST('{cc!r}' AS DOUBLE) AS cc)"
+    )
+    return spark.sql(
+        "WITH " + lit + ",\n" + _BASS_TAIL.replace("{MAT}", "")
+    )
+
+
+@query(
+    "bass_diffusion_fit",
+    _bass_oracle(
+        f"""firsts AS MATERIALIZED (
+  SELECT o_custkey, min({_BASS_MONTH}) AS m FROM orders GROUP BY 1
+),
+adopt AS MATERIALIZED (
+  SELECT m, CAST(count(*) AS BIGINT) AS a FROM firsts GROUP BY m
+)"""
+    ),
+)
+def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion-model fit of customer adoption: monthly first
+    orders n_t regress on cumulative prior adopters via the discrete
+    Bass form n_t = pM + (q−p)N_{t−1} − (q/M)N²_{t−1}, giving the
+    innovation rate p, imitation rate q, implied saturation M (as a
+    fraction of observed adopters) and the analytic peak-adoption
+    month ln(q/p)/(p+q) — the product-growth model behind every
+    "S-curve" forecast.
+
+    Determinism — the hard-won part: regressors are penetration
+    FRACTIONS quantized to exact integers (x ≤ 10³, y ≤ 10⁶ at any
+    scale factor), so all 8 moments are exact BIGINTs; but the 3×3
+    Cramer determinants over them cancel CATASTROPHICALLY, and DuckDB's
+    FMA-contracted float evaluation diverged from Spark's at the 7th
+    digit.  The fix: the determinants are computed EXACTLY — int128
+    (HUGEINT) in the oracle, Python bigints on this side — and only
+    the final det ratios become doubles (float() each det first, then
+    divide: the same two roundings in both engines).  The planted test
+    (tests/test_wave13.py via :func:`bass_fit_frame`) feeds an exact
+    discrete Bass curve and recovers p, q, M ≈ 1.
+
+    Scale shape: one orders rollup to first-order months, then an
+    O(months) frame; estimation is O(1) driver-side per the
+    bounded-frame pattern."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bass_orders"
+    )
+    return _bass_spark(
+        spark,
+        f"""firsts AS (
+  SELECT o_custkey, min({_BASS_MONTH}) AS m FROM bass_orders GROUP BY 1
+),
+adopt AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS a FROM firsts GROUP BY m
+)""",
+    )
+
+
+def bass_fit_frame(adopt: DataFrame) -> DataFrame:
+    """Bass fit over any (m, a) adoption frame — factored out for the
+    planted-curve test; see :func:`bass_diffusion_fit`."""
+    adopt.createOrReplaceTempView("bass_adopt_frame")
+    return _bass_spark(
+        adopt.sparkSession,
+        "adopt AS (SELECT m, CAST(a AS BIGINT) AS a"
+        " FROM bass_adopt_frame)",
+    )
+
+
+# --------------------------------------------------------------------------
+# adstock grid fit: carryover rate of activity onto event value
+# --------------------------------------------------------------------------
+ADSTOCK_LAGS = 8
+
+_ADSTOCK_SQL = f"""
+WITH days AS {{MAT}}(
+  SELECT {{DD}} AS t, CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM {{events}} GROUP BY 1
+),
+tots AS (
+  SELECT CAST(sum(x) AS BIGINT) AS tx, CAST(sum(y) AS BIGINT) AS ty
+  FROM days
+),
+shares AS {{MAT}}(
+  -- scale-free 1e-5 integer shares: moments stay in int64 at any sf
+  SELECT d.t,
+         CAST(floor(CAST(d.x AS DOUBLE) / t.tx * 100000 + 0.5) AS BIGINT)
+           AS xs,
+         CAST(floor(CAST(d.y AS DOUBLE) / t.ty * 100000 + 0.5) AS BIGINT)
+           AS ys
+  FROM days d CROSS JOIN tots t
+),
+thetas AS (
+  SELECT CAST(0.3 AS DOUBLE) AS th
+  UNION ALL SELECT CAST(0.5 AS DOUBLE)
+  UNION ALL SELECT CAST(0.7 AS DOUBLE)
+),
+lagk AS ({{SPINE}}),
+ad AS {{MAT}}(
+  -- adstock via 1e-2-quantized integer decay weights: the 9-term
+  -- convolution is an exact BIGINT dot product per (theta, day)
+  SELECT t2.th, a.t, a.ys,
+         CAST(sum(CAST(floor(power(t2.th, l.k) * 100 + 0.5) AS BIGINT)
+                  * b.xs) AS BIGINT) AS adq
+  FROM shares a
+  CROSS JOIN thetas t2
+  JOIN lagk l ON 1 = 1
+  JOIN shares b ON b.t = a.t - l.k
+  GROUP BY t2.th, a.t, a.ys
+  HAVING count(*) = {ADSTOCK_LAGS + 1}
+),
+m AS {{MAT}}(
+  SELECT th, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(adq) AS BIGINT) AS sa,
+         CAST(sum(ys) AS BIGINT) AS sy,
+         CAST(sum(adq * ys) AS BIGINT) AS say,
+         CAST(sum(adq * adq) AS BIGINT) AS saa,
+         CAST(sum(ys * ys) AS BIGINT) AS syy
+  FROM ad GROUP BY th
+),
+fit AS {{MAT}}(
+  SELECT th, n,
+         (CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) AS beta,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) * sa)
+           / n AS alpha,
+         (CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy)
+           * ((CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy))
+           / ((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS r2
+  FROM m
+),
+best AS (
+  SELECT th FROM fit
+  ORDER BY round(1.0 - r2 - 1e-9, 8), th LIMIT 1
+)
+SELECT f.th AS theta, f.n AS n_days,
+       round(f.beta - 1e-9, 6) + 0.0 AS beta_share,
+       round(f.r2 - 1e-9, 6) + 0.0 AS r2,
+       CASE WHEN f.th = b.th THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS is_best
+FROM fit f CROSS JOIN best b
+ORDER BY f.th
+"""
+
+
+def _adstock_sql(events: str, dd: str, spine: str, mat: str) -> str:
+    return (
+        _ADSTOCK_SQL.replace("{events}", events)
+        .replace("{DD}", dd)
+        .replace("{SPINE}", spine)
+        .replace("{MAT}", mat)
+    )
+
+
+@query(
+    "adstock_grid_fit",
+    _adstock_sql(
+        "events",
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+        f"SELECT unnest(range(0, {ADSTOCK_LAGS + 1})) AS k",
+        "MATERIALIZED ",
+    ),
+)
+def adstock_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric carryover) grid fit — the media-mix-model
+    workhorse: transform daily activity x into
+    adstock_θ(x)_t = Σ_k θᵏ x_{t−k} for θ ∈ {0.3, 0.5, 0.7}, regress
+    daily event value on it, and pick the carryover rate by SSE (via
+    max R², rounded before the argmin so both engines make the same
+    call).  Answers "how long does activity keep paying off?".
+
+    Determinism: x and y become scale-free 1e-5 integer SHARES (second
+    moments ≈ 1e17 at any sf); decay weights quantize to 1e-2 integers
+    (pow()'s 1-ulp wobble can't survive the quantization), so the
+    9-term convolution and all regression moments are exact BIGINTs.
+    The planted test (tests/test_wave13.py via :func:`adstock_frame`)
+    builds y as an exact θ = 0.5 adstock of x and the grid must pick
+    0.5 with R² ≈ 1.
+
+    Scale shape: one events rollup to O(days); the convolution is a
+    days × 9 × 3 lag equi-join fanout on that small frame — bounded by
+    calendar, not corpus."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "adstock_events"
+    )
+    return spark.sql(
+        _adstock_sql(
+            "adstock_events",
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01')",
+            f"SELECT explode(sequence(0, {ADSTOCK_LAGS})) AS k",
+            "",
+        )
+    )
+
+
+def adstock_frame(days: DataFrame) -> DataFrame:
+    """Adstock grid fit over any (t, x, y) integer frame — factored
+    out for the planted-carryover test; see :func:`adstock_grid_fit`."""
+    days.createOrReplaceTempView("adstock_days_frame")
+    sql = _adstock_sql(
+        "unused",
+        "unused",
+        f"SELECT explode(sequence(0, {ADSTOCK_LAGS})) AS k",
+        "",
+    )
+    head = sql.index("tots AS")
+    return days.sparkSession.sql(
+        "WITH days AS (SELECT t, CAST(x AS BIGINT) AS x,"
+        " CAST(y AS BIGINT) AS y FROM adstock_days_frame),\n"
+        + sql[head:]
+    )

@@ -1,0 +1,119 @@
+"""Law tests for wave 13: RANSAC, Allen interval census, Bass
+diffusion, adstock grid fit."""
+
+from __future__ import annotations
+
+from stream_processing_with_flink_study_spark.plans import QUERIES
+from stream_processing_with_flink_study_spark.plans.queries_joins import (
+    allen_census_frame,
+)
+from stream_processing_with_flink_study_spark.plans.queries_robust import (
+    ransac_frame,
+)
+from stream_processing_with_flink_study_spark.plans.queries_tsfeat import (
+    adstock_frame,
+    bass_fit_frame,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_ransac_survives_contamination_ols_does_not(spark):
+    # true line y = 1000 + 5t; every 5th point replaced by a strong
+    # COUNTER-trend outlier that drags OLS negative but cannot win a
+    # consensus vote
+    rows = []
+    for t in range(400):
+        y = 1000 + 5 * t
+        if t % 5 == 0:
+            y = 200_000 - 500 * t
+        rows.append((t, y))
+    out = ransac_frame(
+        spark.createDataFrame(rows, "t long, y long")
+    ).collect()[0]
+    assert abs(out["slope_ransac"] - 5.0) < 0.5
+    assert out["slope_ols"] < 0  # OLS dragged counter-trend
+    assert out["best_inliers"] >= 300  # the clean 80% forms consensus
+
+
+def test_ransac_tpch_sane(spark):
+    r = QUERIES["ransac_trend_fit"](spark, SF_SMALL).collect()[0]
+    assert r["n_candidates"] == 64
+    assert 0 < r["best_inliers"] <= r["n_days"]
+    assert 0 < r["inlier_share"] <= 1
+
+
+def test_allen_census_all_13_relations_and_partition(spark):
+    # one hand-built pair per relation: census must return each once
+    fixtures = {
+        "precedes": (0, 2, 5, 8),
+        "preceded_by": (5, 8, 0, 2),
+        "meets": (0, 5, 5, 8),
+        "met_by": (5, 8, 0, 5),
+        "overlaps": (0, 6, 4, 9),
+        "overlapped_by": (4, 9, 0, 6),
+        "starts": (3, 5, 3, 9),
+        "started_by": (3, 9, 3, 5),
+        "during": (4, 6, 2, 9),
+        "contains": (2, 9, 4, 6),
+        "finishes": (6, 9, 2, 9),
+        "finished_by": (2, 9, 6, 9),
+        "equals": (3, 7, 3, 7),
+    }
+    df = spark.createDataFrame(
+        list(fixtures.values()), "s1 long, e1 long, s2 long, e2 long"
+    )
+    out = {r["relation"]: r["n_pairs"] for r in allen_census_frame(df).collect()}
+    assert out == {k: 1 for k in fixtures}  # bijection, no 'other'
+
+
+def test_allen_census_tpch_partitions_everything(spark):
+    rows = QUERIES["allen_interval_census"](spark, SF_SMALL).collect()
+    assert all(r["relation"] != "other" for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_bass_recovers_planted_curve(spark):
+    # exact discrete Bass: p=.03, q=.38, M=10000
+    p, q, big_m = 0.03, 0.38, 10_000.0
+    cum, rows = 0.0, []
+    for m in range(60):
+        n_t = (p * big_m + (q - p) * cum - q / big_m * cum * cum)
+        n_t = max(0.0, n_t)
+        rows.append((m, int(round(n_t))))
+        cum += int(round(n_t))
+    out = bass_fit_frame(
+        spark.createDataFrame(rows, "m long, a long")
+    ).collect()[0]
+    assert abs(out["p_innovation"] - p) < 0.01
+    assert abs(out["q_imitation"] - q) < 0.05
+    assert abs(out["m_saturation_frac"] - 1.0) < 0.05
+    peak_true = __import__("math").log(q / p) / (p + q)
+    assert abs(out["peak_month"] - peak_true) < 1.0
+
+
+def test_adstock_grid_picks_planted_theta(spark):
+    # y is an exact theta=0.5 adstock of x (0.5^k weights are exact
+    # binary fractions scaled x1024 to stay integral)
+    xs = [((i * 37) % 101) + 10 for i in range(60)]
+    rows = []
+    for t in range(len(xs)):
+        y = sum(
+            int(1024 * 0.5**k) * xs[t - k]
+            for k in range(0, min(9, t + 1))
+        )
+        rows.append((t, xs[t], y))
+    out = adstock_frame(
+        spark.createDataFrame(rows, "t long, x long, y long")
+    ).collect()
+    best = [r for r in out if r["is_best"] == 1]
+    assert len(best) == 1 and best[0]["theta"] == 0.5
+    assert best[0]["r2"] > 0.999
+    assert all(r["r2"] < best[0]["r2"] + 1e-9 for r in out)
+
+
+def test_adstock_tpch_sane(spark):
+    rows = QUERIES["adstock_grid_fit"](spark, SF_SMALL).collect()
+    assert len(rows) == 3
+    assert sum(r["is_best"] for r in rows) == 1
+    assert all(0 <= r["r2"] <= 1 + 1e-9 for r in rows)
