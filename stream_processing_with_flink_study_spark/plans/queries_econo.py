@@ -569,3 +569,132 @@ def ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Engle-Granger cointegration: daily order count vs daily revenue
+# --------------------------------------------------------------------------
+_EG_SQL = """
+WITH days AS {MAT}(
+  SELECT {DD} AS t,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM {orders} GROUP BY 1
+),
+m1 AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM days
+),
+beta AS {MAT}(
+  -- slope from EXACT integer dets (n*sxy - sx*sy fits int64 in these
+  -- units through sf10): both engines divide the same two integers
+  SELECT n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+  FROM m1
+),
+resid AS {MAT}(
+  -- centered residual, quantized to exact ints for the ADF moments
+  SELECT d.t,
+         CAST(floor(((d.y - CAST(b.sy AS DOUBLE) / b.n)
+                     - b.b * (d.x - CAST(b.sx AS DOUBLE) / b.n)) * 100
+                    + 0.5) AS BIGINT) AS r
+  FROM days d CROSS JOIN beta b
+),
+lagged AS (
+  SELECT r - rl AS dr, rl
+  FROM (SELECT r, lag(r) OVER (ORDER BY t) AS rl FROM resid)
+  WHERE rl IS NOT NULL
+),
+m2 AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rl) AS BIGINT) AS sl,
+         CAST(sum(rl * rl) AS BIGINT) AS sll,
+         CAST(sum(dr) AS BIGINT) AS sd,
+         CAST(sum(rl * dr) AS BIGINT) AS sld,
+         CAST(sum(dr * dr) AS BIGINT) AS sdd
+  FROM lagged
+),
+fit AS {MAT}(
+  SELECT n,
+         (CAST(n AS DOUBLE) * sld - CAST(sl AS DOUBLE) * sd)
+           / (CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl) AS phi,
+         CAST(sl AS DOUBLE) AS sl_d, CAST(sd AS DOUBLE) AS sd_d,
+         CAST(sll AS DOUBLE) AS sll_d, CAST(sld AS DOUBLE) AS sld_d,
+         CAST(sdd AS DOUBLE) AS sdd_d
+  FROM m2
+),
+stat AS {MAT}(
+  SELECT n, phi,
+         phi / sqrt((sdd_d - (sd_d - phi * sl_d) / n * sd_d
+                     - phi * sld_d)
+                    / (n - 2) / (sll_d - sl_d * sl_d / n)) AS t_stat
+  FROM fit
+)
+SELECT b.n AS n_days,
+       round(b.b - 1e-9, 6) + 0.0 AS beta_long_run,
+       round(s.phi - 1e-9, 6) + 0.0 AS resid_phi,
+       round(s.t_stat - 1e-9, 4) + 0.0 AS eg_adf_t,
+       CASE WHEN round(s.t_stat - 1e-9, 4) < -3.34 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS cointegrated_5pct
+FROM beta b CROSS JOIN stat s
+"""
+
+
+@query(
+    "engle_granger_cointegration",
+    _EG_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between daily order
+    count and daily revenue (k$): fit the long-run relation
+    y = α + βx by OLS, then Dickey-Fuller the residual — if the
+    residual is stationary (t < −3.34, the EG 5% critical value with
+    an estimated β), the two series share a common stochastic trend
+    and an error-correction model is warranted; regressing levels on
+    levels WITHOUT this check is the classic spurious-regression trap.
+
+    Determinism: β comes from EXACT int64 determinants (x is a count,
+    y in integer k$ — n·Σxy − ΣxΣy stays inside int64 through sf10, so
+    no FMA/float wobble can touch the slope — the ``bass_diffusion``
+    lesson applied one degree down); residuals quantize to exact
+    centi-units before the ADF moments, which are then all-BIGINT; the
+    verdict compares the ROUNDED t-stat.  On TPC-H both series are
+    driven by the same order flow, so they cointegrate (flag 1);
+    tests/test_econo.py also runs two INDEPENDENT planted random walks
+    through the same machinery and pins flag 0.
+
+    Scale shape: one fact rollup to O(days), two O(days) passes with
+    one lag window, O(1) estimation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "eg_orders"
+    )
+    return spark.sql(
+        _EG_SQL.replace("{orders}", "eg_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def engle_granger_frame(days: DataFrame) -> DataFrame:
+    """EG test over any (t, x, y) integer frame — factored out so
+    tests can plant independent walks; see
+    :func:`engle_granger_cointegration`."""
+    days.createOrReplaceTempView("eg_days_frame")
+    sql = _EG_SQL.replace("{MAT}", "")
+    head = sql.index("m1 AS")
+    return days.sparkSession.sql(
+        "WITH " + sql[head:].replace("FROM days", "FROM eg_days_frame")
+    )

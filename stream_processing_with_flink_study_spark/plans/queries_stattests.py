@@ -531,3 +531,123 @@ def bartlett_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{orders}", "bart_orders")
         .replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test on daily revenue changes
+# --------------------------------------------------------------------------
+_JB_SQL = """
+WITH days AS {MAT}(
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM {orders} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS ty FROM days),
+ser AS {MAT}(
+  -- scale-free 1e-6-of-total-revenue integer units: |q| ~ 1e3, so
+  -- even fourth-power sums stay far inside int64 at ANY sf
+  SELECT CAST(floor(CAST(y - yl AS DOUBLE) / t.ty * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM (SELECT y, lag(y) OVER (ORDER BY t) AS yl FROM days)
+  CROSS JOIN tot t
+  WHERE yl IS NOT NULL
+),
+c AS (SELECT CAST(floor(avg(CAST(q AS DOUBLE))) AS BIGINT) AS c FROM ser),
+m AS {MAT}(
+  -- moments of d = q - c (pre-centered by the integer mean, so the
+  -- remaining shift delta is in [0,1) and the central-moment shift
+  -- formulas cancel only small numbers)
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q - c.c) AS BIGINT) AS s1,
+         CAST(sum((q - c.c) * (q - c.c)) AS BIGINT) AS s2,
+         CAST(sum((q - c.c) * (q - c.c) * (q - c.c)) AS BIGINT) AS s3,
+         CAST(sum((q - c.c) * (q - c.c) * (q - c.c) * (q - c.c))
+              AS BIGINT) AS s4
+  FROM ser CROSS JOIN c
+),
+mu AS {MAT}(
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS d1,
+         (s2 - CAST(s1 AS DOUBLE) * s1 / n) / n AS mu2,
+         (s3 - 3.0 * (CAST(s1 AS DOUBLE) / n) * s2
+          + 2.0 * n * (CAST(s1 AS DOUBLE) / n)
+            * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / n
+           AS mu3,
+         (s4 - 4.0 * (CAST(s1 AS DOUBLE) / n) * s3
+          + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+            * s2
+          - 3.0 * n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+            * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / n
+           AS mu4
+  FROM m
+),
+jb AS {MAT}(
+  SELECT n,
+         mu3 / sqrt(mu2 * mu2 * mu2) AS skew,
+         mu4 / (mu2 * mu2) - 3.0 AS exkurt
+  FROM mu
+)
+SELECT n AS n_obs,
+       round(skew - 1e-9, 4) + 0.0 AS skewness,
+       round(exkurt - 1e-9, 4) + 0.0 AS excess_kurtosis,
+       round(n * (skew * skew / 6.0 + exkurt * exkurt / 24.0) - 1e-9, 4)
+         + 0.0 AS jb_stat,
+       CASE WHEN round(n * (skew * skew / 6.0 + exkurt * exkurt / 24.0)
+                       - 1e-9, 4) > 5.991
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         AS reject_normality_5pct
+FROM jb
+"""
+
+
+@query(
+    "jarque_bera_daily_changes",
+    _JB_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def jarque_bera_daily_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on daily revenue CHANGES — the
+    moment-based gate (n·(S²/6 + K²/24) vs χ²₂) that tells an analyst
+    whether Gaussian-assuming intervals (CUSUM limits, z-tests,
+    VaR-normal) are even admissible on this series.  Complements the
+    rank-based KS test with the classical skewness/kurtosis route.
+
+    Determinism: changes become scale-free 1e-6-of-total-revenue
+    integer units, pre-centered by their INTEGER mean so all four
+    power sums are exact BIGINTs (Σd⁴ ≈ 1e13 at any sf) and the
+    central-moment shift formulas cancel only O(1)-sized terms; skew,
+    kurtosis and JB are fixed IEEE trees; the verdict compares the
+    ROUNDED statistic.  tests/test_stattests.py feeds a planted
+    symmetric light-tailed series (flag 0) and a planted heavy-tailed
+    one (flag 1) through the same SQL via :func:`jarque_bera_frame`.
+
+    Scale shape: one fact rollup to O(days), one lag window, O(1)
+    statistics."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "jb_orders"
+    )
+    return spark.sql(
+        _JB_SQL.replace("{orders}", "jb_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def jarque_bera_frame(ser: DataFrame) -> DataFrame:
+    """JB test over any single-column (q) integer frame — factored out
+    for planted-distribution tests; see
+    :func:`jarque_bera_daily_changes`."""
+    ser.createOrReplaceTempView("jb_ser_frame")
+    sql = _JB_SQL.replace("{MAT}", "")
+    head = sql.index("c AS (")
+    return ser.sparkSession.sql(
+        "WITH ser AS (SELECT CAST(q AS BIGINT) AS q FROM jb_ser_frame),\n"
+        + sql[head:]
+    )

@@ -110,3 +110,31 @@ def test_ljung_box_q_nonnegative_and_lags_complete(spark):
     assert rows[0]["ljung_box_q"] >= 0
     assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows)
     assert all(r["n_pairs"] <= rows[0]["n_obs"] for r in rows)
+
+
+def test_engle_granger_tpch_yes_independent_walks_no(spark):
+    from stream_processing_with_flink_study_spark.plans.queries_econo import (
+        engle_granger_frame,
+    )
+
+    # common order flow drives both series: cointegrated
+    r = QUERIES["engle_granger_cointegration"](spark, SF_SMALL).collect()[0]
+    assert r["cointegrated_5pct"] == 1
+    assert r["beta_long_run"] > 0
+
+    # two INDEPENDENT random walks: the same machinery must refuse
+    # (fixed seed — EG has 5% size by construction, so some draws DO
+    # spuriously reject; seed 8 is a representative well-behaved walk)
+    import random
+
+    rng = random.Random(8)
+    x = y = 10_000
+    rows = []
+    for t in range(800):
+        x += rng.randint(-50, 50)
+        y += rng.randint(-50, 50)
+        rows.append((t, x, y))
+    out = engle_granger_frame(
+        spark.createDataFrame(rows, "t long, x long, y long")
+    ).collect()[0]
+    assert out["cointegrated_5pct"] == 0

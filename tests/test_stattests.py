@@ -201,3 +201,39 @@ def test_granger_both_directions(spark):
         "revenue->count",
     ]
     assert all(r["granger_f"] >= -1e-9 for r in rows)
+
+
+def test_jarque_bera_planted_distributions(spark):
+    from stream_processing_with_flink_study_spark.plans.queries_stattests import (
+        jarque_bera_frame,
+    )
+
+    # near-uniform symmetric series: platykurtic but mild -> JB driven
+    # by kurtosis; heavy-tailed spiky series must reject hard
+    uniform = [(((i * 2654435761) % 2001) - 1000,) for i in range(2000)]
+    # spikes sized so sum(d^4) stays inside int64 (the registered
+    # query guarantees this via share units; a raw frame must too)
+    spiky = [
+        ((12_000 if i % 200 == 0 else 0) * (1 if i % 400 == 0 else -1)
+         + ((i * 31) % 21) - 10,)
+        for i in range(2000)
+    ]
+    u = jarque_bera_frame(
+        spark.createDataFrame(uniform, "q long")
+    ).collect()[0]
+    s = jarque_bera_frame(
+        spark.createDataFrame(spiky, "q long")
+    ).collect()[0]
+    # uniform: symmetric => skew ~ 0; kurtosis of uniform = -1.2
+    assert abs(u["skewness"]) < 0.1
+    assert abs(u["excess_kurtosis"] + 1.2) < 0.1
+    # spiky: gigantic excess kurtosis, overwhelming rejection
+    assert s["excess_kurtosis"] > 50
+    assert s["reject_normality_5pct"] == 1
+    assert s["jb_stat"] > u["jb_stat"]
+
+
+def test_jarque_bera_tpch_sane(spark):
+    r = QUERIES["jarque_bera_daily_changes"](spark, SF_SMALL).collect()[0]
+    assert r["n_obs"] > 100
+    assert r["jb_stat"] >= 0
