@@ -1387,3 +1387,98 @@ def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """).localCheckpoint()
     x.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# negative-binomial overdispersion fit of per-customer order counts
+# --------------------------------------------------------------------------
+_NEGBIN_SQL = """
+WITH counts AS {MAT}(
+  -- LEFT join from customer so zero-order customers count as 0
+  SELECT c.c_custkey, CAST(coalesce(o.k, 0) AS BIGINT) AS k
+  FROM {customer} c
+  LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+             FROM {orders} GROUP BY o_custkey) o
+    ON o.o_custkey = c.c_custkey
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS s1,
+         CAST(sum(k * k) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+  FROM counts
+),
+mv AS {MAT}(
+  SELECT n, z,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v
+  FROM m
+)
+SELECT n AS n_customers,
+       round(mu - 1e-9, 4) + 0.0 AS mean_orders,
+       round(v - 1e-9, 4) + 0.0 AS var_orders,
+       round(v / mu - 1e-9, 4) + 0.0 AS dispersion_index,
+       CASE WHEN v > mu
+            THEN round(mu * mu / (v - mu) - 1e-9, 4) + 0.0
+            ELSE CAST(NULL AS DOUBLE) END AS nb_r,
+       CASE WHEN v > mu
+            THEN round(mu / v - 1e-9, 6) + 0.0
+            ELSE CAST(NULL AS DOUBLE) END AS nb_p,
+       round(CAST(z AS DOUBLE) / n - 1e-9, 6) + 0.0 AS zero_share,
+       round(exp(-mu) - 1e-9, 6) + 0.0 AS poisson_zero_share,
+       CASE WHEN round(CAST(z AS DOUBLE) / n - 1e-9, 6)
+               > round(exp(-mu) - 1e-9, 6)
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         AS zero_inflated_vs_poisson
+FROM mv
+"""
+
+
+@query(
+    "negbin_overdispersion_fit",
+    _NEGBIN_SQL.replace("{customer}", "customer")
+    .replace("{orders}", "orders")
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of per-customer order
+    counts — the first question of any count model: is the data
+    Poisson (variance ≈ mean) or overdispersed?  Reports the
+    dispersion index σ²/μ, the implied NB parameters r = μ²/(σ²−μ)
+    and p = μ/σ² when overdispersed, and the excess-zeros check
+    (observed zero share vs the Poisson e^{−μ}) that motivates
+    zero-inflated models.  Customers with no orders enter as exact
+    zeros via the LEFT join from the customer dimension.
+
+    Determinism: count moments are exact BIGINTs (Σk² tiny); μ, σ²
+    and the MoM parameters are fixed IEEE trees; the single exp(−μ)
+    lands on the rounded-6dp convention, and the zero-inflation flag
+    compares the two ROUNDED shares.  tests/test_wave14.py feeds an
+    exact planted NB mixture and a planted Poisson through the same
+    SQL via :func:`negbin_frame` and pins recovery / the flag.
+
+    Scale shape: one orders rollup, one dimension join, O(1) stats."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "nb_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "nb_orders"
+    )
+    return spark.sql(
+        _NEGBIN_SQL.replace("{customer}", "nb_customer")
+        .replace("{orders}", "nb_orders")
+        .replace("{MAT}", "")
+    )
+
+
+def negbin_frame(counts: DataFrame) -> DataFrame:
+    """MoM fit over any single-column (k) count frame — factored out
+    for planted-distribution tests; see
+    :func:`negbin_overdispersion_fit`."""
+    counts.createOrReplaceTempView("nb_counts_frame")
+    sql = _NEGBIN_SQL.replace("{MAT}", "")
+    head = sql.index("m AS ")
+    return counts.sparkSession.sql(
+        "WITH counts AS (SELECT CAST(k AS BIGINT) AS k"
+        " FROM nb_counts_frame),\n" + sql[head:]
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens as text_tokens
 from ..sources import load_table
 from .queries_graph import PR_DAMPING, PR_ITERS
 from .registry import query
@@ -455,4 +456,105 @@ def bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(smap[F.col("bk")] * k - 1e-9, 4).alias("strength_rel"),
         )
         .orderBy(F.col("strength_rel").desc(), "brand_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta: stylometric distance between sources on function words
+# --------------------------------------------------------------------------
+BURROWS_K = 30
+
+_BURROWS_SQL = f"""
+WITH tf AS {{MAT}}(
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM ({{EXPLODE}}) GROUP BY source, tok
+),
+totals AS {{MAT}}(
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY source
+),
+fw AS {{MAT}}(
+  -- the K corpus-wide most-frequent tokens = the "function words"
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (
+      ORDER BY sum(c) DESC, tok
+    ) AS rk
+    FROM tf GROUP BY tok
+  ) WHERE rk <= {BURROWS_K}
+),
+freq AS {{MAT}}(
+  -- per-source relative frequency in exact 1e-9 integer units; the
+  -- source x word spine keeps absent combinations at exactly 0
+  SELECT t.source, w.tok,
+         CAST(floor(CAST(coalesce(x.c, 0) AS DOUBLE) * 1000000000.0
+                    / t.n + 0.5) AS BIGINT) AS fq
+  FROM totals t CROSS JOIN fw w
+  LEFT JOIN tf x ON x.source = t.source AND x.tok = w.tok
+),
+stats AS {{MAT}}(
+  SELECT tok, CAST(count(*) AS BIGINT) AS s,
+         CAST(sum(fq) AS BIGINT) AS sf,
+         CAST(sum(fq * fq) AS BIGINT) AS sff
+  FROM freq GROUP BY tok
+),
+z AS {{MAT}}(
+  SELECT f.source, f.tok,
+         CAST(floor((f.fq - CAST(st.sf AS DOUBLE) / st.s)
+                    / sqrt((st.sff - CAST(st.sf AS DOUBLE) * st.sf / st.s)
+                           / (st.s - 1)) * 1000000 + 0.5) AS BIGINT)
+           AS zq
+  FROM freq f JOIN stats st ON st.tok = f.tok
+  WHERE st.sff * st.s > st.sf * st.sf
+),
+pairs AS {{MAT}}(
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS k_words,
+         CAST(sum(abs(a.zq - b.zq)) AS BIGINT) AS sdq
+  FROM z a JOIN z b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, k_words,
+       round(CAST(sdq AS DOUBLE) / k_words / 1000000.0 - 1e-9, 6) + 0.0
+         AS burrows_delta
+FROM pairs
+ORDER BY src_a, src_b
+"""
+
+
+@query(
+    "burrows_delta_sources",
+    _BURROWS_SQL.replace("{MAT}", "MATERIALIZED ").replace(
+        "{EXPLODE}",
+        "SELECT source, unnest(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')) AS tok FROM documents",
+    ),
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of sources — the standard
+    stylometric authorship distance: z-score each source's relative
+    frequency of the 30 corpus-wide most-common tokens ("function
+    words", whose usage rates fingerprint a writer/generator rather
+    than a topic), then average absolute z differences per pair.  Low
+    delta = same stylistic fingerprint (e.g. two crawls of the same
+    template farm); the dedup/provenance signal that topic-level
+    similarity misses.
+
+    Determinism: relative frequencies are exact 1e-9 integers on a
+    source × word spine (absent combinations exactly 0), means and
+    variances are exact BIGINT sums over them, z-scores quantize to
+    1e-6 integers BEFORE the pairwise |Δz| sums — so every pair's
+    delta is a ratio of exact integers.  Words with zero cross-source
+    variance drop out (strict integer predicate).
+
+    Scale shape: one token explode → (source, token) count; the z
+    frame is |S|·K rows and the pair join (|S|²/2)·K — both tiny;
+    the corpus is touched once.  tests/test_wave14.py plants two
+    same-template sources vs a divergent one and pins the ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "source", F.explode(text_tokens("text")).alias("tok")
+    ).createOrReplaceTempView("burrows_toks")
+    return spark.sql(
+        _BURROWS_SQL.replace("{MAT}", "").replace(
+            "{EXPLODE}", "SELECT source, tok FROM burrows_toks"
+        )
     )
