@@ -2371,3 +2371,87 @@ def lexical_diversity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "{EXPLODE}", "SELECT source, tok FROM lexdiv_toks"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch: second frequency moment of the token stream
+# --------------------------------------------------------------------------
+AMS_K = 32
+
+_AMS_SQL = f"""
+WITH tf AS {{MAT}}(
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM ({{EXPLODE}}) GROUP BY tok
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * c) AS BIGINT) AS f2
+  FROM tf
+),
+reps AS ({{SPINE}}),
+z AS {{MAT}}(
+  -- one +/-1 four-wise-ish hash per replica: the top bit of the first
+  -- md5 hex digit of (token | replica)
+  SELECT r.j,
+         CAST(sum(CASE WHEN substring(md5(concat(t.tok, '|', r.j)), 1, 1)
+                         IN ('0', '1', '2', '3', '4', '5', '6', '7')
+                  THEN t.c ELSE -t.c END) AS BIGINT) AS zj
+  FROM tf t CROSS JOIN reps r
+  GROUP BY r.j
+),
+est AS {{MAT}}(
+  SELECT zj * zj AS e,
+         row_number() OVER (ORDER BY zj * zj, zj) AS rk,
+         count(*) OVER () AS k
+  FROM z
+)
+SELECT e2.n_types, e2.n_tokens, e2.f2 AS exact_f2,
+       (SELECT CAST(avg(CAST(e AS DOUBLE)) AS BIGINT) FROM est
+        WHERE rk IN ((k + 1) / 2, (k + 2) / 2)) AS ams_f2_median,
+       CAST({AMS_K} AS BIGINT) AS k_replicas,
+       round(abs((SELECT CAST(avg(CAST(e AS DOUBLE)) AS BIGINT) FROM est
+                  WHERE rk IN ((k + 1) / 2, (k + 2) / 2))
+                 - CAST(e2.f2 AS DOUBLE)) / e2.f2 - 1e-9, 4) + 0.0
+         AS rel_error
+FROM exact e2
+"""
+
+
+@query(
+    "ams_f2_sketch",
+    _AMS_SQL.replace("{MAT}", "MATERIALIZED ")
+    .replace(
+        "{EXPLODE}",
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')) AS tok FROM documents",
+    )
+    .replace("{SPINE}", f"SELECT unnest(range(1, {AMS_K + 1})) AS j"),
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alon-Matias-Szegedy F₂ sketch of the token stream: the second
+    frequency moment Σc² (self-join size / repeat rate) estimated by
+    the median of 32 squared ±1-signed sums — THE founding streaming
+    sketch, needing O(k) memory where the exact answer needs the whole
+    vocabulary.  Reported against the exact F₂ with the realized
+    relative error; each replica's Z_j = Σ±c is an exact BIGINT (signs
+    from md5, reproducible in any engine), and the median is an exact
+    positional order statistic (avg of the two middle for even k).
+
+    Scale shape: one token explode → vocab-sized counts; the sketch
+    stage is vocab × 32 (sublinear in corpus), and in a true streaming
+    deployment folds into one pass of k signed counters.
+    tests/test_wave15.py pins the estimator's unbiasedness shape on a
+    planted uniform vocabulary (median within 3/√k of truth) and the
+    E[Z]=0 sanity."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.explode(text.tokens("text")).alias("tok")
+    ).createOrReplaceTempView("ams_toks")
+    return spark.sql(
+        _AMS_SQL.replace("{MAT}", "")
+        .replace("{EXPLODE}", "SELECT tok FROM ams_toks")
+        .replace(
+            "{SPINE}", f"SELECT explode(sequence(1, {AMS_K})) AS j"
+        )
+    )

@@ -3431,3 +3431,108 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "{LOADINGS}", _pi_loadings()
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Diebold-Mariano: is seasonal-naive actually better than naive?
+# --------------------------------------------------------------------------
+_DM_SQL = """
+WITH days AS {MAT}(
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM {orders} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS ty FROM days),
+q AS {MAT}(
+  -- scale-free 1e-6-of-total units: squared losses stay exact int64
+  SELECT d.t,
+         CAST(floor(CAST(d.y AS DOUBLE) / x.ty * 1000000 + 0.5)
+              AS BIGINT) AS qy
+  FROM days d CROSS JOIN tot x
+),
+f AS {MAT}(
+  -- calendar equi-joins: forecaster A = value 7 days ago (seasonal
+  -- naive), forecaster B = value 1 day ago (naive)
+  SELECT a.t, a.qy,
+         (a.qy - s7.qy) * (a.qy - s7.qy) AS la,
+         (a.qy - s1.qy) * (a.qy - s1.qy) AS lb
+  FROM q a
+  JOIN q s7 ON s7.t = a.t - 7
+  JOIN q s1 ON s1.t = a.t - 1
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(la - lb) AS BIGINT) AS sd,
+         CAST(sum((la - lb) * (la - lb)) AS BIGINT) AS sdd,
+         CAST(sum(la) AS BIGINT) AS sla,
+         CAST(sum(lb) AS BIGINT) AS slb
+  FROM f
+),
+stat AS {MAT}(
+  SELECT n, sla, slb,
+         (CAST(sd AS DOUBLE) / n)
+           / sqrt((sdd - CAST(sd AS DOUBLE) * sd / n) / (n - 1) / n)
+           AS dm
+  FROM m
+)
+SELECT n AS n_days,
+       round(CAST(sla AS DOUBLE) / n - 1e-9, 4) + 0.0
+         AS mse_seasonal_naive,
+       round(CAST(slb AS DOUBLE) / n - 1e-9, 4) + 0.0 AS mse_naive,
+       round(dm - 1e-9, 4) + 0.0 AS dm_stat,
+       CASE WHEN abs(round(dm - 1e-9, 4)) > 1.96 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS significant_5pct
+FROM stat
+"""
+
+
+@query(
+    "diebold_mariano_forecasts",
+    _DM_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def diebold_mariano_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test of equal predictive accuracy: does the
+    seasonal-naive forecast (last week's value) beat the plain naive
+    (yesterday's value) on daily revenue, or is the MSE gap noise?
+    The loss differential d_t = L_A − L_B is averaged and studentized
+    (lag-0 small-sample form); |DM| > 1.96 declares a real accuracy
+    difference — the inference layer missing from raw leaderboard
+    deltas like ``forecast_baseline_eval``'s.
+
+    Determinism: values become 1e-6-of-total integer units so both
+    squared losses and the squared loss differential are exact BIGINTs
+    at any scale factor; the DM statistic is a fixed IEEE tree; the
+    verdict compares the ROUNDED stat.  tests/test_wave15.py plants a
+    pure-weekly series (seasonal naive perfect ⇒ DM strongly negative)
+    and a random walk (naive wins).
+
+    Scale shape: one fact rollup to O(days), two calendar equi-joins
+    on that frame, O(1) statistics."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "dm_orders"
+    )
+    return spark.sql(
+        _DM_SQL.replace("{orders}", "dm_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def diebold_mariano_frame(q: DataFrame) -> DataFrame:
+    """DM test over any (t, qy) integer frame — factored out for the
+    planted-forecaster tests; see :func:`diebold_mariano_forecasts`."""
+    q.createOrReplaceTempView("dm_q_frame")
+    sql = _DM_SQL.replace("{MAT}", "")
+    head = sql.index("f AS ")
+    return q.sparkSession.sql(
+        "WITH q AS (SELECT t, CAST(qy AS BIGINT) AS qy"
+        " FROM dm_q_frame),\n" + sql[head:]
+    )

@@ -1069,3 +1069,138 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "{SLA}", str(ERLANG_SLA)
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Aalen-Johansen cumulative incidence: returned vs fulfilled, competing
+# --------------------------------------------------------------------------
+CIF_CENSOR_AT = 60
+
+_CIF_SQL = f"""
+WITH obs AS {{MAT}}(
+  SELECT CASE WHEN dly > {CIF_CENSOR_AT} THEN {CIF_CENSOR_AT}
+              ELSE dly END AS t,
+         CASE WHEN dly > {CIF_CENSOR_AT} THEN 0
+              WHEN has_r = 1 THEN 1 ELSE 2 END AS ev
+  FROM (
+    SELECT CAST({{DD}} AS BIGINT) AS dly, li.has_r
+    FROM {{orders}} o
+    JOIN (SELECT l_orderkey,
+                 min(CAST(l_shipdate AS DATE)) AS first_ship,
+                 max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS has_r
+          FROM {{lineitem}} GROUP BY l_orderkey) li
+      ON li.l_orderkey = o.o_orderkey
+  )
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM obs),
+risk AS {{MAT}}(
+  SELECT t,
+         CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(count(*) AS BIGINT) AS c_all
+  FROM obs GROUP BY t
+),
+atrisk AS {{MAT}}(
+  SELECT r.t, r.d1, r.d2,
+         nn.n0 - CAST(coalesce(sum(r.c_all) OVER (
+           ORDER BY r.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_at
+  FROM risk r CROSS JOIN nn
+),
+surv AS {{MAT}}(
+  -- S(t-) as exp of the ln-sum over strictly-earlier factors, with
+  -- the kaplan_meier zero-factor flag pinning exact zeros
+  SELECT t, d1, d2, n_at,
+         CASE WHEN coalesce(sum(CASE WHEN n_at = d1 + d2 THEN 1 ELSE 0
+                                END) OVER w1, 0) > 0 THEN 0.0
+              ELSE exp(coalesce(sum(CASE WHEN n_at > d1 + d2 THEN
+                         ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n_at)
+                         ELSE 0.0 END) OVER w1, 0.0)) END AS s_minus
+  FROM atrisk
+  WINDOW w1 AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+),
+inc AS {{MAT}}(
+  -- 1e-9-quantized increments: cumulative incidence is then an exact
+  -- ordered integer cumsum in both engines
+  SELECT t,
+         CAST(floor(s_minus * d1 / n_at * 1000000000 + 0.5) AS BIGINT)
+           AS i1,
+         CAST(floor(s_minus * d2 / n_at * 1000000000 + 0.5) AS BIGINT)
+           AS i2,
+         CAST(floor(s_minus * (1.0 - CAST(d1 + d2 AS DOUBLE) / n_at)
+                    * 1000000000 + 0.5) AS BIGINT) AS sq
+  FROM surv
+),
+cif AS {{MAT}}(
+  SELECT t,
+         CAST(sum(i1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c1,
+         CAST(sum(i2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c2,
+         sq
+  FROM inc
+),
+grid AS (
+  SELECT 7 AS g UNION ALL SELECT 14 UNION ALL SELECT 30
+  UNION ALL SELECT 45 UNION ALL SELECT {CIF_CENSOR_AT}
+),
+pick AS {{MAT}}(
+  SELECT g.g, max(c.t) AS t FROM grid g JOIN cif c ON c.t <= g.g
+  GROUP BY g.g
+)
+SELECT p.g AS horizon_days,
+       round(c.c1 / 1000000000.0 - 1e-9, 6) + 0.0 AS cif_returned,
+       round(c.c2 / 1000000000.0 - 1e-9, 6) + 0.0 AS cif_fulfilled,
+       round(c.sq / 1000000000.0 - 1e-9, 6) + 0.0 AS surviving,
+       round((c.c1 + c.c2 + c.sq) / 1000000000.0 - 1e-9, 4) + 0.0
+         AS mass_check
+FROM pick p JOIN cif c ON c.t = p.t
+ORDER BY p.g
+"""
+
+
+@query(
+    "competing_risks_cif",
+    _CIF_SQL.replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem")
+    .replace(
+        "{DD}",
+        "date_diff('day', CAST(o.o_orderdate AS DATE), li.first_ship)",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS: from
+    order placement, an order's first shipment resolves either as
+    "contains a returned line" (risk 1) or "clean fulfilment" (risk
+    2), censored at 60 days; CIF_k(t) = Σ_{{s≤t}} S(s−)·d_ks/n_s is
+    the probability of resolving BY WAY OF risk k by day t.  The
+    textbook error this query exists to prevent: 1−KM per risk
+    ("cause-specific KM") overstates each incidence because it treats
+    the other risk as censoring — AJ increments share ONE overall
+    survival factor, so CIF₁ + CIF₂ + S(t) = 1 exactly
+    (``mass_check``, pinned by tests/test_wave15.py).
+
+    Determinism: the survival prefix product rides the
+    ``kaplan_meier_reorder`` exp-sum-ln + zero-factor-flag pattern;
+    every AJ increment quantizes to an exact 1e-9 integer, so the
+    cumulative incidences are ordered integer cumsums — identical in
+    both engines.  Scale shape: one lineitem rollup + orders join,
+    then all survival math on the O(61)-row day frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "cif_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "cif_lineitem"
+    )
+    return spark.sql(
+        _CIF_SQL.replace("{orders}", "cif_orders")
+        .replace("{lineitem}", "cif_lineitem")
+        .replace(
+            "{DD}",
+            "datediff(li.first_ship, CAST(o.o_orderdate AS DATE))",
+        )
+        .replace("{MAT}", "")
+    )
