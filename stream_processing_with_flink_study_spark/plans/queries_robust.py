@@ -764,3 +764,187 @@ def ransac_frame(days: DataFrame) -> DataFrame:
         "WITH "
         + sql[head:].replace("FROM days", "FROM ransac_days_frame")
     )
+
+
+# --------------------------------------------------------------------------
+# Hill estimator: tail index of the order-value distribution
+# --------------------------------------------------------------------------
+HILL_KS = (50, 100, 200)
+
+_HILL_SQL = f"""
+WITH v AS {{MAT}}(
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM {{orders}}
+),
+ranked AS {{MAT}}(
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC) AS rk
+  FROM v
+),
+ks AS (
+  SELECT CAST(50 AS BIGINT) AS k UNION ALL SELECT 100
+  UNION ALL SELECT 200
+),
+thresh AS {{MAT}}(
+  SELECT k.k, r.cents AS xk
+  FROM ks k JOIN ranked r ON r.rk = k.k + 1
+),
+hill AS {{MAT}}(
+  -- 1e-6-quantized log exceedance ratios -> exact integer sums
+  SELECT t.k,
+         CAST(sum(CAST(floor(ln(CAST(r.cents AS DOUBLE) / t.xk)
+                             * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS slog,
+         t.xk
+  FROM thresh t JOIN ranked r ON r.rk <= t.k
+  GROUP BY t.k, t.xk
+)
+SELECT k AS top_k,
+       round(xk / 100.0 - 1e-9, 2) + 0.0 AS threshold_usd,
+       round(CAST(slog AS DOUBLE) / k / 1000000.0 - 1e-9, 6) + 0.0
+         AS hill_gamma,
+       round(CAST(k AS DOUBLE) * 1000000.0 / slog - 1e-9, 4) + 0.0
+         AS tail_alpha
+FROM hill ORDER BY k
+"""
+
+
+@query(
+    "hill_tail_index",
+    _HILL_SQL.replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index at k = 50/100/200
+    upper order statistics: γ̂ = (1/k)Σ ln(x_(i)/x_(k+1)), α̂ = 1/γ̂ —
+    the standard heavy-tail diagnostic (α < 2 ⇒ infinite variance:
+    means and CLT-based intervals on revenue are then untrustworthy).
+    Reading γ across several k is the poor-man's Hill plot; TPC-H
+    order values are bounded (light-tailed), so α comes out large —
+    the planted Pareto test (tests/test_wave16.py via
+    :func:`hill_frame`) pins exact recovery of a known α instead.
+
+    Determinism: thresholds are exact positional order statistics on
+    integer cents (descending rank with ties broken by value
+    equality); each log exceedance quantizes to an exact 1e-6 integer
+    before the sum.  Scale shape: one global top-(k+1) sort (the
+    percentile pattern) and an O(k) aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "hill_orders"
+    )
+    return spark.sql(
+        _HILL_SQL.replace("{orders}", "hill_orders").replace("{MAT}", "")
+    )
+
+
+def hill_frame(v: DataFrame) -> DataFrame:
+    """Hill fit over any single-column (cents) integer frame; see
+    :func:`hill_tail_index`."""
+    v.createOrReplaceTempView("hill_v_frame")
+    sql = _HILL_SQL.replace("{MAT}", "")
+    head = sql.index("ranked AS")
+    return v.sparkSession.sql(
+        "WITH v AS (SELECT CAST(cents AS BIGINT) AS cents"
+        " FROM hill_v_frame),\n" + sql[head:]
+    )
+
+
+# --------------------------------------------------------------------------
+# Gumbel block-maxima fit: T-year return levels of daily revenue
+# --------------------------------------------------------------------------
+_GUMBEL_SQL = """
+WITH days AS {MAT}(
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr, {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice / 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM {orders} GROUP BY 1, 2
+),
+maxima AS {MAT}(
+  SELECT yr, CAST(max(y) AS BIGINT) AS m FROM days GROUP BY yr
+),
+mm AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS s1,
+         CAST(sum(m * m) AS BIGINT) AS s2
+  FROM maxima
+),
+fit AS {MAT}(
+  -- Gumbel method of moments: beta = s*sqrt(6)/pi, mu = mean - gamma*beta
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS mean_m,
+         sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+           * 0.7796968012336793 AS beta
+  FROM mm
+),
+gum AS {MAT}(
+  SELECT n, mean_m, beta,
+         mean_m - 0.5772156649015329 * beta AS mu
+  FROM fit
+),
+grid AS (
+  SELECT CAST(5 AS BIGINT) AS t_years UNION ALL SELECT 10
+  UNION ALL SELECT 50
+)
+SELECT g.t_years,
+       gum.n AS n_blocks,
+       round(gum.mu * 100.0 - 1e-9, 2) + 0.0 AS gumbel_mu_usd,
+       round(gum.beta * 100.0 - 1e-9, 2) + 0.0 AS gumbel_beta_usd,
+       round((gum.mu - gum.beta
+              * ln(-ln(1.0 - 1.0 / g.t_years))) * 100.0 - 1e-9, 2)
+         + 0.0 AS return_level_usd
+FROM grid g CROSS JOIN gum
+ORDER BY g.t_years
+"""
+
+
+@query(
+    "gumbel_return_levels",
+    _GUMBEL_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value return levels: fit a Gumbel to the ANNUAL maxima
+    of daily revenue (method of moments — β = s·√6/π with the literal
+    constant, μ = m̄ − γ_E·β) and invert the CDF for the 5/10/50-year
+    return levels — "the biggest day we should provision for once in T
+    years", the capacity-planning twin of VaR (which reads the
+    5%-quantile tail; this reads the once-in-T-blocks extreme).
+
+    Determinism: block maxima are exact BIGINT (hundred-dollar units);
+    mean/std are fixed IEEE trees over the two exact moments; √6/π and
+    the Euler-Mascheroni constant are compile-time literals so no
+    engine evaluates a transcendental beyond the single ln(−ln(1−1/T))
+    per grid row, absorbed by the 2-dp rounding.  tests/test_wave16.py
+    pins monotonicity in T, return level ≥ fitted μ, and exact
+    recovery on a planted Gumbel grid sample.
+
+    Scale shape: one fact rollup to O(days), an O(years) maxima frame,
+    O(1) fit."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gum_orders"
+    )
+    return spark.sql(
+        _GUMBEL_SQL.replace("{orders}", "gum_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def gumbel_frame(maxima: DataFrame) -> DataFrame:
+    """Gumbel fit over any single-column (m) integer maxima frame; see
+    :func:`gumbel_return_levels`."""
+    maxima.createOrReplaceTempView("gum_m_frame")
+    sql = _GUMBEL_SQL.replace("{MAT}", "")
+    head = sql.index("mm AS ")
+    return maxima.sparkSession.sql(
+        "WITH maxima AS (SELECT CAST(m AS BIGINT) AS m"
+        " FROM gum_m_frame),\n" + sql[head:]
+    )
