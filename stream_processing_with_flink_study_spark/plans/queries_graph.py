@@ -1750,7 +1750,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership frame, grouped to 3 rows.  tests/test_wave12.py pins
     the monotone-threshold law (k₅₀ ≤ k₇₅ ≤ k₉₀, n_rich decreasing)
     and a planted core-periphery graph where the club lights up."""
-    _copurchase_edges(spark, sf_dir).createOrReplaceTempView(
+    _copurchase_edges(spark, sf_dir).localCheckpoint().createOrReplaceTempView(
         "rc_edges"
     )
     return spark.sql(

@@ -739,13 +739,22 @@ def ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "ransac_orders"
     )
+    # the O(days) rollup is referenced by 5 downstream CTEs: checkpoint
+    # it so the fact table is scanned ONCE, not once per reference
+    spark.sql(
+        "SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+        " AS t, CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)"
+        " AS y FROM ransac_orders GROUP BY 1"
+    ).localCheckpoint().createOrReplaceTempView("ransac_days_mat")
+    sql = _ransac_sql(
+        "unused",
+        "unused",
+        f"SELECT explode(sequence(1, {RANSAC_CANDS})) AS s",
+        "",
+    )
+    head = sql.index("cand AS")
     return spark.sql(
-        _ransac_sql(
-            "ransac_orders",
-            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
-            f"SELECT explode(sequence(1, {RANSAC_CANDS})) AS s",
-            "",
-        )
+        "WITH " + sql[head:].replace("FROM days", "FROM ransac_days_mat")
     )
 
 

@@ -550,11 +550,18 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is touched once.  tests/test_wave14.py plants two
     same-template sources vs a divergent one and pins the ordering."""
     docs = load_table(spark, sf_dir, "documents")
+    # the corpus-sized explode feeds 3 downstream CTEs: checkpoint the
+    # vocab-sized (source, tok, c) counts so documents is read ONCE
     docs.select(
         "source", F.explode(text_tokens("text")).alias("tok")
-    ).createOrReplaceTempView("burrows_toks")
+    ).groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint().createOrReplaceTempView("burrows_tf_mat")
+    sql = _BURROWS_SQL.replace("{MAT}", "")
+    head = sql.index("totals AS")
     return spark.sql(
-        _BURROWS_SQL.replace("{MAT}", "").replace(
-            "{EXPLODE}", "SELECT source, tok FROM burrows_toks"
-        )
+        "WITH "
+        + sql[head:]
+        .replace("FROM tf", "FROM burrows_tf_mat")
+        .replace("JOIN tf x", "JOIN burrows_tf_mat x")
     )
