@@ -374,3 +374,213 @@ def randomized_response_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((1.0 - RR_FLIP) / F.lit(RR_FLIP)) - 1e-9, 4
         ).alias("epsilon"),
     )
+
+
+# --------------------------------------------------------------------------
+# IPF survey raking: reweight the customer base to order-activity margins
+# --------------------------------------------------------------------------
+IPF_ROUNDS = 6
+
+_IPF_PREP = """
+base AS {MAT}(
+  SELECT r.r_name AS rg, c.c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {customer} c
+  JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+  JOIN {region} r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+ct AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM base),
+ocell AS {MAT}(
+  SELECT r.r_name AS rg, c.c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS o
+  FROM {orders} o2
+  JOIN {customer} c ON c.c_custkey = o2.o_custkey
+  JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+  JOIN {region} r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+ot AS (SELECT CAST(sum(o) AS BIGINT) AS tot FROM ocell),
+rt AS {MAT}(
+  SELECT rg, CAST(floor(CAST(sum(o) AS DOUBLE)
+                        / max(t.tot) * 1000000 + 0.5) AS BIGINT) AS tq
+  FROM ocell CROSS JOIN ot t GROUP BY rg
+),
+st AS {MAT}(
+  SELECT seg, CAST(floor(CAST(sum(o) AS DOUBLE)
+                         / max(t.tot) * 1000000 + 0.5) AS BIGINT) AS tq
+  FROM ocell CROSS JOIN ot t GROUP BY seg
+),
+w0 AS {MAT}(
+  SELECT b.rg, b.seg,
+         CAST(floor(CAST(b.c AS DOUBLE) / t.tc * 1000000 + 0.5)
+              AS BIGINT) AS wq
+  FROM base b CROSS JOIN ct t
+)
+"""
+
+_IPF_ROW_STEP = """
+  SELECT w.rg, w.seg,
+         CAST(floor(CAST(t.tq AS DOUBLE) * w.wq / s.s + 0.5) AS BIGINT)
+           AS wq
+  FROM {W} w
+  JOIN (SELECT rg, CAST(sum(wq) AS BIGINT) AS s FROM {W} GROUP BY rg) s
+    ON s.rg = w.rg
+  JOIN rt t ON t.rg = w.rg
+"""
+_IPF_COL_STEP = """
+  SELECT w.rg, w.seg,
+         CAST(floor(CAST(t.tq AS DOUBLE) * w.wq / s.s + 0.5) AS BIGINT)
+           AS wq
+  FROM {W} w
+  JOIN (SELECT seg, CAST(sum(wq) AS BIGINT) AS s FROM {W} GROUP BY seg) s
+    ON s.seg = w.seg
+  JOIN st t ON t.seg = w.seg
+"""
+
+_IPF_FINAL = """
+rowerr AS (
+  SELECT CAST(max(abs(x.s - t.tq)) AS BIGINT) AS e
+  FROM (SELECT rg, CAST(sum(wq) AS BIGINT) AS s FROM {WF} GROUP BY rg) x
+  JOIN rt t ON t.rg = x.rg
+),
+colerr AS (
+  SELECT CAST(max(abs(x.s - t.tq)) AS BIGINT) AS e
+  FROM (SELECT seg, CAST(sum(wq) AS BIGINT) AS s FROM {WF} GROUP BY seg) x
+  JOIN st t ON t.seg = x.seg
+)
+SELECT b.rg AS region, b.seg AS segment, b.c AS n_customers,
+       round(w0.wq / 1000000.0 - 1e-9, 6) + 0.0 AS base_share,
+       round(w.wq / 1000000.0 - 1e-9, 6) + 0.0 AS raked_share,
+       CASE WHEN w0.wq > 0
+            THEN round(CAST(w.wq AS DOUBLE) / w0.wq - 1e-9, 4) + 0.0
+            ELSE CAST(NULL AS DOUBLE) END AS weight_factor,
+       round(greatest(re.e, ce.e) / 1000000.0 - 1e-9, 6) + 0.0
+         AS max_margin_err
+FROM base b
+JOIN {WF} w ON w.rg = b.rg AND w.seg = b.seg
+JOIN w0 ON w0.rg = b.rg AND w0.seg = b.seg
+CROSS JOIN rowerr re CROSS JOIN colerr ce
+ORDER BY b.rg, b.seg
+"""
+
+
+def _ipf_oracle() -> str:
+    rounds = []
+    for k in range(1, IPF_ROUNDS + 1):
+        rounds.append(
+            f"wr{k} AS MATERIALIZED ("
+            + _IPF_ROW_STEP.replace("{W}", f"w{k - 1}")
+            + ")"
+        )
+        rounds.append(
+            f"w{k} AS MATERIALIZED ("
+            + _IPF_COL_STEP.replace("{W}", f"wr{k}")
+            + ")"
+        )
+    prep = (
+        _IPF_PREP.replace("{MAT}", "MATERIALIZED ")
+        .replace("{customer}", "customer")
+        .replace("{nation}", "nation")
+        .replace("{region}", "region")
+        .replace("{orders}", "orders")
+    )
+    return (
+        "WITH "
+        + prep.strip()
+        + ",\n"
+        + ",\n".join(rounds)
+        + ",\n"
+        + _IPF_FINAL.replace("{WF}", f"w{IPF_ROUNDS}")
+    )
+
+
+def ipf_loop(w: dict, rt: dict, st: dict) -> dict:
+    """The exact-integer IPF fixed point (factored for law tests —
+    identical arithmetic to the oracle's unrolled CTEs); see
+    :func:`ipf_raking_weights`."""
+    import math
+
+    for _ in range(IPF_ROUNDS):
+        rsum: dict = {}
+        for (rg, _sg), v in w.items():
+            rsum[rg] = rsum.get(rg, 0) + v
+        w = {
+            k: math.floor(float(rt[k[0]]) * v / float(rsum[k[0]]) + 0.5)
+            for k, v in w.items()
+        }
+        csum: dict = {}
+        for (_rg, sg), v in w.items():
+            csum[sg] = csum.get(sg, 0) + v
+        w = {
+            k: math.floor(float(st[k[1]]) * v / float(csum[k[1]]) + 0.5)
+            for k, v in w.items()
+        }
+    return w
+
+
+@query("ipf_raking_weights", _ipf_oracle())
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking): reweight the
+    region × segment CUSTOMER table so its margins match the
+    ORDER-activity margins — the standard survey-weighting move when
+    your frame (who exists) is demographically skewed relative to the
+    population you need to represent (who transacts).  Six alternating
+    row/column scalings; ``weight_factor`` is the per-cell design
+    weight an analyst would attach, ``max_margin_err`` the convergence
+    certificate (IPF preserves base interactions — odds ratios —
+    exactly, which is why it beats naive cell replacement).
+
+    Determinism (the ``sinkhorn_ot_segments`` pattern — IPF IS
+    Sinkhorn with the observed table as kernel): shares and margin
+    targets quantize to exact 1e-6 integers; each scaling is
+    floor(T·w/S + 0.5) over exact ints, so the driver-side loop here
+    and the oracle's 12 unrolled CTEs walk identical integer states.
+    tests/test_wave17.py pins margin attainment, mass conservation,
+    and the odds-ratio-preservation law on a planted table.
+
+    Scale shape: corpus work is two grouped counts (customer,
+    orders); the 25-cell fixed point is O(1) driver-side."""
+    import math
+
+    for t in ("customer", "nation", "region", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ipf_{t}")
+    prep = (
+        _IPF_PREP.replace("{MAT}", "")
+        .replace("{customer}", "ipf_customer")
+        .replace("{nation}", "ipf_nation")
+        .replace("{region}", "ipf_region")
+        .replace("{orders}", "ipf_orders")
+    )
+    # ONE materialized prep frame serves both the driver collect and
+    # the final assembly (the base tables are scanned exactly once)
+    prepdf = spark.sql(
+        "WITH "
+        + prep.strip()
+        + """
+        SELECT b.rg, b.seg, b.c, w.wq, r.tq AS rtq, s.tq AS stq
+        FROM base b
+        JOIN w0 w ON w.rg = b.rg AND w.seg = b.seg
+        JOIN rt r ON r.rg = b.rg
+        JOIN st s ON s.seg = b.seg
+        """
+    ).localCheckpoint()
+    prepdf.createOrReplaceTempView("ipf_prep_mat")
+    rows = prepdf.collect()
+    w = {(r["rg"], r["seg"]): int(r["wq"]) for r in rows}
+    rt = {r["rg"]: int(r["rtq"]) for r in rows}
+    st = {r["seg"]: int(r["stq"]) for r in rows}
+    w = ipf_loop(w, rt, st)
+    vals = ", ".join(
+        f"('{rg}', '{sg}', {v})" for (rg, sg), v in sorted(w.items())
+    )
+    return spark.sql(
+        f"""WITH base AS (SELECT rg, seg, c FROM ipf_prep_mat),
+        w0 AS (SELECT rg, seg, wq FROM ipf_prep_mat),
+        rt AS (SELECT rg, max(rtq) AS tq FROM ipf_prep_mat GROUP BY rg),
+        st AS (SELECT seg, max(stq) AS tq FROM ipf_prep_mat GROUP BY seg),
+        wf AS (SELECT rg, seg, CAST(wq AS BIGINT) AS wq
+               FROM VALUES {vals} AS t(rg, seg, wq)),
+        """
+        + _IPF_FINAL.replace("{WF}", "wf")
+    )
