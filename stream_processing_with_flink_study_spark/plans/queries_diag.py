@@ -1885,3 +1885,294 @@ def permutation_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint()
     x.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# Mahalanobis outliers in the embedding (dim1, dim2) plane
+# --------------------------------------------------------------------------
+_MAHAL_SQL = """
+WITH pts AS {MAT}(
+  SELECT vec_id,
+         CAST(floor({E1} * 10000 + 0.5) AS BIGINT) AS x,
+         CAST(floor({E2} * 10000 + 0.5) AS BIGINT) AS y
+  FROM {embeddings}
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+),
+cov AS {MAT}(
+  -- centered second moments (x n): embeddings are near-zero-mean so
+  -- the cancellation here is mild — plain double products suffice
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vxx,
+         (syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vyy,
+         (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS vxy
+  FROM m
+),
+d2 AS {MAT}(
+  SELECT p.vec_id,
+         round(((p.x - c.mx) * (p.x - c.mx) * c.vyy
+                - 2.0 * (p.x - c.mx) * (p.y - c.my) * c.vxy
+                + (p.y - c.my) * (p.y - c.my) * c.vxx)
+               / (c.vxx * c.vyy - c.vxy * c.vxy) - 1e-9, 4) + 0.0
+           AS md2
+  FROM pts p CROSS JOIN cov c
+)
+SELECT vec_id,
+       md2 AS mahalanobis_d2,
+       CASE WHEN md2 > 9.21 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS outlier_chi2_99
+FROM (
+  SELECT vec_id, md2,
+         row_number() OVER (ORDER BY md2 DESC, vec_id) AS rk
+  FROM d2
+) WHERE rk <= 10
+ORDER BY mahalanobis_d2 DESC, vec_id
+"""
+
+
+@query(
+    "mahalanobis_outliers_2d",
+    _MAHAL_SQL.replace("{embeddings}", "embeddings")
+    .replace("{E1}", "CAST(embedding[1] AS DOUBLE)")
+    .replace("{E2}", "CAST(embedding[2] AS DOUBLE)")
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 Mahalanobis outliers in the (dim1, dim2) embedding plane
+    with the χ²₂ 99% flag (d² > 9.21) — the MULTIVARIATE outlier
+    screen: a point can be unremarkable on every marginal (so
+    ``mad_outliers``/z-scores stay silent) yet sit far off the
+    correlation ridge, and Mahalanobis distance is exactly that
+    covariance-aware distance.
+
+    Determinism: coordinates quantize to 1e-4 integers at the scan so
+    all five moments are exact BIGINTs; the 2×2 covariance solves in
+    plain doubles (embeddings are near-zero-mean, so the centered-
+    moment cancellation is mild — the catastrophic-cancellation
+    HUGEINT escalation of ``bass_diffusion_fit`` is not needed one
+    degree down); d² rounds to 4 dp BEFORE the top-10 cut, whose order
+    ties break on vec_id.  tests/test_wave18.py plants an off-ridge
+    point that is marginal-modest yet must rank first.
+
+    Scale shape: one scan to moments (44 numbers shuffle), one
+    broadcast of the 1-row covariance back over the scan, one
+    global top-10."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "mahal_embeddings"
+    )
+    return spark.sql(
+        _MAHAL_SQL.replace("{embeddings}", "mahal_embeddings")
+        .replace("{E1}", "CAST(element_at(embedding, 1) AS DOUBLE)")
+        .replace("{E2}", "CAST(element_at(embedding, 2) AS DOUBLE)")
+        .replace("{MAT}", "")
+    )
+
+
+def mahalanobis_frame(pts: DataFrame) -> DataFrame:
+    """Top-10 Mahalanobis over any (vec_id, x, y) integer frame; see
+    :func:`mahalanobis_outliers_2d`."""
+    pts.createOrReplaceTempView("mahal_pts_frame")
+    sql = _MAHAL_SQL.replace("{MAT}", "")
+    head = sql.index("m AS ")
+    return pts.sparkSession.sql(
+        "WITH pts AS (SELECT vec_id, CAST(x AS BIGINT) AS x,"
+        " CAST(y AS BIGINT) AS y FROM mahal_pts_frame),\n" + sql[head:]
+    )
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha: internal consistency of the embedding dimensions
+# --------------------------------------------------------------------------
+_CRONBACH_SQL = """
+WITH pts AS {MAT}(
+  SELECT {ITEMS}, ({TOTAL}) AS tot FROM {embeddings}
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {ITEM_MOMS},
+         CAST(sum(tot) AS BIGINT) AS st,
+         CAST(sum(tot * tot) AS BIGINT) AS stt
+  FROM pts
+),
+v AS {MAT}(
+  SELECT n,
+         ({ITEM_VARS}) AS sum_item_var,
+         (stt - CAST(st AS DOUBLE) * st / n) / (n - 1) AS var_total
+  FROM m
+)
+SELECT n AS n_rows, CAST({K} AS BIGINT) AS k_items,
+       round({K} / ({K} - 1.0)
+             * (1.0 - sum_item_var / var_total) - 1e-9, 4) + 0.0
+         AS cronbach_alpha,
+       round(sum_item_var - 1e-9, 4) + 0.0 AS sum_item_variance,
+       round(var_total - 1e-9, 4) + 0.0 AS total_variance
+FROM v
+"""
+
+CRONBACH_K = 8
+
+
+def _cronbach_sql(embeddings: str, idx: str, mat: str) -> str:
+    items = ", ".join(
+        f"CAST(floor({idx.format(i=i)} * 10000 + 0.5) AS BIGINT) AS e{i}"
+        for i in range(1, CRONBACH_K + 1)
+    )
+    total = " + ".join(
+        f"CAST(floor({idx.format(i=i)} * 10000 + 0.5) AS BIGINT)"
+        for i in range(1, CRONBACH_K + 1)
+    )
+    moms = ", ".join(
+        f"CAST(sum(e{i}) AS BIGINT) AS s{i}, "
+        f"CAST(sum(e{i} * e{i}) AS BIGINT) AS q{i}"
+        for i in range(1, CRONBACH_K + 1)
+    )
+    ivars = " + ".join(
+        f"(q{i} - CAST(s{i} AS DOUBLE) * s{i} / n) / (n - 1)"
+        for i in range(1, CRONBACH_K + 1)
+    )
+    return (
+        _CRONBACH_SQL.replace("{ITEMS}", items)
+        .replace("{TOTAL}", total)
+        .replace("{ITEM_MOMS}", moms)
+        .replace("{ITEM_VARS}", ivars)
+        .replace("{K}", f"{CRONBACH_K}.0")
+        .replace("{embeddings}", embeddings)
+        .replace("{MAT}", mat)
+    )
+
+
+@query(
+    "cronbach_alpha_embedding",
+    _cronbach_sql(
+        "embeddings", "CAST(embedding[{i}] AS DOUBLE)", "MATERIALIZED "
+    ),
+)
+def cronbach_alpha_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the first 8 embedding dimensions treated
+    as items of one scale: α = k/(k−1)·(1 − Σσᵢ²/σ²_total) — the
+    psychometric internal-consistency coefficient, here answering "do
+    these dimensions carry one shared factor (α → 1) or independent
+    signal (α → 0)?" — the scalar cousin of the
+    ``embedding_covariance_block`` redundancy screen, and exactly what
+    a feature-dedup pass wants to know before dropping dims.
+
+    Determinism: every item and the row total quantize to 1e-4
+    integers at the scan, so all 17 moments are exact BIGINTs (the
+    8-term item-variance sum is a FIXED left-to-right expression tree
+    over them, identical in both engines); one division and the α
+    arithmetic are the only floats.  tests/test_wave18.py pins the two
+    poles on planted data: duplicated items ⇒ α ≈ 1, independent items
+    ⇒ α ≈ 0.
+
+    Scale shape: ONE pass, 17 shuffled numbers, O(1) arithmetic."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "cron_embeddings"
+    )
+    return spark.sql(
+        _cronbach_sql(
+            "cron_embeddings",
+            "CAST(element_at(embedding, {i}) AS DOUBLE)",
+            "",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fleiss' kappa: do three quality heuristics agree beyond chance?
+# --------------------------------------------------------------------------
+_FLEISS_SQL = """
+WITH votes AS {MAT}(
+  SELECT CAST(r1 + r2 + r3 AS BIGINT) AS npos,
+         r1, r2, r3
+  FROM (
+    SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+           CASE WHEN 10000 * (length(text)
+                              - length(replace(text, ' ', '')))
+                     < 1200 * length(text) THEN 0 ELSE 1 END AS r2,
+           CASE WHEN 100 * length(regexp_replace(text, '[^0-9]', ''{G}))
+                     < 5 * length(text) THEN 1 ELSE 0 END AS r3
+    FROM {documents}
+  )
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(npos) AS BIGINT) AS spos,
+         CAST(sum(npos * npos + (3 - npos) * (3 - npos)) AS BIGINT)
+           AS ssq,
+         CAST(sum(r1) AS BIGINT) AS c1,
+         CAST(sum(r2) AS BIGINT) AS c2,
+         CAST(sum(r3) AS BIGINT) AS c3
+  FROM votes
+),
+k AS {MAT}(
+  SELECT n, c1, c2, c3,
+         (CAST(ssq AS DOUBLE) - 3 * n) / (6.0 * n) AS pbar,
+         (CAST(spos AS DOUBLE) / (3 * n))
+           * (CAST(spos AS DOUBLE) / (3 * n))
+         + (1.0 - CAST(spos AS DOUBLE) / (3 * n))
+           * (1.0 - CAST(spos AS DOUBLE) / (3 * n)) AS pe
+  FROM m
+)
+SELECT n AS n_docs,
+       round(CAST(c1 AS DOUBLE) / n - 1e-9, 4) + 0.0 AS rate_length,
+       round(CAST(c2 AS DOUBLE) / n - 1e-9, 4) + 0.0 AS rate_whitespace,
+       round(CAST(c3 AS DOUBLE) / n - 1e-9, 4) + 0.0 AS rate_digits,
+       round(pbar - 1e-9, 4) + 0.0 AS observed_agreement,
+       round(pe - 1e-9, 4) + 0.0 AS chance_agreement,
+       round((pbar - pe) / (1.0 - pe) - 1e-9, 4) + 0.0 AS fleiss_kappa
+FROM k
+"""
+
+
+@query(
+    "fleiss_kappa_heuristics",
+    _FLEISS_SQL.replace("{documents}", "documents")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace("{G}", ", 'g'"),
+)
+def fleiss_kappa_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE document-quality heuristics (length,
+    whitespace share, digit share) voting keep/drop — the multi-rater
+    generalization of ``cohens_kappa_heuristics``: observed per-item
+    agreement P̄ = (Σ n_j² − k)/(k(k−1)) against the chance agreement
+    of the pooled category rates.  κ ≈ 0 means the heuristics fire on
+    unrelated slices (an ensemble is worth building); κ → 1 means they
+    are one filter three times over.
+
+    Determinism: every vote is an integer predicate (the whitespace
+    and digit thresholds are cross-multiplied integer comparisons — no
+    float boundary call exists); Σn_pos² and the category totals are
+    exact BIGINTs, and κ is three divisions at the end.
+    tests/test_wave18.py pins the poles on planted votes: unanimous
+    raters ⇒ κ = 1, independent coin raters ⇒ κ ≈ 0.
+
+    Scale shape: one corpus scan, six shuffled numbers, O(1) math."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "fleiss_documents"
+    )
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark replaces all and takes no flag argument
+    return spark.sql(
+        _FLEISS_SQL.replace("{documents}", "fleiss_documents")
+        .replace("{MAT}", "")
+        .replace("{G}", "")
+    )
+
+
+def fleiss_frame(votes: DataFrame) -> DataFrame:
+    """Fleiss' kappa over any (r1, r2, r3) binary-vote frame; see
+    :func:`fleiss_kappa_heuristics`."""
+    votes.createOrReplaceTempView("fleiss_votes_frame")
+    sql = _FLEISS_SQL.replace("{MAT}", "").replace("{G}", "")
+    head = sql.index("m AS ")
+    return votes.sparkSession.sql(
+        "WITH votes AS (SELECT CAST(r1 + r2 + r3 AS BIGINT) AS npos,"
+        " r1, r2, r3 FROM fleiss_votes_frame),\n" + sql[head:]
+    )
