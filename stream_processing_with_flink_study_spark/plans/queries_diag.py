@@ -2176,3 +2176,208 @@ def fleiss_frame(votes: DataFrame) -> DataFrame:
         "WITH votes AS (SELECT CAST(r1 + r2 + r3 AS BIGINT) AS npos,"
         " r1, r2, r3 FROM fleiss_votes_frame),\n" + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# Taylor's power law: variance ~ mean^b across part demand series
+# --------------------------------------------------------------------------
+_TAYLOR_SQL = """
+WITH per AS {MAT}(
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+  FROM {lineitem} GROUP BY l_partkey
+  HAVING count(*) >= 5
+),
+mv AS {MAT}(
+  -- 1e-4-quantized log mean / log variance per part: exact ints
+  SELECT CAST(floor(ln(CAST(s1 AS DOUBLE) / n) * 10000 + 0.5)
+              AS BIGINT) AS lx,
+         CAST(floor(ln((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                    * 10000 + 0.5) AS BIGINT) AS ly
+  FROM per
+  WHERE s2 * n > s1 * s1
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(ly * ly) AS BIGINT) AS syy
+  FROM mv
+)
+SELECT n AS n_parts,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             - 1e-9, 4) + 0.0 AS taylor_b,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sx) / n / 10000.0 - 1e-9, 4) + 0.0 AS log_a,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             - 1e-9, 4) + 0.0 AS r2
+FROM m
+"""
+
+
+@query(
+    "taylor_power_law",
+    _TAYLOR_SQL.replace("{lineitem}", "lineitem").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law across part demand: regress ln(variance) on
+    ln(mean) of per-part order quantities — the fluctuation-scaling
+    exponent b that sizes safety stock (b ≈ 1 Poisson-like demand,
+    b → 2 bursty/clustered demand where variance grows with the
+    SQUARE of volume, and mean-based stock rules fail).  The ops
+    sibling of ``degree_powerlaw_fit``/``zipf_slope`` on the demand
+    axis.
+
+    Determinism: per-part moments are exact BIGINTs; the strict
+    integer predicate s2·n > s1² excludes zero-variance parts before
+    any log; both log coordinates quantize to exact 1e-4 integers so
+    the regression moments are exact; slope/intercept/R² are single
+    Cramer ratios (2×2 — int64-safe products via DOUBLE casts).
+
+    Scale shape: one fact pass to per-part moments (map-side
+    combinable), one O(parts) log-quantize, O(1) fit."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "taylor_lineitem"
+    )
+    return spark.sql(
+        _TAYLOR_SQL.replace("{lineitem}", "taylor_lineitem").replace(
+            "{MAT}", ""
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cook's distance: which days single-handedly steer the revenue trend?
+# --------------------------------------------------------------------------
+_COOKS_SQL = """
+WITH days AS {MAT}(
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM {orders} GROUP BY 1
+),
+m AS {MAT}(
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(t * y) AS BIGINT) AS sty,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM days
+),
+fit AS {MAT}(
+  SELECT n, st, stt,
+         CAST(st AS DOUBLE) / n AS tbar,
+         (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+            * st) / n AS a,
+         (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS sxx,
+         CAST(syy AS DOUBLE) AS syy_d, CAST(sy AS DOUBLE) AS sy_d,
+         CAST(sty AS DOUBLE) AS sty_d
+  FROM m
+),
+se AS {MAT}(
+  -- SSE via the normal-equation identity, sigma^2 with p = 2
+  SELECT n, tbar, a, b, sxx,
+         (syy_d - a * sy_d - b * sty_d) / (n - 2) AS s2
+  FROM fit
+)
+SELECT t AS day_idx, y AS revenue_usd,
+       round(lev - 1e-9, 6) + 0.0 AS leverage,
+       round(cook - 1e-9, 6) + 0.0 AS cooks_d,
+       CASE WHEN round(cook - 1e-9, 6) > thr
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         AS influential_4_over_n
+FROM (
+  SELECT d.t, d.y,
+         1.0 / f.n + (d.t - f.tbar) * (d.t - f.tbar) / f.sxx AS lev,
+         (d.y - (f.a + f.b * d.t)) * (d.y - (f.a + f.b * d.t))
+           * (1.0 / f.n + (d.t - f.tbar) * (d.t - f.tbar) / f.sxx)
+           / (2.0 * f.s2
+              * (1.0 - (1.0 / f.n
+                        + (d.t - f.tbar) * (d.t - f.tbar) / f.sxx))
+              * (1.0 - (1.0 / f.n
+                        + (d.t - f.tbar) * (d.t - f.tbar) / f.sxx)))
+           AS cook,
+         4.0 / f.n AS thr,
+         row_number() OVER (
+           ORDER BY round((d.y - (f.a + f.b * d.t))
+                          * (d.y - (f.a + f.b * d.t))
+                          * (1.0 / f.n
+                             + (d.t - f.tbar) * (d.t - f.tbar) / f.sxx)
+                          / (2.0 * f.s2
+                             * (1.0 - (1.0 / f.n + (d.t - f.tbar)
+                                       * (d.t - f.tbar) / f.sxx))
+                             * (1.0 - (1.0 / f.n + (d.t - f.tbar)
+                                       * (d.t - f.tbar) / f.sxx)))
+                          - 1e-9, 6) DESC, d.t
+         ) AS rk
+  FROM days d CROSS JOIN se f
+) WHERE rk <= 10
+ORDER BY cooks_d DESC, day_idx
+"""
+
+
+@query(
+    "cooks_distance_days",
+    _COOKS_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def cooks_distance_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance for the daily-revenue trend regression: which
+    single days, if deleted, would most move the fitted line?
+    D_i = r_i²·h_i / (p·s²·(1−h_i)²) with the exact simple-regression
+    leverage h_i = 1/n + (t−t̄)²/Sxx; the top-10 with the 4/n
+    influence flag — the influence layer on top of the residual
+    diagnostics (``ols_residual_diagnostics``) and the robust
+    alternatives (``ransac_trend_fit``, ``theil_sen_monthly_trend``):
+    it names WHICH observations the non-robust fit is hostage to.
+
+    Determinism: all six regression moments are exact BIGINTs; a, b,
+    σ², leverage and D are fixed IEEE trees over them; the top-10 cut
+    orders by the ROUNDED distance with the day index as tiebreak.
+    tests/test_wave19.py plants one wild endpoint day and pins it to
+    rank 1 with leverage near the theoretical endpoint maximum.
+
+    Scale shape: one fact rollup to O(days), broadcast of the 1-row
+    fit back over it, one global top-10."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "cooks_orders"
+    )
+    return spark.sql(
+        _COOKS_SQL.replace("{orders}", "cooks_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def cooks_frame(days: DataFrame) -> DataFrame:
+    """Cook's distance over any (t, y) integer frame; see
+    :func:`cooks_distance_days`."""
+    days.createOrReplaceTempView("cooks_days_frame")
+    sql = _COOKS_SQL.replace("{MAT}", "")
+    head = sql.index("m AS ")
+    return days.sparkSession.sql(
+        "WITH days AS (SELECT t, CAST(y AS BIGINT) AS y"
+        " FROM cooks_days_frame),\n" + sql[head:]
+    )
