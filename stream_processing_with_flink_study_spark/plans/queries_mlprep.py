@@ -1768,3 +1768,133 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_sim") >= SEMDECON_THRESHOLD)
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# decision-stump screen: best single Gini split for late-shipment risk
+# --------------------------------------------------------------------------
+_STUMP_SQL = """
+WITH base AS {MAT}(
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS f_urgent,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+           AS f_building,
+         CASE WHEN o.o_totalprice >= 150000 THEN 1 ELSE 0 END
+           AS f_bigticket,
+         CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS f_debtor,
+         CASE WHEN {DD} > 60 THEN 1 ELSE 0 END AS y
+  FROM {orders} o
+  JOIN {customer} c ON c.c_custkey = o.o_custkey
+  JOIN (SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM {lineitem} GROUP BY l_orderkey) li
+    ON li.l_orderkey = o.o_orderkey
+),
+feat AS {MAT}(
+  SELECT f.name, CASE f.name
+           WHEN 'urgent' THEN b.f_urgent
+           WHEN 'building' THEN b.f_building
+           WHEN 'bigticket' THEN b.f_bigticket
+           ELSE b.f_debtor END AS v,
+         b.y
+  FROM base b
+  CROSS JOIN (SELECT 'urgent' AS name UNION ALL SELECT 'building'
+              UNION ALL SELECT 'bigticket'
+              UNION ALL SELECT 'debtor') f
+),
+cells AS {MAT}(
+  SELECT name, v,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM feat GROUP BY name, v
+),
+split AS {MAT}(
+  -- weighted Gini after the split, from exact integer counts:
+  -- sum over sides of n_s/n * 2 p_s (1 - p_s)
+  SELECT name,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS pos,
+         sum(2.0 * pos * (CAST(n - pos AS DOUBLE) / n))
+           / sum(CAST(n AS BIGINT)) AS gini_after
+  FROM cells GROUP BY name
+),
+scored AS {MAT}(
+  SELECT name, n,
+         round(2.0 * pos * (CAST(n - pos AS DOUBLE) / n) / n
+               - gini_after - 1e-9, 6) + 0.0 AS gini_reduction,
+         round(2.0 * pos * (CAST(n - pos AS DOUBLE) / n) / n
+               - 1e-9, 6) + 0.0 AS gini_root
+  FROM split
+),
+best AS (
+  SELECT name FROM scored
+  ORDER BY gini_reduction DESC, name LIMIT 1
+)
+SELECT s.name AS feature, s.n AS n_orders, s.gini_root,
+       s.gini_reduction,
+       CASE WHEN s.name = b.name THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS is_best_split
+FROM scored s CROSS JOIN best b
+ORDER BY s.gini_reduction DESC, s.name
+"""
+
+
+@query(
+    "decision_stump_gini",
+    _STUMP_SQL.replace("{orders}", "orders")
+    .replace("{customer}", "customer")
+    .replace("{lineitem}", "lineitem")
+    .replace(
+        "{DD}",
+        "date_diff('day', CAST(o.o_orderdate AS DATE), li.first_ship)",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature screen: which single binary feature
+    (urgent priority / BUILDING segment / big-ticket / debtor
+    customer) best splits late-first-shipment risk by Gini impurity
+    reduction — the CART root-node decision, and the 30-second answer
+    to "is any of these segmentations predictive AT ALL" before anyone
+    trains a tree.  Reports the root Gini, each feature's reduction,
+    and the argmax (rounded before the cut, name tiebreak).
+
+    Determinism: every cell is an exact integer count; per-side Gini
+    2p(1−p) is computed as 2·pos·(n−pos)/n/n — two divisions of exact
+    integers; the 2-side weighted sum is absorbed by the standing
+    rounding convention.  tests/test_wave19.py plants a perfectly
+    separating feature against coins and pins it with reduction =
+    root Gini.
+
+    Scale shape: one fact join fans out ×4 features into a 8-cell
+    count table (map-side combinable); everything after is O(1)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "stump_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "stump_customer"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "stump_lineitem"
+    )
+    return spark.sql(
+        _STUMP_SQL.replace("{orders}", "stump_orders")
+        .replace("{customer}", "stump_customer")
+        .replace("{lineitem}", "stump_lineitem")
+        .replace(
+            "{DD}",
+            "datediff(li.first_ship, CAST(o.o_orderdate AS DATE))",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def stump_frame(feat: DataFrame) -> DataFrame:
+    """Stump screen over any (name, v, y) frame; see
+    :func:`decision_stump_gini`."""
+    feat.createOrReplaceTempView("stump_feat_frame")
+    sql = _STUMP_SQL.replace("{MAT}", "")
+    head = sql.index("cells AS ")
+    return feat.sparkSession.sql(
+        "WITH feat AS (SELECT name, CAST(v AS BIGINT) AS v,"
+        " CAST(y AS BIGINT) AS y FROM stump_feat_frame),\n" + sql[head:]
+    )

@@ -40,3 +40,35 @@ def test_cooks_distance_tpch_sane(spark):
     vals = [r["cooks_d"] for r in rows]
     assert vals == sorted(vals, reverse=True)
     assert all(0 <= r["leverage"] <= 1 for r in rows)
+
+
+def test_decision_stump_planted_separator(spark):
+    from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+        stump_frame,
+    )
+
+    # 'signal' reproduces y exactly; 'coin'/'coin2' are independent
+    rows = []
+    for i in range(1000):
+        y = i % 2
+        rows.append(("signal", y, y))
+        rows.append(("coin", (i // 2) % 2, y))
+        rows.append(("coin2", (i // 4) % 2, y))
+    out = stump_frame(
+        spark.createDataFrame(rows, "name string, v int, y int")
+    ).collect()
+    best = [r for r in out if r["is_best_split"] == 1]
+    assert len(best) == 1 and best[0]["feature"] == "signal"
+    # perfect separator: reduction equals the whole root Gini (0.5)
+    assert abs(best[0]["gini_reduction"] - best[0]["gini_root"]) < 1e-6
+    assert abs(best[0]["gini_root"] - 0.5) < 1e-6
+    coins = [r for r in out if r["feature"] != "signal"]
+    assert all(abs(r["gini_reduction"]) < 1e-3 for r in coins)
+
+
+def test_decision_stump_tpch_sane(spark):
+    rows = QUERIES["decision_stump_gini"](spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    assert sum(r["is_best_split"] for r in rows) == 1
+    assert all(r["gini_reduction"] >= -1e-9 for r in rows)
+    assert all(0 <= r["gini_root"] <= 0.5 + 1e-9 for r in rows)
