@@ -651,3 +651,107 @@ def jarque_bera_frame(ser: DataFrame) -> DataFrame:
         "WITH ser AS (SELECT CAST(q AS BIGINT) AS q FROM jb_ser_frame),\n"
         + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér-von Mises two-sample test: en vs de document lengths
+# --------------------------------------------------------------------------
+_CVM_SQL = """
+WITH pooled AS {MAT}(
+  SELECT src,
+         -- average pooled rank minus within-sample index, doubled:
+         -- an exact INTEGER (avg ranks are halves); the per-tie-group
+         -- multiset of these is assignment-invariant
+         CAST(floor(2.0 * (rank() OVER (ORDER BY v)
+                           + (count(*) OVER (PARTITION BY v) - 1)
+                             / CAST(2 AS DOUBLE)
+                           - row_number() OVER (
+                               PARTITION BY src ORDER BY v, rid))
+                    + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT 'x' AS src, n_chars AS v, doc_id AS rid
+    FROM {documents} WHERE lang = 'en'
+    UNION ALL
+    SELECT 'y' AS src, n_chars AS v, doc_id AS rid
+    FROM {documents} WHERE lang = 'de'
+  )
+),
+m AS {MAT}(
+  SELECT CAST(sum(CASE WHEN src = 'x' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n,
+         CAST(sum(CASE WHEN src = 'y' THEN 1 ELSE 0 END) AS BIGINT)
+           AS mm,
+         CAST(sum(CASE WHEN src = 'x' THEN q * q ELSE 0 END) AS BIGINT)
+           AS ux4,
+         CAST(sum(CASE WHEN src = 'y' THEN q * q ELSE 0 END) AS BIGINT)
+           AS uy4
+  FROM pooled
+),
+stat AS {MAT}(
+  -- U = n Σ(r-i)² + m Σ(s-j)²; the q's carry 4U exactly
+  SELECT n, mm,
+         (CAST(n AS DOUBLE) * ux4 + CAST(mm AS DOUBLE) * uy4) / 4.0
+           / (CAST(n AS DOUBLE) * mm * (n + mm))
+         - (4.0 * n * mm - 1) / (6.0 * (n + mm)) AS t
+  FROM m
+)
+SELECT n AS n_en, mm AS n_de,
+       round(t - 1e-9, 6) + 0.0 AS cvm_t,
+       CASE WHEN round(t - 1e-9, 6) > 0.461 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS reject_same_dist_5pct
+FROM stat
+"""
+
+
+@query(
+    "cramer_von_mises_doclen",
+    _CVM_SQL.replace("{documents}", "documents").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def cramer_von_mises_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample test on en vs de document lengths:
+    T integrates the SQUARED gap between the two empirical CDFs, so it
+    sees body differences the KS max-gap misses — the standard
+    companion to `ks_test_doc_length` / `cliffs_delta_doclen` on the
+    same comparison, with the 5% critical value 0.461.
+
+    Determinism: doubled (pooled-average-rank − within-rank) gaps are
+    exact INTEGERS (average ranks are halves; within tie groups the
+    multiset of gaps is assignment-invariant, so the window's internal
+    tie order cannot matter); 4U is an exact BIGINT and T a fixed IEEE
+    tree over it.  tests/test_wave20.py plants identical samples
+    (T at its theoretical minimum, no rejection) and a shifted sample
+    (strong rejection) via :func:`cvm_frame`.
+
+    Scale shape: one pooled sort (the percentile pattern) and one
+    4-number aggregate."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "cvm_documents"
+    )
+    return spark.sql(
+        _CVM_SQL.replace("{documents}", "cvm_documents").replace(
+            "{MAT}", ""
+        )
+    )
+
+
+def cvm_frame(pooled: DataFrame) -> DataFrame:
+    """CvM over any (src ∈ {'x','y'}, v, rid) frame; see
+    :func:`cramer_von_mises_doclen`."""
+    pooled.createOrReplaceTempView("cvm_pool_frame")
+    sql = _CVM_SQL.replace("{MAT}", "")
+    head = sql.index("m AS ")
+    inner = """
+    WITH pooled AS (
+      SELECT src,
+             CAST(floor(2.0 * (rank() OVER (ORDER BY v)
+                               + (count(*) OVER (PARTITION BY v) - 1)
+                                 / CAST(2 AS DOUBLE)
+                               - row_number() OVER (
+                                   PARTITION BY src ORDER BY v, rid))
+                        + 0.5) AS BIGINT) AS q
+      FROM cvm_pool_frame
+    ),
+    """
+    return pooled.sparkSession.sql(inner + sql[head:])

@@ -2653,3 +2653,211 @@ def adstock_frame(days: DataFrame) -> DataFrame:
         " CAST(y AS BIGINT) AS y FROM adstock_days_frame),\n"
         + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM-of-squares: variance structural break in daily revenue changes
+# --------------------------------------------------------------------------
+_CSS_SQL = """
+WITH days AS {MAT}(
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM {orders} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS ty FROM days),
+ser AS {MAT}(
+  SELECT row_number() OVER (ORDER BY t) AS k, t,
+         dq * dq AS d2
+  FROM (
+    SELECT t,
+           CAST(floor(CAST(y - lag(y) OVER (ORDER BY t) AS DOUBLE)
+                      / x.ty * 100000 + 0.5) AS BIGINT) AS dq
+    FROM days CROSS JOIN tot x
+  ) WHERE dq IS NOT NULL
+),
+agg AS {MAT}(
+  SELECT k, t,
+         CAST(sum(d2) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c2,
+         CAST(sum(d2) OVER () AS BIGINT) AS t2,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM ser
+),
+dev AS {MAT}(
+  -- n*c2_k - k*t2 is an exact BIGINT: the whole CUSUM-of-squares path
+  -- compares as integers, the division happens once at the end
+  SELECT k, t, n, t2,
+         abs(n * c2 - k * t2) AS num
+  FROM agg
+),
+best AS {MAT}(
+  SELECT k, t, n, t2, num,
+         row_number() OVER (ORDER BY num DESC, k) AS rk
+  FROM dev
+)
+SELECT n AS n_obs,
+       t AS break_day_idx,
+       round(CAST(num AS DOUBLE) / n / t2 - 1e-9, 6) + 0.0
+         AS css_max_dev,
+       round(1.358 / sqrt(CAST(n AS DOUBLE)) - 1e-9, 6) + 0.0
+         AS approx_crit_5pct,
+       CASE WHEN round(CAST(num AS DOUBLE) / n / t2 - 1e-9, 6)
+               > round(1.358 / sqrt(CAST(n AS DOUBLE)) - 1e-9, 6)
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         AS variance_break_flag
+FROM best WHERE rk = 1
+"""
+
+
+@query(
+    "cusum_squares_variance_break",
+    _CSS_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def cusum_squares_variance_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares (Brown-Durbin-Evans) scan for a VARIANCE
+    structural break in daily revenue changes: max_k |Σ_{t≤k}d²/Σd² −
+    k/n| with the day where the deviation peaks — the volatility
+    sibling of the mean-shift detectors (`cusum_control_chart` finds
+    level breaks; this finds days after which the series got
+    noisier/calmer), flagged against the KS-style approximate 5% band
+    1.358/√n (documented approximation).
+
+    Determinism: changes are scale-free 1e-5-of-total integers, so
+    every squared term, cumulative sum, and the cross-multiplied
+    deviation n·C_k − k·T are exact BIGINTs — the whole path argmax
+    compares integers, with k as the tiebreak; ONE division at the
+    end.  tests/test_wave20.py plants a mid-series volatility
+    quadrupling and pins the detected day near the break via
+    :func:`css_frame`.
+
+    Scale shape: one fact rollup to O(days), ordered windows on that
+    frame, O(1) statistic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "css_orders"
+    )
+    return spark.sql(
+        _CSS_SQL.replace("{orders}", "css_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def css_frame(ser: DataFrame) -> DataFrame:
+    """CUSUM-of-squares over any (t, dq) integer frame; see
+    :func:`cusum_squares_variance_break`."""
+    ser.createOrReplaceTempView("css_ser_frame")
+    sql = _CSS_SQL.replace("{MAT}", "")
+    head = sql.index("agg AS ")
+    return ser.sparkSession.sql(
+        "WITH ser AS (SELECT row_number() OVER (ORDER BY t) AS k, t,"
+        " CAST(dq AS BIGINT) * CAST(dq AS BIGINT) AS d2"
+        " FROM css_ser_frame),\n" + sql[head:]
+    )
+
+
+# --------------------------------------------------------------------------
+# KPSS stationarity test: the null-reversed complement of the ADF
+# --------------------------------------------------------------------------
+_KPSS_SQL = """
+WITH days AS {MAT}(
+  SELECT {DD} AS t,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS yd
+  FROM {orders} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(yd) AS BIGINT) AS ty FROM days),
+ser AS {MAT}(
+  SELECT row_number() OVER (ORDER BY t) AS k,
+         CAST(floor(CAST(yd AS DOUBLE) / x.ty * 100000 + 0.5)
+              AS BIGINT) AS q
+  FROM days CROSS JOIN tot x
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM ser
+),
+parts AS {MAT}(
+  -- n*S_k = n*cum_k - k*Σq is an exact BIGINT; each squared partial
+  -- sum quantizes to an integer unit before the final sum
+  SELECT CAST(floor((CAST(m.n * s.cum - s.k * m.sq AS DOUBLE) / m.n)
+                    * (CAST(m.n * s.cum - s.k * m.sq AS DOUBLE) / m.n)
+                    + 0.5) AS BIGINT) AS s2
+  FROM (SELECT k,
+               CAST(sum(q) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM ser) s CROSS JOIN m
+),
+stat AS {MAT}(
+  SELECT m.n,
+         CAST((SELECT CAST(sum(s2) AS BIGINT) FROM parts) AS DOUBLE)
+           / (CAST(m.n AS DOUBLE) * m.n)
+           / ((m.sqq - CAST(m.sq AS DOUBLE) * m.sq / m.n) / m.n)
+           AS eta
+  FROM m
+)
+SELECT n AS n_obs,
+       round(eta - 1e-9, 6) + 0.0 AS kpss_eta,
+       CASE WHEN round(eta - 1e-9, 6) > 0.463 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS reject_stationarity_5pct
+FROM stat
+"""
+
+
+@query(
+    "kpss_stationarity",
+    _KPSS_SQL.replace("{orders}", "orders")
+    .replace(
+        "{DD}",
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (lag-0 form) on daily revenue —
+    the NULL-REVERSED complement of ``adf_unit_root``: ADF's null is a
+    unit root, KPSS's null is stationarity, and running both gives the
+    four-corner verdict (both agree stationary / both agree unit root
+    / conflicting = fractional or near-integrated).  η = ΣS_k²/(n²σ̂²)
+    over partial sums of the demeaned series, 5% critical 0.463.
+
+    Determinism: values are 1e-5-of-total integers; n·S_k = n·cum_k −
+    k·Σq is an exact BIGINT; each S_k² quantizes to an integer unit
+    BEFORE the sum (order-free), and σ̂² comes from the two exact
+    moments.  tests/test_wave20.py pins the agreement corner on TPC-H
+    (ADF rejects unit root AND KPSS keeps stationarity) and a planted
+    walk on the opposite corner via :func:`kpss_frame`.
+
+    Scale shape: one fact rollup, two ordered windows on the O(days)
+    frame, O(1) statistic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "kpss_orders"
+    )
+    return spark.sql(
+        _KPSS_SQL.replace("{orders}", "kpss_orders")
+        .replace(
+            "{DD}",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        )
+        .replace("{MAT}", "")
+    )
+
+
+def kpss_frame(ser: DataFrame) -> DataFrame:
+    """KPSS over any (k, q) integer frame (k = 1..n positions); see
+    :func:`kpss_stationarity`."""
+    ser.createOrReplaceTempView("kpss_ser_frame")
+    sql = _KPSS_SQL.replace("{MAT}", "")
+    head = sql.index("m AS ")
+    return ser.sparkSession.sql(
+        "WITH ser AS (SELECT k, CAST(q AS BIGINT) AS q"
+        " FROM kpss_ser_frame),\n" + sql[head:]
+    )
