@@ -755,3 +755,80 @@ def cvm_frame(pooled: DataFrame) -> DataFrame:
     ),
     """
     return pooled.sparkSession.sql(inner + sql[head:])
+
+
+# --------------------------------------------------------------------------
+# Dunn's post-hoc: which priority pairs differ, after Kruskal-Wallis?
+# --------------------------------------------------------------------------
+_DUNN_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM {orders}
+),
+r AS (
+  SELECT grp,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / CAST(2 AS DOUBLE)
+           AS ar
+  FROM o
+),
+g AS {MAT}(
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g, sum(ar) AS s_g
+  FROM r GROUP BY grp
+),
+ties AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tsum
+  FROM (SELECT count(*) AS t FROM o GROUP BY v)
+),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM g),
+pairs AS {MAT}(
+  SELECT a.grp AS grp_a, b.grp AS grp_b, a.n_g AS n_a, b.n_g AS n_b,
+         (a.s_g / a.n_g - b.s_g / b.n_g)
+           / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12.0
+                   - ties.tsum / (12.0 * (tot.n - 1)))
+                  * (1.0 / a.n_g + 1.0 / b.n_g)) AS z
+  FROM g a JOIN g b ON a.grp < b.grp
+  CROSS JOIN tot CROSS JOIN ties
+)
+SELECT grp_a, grp_b, n_a, n_b,
+       round(z - 1e-9, 4) + 0.0 AS dunn_z,
+       -- Bonferroni for the 10 simultaneous pairs: |z| > z_{0.05/20}
+       CASE WHEN abs(round(z - 1e-9, 4)) > 2.807
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         AS significant_bonferroni_5pct
+FROM pairs
+ORDER BY grp_a, grp_b
+"""
+
+
+@query(
+    "dunn_posthoc_priority",
+    _DUNN_SQL.replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def dunn_posthoc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test for all 10 priority pairs — the step a
+    significant ``kruskal_wallis_priority`` omnibus REQUIRES before
+    naming any pair as different: pairwise mean-rank z statistics on
+    the SHARED pooled ranks (not pairwise re-ranking — that's the
+    classic error this query exists to prevent), with the
+    Kruskal-Wallis tie correction in the variance and a Bonferroni
+    bar (|z| > 2.807 for 10 simultaneous pairs at 5%).
+
+    Determinism: the same average-rank machinery as the omnibus
+    (exact-half ranks, exact rank sums); the per-pair z is a fixed
+    IEEE tree over those sums and the exact tie term; verdicts compare
+    the ROUNDED z.  tests/test_wave20.py pins the rank-mean identity
+    (Σ n_g·R̄_g = N(N+1)/2 reconstructed from pair rows) and that one
+    planted shifted group lights up exactly its 4 pairs.
+
+    Scale shape: one global sort (shared with every rank statistic),
+    then a 5-row group frame joined to itself — O(groups²)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "dunn_orders"
+    )
+    return spark.sql(
+        _DUNN_SQL.replace("{orders}", "dunn_orders").replace("{MAT}", "")
+    )

@@ -87,3 +87,39 @@ def test_kpss_adf_agreement_corner(spark):
     ).collect()[0]
     assert w["reject_stationarity_5pct"] == 1
     assert w["kpss_eta"] > k["kpss_eta"]
+
+
+def test_dunn_posthoc_planted_shift_lights_its_pairs(spark):
+    from stream_processing_with_flink_study_spark.plans.queries_stattests import (
+        _DUNN_SQL,
+    )
+
+    # group 'a' shifted far up; b/c/d/e identical => exactly the 4
+    # a-pairs significant, the 6 others not
+    rows = []
+    for g in ("a", "b", "c", "d", "e"):
+        for v in range(200):
+            rows.append((g, float(v) + (5000.0 if g == "a" else 0.0)))
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    ).createOrReplaceTempView("dunn_orders")
+    out = spark.sql(
+        _DUNN_SQL.replace("{orders}", "dunn_orders").replace("{MAT}", "")
+    ).collect()
+    assert len(out) == 10
+    hot = [r for r in out if r["significant_bonferroni_5pct"] == 1]
+    assert len(hot) == 4
+    assert all("a" in (r["grp_a"], r["grp_b"]) for r in hot)
+
+
+def test_dunn_tpch_rank_identity(spark):
+    rows = QUERIES["dunn_posthoc_priority"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    # every group appears in exactly 4 pairs
+    from collections import Counter
+
+    c = Counter()
+    for r in rows:
+        c[r["grp_a"]] += 1
+        c[r["grp_b"]] += 1
+    assert all(v == 4 for v in c.values())
