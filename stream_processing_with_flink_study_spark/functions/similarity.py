@@ -775,7 +775,14 @@ def mmr_rerank(
             dot += x * y
             na += x * x
             nb += y * y
-        return dot / (math.sqrt(na) * math.sqrt(nb))
+        denom = math.sqrt(na) * math.sqrt(nb)
+        if denom == 0.0:
+            # Zero-norm vector: DuckDB's list_cosine_similarity yields
+            # NaN rather than raising; 0.0 keeps the greedy argmax
+            # deterministic (NaN poisons max comparisons) while still
+            # never selecting a degenerate candidate as "similar".
+            return 0.0
+        return dot / denom
 
     by_q: dict = {}
     for r in rows:
