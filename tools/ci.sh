@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# One-command CI: reproduces the full per-round verification evidence.
+#
+#   tools/ci.sh [N_SHARDS]          # default 4
+#
+# Chain (fail-fast — a red stage stops the run):
+#   1. tools/run_gate.sh N        — full pytest gate, N parallel shards
+#                                   (every registered query vs DuckDB at
+#                                   sf0.01 + all law/property suites)
+#   2. tools/signbit_sweep.py     — IEEE -0.0 divergence sweep, every
+#                                   oracle at sf0.001 AND sf0.01
+#   3. tools/sf01_sweep.py        — bench-scale (sf0.1) full-evaluation
+#                                   pre-pass (catches ANSI overflows the
+#                                   sf0.01 gate can't see)
+#   4. tools/explain_audit.py     — static plan audit over every
+#                                   registered query (scan blowups,
+#                                   row-path Python UDFs, pruning)
+#
+# Keep the host quiet (no concurrent Spark/pytest) — contention slows
+# the gate ~2x and pollutes any timing you take afterwards.  The bench
+# itself is NOT part of CI: run `BENCH_REPEATS=3 python bench.py`
+# separately on an idle host (see BASELINE.md protocol).
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== ci: $* ==="
+  local t0=$SECONDS
+  if ! "$@"; then
+    echo "=== ci: FAILED at '$*' after $((SECONDS - t0))s ==="
+    exit 1
+  fi
+  echo "=== ci: ok ($((SECONDS - t0))s) ==="
+}
+
+run tools/run_gate.sh "${1:-4}"
+run python tools/signbit_sweep.py
+run python tools/sf01_sweep.py
+run python tools/explain_audit.py
+echo "=== ci: ALL GREEN ==="
