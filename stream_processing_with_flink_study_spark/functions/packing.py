@@ -30,20 +30,26 @@ def pack_sequences(
     budget: int,
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    part_col=None,
 ) -> DataFrame:
     """First-fit-decreasing packing of ``df`` rows into token-budget
     bins.  Output: (pack_id, doc_id, n_tokens) — one row per input row,
     every input appears in exactly one pack, and no multi-doc pack
     exceeds ``budget`` (asserted in tests/test_training_ops.py).
 
-    The partition key is ``pmod(xxhash64(id), P)`` — deterministic for
-    a fixed partition count, so re-runs reproduce identical packs."""
+    The partition key defaults to ``pmod(xxhash64(id), P)`` —
+    deterministic for a fixed partition count, so re-runs reproduce
+    identical packs.  Pass ``part_col`` (any integer Column) to supply
+    the partitioner explicitly — e.g. ``pmod(id, P)`` when the packing
+    must be replayable by an engine without xxhash64."""
     p = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     p = int(p)
+    if part_col is None:
+        part_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(p))
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(token_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)).alias("_part"),
+        part_col.cast("long").alias("_part"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

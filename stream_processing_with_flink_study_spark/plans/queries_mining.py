@@ -988,9 +988,103 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOPT_BINS = 8
+VOPT_PACK = 1024  # argmin tie-break packing base; requires #buckets < 1024
 
 
-@query("v_optimal_histogram")  # driver-side DP on bounded stats → rows-only
+def _vopt_oracle() -> str:
+    """Exact cross-engine replay of the V-optimal DP: integer-cent
+    moments per unit bucket (order-independent BIGINT sums), segment
+    costs quantized to integer cents² via a fixed double expression
+    (sub/mul/div only — no a*b+c shape, so no FMA-contraction surface),
+    then {VOPT_BINS} unrolled DP layers with packed (cost, i) argmin
+    (smallest-i tie-break) and a scalar-subquery backtrack chain — the
+    Mondrian/Erlang-C staged-CTE pattern."""
+    sse = (
+        "CAST(floor(CAST(hi.css - lo.css AS DOUBLE) "
+        "- CAST(hi.cs - lo.cs AS DOUBLE) * CAST(hi.cs - lo.cs AS DOUBLE) "
+        "/ CAST(hi.cn - lo.cn AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    layers = []
+    for b in range(2, VOPT_BINS + 1):
+        layers.append(f"""
+    cb{b} AS MATERIALIZED (
+      SELECT s.j, min(c.cost + s.cq) AS cost,
+             CAST(min((c.cost + s.cq) * {VOPT_PACK} + c.j)
+                  % {VOPT_PACK} AS BIGINT) AS bp
+      FROM cb{b - 1} c JOIN seg s ON s.i = c.j
+      GROUP BY s.j
+    )""")
+    backs = [f"c{VOPT_BINS} AS (SELECT max(idx) AS cut FROM prefix)"]
+    for b in range(VOPT_BINS - 1, 0, -1):
+        backs.append(
+            f"c{b} AS (SELECT bp AS cut FROM cb{b + 1} "
+            f"WHERE j = (SELECT cut FROM c{b + 1}))"
+        )
+    backs_sql = ",\n    ".join(backs)
+    cuts_union = " UNION ALL ".join(
+        ["SELECT 0 AS b, 0 AS cut"]
+        + [f"SELECT {b}, cut FROM c{b}" for b in range(1, VOPT_BINS + 1)]
+    )
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT CAST(floor(value) AS BIGINT) AS d,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ),
+    bu AS MATERIALIZED (
+      SELECT d, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM m GROUP BY d
+    ),
+    pre AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY d) AS idx, d,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(s) OVER w AS BIGINT) AS cs,
+             CAST(sum(ss) OVER w AS BIGINT) AS css
+      FROM bu
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    prefix AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS idx, CAST(NULL AS BIGINT) AS d,
+             CAST(0 AS BIGINT) AS cn, CAST(0 AS BIGINT) AS cs,
+             CAST(0 AS BIGINT) AS css
+      UNION ALL SELECT idx, d, cn, cs, css FROM pre
+    ),
+    seg AS MATERIALIZED (
+      SELECT lo.idx AS i, hi.idx AS j, {sse} AS cq
+      FROM prefix lo JOIN prefix hi ON lo.idx < hi.idx
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT j, cq AS cost, CAST(0 AS BIGINT) AS bp FROM seg WHERE i = 0
+    ),{",".join(layers)},
+    {backs_sql},
+    cuts AS ({cuts_union}),
+    bins AS (
+      SELECT lo.b AS bin,
+             pl1.d AS lo,
+             CASE WHEN lo.b = {VOPT_BINS - 1} THEN ph.d + 1
+                  ELSE ph1.d END AS hi,
+             CAST(ph.cn - pl.cn AS BIGINT) AS n_rows,
+             round(CAST(ph.cs - pl.cs AS DOUBLE)
+                   / CAST(ph.cn - pl.cn AS DOUBLE) / 100.0
+                   - 1e-9, 4) + 0.0 AS mean_value,
+             round((CAST(ph.css - pl.css AS DOUBLE)
+                    - CAST(ph.cs - pl.cs AS DOUBLE)
+                      * CAST(ph.cs - pl.cs AS DOUBLE)
+                      / CAST(ph.cn - pl.cn AS DOUBLE))
+                   / 10000.0 - 1e-9, 2) + 0.0 AS sse
+      FROM cuts lo JOIN cuts hi ON hi.b = lo.b + 1
+      JOIN prefix pl ON pl.idx = lo.cut
+      JOIN prefix ph ON ph.idx = hi.cut
+      JOIN prefix pl1 ON pl1.idx = lo.cut + 1
+      LEFT JOIN prefix ph1 ON ph1.idx = hi.cut + 1
+    )
+    SELECT bin, lo, hi, n_rows, mean_value, sse FROM bins ORDER BY bin
+    """
+
+
+@query("v_optimal_histogram", _vopt_oracle())
 def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-optimal histogram (Jagadish et al., VLDB'98): choose
     {VOPT_BINS} contiguous bins over the value domain minimizing total
@@ -999,103 +1093,106 @@ def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimation structure every optimizer paper benchmarks against.
 
     Scale shape (the two-level pattern every bounded-domain DP gets):
-    the fact table reduces in ONE pass to per-unit-bucket moment
-    partials (n, Σx, Σx²) — cardinality bounded by the VALUE DOMAIN,
-    not row count; the O(B·K²) dynamic program runs driver-side on
-    those ≤few-hundred rows (the same bounded-collect contract as IVF
-    centroid training), and the chosen boundaries broadcast back for
-    the exact per-bin aggregation at full scale.  SSE is additive in
-    the moments (Σx² − (Σx)²/n), which is what makes the partials
-    sufficient.
+    the fact table reduces in ONE pass to per-unit-bucket integer-cent
+    moment partials (n, Σq, Σq²) — cardinality bounded by the VALUE
+    DOMAIN, not row count; the O(B·K²) dynamic program runs driver-side
+    on those ≤few-hundred rows (the same bounded-collect contract as
+    IVF centroid training).  SSE is additive in the moments
+    (Σq² − (Σq)²/n), which is what makes the partials sufficient.
+
+    Cross-engine determinism (full DuckDB oracle since round 8): cent
+    quantization makes every bucket moment an exact order-independent
+    BIGINT; each segment cost is ONE fixed double expression over those
+    ints, quantized back to an integer (floor(x + 0.5)) so the DP
+    compares exact integers; argmin ties break to the smallest cut via
+    (cost·{VOPT_PACK} + i) packing on both sides.  Per-bin outputs come
+    from the SAME prefix moments (no second float aggregation), rounded
+    under the repo's round(x − 1e-9, k) convention.  Double-exactness
+    of Σq² holds through ~2^53 cents² ≈ sf10.
 
     tests/test_wave7.py pins the optimality property: total SSE ≤
     equi-width SSE at the same bin budget, bins partition the domain,
     and counts conserve."""
-    import numpy as np
+    import math
 
     ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     buckets = (
-        ev.groupBy(F.floor("value").cast("long").alias("v"))
+        ev.groupBy(F.floor("value").cast("long").alias("d"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("s"),
-            F.sum(F.col("value") * F.col("value")).alias("ss"),
+            F.sum(q).alias("s"),
+            F.sum(q * q).alias("ss"),
         )
-        .orderBy("v")
+        .orderBy("d")
         .collect()  # bounded by the value domain, not row count
     )
-    v = np.array([r.v for r in buckets], dtype=np.int64)
-    n = np.array([r.n for r in buckets], dtype=np.float64)
-    s = np.array([r.s for r in buckets])
-    ss = np.array([r.ss for r in buckets])
-    cn, cs, css = (np.concatenate(([0.0], np.cumsum(a))) for a in (n, s, ss))
-    K = len(v)
+    d = [int(r["d"]) for r in buckets]
+    K = len(d)
+    assert 0 < VOPT_BINS <= K < VOPT_PACK, (K, VOPT_PACK)
+    cn, cs, css = [0], [0], [0]
+    for r in buckets:
+        cn.append(cn[-1] + int(r["n"]))
+        cs.append(cs[-1] + int(r["s"]))
+        css.append(css[-1] + int(r["ss"]))
 
-    def sse(i: int, j: int) -> float:  # buckets i..j-1 as one bin
+    def cq(i: int, j: int) -> int:  # buckets i..j-1 as one bin, cents²
         nn = cn[j] - cn[i]
-        if nn <= 0:
-            return 0.0
-        return float((css[j] - css[i]) - (cs[j] - cs[i]) ** 2 / nn)
+        ssum = cs[j] - cs[i]
+        return math.floor(
+            float(css[j] - css[i])
+            - float(ssum) * float(ssum) / float(nn)
+            + 0.5
+        )
 
-    B = min(VOPT_BINS, K)
-    cost = np.full((B + 1, K + 1), np.inf)
-    back = np.zeros((B + 1, K + 1), dtype=np.int64)
-    cost[0, 0] = 0.0
-    for b in range(1, B + 1):
+    B = VOPT_BINS
+    BIG = 1 << 62
+    cost = [[BIG] * (K + 1) for _ in range(B + 1)]
+    back = [[0] * (K + 1) for _ in range(B + 1)]
+    for j in range(1, K + 1):
+        cost[1][j] = cq(0, j)
+    for b in range(2, B + 1):
         for j in range(b, K + 1):
-            for i in range(b - 1, j):
-                c = cost[b - 1, i] + sse(i, j)
-                if c < cost[b, j]:
-                    cost[b, j] = c
-                    back[b, j] = i
+            # packed (cost·PACK + i) min == (cost asc, i asc) argmin,
+            # mirroring the oracle's aggregation exactly
+            best = min(
+                (cost[b - 1][i] + cq(i, j)) * VOPT_PACK + i
+                for i in range(b - 1, j)
+            )
+            cost[b][j] = best // VOPT_PACK
+            back[b][j] = best % VOPT_PACK
     cuts = [K]
-    for b in range(B, 0, -1):
-        cuts.append(int(back[b, cuts[-1]]))
-    cuts = cuts[::-1]  # [0, ..., K]
-    # edges tile the domain: each bin's hi IS the next bin's lo, so the
-    # histogram is a true partition even across empty unit buckets
-    edges = (
-        [int(v[0])]
-        + [int(v[cuts[b]]) for b in range(1, B)]
-        + [int(v[-1]) + 1]
-    )
-    bounds = [(edges[b], edges[b + 1]) for b in range(B)]
-    # broadcast the B boundaries back; exact per-bin stats at full scale
-    cond = F.lit(None).cast("int")
-    for idx in range(B - 1, -1, -1):
-        lo, hi = bounds[idx]
-        cond = F.when(
-            (F.col("value") >= lo) & (F.col("value") < hi), idx
-        ).otherwise(cond) if idx < B - 1 else F.when(
-            F.col("value") >= lo, idx
-        ).otherwise(cond)
-    assigned = ev.select("value", cond.alias("bin"))
-    lo_map = F.create_map(
-        *[F.lit(x) for pair in enumerate(b[0] for b in bounds) for x in pair]
-    )
-    hi_map = F.create_map(
-        *[F.lit(x) for pair in enumerate(b[1] for b in bounds) for x in pair]
-    )
-    return (
-        assigned.groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
-            F.round(
-                F.sum(F.col("value") * F.col("value"))
-                - F.sum("value") * F.sum("value") / F.count(F.lit(1)),
-                2,
-            ).alias("sse"),
+    for b in range(B, 1, -1):
+        cuts.append(int(back[b][cuts[-1]]))
+    cuts.append(0)
+    cuts = cuts[::-1]  # [0 = c0, c1, ..., cB = K]
+
+    def r4(x: float) -> float:
+        return round(x - 1e-9, 4) + 0.0
+
+    def r2(x: float) -> float:
+        return round(x - 1e-9, 2) + 0.0
+
+    rows = []
+    for b in range(B):
+        i, j = cuts[b], cuts[b + 1]
+        nn, ssum, sssum = cn[j] - cn[i], cs[j] - cs[i], css[j] - css[i]
+        rows.append(
+            (
+                b,
+                d[i],
+                d[K - 1] + 1 if b == B - 1 else d[j],
+                nn,
+                r4(float(ssum) / float(nn) / 100.0),
+                r2(
+                    (float(sssum) - float(ssum) * float(ssum) / float(nn))
+                    / 10000.0
+                ),
+            )
         )
-        .select(
-            "bin",
-            lo_map[F.col("bin")].alias("lo"),
-            hi_map[F.col("bin")].alias("hi"),
-            "n_rows",
-            "mean_value",
-            "sse",
-        )
-        .orderBy("bin")
+    return spark.createDataFrame(
+        rows, "bin long, lo long, hi long, n_rows long, "
+        "mean_value double, sse double"
     )
 
 

@@ -562,17 +562,79 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_token_budget")  # greedy FFD packing is not SQL-expressible
+PACK_PARTS = 32  # fixed partitioner so the packing is engine-replayable
+
+
+@query(
+    "pack_token_budget",
+    oracle=f"""
+    WITH RECURSIVE docs AS MATERIALIZED (
+      SELECT doc_id % {PACK_PARTS} AS part, doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS MATERIALIZED (
+      SELECT part, doc_id, n_tokens,
+             row_number() OVER (
+               PARTITION BY part ORDER BY n_tokens DESC, doc_id
+             ) AS rn
+      FROM docs
+    ),
+    ffd AS (
+      -- sequential first-fit-decreasing replay: one recursion row per
+      -- (partition, step); `fills` carries the open-bin fill levels
+      SELECT part, rn, doc_id, n_tokens,
+             [n_tokens] AS fills, CAST(0 AS BIGINT) AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT d.part, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN list_position(
+                    list_transform(f.fills, x -> x + d.n_tokens <= 512),
+                    true) > 0
+                  THEN f.fills[
+                         : list_position(list_transform(f.fills,
+                             x -> x + d.n_tokens <= 512), true) - 1]
+                       || [f.fills[list_position(list_transform(f.fills,
+                             x -> x + d.n_tokens <= 512), true)]
+                           + d.n_tokens]
+                       || f.fills[list_position(list_transform(f.fills,
+                             x -> x + d.n_tokens <= 512), true) + 1 :]
+                  ELSE list_append(f.fills, d.n_tokens) END AS fills,
+             CAST(coalesce(
+               nullif(list_position(list_transform(f.fills,
+                   x -> x + d.n_tokens <= 512), true), 0) - 1,
+               len(f.fills)) AS BIGINT) AS bin
+      FROM ffd f JOIN ordered d ON d.part = f.part AND d.rn = f.rn + 1
+    )
+    SELECT part * {1 << 40} + bin AS pack_id, doc_id, n_tokens
+    FROM ffd
+    """,
+)
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training: documents greedily packed into
-    512-token bins, first-fit-decreasing within hash partitions (pack
-    ids offset by partition — globally unique without coordination).
-    Row count == document count (each doc lands in exactly one pack);
-    budget/coverage invariants asserted in tests/test_training_ops.py."""
+    512-token bins, first-fit-decreasing within {PACK_PARTS} fixed hash
+    partitions (pack ids offset by partition — globally unique without
+    coordination).  Row count == document count (each doc lands in
+    exactly one pack); budget/coverage invariants asserted in
+    tests/test_training_ops.py.
+
+    The partitioner is ``doc_id % {PACK_PARTS}`` — engine-neutral, so
+    the DuckDB oracle replays the EXACT same FFD greedy as a recursive
+    CTE (one recursion row per (partition, step), open-bin fill levels
+    carried as a list — the bounded-sequential-replay pattern shared
+    with the token bucket and Mondrian oracles).  Integer token counts
+    and <= comparisons only: no float divergence surface."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
-    return packing.pack_sequences(docs, "n_tokens", budget=512)
+    return packing.pack_sequences(
+        docs,
+        "n_tokens",
+        budget=512,
+        num_partitions=PACK_PARTS,
+        part_col=F.pmod(F.col("doc_id"), F.lit(PACK_PARTS)),
+    )
 
 
 @query(
