@@ -1609,37 +1609,7 @@ def wl_refinement_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` so the lineage (and DuckDB's inlining) can't
     grow 2^rounds.  Reference scope: iterative keyed state,
     정리/5주차.md."""
-    grouped = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p"))
-        .groupBy("okey")
-        .agg(F.collect_set("p").alias("arr"))
-    )
-    packed = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.transform(
-                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
-                lambda y: F.shiftleft(F.least(x, y), 32) + F.greatest(x, y),
-            ),
-        )
-    )
-    edges = (
-        grouped.select(F.explode(packed).alias("k"))
-        .distinct()
-        .select(
-            F.shiftright("k", 32).alias("src"),
-            (F.col("k") - F.shiftleft(F.shiftright("k", 32), 32)).alias("dst"),
-        )
-    )
-    sym = (
-        edges.unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .localCheckpoint()
-    )
+    sym = _copurchase_edges(spark, sf_dir).localCheckpoint()
     sym.createOrReplaceTempView("wl_edges")
     labels = [
         sym.groupBy("src")
