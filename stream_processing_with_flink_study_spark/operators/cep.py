@@ -447,6 +447,7 @@ def match_pattern_stream(
     quantifiers: tuple[str, ...] | None = None,
     mode: str = "greedy",
     within_total: str | None = None,
+    reluctant_cap: int = 64,
 ) -> DataFrame:
     """Streaming twin of :func:`match_pattern` (P1 ProcessFunction
     shape): per key, ``relaxed`` keeps N-1 last-qualified timestamps
@@ -460,17 +461,25 @@ def match_pattern_stream(
     cross-batch order relies on the source's event-time alignment (same
     contract as every handler in :mod:`..streaming.stateful`).
 
-    Quantifiers and ``within_total`` match the batch form.  Only
-    ``mode="greedy"`` streams: reluctant binding (earliest-in-window)
-    would need the full qualifying-event window in state — O(events per
-    window), not O(1) — so it stays a batch/verify-tier feature."""
+    Quantifiers and ``within_total`` match the batch form.
+
+    ``mode="reluctant"`` (earliest-in-window binding) inherently needs
+    the qualifying-event window in state — O(events per window), not
+    O(1) like greedy — because when the earliest qualifier expires the
+    binding falls to the NEXT earliest, which must have been retained.
+    The streaming form caps that state at ``reluctant_cap`` qualifiers
+    per (key, level): qualifiers beyond the cap are dropped (keeping
+    the EARLIEST ``reluctant_cap``, which preserves every binding the
+    retained window can prove) and the emitted ``overflow`` flag turns
+    true for that key from then on — matches after an overflow may be
+    incomplete (possible false negatives once retained entries expire),
+    never wrong.  Restricted to relaxed contiguity with all-"one"
+    quantifiers; equivalence to the batch reluctant form on bounded
+    in-cap data is pinned by tests/test_cep_reluctant_stream.py."""
     if emit not in ("completion", "chain"):
         raise ValueError(f"unknown emit mode: {emit}")
-    if mode != "greedy":
-        raise NotImplementedError(
-            "reluctant binding is batch-only: earliest-in-window state "
-            "is O(window), not O(1) — run match_pattern on the batch tier"
-        )
+    if mode not in ("greedy", "reluctant"):
+        raise ValueError(f"unknown mode: {mode}")
     conds = _step_conditions(steps, conditions, type_col)
     n = len(conds)
     quant = _normalize_quantifiers(quantifiers, n, contiguity)
@@ -512,6 +521,105 @@ def match_pattern_stream(
         if chain:
             out["match_chain"] = [">".join(str(i) for i in c) for c in chains]
         return pd.DataFrame(out)
+
+    if mode == "reluctant":
+        if contiguity != "relaxed":
+            raise ValueError("reluctant streaming requires relaxed contiguity")
+        if any(q != "one" for q in (quant or ["one"] * n)):
+            raise NotImplementedError(
+                "reluctant streaming supports all-'one' quantifiers only"
+            )
+        cap = int(reluctant_cap)
+        rel_out_schema = out_schema + ", overflow boolean"
+        # struct-min order in the batch form is (o, i): sort ties on the
+        # tiebreak so list insertion order reproduces it exactly
+        rel_sort = ["_ord", tiebreak]
+
+        def handle(
+            k: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf["_ord"] = (
+                pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            pdf = pdf.sort_values(rel_sort, ignore_index=True)
+            if state.exists:
+                raw, ov = state.get
+                lists = json.loads(raw)
+                ov = bool(ov)
+            else:
+                lists, ov = [[] for _ in range(n - 1)], False
+            flags = [pdf[c].to_numpy(dtype=bool) for c in cols]
+            ords = pdf["_ord"].to_numpy()
+            ids = pdf[tiebreak].to_numpy(dtype="int64")
+            out_rows: list[tuple] = []
+            for r in range(len(pdf)):
+                o, i = int(ords[r]), int(ids[r])
+                lo = o - step_us
+                # ascending scan: entries below the window floor can
+                # never bind this or any later event — prune them (this
+                # is what frees cap slots over time)
+                for lst in lists:
+                    while lst and lst[0][0] < lo:
+                        lst.pop(0)
+                # completion: earliest retained level-(n-2) binding that
+                # is STRICTLY earlier (the batch RANGE frame ends at -1)
+                if flags[n - 1][r]:
+                    b = next(
+                        (e for e in lists[n - 2] if e[0] <= o - 1), None
+                    )
+                    if b is not None and (
+                        total_us is None or o - b[3] <= total_us
+                    ):
+                        row = (k[0], i, o // 1_000)
+                        if chain:
+                            row += (f"{b[2]}>{i}",)
+                        out_rows.append(row + (ov,))
+                # qualification: bindings capture chain-so-far + first
+                # ts at qualification time (batch parity); same-event
+                # entries can't feed the same event (o' <= o-1)
+                for m in range(n - 1):
+                    if not flags[m][r]:
+                        continue
+                    if m == 0:
+                        entry = (o, i, str(i) if chain else "", o)
+                    else:
+                        b = next(
+                            (e for e in lists[m - 1] if e[0] <= o - 1),
+                            None,
+                        )
+                        if b is None:
+                            continue
+                        entry = (
+                            o,
+                            i,
+                            f"{b[2]}>{i}" if chain else "",
+                            b[3],
+                        )
+                    if len(lists[m]) >= cap:
+                        # keep the earliest `cap` qualifiers: every
+                        # binding provable from retained state stays
+                        # correct; dropped later qualifiers can only
+                        # cause false NEGATIVES after expiries
+                        ov = True
+                    else:
+                        lists[m].append(entry)
+            state.update((json.dumps(lists), ov))
+            if out_rows:
+                names = [key, tiebreak, "ts_ms"] + (
+                    ["match_chain"] if chain else []
+                ) + ["overflow"]
+                yield pd.DataFrame(out_rows, columns=names)
+
+        return prepared.groupBy(key).applyInPandasWithState(
+            handle,
+            rel_out_schema,
+            "buf string, ov boolean",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
 
     if contiguity == "relaxed":
         if chain:
