@@ -377,10 +377,15 @@ def test_reluctant_binds_earliest_repetition(spark):
     assert list(reluctant["match_chain"]) == ["10>11>14"]
 
 
-def test_reluctant_streaming_rejected(spark, events):
-    with pytest.raises(NotImplementedError, match="batch-only"):
+def test_reluctant_streaming_strict_rejected(spark, events):
+    """Reluctant streaming exists since round 8 (capped qualifier
+    lists — see test_cep_reluctant_stream.py); what stays rejected is
+    the combination with strict contiguity (no binding choice) and
+    non-'one' quantifiers."""
+    with pytest.raises(ValueError, match="relaxed"):
         match_pattern_stream(
-            events, "user_id", "ts", ("a", "b"), mode="reluctant"
+            events, "user_id", "ts", ("a", "b"),
+            mode="reluctant", contiguity="strict",
         )
 
 
