@@ -1,0 +1,354 @@
+"""Graph distance / centrality wave (round 8): bounded-radius BFS from
+a deterministic seed set over the part co-purchase graph — closeness,
+eccentricity/diameter bounds, and sampled Brandes betweenness in EXACT
+fixed-point integer arithmetic (full DuckDB oracles for all three).
+
+Scale shape: the co-purchase edge list is the shared materialized
+snapshot (``queries_graph._copurchase_edges``); each BFS round is one
+|E|-sized join keyed on node id + one groupBy (the PageRank shuffle
+shape), R rounds total, frontier-filtered so later rounds touch only
+the newly reached rim.  Path counts σ are exact BIGINTs (sums of
+predecessor σ), and the Brandes dependency accumulation runs in
+micro-unit integer division — (σ_v·(10⁶+δint_w)) DIV σ_w — so every
+intermediate is an exact int64 in BOTH engines: no float sum-order
+surface anywhere.  Sampled-source BFS (k seeds, bounded radius R) is
+the standard scale decomposition for centrality on large graphs —
+exact all-pairs Brandes is O(V·E) and never runs at 100 TB.
+
+Reference scope: iterative keyed state (정리/5주차.md); the graph
+family contract of ``plans/queries_graph.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_graph import _copurchase_edges
+from .registry import query
+
+BFS_SEEDS = 4
+BFS_ROUNDS = 3
+DELTA_SCALE = 1_000_000  # Brandes dependencies in micro-units
+
+_BFS_PREFIX_SQL = """
+    ok AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    cp AS MATERIALIZED (
+      SELECT a.p AS src, b.p AS dst
+      FROM ok a JOIN ok b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp
+    ),
+    seeds AS MATERIALIZED (
+      SELECT src AS seed FROM sym GROUP BY src ORDER BY src LIMIT {k}
+    ),
+    b0 AS MATERIALIZED (
+      SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
+             CAST(1 AS BIGINT) AS sigma
+      FROM seeds
+    )
+"""
+
+
+def _bfs_rounds_sql(rounds: int) -> str:
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    e{r} AS MATERIALIZED (
+      SELECT p.seed, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+      FROM b{r - 1} p JOIN sym e ON e.src = p.node
+      WHERE p.dist = {r - 1}
+      GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT seed, node, dist, sigma FROM b{r - 1}
+      UNION ALL
+      SELECT x.seed, x.node, CAST({r} AS BIGINT) AS dist, x.sigma
+      FROM e{r} x LEFT JOIN b{r - 1} k
+        ON k.seed = x.seed AND k.node = x.node
+      WHERE k.node IS NULL
+    )""")
+    return ",".join(parts)
+
+
+def _bfs_prefix(k: int = BFS_SEEDS, rounds: int = BFS_ROUNDS) -> str:
+    return _BFS_PREFIX_SQL.format(k=k) + "," + _bfs_rounds_sql(rounds)
+
+
+def _bfs_sigma(
+    spark: SparkSession, sf_dir: str, rounds: int = BFS_ROUNDS
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sym_edges, seeds, levels) over the co-purchase snapshot."""
+    sym = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    return bfs_sigma_from(sym, rounds=rounds)
+
+
+def bfs_sigma_from(
+    sym: DataFrame, rounds: int = BFS_ROUNDS, n_seeds: int = BFS_SEEDS
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sym, seeds, levels) where levels = (seed, node, dist, sigma)
+    for every node reached within ``rounds`` hops of the ``n_seeds``
+    smallest node ids — σ is the exact shortest-path count (sum of
+    dist-(r-1) predecessor σs).  ``sym`` must be symmetric (src, dst)
+    and is assumed checkpointed/cheap to rescan."""
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(n_seeds)
+        .select(F.col("src").alias("seed"))
+    )
+    b = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    for r in range(1, rounds + 1):
+        frontier = b.filter(F.col("dist") == r - 1).select(
+            "seed", F.col("node").alias("_fn"), "sigma"
+        )
+        exp = (
+            frontier.join(sym, frontier["_fn"] == sym["src"])
+            .groupBy("seed", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                F.lit(r).cast("long").alias("dist"),
+                "sigma",
+            )
+        )
+        new = exp.join(b.select("seed", "node"), ["seed", "node"], "left_anti")
+        # each round references b twice (union + anti join): checkpoint
+        # so lineage can't grow 2^rounds (the WL/HITS staging rule)
+        b = b.unionByName(new).localCheckpoint()
+    return sym, seeds, b
+
+
+@query(
+    "closeness_bfs_seeds",
+    f"""
+    WITH {_bfs_prefix()},
+    per AS MATERIALIZED (
+      SELECT seed, dist, CAST(count(*) AS BIGINT) AS c
+      FROM b{BFS_ROUNDS} WHERE dist > 0 GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT seed,
+             CAST(coalesce(max(CASE WHEN dist = 1 THEN c END), 0) AS BIGINT) AS c1,
+             CAST(coalesce(max(CASE WHEN dist = 2 THEN c END), 0) AS BIGINT) AS c2,
+             CAST(coalesce(max(CASE WHEN dist = 3 THEN c END), 0) AS BIGINT) AS c3
+      FROM per GROUP BY seed
+    )
+    SELECT seed, c1 + c2 + c3 AS n_reached,
+           c1 + 2 * c2 + 3 * c3 AS sum_dist,
+           round(CAST(c1 + c2 + c3 AS DOUBLE)
+                 / (c1 + 2 * c2 + 3 * c3) - 1e-9, 6) + 0.0 AS closeness,
+           round(CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE) / 2
+                 + CAST(c3 AS DOUBLE) / 3 - 1e-9, 6) + 0.0 AS harmonic
+    FROM piv ORDER BY seed
+    """,
+)
+def closeness_bfs_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius closeness + harmonic centrality of {BFS_SEEDS}
+    deterministic seed parts (smallest ids) in the co-purchase graph:
+    closeness = reached/Σdist within {BFS_ROUNDS} hops, harmonic =
+    Σ 1/dist — the sampled-landmark form production graph systems use
+    (exact closeness needs all-pairs distances).  Per-distance counts
+    are exact ints; both ratios are single fixed double expressions
+    over them (c1 + c2/2 + c3/3 — bounded term count, no float
+    sum-order surface)."""
+    _, _, b = _bfs_sigma(spark, sf_dir)
+    piv = (
+        b.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("dist") == d, F.lit(1))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"c{d}")
+                for d in (1, 2, 3)
+            ]
+        )
+    )
+    c1, c2, c3 = (F.col(f"c{d}") for d in (1, 2, 3))
+    return piv.select(
+        "seed",
+        (c1 + c2 + c3).alias("n_reached"),
+        (c1 + 2 * c2 + 3 * c3).alias("sum_dist"),
+        (
+            F.round(
+                (c1 + c2 + c3).cast("double") / (c1 + 2 * c2 + 3 * c3)
+                - 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("closeness"),
+        (
+            F.round(
+                c1.cast("double") + c2.cast("double") / 2
+                + c3.cast("double") / 3
+                - 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("harmonic"),
+    ).orderBy("seed")
+
+
+@query(
+    "eccentricity_seeds",
+    f"""
+    WITH {_bfs_prefix()},
+    ecc AS MATERIALIZED (
+      SELECT seed, CAST(max(dist) AS BIGINT) AS ecc
+      FROM b{BFS_ROUNDS} GROUP BY seed
+    )
+    SELECT seed, ecc,
+           (SELECT CAST(max(ecc) AS BIGINT) FROM ecc) AS diameter_lb,
+           (SELECT CAST(min(ecc) AS BIGINT) FROM ecc) AS radius_ub
+    FROM ecc ORDER BY seed
+    """,
+)
+def eccentricity_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed eccentricities within the {BFS_ROUNDS}-hop horizon, plus
+    the classic sampled bounds they certify: max eccentricity over any
+    node set lower-bounds the graph diameter, min upper-bounds the
+    radius (the iFUB/sampling argument).  Pure integer hop counts."""
+    _, _, b = _bfs_sigma(spark, sf_dir)
+    ecc = b.groupBy("seed").agg(F.max("dist").alias("ecc"))
+    agg = ecc.agg(
+        F.max("ecc").alias("diameter_lb"), F.min("ecc").alias("radius_ub")
+    )
+    return ecc.crossJoin(F.broadcast(agg)).select(
+        "seed", "ecc", "diameter_lb", "radius_ub"
+    ).orderBy("seed")
+
+
+@query(
+    "betweenness_fixed_point",
+    f"""
+    WITH {_bfs_prefix()},
+    d2 AS MATERIALIZED (
+      SELECT v.seed, v.node,
+             CAST(sum((v.sigma * {DELTA_SCALE}) // w.sigma) AS BIGINT)
+               AS dint
+      FROM b{BFS_ROUNDS} v
+      JOIN sym e ON e.src = v.node
+      JOIN b{BFS_ROUNDS} w
+        ON w.seed = v.seed AND w.node = e.dst AND w.dist = 3
+      WHERE v.dist = 2
+      GROUP BY 1, 2
+    ),
+    d1 AS MATERIALIZED (
+      SELECT v.seed, v.node,
+             CAST(sum((v.sigma * ({DELTA_SCALE} + coalesce(d.dint, 0)))
+                      // w.sigma) AS BIGINT) AS dint
+      FROM b{BFS_ROUNDS} v
+      JOIN sym e ON e.src = v.node
+      JOIN b{BFS_ROUNDS} w
+        ON w.seed = v.seed AND w.node = e.dst AND w.dist = 2
+      LEFT JOIN d2 d ON d.seed = w.seed AND d.node = w.node
+      WHERE v.dist = 1
+      GROUP BY 1, 2
+    ),
+    bet AS (
+      SELECT node, CAST(sum(dint) AS BIGINT) AS bet_int
+      FROM (SELECT seed, node, dint FROM d2
+            UNION ALL SELECT seed, node, dint FROM d1) u
+      GROUP BY node
+    )
+    SELECT node AS part_id, bet_int,
+           round(CAST(bet_int AS DOUBLE) / {DELTA_SCALE} - 1e-9, 4) + 0.0
+             AS betweenness
+    FROM bet ORDER BY bet_int DESC, part_id LIMIT 20
+    """,
+)
+def betweenness_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness from {BFS_SEEDS} seed sources in
+    EXACT micro-unit fixed-point: forward BFS carries exact σ path
+    counts, the backward pass accumulates δint_v = Σ_w (σ_v·(10⁶ +
+    δint_w)) DIV σ_w over the shortest-path DAG (succ = neighbor one
+    level deeper), level by level from the horizon — every term is one
+    exact integer division, so the ranking is bit-stable across
+    engines and partitionings (truncation error ≤ succ-count/10⁶,
+    bounded by the planted-path test in tests/test_graphdist.py).
+    Top 20 interior parts by accumulated dependency."""
+    sym, seeds, b = _bfs_sigma(spark, sf_dir)
+    return brandes_fixed_point_from(sym, b).limit(20)
+
+
+def brandes_fixed_point_from(sym: DataFrame, b: DataFrame) -> DataFrame:
+    """Backward dependency accumulation in micro-unit integers over the
+    (seed, node, dist, sigma) BFS levels; returns every scored node
+    ordered by (bet_int desc, part_id)."""
+    lvl = {
+        d: b.filter(F.col("dist") == d).select(
+            "seed", "node", "sigma"
+        )
+        for d in (1, 2, 3)
+    }
+    deltas = []
+    prev: DataFrame | None = None  # δint of level r+1
+    for r in (2, 1):
+        v = lvl[r].select(
+            F.col("seed"), F.col("node").alias("_v"), F.col("sigma").alias("_sv")
+        )
+        w = lvl[r + 1].select(
+            F.col("seed").alias("_wseed"),
+            F.col("node").alias("_w"),
+            F.col("sigma").alias("_sw"),
+        )
+        j = (
+            v.join(sym, v["_v"] == sym["src"])
+            .join(
+                w,
+                (F.col("dst") == F.col("_w"))
+                & (F.col("seed") == F.col("_wseed")),
+            )
+        )
+        if prev is not None:
+            p = prev.select(
+                F.col("seed"), F.col("node").alias("_w"),
+                F.col("dint").alias("_pd"),
+            )
+            j = j.join(p, ["seed", "_w"], "left")
+        else:
+            j = j.withColumn("_pd", F.lit(None).cast("long"))
+        d = (
+            j.select(
+                "seed",
+                F.col("_v").alias("node"),
+                F.expr(
+                    f"(_sv * ({DELTA_SCALE} + coalesce(_pd, 0))) DIV _sw"
+                ).alias("term"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("term").cast("long").alias("dint"))
+            .localCheckpoint()  # referenced by the next level AND the sum
+        )
+        deltas.append(d)
+        prev = d
+    allints = deltas[0].unionByName(deltas[1])
+    return (
+        allints.groupBy("node")
+        .agg(F.sum("dint").cast("long").alias("bet_int"))
+        .select(
+            F.col("node").alias("part_id"),
+            "bet_int",
+            (
+                F.round(
+                    F.col("bet_int").cast("double") / DELTA_SCALE - 1e-9, 4
+                )
+                + 0.0
+            ).alias("betweenness"),
+        )
+        .orderBy(F.desc("bet_int"), "part_id")
+    )
