@@ -832,3 +832,118 @@ def dunn_posthoc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _DUNN_SQL.replace("{orders}", "dunn_orders").replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA + Brown-Forsythe across order priorities
+# --------------------------------------------------------------------------
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_F_CRIT_4_INF = 2.3719  # F(4, inf) upper 5% = chi2_4/4
+
+
+def _anova_pivot_tail(src: str, stat_name: str, reject_name: str) -> str:
+    """Pivot the 5 per-group integer moment rows of CTE ``src`` (grp,
+    n, s, ss) into ONE row and compute the one-way F as a fixed IEEE
+    expression tree — no float aggregation over a variable row set
+    anywhere, so both engines evaluate the identical operation
+    sequence."""
+    piv = ",\n".join(
+        f"""    CAST(coalesce(max(CASE WHEN grp = '{g}' THEN n END), 0) AS BIGINT) AS n{i},
+    CAST(coalesce(max(CASE WHEN grp = '{g}' THEN s END), 0) AS BIGINT) AS s{i},
+    CAST(coalesce(max(CASE WHEN grp = '{g}' THEN ss END), 0) AS BIGINT) AS ss{i}"""
+        for i, g in enumerate(_PRIORITIES, 1)
+    )
+    sgs = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
+    )
+    return f"""
+piv AS {{MAT}}(
+  SELECT
+{piv}
+  FROM {src}
+),
+mo AS {{MAT}}(
+  SELECT n1 + n2 + n3 + n4 + n5 AS n,
+         s1 + s2 + s3 + s4 + s5 AS s,
+         ss1 + ss2 + ss3 + ss4 + ss5 AS ss,
+         {sgs} AS sgs
+  FROM piv
+),
+fstat AS {{MAT}}(
+  SELECT n,
+         sgs - CAST(s AS DOUBLE) * s / n AS ssb,
+         CAST(ss AS DOUBLE) - sgs AS ssw
+  FROM mo
+)
+SELECT n AS n_obs,
+       CAST(4 AS BIGINT) AS df_between,
+       n - 5 AS df_within,
+       round(ssb - 1e-9, 2) + 0.0 AS ss_between,
+       round(ssw - 1e-9, 2) + 0.0 AS ss_within,
+       round((ssb / 4.0) / (ssw / (n - 5)) - 1e-9, 6) + 0.0 AS {stat_name},
+       CASE WHEN round((ssb / 4.0) / (ssw / (n - 5)) - 1e-9, 6)
+                 > {_F_CRIT_4_INF}
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         AS {reject_name}
+FROM fstat
+"""
+
+
+_ANOVA_SQL = (
+    """
+WITH base AS {MAT}(
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS q
+  FROM {orders}
+),
+g AS {MAT}(
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS ss
+  FROM base GROUP BY grp
+),
+"""
+    + _anova_pivot_tail("g", "f_stat", "reject_equal_means_5pct")
+)
+
+
+@query(
+    "anova_oneway_priority",
+    _ANOVA_SQL.replace("{orders}", "orders").replace("{MAT}", "MATERIALIZED "),
+)
+def anova_oneway_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of order value across the 5 order
+    priorities — the classical omnibus the Kruskal-Wallis query is the
+    rank-based twin of; under TPC-H's independent column generation
+    the truth is "no effect", so the F should sit near 1 (the planted
+    law in tests/test_anova_periodogram.py pins both poles: a shifted
+    group rejects, independent digit-derived groups do not).
+
+    Determinism: order values round-half-up to integer DOLLARS (the
+    sf10-safe second-moment unit), per-group (n, Σq, Σq²) are exact
+    BIGINTs, the 5 groups pivot into ONE row so SSB/SSW/F are fixed
+    IEEE trees — no float sum over a variable row set in either
+    engine.  Verdict compares the ROUNDED statistic to F(4,∞)=2.3719.
+
+    Scale shape: one fact scan → 5-row moment frame; everything after
+    is O(1).  Reference scope: keyed aggregation (정리/3주차.md)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "anova_orders"
+    )
+    return spark.sql(
+        _ANOVA_SQL.replace("{orders}", "anova_orders").replace("{MAT}", "")
+    )
+
+
+def anova_frame(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """One-way ANOVA over any (grp in _PRIORITIES, q BIGINT) frame —
+    factored for planted-law tests (see anova_oneway_priority)."""
+    base.createOrReplaceTempView("anova_frame_base")
+    return spark.sql(
+        "WITH g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss "
+        "FROM anova_frame_base GROUP BY grp),"
+        + _anova_pivot_tail("g", "f_stat", "reject_equal_means_5pct")
+        .replace("{MAT}", "")
+        .lstrip()
+        .lstrip(",")
+    )

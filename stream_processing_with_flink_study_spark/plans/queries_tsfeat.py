@@ -2861,3 +2861,149 @@ def kpss_frame(ser: DataFrame) -> DataFrame:
         "WITH ser AS (SELECT k, CAST(q AS BIGINT) AS q"
         " FROM kpss_ser_frame),\n" + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# Quantized-trig periodogram: daily / weekly / control frequencies
+# --------------------------------------------------------------------------
+PG_PERIODS = (24, 168, 17)  # daily, weekly, non-harmonic control (hours)
+_PG_TRIG_SCALE = 1_000_000
+
+
+def _pg_trig_rows() -> str:
+    """(period, phase, cos, sin) with the trig values quantized to
+    1e-6 INTEGERS at code-generation time — the whole spectral sum is
+    then exact int64 arithmetic in both engines (no libm, no float
+    accumulation order, no FMA surface)."""
+    import math as _m
+
+    rows = []
+    for p in PG_PERIODS:
+        for ph in range(p):
+            ang = 2.0 * _m.pi * ph / p
+            c6 = round(_m.cos(ang) * _PG_TRIG_SCALE)
+            s6 = round(_m.sin(ang) * _PG_TRIG_SCALE)
+            rows.append(f"({p}, {ph}, {c6}, {s6})")
+    return ", ".join(rows)
+
+
+_PG_SQL = """
+WITH hrs AS {MAT}(
+  SELECT CAST(floor({EMS} / 3600000.0) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM {events} GROUP BY 1
+),
+rng AS {MAT}(
+  SELECT CAST(min(h) AS BIGINT) AS h0,
+         CAST(max(h) - min(h) + 1 AS BIGINT) AS nh,
+         CAST(sum(nn) AS BIGINT) AS tot
+  FROM hrs
+),
+spine AS {MAT}({SPINE}),
+counts AS {MAT}(
+  -- gap hours materialize as zero counts: the spectral sum needs the
+  -- full regular grid, not just observed buckets
+  SELECT s.i AS t,
+         coalesce(hh.nn, 0) * (SELECT nh FROM rng)
+           - (SELECT tot FROM rng) AS d
+  FROM spine s LEFT JOIN hrs hh ON hh.h = (SELECT h0 FROM rng) + s.i
+),
+trig AS ({TRIG}),
+sums AS {MAT}(
+  SELECT v.p,
+         CAST(sum(c.d * v.c6) AS BIGINT) AS sc,
+         CAST(sum(c.d * v.s6) AS BIGINT) AS ss
+  FROM counts c JOIN trig v ON v.ph = c.t % v.p
+  GROUP BY v.p
+),
+pw AS {MAT}(
+  SELECT p, CAST(sc AS DOUBLE) * sc AS x2, CAST(ss AS DOUBLE) * ss AS y2
+  FROM sums
+),
+pw2 AS {MAT}(SELECT p, x2 + y2 AS pwr FROM pw),
+piv AS {MAT}(
+  SELECT max(CASE WHEN p = 24 THEN pwr END) AS p24,
+         max(CASE WHEN p = 168 THEN pwr END) AS p168,
+         max(CASE WHEN p = 17 THEN pwr END) AS p17
+  FROM pw2
+)
+SELECT CAST(w.p AS BIGINT) AS period_hours,
+       round(w.pwr / (v.p24 + v.p168 + v.p17) - 1e-9, 6) + 0.0
+         AS power_share,
+       CASE WHEN w.pwr >= v.p24 AND w.pwr >= v.p168 AND w.pwr >= v.p17
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dominant
+FROM pw2 w CROSS JOIN piv v
+ORDER BY period_hours
+"""
+
+_PG_SPARK = {
+    "{EMS}": "unix_millis(ts)",
+    "{SPINE}": (
+        "SELECT explode(sequence(0, (SELECT CAST(nh - 1 AS INT) FROM rng)))"
+        " AS i"
+    ),
+    "{TRIG}": (
+        "SELECT * FROM VALUES " + _pg_trig_rows() + " AS v(p, ph, c6, s6)"
+    ),
+    "{MAT}": "",
+}
+_PG_DUCK = {
+    "{EMS}": "epoch_ms(ts)",
+    "{SPINE}": (
+        "SELECT unnest(generate_series(0,"
+        " (SELECT CAST(nh - 1 AS INT) FROM rng))) AS i"
+    ),
+    "{TRIG}": (
+        "SELECT * FROM (VALUES " + _pg_trig_rows() + ") v(p, ph, c6, s6)"
+    ),
+    "{MAT}": "MATERIALIZED ",
+}
+
+
+def _pg_render(slots: dict, events: str) -> str:
+    sql = _PG_SQL
+    for k, v in slots.items():
+        sql = sql.replace(k, v)
+    return sql.replace("{events}", events)
+
+
+@query("periodogram_hourly", _pg_render(_PG_DUCK, "events"))
+def periodogram_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the hourly event-count series at the
+    daily (24 h), weekly (168 h) and non-harmonic control (17 h)
+    frequencies: spectral power P(f) = (Σd_t·cos 2πft)² +
+    (Σd_t·sin 2πft)², reported as shares — the cycle detector behind
+    seasonality-aware downstream modeling (complement of the
+    time-domain ACF battery: a daily rhythm shows as share(24) ≫
+    share(17)).
+
+    Determinism: trig values are 1e-6-quantized INTEGER LITERALS baked
+    at code-generation time, counts center via the cross-multiplied
+    integer form (n_t·H − T), so the entire spectral sum is exact
+    int64 in BOTH engines — no libm cos/sin at query time, no float
+    accumulation order, nothing to diverge; squares and the 3-term
+    share denominator are fixed IEEE trees over those exact ints.
+    Gap hours enter as explicit zeros (LEFT JOIN against the full
+    spine) — at sf0.001 the grid is ~50% gaps and skipping them would
+    alias the spectrum.
+
+    Scale shape: one fact scan → O(hours) buckets; the trig join fans
+    each bucket out 3× (constant); all statistics O(1).
+    tests/test_anova_periodogram.py plants pure daily / weekly cycles
+    and white noise through :func:`periodogram_frame`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "pg_events"
+    )
+    return spark.sql(_pg_render(_PG_SPARK, "pg_events"))
+
+
+def periodogram_frame(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Periodogram over any (h BIGINT, nn BIGINT) hourly-count frame —
+    factored for planted-cycle tests (see periodogram_hourly)."""
+    counts.createOrReplaceTempView("pg_frame_counts")
+    sql = _pg_render(_PG_SPARK, "pg_frame_counts")
+    head = sql.index("rng AS ")
+    return spark.sql(
+        "WITH hrs AS (SELECT CAST(h AS BIGINT) AS h, CAST(nn AS BIGINT)"
+        " AS nn FROM pg_frame_counts),\n" + sql[head:]
+    )

@@ -1,0 +1,113 @@
+"""Planted-truth tests for the round-8 inference additions: one-way
+ANOVA and the quantized-trig periodogram (the shared-bug-oracle
+defense — the DuckDB gate proves engine agreement, these prove the
+formulas point at the truth)."""
+
+from __future__ import annotations
+
+import math
+
+from stream_processing_with_flink_study_spark.plans.queries_stattests import (
+    _PRIORITIES,
+    anova_frame,
+)
+from stream_processing_with_flink_study_spark.plans.queries_tsfeat import (
+    periodogram_frame,
+)
+
+
+def _anova(spark, rows):
+    return anova_frame(
+        spark, spark.createDataFrame(rows, "grp string, q long")
+    ).collect()[0]
+
+
+def test_anova_null_pole_independent_groups(spark):
+    """Group from i%5, value from disjoint digits of i: exactly zero
+    planted effect — F must sit low and the 5% gate must not fire."""
+    rows = [
+        (_PRIORITIES[i % 5], 1000 + (i // 5) % 97 * 3) for i in range(2000)
+    ]
+    r = _anova(spark, rows)
+    assert r["reject_equal_means_5pct"] == 0, r
+    assert r["f_stat"] < 2.0
+
+
+def test_anova_shifted_group_rejects(spark):
+    """One group shifted by ~1 within-group SD on n=400/group: a
+    textbook large-sample detection — F far over the bar."""
+    rows = [
+        (
+            _PRIORITIES[i % 5],
+            1000 + (i // 5) % 97 * 3 + (150 if i % 5 == 2 else 0),
+        )
+        for i in range(2000)
+    ]
+    r = _anova(spark, rows)
+    assert r["reject_equal_means_5pct"] == 1, r
+    assert r["f_stat"] > 10
+
+
+def test_anova_sum_of_squares_decomposition(spark):
+    """SSB + SSW equals the total sum of squares computed directly
+    (within output rounding) and df's partition n-1."""
+    rows = [
+        (_PRIORITIES[i % 5], 500 + (i * 13) % 211) for i in range(1500)
+    ]
+    r = _anova(spark, rows)
+    q = [v for _, v in rows]
+    n = len(q)
+    tot = sum(x * x for x in q) - sum(q) ** 2 / n
+    assert abs((r["ss_between"] + r["ss_within"]) - tot) < 0.05
+    assert r["df_between"] + r["df_within"] == n - 1
+
+
+def _pg(spark, counts):
+    out = periodogram_frame(
+        spark, spark.createDataFrame(counts, "h long, nn long")
+    ).collect()
+    return {r["period_hours"]: r for r in out}
+
+
+def test_periodogram_planted_daily_cycle(spark):
+    counts = [
+        (t, 100 + round(50 * math.cos(2 * math.pi * t / 24)))
+        for t in range(720)
+    ]
+    r = _pg(spark, counts)
+    assert r[24]["dominant"] == 1
+    assert r[24]["power_share"] > 0.95
+    assert r[168]["power_share"] < 0.05 and r[17]["power_share"] < 0.05
+
+
+def test_periodogram_planted_weekly_cycle(spark):
+    counts = [
+        (t, 100 + round(40 * math.sin(2 * math.pi * t / 168)))
+        for t in range(1008)  # 6 full weeks: 168 and 24 stay orthogonal
+    ]
+    r = _pg(spark, counts)
+    assert r[168]["dominant"] == 1
+    assert r[168]["power_share"] > 0.95
+
+
+def test_periodogram_gap_hours_enter_as_zero(spark):
+    """A daily cycle observed only every third hour still peaks at 24h
+    — the spine must fill the missing hours with zero deviations from
+    the CENTERED series, not drop them."""
+    counts = [
+        (t, 100 + round(50 * math.cos(2 * math.pi * t / 24)))
+        for t in range(720)
+        if t % 3 == 0
+    ]
+    r = _pg(spark, counts)
+    assert r[24]["power_share"] > r[17]["power_share"]
+    assert r[24]["power_share"] > r[168]["power_share"]
+
+
+def test_periodogram_white_noise_no_dominant_peak(spark):
+    """Deterministic pseudo-noise: no frequency should soak up the
+    spectrum."""
+    counts = [(t, 80 + (t * 2654435761) % 41) for t in range(720)]
+    r = _pg(spark, counts)
+    assert all(row["power_share"] < 0.9 for row in r.values())
+    assert abs(sum(row["power_share"] for row in r.values()) - 1.0) < 1e-4
