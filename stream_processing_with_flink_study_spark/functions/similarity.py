@@ -834,3 +834,67 @@ def mmr_rerank(
         "q_id long, rank int, n_id long, relevance double,"
         " mmr_score double",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+    dup_ceiling: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    highest-cosine corpus items that (a) carry a DIFFERENT label and
+    (b) sit below the near-duplicate ceiling — the "confusable but
+    wrong" examples that make embedding models learn boundaries
+    (random negatives are too easy; near-dups are false negatives).
+
+    ``labels``: (id, label) — joined to both sides; the ceiling
+    compares the ROUNDED similarity so the cut is engine-stable.
+    Scale shape: identical to :func:`brute_force_topk` (labels and
+    queries broadcast, corpus never shuffles, per-query rank window);
+    swap the scoring stage for the IVF/LSH tier at retrieval scale.
+    Output: (q_id, n_id, neg_label, cosine_sim, rank)."""
+    lid, llab = labels.columns[0], labels.columns[1]
+    lab = labels.select(
+        F.col(lid).alias("_lid"), F.col(llab).alias("_lab")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(lab, F.col("q_id") == F.col("_lid"))
+        .select("q_id", "q_vec", F.col("_lab").alias("q_lab"))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        )
+        .join(lab, F.col("n_id") == F.col("_lid"))
+        .select("n_id", "n_vec", F.col("_lab").alias("neg_label"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("q_id") != F.col("n_id"))
+            & (F.col("neg_label") != F.col("q_lab"))
+        )
+        .select(
+            "q_id",
+            "n_id",
+            "neg_label",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"),
+        )
+        .filter(F.round("sim", 4) < dup_ceiling)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "n_id", "neg_label",
+            F.round("sim", 4).alias("cosine_sim"), "rank",
+        )
+    )

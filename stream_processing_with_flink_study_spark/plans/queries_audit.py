@@ -584,3 +584,79 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         + _IPF_FINAL.replace("{WF}", "wf")
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (TANE-style g3 over candidate FDs)
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    # (table, lhs, rhs) — a mix of true PK-backed FDs and plausible
+    # false ones, the shape a schema-profiling pass emits
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def _fd_candidate_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+  SELECT '{table}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(c) - sum(mx) AS BIGINT) AS g3_violations,
+         CASE WHEN sum(c) = sum(mx) THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS holds
+  FROM (
+    SELECT {lhs}, CAST(sum(cnt) AS BIGINT) AS c,
+           CAST(max(cnt) AS BIGINT) AS mx
+    FROM (
+      SELECT {lhs}, {rhs}, CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ) GROUP BY 1
+  )"""
+
+
+@query(
+    "functional_dependency_audit",
+    " UNION ALL ".join(
+        _fd_candidate_sql(t, a, b) for t, a, b in _FD_CANDIDATES
+    )
+    + " ORDER BY tbl, lhs, rhs",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TANE-style functional-dependency audit over candidate X→Y pairs:
+    per candidate, the exact g3 error (minimum rows to delete for the
+    FD to hold = n − Σ_x max_y |x,y|) and a holds verdict — the schema
+    profiling pass that discovers real keys (o_orderkey→status,
+    p_partkey→brand hold) and debunks folk dependencies (brand→type,
+    custkey→priority don't).  All counts exact BIGINTs.
+
+    Scale shape: each candidate is one two-level hash aggregation with
+    map-side partial combine on (lhs, rhs) — the heavy key never
+    shuffles raw rows, only (pair, count) partials; candidates read
+    ONLY their two columns (pruned scans) and union into a 6-row
+    report."""
+    out = None
+    for t, a, b in _FD_CANDIDATES:
+        base = load_table(spark, sf_dir, t).select(a, b)
+        pair = base.groupBy(a, b).agg(F.count(F.lit(1)).alias("cnt"))
+        g = pair.groupBy(a).agg(
+            F.sum("cnt").alias("c"), F.max("cnt").alias("mx")
+        )
+        row = g.agg(
+            F.lit(t).alias("tbl"),
+            F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            (F.sum("c") - F.sum("mx")).cast("long").alias("g3_violations"),
+            F.when(F.sum("c") == F.sum("mx"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "lhs", "rhs")

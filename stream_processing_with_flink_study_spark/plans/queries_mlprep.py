@@ -1898,3 +1898,49 @@ def stump_frame(feat: DataFrame) -> DataFrame:
         "WITH feat AS (SELECT name, CAST(v AS BIGINT) AS v,"
         " CAST(y AS BIGINT) AS y FROM stump_feat_frame),\n" + sql[head:]
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH lab AS (SELECT doc_id, lang FROM documents),
+    q AS (
+      SELECT e.vec_id AS q_id, e.embedding AS q_vec, l.lang AS q_lang
+      FROM embeddings e JOIN lab l ON l.doc_id = e.vec_id
+      WHERE e.vec_id < 10
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.q_id, e.vec_id AS n_id, l.lang AS neg_label,
+             list_cosine_similarity(q.q_vec::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS sim
+      FROM embeddings e JOIN lab l ON l.doc_id = e.vec_id CROSS JOIN q
+      WHERE e.vec_id != q.q_id AND l.lang != q.q_lang
+        AND round(list_cosine_similarity(q.q_vec::DOUBLE[],
+                                         e.embedding::DOUBLE[]), 4) < 0.95
+    )
+    SELECT q_id, n_id, neg_label, round(sim, 4) AS cosine_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query vector, the top-5 most-similar corpus items that carry a
+    DIFFERENT language label and sit below the 0.95 near-duplicate
+    ceiling — the "confusable but wrong" pairs that sharpen retrieval
+    models (random negatives are trivially separable; near-dups would
+    be false negatives).  Labels ride the broadcast sides; the corpus
+    is scored once (brute-force tier — the IVF/LSH ladder is the
+    retrieval-scale candidate path); the ceiling compares the ROUNDED
+    similarity so the cut is engine-stable."""
+    from ..functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), labels, k=5
+    )
