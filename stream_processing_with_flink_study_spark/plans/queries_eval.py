@@ -3536,3 +3536,158 @@ def diebold_mariano_frame(q: DataFrame) -> DataFrame:
         "WITH q AS (SELECT t, CAST(qy AS BIGINT) AS qy"
         " FROM dm_q_frame),\n" + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (m = 12, monthly revenue)
+# --------------------------------------------------------------------------
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.2, 0.05, 0.3
+_HW_M = 12
+
+
+def _hw_sql() -> str:
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    ia, ib, ig = 1 - a, 1 - b, 1 - g
+    piv = ",\n         ".join(
+        f"max(CASE WHEN idx = {i} THEN y END) AS m{i}"
+        for i in range(2 * _HW_M)
+    )
+    s1 = " + ".join(f"m{i}" for i in range(_HW_M))
+    s2 = " + ".join(f"m{i}" for i in range(_HW_M, 2 * _HW_M))
+    seas = ",\n         ".join(
+        f"m{i} - ({s1}) / 12.0 AS s{i}" for i in range(_HW_M)
+    )
+    base_q = ", ".join(f"s{i} AS q{i + 1}" for i in range(_HW_M))
+    shift_q = ", ".join(f"h.q{i}" for i in range(2, _HW_M + 1))
+    lvl_new = f"{a} * (m.y - h.q1) + {ia} * (h.lvl + h.trend)"
+    return f"""
+WITH RECURSIVE monthly AS (
+  SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) - 1 AS idx,
+         month, y
+  FROM (
+    SELECT {{month_expr}} AS month, round(sum(o_totalprice), 2) AS y
+    FROM {{orders}}
+    GROUP BY 1
+  )
+),
+init AS (
+  SELECT {piv}
+  FROM monthly WHERE idx < {2 * _HW_M}
+),
+st AS (
+  SELECT ({s1}) / 12.0 AS lvl0,
+         (({s2}) / 12.0 - ({s1}) / 12.0) / 12.0 AS b0,
+         {seas}
+  FROM init
+),
+hw (idx, y, lvl, trend, {", ".join(f"q{i}" for i in range(1, _HW_M + 1))},
+    fitted) AS (
+  SELECT CAST({_HW_M - 1} AS BIGINT), CAST(NULL AS DOUBLE),
+         lvl0, b0, {base_q}, CAST(NULL AS DOUBLE)
+  FROM st
+  UNION ALL
+  SELECT m.idx, m.y,
+         {lvl_new},
+         {b} * (({lvl_new}) - h.lvl) + {ib} * h.trend,
+         {shift_q},
+         {g} * (m.y - ({lvl_new})) + {ig} * h.q1,
+         h.lvl + h.trend + h.q1
+  FROM hw h JOIN monthly m ON m.idx = h.idx + 1
+)
+SELECT h.idx, m.month, h.y,
+       round(h.lvl, 2) AS level,
+       round(h.trend, 2) AS trend,
+       round(h.q{_HW_M}, 2) AS seasonal,
+       round(h.fitted, 2) AS fitted
+FROM hw h JOIN monthly m ON m.idx = h.idx
+WHERE h.idx >= {_HW_M}
+ORDER BY h.idx
+"""
+
+
+def hw_seasonal_loop(rows: list) -> list:
+    """Driver-side mirror of the oracle recursion — IDENTICAL IEEE op
+    order per step (the holt_smoothing_monthly contract).  ``rows`` =
+    [(idx, month, y)] sorted by idx; returns the post-first-two-season
+    rows as (idx, month, y, lvl, trend, seasonal, fitted)."""
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    m = _HW_M
+    ys = [r[2] for r in rows]
+    s1 = 0.0
+    for i in range(m):
+        s1 = s1 + ys[i]  # left-assoc fold == SQL's m0 + m1 + ...
+    s2 = 0.0
+    for i in range(m, 2 * m):
+        s2 = s2 + ys[i]
+    lvl = s1 / 12.0
+    trend = (s2 / 12.0 - s1 / 12.0) / 12.0
+    queue = [ys[i] - s1 / 12.0 for i in range(m)]
+    out = []
+    for idx, month, y in rows[m:]:
+        q1 = queue[0]
+        lvl_new = a * (y - q1) + (1 - a) * (lvl + trend)
+        trend_new = b * (lvl_new - lvl) + (1 - b) * trend
+        snew = g * (y - lvl_new) + (1 - g) * q1
+        fitted = lvl + trend + q1
+        queue = queue[1:] + [snew]
+        lvl, trend = lvl_new, trend_new
+        if idx >= m:
+            out.append((idx, month, y, lvl, trend, snew, fitted))
+    return out
+
+
+@query(
+    "holt_winters_seasonal",
+    _hw_sql().format(
+        orders="orders", month_expr="strftime(o_orderdate, '%Y-%m')"
+    ),
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend + 12
+    monthly seasonal states, α=0.2 β=0.05 γ=0.3) over the 80-month
+    revenue series — the seasonal completion of the smoothing family
+    (EWMA → Holt → HW): level updates on the DESEASONALIZED
+    observation, the seasonal queue rotates one slot per month, and
+    one-step-ahead fitted = level + trend + the season from 12 back.
+
+    Determinism: the monthly rollup rounds to cents first (the Holt
+    contract); initialization pivots the first 24 months into ONE row
+    so level₀/trend₀/seasonals are fixed left-associated expression
+    trees; each recursion step then applies identical IEEE ops to
+    identical doubles in both engines (DuckDB native WITH RECURSIVE
+    carrying the 12-slot queue as columns vs the driver loop in
+    :func:`hw_seasonal_loop`).  tests/test_anova_periodogram.py plants
+    a known seasonal pattern and pins recovery + one-step-MAE
+    improvement over the seasonal-naive baseline.
+
+    Scale shape: the only fact-sized work is the distributed monthly
+    rollup; the recursion is O(months) driver-side (bounded by the
+    calendar — the v-optimal/isotonic bounded-collect contract)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "hw_orders"
+    )
+    monthly = spark.sql(
+        """
+        SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) - 1
+                 AS idx, month, y
+        FROM (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 round(sum(o_totalprice), 2) AS y
+          FROM hw_orders GROUP BY 1
+        )
+        """
+    ).collect()  # bounded by the calendar, not by row count
+    rows = sorted((r.idx, r.month, r.y) for r in monthly)
+    out = hw_seasonal_loop(rows)
+    df = spark.createDataFrame(
+        out,
+        "idx BIGINT, month STRING, y DOUBLE, lvl DOUBLE, trend DOUBLE, "
+        "snew DOUBLE, fit DOUBLE",
+    )
+    return df.select(
+        "idx", "month", "y",
+        F.round("lvl", 2).alias("level"),
+        F.round("trend", 2).alias("trend"),
+        F.round("snew", 2).alias("seasonal"),
+        F.round("fit", 2).alias("fitted"),
+    ).orderBy("idx")

@@ -111,3 +111,30 @@ def test_periodogram_white_noise_no_dominant_peak(spark):
     r = _pg(spark, counts)
     assert all(row["power_share"] < 0.9 for row in r.values())
     assert abs(sum(row["power_share"] for row in r.values()) - 1.0) < 1e-4
+
+
+def test_holt_winters_recovers_planted_seasonality():
+    """Planted level+trend+seasonal series: the HW recursion's seasonal
+    states converge to the (centered) planted pattern and one-step
+    fitted values beat the seasonal-naive baseline by a wide margin."""
+    from stream_processing_with_flink_study_spark.plans.queries_eval import (
+        hw_seasonal_loop,
+    )
+
+    pattern = [120, 80, -40, -100, -140, -60, 30, 90, 150, 60, -80, -110]
+    rows = [
+        (t, f"m{t:03d}", 1000.0 + 10.0 * t + pattern[t % 12])
+        for t in range(80)
+    ]
+    out = hw_seasonal_loop(rows)
+    assert len(out) == 80 - 12
+    # late seasonal states track the centered planted pattern
+    centered = [p - sum(pattern) / 12.0 for p in pattern]
+    late = {t % 12: s for (t, _, _, _, _, s, _) in out if t >= 60}
+    for ph, s in late.items():
+        assert abs(s - centered[ph]) < 20, (ph, s, centered[ph])
+    # one-step MAE beats seasonal naive on the second half
+    ys = {t: y for t, _, y in rows}
+    hw_err = [abs(y - f) for (t, _, y, _, _, _, f) in out if t >= 40]
+    naive_err = [abs(ys[t] - ys[t - 12]) for t in range(40, 80)]
+    assert sum(hw_err) / len(hw_err) < 0.5 * sum(naive_err) / len(naive_err)
