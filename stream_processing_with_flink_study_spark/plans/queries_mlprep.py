@@ -1944,3 +1944,117 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         emb, emb.filter(F.col("vec_id") < 10), labels, k=5
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram LM ratio, Xie et al. '23)
+# --------------------------------------------------------------------------
+_DSIR_B = 64
+_DSIR_SQL = """
+WITH tok AS {MAT}(
+  SELECT doc_id, lang, CAST({HASH} % 64 AS INT) AS b
+  FROM (SELECT doc_id, lang, {TOK} AS t FROM {documents})
+),
+db AS {MAT}(
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+br AS {MAT}(
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY 1
+),
+bt AS {MAT}(
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tok
+  WHERE {TARGET_COND} GROUP BY 1
+),
+tot AS {MAT}(
+  SELECT CAST(sum(cr) AS BIGINT) AS tr,
+         CAST((SELECT sum(ct) FROM bt) AS BIGINT) AS tt
+  FROM br
+),
+lr AS {MAT}(
+  SELECT br.b,
+         (ln((CAST(coalesce(bt.ct, 0) AS DOUBLE) + 1.0)
+             / (CAST(tot.tt AS DOUBLE) + 64.0))
+          - ln((CAST(br.cr AS DOUBLE) + 1.0)
+               / (CAST(tot.tr AS DOUBLE) + 64.0))) * 1000000.0 AS q
+  FROM br LEFT JOIN bt ON bt.b = br.b CROSS JOIN tot
+),
+lr6 AS {MAT}(
+  SELECT b, CAST(floor(q + 0.5) AS BIGINT) AS lr6 FROM lr
+),
+sc AS {MAT}(
+  SELECT d.doc_id, CAST(sum(d.cnt * l.lr6) AS BIGINT) AS w6,
+         CAST(sum(d.cnt) AS BIGINT) AS n_tokens
+  FROM db d JOIN lr6 l ON l.b = d.b
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(CAST(w6 AS DOUBLE) / 1000000.0 - 1e-9, 4) + 0.0
+         AS log_importance,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY w6 DESC, doc_id) AS rk FROM sc
+) WHERE rk <= 50
+ORDER BY rk
+"""
+
+_DSIR_DUCK = {
+    "{TOK}": r"unnest(regexp_split_to_array(lower(trim(text)), '\s+'))",
+    "{HASH}": "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)",
+    "{MAT}": "MATERIALIZED ",
+}
+_DSIR_SPARK = {
+    "{TOK}": r"explode(split(lower(trim(text)), '\\s+'))",
+    "{HASH}": "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)",
+    "{MAT}": "",
+}
+
+
+def _dsir_render(slots: dict, documents: str, target_cond: str) -> str:
+    sql = _DSIR_SQL
+    for k, v in slots.items():
+        sql = sql.replace(k, v)
+    return sql.replace("{documents}", documents).replace(
+        "{TARGET_COND}", target_cond
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    _dsir_render(_DSIR_DUCK, "documents", "lang = 'en'"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by the hashed-unigram log-likelihood ratio between a
+    TARGET distribution (here: the English subcorpus) and the raw
+    pool — Σ_tokens ln(p_target(h(t)) / p_raw(h(t))) with add-1
+    smoothing over 64 md5 buckets — then keep the top-50 by importance
+    (deterministic tiebreak).  The importance-resampling front door of
+    modern pretraining curation: cheap hashed features stand in for a
+    target LM.
+
+    Determinism: per-bucket log-ratios are computed ONCE over exact
+    global BIGINT counts and quantized to 1e-6 integers, so each
+    document's score is an exact integer dot product (cnt · lr6) —
+    no per-doc float sums to diverge.  Identity law (target ≡ raw ⇒
+    all scores exactly 0) and the en-over-zh ordering are pinned in
+    tests/test_anova_periodogram.py.
+
+    Scale shape: one token explode → (doc, bucket) counts (map-side
+    combined); bucket stats are 64 rows broadcast back; scoring is one
+    join keyed on the 64-value bucket id."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "dsir_docs"
+    )
+    return spark.sql(
+        _dsir_render(_DSIR_SPARK, "dsir_docs", "lang = 'en'")
+    )
+
+
+def dsir_frame(spark: SparkSession, docs: DataFrame, target_cond: str):
+    """DSIR scoring over any (doc_id, lang, text) frame — factored for
+    the identity/ordering law tests."""
+    docs.createOrReplaceTempView("dsir_frame_docs")
+    return spark.sql(
+        _dsir_render(_DSIR_SPARK, "dsir_frame_docs", target_cond)
+    )

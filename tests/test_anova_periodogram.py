@@ -138,3 +138,47 @@ def test_holt_winters_recovers_planted_seasonality():
     hw_err = [abs(y - f) for (t, _, y, _, _, _, f) in out if t >= 40]
     naive_err = [abs(ys[t] - ys[t - 12]) for t in range(40, 80)]
     assert sum(hw_err) / len(hw_err) < 0.5 * sum(naive_err) / len(naive_err)
+
+
+def test_dsir_identity_and_ordering_laws(spark):
+    """DSIR laws: (a) target ≡ raw ⇒ every per-bucket log-ratio is
+    exactly ln(x)−ln(x) = 0, so every score is exactly 0; (b) with an
+    English target on mixed data, English docs outrank Chinese ones on
+    average."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+        dsir_frame,
+    )
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # (a) identity: target condition true for every row
+    ident = dsir_frame(spark, docs, "1 = 1").collect()
+    assert ident and all(r["log_importance"] == 0.0 for r in ident)
+    # (b) ordering: with an en target, en documents carry the highest
+    # MEAN importance (the synthetic corpus shares most vocabulary
+    # across langs, so the separation shows in means, not in a
+    # winner-take-all top slice)
+    from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+        _DSIR_SPARK,
+        _dsir_render,
+    )
+
+    sql = _dsir_render(_DSIR_SPARK, "dsir_frame_docs", "lang = 'en'")
+    full = spark.sql(
+        sql[: sql.index("SELECT doc_id, n_tokens")]
+        + "SELECT doc_id, CAST(w6 AS DOUBLE) / 1000000.0 AS li FROM sc"
+    )
+    means = {
+        r["lang"]: r["m"]
+        for r in full.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("li").alias("m"))
+        .collect()
+    }
+    assert all(
+        means["en"] > means[lg] for lg in means if lg != "en"
+    ), means
