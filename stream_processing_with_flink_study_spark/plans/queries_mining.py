@@ -1579,3 +1579,73 @@ def negbin_frame(counts: DataFrame) -> DataFrame:
         "WITH counts AS (SELECT CAST(k AS BIGINT) AS k"
         " FROM nb_counts_frame),\n" + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# Process-mining conformance check (trace-to-model edit distance)
+# --------------------------------------------------------------------------
+_CONF_SQL = """
+WITH ev AS {MAT}(
+  SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+         substr(event_type, 1, 1) AS i
+  FROM {events}
+),
+rk AS {MAT}(
+  SELECT user_id, d, i,
+         row_number() OVER (
+           PARTITION BY user_id, d ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+tr AS {MAT}(
+  SELECT user_id, d, {AGG} AS trace
+  FROM rk WHERE rn <= 12
+  GROUP BY user_id, d
+),
+sc AS {MAT}(
+  SELECT CAST(levenshtein(trace, 'vcp') AS BIGINT) AS dist,
+         CAST(length(trace) AS BIGINT) AS tlen
+  FROM tr
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc)
+SELECT dist AS lev_dist,
+       CAST(count(*) AS BIGINT) AS n_cases,
+       CAST(min(tlen) AS BIGINT) AS min_trace_len,
+       CAST(max(tlen) AS BIGINT) AS max_trace_len,
+       round(count(*) * 1.0 / (SELECT n FROM tot) - 1e-9, 4) + 0.0
+         AS share
+FROM sc GROUP BY dist ORDER BY lev_dist
+"""
+
+
+@query(
+    "conformance_check_daily",
+    _CONF_SQL.replace("{events}", "events")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace("{AGG}", "string_agg(i, '' ORDER BY rn)"),
+)
+def conformance_check_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check: each (user, day) case's
+    observed event trace (type initials in event order, capped at 12
+    activities) is scored by Levenshtein edit distance against the
+    canonical view→click→purchase model 'vcp' — the alignment-based
+    fitness measure process-mining tools report (distance 0 = the case
+    replays the model exactly; each unit = one insert/delete/
+    substitute deviation).  Output: the conformance-distance
+    distribution with trace-length bounds.
+
+    Determinism: traces are built by ordered string aggregation over a
+    precomputed integer rank (LISTAGG WITHIN GROUP ≡ DuckDB string_agg
+    ORDER BY — the established pairing), edit distances are exact
+    integers in both engines, shares are exact count ratios rounded.
+
+    Scale shape: one keyed sort per case (the sessionization cost), a
+    12-cap that bounds both the string length and the O(len²) edit
+    distance, then an O(distinct distances) rollup."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "conf_events"
+    )
+    return spark.sql(
+        _CONF_SQL.replace("{events}", "conf_events")
+        .replace("{MAT}", "")
+        .replace("{AGG}", "listagg(i, '') WITHIN GROUP (ORDER BY rn)")
+    )
