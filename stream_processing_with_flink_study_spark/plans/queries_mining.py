@@ -1649,3 +1649,94 @@ def conformance_check_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{MAT}", "")
         .replace("{AGG}", "listagg(i, '') WITHIN GROUP (ORDER BY rn)")
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-Evidence / Information Value binning (credit-scoring screen)
+# --------------------------------------------------------------------------
+_WOE_SQL = """
+WITH lab AS {MAT}(
+  SELECT o.o_orderkey, o.o_totalprice,
+         CASE WHEN max({DD}) > 100 THEN 1 ELSE 0 END AS bad
+  FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+b AS {MAT}(
+  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         bad
+  FROM lab
+),
+cnt AS {MAT}(
+  SELECT decile,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM b GROUP BY decile
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+         CAST(sum(n_bad) AS BIGINT) AS tb
+  FROM cnt
+),
+woe AS {MAT}(
+  SELECT decile, n_good, n_bad,
+         ln((CAST(n_good AS DOUBLE) / tot.tg)
+            / (CAST(n_bad AS DOUBLE) / tot.tb)) AS w,
+         (CAST(n_good AS DOUBLE) / tot.tg
+          - CAST(n_bad AS DOUBLE) / tot.tb)
+           * ln((CAST(n_good AS DOUBLE) / tot.tg)
+                / (CAST(n_bad AS DOUBLE) / tot.tb)) * 100000000.0 AS t8
+  FROM cnt CROSS JOIN tot
+),
+q AS {MAT}(
+  SELECT decile, n_good, n_bad, w,
+         CAST(floor(t8 + 0.5) AS BIGINT) AS term8
+  FROM woe
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_good, n_bad,
+       round(w - 1e-9, 4) + 0.0 AS woe,
+       round(CAST(sum(term8) OVER () AS DOUBLE) / 100000000.0 - 1e-9, 6)
+         + 0.0 AS iv_total
+FROM q ORDER BY decile
+"""
+
+
+@query(
+    "woe_iv_value_deciles",
+    _WOE_SQL.replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace(
+        "{DD}",
+        "date_diff('day', CAST(o.o_orderdate AS DATE),"
+        " CAST(l.l_shipdate AS DATE))",
+    ),
+)
+def woe_iv_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value screen — the
+    credit-scoring feature diagnostic: order-value deciles vs the
+    late-shipment outcome (any line shipped > 100 days after order);
+    per decile WoE = ln(%good/%bad) and the total IV = Σ(%good −
+    %bad)·WoE, the standard is-this-feature-worth-binning number
+    (IV < 0.02 useless, > 0.3 strong).  Completes the supervised
+    screening trio with ``mutual_info_screen`` and
+    ``decision_stump_gini``.
+
+    Determinism: deciles are exact positional ntiles under a
+    (value, orderkey) tiebreak; good/bad counts are exact ints;
+    per-bin WoE is a fixed expression over them, and IV sums
+    1e-8-quantized integer terms (no variable-row float accumulation).
+
+    Scale shape: one join + per-order rollup, one global sort for the
+    ntile (the exact-quantile cost), then a 10-row frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("woe_o")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("woe_l")
+    return spark.sql(
+        _WOE_SQL.replace("{orders}", "woe_o")
+        .replace("{lineitem}", "woe_l")
+        .replace("{MAT}", "")
+        .replace(
+            "{DD}",
+            "datediff(CAST(l.l_shipdate AS DATE),"
+            " CAST(o.o_orderdate AS DATE))",
+        )
+    )

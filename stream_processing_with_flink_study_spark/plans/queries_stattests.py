@@ -947,3 +947,84 @@ def anova_frame(spark: SparkSession, base: DataFrame) -> DataFrame:
         .lstrip()
         .lstrip(",")
     )
+
+
+# --------------------------------------------------------------------------
+# Tukey HSD post-hoc after the one-way ANOVA
+# --------------------------------------------------------------------------
+_TUKEY_Q_CRIT = 3.858  # studentized range q(5 groups, inf df) at 5%
+
+
+def _tukey_sql() -> str:
+    pairs = []
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            mi = f"CAST(s{i} AS DOUBLE) / n{i}"
+            mj = f"CAST(s{j} AS DOUBLE) / n{j}"
+            se = (
+                f"sqrt((CAST(ss1+ss2+ss3+ss4+ss5 AS DOUBLE) - sgs)"
+                f" / (n1+n2+n3+n4+n5 - 5) / 2.0"
+                f" * (1.0 / n{i} + 1.0 / n{j}))"
+            )
+            pairs.append(f"""
+  SELECT '{_PRIORITIES[i - 1]}' AS grp_a, '{_PRIORITIES[j - 1]}' AS grp_b,
+         round(({mi}) - ({mj}) - 1e-9, 4) + 0.0 AS mean_diff,
+         round(abs(({mi}) - ({mj})) / ({se}) - 1e-9, 4) + 0.0 AS q_stat,
+         CASE WHEN round(abs(({mi}) - ({mj})) / ({se}) - 1e-9, 4)
+                   > {_TUKEY_Q_CRIT}
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sig_5pct
+  FROM piv2""")
+    piv = ",\n".join(
+        f"""    CAST(coalesce(max(CASE WHEN grp = '{g}' THEN n END), 0) AS BIGINT) AS n{i},
+    CAST(coalesce(max(CASE WHEN grp = '{g}' THEN s END), 0) AS BIGINT) AS s{i},
+    CAST(coalesce(max(CASE WHEN grp = '{g}' THEN ss END), 0) AS BIGINT) AS ss{i}"""
+        for i, g in enumerate(_PRIORITIES, 1)
+    )
+    sgs = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
+    )
+    return f"""
+WITH base AS {{MAT}}(
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS q
+  FROM {{orders}}
+),
+g AS {{MAT}}(
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS ss
+  FROM base GROUP BY grp
+),
+piv2 AS {{MAT}}(
+  SELECT
+{piv},
+    {sgs} AS sgs
+  FROM g
+)
+SELECT * FROM ({" UNION ALL ".join(pairs)})
+ORDER BY grp_a, grp_b
+"""
+
+
+@query(
+    "tukey_hsd_priority",
+    _tukey_sql()
+    .replace("{orders}", "orders")
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def tukey_hsd_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc for all 10 priority pairs — the parametric
+    companion to ``dunn_posthoc_priority`` and the step a significant
+    ``anova_oneway_priority`` omnibus requires before naming pairs:
+    per pair, the mean difference and the studentized-range statistic
+    |Δ|/√(MSW/2·(1/nᵢ+1/nⱼ)) against q(5,∞)=3.858 (family-wise 5%).
+
+    Determinism: the same dollar-unit exact BIGINT moments and 5-group
+    pivot as the omnibus; every pair statistic is a fixed IEEE tree
+    over that ONE row; verdicts compare ROUNDED statistics.  Scale
+    shape: one fact rollup, then 10 constant-time pair expressions."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tukey_orders"
+    )
+    return spark.sql(
+        _tukey_sql().replace("{orders}", "tukey_orders").replace("{MAT}", "")
+    )

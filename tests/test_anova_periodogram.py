@@ -182,3 +182,42 @@ def test_dsir_identity_and_ordering_laws(spark):
     assert all(
         means["en"] > means[lg] for lg in means if lg != "en"
     ), means
+
+
+def test_tukey_null_data_no_significant_pairs(spark):
+    """TPC-H priorities are independent of order value: the ANOVA
+    omnibus does not reject, and no Tukey pair may claim significance
+    (family consistency pin on fixed data)."""
+    from stream_processing_with_flink_study_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    om = plans.QUERIES["anova_oneway_priority"](spark, sf).collect()[0]
+    pairs = plans.QUERIES["tukey_hsd_priority"](spark, sf).collect()
+    assert len(pairs) == 10
+    if om["reject_equal_means_5pct"] == 0:
+        assert all(p["sig_5pct"] == 0 for p in pairs), pairs
+
+
+def test_woe_iv_reconstructs_from_counts(spark):
+    """IV recomputed from the emitted per-bin counts matches iv_total,
+    and WoE is negative exactly in bins whose bad rate exceeds the
+    global rate."""
+    import math as _m
+
+    from stream_processing_with_flink_study_spark import plans
+
+    rows = plans.QUERIES["woe_iv_value_deciles"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 10
+    tg = sum(r["n_good"] for r in rows)
+    tb = sum(r["n_bad"] for r in rows)
+    iv = sum(
+        (r["n_good"] / tg - r["n_bad"] / tb)
+        * _m.log((r["n_good"] / tg) / (r["n_bad"] / tb))
+        for r in rows
+    )
+    assert abs(iv - rows[0]["iv_total"]) < 1e-4
+    for r in rows:
+        bad_rate_rel = (r["n_bad"] / tb) - (r["n_good"] / tg)
+        assert (r["woe"] < 0) == (bad_rate_rel > 0) or abs(r["woe"]) < 1e-9
