@@ -2455,3 +2455,78 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "{SPINE}", f"SELECT explode(sequence(1, {AMS_K})) AS j"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-based readability battery (ARI / Coleman-Liau / LIX / RIX)
+# --------------------------------------------------------------------------
+_READ_SQL = """
+WITH d AS {MAT}(
+  SELECT lang,
+         CAST(length({LETTERS}) AS BIGINT) AS letters,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST({WORDS} AS BIGINT) AS words,
+         CAST({SENTS} + 1 AS BIGINT) AS sents,
+         CAST({LONGW} AS BIGINT) AS longw
+  FROM {documents}
+),
+g AS {MAT}(
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(letters) AS BIGINT) AS l,
+         CAST(sum(chars) AS BIGINT) AS c,
+         CAST(sum(words) AS BIGINT) AS w,
+         CAST(sum(sents) AS BIGINT) AS s,
+         CAST(sum(longw) AS BIGINT) AS lw
+  FROM d GROUP BY lang
+)
+SELECT lang, n_docs,
+       round(4.71 * (CAST(l AS DOUBLE) / w)
+             + 0.5 * (CAST(w AS DOUBLE) / s) - 21.43 - 1e-9, 4) + 0.0
+         AS ari,
+       round(0.0588 * (CAST(l AS DOUBLE) / w * 100.0)
+             - 0.296 * (CAST(s AS DOUBLE) / w * 100.0) - 15.8 - 1e-9, 4)
+         + 0.0 AS coleman_liau,
+       round(CAST(w AS DOUBLE) / s
+             + 100.0 * (CAST(lw AS DOUBLE) / w) - 1e-9, 4) + 0.0 AS lix,
+       round(CAST(lw AS DOUBLE) / s - 1e-9, 4) + 0.0 AS rix
+FROM g ORDER BY lang
+"""
+
+
+@query(
+    "readability_battery",
+    _READ_SQL.replace("{documents}", "documents")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace("{LETTERS}", "regexp_replace(text, '[^a-zA-Z]', '', 'g')")
+    .replace(
+        "{WORDS}", r"len(regexp_split_to_array(lower(trim(text)), '\s+'))"
+    )
+    .replace("{SENTS}", "len(regexp_extract_all(text, '[.!?]'))")
+    .replace("{LONGW}", r"len(regexp_extract_all(text, '\S{7,}'))"),
+)
+def readability_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based readability battery per language: ARI (Automated
+    Readability Index), Coleman-Liau, LIX and RIX — the
+    syllable-free readability formulas (unlike Flesch they need only
+    letter/word/sentence/long-word counts, so they are EXACT — no
+    syllable heuristic to diverge) that corpus-quality pipelines use
+    to flag too-simple (boilerplate lists) and too-dense (OCR noise,
+    legalese) strata.  Complements ``flesch_reading_ease``.
+
+    Determinism: all five per-doc counts are exact integers (dialect
+    slots pair Spark's flagless regexp_replace with DuckDB's 'g' flag,
+    and regexp_count with len(regexp_extract_all)); per-lang sums are
+    exact BIGINTs; each index is one fixed IEEE tree.  One corpus
+    scan, rollup to |langs| rows."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "read_docs"
+    )
+    return spark.sql(
+        _READ_SQL.replace("{documents}", "read_docs")
+        .replace("{MAT}", "")
+        .replace("{LETTERS}", "regexp_replace(text, '[^a-zA-Z]', '')")
+        .replace("{WORDS}", r"size(split(lower(trim(text)), '\\s+'))")
+        .replace("{SENTS}", "regexp_count(text, '[.!?]')")
+        .replace("{LONGW}", r"regexp_count(text, '\\S{7,}')")
+    )

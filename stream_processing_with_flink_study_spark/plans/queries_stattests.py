@@ -1028,3 +1028,93 @@ def tukey_hsd_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _tukey_sql().replace("{orders}", "tukey_orders").replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Effect-size battery: weekend vs weekday event values
+# --------------------------------------------------------------------------
+_EFFECT_SQL = """
+WITH base AS {MAT}(
+  SELECT CASE WHEN {WD} >= 5 THEN 1 ELSE 0 END AS wk,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q,
+         event_id AS rid
+  FROM {events}
+),
+rk AS {MAT}(
+  -- doubled average pooled rank is an exact integer under ties
+  SELECT wk,
+         2 * rank() OVER (ORDER BY q)
+           + (count(*) OVER (PARTITION BY q) - 1) AS r2
+  FROM base
+),
+m AS {MAT}(
+  SELECT CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN wk = 1 THEN q ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN wk = 0 THEN q ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN wk = 1 THEN q * q ELSE 0 END) AS BIGINT)
+           AS ss1,
+         CAST(sum(CASE WHEN wk = 0 THEN q * q ELSE 0 END) AS BIGINT)
+           AS ss2
+  FROM base
+),
+r AS {MAT}(
+  SELECT CAST(sum(CASE WHEN wk = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2sum
+  FROM rk
+),
+e AS {MAT}(
+  SELECT n1, n2,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0
+           AS diff,
+         sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+               + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+              / (n1 + n2 - 2)) / 100.0 AS sp,
+         sqrt((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+              / (n2 - 1)) / 100.0 AS sd2,
+         -- 2*U1 = 2*R1 - n1(n1+1): exact integers end to end
+         (CAST(r2sum AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+           / (2.0 * n1 * n2) AS cles
+  FROM m CROSS JOIN r
+)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       round(diff - 1e-9, 4) + 0.0 AS mean_diff_usd,
+       round(diff / sp - 1e-9, 4) + 0.0 AS cohens_d,
+       round(diff / sp * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)) - 1e-9, 4)
+         + 0.0 AS hedges_g,
+       round(diff / sd2 - 1e-9, 4) + 0.0 AS glass_delta,
+       round(cles - 1e-9, 4) + 0.0 AS cles,
+       CASE WHEN abs(round(diff / sp - 1e-9, 4)) < 0.2 THEN 'negligible'
+            WHEN abs(round(diff / sp - 1e-9, 4)) < 0.5 THEN 'small'
+            WHEN abs(round(diff / sp - 1e-9, 4)) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM e
+"""
+
+
+@query(
+    "effect_size_battery",
+    _EFFECT_SQL.replace("{events}", "events")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace("{WD}", "(isodow(ts) - 1)"),
+)
+def effect_size_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size battery for the weekend-vs-weekday event-value
+    contrast: Cohen's d (pooled SD), Hedges' g (small-sample
+    correction), Glass's Δ (control-group SD), and the common-language
+    effect size P(weekend > weekday) from exact rank sums — the
+    practical-significance numbers a bare p-value (the t/U tests
+    elsewhere in this module) cannot convey, plus the conventional
+    magnitude label.
+
+    Determinism: integer-cent moments per group (exact BIGINTs), every
+    statistic a fixed IEEE tree over the single pivoted row; CLES uses
+    the doubled-average-rank integers (the CvM/ROC-AUC machinery), so
+    ties cost nothing; weekday() ≡ isodow−1 is the established
+    dialect pairing.  Scale shape: one scan → one global rank sort
+    (shared shape with every rank statistic) + one moment rollup."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("eff_ev")
+    return spark.sql(
+        _EFFECT_SQL.replace("{events}", "eff_ev")
+        .replace("{MAT}", "")
+        .replace("{WD}", "weekday(ts)")
+    )

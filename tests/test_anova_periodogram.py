@@ -221,3 +221,67 @@ def test_woe_iv_reconstructs_from_counts(spark):
     for r in rows:
         bad_rate_rel = (r["n_bad"] / tb) - (r["n_good"] / tg)
         assert (r["woe"] < 0) == (bad_rate_rel > 0) or abs(r["woe"]) < 1e-9
+
+
+def test_effect_size_planted_shift(spark):
+    """Two planted groups with a known one-SD shift: d ≈ 1, CLES
+    matches the brute-force P(X>Y)+0.5P(X=Y), and Hedges' g shrinks d
+    toward zero."""
+    from stream_processing_with_flink_study_spark.plans.queries_stattests import (
+        _EFFECT_SQL,
+    )
+
+    vals1 = [(i * 37) % 100 for i in range(400)]  # weekday (wk=0)
+    vals2 = [v + 29 for v in vals1]  # weekend, shifted ~1 SD
+    rows = [(0, v * 100, i) for i, v in enumerate(vals1)] + [
+        (1, v * 100, 10_000 + i) for i, v in enumerate(vals2)
+    ]
+    spark.createDataFrame(
+        rows, "wk int, q long, rid long"
+    ).createOrReplaceTempView("eff_frame")
+    sql = _EFFECT_SQL.replace("{MAT}", "")
+    head = sql.index("rk AS ")
+    out = spark.sql(
+        "WITH base AS (SELECT wk, q, rid FROM eff_frame),\n" + sql[head:]
+    ).collect()[0]
+    import statistics as st
+
+    sd = st.stdev(vals1)
+    want_d = 29 / sd  # equal variances -> pooled sd == sd
+    assert abs(out["cohens_d"] - want_d) < 0.05, (out["cohens_d"], want_d)
+    assert 0 < out["hedges_g"] < out["cohens_d"]
+    wins = sum(
+        (a > b) + 0.5 * (a == b) for a in vals2 for b in vals1
+    )
+    assert abs(out["cles"] - wins / (len(vals1) * len(vals2))) < 1e-3
+    assert out["magnitude"] in ("medium", "large")
+
+
+def test_readability_hand_counted_doc(spark):
+    """One hand-counted document: ARI/CLI/LIX/RIX match the closed
+    forms exactly."""
+    from stream_processing_with_flink_study_spark.plans.queries_corpus import (
+        _READ_SQL,
+    )
+
+    text = "The quick brown fox jumps. It runs extremely far! Wonderful."
+    spark.createDataFrame(
+        [("en", text)], "lang string, text string"
+    ).createOrReplaceTempView("read_frame")
+    out = spark.sql(
+        _READ_SQL.replace("{documents}", "read_frame")
+        .replace("{MAT}", "")
+        .replace("{LETTERS}", "regexp_replace(text, '[^a-zA-Z]', '')")
+        .replace("{WORDS}", r"size(split(lower(trim(text)), '\\s+'))")
+        .replace("{SENTS}", "regexp_count(text, '[.!?]')")
+        .replace("{LONGW}", r"regexp_count(text, '\\S{7,}')")
+    ).collect()[0]
+    letters = sum(ch.isalpha() for ch in text)
+    words = len(text.split())
+    sents = sum(text.count(c) for c in ".!?") + 1
+    longw = sum(1 for w in text.split() if len(w) >= 7)
+    ari = 4.71 * letters / words + 0.5 * words / sents - 21.43
+    lix = words / sents + 100.0 * longw / words
+    assert abs(out["ari"] - ari) < 1e-3
+    assert abs(out["lix"] - lix) < 1e-3
+    assert abs(out["rix"] - longw / sents) < 1e-3
