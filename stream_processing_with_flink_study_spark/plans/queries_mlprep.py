@@ -2058,3 +2058,121 @@ def dsir_frame(spark: SparkSession, docs: DataFrame, target_cond: str):
     return spark.sql(
         _dsir_render(_DSIR_SPARK, "dsir_frame_docs", target_cond)
     )
+
+
+# --------------------------------------------------------------------------
+# Group-aware k-fold assignment + nested learning-curve subsets
+# --------------------------------------------------------------------------
+_KFOLD_SQL = """
+WITH f AS {MAT}(
+  SELECT doc_id, source, lang,
+         CAST({HASH} % 5 AS INT) AS fold
+  FROM {documents}
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM f GROUP BY fold ORDER BY fold
+"""
+
+
+@query(
+    "group_kfold_assignment",
+    _KFOLD_SQL.replace("{documents}", "documents")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace(
+        "{HASH}",
+        "CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)",
+    ),
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware 5-fold cross-validation assignment: the fold is a
+    pure function of md5(source), so every document of a source lands
+    in ONE fold by construction — the leakage-proof split (plain
+    per-row folds would put near-duplicate docs from one crawl on both
+    sides of the validation boundary).  Output: per-fold doc/source
+    counts and the language composition (the balance check reviewers
+    ask for).
+
+    Determinism: md5 is the engine-neutral hash convention; every
+    output is an exact integer.  Pure per-row map + one rollup —
+    reproducible on any cluster layout, the reproducibility contract
+    of `sample_deterministic`.  tests/test_anova_periodogram.py pins
+    the no-leakage law (each source in exactly one fold) and fold
+    count conservation."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "kf_docs"
+    )
+    return spark.sql(
+        _KFOLD_SQL.replace("{documents}", "kf_docs")
+        .replace("{MAT}", "")
+        .replace(
+            "{HASH}",
+            "CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT)",
+        )
+    )
+
+
+_NESTED_SQL = """
+WITH h AS {MAT}(
+  SELECT doc_id, lang,
+         CAST({NTOK} AS BIGINT) AS n_tokens,
+         substr(md5('lc0|' || {IDSTR}), 1, 8) AS hx
+  FROM {documents}
+),
+s AS {MAT}(
+  SELECT p.pct, h.lang, h.n_tokens
+  FROM h JOIN (
+    SELECT 10 AS pct, '19999999' AS thr UNION ALL
+    SELECT 20, '33333333' UNION ALL
+    SELECT 40, '66666666' UNION ALL
+    SELECT 80, 'cccccccc'
+  ) p ON h.hx < p.thr
+)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*) - 1e-9, 4) + 0.0
+         AS mean_tokens
+FROM s GROUP BY pct ORDER BY pct
+"""
+
+
+@query(
+    "nested_learning_subsets",
+    _NESTED_SQL.replace("{documents}", "documents")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace(
+        "{NTOK}", r"len(regexp_split_to_array(lower(trim(text)), '\s+'))"
+    )
+    .replace("{IDSTR}", "CAST(doc_id AS VARCHAR)"),
+)
+def nested_learning_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested learning-curve subsets (10% ⊂ 20% ⊂ 40% ⊂ 80%): one
+    md5 hash per document compared against increasing thresholds, so
+    smaller subsets are strict subsets of larger ones BY CONSTRUCTION
+    — the property a scaling-law experiment needs (re-sampling each
+    size independently confounds the curve with sample noise).
+    Output per subset: doc count, language coverage, token volume and
+    mean length (the stats that verify each rung is representative).
+
+    Determinism: the same salted-md5 membership as
+    ``sample_deterministic`` (hex-string compare, no float); exact
+    integer rollups.  One scan; each doc fans out only to the rungs it
+    belongs to.  The nesting law (counts and token volumes monotone,
+    membership strictly nested) is pinned in tests."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "lc_docs"
+    )
+    return spark.sql(
+        _NESTED_SQL.replace("{documents}", "lc_docs")
+        .replace("{MAT}", "")
+        .replace("{NTOK}", r"size(split(lower(trim(text)), '\\s+'))")
+        .replace("{IDSTR}", "CAST(doc_id AS STRING)")
+    )

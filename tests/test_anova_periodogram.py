@@ -285,3 +285,47 @@ def test_readability_hand_counted_doc(spark):
     assert abs(out["ari"] - ari) < 1e-3
     assert abs(out["lix"] - lix) < 1e-3
     assert abs(out["rix"] - longw / sents) < 1e-3
+
+
+def test_group_kfold_no_leakage_and_conservation(spark):
+    """Every source lands in exactly one fold; fold doc counts conserve
+    the corpus."""
+    from stream_processing_with_flink_study_spark import plans
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    folds = plans.QUERIES["group_kfold_assignment"](spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    assert sum(r["n_docs"] for r in folds) == docs.count()
+    assert sum(r["n_sources"] for r in folds) == (
+        docs.select("source").distinct().count()
+    )  # == implies no source appears in two folds
+
+
+def test_nested_subsets_strictly_nested(spark):
+    """Counts and token volumes are monotone up the rungs, and the 10%
+    membership is a strict subset of the 80% membership."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark import plans
+    from stream_processing_with_flink_study_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        plans.QUERIES["nested_learning_subsets"](spark, sf).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == [10, 20, 40, 80]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] < b["n_docs"]
+        assert a["total_tokens"] < b["total_tokens"]
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit("lc0|"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ).alias("hx"),
+    )
+    small = {r["doc_id"] for r in docs.filter(F.col("hx") < "19999999").collect()}
+    big = {r["doc_id"] for r in docs.filter(F.col("hx") < "cccccccc").collect()}
+    assert small < big
