@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .queries_graph import _copurchase_edges
+from .queries_graph import _copurchase_edges, _cosupplier_edges
 from .registry import query
 
 BFS_SEEDS = 4
@@ -468,3 +468,151 @@ def graph_densification_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{orders}", "dens_o")
         .replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Graph robustness under targeted hub removal (percolation curve)
+# --------------------------------------------------------------------------
+_ATTACK_SHARES = (0, 5, 15, 30)  # percent of highest-degree nodes removed
+
+
+def _robustness_sql() -> str:
+    scen = []
+    for pct in _ATTACK_SHARES:
+        scen.append(f"""
+    rm{pct} AS MATERIALIZED (
+      SELECT u FROM ranked
+      WHERE rk <= (SELECT nn * {pct} // 100 FROM nct)
+    ),
+    sv{pct} AS MATERIALIZED (
+      SELECT d.u FROM deg d LEFT JOIN rm{pct} r ON r.u = d.u
+      WHERE r.u IS NULL
+    ),
+    se{pct} AS MATERIALIZED (
+      SELECT p.src, p.dst FROM pairs p
+      LEFT JOIN rm{pct} a ON a.u = p.src
+      LEFT JOIN rm{pct} b ON b.u = p.dst
+      WHERE a.u IS NULL AND b.u IS NULL
+    ),
+    sy{pct} AS MATERIALIZED (
+      SELECT src, dst FROM se{pct}
+      UNION ALL SELECT dst, src FROM se{pct}
+    ),
+    reach{pct} AS (
+      SELECT u AS id, u AS r FROM sv{pct}
+      UNION
+      SELECT re.id, e.dst FROM reach{pct} re JOIN sy{pct} e ON re.r = e.src
+    ),
+    comp{pct} AS MATERIALIZED (
+      SELECT id, min(r) AS comp FROM reach{pct} GROUP BY id
+    ),
+    out{pct} AS (
+      SELECT CAST({pct} AS BIGINT) AS remove_pct,
+             (SELECT CAST(count(*) FILTER (u IS NOT NULL) AS BIGINT)
+              FROM rm{pct}) AS n_removed,
+             (SELECT CAST(count(*) AS BIGINT) FROM sv{pct}) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM se{pct}) AS n_edges,
+             (SELECT CAST(max(c) AS BIGINT) FROM (
+                SELECT count(*) AS c FROM comp{pct} GROUP BY comp))
+               AS lcc_size,
+             round((SELECT CAST(max(c) AS BIGINT) FROM (
+                      SELECT count(*) AS c FROM comp{pct} GROUP BY comp))
+                   * 1.0
+                   / (SELECT count(*) FROM sv{pct}) - 1e-9, 4) + 0.0
+               AS lcc_share
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM out{p}" for p in _ATTACK_SHARES
+    )
+    return f"""
+    WITH RECURSIVE ok AS (
+      SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem
+      WHERE l_extendedprice >= 50000
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.s AS src, b.s AS dst
+      FROM ok a JOIN ok b ON a.okey = b.okey AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS u FROM pairs UNION ALL SELECT dst FROM pairs
+      ) GROUP BY u
+    ),
+    nct AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+    ranked AS MATERIALIZED (
+      SELECT u, row_number() OVER (ORDER BY d DESC, u) AS rk FROM deg
+    ),
+    {",".join(scen)}
+    SELECT * FROM ({unions}) ORDER BY remove_pct
+    """
+
+
+@query("graph_robustness_attack", _robustness_sql())
+def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack percolation curve of the co-supplier graph:
+    remove the top 0/5/15/30% highest-degree hubs and measure the
+    surviving largest connected component — the classic scale-free
+    fragility experiment (Albert-Jeong-Barabási): interaction graphs
+    shrug off random failures but shatter under hub removal.  The
+    supply-chain readout: how concentrated is connectivity risk.
+
+    Determinism: hub ranking breaks degree ties on node id; removal
+    counts are exact integer shares; LCC sizes are label-free counts
+    (min-label component ids cancel out).  The oracle replays each
+    scenario's component structure with a recursive min-label closure;
+    Spark runs the iterative min-propagation operator
+    (operators/graph.py) per scenario on the SHARED materialized edge
+    snapshot — the only fact-table pass is the one edge derivation.
+
+    Scale shape: per scenario one anti-join (hub set is tiny and
+    broadcast) + the CC rounds (|E| label messages each)."""
+    from ..operators.graph import connected_components
+
+    pairs = (
+        _cosupplier_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()
+    from pyspark.sql.window import Window as W
+
+    ranked = deg.select(
+        F.col("src").alias("u"),
+        F.row_number()
+        .over(W.orderBy(F.desc("d"), F.col("src")))
+        .alias("rk"),
+    ).localCheckpoint()
+    rows = []
+    for pct in _ATTACK_SHARES:
+        n_rm = n * pct // 100
+        removed = ranked.filter(F.col("rk") <= n_rm).select("u")
+        survivors = ranked.filter(F.col("rk") > n_rm).select("u")
+        se = pairs.join(
+            removed.withColumnRenamed("u", "src"), "src", "left_anti"
+        ).join(removed.withColumnRenamed("u", "dst"), "dst", "left_anti")
+        comps = connected_components(
+            se, "src", "dst", vertices=survivors, vertex_col="u"
+        )
+        sizes = comps.groupBy("comp").count()
+        lcc = sizes.agg(F.max("count")).first()[0] or 0
+        n_left = n - n_rm
+        rows.append(
+            (
+                pct,
+                n_rm,
+                n_left,
+                se.count(),
+                int(lcc),
+                round(lcc * 1.0 / n_left - 1e-9, 4) + 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "remove_pct long, n_removed long, n_nodes long, n_edges long, "
+        "lcc_size long, lcc_share double",
+    ).orderBy("remove_pct")
