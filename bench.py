@@ -81,6 +81,8 @@ HEADLINE = [
     "markov_attribution_removal",
     "matryoshka_recall_eval",
     "kmeans_lloyd_2d",
+    "betweenness_fixed_point",
+    "dsir_importance_weights",
 ]
 
 
