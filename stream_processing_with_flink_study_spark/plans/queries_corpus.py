@@ -2530,3 +2530,64 @@ def readability_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{SENTS}", "regexp_count(text, '[.!?]')")
         .replace("{LONGW}", r"regexp_count(text, '\\S{7,}')")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language (sub-word pieces per whitespace word)
+# --------------------------------------------------------------------------
+_FERT_SQL = r"""
+WITH d AS {MAT}(
+  SELECT lang,
+         CAST({WORDS} AS BIGINT) AS words,
+         CAST({PIECES} AS BIGINT) AS pieces
+  FROM {documents}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS total_words,
+       CAST(sum(pieces) AS BIGINT) AS total_pieces,
+       round(CAST(sum(pieces) AS DOUBLE) / sum(words) - 1e-9, 4) + 0.0
+         AS fertility
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    _FERT_SQL.replace("{documents}", "documents")
+    .replace("{MAT}", "MATERIALIZED ")
+    .replace(
+        "{WORDS}", r"len(regexp_split_to_array(lower(trim(text)), '\s+'))"
+    )
+    .replace(
+        "{PIECES}",
+        r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))",
+    ),
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language: sub-word pieces (the BPE-ish
+    regex segmentation from ``functions.text.bpe_ish_count``) per
+    whitespace word — THE tokenizer-evaluation number multilingual
+    pipelines track (fertility ≫ 1 for a language means the tokenizer
+    fragments it, inflating sequence lengths and training cost for
+    that language; the fairness argument behind vocabulary-size
+    decisions).
+
+    Determinism: both counts are exact per-row integers (Spark
+    regexp_count paired with DuckDB len(regexp_extract_all) — the
+    readability-battery convention), per-lang sums exact BIGINTs, the
+    ratio one fixed expression.  One corpus scan → |langs| rows."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "fert_docs"
+    )
+    return spark.sql(
+        _FERT_SQL.replace("{documents}", "fert_docs")
+        .replace("{MAT}", "")
+        .replace("{WORDS}", r"size(split(lower(trim(text)), '\\s+'))")
+        .replace(
+            "{PIECES}",
+            r"regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')",
+        )
+    )
