@@ -462,11 +462,26 @@ def graph_densification_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dens_l"
     )
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("dens_o")
-    return spark.sql(
+    return _densification_spark(spark)
+
+
+def _densification_spark(spark: SparkSession) -> DataFrame:
+    """Spark execution with the one-row slope frame checkpointed: the
+    plain-CTE form inlines the whole pair derivation into every one of
+    the 7 output-year selects (77 scans — the duplicate-lineage class
+    explain_audit exists to catch)."""
+    sql = (
         _densification_sql()
         .replace("{lineitem}", "dens_l")
         .replace("{orders}", "dens_o")
         .replace("{MAT}", "")
+    )
+    cut = sql.index("    SELECT yr, n_orders_cum")
+    head = sql[:cut].rstrip().rstrip(",")  # ends after sl AS (...)
+    spark.sql(head + "\nSELECT * FROM sl").localCheckpoint(
+    ).createOrReplaceTempView("dens_sl_v")
+    return spark.sql(
+        "WITH sl AS (SELECT * FROM dens_sl_v)\n" + sql[cut:]
     )
 
 

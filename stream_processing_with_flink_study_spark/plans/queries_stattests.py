@@ -1025,9 +1025,21 @@ def tukey_hsd_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "tukey_orders"
     )
-    return spark.sql(
-        _tukey_sql().replace("{orders}", "tukey_orders").replace("{MAT}", "")
+    sql = _tukey_sql().replace("{orders}", "tukey_orders").replace(
+        "{MAT}", ""
     )
+    # Spark inlines the plain piv2 CTE into every one of the 10 pair
+    # selects (10 fact scans); materialize the 1-row pivot once and
+    # point the pair union at it (the rich-club/WL staging rule)
+    head = sql.index("piv2 AS (")
+    tail = sql.index(")\nSELECT * FROM (")
+    piv_sql = "WITH " + sql[sql.index("base AS ") : tail + 1]
+    spark.sql(piv_sql.replace("piv2 AS (", "_q AS (") + " SELECT * FROM _q"
+              ).localCheckpoint().createOrReplaceTempView("tukey_piv2_v")
+    pairs_sql = "WITH piv2 AS (SELECT * FROM tukey_piv2_v)" + sql[
+        tail + 1 :
+    ]
+    return spark.sql(pairs_sql)
 
 
 # --------------------------------------------------------------------------
