@@ -471,17 +471,34 @@ def match_pattern_stream(
     per (key, level): qualifiers beyond the cap are dropped (keeping
     the EARLIEST ``reluctant_cap``, which preserves every binding the
     retained window can prove) and the emitted ``overflow`` flag turns
-    true for that key from then on — matches after an overflow may be
-    incomplete (possible false negatives once retained entries expire),
-    never wrong.  Restricted to relaxed contiguity with all-"one"
-    quantifiers; equivalence to the batch reluctant form on bounded
-    in-cap data is pinned by tests/test_cep_reluctant_stream.py."""
+    true for that key from then on.  The post-overflow guarantee is
+    scoped to COMPLETION IDENTITY: every emitted (key, event) completion
+    is a real batch-reluctant completion (false negatives only, never a
+    spurious completion), but a post-overflow ``match_chain`` may bind
+    a later retained qualifier than the batch form's (dropped) earliest
+    one, so chain CONTENT after overflow is best-effort and flagged.
+    ``within_total`` is measured on the earliest binding's first-step
+    timestamp, which a cap cannot lower-bound once that binding is
+    dropped — a capped run could emit a completion the batch form
+    rejects.  To keep the no-false-positive contract exact,
+    ``within_total`` therefore DISABLES the cap: state falls back to
+    the full qualifying window (still pruned by ``within``, i.e. the
+    inherent O(events per window) reluctant cost) and ``overflow``
+    stays false.  Restricted to relaxed contiguity with all-"one"
+    quantifiers; equivalence to the batch reluctant form is pinned by
+    tests/test_cep_reluctant_stream.py."""
     if emit not in ("completion", "chain"):
         raise ValueError(f"unknown emit mode: {emit}")
     if mode not in ("greedy", "reluctant"):
         raise ValueError(f"unknown mode: {mode}")
     conds = _step_conditions(steps, conditions, type_col)
     n = len(conds)
+    if n < 2:
+        raise ValueError(
+            "match_pattern_stream needs at least 2 steps (a 1-step "
+            "pattern is just a filter); got "
+            f"{n}"
+        )
     quant = _normalize_quantifiers(quantifiers, n, contiguity)
     step_us = int(pd.Timedelta(within).total_seconds() * 1_000_000)
     total_us = (
@@ -529,7 +546,13 @@ def match_pattern_stream(
             raise NotImplementedError(
                 "reluctant streaming supports all-'one' quantifiers only"
             )
-        cap = int(reluctant_cap)
+        # within_total is checked against the EARLIEST binding's
+        # first-step ts; once the cap drops that binding the check runs
+        # on a LATER first-ts and can pass where batch rejects (a false
+        # positive).  Exactness wins: within_total disables the cap —
+        # state stays bounded by the `within` window-floor prune, the
+        # inherent reluctant cost.
+        cap = None if total_us is not None else int(reluctant_cap)
         rel_out_schema = out_schema + ", overflow boolean"
         # struct-min order in the batch form is (o, i): sort ties on the
         # tiebreak so list insertion order reproduces it exactly
@@ -598,7 +621,7 @@ def match_pattern_stream(
                             f"{b[2]}>{i}" if chain else "",
                             b[3],
                         )
-                    if len(lists[m]) >= cap:
+                    if cap is not None and len(lists[m]) >= cap:
                         # keep the earliest `cap` qualifiers: every
                         # binding provable from retained state stays
                         # correct; dropped later qualifiers can only

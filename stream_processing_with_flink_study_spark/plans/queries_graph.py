@@ -29,6 +29,7 @@ not grow with scale factor.
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import re
 import shutil
@@ -56,8 +57,30 @@ from .registry import query
 # .persist) so the cache survives spark.catalog.clearCache() between
 # bench queries and session restarts between tests, and so downstream
 # w>=k filters still push down to a columnar scan.
-_EDGE_SNAPSHOTS: dict[tuple[str, str], str] = {}
+_EDGE_SNAPSHOTS: dict[tuple[str, str, str], str] = {}
 _SCRATCH: list[str] = []
+
+
+def _dataset_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the source dataset: (name, size,
+    mtime_ns) of every file under the fact tables the edge builders
+    scan.  Regenerating the parquet at ``sf_dir`` mid-process changes
+    the fingerprint, so stale snapshots are rebuilt instead of silently
+    reused (static fixtures hash once and hit the cache as before)."""
+    parts: list[str] = []
+    for tbl in ("lineitem.parquet", "orders.parquet"):
+        root = os.path.join(sf_dir, tbl)
+        if os.path.isfile(root):
+            st = os.stat(root)
+            parts.append(f"{tbl}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.isdir(root):
+            for dirp, _, files in os.walk(root):
+                for f in sorted(files):
+                    p = os.path.join(dirp, f)
+                    st = os.stat(p)
+                    rel = os.path.relpath(p, sf_dir)
+                    parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
 def _edge_snapshot(
@@ -66,8 +89,9 @@ def _edge_snapshot(
     kind: str,
     build: Callable[[SparkSession, str], DataFrame],
 ) -> DataFrame:
-    """Build-once / read-many edge cache keyed by (sf_dir, kind)."""
-    key = (os.path.abspath(sf_dir), kind)
+    """Build-once / read-many edge cache keyed by (sf_dir, kind,
+    source-file fingerprint)."""
+    key = (os.path.abspath(sf_dir), kind, _dataset_fingerprint(sf_dir))
     path = _EDGE_SNAPSHOTS.get(key)
     if path is None:
         if not _SCRATCH:
@@ -75,7 +99,7 @@ def _edge_snapshot(
             atexit.register(shutil.rmtree, d, ignore_errors=True)
             _SCRATCH.append(d)
         slug = re.sub(r"\W+", "_", key[0]).strip("_")
-        path = os.path.join(_SCRATCH[0], f"{kind}_{slug}")
+        path = os.path.join(_SCRATCH[0], f"{kind}_{slug}_{key[2]}")
         build(spark, sf_dir).write.mode("overwrite").parquet(path)
         _EDGE_SNAPSHOTS[key] = path
     return spark.read.parquet(path)

@@ -168,3 +168,53 @@ def test_reluctant_stream_rejects_unsupported(spark):
             sdf, "user_id", "ts", steps=("A", "B", "C"),
             mode="reluctant", quantifiers=("one", "optional", "one"),
         )
+
+
+def test_reluctant_stream_within_total_ignores_cap(spark, tmp_path):
+    """within_total + a tiny cap: the cap is DISABLED (exactness wins —
+    a dropped earliest binding could otherwise pass the total-window
+    check batch rejects), so the stream matches batch bit-for-bit and
+    overflow never raises even on data that overflows cap=1."""
+    rows = _mk_events()
+    rows.sort(key=lambda r: (r[1], r[2]))
+    got = _run_stream(
+        spark, tmp_path, rows, len(rows) // 2,
+        within_total="40 minutes", reluctant_cap=1,
+    )
+    assert all(r["overflow"] is False for r in got)
+    want = match_pattern(
+        spark.createDataFrame(rows, SCHEMA),
+        "user_id", "ts", steps=("A", "B", "C"),
+        within="30 minutes", mode="reluctant", emit="chain",
+        within_total="40 minutes",
+    ).collect()
+    assert {
+        (r["user_id"], r["event_id"], r["ts_ms"], r["match_chain"])
+        for r in got
+    } == {
+        (r["user_id"], r["event_id"], r["ts_ms"], r["match_chain"])
+        for r in want
+    }
+    assert len(want) > 0
+
+
+def test_stream_rejects_single_step(spark):
+    """A 1-step pattern would index lists[n-2] == lists[-1] at runtime;
+    it must fail fast at construction instead."""
+    import pytest as _pt
+
+    sdf = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.lit("A").alias("event_type"),
+        )
+    )
+    with _pt.raises(ValueError, match="at least 2 steps"):
+        match_pattern_stream(sdf, "user_id", "ts", steps=("A",))
+    with _pt.raises(ValueError, match="at least 2 steps"):
+        match_pattern_stream(
+            sdf, "user_id", "ts", steps=("A",), mode="reluctant"
+        )

@@ -270,3 +270,36 @@ def test_star_cc_equals_min_propagation(spark):
         want = {r.id: r.comp for r in connected_components(df).collect()}
         got = {r.id: r.comp for r in connected_components_star(df).collect()}
         assert got == want, name
+
+
+def test_edge_snapshot_fingerprint_invalidation(tmp_path):
+    """Regenerating the dataset at sf_dir mid-process must change the
+    snapshot cache key (round-8 advice: mtime/size fingerprint), so
+    downstream graph queries never read stale edges."""
+    import os
+    import shutil
+
+    from stream_processing_with_flink_study_spark.plans.queries_graph import (
+        _dataset_fingerprint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    for tbl in ("lineitem.parquet", "orders.parquet"):
+        src = os.path.join(sf, tbl)
+        dst = str(d / tbl)
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    f1 = _dataset_fingerprint(str(d))
+    assert f1 == _dataset_fingerprint(str(d))  # stable fixture -> hit
+    # "regenerate": bump mtime on one lineitem file
+    root = str(d / "lineitem.parquet")
+    victim = root
+    if os.path.isdir(root):
+        for dirp, _, files in os.walk(root):
+            if files:
+                victim = os.path.join(dirp, files[0])
+                break
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert _dataset_fingerprint(str(d)) != f1
