@@ -287,3 +287,38 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_coverage_index_matches_registry():
+    """COVERAGE.md's auto-generated registry index must list exactly the
+    registered query set with current oracle status — every name exactly
+    once, none missing, none stale (round-8 verdict item 6: grep drift
+    between COVERAGE.md and plans.QUERIES becomes a red test)."""
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as f:
+        text = f.read()
+    begin = "<!-- BEGIN GENERATED REGISTRY INDEX"
+    assert begin in text, "COVERAGE.md lost its generated registry index"
+    block = text[text.index(begin): text.index(
+        "<!-- END GENERATED REGISTRY INDEX -->"
+    )]
+    listed = re.findall(r"^- `([a-z0-9_]+)`( \(rows-only\))?$",
+                        block, re.M)
+    names = [n for n, _ in listed]
+    assert len(names) == len(set(names)), "duplicate names in the index"
+    queries = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert set(names) == queries, (
+        f"index drift: missing={sorted(queries - set(names))[:5]} "
+        f"stale={sorted(set(names) - queries)[:5]} — rerun "
+        "tools/gen_coverage_index.py"
+    )
+    idx_rows_only = {n for n, tag in listed if tag}
+    assert idx_rows_only == queries - oracles, (
+        "rows-only tags drifted — rerun tools/gen_coverage_index.py"
+    )
