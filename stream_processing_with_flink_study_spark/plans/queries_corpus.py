@@ -132,7 +132,51 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_dedup_clusters")  # LSH planes are numpy-seeded → rows-only
+def _embedding_dedup_oracle() -> str:
+    from ..functions import similarity as _sim
+    from .queries_text import _lsh_bucket_cte
+
+    planes = _sim.lsh_planes_values_sql(64, 12, 16)
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, emb[1:63] || [emb[64] * 2.0]
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 2000000, emb[1:63] || [emb[64] * 4.0]
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      WHERE vec_id % 10 = 0
+    ),
+    {_lsh_bucket_cte(planes, "corpus").strip()},
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sb a JOIN sb b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) c
+      JOIN corpus va ON va.vec_id = c.id_a
+      JOIN corpus vb ON vb.vec_id = c.id_b
+      WHERE round(list_cosine_similarity(va.emb, vb.emb), 4) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM corpus
+      UNION
+      SELECT re.id, e.t FROM reach re JOIN edges e ON re.r = e.s
+    )
+    SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
+    FROM reach
+    GROUP BY id
+    """
+
+
+@query("embedding_dedup_clusters", oracle=_embedding_dedup_oracle())
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end embedding dedup: LSH sign-bucket candidate pairs
     (cosine ≥ 0.9) → connected components → one surviving vector per

@@ -1284,13 +1284,77 @@ def hits_part_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mst_cosupplier")  # MST is not expressible in portable SQL → rows-only
+def _mst_oracle() -> str:
+    """Sequential Kruskal replay as a single-row recursive CTE: edges
+    sorted by (cost, src, dst), labels carried as a LIST (same shape as
+    the pack_token_budget FFD replay), one edge per recursion round
+    with an all-one-component early stop.  MST weight-MULTISET
+    invariance (every valid MST shares the identical sorted weight
+    sequence, even under ties) is what makes this sequential replay a
+    sound oracle for the parallel Borůvka forest — n_edges, total and
+    min/max cost must agree no matter which tie-broken forest each
+    algorithm picks."""
+    return f"""
+    WITH RECURSIVE {_cosupplier_edges_sql()},
+    ed AS MATERIALIZED (
+      SELECT src, dst, CAST(floor(1000000.0 / w + 0.5) AS BIGINT) AS c
+      FROM pairs
+    ),
+    nl AS MATERIALIZED (
+      SELECT list(id ORDER BY id) AS ids
+      FROM (SELECT DISTINCT src AS id FROM ed
+            UNION SELECT DISTINCT dst FROM ed)
+    ),
+    eo AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY c, src, dst) AS i, src, dst, c
+      FROM ed
+    ),
+    kr AS (
+      SELECT 0::BIGINT AS i, (SELECT ids FROM nl) AS lab,
+             0::BIGINT AS n_e, 0::BIGINT AS tot,
+             NULL::BIGINT AS mn, NULL::BIGINT AS mx
+      UNION ALL
+      SELECT s.i,
+        CASE WHEN s.la <> s.lb
+          THEN list_transform(s.lab, x ->
+                 CASE WHEN x = greatest(s.la, s.lb)
+                      THEN least(s.la, s.lb) ELSE x END)
+          ELSE s.lab END,
+        s.n_e + CASE WHEN s.la <> s.lb THEN 1 ELSE 0 END,
+        s.tot + CASE WHEN s.la <> s.lb THEN s.c ELSE 0 END,
+        CASE WHEN s.la <> s.lb
+             THEN least(coalesce(s.mn, s.c), s.c) ELSE s.mn END,
+        CASE WHEN s.la <> s.lb
+             THEN greatest(coalesce(s.mx, s.c), s.c) ELSE s.mx END
+      FROM (
+        SELECT e.i, kr.lab, kr.n_e, kr.tot, kr.mn, kr.mx, e.c,
+               kr.lab[list_position((SELECT ids FROM nl), e.src)] AS la,
+               kr.lab[list_position((SELECT ids FROM nl), e.dst)] AS lb
+        FROM kr JOIN eo e ON e.i = kr.i + 1
+        WHERE length(list_distinct(kr.lab)) > 1
+      ) s
+    )
+    SELECT CAST(len((SELECT ids FROM nl)) AS BIGINT) AS n_nodes,
+           n_e AS n_mst_edges,
+           CAST(len((SELECT ids FROM nl)) AS BIGINT) - n_e AS n_components,
+           round(CAST(tot AS DOUBLE) / 1000000.0 - 1e-9, 4) AS total_cost,
+           round(CAST(mn AS DOUBLE) / 1000000.0 - 1e-9, 4) AS min_edge,
+           round(CAST(mx AS DOUBLE) / 1000000.0 - 1e-9, 4) AS max_edge
+    FROM kr WHERE i = (SELECT max(i) FROM kr)
+    """
+
+
+@query("mst_cosupplier", oracle=_mst_oracle())
 def mst_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest of the co-supplier graph with edge cost
-    = 1/shared-orders (strongly-connected suppliers are "close"): the
-    cheapest backbone connecting every supplier cluster — the
+    = 1/shared-orders quantized to exact integer MICRO-units
+    (floor(1e6/w + 0.5) — strongly-connected suppliers are "close"):
+    the cheapest backbone connecting every supplier cluster — the
     single-linkage clustering dendrogram's edge set, and the classic
-    network-design primitive.
+    network-design primitive.  Integer costs make every aggregate an
+    exact BIGINT sum, which is what upgrades this from a rows-only
+    check to a full value oracle (a float 1/w total is order-dependent
+    across partitions).
 
     Runs :func:`..operators.graph.boruvka_mst` (parallel Borůvka —
     per-component min-edge rounds, component-graph contraction, and a
@@ -1298,15 +1362,20 @@ def mst_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row forest summary — edge count, component count from the
     forest identity |C| = |V| − |E_mst|, total/min/max cost — all MST
     INVARIANTS (every valid MST shares the same weight multiset), so
-    the rows-only driver check is semantically tight;
-    tests/test_wave7.py pins exact equality against a sequential
-    Kruskal on the collected sf0.001 graph.  (No CC pass over the
-    forest: an MST of a dense graph is long-diameter, the worst case
-    for label propagation — the closed-form identity replaces it.)"""
+    the sequential-Kruskal-replay oracle is semantically tight;
+    tests/test_wave7.py additionally pins exact equality against a
+    sequential Kruskal on the collected sf0.001 graph.  (No CC pass
+    over the forest: an MST of a dense graph is long-diameter, the
+    worst case for label propagation — the closed-form identity
+    replaces it.)"""
     from ..operators.graph import boruvka_mst
 
     edges = _cosupplier_edges(spark, sf_dir).select(
-        "src", "dst", (1.0 / F.col("w")).alias("cost")
+        "src",
+        "dst",
+        F.floor(F.lit(1_000_000.0) / F.col("w") + 0.5)
+        .cast("long")
+        .alias("cost"),
     )
     mst = boruvka_mst(edges, weight="cost")
     n_nodes = (
@@ -1321,9 +1390,15 @@ def mst_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(n_nodes) - F.count(F.lit(1))).cast("long").alias(
             "n_components"
         ),
-        F.round(F.sum("ew"), 4).alias("total_cost"),
-        F.round(F.min("ew"), 4).alias("min_edge"),
-        F.round(F.max("ew"), 4).alias("max_edge"),
+        F.round(F.sum("ew").cast("double") / 1_000_000.0 - 1e-9, 4).alias(
+            "total_cost"
+        ),
+        F.round(F.min("ew").cast("double") / 1_000_000.0 - 1e-9, 4).alias(
+            "min_edge"
+        ),
+        F.round(F.max("ew").cast("double") / 1_000_000.0 - 1e-9, 4).alias(
+            "max_edge"
+        ),
     )
 
 

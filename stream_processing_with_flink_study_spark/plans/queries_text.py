@@ -431,14 +431,69 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(emb, 0.3)
 
 
-@query("embedding_near_dup_lsh")  # planes are numpy-seeded → not SQL-expressible
+def _lsh_bucket_cte(planes_sql: str, corpus_cte: str) -> str:
+    """Shared oracle fragment: fixed-point quantize the ``{corpus}``
+    CTE's vectors and compute every (table, bucket) sign-key with the
+    SAME int64 plane literals the Spark UDF closes over — the exact
+    integer dots make bucket membership bit-identical across engines."""
+    qv = similarity.QUANT_VEC_SQL.format(col="emb")
+    return f"""
+    ei AS MATERIALIZED (
+      SELECT vec_id, {qv} AS v FROM {corpus_cte}
+    ),
+    planes(tbl, pw, w) AS (VALUES {planes_sql}),
+    sb AS MATERIALIZED (
+      SELECT ei.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_dot_product(ei.v, p.w) >= 0
+                           THEN p.pw ELSE 0 END) AS INT) AS bucket
+      FROM ei CROSS JOIN planes p
+      GROUP BY 1, 2
+    )"""
+
+
+# the planted corpus both near-dup queries share: base vectors plus
+# every-10th re-appearing at +1M (tail ×2) [and +2M (tail ×4) for the
+# cluster query] — ×2/×4 are exact in float32 AND double, so the DuckDB
+# double path reproduces Spark's array<float> cast bit-for-bit
+_NEAR_DUP_CORPUS = """
+    corpus AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, emb[1:63] || [emb[64] * 2.0]
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      WHERE vec_id % 10 = 0
+    )"""
+
+
+def _near_dup_lsh_oracle() -> str:
+    planes = similarity.lsh_planes_values_sql(64, 12, 16)
+    return f"""
+    WITH {_NEAR_DUP_CORPUS.strip()},
+    {_lsh_bucket_cte(planes, "corpus").strip()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sb a JOIN sb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine_sim
+    FROM cand c
+    JOIN corpus a ON a.vec_id = c.id_a
+    JOIN corpus b ON b.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
+    """
+
+
+@query("embedding_near_dup_lsh", oracle=_near_dup_lsh_oracle())
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: LSH sign-bucket candidates → exact
     cosine ≥ 0.9, over a corpus with planted near-duplicates (every 10th
     vector re-appears at vec_id+1M with its tail element doubled —
     cosine ≈ 0.99+).  Candidate generation never goes pairwise; recall
-    vs the planted truth is asserted in tests/test_similarity.py
-    (rows-only here)."""
+    vs the planted truth is asserted in tests/test_similarity.py, and
+    the fixed-point integer sign buckets (functions/similarity.QUANT)
+    make the full candidate→verify pipeline value-checkable against the
+    DuckDB oracle's literal plane bank."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -453,19 +508,113 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_lsh(corpus, 0.9, dim=64)
 
 
-@query("ivf_ann_topk")  # centroids are numpy-kmeans → not SQL-expressible
+def _ivf_oracle() -> str:
+    cents = similarity.ivf_centroids_values_sql(16, 64)
+    qv = similarity.QUANT_VEC_SQL.format(col="embedding")
+    return f"""
+    WITH ei AS MATERIALIZED (
+      SELECT vec_id, {qv} AS v FROM embeddings
+    ),
+    cent(cell, w) AS (VALUES {cents}),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(ei.v, c.w) DESC, cell) AS r
+      FROM ei CROSS JOIN cent c
+    ),
+    cand AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id
+      FROM (SELECT vec_id, cell FROM ranked WHERE vec_id < 10 AND r <= 4) q
+      JOIN (SELECT vec_id, cell FROM ranked WHERE r = 1) n USING (cell)
+      WHERE n.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.n_id,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS sim
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.q_id
+      JOIN embeddings b ON b.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ivf_ann_topk", oracle=_ivf_oracle())
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF (inverted-file index): spherical-kmeans cells
-    over a bounded training sample, probe the nprobe nearest cells,
-    exact cosine rank within them.  nprobe == n_cells degrades to exact
-    brute force — that equality plus partial-probe recall is asserted
-    in tests/test_similarity.py; rows-only check here."""
+    (seeded synthetic training sample → data-independent integer
+    centroid literals), probe the nprobe nearest cells, exact cosine
+    rank within them.  nprobe == n_cells degrades to exact brute force
+    — that equality plus partial-probe recall is asserted in
+    tests/test_similarity.py; cell assignment is an exact int64 argmax,
+    so the DuckDB oracle reproduces the candidate sets literally."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, dim=64, k=5)
 
 
-@query("pq_ann_topk")  # codebooks are numpy-kmeans → not SQL-expressible
+def _pq_oracle(m: int = 8, n_codes: int = 32, rerank_k: int = 40) -> str:
+    books = similarity.pq_codebooks_values_sql(m, n_codes, 64)
+    qv = similarity.QUANT_VEC_SQL.format(col="embedding")
+    sub = 64 // m
+    return f"""
+    WITH ei AS MATERIALIZED (
+      SELECT vec_id, {qv} AS v FROM embeddings
+    ),
+    cb(mi, code, c2, w) AS (VALUES {books}),
+    assign AS MATERIALIZED (
+      SELECT vec_id, mi, code FROM (
+        SELECT ei.vec_id, cb.mi, cb.code,
+               row_number() OVER (
+                 PARTITION BY ei.vec_id, cb.mi
+                 ORDER BY cb.c2 - 2 * list_dot_product(
+                   ei.v[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}], cb.w),
+                 cb.code) AS r
+        FROM ei CROSS JOIN cb
+      ) WHERE r = 1
+    ),
+    qe AS (SELECT vec_id AS q_id, v FROM ei WHERE vec_id < 10),
+    adc AS (
+      SELECT qe.q_id, a.vec_id AS n_id,
+             CAST(sum(list_dot_product(
+               qe.v[a.mi * {sub} + 1 : a.mi * {sub} + {sub}], cb.w))
+               AS BIGINT) AS ip
+      FROM assign a
+      JOIN cb ON cb.mi = a.mi AND cb.code = a.code
+      CROSS JOIN qe
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY ip DESC, n_id) AS r
+        FROM adc
+      ) WHERE r <= {rerank_k}
+    ),
+    scored AS (
+      SELECT c.q_id, c.n_id AS vec_id,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS sim
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.q_id
+      JOIN embeddings b ON b.vec_id = c.n_id
+    )
+    SELECT q_id, vec_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("pq_ann_topk", oracle=_pq_oracle())
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via PRODUCT QUANTIZATION: per-subspace codebooks on a
     bounded sample compress each vector to 8 one-byte codes; the scan
@@ -473,18 +622,47 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — m gathers instead of a dim-length dot product, the
     memory-bandwidth win behind billion-scale ANN), then re-ranks the
     top candidates exactly.  Recall vs brute force + code shape /
-    determinism asserted in tests/test_similarity.py; rows-only check
-    here."""
+    determinism asserted in tests/test_similarity.py; codebooks are
+    seeded-synthetic-trained integer literals and both assignment and
+    ADC scores are exact int64, so the DuckDB oracle value-checks the
+    full encode→LUT-scan→re-rank pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_topk(emb, queries, k=5)
 
 
-@query("ann_lsh_topk")  # planes are numpy-seeded → not SQL-expressible
+def _ann_lsh_oracle() -> str:
+    planes = similarity.lsh_planes_values_sql(64, 4, 8)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_lsh_bucket_cte(planes, "e").strip()},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      FROM sb q JOIN sb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cd.q_id, cd.n_id,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM cand cd
+      JOIN e a ON a.vec_id = cd.q_id
+      JOIN e b ON b.vec_id = cd.n_id
+    )
+    SELECT q_id, n_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets: candidates only from
     matching sign-buckets, then exact cosine rank.  Recall vs brute force
-    is asserted in tests/test_similarity.py; rows-only check here."""
+    is asserted in tests/test_similarity.py; the integer sign buckets
+    make the candidate sets literal-reproducible in the DuckDB oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_topk_lsh(
