@@ -6,19 +6,21 @@ run as Arrow-batched pandas UDFs over ``mapInPandas`` so each task
 processes a columnar batch of blobs without ever collecting to the
 driver.
 
-The actual codecs (PIL/librosa/av) are NOT in this container, so the
-decode step is stubbed two ways:
-
-- :func:`decode_stub` raises ``NotImplementedError`` with the wiring a
-  real deployment plugs in;
-- :func:`fake_decode_meta` produces deterministic metadata derived from
-  the bytes themselves, so the Spark-side plumbing (schema, batch
-  iteration, partitioning) is fully testable and oracle-checkable.
+Decode is REAL for uncompressed containers — :func:`decode_wav_pcm16`
+(RIFF chunk walk + int16 PCM frames) and :func:`decode_bmp24`
+(BITMAPFILEHEADER/BITMAPINFOHEADER + 4-byte-padded bottom-up BGR rows)
+are pure-numpy parsers needing no codec library, dispatched by magic
+bytes via :func:`decode_payload`.  Compressed codecs (JPEG/MP3/H.264…)
+raise ``ValueError`` there with the plug-in point named — PIL/librosa/av
+are not in this container, and those formats genuinely need them.
+:func:`fake_decode_meta` remains as the format-agnostic deterministic
+path for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,14 +45,224 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_stub(payload: bytes):  # pragma: no cover - intentional stub
-    """Real deployments replace this with e.g. PIL.Image.open(BytesIO(b)).
-    The container has no media codecs, so the engine ships the plumbing
-    and leaves the codec pluggable."""
-    raise NotImplementedError(
-        "media codecs not available in this environment; plug in "
-        "PIL/librosa/av here (bytes -> decoded object)"
+# --------------------------------------------------------------------------
+# real container codecs (pure numpy/struct — no media libraries needed)
+# --------------------------------------------------------------------------
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Serialize a mono int16 waveform as a canonical RIFF/WAVE file
+    (PCM format tag 1, 16-bit, little-endian) — the writer half used to
+    synthesize test corpora; real recordings arrive as these same bytes."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
     )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE payload: walk the chunk list (not fixed
+    offsets — real files carry LIST/INFO chunks between fmt and data),
+    validate the PCM format tag, and view the data chunk as int16
+    frames.  Returns (sample_rate, n_channels, samples[int16]) —
+    samples shaped (n_frames, n_channels) for multi-channel audio.
+    Pure numpy: the frame view is zero-copy off the payload buffer."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt_chunk = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM supported (format={audio_fmt}, bits={bits}); "
+            "compressed audio needs a codec library plugged in here"
+        )
+    frames = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return rate, n_ch, frames.reshape(-1, n_ch)
+
+
+def encode_bmp24(pix: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a canonical 24-bit BMP
+    (BITMAPINFOHEADER, uncompressed, bottom-up, BGR byte order, rows
+    padded to 4-byte boundaries) — the writer half for test corpora."""
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pix[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP: width/height/bpp come from the
+    BITMAPINFOHEADER (never from the caller), the pixel array starts at
+    the file header's offset, rows are 4-byte padded and stored
+    bottom-up in BGR — returns (h, w, 3) uint8 RGB.  Pure numpy reshape
+    + slice, no per-pixel Python."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, px_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_size, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMPs supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=px_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+
+
+def decode_payload(payload: bytes):
+    """Magic-byte dispatch to the native decoders: RIFF/WAVE →
+    :func:`decode_wav_pcm16`, BM → :func:`decode_bmp24`.  Compressed
+    containers (JPEG/PNG/MP3/MP4 …) genuinely require codec libraries
+    not present in this environment — they raise ``ValueError`` naming
+    the plug-in point (PIL / librosa / av take the same bytes)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav_pcm16(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp24(payload)
+    raise ValueError(
+        "unsupported container (supported natively: RIFF/WAVE PCM16, "
+        "24-bit BMP); plug PIL/librosa/av in here for compressed codecs"
+    )
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, sum_amp long,"
+    " sum_sq long, peak int, trough int"
+)
+
+BMP_STATS_SCHEMA = (
+    "doc_id long, width int, height int, sum_r long, sum_g long,"
+    " sum_b long, max_px int, min_px int"
+)
+
+
+def synth_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV corpus: per id, a mono PCM16 file of
+    ``50 + id % 50`` samples, ``amp[i] = (id·37 + i·251) % 4001 − 2000``
+    at ``8000 + (id % 8)·1000`` Hz — REAL RIFF bytes via
+    :func:`encode_wav_pcm16`.  The closed form is what lets a SQL
+    oracle state the decoded stats independently of the byte format,
+    proving the decoder actually reads the container."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 50 + d % 50
+                i = np.arange(n, dtype=np.int64)
+                amp = (d * 37 + i * 251) % 4001 - 2000
+                payloads.append(
+                    encode_wav_pcm16(amp, 8000 + (d % 8) * 1000)
+                )
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+def synth_bmp_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP corpus: per id, a ``(2 + id % 3) ×
+    (3 + id % 5)`` 24-bit image with channel values
+    ``(id + 7·row + 13·col + 29·ch) % 256`` — REAL BMP bytes via
+    :func:`encode_bmp24`.  Widths 3/5/6/7 make the row stride
+    non-multiple-of-4, so the decoder's padding handling is genuinely
+    exercised, not vacuously correct."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                h, w = 2 + d % 3, 3 + d % 5
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                pix = ((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+                payloads.append(encode_bmp24(pix))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+def decoded_wav_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode: parse each RIFF/WAVE payload with
+    :func:`decode_wav_pcm16` (rate and frame count come from the fmt /
+    data chunks, never from the synthesizer) and reduce the PCM to
+    exact-integer stats — Σamp, Σamp², peak, trough — numpy per batch,
+    Arrow in/out."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "sum_amp",
+                "sum_sq", "peak", "trough",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, _, frames = decode_wav_pcm16(bytes(payload))
+                s = frames.astype(np.int64).ravel()
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["sum_amp"].append(int(s.sum()) if len(s) else 0)
+                out["sum_sq"].append(int((s * s).sum()) if len(s) else 0)
+                out["peak"].append(int(s.max()) if len(s) else 0)
+                out["trough"].append(int(s.min()) if len(s) else 0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_stats, WAV_STATS_SCHEMA)
+
+
+def decoded_bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode: parse each BMP payload with
+    :func:`decode_bmp24` (dimensions come from the BITMAPINFOHEADER,
+    row padding and bottom-up BGR order are undone by the parser) and
+    reduce the RGB grid to exact-integer channel sums and extrema."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "max_px", "min_px",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                pix = decode_bmp24(bytes(payload)).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["height"].append(pix.shape[0])
+                out["width"].append(pix.shape[1])
+                out["sum_r"].append(int(pix[:, :, 0].sum()))
+                out["sum_g"].append(int(pix[:, :, 1].sum()))
+                out["sum_b"].append(int(pix[:, :, 2].sum()))
+                out["max_px"].append(int(pix.max()))
+                out["min_px"].append(int(pix.min()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_stats, BMP_STATS_SCHEMA)
 
 
 def fake_decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,119 @@
+"""Real multimodal container codecs (round-9: the decode stub is gone).
+
+Pure-numpy RIFF/WAVE-PCM16 and 24-bit-BMP parsers: round trips, honest
+header-driven parsing (chunk walk past foreign chunks, dimensions from
+BITMAPINFOHEADER), row-padding handling, and the rejection paths for
+genuinely codec-requiring formats.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from stream_processing_with_flink_study_spark.functions import multimodal as M
+
+
+def _pix(d: int, h: int, w: int) -> np.ndarray:
+    r = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(w).reshape(1, w, 1)
+    ch = np.arange(3).reshape(1, 1, 3)
+    return ((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+
+
+def test_wav_round_trip_and_header_fields():
+    amp = ((np.arange(73, dtype=np.int64) * 251 + 5 * 37) % 4001) - 2000
+    rate, n_ch, frames = M.decode_wav_pcm16(M.encode_wav_pcm16(amp, 11000))
+    assert (rate, n_ch) == (11000, 1)
+    assert (frames.ravel() == amp).all()
+
+
+def test_wav_chunk_walk_skips_foreign_chunks():
+    """Real WAVE files carry LIST/INFO (often odd-sized, word-padded)
+    chunks between fmt and data; the parser must walk, not assume fixed
+    offsets."""
+    amp = np.arange(-20, 20, dtype=np.int64)
+    b = M.encode_wav_pcm16(amp, 8000)
+    pos = b.index(b"data")
+    foreign = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = b[:pos] + foreign + b[pos:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, _, frames = M.decode_wav_pcm16(patched)
+    assert rate == 8000 and (frames.ravel() == amp).all()
+
+
+def test_wav_rejects_non_pcm_and_non_riff():
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav_pcm16(b"\x89PNG" + b"\x00" * 60)
+    b = bytearray(M.encode_wav_pcm16(np.zeros(4, dtype=np.int64), 8000))
+    fmt_at = bytes(b).index(b"fmt ") + 8
+    struct.pack_into("<H", b, fmt_at, 85)  # format tag 85 = MP3
+    with pytest.raises(ValueError, match="PCM"):
+        M.decode_wav_pcm16(bytes(b))
+
+
+@pytest.mark.parametrize("d", range(8))
+def test_bmp_round_trip_all_stride_paddings(d):
+    """Widths 3..7 cover every row-padding residue (w*3 mod 4)."""
+    h, w = 2 + d % 3, 3 + d % 5
+    pix = _pix(d, h, w)
+    back = M.decode_bmp24(M.encode_bmp24(pix))
+    assert back.shape == (h, w, 3)
+    assert (back == pix).all()
+
+
+def test_bmp_dimensions_come_from_header_not_caller():
+    pix = _pix(3, 4, 7)
+    b = M.encode_bmp24(pix)
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    assert (hdr_size, w, h) == (40, 7, 4)
+    assert M.decode_bmp24(b).shape == (4, 7, 3)
+
+
+def test_bmp_rejects_compressed_or_paletted():
+    b = bytearray(M.encode_bmp24(_pix(0, 2, 3)))
+    struct.pack_into("<H", b, 14 + 14, 8)  # bpp = 8 (paletted)
+    with pytest.raises(ValueError, match="24-bit"):
+        M.decode_bmp24(bytes(b))
+
+
+def test_dispatch_by_magic_bytes():
+    wav = M.encode_wav_pcm16(np.arange(5, dtype=np.int64), 9000)
+    bmp = M.encode_bmp24(_pix(1, 2, 3))
+    assert M.decode_payload(wav)[0] == 9000
+    assert M.decode_payload(bmp).shape == (2, 3, 3)
+    with pytest.raises(ValueError, match="unsupported container"):
+        M.decode_payload(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs a codec
+
+
+def test_decoded_stats_stages_match_closed_form(spark):
+    """The Spark encode→decode pipeline over a small id range matches
+    the synthesis closed form computed directly — the same law the
+    DuckDB oracles of wav_pcm_stats / bmp_pixel_stats check at scale."""
+    ids = spark.range(7).withColumnRenamed("id", "doc_id")
+    wav_rows = {
+        r["doc_id"]: r
+        for r in M.decoded_wav_stats(M.synth_wav_corpus(ids)).collect()
+    }
+    for d in range(7):
+        n = 50 + d % 50
+        amp = (d * 37 + np.arange(n, dtype=np.int64) * 251) % 4001 - 2000
+        r = wav_rows[d]
+        assert r["sample_rate"] == 8000 + (d % 8) * 1000
+        assert r["n_samples"] == n
+        assert r["sum_amp"] == int(amp.sum())
+        assert r["sum_sq"] == int((amp * amp).sum())
+        assert (r["peak"], r["trough"]) == (int(amp.max()), int(amp.min()))
+    bmp_rows = {
+        r["doc_id"]: r
+        for r in M.decoded_bmp_stats(M.synth_bmp_corpus(ids)).collect()
+    }
+    for d in range(7):
+        pix = _pix(d, 2 + d % 3, 3 + d % 5).astype(np.int64)
+        r = bmp_rows[d]
+        assert (r["height"], r["width"]) == pix.shape[:2]
+        assert r["sum_r"] == int(pix[:, :, 0].sum())
+        assert r["sum_b"] == int(pix[:, :, 2].sum())
+        assert (r["max_px"], r["min_px"]) == (int(pix.max()), int(pix.min()))
