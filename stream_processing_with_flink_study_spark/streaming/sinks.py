@@ -156,6 +156,13 @@ def two_phase_commit_writer(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         final = os.path.join(final_dir, f"batch-{batch_id}")
         if os.path.exists(final):  # already committed: idempotent skip
+            # ...but still materialize EVERY partition: stateful
+            # operators upstream commit their state stores only when
+            # the replayed batch is fully processed — an early return
+            # trips Spark 4's STATE_STORE_COMMIT_VALIDATION ("expected
+            # N commits but got 0") and fails the recovery the skip
+            # exists for (caught by tests/test_chaos_restart.py)
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         stage = os.path.join(staging_dir, f"batch-{batch_id}")
         if os.path.exists(stage):  # crashed pre-commit: retry cleanly

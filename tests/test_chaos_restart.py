@@ -1,0 +1,165 @@
+"""Crash-mid-stream chaos soak (round-8 verdict item 4).
+
+tests/test_state_soak.py proves 16 CLEAN micro-batches; nothing there
+kills a query between sink-write and batch-commit.  These tests inject
+crashes at both halves of the two-phase-commit window of the
+``정리/6주차.md:276-332`` sink matrix, restart from the SAME checkpoint,
+and assert the final ledger is bit-equal to the sequential replay —
+exactly-once under restart, end to end:
+
+- PRE-COMMIT crash: the sink staged partial files but never renamed
+  them into the final dir.  The retry must clean the stale stage and
+  rewrite — no partial output leaks to readers.
+- POST-COMMIT crash: the sink fully committed the batch dir but the
+  query died before Spark recorded the batch commit.  The replayed
+  batch (same epoch id, state rebuilt from version N−1) must hit the
+  idempotent skip — no duplicate output.
+
+Both replays recompute the SAME rows because the ValueState transition
+is deterministic in (input offsets, prior state) — which is exactly the
+recovery contract Structured Streaming's WAL + versioned state store
+provides.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql.utils import StreamingQueryException
+
+from stream_processing_with_flink_study_spark import streaming as S
+from stream_processing_with_flink_study_spark.streaming.sinks import (
+    two_phase_commit_writer,
+)
+from stream_processing_with_flink_study_spark.streaming.statestore import (
+    read_state,
+)
+
+N_BATCHES = 16
+BASE = datetime(2024, 1, 1, tzinfo=timezone.utc)
+PRE_CRASH_BID, POST_CRASH_BID = 5, 11
+
+
+def _write_batches(spark, src, frames):
+    for i, df in enumerate(frames):
+        d = f"{src}/b{i:05d}"
+        df.coalesce(1).write.mode("append").parquet(d)
+        for root, _, files in os.walk(d):
+            for f_ in files:
+                os.utime(
+                    os.path.join(root, f_),
+                    (1_600_000_000 + i, 1_600_000_000 + i),
+                )
+
+
+def test_crash_restart_ledger_exactly_once(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stream_processing_with_flink_study_spark.streaming.stateful import (
+        lindley_balance_partials,
+    )
+
+    users = list(range(8))
+    per_batch = 4
+    frames, expected_deltas = [], {u: [] for u in users}
+    for b in range(N_BATCHES):
+        rows = []
+        for u in users:
+            for j in range(per_batch):
+                t = b * per_batch + j
+                d = ((t * 37 + u * 101) % 500) - 200
+                rows.append((u, BASE + timedelta(seconds=t), t, d))
+                expected_deltas[u].append(d)
+        frames.append(
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, event_id long, delta long"
+            )
+        )
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    final_dir = str(tmp_path / "ledger")
+    staging = str(tmp_path / "staging")
+    pre_marker = str(tmp_path / "crashed_pre")
+    post_marker = str(tmp_path / "crashed_post")
+    _write_batches(spark, src, frames)
+
+    inner = two_phase_commit_writer(final_dir, staging)
+
+    def chaotic_write(batch_df, batch_id):
+        if batch_id == PRE_CRASH_BID and not os.path.exists(pre_marker):
+            # crash BETWEEN sink stage-write and commit: leave a stale
+            # partial stage behind, die before the rename
+            batch_df.limit(3).write.mode("overwrite").parquet(
+                os.path.join(staging, f"batch-{batch_id}")
+            )
+            open(pre_marker, "w").write("x")
+            raise RuntimeError("injected crash: staged but not committed")
+        inner(batch_df, batch_id)
+        if batch_id == POST_CRASH_BID and not os.path.exists(post_marker):
+            # crash AFTER sink commit but BEFORE Spark's batch commit:
+            # the replay must take the idempotent-skip path
+            open(post_marker, "w").write("x")
+            raise RuntimeError("injected crash: committed, batch not acked")
+
+    def start():
+        sdf = S.file_stream(
+            spark, f"{src}/b*", schema=frames[0].schema,
+            max_files_per_trigger=1,
+        )
+        return (
+            lindley_balance_partials(sdf)
+            .writeStream.outputMode("update")
+            .foreachBatch(chaotic_write)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    for _ in range(4):  # 2 injected crashes + the clean completion
+        q = start()
+        try:
+            q.awaitTermination(600)
+            if not q.isActive and q.exception() is None:
+                break
+        except StreamingQueryException:
+            pass
+        restarts += 1
+    assert restarts == 2, f"expected exactly 2 injected crashes, saw {restarts}"
+    assert os.path.exists(pre_marker) and os.path.exists(post_marker)
+
+    # every batch committed exactly once; the stale stage was cleaned
+    finals = sorted(os.listdir(final_dir))
+    assert finals == [f"batch-{i}" for i in sorted(range(N_BATCHES), key=str)]
+    assert os.listdir(staging) == []
+
+    # ledger bit-equal to the sequential single-pass replay: no dupes
+    # (post-commit replay skipped), no gaps (pre-commit retry rewrote),
+    # no forked values (state rebuilt from version N-1 recomputes the
+    # identical transition)
+    got_rows = spark.read.parquet(os.path.join(final_dir, "batch-*")).collect()
+    got = {(r["user_id"], r["t"]): r["bal"] for r in got_rows}
+    n_events = N_BATCHES * per_batch
+    assert len(got_rows) == len(users) * n_events  # exactly once, no dupes
+    for u in users:
+        cs = mn = 0
+        for t, d in enumerate(expected_deltas[u], start=1):
+            cs += d
+            mn = min(mn, cs)
+            assert got[(u, t)] == cs - min(mn, 0), (u, t)
+
+    # state store converged to one row per key with the full event count
+    st = read_state(spark, ck)
+    assert st.count() == len(users)
+    final_t = {
+        r["key"]["user_id"]: r["value"]["groupState"]["t"]
+        for r in st.collect()
+    }
+    assert all(v == n_events for v in final_t.values())
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
