@@ -89,20 +89,26 @@ def _bfs_sigma(
 
 
 def bfs_sigma_from(
-    sym: DataFrame, rounds: int = BFS_ROUNDS, n_seeds: int = BFS_SEEDS
+    sym: DataFrame,
+    rounds: int = BFS_ROUNDS,
+    n_seeds: int = BFS_SEEDS,
+    seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(sym, seeds, levels) where levels = (seed, node, dist, sigma)
     for every node reached within ``rounds`` hops of the ``n_seeds``
-    smallest node ids — σ is the exact shortest-path count (sum of
-    dist-(r-1) predecessor σs).  ``sym`` must be symmetric (src, dst)
-    and is assumed checkpointed/cheap to rescan."""
-    seeds = (
-        sym.select("src")
-        .distinct()
-        .orderBy("src")
-        .limit(n_seeds)
-        .select(F.col("src").alias("seed"))
-    )
+    smallest node ids (or an explicit ``seeds`` frame with one ``seed``
+    column — the scale smoke seeds every replicated universe) — σ is
+    the exact shortest-path count (sum of dist-(r-1) predecessor σs).
+    ``sym`` must be symmetric (src, dst) and is assumed
+    checkpointed/cheap to rescan."""
+    if seeds is None:
+        seeds = (
+            sym.select("src")
+            .distinct()
+            .orderBy("src")
+            .limit(n_seeds)
+            .select(F.col("src").alias("seed"))
+        )
     b = seeds.select(
         "seed",
         F.col("seed").alias("node"),
