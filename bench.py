@@ -126,6 +126,19 @@ def main() -> None:
     for t in ("events", "documents", "embeddings", "lineitem", "orders"):
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # streaming machinery warm-up (round-8 verdict item 7): state-store
+    # providers, the micro-batch planner, and the stateful Python
+    # worker path all classload/JIT on first use, so the
+    # alphabetically-first streaming twin otherwise absorbs ~2s of
+    # one-time session setup inside its measured time.  One untimed
+    # stateful twin moves that cost here — the bench measures the
+    # engine, not cold-start.
+    if any(n.startswith("streaming_") for n in names) and (
+        "streaming_lindley_balance" in plans.QUERIES
+    ):
+        plans.QUERIES["streaming_lindley_balance"](spark, sf_dir).collect()
+        spark.catalog.clearCache()
+
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     per_query: dict[str, float] = {}
     for name in names:

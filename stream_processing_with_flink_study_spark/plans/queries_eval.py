@@ -1343,6 +1343,13 @@ def holt_smoothing_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 MATRYOSHKA_DIMS = (8, 16, 32, 64)
 MATRYOSHKA_K = 10
 MATRYOSHKA_QMOD = 50
+# absolute query-set cap: recall eval must sample a BOUNDED query set,
+# not a fixed fraction of the corpus — a %-mod-only filter makes the
+# whole evaluation quadratic in corpus size (caught by
+# tools/overflow_sweep.py: 5.1s -> 253s at 10x).  A no-op at the test
+# SFs (max vec_id 1999); the knob that keeps a 100 TB store's eval at
+# |Q|x|C|, linear in the corpus.
+MATRYOSHKA_QCAP = 2000
 
 
 def _matryoshka_oracle() -> str:
@@ -1373,7 +1380,7 @@ def _matryoshka_oracle() -> str:
     return f"""
     WITH q AS MATERIALIZED (
       SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-      WHERE vec_id % {MATRYOSHKA_QMOD} = 0
+      WHERE vec_id % {MATRYOSHKA_QMOD} = 0 AND vec_id < {MATRYOSHKA_QCAP}
     ),
     nq AS (SELECT count(*) AS n FROM q),
     {",".join(blocks)}
@@ -1408,7 +1415,10 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.similarity import cosine
 
-    q = emb.filter(F.col("vec_id") % MATRYOSHKA_QMOD == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % MATRYOSHKA_QMOD == 0)
+        & (F.col("vec_id") < MATRYOSHKA_QCAP)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     nq = q.agg(F.count("*").alias("n"))

@@ -1,0 +1,134 @@
+"""10×-salted-universe overflow sweep (round-8 verdict item 5).
+
+The round-6 lesson generalizes: a query green at the sf0.01 oracle gate
+and at the sf0.1 bench can still hide a BIGINT overflow (ANSI mode on ⇒
+crash) or a quadratic blowup that only detonates at the NEXT order of
+magnitude.  This tool materializes a 10× universe from sf0.1 — every
+fact table replicated with disjoint salted key spaces (offset 1e7 per
+copy), document tokens salted per copy so near-dup stays within-copy
+(the tools/scale_smoke.py lesson), dimensions shared — then fully
+evaluates the top-N heaviest bench queries against it via the noop
+writer, asserting completion.
+
+    python tools/overflow_sweep.py [--mult 10] [--top 20] [name ...]
+
+Opt-in CI stage: ``OVERFLOW_SWEEP=1 tools/ci.sh`` runs it after the
+plan audit.  Exit status non-zero on any failure.  Scratch parquet is
+written under a self-deleting temp dir (~200 MB at mult=10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import atexit
+import json
+import shutil
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stream_processing_with_flink_study_spark import plans  # noqa: E402
+from stream_processing_with_flink_study_spark.session import get_spark  # noqa: E402
+from stream_processing_with_flink_study_spark.sources import load_table  # noqa: E402
+
+OFF = 10_000_000  # copy key offset: max base key ~6e5, 10 copies < 2^31
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+    "documents": ["doc_id"],
+}
+SHARED = ("nation", "region")  # dimensions: one copy, unsalted
+
+
+def build_universe(spark, sf: str, mult: int, out: str) -> None:
+    for name in SHARED:
+        load_table(spark, sf, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    copies = spark.range(mult).select(F.col("id").alias("_c"))
+    for name, keys in KEYED.items():
+        df = load_table(spark, sf, name).crossJoin(copies)
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("_c") * OFF)
+        if name == "documents":
+            # salt every token with the copy index: copies must not be
+            # near-dups of each other or pair generation turns
+            # quadratic in mult (scale_smoke.py lesson)
+            df = df.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda tok: F.concat(
+                            tok, F.lit("_"), F.col("_c").cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        df.drop("_c").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--top", type=int, default=20)
+    args = ap.parse_args()
+
+    names = args.names
+    if not names:
+        with open("BENCH_FULL.json") as f:
+            benched = json.load(f)["queries"]
+        names = [
+            n for n, _ in sorted(benched.items(), key=lambda kv: -kv[1])
+        ][: args.top]
+        names = [n for n in names if n in plans.QUERIES]
+
+    spark = get_spark("overflow-sweep")
+    scratch = tempfile.mkdtemp(prefix="spfs_overflow_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    t0 = time.time()
+    build_universe(spark, args.sf, args.mult, scratch)
+    print(f"built {args.mult}x universe in {time.time() - t0:.1f}s: {scratch}")
+
+    failures, walls = 0, {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = plans.QUERIES[name](spark, scratch)
+            df.write.format("noop").mode("overwrite").save()
+            walls[name] = round(time.time() - t0, 1)
+            print(f"OK   {name:34s} {walls[name]:6.1f}s")
+        except Exception:
+            print(f"FAIL {name:34s} {time.time() - t0:6.1f}s")
+            traceback.print_exc(limit=6)
+            failures += 1
+        finally:
+            spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "mult": args.mult,
+                "n": len(names),
+                "failures": failures,
+                "walls_s": walls,
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
