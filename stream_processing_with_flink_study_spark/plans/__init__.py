@@ -37,5 +37,6 @@ from . import queries_er  # noqa: E402,F401
 from . import queries_stattests  # noqa: E402,F401
 from . import queries_econo  # noqa: E402,F401
 from . import queries_graphdist  # noqa: E402,F401
+from . import queries_layout  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

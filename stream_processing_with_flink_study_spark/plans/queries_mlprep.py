@@ -2176,3 +2176,79 @@ def nested_learning_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{NTOK}", r"size(split(lower(trim(text)), '\\s+'))")
         .replace("{IDSTR}", "CAST(doc_id AS STRING)")
     )
+
+
+@query(
+    "smote_oversample_plan",
+    oracle="""
+    WITH sz AS (SELECT label, count(*) AS n_class FROM embeddings GROUP BY label),
+    mx AS (SELECT max(n_class) AS maj FROM sz),
+    nn AS (
+      SELECT a.label, a.vec_id, b.vec_id AS nn_id,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]) DESC,
+                        b.vec_id) AS rk
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT n.label, n.vec_id, n.nn_id, round(n.sim, 4) AS cosine_sim,
+           CAST(s.n_class AS BIGINT) AS n_class,
+           CAST(mx.maj - s.n_class AS BIGINT) AS n_needed
+    FROM nn n JOIN sz s ON s.label = n.label CROSS JOIN mx
+    WHERE n.rk = 1 AND s.n_class < mx.maj
+    """,
+)
+def smote_oversample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOTE-style class-rebalancing plan over the embedding table: for
+    every vector of every MINORITY class (size < the largest class),
+    its nearest SAME-label neighbor by exact cosine — the (sample,
+    neighbor) pairs a SMOTE pass interpolates synthetic examples
+    between — plus the class's deficit vs the majority.  The complement
+    of hard_negative_mining (nearest cross-label) and
+    label_centroid_margin (centroid geometry): this one feeds the
+    oversampler, those feed the contrastive/mislabel queues.
+
+    Scale shape: the candidate join is label-equi (same-class pairs
+    only — per-class quadratic bounded by class size, shuffled on the
+    label key); at retrieval scale swap the exact stage for the
+    IVF/LSH tier like the ANN queries.  Raw cosine ordering is
+    bit-equal across engines (the proven brute-force-family property),
+    so the rank-1 pick and the rounded similarity hash-match."""
+    from ..functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_class"))
+    maj = sizes.agg(F.max("n_class").alias("maj"))
+    a = emb.select("label", "vec_id", F.col("embedding").alias("_va"))
+    b = emb.select(
+        F.col("label").alias("_lb"),
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("_vb"),
+    )
+    scored = (
+        a.join(b, (a["label"] == b["_lb"]) & (a["vec_id"] != b["nn_id"]))
+        .select(
+            "label", "vec_id", "nn_id",
+            cosine(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "label")
+        .crossJoin(F.broadcast(maj))
+        .filter(F.col("n_class") < F.col("maj"))
+        .select(
+            "label", "vec_id", "nn_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            F.col("n_class").cast("long").alias("n_class"),
+            (F.col("maj") - F.col("n_class")).cast("long").alias("n_needed"),
+        )
+    )

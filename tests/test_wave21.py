@@ -1,0 +1,109 @@
+"""Round-9 layout wave laws: Z-order interleaving, zone-map pruning,
+SMOTE oversampling plan."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark.plans.queries_layout import (
+    Z_BITS,
+    _interleave_expr,
+    zone_map_pruning_eval,
+)
+from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+    smote_oversample_plan,
+)
+from stream_processing_with_flink_study_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_interleave_expr_matches_python_reference(spark):
+    """The unrolled shift/mask expression equals a bit-twiddling
+    reference for a deterministic grid of (x, y) pairs — including the
+    bit-width corners 0 and 2^bits − 1."""
+    pairs = [(0, 0), (2**Z_BITS - 1, 2**Z_BITS - 1), (1, 0), (0, 1)]
+    pairs += [((i * 37) % 4096, (i * 101) % 4096) for i in range(200)]
+    df = spark.createDataFrame(pairs, "x long, y long").selectExpr(
+        "x", "y", _interleave_expr("x", "y", Z_BITS, "spark") + " AS z"
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton(r["x"], r["y"], Z_BITS), (r["x"], r["y"])
+
+
+def test_interleave_is_injective_on_grid(spark):
+    """Morton codes are a bijection on the bits×bits grid — distinct
+    inputs must never collide (a wrong shift silently folds cells)."""
+    pairs = [(x, y) for x in range(0, 64, 3) for y in range(0, 64, 3)]
+    df = spark.createDataFrame(pairs, "x long, y long").selectExpr(
+        _interleave_expr("x", "y", Z_BITS, "spark") + " AS z"
+    )
+    zs = [r["z"] for r in df.collect()]
+    assert len(zs) == len(set(zs))
+
+
+def test_zone_map_matching_rows_layout_invariant(spark):
+    """rows_matching is a property of the predicate, not the layout —
+    all three layouts must report the identical count; scanned rows
+    must cover it; and the natural layout can never out-prune the
+    purpose-built ones on this 2-D predicate."""
+    rows = {r["layout"]: r for r in zone_map_pruning_eval(spark, SF_SMALL).collect()}
+    assert set(rows) == {"natural", "date_sorted", "zorder"}
+    matching = {r["rows_matching"] for r in rows.values()}
+    assert len(matching) == 1
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matching"]
+        assert r["rows_total"] == rows["natural"]["rows_total"]
+        assert r["blocks_scanned"] <= r["n_blocks"]
+    assert (
+        rows["zorder"]["rows_scanned"] <= rows["natural"]["rows_scanned"]
+    )
+    assert (
+        rows["date_sorted"]["rows_scanned"] <= rows["natural"]["rows_scanned"]
+    )
+
+
+def test_smote_plan_targets_minorities_with_true_nearest(spark):
+    """Every minority class contributes exactly n_class rows, the
+    majority class is absent, deficits are consistent, and a sampled
+    vector's chosen neighbor IS its numpy-brute-force nearest
+    same-label neighbor."""
+    plan = smote_oversample_plan(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r)
+    sizes = {lb: len(v) for lb, v in by_label.items()}
+    maj = max(sizes.values())
+    got_counts: dict[int, int] = {}
+    for r in plan:
+        got_counts[r["label"]] = got_counts.get(r["label"], 0) + 1
+        assert r["n_class"] == sizes[r["label"]]
+        assert r["n_needed"] == maj - sizes[r["label"]]
+        assert r["n_class"] < maj
+    assert got_counts == {lb: n for lb, n in sizes.items() if n < maj}
+
+    # numpy cross-check on the largest minority class
+    lb = max((n, lb) for lb, n in sizes.items() if n < maj)[1]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in by_label[lb]}
+    plan_nn = {r["vec_id"]: r["nn_id"] for r in plan if r["label"] == lb}
+    for qid, qv in list(vecs.items())[:10]:
+        best = None
+        for nid, nv in vecs.items():
+            if nid == qid:
+                continue
+            sim = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            key = (-sim, nid)
+            if best is None or key < best[0]:
+                best = (key, nid)
+        assert plan_nn[qid] == best[1], qid
