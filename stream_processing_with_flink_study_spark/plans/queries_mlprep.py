@@ -2252,3 +2252,166 @@ def smote_oversample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("maj") - F.col("n_class")).cast("long").alias("n_needed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# portable HLL: md5-derived registers, bit-exact across engines
+# --------------------------------------------------------------------------
+HLL_M = 64  # 6-bit bucket index
+HLL_ALPHA = 0.709  # standard alpha for m=64
+
+
+def _hll_row_sql(key_expr: str) -> tuple[str, str, str]:
+    """(bucket_sql, v48_sql, rank_from_v_sql) over ``h`` = md5(key):
+    bucket = first two hex digits mod m; ``v48`` = the next 48 bits as
+    an integer (projected ONCE — the rank ladder references the column,
+    not 48 copies of the 12-digit expression); rank = leading-zero
+    count of v48 + 1 via an unrolled integer CASE ladder, not log2
+    (float logs can straddle exact powers of two).  All integer
+    string/CASE arithmetic shared verbatim by Spark SQL and DuckDB
+    (instr/substr/CASE), so registers are BIT-EXACT in both engines."""
+    # CAST to BIGINT inside the template: Spark types instr() as INT and
+    # digit * 16^7 already passes 2^31 (ANSI overflow); DuckDB is
+    # indifferent, so the shared text stays dialect-identical
+    hexd = "CAST(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1 AS BIGINT)"
+    h = f"md5(concat('hll|', {key_expr}))"
+    d1 = hexd.format(h=h, i=1)
+    d2 = hexd.format(h=h, i=2)
+    bucket = f"((({d1}) * 16 + ({d2})) % {HLL_M})"
+    v48 = " + ".join(
+        f"(({hexd.format(h=h, i=3 + k)}) * {16 ** (11 - k)})"
+        for k in range(12)
+    )
+    bitlen = (
+        "CASE "
+        + " ".join(
+            f"WHEN v48 >= {2 ** k} THEN {k + 1}" for k in range(47, -1, -1)
+        )
+        + " ELSE 0 END"
+    )
+    return bucket, v48, f"(49 - ({bitlen}))"
+
+
+def _hll_estimate_sql(s: str, zeros: str) -> str:
+    """Harmonic-mean estimate with the small-range correction; every
+    2^-register term is an exact power of two (1.0 / (1 << r)), so the
+    64-term sum is EXACT in double regardless of order — the float
+    estimate is a fixed IEEE tree, identical across engines."""
+    raw = f"({HLL_ALPHA} * {HLL_M} * {HLL_M} / ({s}))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * HLL_M} AND ({zeros}) > 0 "
+        f"THEN {HLL_M} * ln({HLL_M} * 1.0 / ({zeros})) "
+        f"ELSE {raw} END"
+    )
+
+
+def _hll_md5_oracle() -> str:
+    bucket, v48, rank = _hll_row_sql("doc_id")
+    est = _hll_estimate_sql(
+        "sum(1.0 / (CAST(1 AS BIGINT) << reg)) + " f"({HLL_M} - count(*))",
+        f"{HLL_M} - count(*)",
+    )
+    return f"""
+    WITH rows_ AS MATERIALIZED (
+      SELECT lang, doc_id, bucket, {rank} AS rank FROM (
+        SELECT lang, doc_id, {bucket} AS bucket, {v48} AS v48 FROM documents
+      )
+    ),
+    regs AS MATERIALIZED (
+      SELECT lang, bucket, max(rank) AS reg FROM rows_ GROUP BY 1, 2
+    ),
+    ex AS (SELECT lang, count(DISTINCT doc_id) AS n_exact FROM rows_ GROUP BY 1),
+    per_lang AS (
+      SELECT r.lang,
+             CAST(ex.n_exact AS BIGINT) AS n_exact,
+             round(({est}) - 1e-9, 4) AS hll_estimate,
+             CAST(count(*) AS BIGINT) AS n_registers_set,
+             CAST(max(reg) AS BIGINT) AS max_register
+      FROM regs r JOIN ex ON ex.lang = r.lang
+      GROUP BY r.lang, ex.n_exact
+    ),
+    merged AS (SELECT bucket, max(reg) AS reg FROM regs GROUP BY 1),
+    allrow AS (
+      SELECT '__all__' AS lang,
+             (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM rows_)
+               AS n_exact,
+             round(({est}) - 1e-9, 4) AS hll_estimate,
+             CAST(count(*) AS BIGINT) AS n_registers_set,
+             CAST(max(reg) AS BIGINT) AS max_register
+      FROM merged
+    )
+    SELECT * FROM per_lang UNION ALL SELECT * FROM allrow
+    """
+
+
+@query("hll_md5_distinct", oracle=_hll_md5_oracle())
+def hll_md5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog with a full value oracle — the complement
+    of ``sketch_battery`` (which showcases Spark's native Datasketches
+    HLL and is rows-only because its binary sketch layout is
+    engine-private): registers derive from md5 (bucket = 6 bits, rank =
+    leading zeros of the next 48 bits + 1, computed by an unrolled
+    integer CASE ladder — no float log2), so both engines build
+    BIT-IDENTICAL registers, and the harmonic estimate is a sum of
+    exact powers of two (order-free in double) through one fixed IEEE
+    expression tree.  The ``__all__`` row is computed by MERGING the
+    per-language registers (max per bucket), never re-scanning raw
+    rows — the mergeability contract of sketch rollups at 100 TB,
+    here hash-checked exactly.
+
+    Scale shape: one scan → per-(lang, bucket) max (map-side combined,
+    ≤ m rows per group) → per-lang fold; the union row touches
+    |langs|·m register rows.  Estimate quality vs exact count is
+    asserted in tests/test_wave21.py."""
+    bucket, v48, rank = _hll_row_sql("doc_id")
+    base = load_table(spark, sf_dir, "documents").selectExpr(
+        "lang", "doc_id", f"{bucket} AS bucket", f"{v48} AS v48"
+    ).selectExpr("lang", "doc_id", "bucket", f"{rank} AS rank")
+    regs = base.groupBy("lang", "bucket").agg(
+        F.max("rank").alias("reg")
+    ).localCheckpoint()
+    ex = base.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_exact")
+    )
+    est = _hll_estimate_sql(
+        f"sum(1.0 / shiftleft(CAST(1 AS BIGINT), reg)) + ({HLL_M} - count(*))",
+        f"{HLL_M} - count(*)",
+    )
+    per_lang = (
+        regs.groupBy("lang")
+        .agg(
+            F.expr(f"round(({est}) - 1e-9, 4)").alias("hll_estimate"),
+            F.count(F.lit(1)).cast("long").alias("n_registers_set"),
+            F.max("reg").cast("long").alias("max_register"),
+        )
+        .join(ex, "lang")
+        .select(
+            "lang",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "hll_estimate",
+            "n_registers_set",
+            "max_register",
+        )
+    )
+    n_all = base.agg(
+        F.count_distinct("doc_id").alias("n")
+    )
+    allrow = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .agg(
+            F.lit("__all__").alias("lang"),
+            F.expr(f"round(({est}) - 1e-9, 4)").alias("hll_estimate"),
+            F.count(F.lit(1)).cast("long").alias("n_registers_set"),
+            F.max("reg").cast("long").alias("max_register"),
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_exact"),
+            "hll_estimate",
+            "n_registers_set",
+            "max_register",
+        )
+    )
+    return per_lang.unionByName(allrow)

@@ -107,3 +107,29 @@ def test_smote_plan_targets_minorities_with_true_nearest(spark):
             if best is None or key < best[0]:
                 best = (key, nid)
         assert plan_nn[qid] == best[1], qid
+
+
+def test_hll_md5_estimate_quality_and_merge_law(spark):
+    """Portable-HLL battery: estimates land within the ~1.04/sqrt(64)
+    HLL error regime (generous 3-sigma band), the __all__ row is the
+    register MERGE of the per-language sketches (max per bucket), and
+    register counts are sane (<= m, <= n_exact)."""
+    from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+        HLL_M,
+        hll_md5_distinct,
+    )
+
+    rows = {r["lang"]: r for r in hll_md5_distinct(spark, SF_SMALL).collect()}
+    assert "__all__" in rows and len(rows) >= 3
+    for lang, r in rows.items():
+        assert 1 <= r["n_registers_set"] <= HLL_M
+        assert r["n_registers_set"] <= r["n_exact"]
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.40, (lang, r["hll_estimate"], r["n_exact"])
+    # merge law: every per-lang sketch is dominated by the union
+    assert rows["__all__"]["max_register"] == max(
+        r["max_register"] for r in rows.values()
+    )
+    assert rows["__all__"]["n_exact"] == sum(
+        r["n_exact"] for k, r in rows.items() if k != "__all__"
+    )
