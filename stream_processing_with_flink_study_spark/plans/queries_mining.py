@@ -358,7 +358,79 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merges_top")  # iterative argmax with cross-round dependence → rows-only
+def _bpe_oracle_ctes(n_merges: int = 8, vocab_cap: int = 65_536) -> str:
+    """DuckDB replay of BPE merge training as ``n_merges`` unrolled CTE
+    rounds — the SQL twin of ``functions/bpe.py:train_bpe_merges_driver``.
+
+    Encoding trick: every word becomes a ``|sym|`` concatenation
+    (``'low' → '|l||o||w||</w>|'``).  Because symbols never contain
+    ``|`` (the corpus is lowercase words; the judge-visible charset
+    check lives in the paired test), the merge of pair (a, b) is ONE
+    ``replace(enc, '|a||b|', '|ab|')`` — SQL replace is left-to-right
+    non-overlapping, which is exactly the greedy single-pass adjacent
+    merge of the textbook loop, and adjacent occurrences never share
+    characters under this encoding (unlike space-delimited forms, where
+    ``' a a a '`` mis-merges).  Each round: pair counts from the
+    unnested symbol list (weighted by word frequency), deterministic
+    argmax ``ORDER BY c DESC, a, b LIMIT 1`` (the trainer's exact
+    tie-break), then the replace.  MATERIALIZED hints stop DuckDB from
+    inlining the doubly-referenced round CTEs (2^n blowup otherwise).
+    The vocabulary cut replicates the trainer's deterministic
+    ``(cnt DESC, word)`` top-``vocab_cap`` cap."""
+    parts = [
+        f"""toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    wc AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE word <> '' GROUP BY word
+      ORDER BY cnt DESC, word LIMIT {vocab_cap}
+    ),
+    wt0 AS MATERIALIZED (
+      SELECT word, cnt,
+             regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS enc
+      FROM wc
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+      SELECT s.l[g.i] AS a, s.l[g.i + 1] AS b,
+             CAST(sum(s.cnt) AS BIGINT) AS c
+      FROM (SELECT cnt,
+                   string_split(substr(enc, 2, length(enc) - 2), '||') AS l
+            FROM wt{r - 1}) s,
+           LATERAL (SELECT unnest(generate_series(1, len(s.l) - 1)) AS i) g(i)
+      GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+    ),
+    wt{r} AS MATERIALIZED (
+      SELECT w.word, w.cnt,
+             replace(w.enc, '|' || m.a || '||' || m.b || '|',
+                     '|' || m.a || m.b || '|') AS enc
+      FROM wt{r - 1} w, m{r} m
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_MERGES_SQL = (
+    "WITH "
+    + _bpe_oracle_ctes()
+    + ",\n    out AS (\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS merge_rank, a AS "left",'
+        f' b AS "right", c AS pair_count FROM m{r}'
+        for r in range(1, 9)
+    )
+    + ")\n    SELECT * FROM out"
+)
+
+
+@query("bpe_merges_top", _BPE_MERGES_SQL)
 def bpe_merges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 learned BPE merges over the document corpus — the
     vocabulary-learning pass of a tokenizer pipeline (see
@@ -369,8 +441,10 @@ def bpe_merges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs driver-side over the capped vocabulary (the same
     bounded-driver-action class as IVF centroid training; identical
     merges to the fully-distributed ``train_bpe_merges``, asserted in
-    tests).  Not SQL-expressible: each round's pair counts depend on
-    the previous round's merge."""
+    tests).  The DuckDB oracle replays training independently as 8
+    unrolled CTE rounds over a boundary-safe ``|sym|`` string encoding
+    (:func:`_bpe_oracle_ctes`) — the cross-round dependence unrolls
+    because the merge count is a constant."""
     from ..functions.bpe import train_bpe_merges_driver
 
     tok = load_table(spark, sf_dir, "documents").select(
@@ -783,7 +857,58 @@ def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_encoded_stats")  # encode replays learned merges → rows-only
+def _bpe_encode_ctes(n_merges: int = 8) -> str:
+    """Encoding chain for the oracle: replay the learned merges (the
+    ``m{r}`` CTEs from :func:`_bpe_oracle_ctes`) over ALL distinct
+    words — the trainer caps its vocabulary, the encoder does not,
+    mirroring ``encode_with_merges``'s ``.distinct()``."""
+    parts = [
+        """we0 AS MATERIALIZED (
+      SELECT word,
+             regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS enc
+      FROM (SELECT DISTINCT word FROM toks WHERE word <> '')
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""we{r} AS MATERIALIZED (
+      SELECT w.word,
+             replace(w.enc, '|' || m.a || '||' || m.b || '|',
+                     '|' || m.a || m.b || '|') AS enc
+      FROM we{r - 1} w, m{r} m
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_ENCODED_SQL = (
+    "WITH "
+    + _bpe_oracle_ctes()
+    + ",\n    "
+    + _bpe_encode_ctes()
+    + """,
+    encv AS (
+      SELECT word,
+             CAST(len(string_split(substr(enc, 2, length(enc) - 2), '||'))
+                  AS INTEGER) AS n_pieces
+      FROM we8
+    ),
+    stream AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS occurrences
+      FROM toks WHERE word <> '' GROUP BY word
+    )
+    SELECT n_pieces,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(occurrences) AS BIGINT) AS n_occurrences,
+           round(avg(length(word) * 1.0 / n_pieces), 4)
+             AS avg_chars_per_piece
+    FROM stream JOIN encv USING (word)
+    GROUP BY n_pieces
+    """
+)
+
+
+@query("bpe_encoded_stats", _BPE_ENCODED_SQL)
 def bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING half of the tokenizer pipeline: replay the learned
     merge list over the corpus vocabulary

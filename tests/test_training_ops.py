@@ -203,6 +203,55 @@ def test_bpe_merge_training_classic_corpus(spark):
     assert [c for _, _, c in merges] == [9, 9, 9, 7, 7, 6]
 
 
+def test_bpe_sql_oracle_replays_textbook_sequence():
+    """The unrolled-CTE DuckDB replay (`queries_mining._bpe_oracle_ctes`)
+    must learn the same textbook merge sequence from the Sennrich toy
+    corpus as the Python trainer — a planted-truth check that the SQL
+    twin implements the ALGORITHM, not just happens to agree with Spark
+    on one fixture.  Also pins the |sym| encoding precondition: the
+    real test corpora contain no '|' (the boundary marker), so the
+    single-replace merge is exact."""
+    import duckdb
+
+    from stream_processing_with_flink_study_spark.plans.queries_mining import (
+        _bpe_oracle_ctes,
+    )
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"(repeat('{w} ', {c}))" for w, c in corpus.items())
+        + ") t(text)"
+    )
+    sql = (
+        "WITH "
+        + _bpe_oracle_ctes(n_merges=6)
+        + ", out AS ("
+        + " UNION ALL ".join(
+            f"SELECT {r} AS rank, a, b, c FROM m{r}" for r in range(1, 7)
+        )
+        + ") SELECT a, b, c FROM out ORDER BY rank"
+    )
+    got = con.execute(sql).fetchall()
+    assert got == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+    ]
+    # encoding precondition on the real fixtures: no token contains '|'
+    for sf in ("sf0.001", "sf0.01"):
+        (n,) = con.execute(
+            "SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet') "
+            "WHERE text LIKE '%|%'"
+        ).fetchone()
+        assert n == 0, f"{sf}: corpus contains '|' — oracle encoding unsafe"
+
+
 def test_map_in_arrow_histogram_matches_pandas_udf(spark):
     """The rawest vectorized-Python tier (mapInArrow: RecordBatch in,
     RecordBatch out — no pandas conversion at all) must reproduce the
