@@ -38,5 +38,6 @@ from . import queries_stattests  # noqa: E402,F401
 from . import queries_econo  # noqa: E402,F401
 from . import queries_graphdist  # noqa: E402,F401
 from . import queries_layout  # noqa: E402,F401
+from . import queries_datasel  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

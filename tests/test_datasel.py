@@ -1,0 +1,208 @@
+"""Planted-truth tests for the data-selection / label-quality wave
+(``plans/queries_datasel.py``) — each query is driven against a fixture
+whose correct answer is known by construction or by an independent
+pure-Python reimplementation, the standing shared-bug-oracle defense."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from stream_processing_with_flink_study_spark.plans import QUERIES
+from stream_processing_with_flink_study_spark.plans.queries_datasel import (
+    KNN_SAMPLE_MOD,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark, tmp_path):
+    # 3 tight orthogonal clusters of 20; vec 0 sits in cluster 0's blob
+    # but carries label 2 — the one planted label error.  vec 0 is in
+    # the query sample (0 % KNN_SAMPLE_MOD == 0), so it must come back
+    # flagged; 25 and 50 are the sampled clean points.
+    rows = []
+    for i in range(60):
+        c = i % 3
+        vec = [0.0] * 6
+        vec[c] = 0.5
+        vec[3 + c] = 0.001 * (i // 3)  # within-cluster jitter
+        label = 2 if i == 0 else c
+        rows.append((i, [float(v) for v in vec], label))
+    out = {
+        r.vec_id: r
+        for r in QUERIES["knn_label_noise"](
+            spark, _write_embeddings(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {i for i in range(60) if i % KNN_SAMPLE_MOD == 0}
+    flagged = out[0]
+    assert flagged.flag_noise == 1
+    assert flagged.knn_majority == 0  # the spatial cluster's label
+    assert flagged.n_agree == 0
+    for i, r in out.items():
+        if i == 0:
+            continue
+        assert r.flag_noise == 0, f"clean point {i} flagged"
+        # a clean point's 10-NN are same-cluster except possibly the
+        # planted mislabel intruding into cluster 0 lists
+        assert r.n_agree >= 9
+        assert r.agree_frac == r.n_agree / 10
+
+
+def test_knn_hubness_occurrence_conservation(spark):
+    # every query hands out exactly k=10 occurrences -> sum(total_occ)
+    # == 10 * |sample|, and n_vecs partitions the corpus
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n_corpus = emb.count()
+    n_queries = emb.filter(
+        F.col("vec_id") % KNN_SAMPLE_MOD == 0
+    ).count()
+    rows = QUERIES["knn_hubness_stats"](spark, SF_SMALL).collect()
+    assert sum(r.total_occ for r in rows) == 10 * n_queries
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r.n_antihubs <= r.n_vecs
+        assert r.max_kocc <= n_queries
+
+
+def test_knn_hubness_planted_hub_skews_positive(spark, tmp_path):
+    # one vector near-identical to every query direction becomes the
+    # hub; its label's k-occurrence distribution must skew positive
+    rows = [(0, [0.5] * 4, 0)]  # the hub, label 0
+    for i in range(1, 41):
+        vec = [0.4, 0.4, 0.4, 0.4]
+        vec[i % 4] += 0.01 * (i // 4)
+        rows.append((i, [float(v) for v in vec], 0 if i <= 20 else 1))
+    out = {
+        r.label: r
+        for r in QUERIES["knn_hubness_stats"](
+            spark, _write_embeddings(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out[0].max_kocc == out[0].max_kocc  # present
+    # the hub (label 0) is in essentially every 10-NN list
+    n_queries = len([i for i in range(41) if i % KNN_SAMPLE_MOD == 0])
+    assert out[0].max_kocc >= n_queries - 1
+
+
+def test_bloom_filter_matches_python_reference(spark, tmp_path):
+    from stream_processing_with_flink_study_spark.plans.queries_datasel import (
+        BLOOM_K,
+        BLOOM_M,
+        _PROBE_OFFSET,
+    )
+
+    keys = list(range(200))
+    spark.createDataFrame(
+        [(k,) for k in keys], "c_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+
+    def pos(i: int, key: int) -> int:
+        h = hashlib.md5(f"bf{i}|{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % BLOOM_M
+
+    bits = {pos(i, k) for k in keys for i in range(BLOOM_K)}
+    fp = sum(
+        1
+        for k in keys
+        if all(
+            pos(i, k + _PROBE_OFFSET) in bits for i in range(BLOOM_K)
+        )
+    )
+    r = QUERIES["bloom_filter_probe"](spark, str(tmp_path)).collect()[0]
+    assert r.n_keys == 200
+    assert r.bits_set == len(bits)
+    assert r.n_probes == 200
+    assert r.false_positives == fp
+    assert r.measured_fpr == round(fp / 200, 6)
+
+
+def test_bloom_filter_no_false_negatives(spark, tmp_path):
+    # probing the MEMBER keys themselves must hit every position —
+    # replicate the query's probe stage on members and assert all hit
+    from stream_processing_with_flink_study_spark.plans.queries_datasel import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+
+    keys = list(range(500, 600))
+
+    def pos(i: int, key: int) -> int:
+        h = hashlib.md5(f"bf{i}|{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % BLOOM_M
+
+    bits = {pos(i, k) for k in keys for i in range(BLOOM_K)}
+    assert all(
+        pos(i, k) in bits for k in keys for i in range(BLOOM_K)
+    )  # Bloom's one guarantee, by construction of the bit set
+
+
+def test_kcenter_matches_python_greedy(spark, tmp_path):
+    # quantized greedy k-center on a planted 1-D layout, checked against
+    # an independent integer reference (same 1e-6 fixed point)
+    import math
+
+    xs = [0.0, 0.31, 0.07, 0.44, 0.19, 0.26, 0.11, 0.38, 0.02, 0.49]
+    rows = []
+    for i, x in enumerate(xs):
+        rows.append((2 * i, [float(x), 0.0, 0.0, 0.0], i % 3))
+    # odd ids must be excluded by the vec_id % 2 == 0 sample filter
+    rows.append((7, [9.0, 9.0, 9.0, 9.0], 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+
+    def quant(v):
+        return [int(math.floor(c * 1_000_000.0 + 0.5)) for c in v]
+
+    pts = {2 * i: quant([x, 0.0, 0.0, 0.0]) for i, x in enumerate(xs)}
+
+    def sqd(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    sel = [(1, 0, 0)]  # (rank, vec_id, radius)
+    dmin = {vid: sqd(v, pts[0]) for vid, v in pts.items()}
+    for r in range(2, 9):
+        top = max(dmin.items(), key=lambda kv: (kv[1], -kv[0]))
+        # tie-break: max dmin, then SMALLEST vec_id
+        best = min(v for _, v in dmin.items())  # noqa: F841 (clarity)
+        cand = sorted(
+            [vid for vid, d in dmin.items() if d == top[1]]
+        )[0]
+        sel.append((r, cand, dmin[cand]))
+        for vid in dmin:
+            dmin[vid] = min(dmin[vid], sqd(pts[vid], pts[cand]))
+    got = [
+        (r.sel_rank, r.vec_id, r.radius)
+        for r in QUERIES["kcenter_coreset_select"](spark, sf)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert got == sel
+    # covering radius decays (weakly) monotonically after the seed row
+    radii = [rad for _, _, rad in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_radius_monotone_on_fixture(spark):
+    rows = (
+        QUERIES["kcenter_coreset_select"](spark, SF_SMALL)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r.sel_rank for r in rows] == list(range(1, 9))
+    assert len({r.vec_id for r in rows}) == 8  # distinct centers
+    radii = [r.radius for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert all(r.vec_id % 2 == 0 for r in rows)
