@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -129,19 +130,159 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
     return rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pix: np.ndarray, row_filter=None) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a REAL PNG: IHDR
+    (8-bit, color type 2, no interlace), one zlib-compressed IDAT of
+    filtered scanlines, CRC32 on every chunk — stdlib ``zlib`` only.
+    ``row_filter`` maps row index → filter type 0–4 (default cycles
+    ``row % 5``), so encoded corpora exercise EVERY unfilter path
+    (None / Sub / Up / Average / Paeth), not just the trivial one."""
+    h, w, _ = pix.shape
+    row_filter = row_filter or (lambda r: r % 5)
+    raw = pix.astype(np.int64)
+    out = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for r in range(h):
+        cur = raw[r]
+        ft = int(row_filter(r))
+        left = np.vstack([np.zeros((1, 3), dtype=np.int64), cur[:-1]])
+        ul = np.vstack([np.zeros((1, 3), dtype=np.int64), prev[:-1]])
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            pred = np.empty_like(cur)
+            for i in range(w):
+                for ch in range(3):
+                    pred[i, ch] = _paeth(
+                        int(left[i, ch]), int(prev[i, ch]), int(ul[i, ch])
+                    )
+            filt = cur - pred
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG: signature check, chunk walk (ancillary chunks
+    skipped, multiple IDATs concatenated — real encoders split them),
+    IHDR-driven dims, stdlib zlib inflate, then per-row unfiltering of
+    all five scanline filters (None / Sub / Up / Average / Paeth, the
+    full RFC 2083 set).  8-bit RGB (color type 2) non-interlaced only;
+    other bit depths / palettes raise naming the PIL plug-in point.
+    Returns (h, w, 3) uint8 — pure numpy + stdlib, no codec library."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunk")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_n != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit RGB non-interlaced PNGs supported natively "
+            f"(depth={depth}, color={ctype_n}, interlace={interlace}); "
+            "plug PIL in here for the rest"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong length")
+    out = np.zeros((h, w, 3), dtype=np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).reshape(w, 3).astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):  # serial intra-row dependency
+            cur = np.zeros((w, 3), dtype=np.int64)
+            for i in range(w):
+                for ch in range(3):
+                    a = int(cur[i - 1, ch]) if i else 0
+                    b = int(prev[i, ch])
+                    c = int(prev[i - 1, ch]) if i else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pred = _paeth(a, b, c)
+                    cur[i, ch] = (int(row[i, ch]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
 def decode_payload(payload: bytes):
     """Magic-byte dispatch to the native decoders: RIFF/WAVE →
-    :func:`decode_wav_pcm16`, BM → :func:`decode_bmp24`.  Compressed
-    containers (JPEG/PNG/MP3/MP4 …) genuinely require codec libraries
-    not present in this environment — they raise ``ValueError`` naming
-    the plug-in point (PIL / librosa / av take the same bytes)."""
+    :func:`decode_wav_pcm16`, BM → :func:`decode_bmp24`, PNG →
+    :func:`decode_png`.  Codecs beyond these (JPEG/MP3/MP4 …) genuinely
+    require media libraries not present in this environment — they
+    raise ``ValueError`` naming the plug-in point (PIL / librosa / av
+    take the same bytes)."""
     if payload[:4] == b"RIFF":
         return decode_wav_pcm16(payload)
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError(
         "unsupported container (supported natively: RIFF/WAVE PCM16, "
-        "24-bit BMP); plug PIL/librosa/av in here for compressed codecs"
+        "24-bit BMP, 8-bit RGB PNG); plug PIL/librosa/av in here for "
+        "other codecs"
     )
 
 
@@ -263,6 +404,112 @@ def decoded_bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(_stats, BMP_STATS_SCHEMA)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id long, width int, height int, sum_r long, sum_g long,"
+    " sum_b long, max_px int, min_px int"
+)
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame_id int, n int, sum_sq long, peak int,"
+    " n_zero_cross int"
+)
+
+
+def synth_png_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG corpus: per id, a ``(3 + id % 4) ×
+    (2 + id % 5)`` RGB image with channel values
+    ``(id + 11·row + 17·col + 31·ch) % 256``, encoded as REAL
+    zlib-compressed PNGs whose scanline filters cycle ``row % 5`` —
+    every decode exercises None/Sub/Up/Average/Paeth.  The closed form
+    lets the SQL oracle state the decoded stats byte-free."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                h, w = 3 + d % 4, 2 + d % 5
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                pix = ((d + 11 * r + 17 * c + 31 * ch) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_png(pix))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+def decoded_png_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-image decode: inflate and unfilter each PNG with
+    :func:`decode_png` (dims from IHDR, zlib IDAT, all five scanline
+    filters undone) and reduce the RGB grid to exact-integer channel
+    sums and extrema — any inflate/filter/channel bug hash-mismatches
+    the closed-form oracle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "max_px", "min_px",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                pix = decode_png(bytes(payload)).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["height"].append(pix.shape[0])
+                out["width"].append(pix.shape[1])
+                out["sum_r"].append(int(pix[:, :, 0].sum()))
+                out["sum_g"].append(int(pix[:, :, 1].sum()))
+                out["sum_b"].append(int(pix[:, :, 2].sum()))
+                out["max_px"].append(int(pix.max()))
+                out["min_px"].append(int(pix.min()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_stats, PNG_STATS_SCHEMA)
+
+
+def audio_frame_features(
+    df: DataFrame, frame_len: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Framewise audio features over DECODED PCM — the feature-extract
+    step after decode in any audio pipeline (librosa's frame/energy/zcr
+    trio, reduced to exact integers): non-overlapping ``frame_len``
+    windows (tail remainder dropped), per frame Σamp² (energy), peak,
+    and the zero-crossing count (sign flips between adjacent samples,
+    sign = amp ≥ 0).  All-integer outputs → full SQL oracle."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_id", "n", "sum_sq", "peak",
+                "n_zero_cross",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                _, _, frames = decode_wav_pcm16(bytes(payload))
+                s = frames.astype(np.int64).ravel()
+                n_frames = len(s) // frame_len
+                for f in range(n_frames):
+                    seg = s[f * frame_len : (f + 1) * frame_len]
+                    nonneg = seg >= 0
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["n"].append(frame_len)
+                    out["sum_sq"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+                    out["n_zero_cross"].append(
+                        int((nonneg[1:] != nonneg[:-1]).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(
+        _feats, AUDIO_FRAME_SCHEMA
+    )
 
 
 def fake_decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

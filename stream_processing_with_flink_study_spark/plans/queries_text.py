@@ -780,6 +780,90 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_pixel_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT g.doc_id, g.w, g.h,
+             (g.doc_id + 11 * r.r + 17 * c.c) % 256 AS vr,
+             (g.doc_id + 11 * r.r + 17 * c.c + 31) % 256 AS vg,
+             (g.doc_id + 11 * r.r + 17 * c.c + 62) % 256 AS vb
+      FROM g,
+           unnest(range(0, g.h)) AS r(r),
+           unnest(range(0, g.w)) AS c(c)
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(vr) AS BIGINT) AS sum_r,
+           CAST(sum(vg) AS BIGINT) AS sum_g,
+           CAST(sum(vb) AS BIGINT) AS sum_b,
+           CAST(greatest(max(vr), max(vg), max(vb)) AS INT) AS max_px,
+           CAST(least(min(vr), min(vg), min(vb)) AS INT) AS min_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode end-to-end: deterministic per-doc
+    RGB grids are serialized to genuine PNGs — zlib-deflated IDAT,
+    CRC'd chunks, scanline filters cycling row % 5 so every unfilter
+    path (None/Sub/Up/Average/Paeth) runs on every image taller than 4
+    rows (functions/multimodal.encode_png, stdlib zlib only) — then a
+    SEPARATE Arrow-batched stage inflates and unfilters them back
+    (decode_png) and reduces to exact-integer channel sums/extrema.
+    The oracle states the stats from the synthesis closed form without
+    touching bytes: a wrong Paeth predictor, filter offset, or inflate
+    slice hash-mismatches.  Extends the WAV/BMP codec pair to an
+    actually-compressed container."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pngs = multimodal.synth_png_corpus(docs)
+    return multimodal.decoded_png_stats(pngs)
+
+
+@query(
+    "audio_frame_features",
+    oracle="""
+    WITH g AS (SELECT doc_id, 50 + doc_id % 50 AS n FROM documents),
+    s AS (
+      SELECT g.doc_id, CAST(t.i // 16 AS INT) AS frame_id, t.i AS i,
+             (g.doc_id * 37 + t.i * 251) % 4001 - 2000 AS amp
+      FROM g, unnest(range(0, (g.n // 16) * 16)) AS t(i)
+    ),
+    x AS (
+      SELECT doc_id, frame_id, amp,
+             CASE WHEN i % 16 = 0 THEN NULL
+                  ELSE lag(amp) OVER (PARTITION BY doc_id ORDER BY i)
+             END AS prev
+      FROM s
+    )
+    SELECT doc_id, frame_id, CAST(16 AS INT) AS n,
+           CAST(sum(amp * amp) AS BIGINT) AS sum_sq,
+           CAST(max(abs(amp)) AS INT) AS peak,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         AND ((amp >= 0) != (prev >= 0))
+                    THEN 1 ELSE 0 END) AS INT) AS n_zero_cross
+    FROM x GROUP BY doc_id, frame_id
+    """,
+)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio features over DECODED PCM — the step after
+    decode in an audio-training pipeline (librosa's frame / energy /
+    zero-crossing-rate trio, reduced to exact integers so it
+    hash-checks): real RIFF/WAVE bytes are parsed back by the chunk
+    walker, then non-overlapping 16-sample frames emit Σamp² (energy),
+    |peak|, and the sign-flip count.  The oracle recomputes every frame
+    from the synthesis closed form with a lag window that resets at
+    frame boundaries — framing bugs (off-by-one, tail handling,
+    cross-frame crossings) mismatch immediately."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = multimodal.synth_wav_corpus(docs)
+    return multimodal.audio_frame_features(wavs)
+
+
+@query(
     "sample_deterministic",
     oracle="""
     SELECT doc_id, lang

@@ -117,3 +117,95 @@ def test_decoded_stats_stages_match_closed_form(spark):
         assert r["sum_r"] == int(pix[:, :, 0].sum())
         assert r["sum_b"] == int(pix[:, :, 2].sum())
         assert (r["max_px"], r["min_px"]) == (int(pix.max()), int(pix.min()))
+
+
+# --------------------------------------------------------------------------
+# PNG (zlib-compressed container, all five scanline filters)
+# --------------------------------------------------------------------------
+def test_png_round_trip_every_filter_type():
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (5, 4), (9, 7)]:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            got = M.decode_png(M.encode_png(pix, row_filter=lambda r: ft))
+            assert (got == pix).all(), f"filter {ft} at {h}x{w}"
+        # the default cycling filter hits all five on tall images
+        assert (M.decode_png(M.encode_png(pix)) == pix).all()
+
+
+def test_png_chunk_walk_skips_ancillary_and_joins_split_idat():
+    import zlib as _zlib
+
+    pix = _pix(3, 4, 5)
+    payload = M.encode_png(pix, row_filter=lambda r: 0)
+    # rebuild: signature + IHDR + tEXt (ancillary) + IDAT split in two
+    sig = payload[:8]
+    (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+    ihdr_chunk = payload[8 : 8 + 12 + ihdr_len]
+    raw = bytearray()
+    for r in range(4):
+        raw.append(0)
+        raw.extend(pix[r].reshape(-1).tobytes())
+    comp = _zlib.compress(bytes(raw))
+    half = len(comp) // 2
+    rebuilt = (
+        sig
+        + ihdr_chunk
+        + M._png_chunk(b"tEXt", b"Comment\x00synthetic")
+        + M._png_chunk(b"IDAT", comp[:half])
+        + M._png_chunk(b"IDAT", comp[half:])
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert (M.decode_png(rebuilt) == pix).all()
+
+
+def test_png_rejects_unsupported_shapes():
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"\x89PNX" + b"\x00" * 20)
+    # 16-bit depth IHDR must raise, naming the plug-in point
+    pix = _pix(1, 2, 2)
+    payload = bytearray(M.encode_png(pix))
+    payload[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    # fix the CRC so the parser reaches the depth check honestly
+    import zlib as _zlib
+
+    ihdr = bytes(payload[8 + 8 : 8 + 8 + 4 + 13])[4:]  # type+data
+    crc = _zlib.crc32(b"IHDR" + ihdr[:13].rjust(13, b"\x00"))
+    with pytest.raises(ValueError, match="PIL"):
+        M.decode_png(bytes(payload))
+
+
+def test_png_paeth_predictor_reference():
+    # RFC 2083 tie rules: prefer a, then b, then c
+    assert M._paeth(0, 0, 0) == 0
+    assert M._paeth(5, 5, 5) == 5  # ties -> a
+    assert M._paeth(10, 20, 15) == 15  # p=15, pc=0 wins -> c
+    assert M._paeth(10, 20, 14) == 14  # p=16, pa=6 pb=4 pc=2 -> c
+    assert M._paeth(1, 9, 2) == 9  # p=8, pa=7 pb=1 pc=6 -> b
+    assert M._paeth(9, 1, 2) == 9  # p=8, pa=1 -> a
+
+
+def test_decode_payload_dispatches_png():
+    pix = _pix(4, 3, 3)
+    got = M.decode_payload(M.encode_png(pix))
+    assert (got == pix).all()
+
+
+def test_audio_frame_features_match_numpy(spark):
+    ids = spark.range(5).withColumnRenamed("id", "doc_id")
+    rows = M.audio_frame_features(M.synth_wav_corpus(ids)).collect()
+    got = {(r["doc_id"], r["frame_id"]): r for r in rows}
+    for d in range(5):
+        n = 50 + d % 50
+        amp = (d * 37 + np.arange(n, dtype=np.int64) * 251) % 4001 - 2000
+        n_frames = n // 16
+        for f in range(n_frames):
+            seg = amp[f * 16 : (f + 1) * 16]
+            nonneg = seg >= 0
+            r = got[(d, f)]
+            assert r["sum_sq"] == int((seg * seg).sum())
+            assert r["peak"] == int(np.abs(seg).max())
+            assert r["n_zero_cross"] == int(
+                (nonneg[1:] != nonneg[:-1]).sum()
+            )
+        assert (d, n_frames) not in got  # tail remainder dropped
