@@ -1887,3 +1887,124 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH edges AS (SELECT src, dst FROM rc_edges),\n"
         + _RICHCLUB_SQL.replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# DeepWalk-style deterministic random walks (graph-embedding corpus gen)
+# --------------------------------------------------------------------------
+RW_STEPS = 4
+RW_WALKS = 2  # walks per seed
+
+
+def _rw_hash_duck(step: int) -> str:
+    key = (
+        f"'rw|' || c.seed || '|' || c.wid || '|{step}|' || c.node"
+    )
+    return (
+        f"CAST(concat('0x', substr(md5({key}), 1, 8)) AS BIGINT)"
+    )
+
+
+def _random_walks_oracle() -> str:
+    steps, outs = [], [
+        "SELECT seed, wid, CAST(0 AS INT) AS step, node FROM w0"
+    ]
+    for t in range(1, RW_STEPS + 1):
+        steps.append(f"""
+    w{t} AS (
+      SELECT c.seed, c.wid, a.v AS node
+      FROM w{t - 1} c JOIN adj a
+        ON a.u = c.node AND a.r = {_rw_hash_duck(t)} % a.deg
+    )""")
+        outs.append(f"SELECT seed, wid, {t}, node FROM w{t}")
+    return f"""
+    WITH {_cosupplier_edges_sql()},
+    und AS (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION ALL SELECT dst, src FROM pairs
+    ),
+    adj AS MATERIALIZED (
+      SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS r,
+             count(*) OVER (PARTITION BY u) AS deg
+      FROM und
+    ),
+    seeds AS (SELECT DISTINCT u FROM und WHERE u % 4 = 0),
+    w0 AS (
+      SELECT u AS seed, w.wid, u AS node
+      FROM seeds, (VALUES (CAST(0 AS INT)), (1)) w(wid)
+    ),
+    {",".join(steps)}
+    {" UNION ALL ".join(outs)}
+    """
+
+
+@query("graph_random_walks", _random_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec corpus generation, the distributed precursor to
+    graph-embedding training (Perozzi et al. 2014, public method): 2
+    walks of length 4 from every sampled seed over the co-supplier
+    graph.  'Random' steps are DERANDOMIZED the way a reproducible
+    pipeline actually ships them: the neighbor choice at (seed, walk,
+    step, node) is md5 of that tuple mod degree, against a (node,
+    neighbor-rank) adjacency — identical corpora on every run, engine,
+    and partitioning (the md5 idiom shared with the portable HLL /
+    Bloom sketches).  Emitted (seed, wid, step, node) rows feed the
+    existing skipgram-PMI / negative-sampling queries downstream.
+
+    Scale shape: each step is one equi-join of the walk frontier
+    against the ranked adjacency (frontier size = seeds × walks,
+    constant across steps; the adjacency derives from the shared
+    per-process edge snapshot).  Walk count and length are constants,
+    so the whole corpus is |seeds|·walks·(steps+1) rows — linear."""
+    edges = _cosupplier_edges(spark, sf_dir)
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = und.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        (F.row_number().over(w) - 1).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    ).localCheckpoint()
+    seeds = (
+        und.select(F.col("src").alias("u"))
+        .distinct()
+        .filter(F.col("u") % 4 == 0)
+    )
+    wids = spark.range(RW_WALKS).select(F.col("id").cast("int").alias("wid"))
+    cur = seeds.crossJoin(wids).select(
+        F.col("u").alias("seed"), "wid", F.col("u").alias("node")
+    )
+    out = cur.select(
+        "seed", "wid", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for t in range(1, RW_STEPS + 1):
+        key = F.concat(
+            F.lit("rw|"),
+            F.col("seed").cast("string"),
+            F.lit("|"),
+            F.col("wid").cast("string"),
+            F.lit(f"|{t}|"),
+            F.col("node").cast("string"),
+        )
+        pick = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        cur = (
+            cur.withColumn("pick", pick)
+            .join(
+                adj,
+                (adj["u"] == F.col("node"))
+                & (adj["r"] == F.col("pick") % adj["deg"]),
+            )
+            .select("seed", "wid", F.col("v").alias("node"))
+            # each step frame feeds BOTH the next hop and a UNION
+            # branch — checkpoint so the union doesn't re-derive the
+            # whole walk chain per branch (the CTE-inlining fix class)
+            .localCheckpoint()
+        )
+        out = out.union(
+            cur.select(
+                "seed", "wid", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out
