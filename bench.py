@@ -83,6 +83,15 @@ HEADLINE = [
     "kmeans_lloyd_2d",
     "betweenness_fixed_point",
     "dsir_importance_weights",
+    # round-9 representatives
+    "bpe_merges_top",
+    "knn_label_noise",
+    "bloom_filter_probe",
+    "kcenter_coreset_select",
+    "png_pixel_stats",
+    "graph_random_walks",
+    "hll_md5_distinct",
+    "zone_map_pruning_eval",
 ]
 
 

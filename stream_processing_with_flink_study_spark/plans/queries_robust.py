@@ -957,3 +957,106 @@ def gumbel_frame(maxima: DataFrame) -> DataFrame:
         "WITH maxima AS (SELECT CAST(m AS BIGINT) AS m"
         " FROM gum_m_frame),\n" + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# quantile regression via exact-integer pinball-loss grid fit
+# --------------------------------------------------------------------------
+QR_TAUS10 = (5, 9)  # tau * 10: median and the 90th-percentile line
+QR_INTERCEPTS = tuple(range(10_000_000, 48_000_001, 2_500_000))  # cents
+QR_SLOPES = (-2000, -1000, -500, -200, 0, 200, 500, 1000, 2000)  # cents/day
+QR_EPOCH = "1995-01-01"
+
+
+def _qr_grid_values() -> str:
+    rows = [
+        f"({t10}, {a}, {b})"
+        for t10 in QR_TAUS10
+        for a in QR_INTERCEPTS
+        for b in QR_SLOPES
+    ]
+    return ", ".join(rows)
+
+
+@query(
+    "quantile_regression_grid",
+    f"""
+    WITH pts AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS yc,
+             date_diff('day', DATE '{QR_EPOCH}',
+                       CAST(o_orderdate AS DATE)) AS x
+      FROM orders
+    ),
+    grid(t10, a, b) AS (VALUES {_qr_grid_values()}),
+    losses AS (
+      SELECT g.t10, g.a, g.b,
+             CAST(sum(CASE WHEN p.yc - (g.a + g.b * p.x) >= 0
+                           THEN g.t10 * (p.yc - (g.a + g.b * p.x))
+                           ELSE (10 - g.t10)
+                                * ((g.a + g.b * p.x) - p.yc)
+                      END) AS BIGINT) AS loss10
+      FROM pts p CROSS JOIN grid g
+      GROUP BY 1, 2, 3
+    )
+    SELECT round(t10 / 10.0, 1) AS tau,
+           round(a / 100.0, 2) AS intercept_usd,
+           CAST(b AS BIGINT) AS slope_cents_per_day,
+           loss10 AS pinball_loss10_cents
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY t10 ORDER BY loss10, a, b) AS r
+      FROM losses
+    ) WHERE r = 1
+    """,
+)
+def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression (median and 90th-percentile lines of order
+    value over time) fit by exact-integer pinball loss over a literal
+    candidate grid — the grid-argmin idiom of ``adstock_grid_fit``
+    extended to Koenker's check loss.  Completes the robust-fit family
+    (Huber IRLS / RANSAC / Theil-Sen estimate the CENTER; quantile
+    lines bound the tails, the spread diagnostic a revenue pipeline
+    actually wants).
+
+    Determinism: prices quantize to exact cents, days are integers, so
+    every candidate's loss is one BIGINT sum — argmin tie-breaks
+    (loss, intercept, slope).  One scan, one aggregate over rows ×
+    |grid|; the grid is a broadcast literal table, so the fit runs at
+    any corpus size without a second pass (unlike IRLS, which iterates)."""
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("yc"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(QR_EPOCH).cast("date")
+        ).alias("x"),
+    )
+    grid = spark.createDataFrame(
+        [
+            (t10, a, b)
+            for t10 in QR_TAUS10
+            for a in QR_INTERCEPTS
+            for b in QR_SLOPES
+        ],
+        "t10 int, a long, b long",
+    )
+    r = F.col("yc") - (F.col("a") + F.col("b") * F.col("x"))
+    pin = F.when(r >= 0, F.col("t10") * r).otherwise(
+        (10 - F.col("t10")) * (-r)
+    )
+    losses = (
+        pts.crossJoin(F.broadcast(grid))
+        .groupBy("t10", "a", "b")
+        .agg(F.sum(pin).cast("long").alias("loss10"))
+    )
+    w = Window.partitionBy("t10").orderBy("loss10", "a", "b")
+    return (
+        losses.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.round(F.col("t10") / 10.0, 1).alias("tau"),
+            F.round(F.col("a") / 100.0, 2).alias("intercept_usd"),
+            F.col("b").cast("long").alias("slope_cents_per_day"),
+            F.col("loss10").alias("pinball_loss10_cents"),
+        )
+    )

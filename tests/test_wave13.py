@@ -117,3 +117,69 @@ def test_adstock_tpch_sane(spark):
     assert len(rows) == 3
     assert sum(r["is_best"] for r in rows) == 1
     assert all(0 <= r["r2"] <= 1 + 1e-9 for r in rows)
+
+
+def test_quantile_regression_grid_matches_numpy_replica(spark, tmp_path):
+    """Independent numpy replay of the exact-integer pinball grid: write
+    a planted orders table (bimodal prices, zero trend), recompute every
+    candidate's loss10 in numpy over the SAME literal grid, and assert
+    the query returns the replica's argmin for both taus."""
+    import datetime
+
+    import numpy as np
+
+    from stream_processing_with_flink_study_spark.plans.queries_robust import (
+        QR_EPOCH,
+        QR_INTERCEPTS,
+        QR_SLOPES,
+        QR_TAUS10,
+    )
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = []
+    for i in range(400):
+        price = 150_000.0 if i % 2 == 0 else 350_000.37
+        # both price levels on the SAME day — a tilted line can't
+        # exploit a parity/time correlation, so the planted optimum
+        # is the flat envelope edge
+        rows.append((price, base + datetime.timedelta(days=3 * (i // 2))))
+    spark.createDataFrame(
+        rows, "o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+    yc = np.array(
+        [int(np.floor(p * 100.0 + 0.5)) for p, _ in rows], dtype=np.int64
+    )
+    epoch = datetime.datetime.strptime(QR_EPOCH, "%Y-%m-%d")
+    x = np.array([(d - epoch).days for _, d in rows], dtype=np.int64)
+    want = {}
+    for t10 in QR_TAUS10:
+        best = None
+        for a in QR_INTERCEPTS:
+            for b in QR_SLOPES:
+                r = yc - (a + b * x)
+                loss10 = int(
+                    (t10 * r[r >= 0]).sum() + ((10 - t10) * -r[r < 0]).sum()
+                )
+                key = (loss10, a, b)
+                if best is None or key < best:
+                    best = key
+        want[t10 / 10.0] = best
+    got = {
+        r["tau"]: r
+        for r in QUERIES["quantile_regression_grid"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {0.5, 0.9}
+    for tau, (loss10, a, b) in want.items():
+        assert got[tau]["pinball_loss10_cents"] == loss10
+        assert got[tau]["intercept_usd"] == round(a / 100.0, 2)
+        assert got[tau]["slope_cents_per_day"] == b
+    # planted truth: flat bimodal data -> zero slope, 90th line above median
+    assert got[0.5]["slope_cents_per_day"] == 0
+    assert got[0.9]["slope_cents_per_day"] == 0
+    assert got[0.9]["intercept_usd"] >= got[0.5]["intercept_usd"]
