@@ -1060,3 +1060,154 @@ def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("loss10").alias("pinball_loss10_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# propensity-score matching ATT (nearest-control on the covariate)
+# --------------------------------------------------------------------------
+@query(
+    "propensity_match_att",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS oc
+      FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT c_custkey AS key,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treated,
+             coalesce(s.oc, 0) AS outc
+      FROM customer LEFT JOIN spend s ON s.k = c_custkey
+    ),
+    seq AS (
+      SELECT *,
+        last_value(CASE WHEN treated = 0 THEN
+            struct_pack(bal := bal, key := key, outc := outc) END
+            IGNORE NULLS)
+          OVER (ORDER BY bal, key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_c,
+        first_value(CASE WHEN treated = 0 THEN
+            struct_pack(bal := bal, key := key, outc := outc) END
+            IGNORE NULLS)
+          OVER (ORDER BY bal, key
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS next_c
+      FROM cust
+    ),
+    m AS (
+      SELECT key, outc,
+        CASE
+          WHEN prev_c IS NULL THEN next_c
+          WHEN next_c IS NULL THEN prev_c
+          WHEN (bal - prev_c.bal) < (next_c.bal - bal) THEN prev_c
+          WHEN (bal - prev_c.bal) > (next_c.bal - bal) THEN next_c
+          WHEN prev_c.key < next_c.key THEN prev_c
+          ELSE next_c
+        END AS ctrl
+      FROM seq WHERE treated = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_treated,
+           round((sum(outc - ctrl.outc) * 1.0 / count(*)) / 100.0, 4)
+             AS att_usd,
+           round((sum(outc) * 1.0 / count(*)) / 100.0, 4)
+             AS avg_treated_usd,
+           round((sum(ctrl.outc) * 1.0 / count(*)) / 100.0, 4)
+             AS avg_matched_usd
+    FROM m
+    """,
+)
+def propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score-matching ATT — completes the causal battery
+    (DiD / IV-2SLS / RDD / stratified-IPW exist; matching was the
+    missing classic): every treated customer (BUILDING segment) is
+    matched with replacement to its nearest control on the balance
+    covariate, and the average treatment effect on the treated is the
+    mean matched outcome difference (total spend).
+
+    Matching WITHOUT a quadratic join: one union frame sorted by
+    (balance, key) gives each treated row its nearest control below
+    (``last IGNORE NULLS`` over preceding rows) and above (``first``
+    over following); the closer of the two wins, ties broken by
+    absolute gap then control key — exact integer cents everywhere, so
+    both engines pick the identical match.  The global-order window is
+    customer-DIMENSION-sized (never fact-sized); at extreme dim
+    cardinality the same construction bands by balance range with
+    boundary duplication.
+
+    Determinism: balances and outcomes quantize to exact cents; the
+    choice CASE and the final means divide exact BIGINTs through one
+    shared tree."""
+    spend_cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(spend_cents).cast("long").alias("oc"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(spend, F.col("c_custkey") == F.col("k"), "left")
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5)
+            .cast("long")
+            .alias("bal"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("treated"),
+            F.coalesce(F.col("oc"), F.lit(0)).cast("long").alias("outc"),
+        )
+    )
+    ctrl_struct = F.when(
+        F.col("treated") == 0,
+        F.struct(
+            F.col("bal").alias("bal"),
+            F.col("key").alias("key"),
+            F.col("outc").alias("outc"),
+        ),
+    )
+    w = Window.orderBy("bal", "key")
+    seq = cust.select(
+        "key",
+        "bal",
+        "treated",
+        "outc",
+        F.last(ctrl_struct, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_c"),
+        F.first(ctrl_struct, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_c"),
+    )
+    p, n = F.col("prev_c"), F.col("next_c")
+    dp = F.col("bal") - p["bal"]
+    dn = n["bal"] - F.col("bal")
+    ctrl = (
+        F.when(p.isNull(), n)
+        .when(n.isNull(), p)
+        .when(dp < dn, p)
+        .when(dp > dn, n)
+        .when(p["key"] < n["key"], p)
+        .otherwise(n)
+    )
+    m = seq.filter(F.col("treated") == 1).select(
+        "key", "outc", ctrl.alias("ctrl")
+    )
+    cnt = F.count(F.lit(1))
+    return m.agg(
+        cnt.cast("long").alias("n_treated"),
+        F.round(
+            (F.sum(F.col("outc") - F.col("ctrl")["outc"]) * 1.0 / cnt)
+            / 100.0,
+            4,
+        ).alias("att_usd"),
+        F.round((F.sum("outc") * 1.0 / cnt) / 100.0, 4).alias(
+            "avg_treated_usd"
+        ),
+        F.round(
+            (F.sum(F.col("ctrl")["outc"]) * 1.0 / cnt) / 100.0, 4
+        ).alias("avg_matched_usd"),
+    )

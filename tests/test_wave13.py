@@ -183,3 +183,48 @@ def test_quantile_regression_grid_matches_numpy_replica(spark, tmp_path):
     assert got[0.5]["slope_cents_per_day"] == 0
     assert got[0.9]["slope_cents_per_day"] == 0
     assert got[0.9]["intercept_usd"] >= got[0.5]["intercept_usd"]
+
+
+def test_propensity_match_att_planted_matches(spark, tmp_path):
+    """Hand-checkable nearest-control matching: gaps, a tie broken by
+    control key, and a boundary treated unit with only one side."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    # (key, bal, segment): treated = BUILDING
+    cust = [
+        (1, 100.00, "BUILDING"),   # controls at 90 / 105 -> 105 (5 < 10)
+        (2, 200.00, "BUILDING"),   # controls at 195 / 205 -> tie -> key 20
+        (3, 10.00, "BUILDING"),    # below every control -> nearest above 90
+        (10, 90.00, "MACHINERY"),
+        (11, 105.00, "MACHINERY"),
+        (20, 195.00, "FURNITURE"),
+        (21, 205.00, "FURNITURE"),
+    ]
+    spark.createDataFrame(
+        [(k, "n", 0, b, s) for k, b, s in cust],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    # outcomes: spend = key * $10 (one order each), customers 3/21 idle
+    d = datetime.datetime(1995, 6, 1)
+    orders = [(k, k * 10.0, d) for k, _, _ in cust if k not in (3, 21)]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = QUERIES["propensity_match_att"](spark, str(tmp_path)).collect()[0]
+    assert r["n_treated"] == 3
+    # matches: 1->11 (outc 110), 2->20 (tie on gap 5, smaller key), 3->10
+    treated_out = [10.0, 20.0, 0.0]
+    matched_out = [110.0, 200.0, 100.0]
+    n = 3
+    assert r["avg_treated_usd"] == round(sum(treated_out) / n, 4)
+    assert r["avg_matched_usd"] == round(sum(matched_out) / n, 4)
+    assert r["att_usd"] == round(
+        sum(t - m for t, m in zip(treated_out, matched_out)) / n, 4
+    )
