@@ -687,3 +687,179 @@ def audio_chunks(
     return df.select(id_col, "payload").mapInPandas(
         _chunks, AUDIO_CHUNK_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# AVI video container (RIFF): real header/index parsing, codec-free
+# --------------------------------------------------------------------------
+AVI_STATS_SCHEMA = (
+    "doc_id long, n_frames int, us_per_frame int, width int, height int,"
+    " total_bytes long, max_frame int, min_frame int"
+)
+
+
+def encode_avi_mjpeg(
+    frame_payloads: list[bytes],
+    us_per_frame: int = 33_333,
+    width: int = 64,
+    height: int = 48,
+) -> bytes:
+    """Serialize frame payloads as a canonical AVI container: RIFF
+    'AVI ' with a hdrl LIST (avih MainAVIHeader + one 'vids'/'MJPG'
+    stream: strh + strf BITMAPINFOHEADER), a movi LIST of '00dc'
+    chunks, and a classic idx1 index — the real on-disk layout video
+    tooling reads.  The frame payloads themselves are opaque (a real
+    file would hold JPEG bytes; decoding THOSE needs a codec library —
+    the container walk does not)."""
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(frame_payloads), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1_000_000, us_per_frame,
+        0, len(frame_payloads), 0, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,
+        width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    idx = b""
+    for p in frame_payloads:
+        offset = len(movi_body)  # offset of the chunk within movi
+        movi_body += chunk(b"00dc", p)
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(p))
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_meta(payload: bytes) -> dict:
+    """Parse an AVI container without any codec: RIFF walk to the hdrl
+    LIST (frame cadence + dims from MainAVIHeader), then the movi LIST
+    ('00dc'/'01wb' chunk sizes = per-frame byte counts), cross-checked
+    against the idx1 index when present (a corrupt or truncated index
+    raises).  Returns {us_per_frame, width, height, n_frames,
+    frame_sizes} — the container-level metadata a video-curation
+    pipeline needs (fps stats, bitrate spikes, frame counts) before any
+    expensive codec pass."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos, avih, sizes, idx_sizes = 12, None, [], None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data_start = pos + 8
+        if cid == b"LIST":
+            ltype = payload[data_start : data_start + 4]
+            if ltype == b"hdrl":
+                # avih is the first chunk inside hdrl
+                p2 = data_start + 4
+                cid2 = payload[p2 : p2 + 4]
+                (s2,) = struct.unpack_from("<I", payload, p2 + 4)
+                if cid2 == b"avih":
+                    avih = payload[p2 + 8 : p2 + 8 + s2]
+                pos = data_start + size
+                continue
+            if ltype == b"movi":
+                p2, end = data_start + 4, data_start + size
+                while p2 + 8 <= end:
+                    cid2 = payload[p2 : p2 + 4]
+                    (s2,) = struct.unpack_from("<I", payload, p2 + 4)
+                    if cid2[2:4] in (b"dc", b"wb", b"db"):
+                        sizes.append(s2)
+                    p2 += 8 + s2 + (s2 & 1)
+                pos = data_start + size
+                continue
+        elif cid == b"idx1":
+            idx_sizes = [
+                struct.unpack_from("<I", payload, data_start + 16 * k + 12)[0]
+                for k in range(size // 16)
+            ]
+        pos = data_start + size + (size & 1)
+    if avih is None:
+        raise ValueError("AVI payload missing avih header")
+    us_per_frame, _, _, _, total, _, _, _, w, h = struct.unpack_from(
+        "<IIIIIIIIII", avih
+    )
+    if idx_sizes is not None and idx_sizes != sizes:
+        raise ValueError("AVI idx1 index disagrees with movi chunks")
+    if total != len(sizes):
+        raise ValueError(
+            f"AVI header declares {total} frames, movi carries {len(sizes)}"
+        )
+    return {
+        "us_per_frame": us_per_frame,
+        "width": w,
+        "height": h,
+        "n_frames": len(sizes),
+        "frame_sizes": sizes,
+    }
+
+
+def synth_avi_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI corpus: per id, ``5 + id % 6`` frames of
+    ``100 + (id·13 + i·7) % 50`` bytes at ``33333 + (id % 5)·1000`` µs
+    cadence, dims (64, 48) — REAL AVI bytes via
+    :func:`encode_avi_mjpeg` (hdrl + movi + idx1)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                frames = [
+                    bytes(
+                        ((d * 13 + i * 7 + j) % 256)
+                        for j in range(100 + (d * 13 + i * 7) % 50)
+                    )
+                    for i in range(5 + d % 6)
+                ]
+                payloads.append(
+                    encode_avi_mjpeg(frames, 33_333 + (d % 5) * 1000)
+                )
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+def decoded_avi_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video-container decode: parse each AVI with
+    :func:`decode_avi_meta` (header cadence/dims, movi chunk walk,
+    idx1 cross-check) and reduce the frame-size stream to exact
+    integers — the bitrate/cadence profile of a video curation pass."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "us_per_frame", "width", "height",
+                "total_bytes", "max_frame", "min_frame",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                m = decode_avi_meta(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(m["n_frames"])
+                out["us_per_frame"].append(m["us_per_frame"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["total_bytes"].append(int(sum(m["frame_sizes"])))
+                out["max_frame"].append(int(max(m["frame_sizes"])))
+                out["min_frame"].append(int(min(m["frame_sizes"])))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_stats, AVI_STATS_SCHEMA)

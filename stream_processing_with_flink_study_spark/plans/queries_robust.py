@@ -1031,21 +1031,29 @@ def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"), F.lit(QR_EPOCH).cast("date")
         ).alias("x"),
     )
-    grid = spark.createDataFrame(
-        [
-            (t10, a, b)
+    # the grid rides as a literal array<struct> inlined per row — all
+    # whole-stage codegen with map-side partial aggregation into |grid|
+    # groups (measured fastest vs BroadcastNestedLoop crossJoin and a
+    # dummy-key BroadcastHashJoin; the floor is the rows × |grid| exact
+    # integer work itself, which is the point of an exact grid fit)
+    grid_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t10).alias("t10"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
             for t10 in QR_TAUS10
             for a in QR_INTERCEPTS
             for b in QR_SLOPES
-        ],
-        "t10 int, a long, b long",
+        ]
     )
     r = F.col("yc") - (F.col("a") + F.col("b") * F.col("x"))
     pin = F.when(r >= 0, F.col("t10") * r).otherwise(
         (10 - F.col("t10")) * (-r)
     )
     losses = (
-        pts.crossJoin(F.broadcast(grid))
+        pts.select("yc", "x", F.inline(grid_arr))
         .groupBy("t10", "a", "b")
         .agg(F.sum(pin).cast("long").alias("loss10"))
     )
@@ -1169,18 +1177,24 @@ def propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("outc").alias("outc"),
         ),
     )
-    w = Window.orderBy("bal", "key")
+    # BOTH neighbor windows as running (unbounded-PRECEDING) frames:
+    # next_c is "last control so far" under the REVERSED sort — Spark
+    # executes unbounded-preceding frames as an O(n) running
+    # accumulator, while an unbounded-FOLLOWING frame recomputes per
+    # row (O(n²): 7s -> ms on the sf0.1 customer dim)
+    w_fwd = Window.orderBy(F.asc("bal"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_rev = Window.orderBy(F.desc("bal"), F.desc("key")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     seq = cust.select(
         "key",
         "bal",
         "treated",
         "outc",
-        F.last(ctrl_struct, ignorenulls=True)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        .alias("prev_c"),
-        F.first(ctrl_struct, ignorenulls=True)
-        .over(w.rowsBetween(1, Window.unboundedFollowing))
-        .alias("next_c"),
+        F.last(ctrl_struct, ignorenulls=True).over(w_fwd).alias("prev_c"),
+        F.last(ctrl_struct, ignorenulls=True).over(w_rev).alias("next_c"),
     )
     p, n = F.col("prev_c"), F.col("next_c")
     dp = F.col("bal") - p["bal"]

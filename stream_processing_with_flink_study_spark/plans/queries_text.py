@@ -1576,3 +1576,42 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), "sid", "tid")
         .limit(30)
     )
+
+
+@query(
+    "avi_stream_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id, 5 + doc_id % 6 AS nf FROM documents),
+    fr AS (
+      SELECT g.doc_id, g.nf,
+             100 + (g.doc_id * 13 + t.i * 7) % 50 AS fsz
+      FROM g, unnest(range(0, g.nf)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(any_value(nf) AS INT) AS n_frames,
+           CAST(33333 + (doc_id % 5) * 1000 AS INT) AS us_per_frame,
+           CAST(64 AS INT) AS width,
+           CAST(48 AS INT) AS height,
+           CAST(sum(fsz) AS BIGINT) AS total_bytes,
+           CAST(max(fsz) AS INT) AS max_frame,
+           CAST(min(fsz) AS INT) AS min_frame
+    FROM fr GROUP BY doc_id
+    """,
+)
+def avi_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode end-to-end: deterministic frame
+    streams are serialized to genuine AVI bytes (RIFF hdrl with
+    MainAVIHeader + 'vids'/'MJPG' stream headers, a movi LIST of 00dc
+    chunks, and a classic idx1 index — functions/multimodal.
+    encode_avi_mjpeg), then a SEPARATE Arrow-batched stage walks the
+    container back (decode_avi_meta: cadence/dims from the header,
+    frame sizes from the movi chunk walk, CROSS-CHECKED against idx1 —
+    a disagreeing index raises) and reduces to the exact-integer
+    bitrate/cadence profile a video-curation pipeline computes before
+    any codec pass.  Frame PAYLOAD decode (the MJPG bytes) genuinely
+    needs a codec library and stays behind the documented plug-in
+    point; everything container-level is real.  Completes the
+    audio (WAV) / image (BMP, PNG) / video (AVI) codec ladder."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    avis = multimodal.synth_avi_corpus(docs)
+    return multimodal.decoded_avi_stats(avis)

@@ -209,3 +209,48 @@ def test_audio_frame_features_match_numpy(spark):
                 (nonneg[1:] != nonneg[:-1]).sum()
             )
         assert (d, n_frames) not in got  # tail remainder dropped
+
+
+# --------------------------------------------------------------------------
+# AVI (video container: header + movi walk + idx1 cross-check)
+# --------------------------------------------------------------------------
+def test_avi_round_trip_and_header_fields():
+    frames = [bytes((i * 3 + j) % 256 for j in range(90 + i)) for i in range(7)]
+    m = M.decode_avi_meta(M.encode_avi_mjpeg(frames, 25_000, 320, 240))
+    assert m["n_frames"] == 7
+    assert m["us_per_frame"] == 25_000
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["frame_sizes"] == [len(f) for f in frames]
+
+
+def test_avi_odd_sized_frames_word_aligned():
+    # odd chunk sizes force the RIFF pad byte; the walk must skip it
+    frames = [b"x" * 99, b"y" * 101, b"z" * 97]
+    m = M.decode_avi_meta(M.encode_avi_mjpeg(frames))
+    assert m["frame_sizes"] == [99, 101, 97]
+
+
+def test_avi_index_disagreement_raises():
+    import struct as _s
+
+    payload = bytearray(M.encode_avi_mjpeg([b"a" * 100, b"b" * 100]))
+    # corrupt the last idx1 entry's size field
+    idx_at = bytes(payload).rfind(b"idx1")
+    _s.pack_into("<I", payload, idx_at + 8 + 16 + 12, 999)
+    with pytest.raises(ValueError, match="idx1"):
+        M.decode_avi_meta(bytes(payload))
+
+
+def test_avi_frame_count_mismatch_raises():
+    import struct as _s
+
+    payload = bytearray(M.encode_avi_mjpeg([b"a" * 100, b"b" * 100]))
+    hdr_at = bytes(payload).find(b"avih")
+    _s.pack_into("<I", payload, hdr_at + 8 + 16, 5)  # dwTotalFrames
+    with pytest.raises(ValueError, match="frames"):
+        M.decode_avi_meta(bytes(payload))
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(ValueError, match="AVI"):
+        M.decode_avi_meta(b"RIFF\x00\x00\x00\x00WAVE")
