@@ -2218,24 +2218,34 @@ def smote_oversample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH tier like the ANN queries.  Raw cosine ordering is
     bit-equal across engines (the proven brute-force-family property),
     so the rank-1 pick and the rounded similarity hash-match."""
-    from ..functions.similarity import cosine
+    from ..functions.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_class"))
     maj = sizes.agg(F.max("n_class").alias("maj"))
-    a = emb.select("label", "vec_id", F.col("embedding").alias("_va"))
+    # per-row norms materialize BEFORE the same-label pair join: one
+    # interpreted fold per pair (the dot) instead of three —
+    # bit-identical cosine (same subexpressions, same multiply order)
+    a = emb.select(
+        "label", "vec_id", F.col("embedding").alias("_va"),
+        norm(F.col("embedding")).alias("_na"),
+    )
     b = emb.select(
         F.col("label").alias("_lb"),
         F.col("vec_id").alias("nn_id"),
         F.col("embedding").alias("_vb"),
+        norm(F.col("embedding")).alias("_nb"),
     )
     scored = (
         a.join(b, (a["label"] == b["_lb"]) & (a["vec_id"] != b["nn_id"]))
         .select(
             "label", "vec_id", "nn_id",
-            cosine(F.col("_va"), F.col("_vb")).alias("sim"),
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nn_id"))

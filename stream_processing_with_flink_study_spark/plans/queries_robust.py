@@ -1138,8 +1138,11 @@ def propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Matching WITHOUT a quadratic join: one union frame sorted by
     (balance, key) gives each treated row its nearest control below
-    (``last IGNORE NULLS`` over preceding rows) and above (``first``
-    over following); the closer of the two wins, ties broken by
+    (``last IGNORE NULLS`` over preceding rows) and above (the same
+    running frame under the REVERSED sort — Spark executes
+    unbounded-preceding frames as O(n) accumulators, where an
+    unbounded-following frame recomputes per row, O(n²));
+    the closer of the two wins, ties broken by
     absolute gap then control key — exact integer cents everywhere, so
     both engines pick the identical match.  The global-order window is
     customer-DIMENSION-sized (never fact-sized); at extreme dim
