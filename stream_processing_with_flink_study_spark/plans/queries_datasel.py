@@ -496,3 +496,125 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "sel_rank int, vec_id long, label int, radius long"
     )
+
+
+def _knn_ivf_oracle() -> str:
+    cents = similarity.ivf_centroids_values_sql(16, 64)
+    qv = similarity.QUANT_VEC_SQL.format(col="embedding")
+    return f"""
+    WITH ei AS MATERIALIZED (
+      SELECT vec_id, label, {qv} AS v FROM embeddings
+    ),
+    cent(cell, w) AS (VALUES {cents}),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(ei.v, c.w) DESC, cell) AS r
+      FROM ei CROSS JOIN cent c
+    ),
+    cand AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id
+      FROM (SELECT vec_id, cell FROM ranked
+            WHERE vec_id % {KNN_SAMPLE_MOD} = 0 AND r <= 4) q
+      JOIN (SELECT vec_id, cell FROM ranked WHERE r = 1) n USING (cell)
+      WHERE n.vec_id <> q.vec_id
+    ),
+    knn AS MATERIALIZED (
+      SELECT q_id, n_id FROM (
+        SELECT c.q_id, c.n_id,
+               row_number() OVER (
+                 PARTITION BY c.q_id
+                 ORDER BY list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                 c.n_id) AS r
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.q_id
+        JOIN embeddings b ON b.vec_id = c.n_id
+      ) WHERE r <= {KNN_K}
+    ),
+    lab AS (
+      SELECT k.q_id, eq.label AS q_label, en.label AS n_label
+      FROM knn k
+      JOIN ei eq ON eq.vec_id = k.q_id
+      JOIN ei en ON en.vec_id = k.n_id
+    ),
+    votes AS (
+      SELECT q_id, q_label, n_label, CAST(count(*) AS BIGINT) AS v
+      FROM lab GROUP BY 1, 2, 3
+    ),
+    maj AS (
+      SELECT q_id, q_label, n_label AS knn_majority FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY v DESC, n_label) AS r
+        FROM votes
+      ) WHERE r = 1
+    ),
+    agree AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_considered,
+             CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM lab GROUP BY q_id
+    )
+    SELECT m.q_id AS vec_id, m.q_label AS label, m.knn_majority,
+           a.n_considered, a.n_agree,
+           round(a.n_agree * 1.0 / a.n_considered, 4) AS agree_frac,
+           CAST(CASE WHEN m.knn_majority != m.q_label
+                     THEN 1 ELSE 0 END AS INT) AS flag_noise
+    FROM maj m JOIN agree a USING (q_id)
+    """
+
+
+@query("knn_label_noise_ivf", _knn_ivf_oracle())
+def knn_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-noise screen on the SCALE tier: identical vote /
+    majority / agreement semantics to ``knn_label_noise``, but
+    neighbors come from the IVF index (integer-literal centroid cells,
+    nprobe=4) instead of the brute-force cross join — the documented
+    100 TB swap, now an actual registered query instead of a docstring
+    promise.  Candidate lists are cell-bounded, so ``n_considered``
+    rides along (a probe can see fewer than k neighbors) and the
+    agreement fraction divides by it.  Exact-integer cell assignment +
+    (sim DESC, id) ranks keep every column hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
+    knn = similarity.ivf_topk(emb, queries, dim=64, k=KNN_K)
+    q_labels = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    n_labels = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")
+    )
+    lab = (
+        knn.join(F.broadcast(n_labels), "n_id")
+        .join(F.broadcast(q_labels), "q_id")
+        .select("q_id", "q_label", "n_label")
+    )
+    votes = lab.groupBy("q_id", "q_label", "n_label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wm = Window.partitionBy("q_id").orderBy(F.desc("v"), F.asc("n_label"))
+    maj = (
+        votes.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") == 1)
+        .select("q_id", "q_label", F.col("n_label").alias("knn_majority"))
+    )
+    agree = lab.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_considered"),
+        F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return maj.join(agree, "q_id").select(
+        F.col("q_id").alias("vec_id"),
+        F.col("q_label").alias("label"),
+        "knn_majority",
+        "n_considered",
+        "n_agree",
+        F.round(
+            F.col("n_agree") * 1.0 / F.col("n_considered"), 4
+        ).alias("agree_frac"),
+        F.when(F.col("knn_majority") != F.col("q_label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("flag_noise"),
+    )

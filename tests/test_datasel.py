@@ -206,3 +206,27 @@ def test_kcenter_radius_monotone_on_fixture(spark):
     radii = [r.radius for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
     assert all(r.vec_id % 2 == 0 for r in rows)
+
+
+def test_knn_label_noise_ivf_consistent_with_brute(spark):
+    """The IVF tier must (a) audit the same query sample, (b) obey
+    n_agree <= n_considered <= k, and (c) agree with the brute-force
+    verdict on the overwhelming majority of queries — the recall
+    property of the index, not bit-equality (cells legitimately prune
+    candidates)."""
+    sf = "/root/testdata/sf0.01"  # 16 cells need the ~500-vector corpus
+    brute = {
+        r.vec_id: r
+        for r in QUERIES["knn_label_noise"](spark, sf).collect()
+    }
+    ivf = {
+        r.vec_id: r
+        for r in QUERIES["knn_label_noise_ivf"](spark, sf).collect()
+    }
+    assert set(ivf) == set(brute)
+    agree = 0
+    for vid, r in ivf.items():
+        assert 0 <= r.n_agree <= r.n_considered <= 10
+        assert r.label == brute[vid].label
+        agree += int(r.flag_noise == brute[vid].flag_noise)
+    assert agree >= int(0.8 * len(ivf))
