@@ -2425,3 +2425,124 @@ def hll_md5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_lang.unionByName(allrow)
+
+
+# --------------------------------------------------------------------------
+# portable Count-Min sketch: md5-derived buckets, bit-exact across engines
+# --------------------------------------------------------------------------
+CMP_D = 4  # hash rows
+CMP_W = 512  # buckets per row
+CMP_TOPK = 20
+
+
+def _cmp_pos_duck(r: int, tok_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('cm{r}|', {tok_expr})), 1, 8))"
+        f" AS BIGINT) % {CMP_W}"
+    )
+
+
+def _count_min_portable_oracle() -> str:
+    build = " UNION ALL ".join(
+        f"SELECT {r} AS row_id, {_cmp_pos_duck(r, 't')} AS bucket"
+        " FROM toks"
+        for r in range(CMP_D)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT t, {r} AS row_id, {_cmp_pos_duck(r, 't')} AS bucket"
+        " FROM top"
+        for r in range(CMP_D)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    tc AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM toks WHERE t <> '' GROUP BY t
+    ),
+    top AS MATERIALIZED (
+      SELECT t, exact_cnt FROM tc ORDER BY exact_cnt DESC, t
+      LIMIT {CMP_TOPK}
+    ),
+    sk AS MATERIALIZED (
+      SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM ({build}) GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.t, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_est
+      FROM ({probe}) p
+      LEFT JOIN sk USING (row_id, bucket)
+      GROUP BY p.t
+    )
+    SELECT tp.t AS token, tp.exact_cnt, e.cms_est,
+           e.cms_est - tp.exact_cnt AS overestimate
+    FROM top tp JOIN est e ON e.t = tp.t
+    """
+
+
+@query("count_min_portable", _count_min_portable_oracle())
+def count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch whose REGISTERS are bit-exact across engines:
+    bucket indices derive from md5 substrings (the portable-HLL / Bloom
+    idiom), so both engines build the identical {CMP_D}×{CMP_W} counter
+    table, and the point estimates for the top-{CMP_TOPK} exact tokens
+    — min over the token's d cells — hash-match including the
+    per-token OVERESTIMATE column, which also pins the CMS one-sided
+    error guarantee (≥ 0 everywhere) inside the oracle itself.
+    Completes the portable-sketch trio (HLL `hll_md5_distinct`, Bloom
+    `bloom_filter_probe`, CMS here); the native xxhash64 battery
+    (`sketch_battery`) stays the engine-tuned fast path.
+
+    Scale shape: build is one corpus scan exploding d struct cells with
+    map-side partial aggregation into ≤ d·w groups; the sketch (≤ 2048
+    rows regardless of corpus size) broadcasts to the probe side."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(text.tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+
+    def pos(r: int, tok):
+        h = F.md5(F.concat(F.lit(f"cm{r}|"), tok))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMP_W
+
+    tc = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    top = tc.orderBy(F.desc("exact_cnt"), F.asc("t")).limit(CMP_TOPK)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"), pos(r, F.col("t")).alias("bucket")
+            )
+            for r in range(CMP_D)
+        ]
+    )
+    sk = (
+        toks.select(F.explode(cells).alias("cell"))
+        .groupBy(
+            F.col("cell.row_id").alias("row_id"),
+            F.col("cell.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    probes = top.select("t", F.explode(cells).alias("cell")).select(
+        "t",
+        F.col("cell.row_id").alias("row_id"),
+        F.col("cell.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sk), ["row_id", "bucket"], "left")
+        .groupBy("t")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
+    )
+    return top.join(est, "t").select(
+        F.col("t").alias("token"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    )

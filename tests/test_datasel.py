@@ -230,3 +230,57 @@ def test_knn_label_noise_ivf_consistent_with_brute(spark):
         assert r.label == brute[vid].label
         agree += int(r.flag_noise == brute[vid].flag_noise)
     assert agree >= int(0.8 * len(ivf))
+
+
+def test_count_min_portable_laws_and_hashlib_replay(spark, tmp_path):
+    """CMS one-sided guarantee (est >= exact) on the real fixture, plus
+    a full hashlib replay on a planted corpus: rebuild the 4x512 md5
+    counter table in Python and assert every register-derived estimate
+    matches the engine exactly."""
+    import hashlib
+
+    from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+        CMP_D,
+        CMP_W,
+    )
+
+    rows = QUERIES["count_min_portable"](spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.overestimate >= 0  # the CMS guarantee
+        assert r.cms_est == r.exact_cnt + r.overestimate
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    corpus = [" ".join(words[: i % 5 + 1]) for i in range(30)]
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(corpus)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def pos(r, tok):
+        h = hashlib.md5(f"cm{r}|{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % CMP_W
+
+    exact = {}
+    for c in corpus:
+        for t in c.split():
+            exact[t] = exact.get(t, 0) + 1
+    sk = {}
+    for t, n in exact.items():
+        for r in range(CMP_D):
+            sk[(r, pos(r, t))] = sk.get((r, pos(r, t)), 0) + n
+    want = {
+        t: min(sk.get((r, pos(r, t)), 0) for r in range(CMP_D))
+        for t in exact
+    }
+    got = {
+        r.token: r
+        for r in QUERIES["count_min_portable"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(exact)  # only 5 tokens -> all in top-20
+    for t, r in got.items():
+        assert r.exact_cnt == exact[t]
+        assert r.cms_est == want[t]
