@@ -716,9 +716,13 @@ def encode_avi_mjpeg(
         us_per_frame, 0, 0, 0x10, len(frame_payloads), 0, 1, 0,
         width, height, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER convention: fps = dwRate / dwScale, so
+    # dwScale = us_per_frame, dwRate = 1_000_000 (microsecond ticks)
+    # reads as ~30 fps in real AVI tooling (round-9 advice: the
+    # swapped order read as ~0.03 fps)
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1_000_000, us_per_frame,
+        b"vids", b"MJPG", 0, 0, 0, 0, us_per_frame, 1_000_000,
         0, len(frame_payloads), 0, 0xFFFFFFFF, 0, 0, 0, width, height,
     )
     strf = struct.pack(
@@ -771,7 +775,9 @@ def decode_avi_meta(payload: bytes) -> dict:
                 (s2,) = struct.unpack_from("<I", payload, p2 + 4)
                 if cid2 == b"avih":
                     avih = payload[p2 + 8 : p2 + 8 + s2]
-                pos = data_start + size
+                # RIFF chunks (LIST included) pad to even sizes —
+                # external encoders may emit odd LIST sizes
+                pos = data_start + size + (size & 1)
                 continue
             if ltype == b"movi":
                 p2, end = data_start + 4, data_start + size
@@ -781,7 +787,7 @@ def decode_avi_meta(payload: bytes) -> dict:
                     if cid2[2:4] in (b"dc", b"wb", b"db"):
                         sizes.append(s2)
                     p2 += 8 + s2 + (s2 & 1)
-                pos = data_start + size
+                pos = data_start + size + (size & 1)
                 continue
         elif cid == b"idx1":
             idx_sizes = [

@@ -929,6 +929,25 @@ def whiten(
     return df.select(*id_cols, vec_col).mapInPandas(project, out_schema)
 
 
+def _seq_cos(a: list, b: list) -> float:
+    """Sequential-fold cosine in pure double arithmetic — bit-equal to
+    DuckDB's ``list_cosine_similarity`` (left-to-right accumulation),
+    which is what lets the MMR oracle hash-match every greedy score."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if denom == 0.0:
+        # Zero-norm vector: DuckDB's list_cosine_similarity yields
+        # NaN rather than raising; 0.0 keeps the greedy argmax
+        # deterministic (NaN poisons max comparisons) while still
+        # never selecting a degenerate candidate as "similar".
+        return 0.0
+    return dot / denom
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -946,9 +965,13 @@ def mmr_rerank(
 
     Scale shape: candidate generation is the DISTRIBUTED part
     (:func:`brute_force_topk` — swap in the IVF/PQ tier at scale);
-    the greedy loop runs driver-side on pool-sized candidate sets
-    (pool² sims per query, by design tiny — production MMR works the
-    same way).  Cross-engine determinism (the DuckDB oracle unrolls
+    the greedy runs DISTRIBUTED too, as an ``applyInPandas`` keyed by
+    ``q_id`` — each group is one pool-sized candidate set (pool² sims
+    per query, by design tiny), so queries parallelize across
+    executors and NOTHING is collected to the driver (the round-9
+    verdict's scale-killer: the old driver-side collect of every
+    pool WITH full vectors).  Cross-engine determinism (the DuckDB
+    oracle unrolls
     the same greedy as k staged CTEs): relevance is the 4-decimal
     cosine from the candidate stage; redundancy sims use the
     SEQUENTIAL fold ``dot/(sqrt(Σa²)·sqrt(Σb²))`` which is bit-equal
@@ -964,45 +987,28 @@ def mmr_rerank(
     vecs = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
-    rows = (
-        cand.join(vecs, "n_id")
-        .select("q_id", "n_id", "cosine_sim", "rank", "n_vec")
-        .collect()
+    pool_df = cand.join(vecs, "n_id").select(
+        "q_id", "n_id", "cosine_sim", "rank", "n_vec"
     )
 
-    def seq_cos(a: list, b: list) -> float:
-        dot = na = nb = 0.0
-        for x, y in zip(a, b):
-            dot += x * y
-            na += x * x
-            nb += y * y
-        denom = math.sqrt(na) * math.sqrt(nb)
-        if denom == 0.0:
-            # Zero-norm vector: DuckDB's list_cosine_similarity yields
-            # NaN rather than raising; 0.0 keeps the greedy argmax
-            # deterministic (NaN poisons max comparisons) while still
-            # never selecting a degenerate candidate as "similar".
-            return 0.0
-        return dot / denom
-
-    by_q: dict = {}
-    for r in rows:
-        by_q.setdefault(r["q_id"], []).append(r)
-    out = []
-    for q_id in sorted(by_q):
-        cands = sorted(by_q[q_id], key=lambda r: r["rank"])
-        n = len(cands)
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One group == one query's pool-sized candidate set.  Elements
+        # are coerced to Python float BEFORE any arithmetic so the fold
+        # below runs in double exactly as the old driver-side loop (and
+        # as DuckDB's list_cosine_similarity) — numpy float32 math here
+        # would silently change every redundancy sim.
+        pdf = pdf.sort_values("rank")
+        q_id = int(pdf["q_id"].iloc[0])
+        ids = [int(x) for x in pdf["n_id"]]
+        rel = [float(x) for x in pdf["cosine_sim"]]
+        vec = [[float(x) for x in v] for v in pdf["n_vec"]]
+        n = len(ids)
         sims = [
-            [
-                seq_cos(cands[i]["n_vec"], cands[j]["n_vec"])
-                if i != j
-                else 1.0
-                for j in range(n)
-            ]
+            [_seq_cos(vec[i], vec[j]) if i != j else 1.0 for j in range(n)]
             for i in range(n)
         ]
-        rel = [r["cosine_sim"] for r in cands]
-        chosen: list[int] = []
+        out = []
+        chosen: list = []
         remaining = list(range(n))
         while remaining and len(chosen) < k:
             best_i, best_score = None, None
@@ -1012,28 +1018,26 @@ def mmr_rerank(
                 if (
                     best_score is None
                     or score > best_score
-                    or (
-                        score == best_score
-                        and cands[i]["n_id"] < cands[best_i]["n_id"]
-                    )
+                    or (score == best_score and ids[i] < ids[best_i])
                 ):
                     best_i, best_score = i, score
             chosen.append(best_i)
             remaining.remove(best_i)
             out.append(
-                (
-                    q_id,
-                    len(chosen),
-                    cands[best_i]["n_id"],
-                    float(rel[best_i]),
-                    float(best_score),
-                )
+                (q_id, len(chosen), ids[best_i], rel[best_i], best_score)
             )
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        out,
-        "q_id long, rank int, n_id long, relevance double,"
-        " mmr_score double",
+        return pd.DataFrame(
+            out, columns=["q_id", "rank", "n_id", "relevance", "mmr_score"]
+        )
+
+    return (
+        pool_df.groupBy("q_id")
+        .applyInPandas(
+            greedy,
+            "q_id long, rank int, n_id long, relevance double,"
+            " mmr_score double",
+        )
+        .orderBy("q_id", "rank")
     )
 
 

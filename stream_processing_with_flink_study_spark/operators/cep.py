@@ -484,8 +484,10 @@ def match_pattern_stream(
     ``within_total`` therefore DISABLES the cap: state falls back to
     the full qualifying window (still pruned by ``within``, i.e. the
     inherent O(events per window) reluctant cost) and ``overflow``
-    stays false.  Restricted to relaxed contiguity with all-"one"
-    quantifiers; equivalence to the batch reluctant form is pinned by
+    stays false.  Restricted to relaxed contiguity; quantifiers match
+    the batch reluctant form exactly (``oneOrMore`` collapses to
+    ``one``; ``optional`` middle steps take the skip-path fallback);
+    equivalence to the batch reluctant form is pinned by
     tests/test_cep_reluctant_stream.py."""
     if emit not in ("completion", "chain"):
         raise ValueError(f"unknown emit mode: {emit}")
@@ -542,10 +544,15 @@ def match_pattern_stream(
     if mode == "reluctant":
         if contiguity != "relaxed":
             raise ValueError("reluctant streaming requires relaxed contiguity")
-        if any(q != "one" for q in (quant or ["one"] * n)):
-            raise NotImplementedError(
-                "reluctant streaming supports all-'one' quantifiers only"
-            )
+        # quantifiers mirror the batch reluctant form exactly:
+        # ``oneOrMore`` collapses to ``one`` (completion-emission
+        # semantics, see _normalize_quantifiers) and ``optional``
+        # middle steps take the skip path — a qualification whose
+        # predecessor level holds no in-window binding falls back to
+        # the level BELOW the optional step, the batch
+        # `when(ok, pred).otherwise(_s{m-2})` fallback (closed the
+        # round-9 NotImplementedError; equivalence pinned in
+        # tests/test_cep_reluctant_stream.py)
         # within_total is checked against the EARLIEST binding's
         # first-step ts; once the cap drops that binding the check runs
         # on a LATER first-ts and can pass where batch rejects (a false
@@ -578,6 +585,28 @@ def match_pattern_stream(
             ords = pdf["_ord"].to_numpy()
             ids = pdf[tiebreak].to_numpy(dtype="int64")
             out_rows: list[tuple] = []
+
+            def _bind(pred_level: int, o: int):
+                # earliest in-window binding at the predecessor level;
+                # when that level is an OPTIONAL step with no binding,
+                # skip to the level below it (batch reluctant's
+                # `when(ok, pred).otherwise(_s{m-2})` fallback —
+                # _normalize_quantifiers guarantees optionals are
+                # middle-only and never adjacent, so level-1 exists)
+                b = next(
+                    (e for e in lists[pred_level] if e[0] <= o - 1), None
+                )
+                if b is None and quant[pred_level] == "optional":
+                    b = next(
+                        (
+                            e
+                            for e in lists[pred_level - 1]
+                            if e[0] <= o - 1
+                        ),
+                        None,
+                    )
+                return b
+
             for r in range(len(pdf)):
                 o, i = int(ords[r]), int(ids[r])
                 lo = o - step_us
@@ -590,9 +619,7 @@ def match_pattern_stream(
                 # completion: earliest retained level-(n-2) binding that
                 # is STRICTLY earlier (the batch RANGE frame ends at -1)
                 if flags[n - 1][r]:
-                    b = next(
-                        (e for e in lists[n - 2] if e[0] <= o - 1), None
-                    )
+                    b = _bind(n - 2, o)
                     if b is not None and (
                         total_us is None or o - b[3] <= total_us
                     ):
@@ -609,10 +636,7 @@ def match_pattern_stream(
                     if m == 0:
                         entry = (o, i, str(i) if chain else "", o)
                     else:
-                        b = next(
-                            (e for e in lists[m - 1] if e[0] <= o - 1),
-                            None,
-                        )
+                        b = _bind(m - 1, o)
                         if b is None:
                             continue
                         entry = (

@@ -345,9 +345,11 @@ def cep_one_or_more_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition enters the chain (greedy, the default, binds the last).
     The binding flips from a running max over a ROWS frame to a min
     over a RANGE frame ``(-within, -1)``; validity becomes plain
-    non-nullness because the frame IS the timeout window.  Batch/verify
-    tier: reluctant state is O(window), so the streaming twin rejects
-    it (NotImplementedError) rather than pretend O(1)."""
+    non-nullness because the frame IS the timeout window.  The
+    streaming twin runs the same quantifier vector since round 10
+    (capped earliest-K state, ``oneOrMore`` collapsing to ``one``
+    exactly as here; equivalence in
+    tests/test_cep_reluctant_stream.py)."""
     events = load_table(spark, sf_dir, "events")
     return match_pattern(
         events, "user_id", "ts",

@@ -1330,13 +1330,16 @@ RMST_TAUS = (90, 180, 365)
       SELECT tau, t, surv, rdesc,
              sum(piece) OVER (
                PARTITION BY tau ORDER BY t ROWS UNBOUNDED PRECEDING)
-               AS cum_area
+               AS cum_area,
+             min(CASE WHEN t <= tau THEN surv END)
+               OVER (PARTITION BY tau) AS surv_tau
       FROM pieces
     )
     SELECT CAST(tau AS BIGINT) AS tau_days,
            round(cum_area + surv * (tau - least(t, tau)) - 1e-9, 4)
              + 0.0 AS rmst_days,
-           round(surv - 1e-9, 4) + 0.0 AS surv_at_horizon
+           round(coalesce(surv_tau, 1.0) - 1e-9, 4) + 0.0
+             AS surv_at_horizon
     FROM cum WHERE rdesc = 1
     """,
 )
@@ -1420,6 +1423,18 @@ def rmst_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("piece").over(
             wtau.rowsBetween(Window.unboundedPreceding, 0)
         ),
+    ).withColumn(
+        # S(tau) = surv at the LAST event time <= tau, NOT the surv on
+        # the rdesc=1 row (the globally last event time — when events
+        # run past tau that row reports S(t_max), identical for every
+        # tau; round-9 advice).  KM surv is non-increasing in t, so
+        # min over {t <= tau} IS the last step's value — min, not a
+        # float accumulation, stays order-deterministic across engines.
+        # No event <= tau -> curve hasn't stepped yet -> S(tau) = 1.
+        "surv_tau",
+        F.min(
+            F.when(F.col("t") <= F.col("tau"), F.col("surv"))
+        ).over(Window.partitionBy("tau")),
     )
     return cum.filter(F.col("rdesc") == 1).select(
         F.col("tau").cast("long").alias("tau_days"),
@@ -1433,5 +1448,8 @@ def rmst_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("rmst_days"),
-        (F.round(F.col("surv") - 1e-9, 4) + 0.0).alias("surv_at_horizon"),
+        (
+            F.round(F.coalesce(F.col("surv_tau"), F.lit(1.0)) - 1e-9, 4)
+            + 0.0
+        ).alias("surv_at_horizon"),
     )

@@ -247,7 +247,13 @@ def knn_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOOM_M = 131_072  # bits (2^17)
 BLOOM_K = 3  # hash functions
-_PROBE_OFFSET = 10_000_000  # guaranteed outside every custkey space
+# Probes are NEGATED keys: custkeys are strictly positive in every
+# universe (base data, sf>=100, and every salted smoke universe —
+# offsets only grow them), so -key is disjoint from the member space
+# by construction.  The round-9 advice killed the old `key + 1e7`
+# offset: custkeys exceed 1e7 at sf>=100, and the scale smoke salts
+# by the SAME 1e7, silently aliasing universe-u probes onto
+# universe-(u+1) members.
 
 
 def _bloom_pos_duck(i: int, key_expr: str) -> str:
@@ -277,8 +283,8 @@ def _bloom_pos_spark(i: int, key):
     probe_pos AS (
       SELECT DISTINCT pkey, pos FROM (
         {" UNION ALL ".join(
-            f"SELECT key + {_PROBE_OFFSET} AS pkey,"
-            f" {_bloom_pos_duck(i, f'key + {_PROBE_OFFSET}')} AS pos"
+            f"SELECT 0 - key AS pkey,"
+            f" {_bloom_pos_duck(i, '0 - key')} AS pos"
             " FROM keys"
             for i in range(BLOOM_K)
         )}
@@ -312,9 +318,11 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops: k=3 md5-derived bit positions per key (the portable-HLL hash
     idiom — both engines set the IDENTICAL bits), the bit array as a
     distinct-position table, membership as 'all of the probe's distinct
-    positions present'.  Probes are guaranteed non-members (custkey +
-    1e7), so every hit is a genuine false positive — the measured FPR
-    audits the m/k sizing against the load factor.
+    positions present'.  Probes are guaranteed non-members (NEGATED
+    custkeys — disjoint from the strictly-positive member space at any
+    scale and under any salting offset), so every hit is a genuine
+    false positive — the measured FPR audits the m/k sizing against
+    the load factor.
 
     Scale shape: the bit table is ≤ m rows regardless of corpus size
     and broadcasts to the probe side; build and probe are each one scan
@@ -335,14 +343,14 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pkey = (key + _PROBE_OFFSET).alias("pkey")
+    pkey = (F.lit(0) - key).alias("pkey")
     probe_pos = (
         keys.select(
             pkey,
             F.explode(
                 F.array(
                     *[
-                        _bloom_pos_spark(i, key + _PROBE_OFFSET)
+                        _bloom_pos_spark(i, F.lit(0) - key)
                         for i in range(BLOOM_K)
                     ]
                 )
@@ -498,11 +506,14 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_ivf_oracle() -> str:
+def _ivf_cell_ctes() -> str:
+    """Shared IVF cell-assignment stage of every index-tier oracle:
+    integer-quantized vectors (``ei``), the literal-baked centroid
+    table (``cent``), and the exact-integer cell ranking (``ranked``)
+    — r = 1 is a vector's HOME cell, r <= nprobe its probe set."""
     cents = similarity.ivf_centroids_values_sql(16, 64)
     qv = similarity.QUANT_VEC_SQL.format(col="embedding")
-    return f"""
-    WITH ei AS MATERIALIZED (
+    return f"""ei AS MATERIALIZED (
       SELECT vec_id, label, {qv} AS v FROM embeddings
     ),
     cent(cell, w) AS (VALUES {cents}),
@@ -511,8 +522,14 @@ def _knn_ivf_oracle() -> str:
         PARTITION BY vec_id
         ORDER BY list_dot_product(ei.v, c.w) DESC, cell) AS r
       FROM ei CROSS JOIN cent c
-    ),
-    cand AS (
+    )"""
+
+
+def _ivf_knn_ctes() -> str:
+    """IVF candidate generation + exact re-rank for the sampled query
+    set — the ``cand``/``knn`` stages shared by the label-noise and
+    hubness index-tier twins."""
+    return f"""cand AS (
       SELECT q.vec_id AS q_id, n.vec_id AS n_id
       FROM (SELECT vec_id, cell FROM ranked
             WHERE vec_id % {KNN_SAMPLE_MOD} = 0 AND r <= 4) q
@@ -531,7 +548,13 @@ def _knn_ivf_oracle() -> str:
         JOIN embeddings a ON a.vec_id = c.q_id
         JOIN embeddings b ON b.vec_id = c.n_id
       ) WHERE r <= {KNN_K}
-    ),
+    )"""
+
+
+def _knn_ivf_oracle() -> str:
+    return f"""
+    WITH {_ivf_cell_ctes()},
+    {_ivf_knn_ctes()},
     lab AS (
       SELECT k.q_id, eq.label AS q_label, en.label AS n_label
       FROM knn k
@@ -617,4 +640,104 @@ def knn_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("flag_noise"),
+    )
+
+
+def _hubness_ivf_oracle() -> str:
+    return f"""
+    WITH {_ivf_cell_ctes()},
+    {_ivf_knn_ctes()},
+    occ AS (
+      SELECT e.vec_id, e.label,
+             CAST(coalesce(k.c, 0) AS BIGINT) AS k_occ
+      FROM embeddings e LEFT JOIN (
+        SELECT n_id, count(*) AS c FROM knn GROUP BY n_id
+      ) k ON e.vec_id = k.n_id
+    ),
+    moments AS (
+      SELECT label,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(k_occ) AS BIGINT) AS s1,
+             CAST(sum(k_occ * k_occ) AS BIGINT) AS s2,
+             CAST(sum(k_occ * k_occ * k_occ) AS BIGINT) AS s3,
+             CAST(max(k_occ) AS BIGINT) AS max_kocc,
+             CAST(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_antihubs
+      FROM occ GROUP BY label
+    ),
+    derived AS (
+      SELECT label, n_vecs, s1, max_kocc, n_antihubs,
+             s1 / n AS mean_k,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3
+      FROM moments
+    )
+    SELECT label, n_vecs, s1 AS total_occ, max_kocc, n_antihubs,
+           round(mean_k, 4) AS mean_kocc,
+           round(m3 / nullif(m2 * sqrt(m2), 0.0), 4) AS kocc_skew
+    FROM derived
+    """
+
+
+@query("knn_hubness_stats_ivf", _hubness_ivf_oracle())
+def knn_hubness_stats_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness profile on the SCALE tier: identical k-occurrence /
+    moment / skewness semantics to ``knn_hubness_stats``, but the 10-NN
+    lists come from the IVF index (integer-literal centroid cells,
+    nprobe=4) instead of the brute-force cross join — the second
+    registered "100 TB swaps to the index tier" twin after
+    ``knn_label_noise_ivf``.  Hubness measured THROUGH the index is
+    also the operationally honest diagnostic at scale: it profiles the
+    k-occurrence distribution of the retrieval system users actually
+    query, cell truncation included.  Exact-integer occurrence counts
+    and the shared moment arithmetic tree keep every column
+    hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
+    knn = similarity.ivf_topk(emb, queries, dim=64, k=KNN_K)
+    occ_counts = knn.groupBy("n_id").agg(F.count(F.lit(1)).alias("c"))
+    occ = emb.select("vec_id", "label").join(
+        F.broadcast(occ_counts),
+        emb["vec_id"] == occ_counts["n_id"],
+        "left",
+    ).select(
+        "label", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("k_occ")
+    )
+    k = F.col("k_occ")
+    moments = occ.groupBy("label").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(k).cast("long").alias("s1"),
+        F.sum(k * k).cast("long").alias("s2"),
+        F.sum(k * k * k).cast("long").alias("s3"),
+        F.max(k).cast("long").alias("max_kocc"),
+        F.sum(F.when(k == 0, 1).otherwise(0)).cast("long").alias(
+            "n_antihubs"
+        ),
+    )
+    mean_k = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean_k * mean_k
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * mean_k * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * mean_k * mean_k * mean_k
+    )
+    derived = moments.select(
+        "label", "n_vecs", "s1", "max_kocc", "n_antihubs",
+        mean_k.alias("mean_k"), m2.alias("m2"), m3.alias("m3"),
+    )
+    return derived.select(
+        "label",
+        "n_vecs",
+        F.col("s1").alias("total_occ"),
+        "max_kocc",
+        "n_antihubs",
+        F.round(F.col("mean_k"), 4).alias("mean_kocc"),
+        F.round(
+            F.col("m3")
+            / F.nullif(F.col("m2") * F.sqrt(F.col("m2")), F.lit(0.0)),
+            4,
+        ).alias("kocc_skew"),
     )

@@ -900,7 +900,7 @@ _BPE_ENCODED_SQL = (
     SELECT n_pieces,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(occurrences) AS BIGINT) AS n_occurrences,
-           round(avg(length(word) * 1.0 / n_pieces), 4)
+           round(sum(length(word)) * 1.0 / (n_pieces * count(*)), 4)
              AS avg_chars_per_piece
     FROM stream JOIN encv USING (word)
     GROUP BY n_pieces
@@ -930,13 +930,27 @@ def bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("occurrences")
     )
     joined = stream.join(F.broadcast(encoded), "word")
+    # avg_chars_per_piece from EXACT integer sums (n_pieces is the
+    # group key, so avg(len/np) == sum(len)/(np*count)): a bag-order
+    # double avg() can flip round(...,4) at a rounding boundary when
+    # engines/partitionings accumulate in different orders — the
+    # registry's float-accumulation convention (round-9 advice)
     return (
         joined.groupBy("n_pieces")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("occurrences").alias("n_occurrences"),
+            F.sum(F.length("word")).alias("_sum_len"),
+        )
+        .select(
+            "n_pieces",
+            "n_words",
+            "n_occurrences",
             F.round(
-                F.avg(F.length("word") / F.col("n_pieces")), 4
+                F.col("_sum_len")
+                * 1.0
+                / (F.col("n_pieces") * F.col("n_words")),
+                4,
             ).alias("avg_chars_per_piece"),
         )
         .orderBy("n_pieces")

@@ -1283,6 +1283,14 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_K = 10
 MMR_POOL = 30
 MMR_QMOD = 167
+# Absolute query-set cap (the MATRYOSHKA_QCAP pattern,
+# plans/queries_eval.py): without it |Q| is a corpus FRACTION and
+# total candidate work grows quadratically with the corpus — the
+# round-9 verdict's scale-killer.  2000 > max vec_id at both oracle
+# SFs (499 / 1999), so the cap is a no-op at test scale and the
+# hash-checked oracle is unchanged; at 100 TB it bounds the query
+# side of brute_force_topk's broadcast to a constant.
+MMR_QCAP = 2000
 _MMR_LAM = "CAST(0.7 AS DOUBLE)"
 
 
@@ -1332,7 +1340,8 @@ def _mmr_oracle() -> str:
     return f"""
     WITH q AS MATERIALIZED (
       SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-      FROM embeddings WHERE vec_id % {MMR_QMOD} = 1
+      FROM embeddings
+      WHERE vec_id % {MMR_QMOD} = 1 AND vec_id < {MMR_QCAP}
     ),
     cand AS MATERIALIZED (
       SELECT q_id, n_id, rel + 0.0 AS rel, n_vec FROM (
@@ -1374,7 +1383,9 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % MMR_QMOD == 1)
+    queries = emb.filter(
+        (F.col("vec_id") % MMR_QMOD == 1) & (F.col("vec_id") < MMR_QCAP)
+    )
     out = mmr_rerank(emb, queries, k=MMR_K, pool=MMR_POOL)
     return out.select(
         "q_id",
@@ -2240,6 +2251,117 @@ def smote_oversample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         a.join(b, (a["label"] == b["_lb"]) & (a["vec_id"] != b["nn_id"]))
+        .select(
+            "label", "vec_id", "nn_id",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "label")
+        .crossJoin(F.broadcast(maj))
+        .filter(F.col("n_class") < F.col("maj"))
+        .select(
+            "label", "vec_id", "nn_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            F.col("n_class").cast("long").alias("n_class"),
+            (F.col("maj") - F.col("n_class")).cast("long").alias("n_needed"),
+        )
+    )
+
+
+def _smote_ivf_oracle() -> str:
+    from .queries_datasel import _ivf_cell_ctes
+
+    return f"""
+    WITH {_ivf_cell_ctes()},
+    sz AS (SELECT label, count(*) AS n_class FROM embeddings GROUP BY label),
+    mx AS (SELECT max(n_class) AS maj FROM sz),
+    cand AS (
+      SELECT q.vec_id, n.vec_id AS nn_id
+      FROM (SELECT r2.vec_id, r2.cell, e2.label FROM ranked r2
+            JOIN ei e2 ON e2.vec_id = r2.vec_id WHERE r2.r <= 4) q
+      JOIN (SELECT r1.vec_id, r1.cell, e1.label FROM ranked r1
+            JOIN ei e1 ON e1.vec_id = r1.vec_id WHERE r1.r = 1) n
+        ON n.cell = q.cell AND n.label = q.label
+           AND n.vec_id <> q.vec_id
+    ),
+    nn AS (
+      SELECT a.label, c.vec_id, c.nn_id,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS sim,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]) DESC,
+                        c.nn_id) AS rk
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_id
+      JOIN embeddings b ON b.vec_id = c.nn_id
+    )
+    SELECT n.label, n.vec_id, n.nn_id, round(n.sim, 4) AS cosine_sim,
+           CAST(s.n_class AS BIGINT) AS n_class,
+           CAST(mx.maj - s.n_class AS BIGINT) AS n_needed
+    FROM nn n JOIN sz s ON s.label = n.label CROSS JOIN mx
+    WHERE n.rk = 1 AND s.n_class < mx.maj
+    """
+
+
+@query("smote_oversample_plan_ivf", _smote_ivf_oracle())
+def smote_oversample_plan_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SMOTE rebalancing plan on the SCALE tier: identical
+    minority-class / nearest-same-label-neighbor / deficit semantics to
+    ``smote_oversample_plan``, but candidates are bounded by the IVF
+    index — a minority vector probes its nprobe=4 nearest
+    integer-literal centroid cells and only considers SAME-LABEL
+    vectors whose home cell is probed, replacing the per-class
+    quadratic label-equi join (the third registered "100 TB swaps to
+    the index tier" twin, after ``knn_label_noise_ivf`` and
+    ``knn_hubness_stats_ivf``).  A (vector, candidate) pair arises at
+    most once (one home cell per candidate), so no distinct; vectors
+    whose probed cells hold no same-label member drop out — the
+    documented index-recall trade, pinned against the brute tier in
+    tests.  Exact-integer cell assignment + (sim DESC, id) rank keep
+    every column hash-checked."""
+    from ..functions.similarity import (
+        dot,
+        ivf_cells,
+        norm,
+        quantized_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_class"))
+    maj = sizes.agg(F.max("n_class").alias("maj"))
+    centroids = quantized_centroids(16, 64)
+    n = ivf_cells(emb, centroids, "embedding", nprobe=1).select(
+        F.col("label").alias("_lb"),
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("_vb"),
+        norm(F.col("embedding")).alias("_nb"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    q = ivf_cells(emb, centroids, "embedding", nprobe=4).select(
+        "label",
+        "vec_id",
+        F.col("embedding").alias("_va"),
+        norm(F.col("embedding")).alias("_na"),
+        F.explode("cells").alias("cell"),
+    )
+    scored = (
+        q.join(
+            n,
+            (q["cell"] == n["cell"])
+            & (q["label"] == n["_lb"])
+            & (q["vec_id"] != n["nn_id"]),
+        )
         .select(
             "label", "vec_id", "nn_id",
             (

@@ -1168,7 +1168,59 @@ def crypto_shred_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("compression_ratio_quality")  # rows-only: no SQL zlib exists
+CRQ_CLASSES = 32
+
+
+def _crq_text(j: int) -> str:
+    """Template corpus for the compression-ratio query: class ``j`` is
+    a repetition block (compressibility falls as the entropy tail
+    grows) + a deterministic LCG character tail — a pure function of
+    ``j``, identical on the driver (oracle baking) and the executors
+    (the distributed synth UDF).  Spans ratios from boilerplate-spam
+    territory (< 0.4) to near-incompressible."""
+    rep = (f"lorem{j:02d} ipsum ") * (6 + 2 * ((CRQ_CLASSES - 1) - j))
+    x, tail = (j * 2654435761) % (2**32), []
+    for _ in range(30 + 25 * j):
+        x = (1103515245 * x + 12345) % (2**31)
+        tail.append(chr(33 + x % 94))
+    return rep + "".join(tail)
+
+
+def _crq_baked_values() -> str:
+    """(class, raw_bytes, zlib_bytes) literals, zlib run ONCE
+    driver-side at import — the PNG/IVF-codebook idiom: the oracle
+    never touches bytes, so a drifted compressor level/strategy in the
+    distributed path hash-mismatches instead of passing silently."""
+    import zlib
+
+    rows = []
+    for j in range(CRQ_CLASSES):
+        b = _crq_text(j).encode("utf-8")
+        rows.append(f"({j}, {len(b)}, {len(zlib.compress(b, 6))})")
+    return ", ".join(rows)
+
+
+@query(
+    "compression_ratio_quality",
+    f"""
+    WITH tmpl(cls, raw_b, zlib_b) AS (VALUES {_crq_baked_values()}),
+    d AS (
+      SELECT source, doc_id % {CRQ_CLASSES} AS cls FROM documents
+    ),
+    j AS (SELECT d.source, t.raw_b, t.zlib_b
+          FROM d JOIN tmpl t ON t.cls = d.cls)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(raw_b) AS BIGINT) AS raw_bytes,
+           CAST(sum(zlib_b) AS BIGINT) AS zlib_bytes,
+           round(sum(zlib_b) * 1.0 / sum(raw_b) - 1e-9, 4) AS mean_ratio,
+           round(sum(CASE WHEN zlib_b * 10 < raw_b * 4 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*) - 1e-9, 4) AS share_too_compressible,
+           round(min(zlib_b * 1.0 / raw_b) - 1e-9, 4) AS min_ratio,
+           round(max(zlib_b * 1.0 / raw_b) - 1e-9, 4) AS max_ratio
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
 def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (Gopher's repetition filter,
     Rae et al. 2021): zlib-compressed bytes / raw bytes per document —
@@ -1177,15 +1229,34 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer byte sums divided once), the share of documents under the
     0.4 "too compressible" red line, and min/max.
 
-    Scale shape: ONE Arrow-batched pandas UDF pass computes compressed
-    sizes (`functions/text.py:zlib_size_arrow`); everything else —
-    octet_length, the ratio, the rollup — stays JVM-side.  No oracle:
-    DuckDB has no zlib; determinism and direction are pinned by
-    property tests instead (`tests/test_wave9.py`)."""
+    Documents carry the deterministic 32-class template corpus
+    (``doc_id % 32`` → :func:`_crq_text` — compressibility spread from
+    spam to ciphertext) so the query is FULLY hash-checked: expected
+    per-class sizes were zlib'd ONCE driver-side and baked as oracle
+    literals (closing the round-9 rows-only gap — the oracle never
+    compresses, so a wrong level/strategy in the distributed path
+    mismatches).  The real-text behavior of the underlying
+    :func:`..functions.text.zlib_size_arrow` stays pinned by the
+    direction/determinism property tests (`tests/test_wave9.py`).
+
+    Scale shape: synth + compress are two Arrow-batched pandas UDF
+    passes; everything else — octet_length, the ratio, the rollup —
+    stays JVM-side, and the rollup shuffles only (source, byte-count)
+    pairs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
     from ..functions.text import zlib_size_arrow
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.octet_length("text") > 0
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the eval-type inferencer rejects string signatures
+    @pandas_udf(StringType(), "scalar")
+    def tmpl_text(cls):
+        return cls.map(lambda j: _crq_text(int(j)))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tmpl_text(F.col("doc_id") % CRQ_CLASSES).alias("text")
     )
     scored = docs.select(
         "source",
@@ -1202,20 +1273,26 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("zlib_bytes") / F.sum("raw_bytes") - 1e-9, 4
             ).alias("mean_ratio"),
             F.round(
-                F.avg(
+                F.sum(
                     (
                         F.col("zlib_bytes") * 10
                         < F.col("raw_bytes") * 4
                     ).cast("int")
                 )
+                * 1.0
+                / F.count(F.lit(1))
                 - 1e-9,
                 4,
             ).alias("share_too_compressible"),
             F.round(
-                F.min(F.col("zlib_bytes") / F.col("raw_bytes")) - 1e-9, 4
+                F.min(F.col("zlib_bytes") * 1.0 / F.col("raw_bytes"))
+                - 1e-9,
+                4,
             ).alias("min_ratio"),
             F.round(
-                F.max(F.col("zlib_bytes") / F.col("raw_bytes")) - 1e-9, 4
+                F.max(F.col("zlib_bytes") * 1.0 / F.col("raw_bytes"))
+                - 1e-9,
+                4,
             ).alias("max_ratio"),
         )
         .orderBy("source")

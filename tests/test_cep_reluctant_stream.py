@@ -151,23 +151,60 @@ def test_reluctant_stream_cap_overflow_flags(spark, tmp_path):
     assert any(r["overflow"] for r in got)
 
 
-def test_reluctant_stream_rejects_unsupported(spark):
-    import pytest as _pt
-
-    sdf = (
-        spark.readStream.format("rate").load()
-        .select(
-            F.col("value").alias("user_id"),
-            F.col("timestamp").alias("ts"),
-            F.col("value").alias("event_id"),
-            F.lit("A").alias("event_type"),
-        )
+def test_reluctant_stream_optional_equals_batch(spark, tmp_path):
+    """The round-9 NotImplementedError combo, closed: an OPTIONAL
+    middle step in streaming reluctant mode reproduces the batch form
+    exactly — including matches that SKIP the optional level (A>C
+    chains with no B in between) via the lists[m-2] fallback."""
+    rows = _mk_events()
+    rows.sort(key=lambda r: (r[1], r[2]))
+    got = _run_stream(
+        spark, tmp_path, rows, len(rows) // 2,
+        quantifiers=("one", "optional", "one"),
     )
-    with _pt.raises(NotImplementedError):
-        match_pattern_stream(
-            sdf, "user_id", "ts", steps=("A", "B", "C"),
-            mode="reluctant", quantifiers=("one", "optional", "one"),
-        )
+    assert all(r["overflow"] is False for r in got)
+    want = match_pattern(
+        spark.createDataFrame(rows, SCHEMA),
+        "user_id", "ts", steps=("A", "B", "C"),
+        within="30 minutes", mode="reluctant", emit="chain",
+        quantifiers=("one", "optional", "one"),
+    ).collect()
+    assert {
+        (r["user_id"], r["event_id"], r["ts_ms"], r["match_chain"])
+        for r in got
+    } == {
+        (r["user_id"], r["event_id"], r["ts_ms"], r["match_chain"])
+        for r in want
+    }
+    assert len(want) > 0
+    # the skip path genuinely fires: some chain has exactly 2 links
+    assert any(r["match_chain"].count(">") == 1 for r in want)
+
+
+def test_reluctant_stream_one_or_more_equals_batch(spark, tmp_path):
+    """``oneOrMore`` collapses to ``one`` in completion-emission
+    semantics (the documented batch behavior) — the streaming twin
+    must accept the vector and agree with batch bit-for-bit."""
+    rows = _mk_events()
+    rows.sort(key=lambda r: (r[1], r[2]))
+    got = _run_stream(
+        spark, tmp_path, rows, len(rows) // 2,
+        quantifiers=("one", "oneOrMore", "one"),
+    )
+    want = match_pattern(
+        spark.createDataFrame(rows, SCHEMA),
+        "user_id", "ts", steps=("A", "B", "C"),
+        within="30 minutes", mode="reluctant", emit="chain",
+        quantifiers=("one", "oneOrMore", "one"),
+    ).collect()
+    assert {
+        (r["user_id"], r["event_id"], r["ts_ms"], r["match_chain"])
+        for r in got
+    } == {
+        (r["user_id"], r["event_id"], r["ts_ms"], r["match_chain"])
+        for r in want
+    }
+    assert len(want) > 0
 
 
 def test_reluctant_stream_within_total_ignores_cap(spark, tmp_path):

@@ -223,6 +223,20 @@ def test_avi_round_trip_and_header_fields():
     assert m["frame_sizes"] == [len(f) for f in frames]
 
 
+def test_avi_strh_fps_convention():
+    # AVISTREAMHEADER: fps = dwRate / dwScale.  Parse strh out of the
+    # raw bytes and assert a 25_000 us cadence reads as 40 fps in real
+    # AVI tooling (round-9 advice: the swapped packing read ~0.03 fps).
+    import struct
+
+    payload = M.encode_avi_mjpeg([b"a" * 100], 25_000, 64, 48)
+    at = payload.index(b"strh")
+    strh = payload[at + 8 : at + 8 + struct.unpack_from("<I", payload, at + 4)[0]]
+    dw_scale, dw_rate = struct.unpack_from("<II", strh, 20)
+    assert dw_scale == 25_000 and dw_rate == 1_000_000
+    assert abs(dw_rate / dw_scale - 40.0) < 1e-9
+
+
 def test_avi_odd_sized_frames_word_aligned():
     # odd chunk sizes force the RIFF pad byte; the walk must skip it
     frames = [b"x" * 99, b"y" * 101, b"z" * 97]

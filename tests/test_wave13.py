@@ -231,10 +231,15 @@ def test_propensity_match_att_planted_matches(spark, tmp_path):
 
 
 def test_rmst_planted_half_censored(spark, tmp_path):
-    """Hand-computable RMST: 40 customers order at day 0; half reorder
-    exactly at day 10, half never (censored at the day-100 horizon).
-    S(t) = 1 on [0,10), 0.5 on [10,100) => RMST(90) = 10 + 80*0.5 = 50,
-    RMST(180)/RMST(365) clip at the censor boundary."""
+    """Hand-computable RMST with an event PAST the first horizon: 40
+    customers order at day 0; 20 reorder at day 10, 10 more at day 150,
+    10 never (censored at the day-400 horizon).  S(t) = 1 on [0,10),
+    0.5 on [10,150), 0.25 on [150,400) =>
+    RMST(90) = 10 + 80*0.5 = 50, RMST(180) = 10 + 140*0.5 + 30*0.25,
+    RMST(365) = 10 + 140*0.5 + 215*0.25.  The day-150 step sitting
+    BETWEEN tau=90 and tau=180 pins the round-9 advice fix:
+    surv_at_horizon(90) must be S(10)=0.5 (last step <= 90), not the
+    globally-last step S(150)=0.25."""
     import datetime
 
     from stream_processing_with_flink_study_spark.plans import QUERIES
@@ -245,8 +250,10 @@ def test_rmst_planted_half_censored(spark, tmp_path):
         rows.append((k, 100 + k, 1000.0, base))
         if k % 2 == 0:
             rows.append((k, 200 + k, 1000.0, base + datetime.timedelta(days=10)))
-    # one sentinel customer fixing the horizon at day 100
-    rows.append((99, 999, 1000.0, base + datetime.timedelta(days=100)))
+        elif k % 4 == 1:
+            rows.append((k, 300 + k, 1000.0, base + datetime.timedelta(days=150)))
+    # one sentinel customer fixing the horizon at day 400
+    rows.append((99, 999, 1000.0, base + datetime.timedelta(days=400)))
     spark.createDataFrame(
         rows,
         "o_custkey long, o_orderkey long, o_totalprice double,"
@@ -259,12 +266,17 @@ def test_rmst_planted_half_censored(spark, tmp_path):
         for r in QUERIES["rmst_repurchase"](spark, str(tmp_path)).collect()
     }
     assert set(out) == {90, 180, 365}
-    # survival after the single event time: the sentinel customer is
-    # censored at t=0 and exits the risk set BEFORE day 10, so
-    # S(10) = (40-20)/40 = 0.5 exactly
-    s10 = 0.5
+    # the sentinel customer is censored at t=0 and exits the risk set
+    # BEFORE day 10, so S(10) = (40-20)/40 = 0.5 and
+    # S(150) = 0.5 * (20-10)/20 = 0.25 exactly
+    s10, s150 = 0.5, 0.25
     assert abs(out[90].rmst_days - (10 + 80 * s10)) < 1e-3
+    assert abs(out[180].rmst_days - (10 + 140 * s10 + 30 * s150)) < 1e-3
+    assert abs(out[365].rmst_days - (10 + 140 * s10 + 215 * s150)) < 1e-3
+    # S(tau) is the LAST step at or before tau, per horizon
     assert out[90].surv_at_horizon == round(s10 - 1e-9, 4)
+    assert out[180].surv_at_horizon == round(s150 - 1e-9, 4)
+    assert out[365].surv_at_horizon == round(s150 - 1e-9, 4)
     # laws: monotone in tau, bounded by tau, >= tau * S(tau)
     assert out[90].rmst_days <= out[180].rmst_days <= out[365].rmst_days
     for tau, r in out.items():

