@@ -1152,8 +1152,13 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (μ, W) projection (:func:`..functions.similarity.whiten`).  The
     d×d eigensolve runs driver-side on the tiny covariance — the one
     step that is not data-parallel, and the reason this query is
-    rows-only (no SQL oracle can eigendecompose); ZCA's symmetric W
-    cancels eigenvector sign ambiguity, so output is deterministic.
+    PERMANENTLY rows-only (no SQL oracle can eigendecompose, and the
+    eigensolve input is the real data's covariance, so literals can't
+    be baked); ZCA's symmetric W cancels eigenvector sign ambiguity,
+    so output is deterministic, and the covariance≈I law in
+    tests/test_similarity.py is the semantic check a hash can't give.
+    The SERVING-time shape — a frozen (μ, W) applied to the corpus —
+    is fully hash-checked as ``zca_whiten_frozen`` below.
 
     Reference scope: same vector-pipeline family as
     ``embedding_quantize_int8`` (정리/4주차.md UDF discussion)."""
@@ -1180,6 +1185,124 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "whitened",
                     F.lit(0.0),
                     lambda acc, x: acc + x * x,
+                )
+            ),
+            4,
+        ).alias("wnorm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# frozen-W ZCA projection: the serving-time whitening pass, full oracle
+# --------------------------------------------------------------------------
+def _zca_frozen_constants():
+    """(W, b): a ZCA whitening matrix trained ONCE on the seeded
+    synthetic unit sample (the IVF-codebook idiom — data-independent,
+    so the 64×64 doubles bake identically into both engines at every
+    scale factor) plus the folded bias b = W·μ_train.  Exercises the
+    REAL trainer (:func:`..functions.similarity.zca_whitening_matrix`,
+    symmetric-W sign convention included); production freezes exactly
+    such a (μ, W) at training time and applies it to serving data."""
+    import numpy as np
+
+    from ..functions.similarity import (
+        seeded_unit_sample,
+        zca_whitening_matrix,
+    )
+
+    x = seeded_unit_sample(512, 64, seed=11)
+    mu, w = zca_whitening_matrix(512, x.sum(axis=0), x.T @ x)
+    return w, w @ mu
+
+
+def _zca_frozen_oracle() -> str:
+    w, b = _zca_frozen_constants()
+    vals = ", ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in w[j])}],"
+        f" {float(b[j])!r})"
+        for j in range(w.shape[0])
+    )
+    return f"""
+    WITH wm(j, wrow, bj) AS (VALUES {vals}),
+    proj AS MATERIALIZED (
+      SELECT e.vec_id, e.label, w.j,
+             list_dot_product(e.embedding::DOUBLE[], w.wrow) - w.bj AS wj
+      FROM embeddings e CROSS JOIN wm w
+    ),
+    per AS (
+      SELECT vec_id, label, list(wj ORDER BY j) AS wl
+      FROM proj GROUP BY vec_id, label
+    )
+    SELECT vec_id, label,
+           round(wl[1], 4) AS w0, round(wl[2], 4) AS w1,
+           round(wl[3], 4) AS w2, round(wl[4], 4) AS w3,
+           round(sqrt(list_dot_product(wl, wl)), 4) AS wnorm
+    FROM per
+    """
+
+
+@query("zca_whiten_frozen", _zca_frozen_oracle())
+def zca_whiten_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening at SERVING time: apply a FROZEN (μ, W) — trained
+    once, here on the seeded synthetic sample so the 64×64 doubles are
+    literal-bakeable — to every corpus vector, z = Wx − Wμ.  This is
+    the half of the whitening pipeline a 100 TB run executes billions
+    of times (training the matrix happens once, on a bounded sample:
+    ``pca_whiten_embeddings``); freezing it makes the projection a
+    pure cross-engine-checkable expression, closing the oracle gap the
+    data-trained eigensolve can't.
+
+    Determinism: each component is ONE sequential fold
+    (``zip_with``/``aggregate`` ≡ DuckDB ``list_dot_product``, the
+    proven bit-equal pair) minus a literal bias; the norm accumulates
+    over the j-ORDERED component list on both sides (never a bag sum).
+    Scale shape: the 64-row (j, wrow, bj) frame broadcasts; the fold
+    runs JVM-side per (row, j); the only shuffle is the vec_id regroup
+    of 64·N skinny rows — swap in a single mapInPandas matmul per
+    batch when hash-parity is not required (the numpy fast path of
+    ``whiten``)."""
+    import numpy as np
+
+    w, b = _zca_frozen_constants()
+    emb = load_table(spark, sf_dir, "embeddings")
+    wm = spark.createDataFrame(
+        [(j, [float(v) for v in w[j]], float(b[j])) for j in range(64)],
+        "j int, wrow array<double>, bj double",
+    )
+    proj = emb.crossJoin(F.broadcast(wm)).select(
+        "vec_id",
+        "label",
+        "j",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "wrow",
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.col("bj")
+        ).alias("wj"),
+    )
+    per = proj.groupBy("vec_id", "label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "wj"))),
+            lambda s: s["wj"],
+        ).alias("wl")
+    )
+    return per.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("wl", 1), 4).alias("w0"),
+        F.round(F.element_at("wl", 2), 4).alias("w1"),
+        F.round(F.element_at("wl", 3), 4).alias("w2"),
+        F.round(F.element_at("wl", 4), 4).alias("w3"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "wl", F.lit(0.0), lambda acc, x: acc + x * x
                 )
             ),
             4,

@@ -343,3 +343,55 @@ class TestMMR:
             assert (
                 mean_pairwise(mmr_ids) <= mean_pairwise(plain_ids) + 1e-9
             )
+
+
+class TestZCAFrozen:
+    def test_frozen_w_whitens_its_training_sample(self):
+        # the baked (W, b) must be a REAL whitener: applied back to the
+        # seeded training sample, covariance ~ I (so the registered
+        # serving query ships a genuine trained matrix, not noise)
+        import numpy as np
+
+        from stream_processing_with_flink_study_spark.functions.similarity import (
+            seeded_unit_sample,
+        )
+        from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+            _zca_frozen_constants,
+        )
+
+        w, b = _zca_frozen_constants()
+        x = seeded_unit_sample(512, 64, seed=11)
+        z = x @ w.T - b
+        cov = np.cov(z, rowvar=False)
+        off = cov - np.eye(64)
+        assert np.abs(off).max() < 0.05
+        # and b really is W @ mu of that sample
+        assert np.allclose(w @ x.mean(axis=0), b)
+
+    def test_frozen_query_matches_numpy_projection(self, spark):
+        # the JVM sequential-fold projection == the numpy matmul path
+        # within fp tolerance (the fold exists for oracle hash-parity,
+        # not different math)
+        import numpy as np
+
+        from stream_processing_with_flink_study_spark.plans import QUERIES
+        from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+            _zca_frozen_constants,
+        )
+
+        w, b = _zca_frozen_constants()
+        got = {
+            r.vec_id: r
+            for r in QUERIES["zca_whiten_frozen"](spark, SF_SMALL).collect()
+        }
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load_table(spark, SF_SMALL, "embeddings").collect()
+        }
+        assert set(got) == set(emb)
+        for vid in list(got)[:25]:
+            z = w @ emb[vid] - b
+            r = got[vid]
+            for i, c in enumerate(("w0", "w1", "w2", "w3")):
+                assert abs(getattr(r, c) - z[i]) < 1e-3
+            assert abs(r.wnorm - float(np.linalg.norm(z))) < 1e-3
