@@ -52,6 +52,85 @@ def _interleave_expr(x: str, y: str, bits: int, dialect: str) -> str:
     return " + ".join(terms)
 
 
+def _hilbert_stage_exprs(s: int) -> tuple[str, str, str]:
+    """One level of the iterative Hilbert xy→d walk (level size ``s``,
+    halving per stage): quadrant digit into ``hd``, then the
+    reflect/swap rotation of (hx, hy) for the next level.  Emitted as
+    dialect-free SQL (CASE / & / integer arithmetic evaluate
+    identically in Spark SQL and DuckDB on non-negative int64), so the
+    SAME text drives both engines.  The quadrant CASE is the xor-free
+    form of ``(3·rx) ^ ry`` (engines differ on ^); the rotation uses
+    the LEVEL size (both the s- and n-reflections are valid Hilbert
+    constructions — bijectivity + unit-step adjacency of this one are
+    pinned against the textbook Python walk in tests/test_layout.py).
+    """
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    quad = (
+        f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+        f" WHEN {rx} = 1 THEN 3"
+        f" WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+    )
+    d = f"hd + {s * s} * {quad}"
+    x = (
+        f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {s} - 1 - hy ELSE hy END) ELSE hx END)"
+    )
+    y = (
+        f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {s} - 1 - hx ELSE hx END) ELSE hy END)"
+    )
+    return d, x, y
+
+
+def _hilbert_levels(bits: int, levels: int | None = None) -> list[int]:
+    out = [1 << j for j in range(bits - 1, -1, -1)]
+    return out if levels is None else out[:levels]
+
+
+# Both layout queries bucket on hd >> Z_SHIFT, and each walk level
+# contributes 2 index bits from the top — so only the first
+# Z_BITS - Z_SHIFT/2 levels can reach the bucket bits.  The dropped
+# tail contributes at most Σ 3s² = 4095 < 2^Z_SHIFT, so the truncated
+# walk yields the IDENTICAL bucket (pinned in tests) at half the
+# per-row expression cost — this is the knob a 100 TB OPTIMIZE job
+# turns too: curve precision only down to the file size, never the
+# row.
+HILBERT_BUCKET_LEVELS = Z_BITS - Z_SHIFT // 2
+
+
+def _hilbert_ctes(bits: int, base: str, levels: int | None = None) -> str:
+    """Chained CTE stages h1..hK over ``base`` (which must expose
+    hx, hy, hd plus any carried columns via *): each stage rewrites
+    (hd, hx, hy) from the previous stage's values."""
+    parts = []
+    prev = base
+    for k, s in enumerate(_hilbert_levels(bits, levels), start=1):
+        d, x, y = _hilbert_stage_exprs(s)
+        parts.append(
+            f"h{k} AS (SELECT * REPLACE ({d} AS hd, {x} AS hx,"
+            f" {y} AS hy) FROM {prev})"
+        )
+        prev = f"h{k}"
+    return ",\n    ".join(parts)
+
+
+def _hilbert_spark(
+    df: DataFrame, bits: int, levels: int | None = None
+) -> DataFrame:
+    """The same staged walk as :func:`_hilbert_ctes`, as chained
+    selectExpr stages — every stage's expressions read the INPUT row,
+    so the rewrite semantics match the CTE chain exactly."""
+    out = df
+    keep = [c for c in df.columns if c not in ("hd", "hx", "hy")]
+    for s in _hilbert_levels(bits, levels):
+        d, x, y = _hilbert_stage_exprs(s)
+        out = out.selectExpr(
+            *keep, f"{d} AS hd", f"{x} AS hx", f"{y} AS hy"
+        )
+    return out
+
+
 def _zorder_oracle() -> str:
     z = _interleave_expr("d", "sk", Z_BITS, "duckdb")
     return f"""
@@ -107,6 +186,7 @@ def _zonemap_oracle() -> str:
         ("natural", f"okey // {NAT_BLOCK}"),
         ("date_sorted", f"d // {DAY_BLOCK}"),
         ("zorder", f"z >> {Z_SHIFT}"),
+        ("hilbert", f"h >> {Z_SHIFT}"),
     ):
         selects.append(f"""
     SELECT '{layout}' AS layout,
@@ -128,7 +208,7 @@ def _zonemap_oracle() -> str:
     )""")
     u = " UNION ALL ".join(selects)
     return f"""
-    WITH keyed AS MATERIALIZED (
+    WITH h0 AS (
       SELECT l_orderkey AS okey,
              date_diff('day', DATE '{DAY0}', CAST(l_shipdate AS DATE)) AS d,
              l_suppkey % {2 ** Z_BITS} AS sk,
@@ -137,8 +217,15 @@ def _zonemap_oracle() -> str:
                  f"(l_suppkey % {2 ** Z_BITS})",
                  Z_BITS,
                  "duckdb",
-             )} AS z
+             )} AS z,
+             date_diff('day', DATE '{DAY0}', CAST(l_shipdate AS DATE)) AS hx,
+             l_suppkey % {2 ** Z_BITS} AS hy,
+             CAST(0 AS BIGINT) AS hd
       FROM lineitem
+    ),
+    {_hilbert_ctes(Z_BITS, "h0", HILBERT_BUCKET_LEVELS)},
+    keyed AS MATERIALIZED (
+      SELECT okey, d, sk, z, hd AS h FROM h{HILBERT_BUCKET_LEVELS}
     )
     {u}
     ORDER BY layout
@@ -147,11 +234,15 @@ def _zonemap_oracle() -> str:
 
 @query("zone_map_pruning_eval", oracle=_zonemap_oracle())
 def zone_map_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map (min/max data-skipping) effectiveness of three physical
+    """Zone-map (min/max data-skipping) effectiveness of four physical
     layouts under the same 2-D predicate (a ~100-day ship window × 4
     supplier keys): ``natural`` (orderkey ranges ≈ insertion order),
     ``date_sorted`` (fortnight files — perfect on the date dimension,
-    blind on supplier), and ``zorder`` (Morton buckets — bounds both).
+    blind on supplier), ``zorder`` (Morton buckets — bounds both), and
+    ``hilbert`` (Hilbert buckets — the curve with unit-step adjacency,
+    so blocks never contain the Morton curve's quadrant jumps; the
+    layout Iceberg/Databricks moved to after ZORDER for exactly this
+    reason).
     Per layout: block count, blocks whose min/max zones overlap the
     predicate, rows scanned vs rows actually matching (the
     false-positive I/O).  ``rows_matching`` summed over scanned blocks
@@ -164,16 +255,22 @@ def zone_map_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates and the final union read the cache, not the parquet."""
     n = 2 ** Z_BITS
     base = (
-        load_table(spark, sf_dir, "lineitem")
-        .selectExpr(
-            "l_orderkey AS okey",
-            f"datediff(l_shipdate, DATE '{DAY0}') AS d",
-            f"l_suppkey % {n} AS sk",
+        _hilbert_spark(
+            load_table(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "l_orderkey AS okey",
+                f"datediff(l_shipdate, DATE '{DAY0}') AS d",
+                f"l_suppkey % {n} AS sk",
+            )
+            .selectExpr(
+                "okey", "d", "sk",
+                _interleave_expr("d", "sk", Z_BITS, "spark") + " AS z",
+                "d AS hx", "sk AS hy", "CAST(0 AS BIGINT) AS hd",
+            ),
+            Z_BITS,
+            HILBERT_BUCKET_LEVELS,
         )
-        .selectExpr(
-            "okey", "d", "sk",
-            _interleave_expr("d", "sk", Z_BITS, "spark") + " AS z",
-        )
+        .selectExpr("okey", "d", "sk", "z", "hd AS h")
         .localCheckpoint()
     )
     match = (
@@ -185,6 +282,7 @@ def zone_map_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("natural", (F.col("okey") / NAT_BLOCK).cast("long")),
         ("date_sorted", (F.col("d") / DAY_BLOCK).cast("long")),
         ("zorder", F.shiftrightunsigned("z", Z_SHIFT)),
+        ("hilbert", F.shiftrightunsigned("h", Z_SHIFT)),
     ):
         zones = base.groupBy(blk.alias("blk")).agg(
             F.count(F.lit(1)).alias("n"),
@@ -215,3 +313,65 @@ def zone_map_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _hilbert_oracle() -> str:
+    return f"""
+    WITH h0 AS (
+      SELECT date_diff('day', DATE '{DAY0}', CAST(l_shipdate AS DATE))
+               AS d,
+             l_suppkey % {2 ** Z_BITS} AS sk,
+             date_diff('day', DATE '{DAY0}', CAST(l_shipdate AS DATE))
+               AS hx,
+             l_suppkey % {2 ** Z_BITS} AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM lineitem
+    ),
+    {_hilbert_ctes(Z_BITS, "h0", HILBERT_BUCKET_LEVELS)}
+    SELECT CAST(hd >> {Z_SHIFT} AS BIGINT) AS h_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(d) AS BIGINT) AS d_min, CAST(max(d) AS BIGINT) AS d_max,
+           CAST(min(sk) AS BIGINT) AS sk_min, CAST(max(sk) AS BIGINT) AS sk_max,
+           CAST(max(d) - min(d) + max(sk) - min(sk) AS BIGINT) AS zone_span
+    FROM h{HILBERT_BUCKET_LEVELS} GROUP BY 1
+    """
+
+
+@query("hilbert_layout_keys", oracle=_hilbert_oracle())
+def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys over the same (ship-day, supplier)
+    plane as ``zorder_layout_keys`` — the stronger space-filling curve:
+    consecutive curve positions are ALWAYS grid neighbors (unit-step
+    adjacency, pinned in tests/test_layout.py), so curve buckets never
+    straddle the Morton curve's quadrant-boundary jumps and per-bucket
+    zone maps bound both dimensions tighter on average.  The index is
+    the iterative quadrant walk unrolled into {Z_BITS} exact-integer
+    CASE stages — chained ``selectExpr`` rewrites here, the identical
+    expression text as chained CTEs in the DuckDB oracle — entirely
+    inside whole-stage codegen: one scan, one exchange, no UDF.
+
+    This is the key a 100 TB ``OPTIMIZE ... BY hilbert(d, sk)`` would
+    range-partition on; ``zone_map_pruning_eval`` measures the
+    resulting skip rates head-to-head against natural / date-sorted /
+    Z-order under the same predicate."""
+    n = 2 ** Z_BITS
+    base = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"datediff(l_shipdate, DATE '{DAY0}') AS d",
+        f"l_suppkey % {n} AS sk",
+        f"datediff(l_shipdate, DATE '{DAY0}') AS hx",
+        f"l_suppkey % {n} AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    keyed = _hilbert_spark(base, Z_BITS, HILBERT_BUCKET_LEVELS)
+    return keyed.groupBy(
+        F.shiftrightunsigned("hd", Z_SHIFT).cast("long").alias("h_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.min("sk").cast("long").alias("sk_min"),
+        F.max("sk").cast("long").alias("sk_max"),
+        (
+            F.max("d") - F.min("d") + F.max("sk") - F.min("sk")
+        ).cast("long").alias("zone_span"),
+    )

@@ -1204,3 +1204,128 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .replace("{MAT}", "")
     )
+
+
+# --------------------------------------------------------------------------
+# Kalman local-level filter over monthly revenue (the Croston/Holt
+# recursion idiom: recursive-CTE oracle, bounded-frame driver recursion)
+# --------------------------------------------------------------------------
+KALMAN_Q = 0.1  # process-noise / R ratio: gain ladder is data-independent
+KALMAN_R = 1.0
+KALMAN_MAX_STEPS = 96  # TPC-H spans ~80 months; bound by construction
+
+_KALMAN_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT * FROM (
+    SELECT CAST(row_number() OVER (ORDER BY mth) AS BIGINT) - 1 AS idx,
+           {{epoch_expr}} AS month_ms,
+           CAST(cents AS DOUBLE) / 100.0 AS y
+    FROM (
+      SELECT {{month_expr}} AS mth,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM {{orders}} GROUP BY 1
+    )
+  ) WHERE idx < {KALMAN_MAX_STEPS}
+),
+kf (idx, month_ms, y, level, p, gain, innov) AS (
+  SELECT idx, month_ms, y, y, CAST({KALMAN_R!r} AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM series WHERE idx = 0
+  UNION ALL
+  SELECT s.idx, s.month_ms, s.y,
+         k.level + ((k.p + {KALMAN_Q!r}) / (k.p + {KALMAN_Q!r}
+                    + {KALMAN_R!r})) * (s.y - k.level),
+         (1 - (k.p + {KALMAN_Q!r}) / (k.p + {KALMAN_Q!r}
+               + {KALMAN_R!r})) * (k.p + {KALMAN_Q!r}),
+         (k.p + {KALMAN_Q!r}) / (k.p + {KALMAN_Q!r} + {KALMAN_R!r}),
+         s.y - k.level
+  FROM kf k JOIN series s ON s.idx = k.idx + 1
+)
+SELECT idx, month_ms,
+       round(y - 1e-9, 4) + 0.0 AS y_usd,
+       round(level - 1e-9, 4) + 0.0 AS level_usd,
+       round(gain, 6) + 0.0 AS gain,
+       round(innov - 1e-9, 4) + 0.0 AS innovation_usd
+FROM kf
+"""
+
+
+@query(
+    "kalman_local_level",
+    _KALMAN_SQL.format(
+        orders="orders",
+        month_expr="date_trunc('month', CAST(o_orderdate AS DATE))",
+        epoch_expr="epoch_ms(CAST(mth AS TIMESTAMP))",
+    ),
+)
+def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman filter (local-level / random-walk-plus-noise model) over
+    the monthly revenue series: predict P⁻ = P + Q, gain K =
+    P⁻/(P⁻ + R), update level += K·innovation — the optimal recursive
+    estimator every streaming anomaly detector and forecast system
+    builds on, and the probabilistic upgrade of ``ewma_smoothing``
+    (an EWMA is exactly the STEADY-STATE Kalman gain; here the early
+    rows show the transient where the filter still trusts data more).
+    With literal (Q, R) the gain ladder is data-independent and
+    converges geometrically; innovations are the one-step-ahead
+    forecast errors a monitoring rule pages on.
+
+    Determinism: y is exact integer cents cast once to double; every
+    recursion step applies the identical IEEE expression tree in both
+    engines (the Croston/Holt precedent).  The DuckDB oracle runs the
+    native recursive CTE; Spark runs the SAME recursion driver-side on
+    the collected month frame — bounded at KALMAN_MAX_STEPS=96 rows BY
+    CONSTRUCTION (TPC-H spans ~80 months), never by row count, so the
+    collect is O(1) while the only fact-sized work is the distributed
+    monthly rollup that produces it.  Scale shape at 100 TB: the
+    rollup is one map-side-combinable aggregate; the filter itself is
+    O(months) regardless of corpus size — or swaps to the ValueState
+    twin pattern (``streaming_croston``) for unbounded series."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "kalman_orders"
+    )
+    series = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT CAST(row_number() OVER (ORDER BY mth) AS BIGINT) - 1
+                   AS idx,
+                 unix_millis(CAST(mth AS TIMESTAMP)) AS month_ms,
+                 CAST(cents AS DOUBLE) / 100.0 AS y
+          FROM (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mth,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM kalman_orders GROUP BY 1
+          )
+        ) WHERE idx < {KALMAN_MAX_STEPS}
+        """
+    ).collect()  # bounded by KALMAN_MAX_STEPS, never by row count
+    rows = sorted(series, key=lambda r: r.idx)
+    out = []
+    level, p = None, None
+    for r in rows:
+        if r.idx == 0:
+            level, p, gain, innov = float(r.y), KALMAN_R, 0.0, 0.0
+        else:
+            p_pred = p + KALMAN_Q
+            gain = p_pred / (p_pred + KALMAN_R)
+            innov = r.y - level
+            level = level + gain * innov
+            p = (1 - gain) * p_pred
+        out.append((r.idx, r.month_ms, float(r.y), level, gain, innov))
+    df = spark.createDataFrame(
+        out,
+        "idx BIGINT, month_ms BIGINT, y DOUBLE, level DOUBLE,"
+        " gain DOUBLE, innov DOUBLE",
+    )
+    return df.select(
+        "idx",
+        "month_ms",
+        (F.round(F.col("y") - 1e-9, 4) + 0.0).alias("y_usd"),
+        (F.round(F.col("level") - 1e-9, 4) + 0.0).alias("level_usd"),
+        (F.round(F.col("gain"), 6) + 0.0).alias("gain"),
+        (F.round(F.col("innov") - 1e-9, 4) + 0.0).alias(
+            "innovation_usd"
+        ),
+    )

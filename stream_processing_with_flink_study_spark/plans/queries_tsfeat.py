@@ -3007,3 +3007,177 @@ def periodogram_frame(spark: SparkSession, counts: DataFrame) -> DataFrame:
         "WITH hrs AS (SELECT CAST(h AS BIGINT) AS h, CAST(nn AS BIGINT)"
         " AS nn FROM pg_frame_counts),\n" + sql[head:]
     )
+
+
+# --------------------------------------------------------------------------
+# subsequence DTW: elastic pattern matching over the hourly count stream
+# --------------------------------------------------------------------------
+DTW_M = 8  # query-pattern length (a rising ramp in 0..1000 fixed point)
+DTW_N = 12  # window length the pattern may match elastically within
+DTW_TOPK = 5
+DTW_INF = 1 << 40
+# ramp pattern in the same 0..1000 normalized space as the windows
+DTW_PATTERN = [j * 1000 // (DTW_M - 1) for j in range(DTW_M)]
+
+
+def _dtw_stage_exprs(j: int) -> list[str]:
+    """DP column ``j`` of subsequence DTW as dialect-free SQL: cell
+    d_i = |Q_i − s_j| + least(left, diag, down) with a FREE start on
+    the window axis (row 1 pays only its own cost) — the within-column
+    d_{i-1} dependency is inlined textually, so one CTE/select stage
+    per column suffices.  All-integer arithmetic (costs and the INF
+    sentinel are exact int64), so any correct evaluator produces the
+    identical table."""
+    exprs, prev_d = [], None
+    for i in range(1, DTW_M + 1):
+        cost = f"abs({DTW_PATTERN[i - 1]} - s{j})"
+        if i == 1:
+            d = f"({cost})"  # free start: least(0, p1) = 0 since p >= 0
+        else:
+            d = f"({cost} + least(p{i}, p{i - 1}, {prev_d}))"
+        exprs.append(f"{d} AS d{i}")
+        prev_d = d
+    exprs.append(f"least(best, {prev_d}) AS best")
+    return exprs
+
+
+def _dtw_chain_items(j: int) -> list[str]:
+    """Full item list for DP stage ``j``: carry the window columns and
+    expose this column's cells as p1..p8/best for the NEXT stage (the
+    references inside the expressions resolve to the INPUT p's — both
+    engines resolve unqualified names to input columns, not output
+    aliases)."""
+    keep = [f"s{k}" for k in range(1, DTW_N + 1)] + ["event_type", "h_ms"]
+    return keep + [
+        e.replace(" AS d", " AS p") for e in _dtw_stage_exprs(j)
+    ]
+
+
+def _dtw_norm_items(dialect: str) -> list[str]:
+    """0..1000 fixed-point min-max normalization of the window list —
+    the dialect splits: integer floor division (Spark ``div`` / DuckDB
+    ``//``) and 1-based element access (Spark ``element_at`` —
+    ``seq[k]`` would be 0-based there — vs DuckDB's native 1-based
+    ``seq[k]``)."""
+    div = "div" if dialect == "spark" else "//"
+    items = []
+    for k in range(1, DTW_N + 1):
+        el = f"element_at(seq, {k})" if dialect == "spark" else f"seq[{k}]"
+        items.append(
+            f"(CASE WHEN mx > mn THEN (({el} - mn) * 1000) {div}"
+            f" (mx - mn) ELSE 0 END) AS s{k}"
+        )
+    return items
+
+
+def _dtw_oracle() -> str:
+    stages = []
+    prev = "norm"
+    for j in range(1, DTW_N + 1):
+        items = ", ".join(_dtw_chain_items(j))
+        stages.append(f"dp{j} AS (SELECT {items} FROM {prev})")
+        prev = f"dp{j}"
+    chain = ",\n    ".join(stages)
+    return f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, epoch_ms(h) AS h_ms,
+             list(v) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN CURRENT ROW
+                           AND {DTW_N - 1} FOLLOWING) AS seq,
+             count(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN CURRENT ROW
+                            AND {DTW_N - 1} FOLLOWING) AS n
+      FROM hourly
+    ),
+    full_win AS (
+      SELECT event_type, h_ms, seq,
+             list_min(seq) AS mn, list_max(seq) AS mx
+      FROM win WHERE n = {DTW_N}
+    ),
+    norm AS (
+      SELECT event_type, h_ms, {", ".join(_dtw_norm_items("duckdb"))},
+             {", ".join(f"CAST({DTW_INF} AS BIGINT) AS p{i}" for i in range(1, DTW_M + 1))},
+             CAST({DTW_INF} AS BIGINT) AS best
+      FROM full_win
+    ),
+    {chain},
+    ranked AS (
+      SELECT event_type, h_ms, best AS dtw_cost,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY best, h_ms) AS rk
+      FROM dp{DTW_N}
+    )
+    SELECT event_type, h_ms, CAST(dtw_cost AS BIGINT) AS dtw_cost,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {DTW_TOPK}
+    """
+
+
+@query("dtw_subsequence_match", oracle=_dtw_oracle())
+def dtw_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence Dynamic Time Warping: per event type, the top-5
+    12-hour windows whose hourly count shape matches a rising-ramp
+    pattern ELASTICALLY — DTW's warping absorbs local speed-ups and
+    stalls that the fixed-alignment Euclidean scan
+    (``ts_subsequence_search``) penalizes, which is why it is the
+    classic trend/shape detector for irregular series.  Windows are
+    min-max normalized to exact 0..1000 fixed point; the 8×12 DP runs
+    with a free start/end on the window axis and ALL-INTEGER costs.
+
+    Engine shape: the whole DP is an unrolled expression chain — one
+    ``selectExpr`` stage per DP column, cells as nested ``least``
+    trees (the Hilbert stage-chain idiom) — entirely inside
+    whole-stage codegen: no UDF, no explode, no driver loop; the
+    DuckDB oracle runs the IDENTICAL chain as CTE stages, and integer
+    DP admits exactly one answer.  Scale: per-key window extraction is
+    the same bounded-frame pass as every rolling query; cost per row
+    is a constant 96-cell tree, so 100 TB scales linearly with the
+    hourly frame count."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, DTW_N - 1)
+    )
+    win = hourly.select(
+        "event_type",
+        F.unix_millis("h").alias("h_ms"),
+        F.collect_list("v").over(w).alias("seq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == DTW_N)
+    norm = win.selectExpr(
+        "event_type",
+        "h_ms",
+        "array_min(seq) AS mn",
+        "array_max(seq) AS mx",
+        "seq",
+    ).selectExpr(
+        "event_type",
+        "h_ms",
+        *_dtw_norm_items("spark"),
+        *[f"CAST({DTW_INF} AS BIGINT) AS p{i}" for i in range(1, DTW_M + 1)],
+        f"CAST({DTW_INF} AS BIGINT) AS best",
+    )
+    out = norm
+    for j in range(1, DTW_N + 1):
+        out = out.selectExpr(*_dtw_chain_items(j))
+    wr = Window.partitionBy("event_type").orderBy("best", "h_ms")
+    return (
+        out.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= DTW_TOPK)
+        .select(
+            "event_type",
+            "h_ms",
+            F.col("best").cast("long").alias("dtw_cost"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

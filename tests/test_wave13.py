@@ -282,3 +282,87 @@ def test_rmst_planted_half_censored(spark, tmp_path):
     for tau, r in out.items():
         assert r.rmst_days <= tau + 1e-9
         assert r.rmst_days >= tau * 0  # nonneg
+
+
+def test_kalman_planted_constant_series(spark, tmp_path):
+    """A constant monthly series: innovations are exactly 0 after the
+    seed row, the level never moves, and the data-independent gain
+    ladder starts at (P0+Q)/(P0+Q+R) and decreases monotonically toward
+    the steady state (the filter trusting its own level more each
+    step)."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+    from stream_processing_with_flink_study_spark.plans.queries_queueing import (
+        KALMAN_Q,
+        KALMAN_R,
+    )
+
+    rows = []
+    for m in range(12):
+        rows.append(
+            (m, m, 100.0, datetime.datetime(1995, 1 + m % 12, 15))
+        )
+    spark.createDataFrame(
+        rows,
+        "o_custkey long, o_orderkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = sorted(
+        QUERIES["kalman_local_level"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.idx,
+    )
+    assert len(out) == 12
+    assert all(r.y_usd == 100.0 for r in out)
+    assert all(r.level_usd == 100.0 for r in out)
+    assert all(r.innovation_usd == 0.0 for r in out[1:])
+    g1 = (KALMAN_R + KALMAN_Q) / (KALMAN_R + KALMAN_Q + KALMAN_R)
+    assert abs(out[1].gain - round(g1, 6)) < 1e-9
+    gains = [r.gain for r in out[1:]]
+    assert gains == sorted(gains, reverse=True)  # monotone to steady state
+    assert gains[-1] > 0.2  # steady-state gain for Q/R = 0.1 is ~0.27
+
+
+def test_dtw_planted_ramp_scores_zero(spark, tmp_path):
+    """A 12-hour window whose counts are exactly [1..8,8,8,8,8]
+    min-max-normalizes to the ramp pattern on its first 8 points, so
+    subsequence DTW (free end) must score it 0 and rank it first;
+    every other window costs more."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    base = datetime.datetime(2024, 5, 1)
+    counts = [3, 3, 3, 1, 2, 3, 4, 5, 6, 7, 8, 8, 8, 8, 8, 3, 3, 3, 3, 3]
+    rows = []
+    eid = 0
+    for hour, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, "ramp", base + datetime.timedelta(hours=hour, minutes=eid % 50))
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = sorted(
+        QUERIES["dtw_subsequence_match"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.rk,
+    )
+    assert out[0].rk == 1 and out[0].dtw_cost == 0
+    # free start/end: EVERY window fully containing the ramp (starts
+    # at hours 0..3) scores 0; the (cost, h) tie-break ranks the
+    # earliest first
+    zero_starts = [
+        int((base + datetime.timedelta(hours=h)).timestamp() * 1000)
+        for h in range(4)
+    ]
+    zeros = [r for r in out if r.dtw_cost == 0]
+    assert [r.h_ms for r in zeros] == zero_starts
+    assert all(r.dtw_cost > 0 for r in out[len(zeros):])
+    # costs are ranked ascending with (cost, h) ties deterministic
+    assert [r.dtw_cost for r in out] == sorted(r.dtw_cost for r in out)

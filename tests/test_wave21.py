@@ -57,7 +57,7 @@ def test_zone_map_matching_rows_layout_invariant(spark):
     must cover it; and the natural layout can never out-prune the
     purpose-built ones on this 2-D predicate."""
     rows = {r["layout"]: r for r in zone_map_pruning_eval(spark, SF_SMALL).collect()}
-    assert set(rows) == {"natural", "date_sorted", "zorder"}
+    assert set(rows) == {"natural", "date_sorted", "zorder", "hilbert"}
     matching = {r["rows_matching"] for r in rows.values()}
     assert len(matching) == 1
     for r in rows.values():
@@ -70,6 +70,102 @@ def test_zone_map_matching_rows_layout_invariant(spark):
     assert (
         rows["date_sorted"]["rows_scanned"] <= rows["natural"]["rows_scanned"]
     )
+    assert (
+        rows["hilbert"]["rows_scanned"] <= rows["natural"]["rows_scanned"]
+    )
+
+
+def _py_hilbert(n: int, x: int, y: int) -> int:
+    """Textbook iterative xy→d walk with the level-size rotation — the
+    independent reference for the SQL stage chain."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_stage_chain_matches_python_reference(spark):
+    """The chained selectExpr stages equal the independent Python walk
+    on a grid including the corners; the index is a bijection on the
+    full small grid; and consecutive indices are ALWAYS grid neighbors
+    (the unit-step adjacency Morton lacks — the reason hilbert exists
+    as a second layout)."""
+    from stream_processing_with_flink_study_spark.plans.queries_layout import (
+        _hilbert_spark,
+    )
+
+    n = 2**Z_BITS
+    pairs = [(0, 0), (n - 1, n - 1), (n - 1, 0), (0, n - 1)]
+    pairs += [((i * 37) % n, (i * 101) % n) for i in range(200)]
+    df = spark.createDataFrame(pairs, "x long, y long").selectExpr(
+        "x", "y", "x AS hx", "y AS hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    for r in _hilbert_spark(df, Z_BITS).collect():
+        assert r["hd"] == _py_hilbert(n, r["x"], r["y"]), (r["x"], r["y"])
+    # bijectivity + adjacency on a complete 16x16 grid via 4-bit stages
+    m = 16
+    grid = [(x, y) for x in range(m) for y in range(m)]
+    gdf = spark.createDataFrame(grid, "x long, y long").selectExpr(
+        "x", "y", "x AS hx", "y AS hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    got = {r["hd"]: (r["x"], r["y"]) for r in _hilbert_spark(gdf, 4).collect()}
+    assert sorted(got) == list(range(m * m))
+    for i in range(m * m - 1):
+        (x1, y1), (x2, y2) = got[i], got[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_truncated_walk_same_buckets(spark):
+    """The production queries run only HILBERT_BUCKET_LEVELS stages;
+    the dropped tail contributes < 2^Z_SHIFT, so hd >> Z_SHIFT must be
+    IDENTICAL to the full walk's — pinned on a deterministic grid
+    including the corners."""
+    from stream_processing_with_flink_study_spark.plans.queries_layout import (
+        HILBERT_BUCKET_LEVELS,
+        Z_SHIFT,
+        _hilbert_spark,
+    )
+
+    n = 2**Z_BITS
+    pairs = [(0, 0), (n - 1, n - 1), (n - 1, 0), (0, n - 1)]
+    pairs += [((i * 37) % n, (i * 101) % n) for i in range(300)]
+    df = spark.createDataFrame(pairs, "x long, y long").selectExpr(
+        "x", "y", "x AS hx", "y AS hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    full = {
+        (r["x"], r["y"]): r["hd"] >> Z_SHIFT
+        for r in _hilbert_spark(df, Z_BITS).collect()
+    }
+    trunc = {
+        (r["x"], r["y"]): r["hd"] >> Z_SHIFT
+        for r in _hilbert_spark(df, Z_BITS, HILBERT_BUCKET_LEVELS).collect()
+    }
+    assert full == trunc
+
+
+def test_hilbert_buckets_no_looser_than_zorder(spark):
+    """Curve quality: averaged over equal-size buckets of the same
+    plane, hilbert's zone spans must not exceed zorder's — the
+    measurable form of the adjacency advantage."""
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    z = QUERIES["zorder_layout_keys"](spark, SF_SMALL).collect()
+    h = QUERIES["hilbert_layout_keys"](spark, SF_SMALL).collect()
+    z_mean = sum(r["zone_span"] * r["n_rows"] for r in z) / sum(
+        r["n_rows"] for r in z
+    )
+    h_mean = sum(r["zone_span"] * r["n_rows"] for r in h) / sum(
+        r["n_rows"] for r in h
+    )
+    assert sum(r["n_rows"] for r in h) == sum(r["n_rows"] for r in z)
+    assert h_mean <= z_mean * 1.05  # never meaningfully looser
 
 
 def test_smote_plan_targets_minorities_with_true_nearest(spark):
