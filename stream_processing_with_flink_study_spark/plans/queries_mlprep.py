@@ -2791,3 +2791,226 @@ def count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# rank-2 implicit-feedback ALS with closed-form 2x2 solves
+# --------------------------------------------------------------------------
+ALS_ITEMS = ["click", "error", "purchase", "signup", "view"]
+ALS_Q0 = {
+    "click": (0.9, 0.2),
+    "error": (0.1, 1.0),
+    "purchase": (1.0, 0.4),
+    "signup": (0.3, 0.7),
+    "view": (0.6, 0.6),
+}
+ALS_LAM = 0.1
+ALS_SCALE = 1_000_000  # user-factor fixed point for the item step
+
+
+def _als_dlit(v: float) -> str:
+    """Float literal forced to DOUBLE on both engines: Spark parses a
+    bare decimal-point literal as DECIMAL (exact arithmetic!) while
+    DuckDB parses DOUBLE — unguarded, the whole expression tree
+    silently runs decimal on one side (caught by the hash oracle as a
+    ~1e-5 drift in the item solve)."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _als_user_stage(q: dict) -> list[str]:
+    """a11/a12/a22/b1/b2 of the per-user 2x2 ridge system, as
+    dialect-free SQL over the pivoted count columns.  ``q`` maps item →
+    (expr, expr) — DOUBLE-cast literals on pass 1, the q2 CTE's column
+    names on pass 2.  Terms are emitted in fixed item order, so the
+    double accumulation is an expression tree, never a bag sum."""
+
+    def srt(fn):
+        return " + ".join(fn(i, q[i][0], q[i][1]) for i in ALS_ITEMS)
+
+    lam = _als_dlit(ALS_LAM)
+    return [
+        f"({srt(lambda i, a, b: f'c_{i} * ({a} * {a})')}"
+        f" + {lam}) AS a11",
+        f"({srt(lambda i, a, b: f'c_{i} * ({a} * {b})')}) AS a12",
+        f"({srt(lambda i, a, b: f'c_{i} * ({b} * {b})')}"
+        f" + {lam}) AS a22",
+        f"({srt(lambda i, a, b: f'c_{i} * {a}')}) AS b1",
+        f"({srt(lambda i, a, b: f'c_{i} * {b}')}) AS b2",
+    ]
+
+
+_ALS_SOLVE = [
+    "((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)) AS pu1",
+    "((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)) AS pu2",
+]
+
+
+def _als_pivot_items(dialect: str) -> list[str]:
+    cast = "BIGINT"
+    return [
+        f"CAST(sum(CASE WHEN event_type = '{i}' THEN 1 ELSE 0 END)"
+        f" AS {cast}) AS c_{i}"
+        for i in ALS_ITEMS
+    ]
+
+
+def _als_item_sums() -> list[str]:
+    out = []
+    for i in ALS_ITEMS:
+        out += [
+            f"CAST(sum(c_{i} * pq1 * pq1) AS BIGINT) AS s11_{i}",
+            f"CAST(sum(c_{i} * pq1 * pq2) AS BIGINT) AS s12_{i}",
+            f"CAST(sum(c_{i} * pq2 * pq2) AS BIGINT) AS s22_{i}",
+            f"CAST(sum(c_{i} * pq1) AS BIGINT) AS t1_{i}",
+            f"CAST(sum(c_{i} * pq2) AS BIGINT) AS t2_{i}",
+        ]
+    return out
+
+
+def _als_item_solve() -> list[str]:
+    sc2 = _als_dlit(float(ALS_SCALE) * float(ALS_SCALE))
+    sc1 = _als_dlit(float(ALS_SCALE))
+    lam = _als_dlit(ALS_LAM)
+    out = []
+    for i in ALS_ITEMS:
+        a11 = f"(s11_{i} / {sc2} + {lam})"
+        a12 = f"(s12_{i} / {sc2})"
+        a22 = f"(s22_{i} / {sc2} + {lam})"
+        b1 = f"(t1_{i} / {sc1})"
+        b2 = f"(t2_{i} / {sc1})"
+        det = f"({a11} * {a22} - {a12} * {a12})"
+        out.append(f"(({a22} * {b1} - {a12} * {b2}) / {det}) AS q1_{i}")
+        out.append(f"(({a11} * {b2} - {a12} * {b1}) / {det}) AS q2_{i}")
+    return out
+
+
+def _als_scores() -> list[str]:
+    return [
+        f"(pu1 * q1_{i} + pu2 * q2_{i}) AS s_{i}" for i in ALS_ITEMS
+    ]
+
+
+def _als_best() -> tuple[str, str]:
+    item = "CASE"
+    for i in ALS_ITEMS[:-1]:
+        geq = " AND ".join(
+            f"s_{i} >= s_{j}" for j in ALS_ITEMS if j != i
+        )
+        item += f" WHEN {geq} THEN '{i}'"
+    item += f" ELSE '{ALS_ITEMS[-1]}' END"
+    score = "CASE"
+    for i in ALS_ITEMS[:-1]:
+        geq = " AND ".join(
+            f"s_{i} >= s_{j}" for j in ALS_ITEMS if j != i
+        )
+        score += f" WHEN {geq} THEN s_{i}"
+    score += f" ELSE s_{ALS_ITEMS[-1]} END"
+    return item, score
+
+
+def _als_oracle() -> str:
+    lit_q = {
+        i: (_als_dlit(a), _als_dlit(b)) for i, (a, b) in ALS_Q0.items()
+    }
+    col_q = {i: (f"q1_{i}", f"q2_{i}") for i in ALS_ITEMS}
+    best_item, best_score = _als_best()
+    return f"""
+    WITH piv AS MATERIALIZED (
+      SELECT user_id, {", ".join(_als_pivot_items("duckdb"))}
+      FROM events WHERE event_type IN ({", ".join(f"'{i}'" for i in ALS_ITEMS)})
+      GROUP BY user_id
+    ),
+    u1a AS (SELECT *, {", ".join(_als_user_stage(lit_q))} FROM piv),
+    u1 AS (SELECT *, {", ".join(_ALS_SOLVE)} FROM u1a),
+    uq AS (
+      SELECT *, CAST(floor(pu1 * {float(ALS_SCALE)!r} + 0.5) AS BIGINT) AS pq1,
+             CAST(floor(pu2 * {float(ALS_SCALE)!r} + 0.5) AS BIGINT) AS pq2
+      FROM u1
+    ),
+    isums AS (SELECT {", ".join(_als_item_sums())} FROM uq),
+    q2 AS (SELECT {", ".join(_als_item_solve())} FROM isums),
+    u2a AS (
+      SELECT u.user_id, {", ".join(f"u.c_{i}" for i in ALS_ITEMS)},
+             {", ".join(f"q.q1_{i}, q.q2_{i}" for i in ALS_ITEMS)}
+      FROM uq u CROSS JOIN q2 q
+    ),
+    u2b AS (SELECT *, {", ".join(_als_user_stage(col_q))} FROM u2a),
+    u2 AS (SELECT *, {", ".join(_ALS_SOLVE)} FROM u2b),
+    scored AS (SELECT *, {", ".join(_als_scores())} FROM u2)
+    SELECT user_id,
+           round(pu1 - 1e-9, 4) + 0.0 AS factor1,
+           round(pu2 - 1e-9, 4) + 0.0 AS factor2,
+           {best_item} AS best_item,
+           round(({best_score}) - 1e-9, 4) + 0.0 AS best_score
+    FROM scored
+    """
+
+
+@query("als_implicit_rank2", _als_oracle())
+def als_implicit_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback matrix factorization (Hu-Koren-style weighted
+    ridge ALS) at rank 2 over the (user, event-type) interaction
+    counts: user-step → item-step → user-step, each solve the EXACT
+    2x2 closed form (det/adjugate — no iterative solver), confidences
+    = raw counts, λ = 0.1, literal item-factor init.  Emits per user
+    the learned taste vector and the argmax-affinity event type — the
+    recommender primitive behind "users like you also…".
+
+    Cross-engine determinism is the interesting part: the USER step is
+    a fixed-order expression tree over the 5 pivoted count columns (no
+    bag sum anywhere), and the ITEM step — the one aggregation over
+    users, where a naive Σ c·p·pᵀ would be order-dependent double
+    accumulation — runs on 1e6 fixed-point QUANTIZED user factors, so
+    all 25 sums are exact int64 (≤ ~2e13 per user-row, well inside
+    2^63) and the de-scaled 2x2 solves are bit-identical in both
+    engines.  Scale shape: one user-keyed pivot aggregate (map-side
+    combinable), the item step is a SINGLE-ROW exact-integer aggregate
+    (map-side partials, no shuffle pressure), broadcast back for the
+    final pass — at 100 TB this is 2 scans + 1 broadcast; rank-k
+    generalizes by swapping the closed form for a k x k Cholesky in
+    the same quantized frame."""
+    lit_q = {
+        i: (_als_dlit(a), _als_dlit(b)) for i, (a, b) in ALS_Q0.items()
+    }
+    col_q = {i: (f"q1_{i}", f"q2_{i}") for i in ALS_ITEMS}
+    best_item, best_score = _als_best()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(ALS_ITEMS)
+    )
+    piv = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == i, 1).otherwise(0)
+            ).cast("long").alias(f"c_{i}")
+            for i in ALS_ITEMS
+        ]
+    )
+    u1 = piv.selectExpr("*", *_als_user_stage(lit_q)).selectExpr(
+        "*", *_ALS_SOLVE
+    )
+    uq = u1.selectExpr(
+        "*",
+        f"CAST(floor(pu1 * {float(ALS_SCALE)!r} + 0.5) AS BIGINT) AS pq1",
+        f"CAST(floor(pu2 * {float(ALS_SCALE)!r} + 0.5) AS BIGINT) AS pq2",
+    ).localCheckpoint()
+    isums = uq.agg(
+        *[
+            F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+            for e in _als_item_sums()
+        ]
+    )
+    q2 = isums.selectExpr(*_als_item_solve())
+    u2 = (
+        uq.select("user_id", *[f"c_{i}" for i in ALS_ITEMS])
+        .crossJoin(F.broadcast(q2))
+        .selectExpr("*", *_als_user_stage(col_q))
+        .selectExpr("*", *_ALS_SOLVE)
+        .selectExpr("*", *_als_scores())
+    )
+    return u2.selectExpr(
+        "user_id",
+        "round(pu1 - 1e-9, 4) + 0.0 AS factor1",
+        "round(pu2 - 1e-9, 4) + 0.0 AS factor2",
+        f"{best_item} AS best_item",
+        f"round(({best_score}) - 1e-9, 4) + 0.0 AS best_score",
+    )

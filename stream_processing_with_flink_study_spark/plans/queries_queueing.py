@@ -1329,3 +1329,79 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             "innovation_usd"
         ),
     )
+
+
+@query(
+    "streaming_kalman_level",
+    _KALMAN_SQL.format(
+        orders="orders",
+        month_expr="date_trunc('month', CAST(o_orderdate AS DATE))",
+        epoch_expr="epoch_ms(CAST(mth AS TIMESTAMP))",
+    ),
+)
+def streaming_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kalman local-level filter run THROUGH Structured Streaming
+    under the SAME oracle as the recursive-CTE form: the monthly
+    revenue series feeds as two event-time-ordered micro-batches;
+    :func:`..streaming.stateful.kalman_partials` carries
+    (idx, level, P) ValueState across the boundary and applies the
+    identical IEEE predict/gain/update tree, so every filtered level
+    and innovation is bit-equal to the batch recursion.  The point —
+    same as ``streaming_croston`` — is that the recurrence batch SQL
+    needs WITH RECURSIVE for is the NATURAL shape of keyed streaming
+    state; a production anomaly pager IS this query with an alert sink
+    on the innovation column."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import kalman_partials
+    from .registry import scratch_dir
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "skalman_orders"
+    )
+    series = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT CAST(row_number() OVER (ORDER BY mth) AS BIGINT) - 1
+                   AS idx,
+                 CAST(mth AS TIMESTAMP) AS d,
+                 CAST(cents AS DOUBLE) / 100.0 AS y
+          FROM (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mth,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM skalman_orders GROUP BY 1
+          )
+        ) WHERE idx < {KALMAN_MAX_STEPS}
+        """
+    ).select(F.lit(0).cast("long").alias("k"), "d", "y", "idx")
+    half = KALMAN_MAX_STEPS // 2
+    batches = [
+        series.filter(F.col("idx") < half).drop("idx"),
+        series.filter(F.col("idx") >= half).drop("idx"),
+    ]
+    src_dir = scratch_dir("src_kalman_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with scratch_dir("ck_kalman_stream_") as ck:
+            got = run_available_now(
+                kalman_partials(sdf, q_var=KALMAN_Q, r_var=KALMAN_R),
+                ck,
+                "update",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    return got.select(
+        "idx",
+        "month_ms",
+        (F.round(F.col("y") - 1e-9, 4) + 0.0).alias("y_usd"),
+        (F.round(F.col("level") - 1e-9, 4) + 0.0).alias("level_usd"),
+        (F.round(F.col("gain"), 6) + 0.0).alias("gain"),
+        (F.round(F.col("innov") - 1e-9, 4) + 0.0).alias(
+            "innovation_usd"
+        ),
+    ).orderBy("idx")

@@ -1241,6 +1241,74 @@ def croston_partials(
     )
 
 
+def kalman_partials(
+    df: DataFrame,
+    q_var: float,
+    r_var: float,
+    key: str = "k",
+    ts: str = "d",
+    value_col: str = "y",
+) -> DataFrame:
+    """Streaming Kalman local-level filter — the ValueState twin of
+    ``plans.queries_queueing.kalman_local_level``: state per key is
+    (step idx, filtered level, error variance P); each observation
+    applies predict P⁻ = P + Q, gain K = P⁻/(P⁻ + R), update
+    level += K·(y − level), P = (1−K)·P⁻ — the identical IEEE
+    expression tree as the batch recursive CTE, so levels are
+    bit-equal on ordered feeds.  Unlike Croston there is no held
+    base case: row 0 seeds (level = y₀, P = R) and emits final
+    immediately."""
+    out_schema = (
+        f"{key} long, idx long, month_ms long, y double, "
+        "level double, gain double, innov double"
+    )
+    state_schema = "idx long, level double, p double, last_ms long"
+
+    def handle(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
+        if state.exists:
+            idx, level, p, last_ms = state.get
+        else:
+            idx, level, p, last_ms = -1, None, None, None
+        ms = _ts_ms(pdf[ts])
+        if last_ms is not None:
+            keep = ms > last_ms
+            pdf, ms = pdf[keep], ms[keep]
+        if not len(pdf):
+            return
+        out = []
+        for month_ms, y in zip(ms, pdf[value_col].astype("float64")):
+            y = float(y)
+            if idx == -1:
+                idx, level, p = 0, y, r_var
+                gain, innov = 0.0, 0.0
+            else:
+                idx += 1
+                p_pred = p + q_var
+                gain = p_pred / (p_pred + r_var)
+                innov = y - level
+                level = level + gain * innov
+                p = (1 - gain) * p_pred
+            out.append(
+                (k[0], idx, int(month_ms), y, level, gain, innov)
+            )
+        state.update((int(idx), float(level), float(p), int(ms[-1])))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                key, "idx", "month_ms", "y", "level", "gain", "innov",
+            ],
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def token_bucket_partials(
     df: DataFrame,
     cap: int,

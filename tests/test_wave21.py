@@ -229,3 +229,104 @@ def test_hll_md5_estimate_quality_and_merge_law(spark):
     assert rows["__all__"]["n_exact"] == sum(
         r["n_exact"] for k, r in rows.items() if k != "__all__"
     )
+
+
+def test_als_rank2_matches_python_replay_and_separates_groups(spark, tmp_path):
+    """Full pure-Python replay of the ALS pipeline (same fixed-order
+    float arithmetic, same 1e6 quantization) must reproduce every
+    rounded output exactly; and on a planted two-community corpus the
+    learned factors must keep each community's best_item inside its
+    own item set."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+    from stream_processing_with_flink_study_spark.plans.queries_mlprep import (
+        ALS_ITEMS,
+        ALS_LAM,
+        ALS_Q0,
+        ALS_SCALE,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    counts = {}
+    for u in range(20):
+        if u < 10:
+            mine = {"click": 6 + u % 3, "view": 4 + u % 2}
+        else:
+            mine = {"error": 5 + u % 4, "signup": 3 + u % 2}
+        counts[u] = {i: mine.get(i, 0) for i in ALS_ITEMS}
+        for it, c in mine.items():
+            for _ in range(c):
+                rows.append(
+                    (eid, u, it, base + datetime.timedelta(minutes=eid), 1.0)
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    def solve(a11, a12, a22, b1, b2):
+        det = a11 * a22 - a12 * a12
+        return (a22 * b1 - a12 * b2) / det, (a11 * b2 - a12 * b1) / det
+
+    def user_step(c, q):
+        a11 = a12 = a22 = b1 = b2 = 0.0
+        for i in ALS_ITEMS:
+            qa, qb = q[i]
+            a11 = a11 + c[i] * (qa * qa)
+            a12 = a12 + c[i] * (qa * qb)
+            a22 = a22 + c[i] * (qb * qb)
+            b1 = b1 + c[i] * qa
+            b2 = b2 + c[i] * qb
+        return solve(a11 + ALS_LAM, a12, a22 + ALS_LAM, b1, b2)
+
+    import math
+
+    p1 = {u: user_step(counts[u], ALS_Q0) for u in counts}
+    pq = {
+        u: (
+            math.floor(p1[u][0] * float(ALS_SCALE) + 0.5),
+            math.floor(p1[u][1] * float(ALS_SCALE) + 0.5),
+        )
+        for u in p1
+    }
+    q2 = {}
+    for i in ALS_ITEMS:
+        s11 = sum(counts[u][i] * pq[u][0] * pq[u][0] for u in pq)
+        s12 = sum(counts[u][i] * pq[u][0] * pq[u][1] for u in pq)
+        s22 = sum(counts[u][i] * pq[u][1] * pq[u][1] for u in pq)
+        t1 = sum(counts[u][i] * pq[u][0] for u in pq)
+        t2 = sum(counts[u][i] * pq[u][1] for u in pq)
+        sc2, sc1 = float(ALS_SCALE) * float(ALS_SCALE), float(ALS_SCALE)
+        q2[i] = solve(
+            s11 / sc2 + ALS_LAM, s12 / sc2, s22 / sc2 + ALS_LAM,
+            t1 / sc1, t2 / sc1,
+        )
+    got = {
+        r.user_id: r
+        for r in QUERIES["als_implicit_rank2"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(counts)
+    for u, c in counts.items():
+        pu1, pu2 = user_step(c, q2)
+        scores = {i: pu1 * q2[i][0] + pu2 * q2[i][1] for i in ALS_ITEMS}
+        best = None
+        for i in ALS_ITEMS:  # >=-chain in item order, like the CASE
+            if all(scores[i] >= scores[j] for j in ALS_ITEMS if j != i):
+                best = i
+                break
+        r = got[u]
+        assert r.factor1 == round(pu1 - 1e-9, 4) + 0.0
+        assert r.factor2 == round(pu2 - 1e-9, 4) + 0.0
+        assert r.best_item == best
+        # community separation: clickers never get error/signup and
+        # vice versa
+        if u < 10:
+            assert r.best_item in ("click", "view")
+        else:
+            assert r.best_item in ("error", "signup")
