@@ -215,3 +215,67 @@ def encode_word_reference(
                 i += 1
         syms = out
     return syms
+
+
+def train_wordpiece_merges_driver(
+    tokens: DataFrame,
+    n_merges: int = 8,
+    token_col: str = "t",
+    vocab_cap: int = 65_536,
+) -> list[tuple[str, str, int, float]]:
+    """WordPiece-style training: identical corpus/vocabulary split to
+    :func:`train_bpe_merges_driver`, but each round's merge is the
+    pair maximizing the LIKELIHOOD score ``count(ab) / (count(a) ·
+    count(b))`` (Schuster & Nakajima / the BERT tokenizer objective)
+    instead of raw pair frequency — frequency favors pairs of already
+    common symbols, likelihood favors pairs that co-occur more than
+    their parts predict.  Returns [(left, right, pair_count, score)].
+
+    Cross-engine determinism: pair and symbol counts are exact int64;
+    the score is ONE double division of exact ints (products stay
+    under 2^53), so the argmax ordering (score desc, a, b) is
+    bit-identical to the SQL oracle's ORDER BY."""
+    wc = (
+        tokens.groupBy(F.col(token_col).alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r.word) + [END], int(r.cnt)) for r in wc
+    ]
+    merges: list[tuple[str, str, int, float]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for syms, cnt in vocab:
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + cnt
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        (a, b), c = min(
+            pair_counts.items(),
+            key=lambda kv: (
+                -(kv[1] / (sym_counts[kv[0][0]] * sym_counts[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        score = c / (sym_counts[a] * sym_counts[b])
+        merges.append((a, b, c, score))
+        merged = a + b
+        for j, (syms, cnt) in enumerate(vocab):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[j] = (out, cnt)
+    return merges

@@ -1879,3 +1879,114 @@ def woe_iv_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(o.o_orderdate AS DATE))",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# WordPiece merge training: likelihood-scored pairs (the BERT objective)
+# --------------------------------------------------------------------------
+def _wp_oracle_ctes(n_merges: int = 8, vocab_cap: int = 65_536) -> str:
+    """The WordPiece twin of ``_bpe_oracle_ctes``: identical ``|sym|``
+    encoding and replace-based merge, but each round ALSO counts
+    per-symbol totals and picks the pair by the likelihood score
+    ``CAST(c_ab AS DOUBLE) / (c_a * c_b)`` — one double division of
+    exact int64s (products < 2^53), so the ORDER BY compares the
+    bit-identical double in both engines."""
+    parts = [
+        f"""toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    wc AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE word <> '' GROUP BY word
+      ORDER BY cnt DESC, word LIMIT {vocab_cap}
+    ),
+    wt0 AS MATERIALIZED (
+      SELECT word, cnt,
+             regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS enc
+      FROM wc
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT cnt, string_split(substr(enc, 2, length(enc) - 2), '||') AS l
+      FROM wt{r - 1}
+    ),
+    p{r} AS (
+      SELECT s.l[g.i] AS a, s.l[g.i + 1] AS b,
+             CAST(sum(s.cnt) AS BIGINT) AS c
+      FROM l{r} s,
+           LATERAL (SELECT unnest(generate_series(1, len(s.l) - 1)) AS i) g(i)
+      GROUP BY 1, 2
+    ),
+    sc{r} AS MATERIALIZED (
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS sc FROM (
+        SELECT s.cnt, unnest(s.l) AS sym FROM l{r} s
+      ) GROUP BY sym
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT p.a, p.b, p.c,
+             CAST(p.c AS DOUBLE) / (sa.sc * sb.sc) AS score
+      FROM p{r} p
+      JOIN sc{r} sa ON sa.sym = p.a
+      JOIN sc{r} sb ON sb.sym = p.b
+      ORDER BY CAST(p.c AS DOUBLE) / (sa.sc * sb.sc) DESC, p.a, p.b
+      LIMIT 1
+    ),
+    wt{r} AS MATERIALIZED (
+      SELECT w.word, w.cnt,
+             replace(w.enc, '|' || m.a || '||' || m.b || '|',
+                     '|' || m.a || m.b || '|') AS enc
+      FROM wt{r - 1} w, m{r} m
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_WP_MERGES_SQL = (
+    "WITH "
+    + _wp_oracle_ctes()
+    + ",\n    out AS (\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS merge_rank, a AS "left",'
+        f" b AS \"right\", c AS pair_count,"
+        f" round(score * 1000000.0 - 1e-9, 6) + 0.0 AS score_ppm"
+        f" FROM m{r}"
+        for r in range(1, 9)
+    )
+    + ")\n    SELECT * FROM out"
+)
+
+
+@query("wordpiece_merges_top", _WP_MERGES_SQL)
+def wordpiece_merges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 WordPiece merges over the document corpus — the
+    likelihood-scored vocabulary learner (Schuster & Nakajima; the
+    BERT tokenizer objective) next to the frequency-scored
+    ``bpe_merges_top``: score = count(ab)/(count(a)·count(b)) rewards
+    pairs that co-occur MORE than their parts predict, so rare-but-
+    bound morphemes win over ubiquitous letter pairs (the planted
+    divergence test pins a case where the two trainers pick different
+    pairs from the same corpus).  Scores emitted in parts-per-million.
+
+    Same scale split as BPE: word counting is the distributed half,
+    the merge loop runs on the ≤ vocab_cap word list; the DuckDB
+    oracle replays all 8 rounds as unrolled CTEs with the pair AND
+    symbol tallies exact int64 and the score a single double
+    division — bit-identical argmax in both engines."""
+    from ..functions.bpe import train_wordpiece_merges_driver
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(text.tokens("text")).alias("t")
+    )
+    merges = train_wordpiece_merges_driver(tok, n_merges=8)
+    rows = [
+        (r + 1, a, b, c, round(s * 1_000_000.0 - 1e-9, 6) + 0.0)
+        for r, (a, b, c, s) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left string, right string, pair_count long,"
+        " score_ppm double",
+    )

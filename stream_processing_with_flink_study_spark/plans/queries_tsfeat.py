@@ -3181,3 +3181,130 @@ def dtw_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Engle's ARCH LM test: volatility clustering in daily revenue changes
+# --------------------------------------------------------------------------
+_ARCH_CHI2_5PCT = "3.841458820694124"  # chi^2(1) 95th percentile, literal
+
+
+def _arch_lm_oracle() -> str:
+    return f"""
+    WITH days AS MATERIALIZED (
+      SELECT dd, cents - lag(cents) OVER (ORDER BY dd) AS dc
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS dd,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+      )
+    ),
+    diffs AS (SELECT dd, dc FROM days WHERE dc IS NOT NULL),
+    mu AS (
+      SELECT CAST(sum(dc) AS BIGINT) AS s, count(*) AS n FROM diffs
+    ),
+    resid AS (
+      SELECT dd,
+             (dc / 100.0 - (s / 100.0) / n)
+             * (dc / 100.0 - (s / 100.0) / n) AS u
+      FROM diffs CROSS JOIN mu
+    ),
+    pairs AS (
+      SELECT dd, u, lag(u) OVER (ORDER BY dd) AS v FROM resid
+    ),
+    acc AS (
+      SELECT sum(u) OVER w AS su, sum(v) OVER w AS sv,
+             sum(u * v) OVER w AS suv,
+             sum(u * u) OVER w AS suu, sum(v * v) OVER w AS svv,
+             count(*) OVER w AS n,
+             row_number() OVER (ORDER BY dd DESC) AS rdesc
+      FROM pairs WHERE v IS NOT NULL
+      WINDOW w AS (ORDER BY dd ROWS UNBOUNDED PRECEDING)
+    ),
+    r AS (
+      SELECT n, su, sv, suv, suu, svv,
+             (n * suv - su * sv)
+             / sqrt((n * suu - su * su) * (n * svv - sv * sv)) AS rho
+      FROM acc WHERE rdesc = 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(rho - 1e-9, 4) + 0.0 AS rho_sq_lag1,
+           round(n * rho * rho - 1e-9, 4) + 0.0 AS lm_stat,
+           n * rho * rho > {_ARCH_CHI2_5PCT} AS arch_at_5pct
+    FROM r
+    """
+
+
+@query("arch_lm_test", _arch_lm_oracle())
+def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test (order 1) on daily revenue changes: regress
+    today's squared mean-adjusted change on yesterday's; LM = n·R² ~
+    χ²(1) under homoskedasticity — the standard pre-test before
+    fitting any GARCH-family volatility model, and the volatility
+    complement of ``ljung_box_whiteness`` (which tests LEVELS; ARCH
+    effects live in the squares).  With one regressor R² = ρ², so the
+    statistic reduces to the lag-1 autocorrelation of squared
+    residuals.
+
+    Determinism: daily deltas are exact integer cents; the mean uses
+    the exact integer sum; every 4th-moment accumulation (Σu, Σuv, …)
+    runs through an ORDERED window and is read on the last row — the
+    registry's float-summation convention (never a bag SUM over
+    doubles).  Scale shape: one orders rollup, then all statistics on
+    the O(days) frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "arch_orders"
+    )
+    # the O(days) diff frame feeds BOTH the mean subquery and the
+    # residual stage — materialize it once so orders is scanned once
+    spark.sql(
+        """
+        SELECT dd, dc FROM (
+          SELECT dd, cents - lag(cents) OVER (ORDER BY dd) AS dc
+          FROM (
+            SELECT CAST(o_orderdate AS DATE) AS dd,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM arch_orders GROUP BY 1
+          )
+        ) WHERE dc IS NOT NULL
+        """
+    ).localCheckpoint().createOrReplaceTempView("arch_diffs")
+    return spark.sql(
+        f"""
+        WITH diffs AS (SELECT dd, dc FROM arch_diffs),
+        mu AS (
+          SELECT CAST(sum(dc) AS BIGINT) AS s, count(*) AS n FROM diffs
+        ),
+        resid AS (
+          SELECT dd,
+                 (dc / CAST(100.0 AS DOUBLE) - (s / CAST(100.0 AS DOUBLE)) / n)
+                 * (dc / CAST(100.0 AS DOUBLE) - (s / CAST(100.0 AS DOUBLE)) / n) AS u
+          FROM diffs CROSS JOIN mu
+        ),
+        pairs AS (
+          SELECT dd, u, lag(u) OVER (ORDER BY dd) AS v FROM resid
+        ),
+        acc AS (
+          SELECT sum(u) OVER w AS su, sum(v) OVER w AS sv,
+                 sum(u * v) OVER w AS suv,
+                 sum(u * u) OVER w AS suu, sum(v * v) OVER w AS svv,
+                 count(*) OVER w AS n,
+                 row_number() OVER (ORDER BY dd DESC) AS rdesc
+          FROM pairs WHERE v IS NOT NULL
+          WINDOW w AS (ORDER BY dd ROWS UNBOUNDED PRECEDING)
+        ),
+        r AS (
+          SELECT n, su, sv, suv, suu, svv,
+                 (n * suv - su * sv)
+                 / sqrt((n * suu - su * su) * (n * svv - sv * sv)) AS rho
+          FROM acc WHERE rdesc = 1
+        )
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               round(rho - 1e-9, 4) + 0.0 AS rho_sq_lag1,
+               round(n * rho * rho - 1e-9, 4) + 0.0 AS lm_stat,
+               n * rho * rho > {_ARCH_CHI2_5PCT} AS arch_at_5pct
+        FROM r
+        """
+    )

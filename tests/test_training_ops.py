@@ -406,3 +406,34 @@ def test_bpe_encode_matches_reference(spark):
     unseen = spark.createDataFrame([("lowest",)], "t string")
     enc = B.encode_with_merges(unseen, merges).collect()[0]
     assert list(enc.pieces) == B.encode_word_reference("lowest", merges)
+
+
+def test_wordpiece_diverges_from_bpe_on_planted_corpus(spark, tmp_path):
+    """The likelihood objective must pick a DIFFERENT first merge than
+    raw frequency on a corpus built for it: 'b</w>' dominates by count
+    (100 = 80 singles + 20 from 'ab'), but the rare-and-exclusive
+    (q, z) pair maximizes count(ab)/(count(a)·count(b)) at 5/25 = 0.2.
+    Pins both trainers' round-1 argmax and the score value."""
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    docs = ["ab"] * 20 + ["qz"] * 5 + ["a"] * 80 + ["b"] * 80
+    spark.createDataFrame(
+        [(i, " ".join([w]), "s") for i, w in enumerate(docs)],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    wp = sorted(
+        QUERIES["wordpiece_merges_top"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    bpe = sorted(
+        QUERIES["bpe_merges_top"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert (wp[0].left, wp[0].right) == ("q", "z")
+    assert wp[0].pair_count == 5
+    assert wp[0].score_ppm == round(0.2 * 1_000_000.0 - 1e-9, 6)
+    assert (bpe[0].left, bpe[0].right) == ("b", "</w>")
+    assert bpe[0].pair_count == 100
+    assert (wp[0].left, wp[0].right) != (bpe[0].left, bpe[0].right)

@@ -366,3 +366,35 @@ def test_dtw_planted_ramp_scores_zero(spark, tmp_path):
     assert all(r.dtw_cost > 0 for r in out[len(zeros):])
     # costs are ranked ascending with (cost, h) ties deterministic
     assert [r.dtw_cost for r in out] == sorted(r.dtw_cost for r in out)
+
+
+def test_arch_lm_planted_volatility_clustering(spark, tmp_path):
+    """Planted regime-switching series — 15 calm days (±$1 changes)
+    then 15 wild days (±$400), repeated — has strongly autocorrelated
+    squared changes: the LM statistic must blow past the chi²(1) 5%
+    bar and rho must be positive and large."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    base = datetime.datetime(1995, 1, 1)
+    rows, level, okey = [], 100_000.0, 0
+    for d in range(120):
+        calm = (d // 15) % 2 == 0
+        mag = 1.0 if calm else 400.0
+        level += mag if d % 2 == 0 else -mag
+        rows.append((okey, okey, level, base + datetime.timedelta(days=d)))
+        okey += 1
+    spark.createDataFrame(
+        rows,
+        "o_custkey long, o_orderkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = QUERIES["arch_lm_test"](spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 118
+    assert -1.0 - 1e-9 <= r.rho_sq_lag1 <= 1.0 + 1e-9
+    assert r.rho_sq_lag1 > 0.5  # squares cluster by construction
+    assert r.lm_stat >= 0
+    assert bool(r.arch_at_5pct) is True
