@@ -1990,3 +1990,136 @@ def wordpiece_merges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left string, right string, pair_count long,"
         " score_ppm double",
     )
+
+
+# --------------------------------------------------------------------------
+# PrefixSpan level 3: unbounded-gap ordered-triple support
+# --------------------------------------------------------------------------
+SEQ3_TYPES = ["click", "error", "purchase", "signup", "view"]
+SEQ3_TOPK = 15
+# initial letters are distinct, so each user's history compresses to a
+# character string and subsequence containment is ONE regex match
+_SEQ3_CHAR = {t: t[0] for t in SEQ3_TYPES}
+
+
+def _seq3_patterns() -> list[tuple[str, str]]:
+    """All 125 ordered triples as (label, containment regex)."""
+    out = []
+    for a in SEQ3_TYPES:
+        for b in SEQ3_TYPES:
+            for c in SEQ3_TYPES:
+                out.append(
+                    (
+                        f"{a}>{b}>{c}",
+                        f"{_SEQ3_CHAR[a]}.*{_SEQ3_CHAR[b]}.*{_SEQ3_CHAR[c]}",
+                    )
+                )
+    return out
+
+
+def _seq3_oracle() -> str:
+    pats = ", ".join(f"('{lb}', '{rx}')" for lb, rx in _seq3_patterns())
+    chars = " ".join(
+        f"WHEN '{t}' THEN '{ch}'" for t, ch in _SEQ3_CHAR.items()
+    )
+    return f"""
+    WITH seqs AS MATERIALIZED (
+      SELECT user_id,
+             string_agg(CASE event_type {chars} END, ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      WHERE event_type IN ({", ".join(f"'{t}'" for t in SEQ3_TYPES)})
+      GROUP BY user_id
+    ),
+    pats(pattern, rx) AS (VALUES {pats}),
+    sup AS (
+      SELECT p.pattern,
+             CAST(sum(CASE WHEN regexp_matches(s.seq, p.rx)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS support
+      FROM seqs s CROSS JOIN pats p
+      GROUP BY p.pattern
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM seqs)
+    SELECT pattern, support,
+           round(support * 1.0 / n_users - 1e-9, 4) + 0.0 AS user_share,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT pattern, support,
+             row_number() OVER (ORDER BY support DESC, pattern) AS rk
+      FROM sup
+    ) CROSS JOIN n
+    WHERE rk <= {SEQ3_TOPK}
+    """
+
+
+@query("seq3_pattern_support", _seq3_oracle())
+def seq3_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixSpan level 3 with UNBOUNDED gaps: distinct-user support of
+    every ordered event-type triple a → … → b → … → c, top-{SEQ3_TOPK}
+    — one level past ``sequential_pattern_pairs`` (bounded-gap pairs)
+    and the funnel-hypothesis mill for 3-step journeys.  Each user's
+    history compresses to a CHARACTER string (event-type initials are
+    distinct), so subsequence containment is a single ``a.*b.*c``
+    regex — no per-user self-joins, no exploding triple enumeration.
+
+    Scale shape: one user-keyed ordered aggregation builds the
+    sequence strings (the same shuffle any per-user feature needs);
+    the 125-pattern table broadcasts; support is a tiny-key rollup.
+    At 100 TB the regex evaluates once per (user, pattern) on strings
+    bounded by history length — linear, and the pattern set is
+    constant.  Exact-integer supports; (support DESC, pattern) ranking
+    — every column hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(SEQ3_TYPES)
+    )
+    char_col = F.col("event_type").substr(1, 1)
+    seqs = (
+        ev.select("user_id", "ts", "event_id", char_col.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+        # consumed by both the support rollup and the n_users count —
+        # pin the (n_users)-row frame so events scans once
+        .localCheckpoint()
+    )
+    pats = spark.createDataFrame(
+        _seq3_patterns(), "pattern string, rx string"
+    )
+    sup = (
+        seqs.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.sum(
+                F.when(F.expr("seq RLIKE rx"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("support")
+        )
+    )
+    n = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.orderBy(F.desc("support"), F.asc("pattern"))
+    return (
+        sup.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SEQ3_TOPK)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pattern",
+            "support",
+            (
+                F.round(
+                    F.col("support") * 1.0 / F.col("n_users") - 1e-9, 4
+                )
+                + 0.0
+            ).alias("user_share"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

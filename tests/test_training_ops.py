@@ -437,3 +437,54 @@ def test_wordpiece_diverges_from_bpe_on_planted_corpus(spark, tmp_path):
     assert (bpe[0].left, bpe[0].right) == ("b", "</w>")
     assert bpe[0].pair_count == 100
     assert (wp[0].left, wp[0].right) != (bpe[0].left, bpe[0].right)
+
+
+def test_seq3_pattern_support_planted(spark, tmp_path):
+    """Hand-checkable 3-step subsequence supports: three users with
+    known histories; containment is subsequence (unbounded gap), not
+    substring, and repeated types count once per user."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    base = datetime.datetime(2024, 2, 1)
+    hist = {
+        1: ["click", "view", "purchase"],
+        2: ["click", "click", "view"],
+        3: ["purchase", "view", "click", "purchase"],
+    }
+    rows, eid = [], 0
+    for u, seq in hist.items():
+        for t in seq:
+            rows.append((eid, u, t, base + datetime.timedelta(minutes=eid), 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.pattern: r
+        for r in QUERIES["seq3_pattern_support"](spark, str(tmp_path)).collect()
+    }
+    # u1 and u3 both contain view ... then purchase? u1: c v p yes;
+    # u3: p v c p -> view before the last purchase yes, click between
+    want = {
+        "click>view>purchase": 1,   # u1 only (u2 lacks purchase)
+        "click>click>view": 1,      # u2 only
+        "purchase>view>click": 1,   # u3 only
+        "view>click>purchase": 1,   # u3 (v at 1, c at 2, p at 3)
+    }
+    for pat, sup in want.items():
+        if pat in got:
+            assert got[pat].support == sup, pat
+    assert all(r.support <= 3 for r in got.values())
+    assert all(
+        abs(r.user_share - round(r.support / 3 - 1e-9, 4)) < 1e-12
+        for r in got.values()
+    )
+    # ranks are 1..15 with (support desc, pattern asc)
+    rks = sorted(r.rk for r in got.values())
+    assert rks == list(range(1, 16))
