@@ -1405,3 +1405,179 @@ def streaming_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             "innovation_usd"
         ),
     ).orderBy("idx")
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit replay: deterministic offline policy evaluation
+# --------------------------------------------------------------------------
+UCB_ARMS = ["click", "error", "purchase", "signup", "view"]
+UCB_MAX_REPLAY = 60  # bounded replay window (recursion depth bound)
+UCB_REWARD_CENTS = 5000  # reward = 1 iff event value > $50 exactly
+
+
+def _ucb_chosen_sql() -> str:
+    """UCB1 arm choice as dialect-free SQL over the state columns
+    n_<a>/w_<a>: unplayed arms first (fixed order — the standard init),
+    then argmax of mean + sqrt(2 ln t / n) with a >=-chain tie-break in
+    arm order.  Every score is ONE division + one sqrt/ln over exact
+    ints, so the comparison doubles are bit-identical cross-engine."""
+    t = "CAST(" + " + ".join(f"n_{a[0]}" for a in UCB_ARMS) + " + 1 AS DOUBLE)"
+    ucb = {
+        a: f"(w_{a[0]} * 1.0 / n_{a[0]}"
+        f" + sqrt(2.0 * ln({t}) / n_{a[0]}))"
+        for a in UCB_ARMS
+    }
+    cases = [
+        f"WHEN n_{a[0]} = 0 THEN '{a[0]}'" for a in UCB_ARMS
+    ]
+    for k, a in enumerate(UCB_ARMS[:-1]):
+        geq = " AND ".join(
+            f"{ucb[a]} >= {ucb[b]}" for b in UCB_ARMS[k + 1:]
+        )
+        cases.append(f"WHEN {geq} THEN '{a[0]}'")
+    return (
+        "CASE " + " ".join(cases) + f" ELSE '{UCB_ARMS[-1][0]}' END"
+    )
+
+
+def _ucb_oracle() -> str:
+    st = ", ".join(f"n_{a[0]}" for a in UCB_ARMS) + ", " + ", ".join(
+        f"w_{a[0]}" for a in UCB_ARMS
+    )
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * 11)
+    upd_n = ", ".join(
+        f"x.n_{a[0]} + CASE WHEN x.arm = '{a[0]}' AND x.chosen = '{a[0]}'"
+        f" THEN 1 ELSE 0 END"
+        for a in UCB_ARMS
+    )
+    upd_w = ", ".join(
+        f"x.w_{a[0]} + CASE WHEN x.arm = '{a[0]}' AND x.chosen = '{a[0]}'"
+        f" THEN x.reward ELSE 0 END"
+        for a in UCB_ARMS
+    )
+    carry = ", ".join(
+        [f"r.n_{a[0]}" for a in UCB_ARMS]
+        + [f"r.w_{a[0]}" for a in UCB_ARMS]
+    )
+    outs = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS arm, n_{a[0]} AS n_plays, w_{a[0]} AS n_wins,"
+        f" round(w_{a[0]} * 1.0 / n_{a[0]} - 1e-9, 4) + 0.0 AS win_rate,"
+        f" mt AS matched_rounds, steps FROM fin"
+        for a in UCB_ARMS
+    )
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+                 - 1 AS i,
+               substr(event_type, 1, 1) AS arm,
+               CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         > {UCB_REWARD_CENTS} THEN 1 ELSE 0 END AS reward
+        FROM events
+        WHERE event_type IN ({", ".join(f"'{a}'" for a in UCB_ARMS)})
+      ) WHERE i < {UCB_MAX_REPLAY}
+    ),
+    rep (i, {st}, mt) AS (
+      SELECT CAST(-1 AS BIGINT), {zeros}
+      UNION ALL
+      SELECT x.i, {upd_n}, {upd_w},
+             x.mt + CASE WHEN x.arm = x.chosen THEN 1 ELSE 0 END
+      FROM (
+        SELECT e.i, e.arm, e.reward, {carry}, r.mt,
+               {_ucb_chosen_sql()} AS chosen
+        FROM rep r JOIN ev e ON e.i = r.i + 1
+      ) x
+    ),
+    fin AS (
+      SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM ev) AS steps
+      FROM rep r WHERE r.i = (SELECT max(i) FROM ev)
+    )
+    SELECT * FROM (
+      {outs}
+    ) ORDER BY arm
+    """
+
+
+@query("ucb1_bandit_replay", _ucb_oracle())
+def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 multi-armed bandit evaluated OFFLINE by the replay method
+    (Li et al. 2011, the standard unbiased way to test a bandit policy
+    on logged data): stream the first {UCB_MAX_REPLAY} logged events in
+    event-time order; whenever the policy's choice (unplayed-first,
+    then argmax of mean + sqrt(2 ln t / n), arm-order tie-break)
+    matches the logged arm, the round counts and the arm's (plays,
+    wins) update — reward = value > $50 exactly, in integer cents.
+    Emits each arm's replayed plays/wins/rate plus the matched-round
+    total — the exploration/exploitation audit every experimentation
+    platform runs before going online.
+
+    The recurrence (state feeds the NEXT choice) is the rate-limiter
+    class: depth-bounded WITH RECURSIVE in the DuckDB oracle, the
+    identical float steps driver-side here on the collected
+    {UCB_MAX_REPLAY}-row frame (bounded BY CONSTRUCTION — the
+    croston/kalman idiom; the unbounded path is a ValueState twin).
+    Every UCB score is one division + sqrt/ln over exact ints, so both
+    engines compare bit-identical doubles."""
+    import math
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "ucb_events"
+    )
+    ev = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+                   - 1 AS i,
+                 substr(event_type, 1, 1) AS arm,
+                 CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           > {UCB_REWARD_CENTS} THEN 1 ELSE 0 END AS reward
+          FROM ucb_events
+          WHERE event_type IN ({", ".join(f"'{a}'" for a in UCB_ARMS)})
+        ) WHERE i < {UCB_MAX_REPLAY}
+        """
+    ).collect()  # bounded by UCB_MAX_REPLAY, never by row count
+    ev = sorted(ev, key=lambda r: r.i)
+    initials = [a[0] for a in UCB_ARMS]
+    n = {c: 0 for c in initials}
+    w = {c: 0 for c in initials}
+    mt = 0
+    for r in ev:
+        chosen = None
+        for c in initials:
+            if n[c] == 0:
+                chosen = c
+                break
+        if chosen is None:
+            t = float(sum(n.values()) + 1)
+            ucb = {
+                c: w[c] * 1.0 / n[c] + math.sqrt(2.0 * math.log(t) / n[c])
+                for c in initials
+            }
+            for k, c in enumerate(initials[:-1]):
+                if all(ucb[c] >= ucb[b] for b in initials[k + 1:]):
+                    chosen = c
+                    break
+            if chosen is None:
+                chosen = initials[-1]
+        if r.arm == chosen:
+            n[chosen] += 1
+            w[chosen] += int(r.reward)
+            mt += 1
+    rows = [
+        (
+            a,
+            n[a[0]],
+            w[a[0]],
+            (round(w[a[0]] * 1.0 / n[a[0]] - 1e-9, 4) + 0.0)
+            if n[a[0]] > 0
+            else None,
+            mt,
+            len(ev),
+        )
+        for a in UCB_ARMS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "arm string, n_plays long, n_wins long, win_rate double,"
+        " matched_rounds long, steps long",
+    ).orderBy("arm")

@@ -398,3 +398,45 @@ def test_arch_lm_planted_volatility_clustering(spark, tmp_path):
     assert r.rho_sq_lag1 > 0.5  # squares cluster by construction
     assert r.lm_stat >= 0
     assert bool(r.arch_at_5pct) is True
+
+
+def test_ucb1_replay_planted_hand_trace(spark, tmp_path):
+    """Hand-traced replay: init round-robin matches all 5 arms; a
+    rewarded 'click' keeps UCB exploiting it for two more matched
+    rounds; the third repeat is rejected (policy switches to explore
+    'error') so the last logged event does NOT match."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    base = datetime.datetime(2024, 3, 1)
+    # (arm, value): $60 > $50 is a win, $10 is not
+    log = [
+        ("click", 60.0), ("error", 10.0), ("purchase", 10.0),
+        ("signup", 10.0), ("view", 10.0),
+        ("click", 60.0),   # exploit: ucb_c max after its win -> match
+        ("click", 10.0),   # still max (2.18 vs 1.97) -> match
+        ("click", 10.0),   # now 1.84 < 2.04 -> policy picks error: NO
+    ]
+    rows = [
+        (i, 7, t, base + datetime.timedelta(minutes=i), v)
+        for i, (t, v) in enumerate(log)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.arm: r
+        for r in QUERIES["ucb1_bandit_replay"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"click", "error", "purchase", "signup", "view"}
+    c = got["click"]
+    assert (c.n_plays, c.n_wins) == (3, 2)
+    assert c.win_rate == round(2 / 3 - 1e-9, 4)
+    for a in ("error", "purchase", "signup", "view"):
+        assert (got[a].n_plays, got[a].n_wins) == (1, 0)
+    assert all(r.matched_rounds == 7 and r.steps == 8 for r in got.values())
