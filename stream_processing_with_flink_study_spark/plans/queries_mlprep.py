@@ -3014,3 +3014,229 @@ def als_implicit_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{best_item} AS best_item",
         f"round(({best_score}) - 1e-9, 4) + 0.0 AS best_score",
     )
+
+
+# --------------------------------------------------------------------------
+# mRMR feature selection: max-relevance min-redundancy greedy over MI
+# --------------------------------------------------------------------------
+MRMR_FEATURES = ["disc", "qty", "status", "tax"]
+MRMR_K = 3
+
+# (feature, dialect-free bucket expression over lineitem)
+_MRMR_EXPRS = {
+    "disc": "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+    "qty": "CAST(floor(l_quantity / 10.0) AS BIGINT)",
+    "status": "l_linestatus",
+    "tax": "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)",
+}
+
+
+def _mrmr_pairs() -> list[tuple[str, str, str]]:
+    """(pair_key, x_feature, y_feature): 4 relevance pairs vs the
+    returnflag target + 6 feature-feature redundancy pairs."""
+    out = [(f"{f}|ret", f, "ret") for f in MRMR_FEATURES]
+    for i, a in enumerate(MRMR_FEATURES):
+        for b in MRMR_FEATURES[i + 1:]:
+            out.append((f"{a}|{b}", a, b))
+    return out
+
+
+def _mrmr_oracle() -> str:
+    cols = ", ".join(
+        f"CAST({e} AS VARCHAR) AS {f}" for f, e in _MRMR_EXPRS.items()
+    )
+    melts = " UNION ALL ".join(
+        f"SELECT '{key}' AS pair, {x} AS x, {y} AS y FROM base"
+        for key, x, y in _mrmr_pairs()
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {cols}, l_returnflag AS ret FROM lineitem
+    ),
+    melt AS (SELECT * FROM ({melts})),
+    cells AS MATERIALIZED (
+      SELECT pair, x, y, CAST(count(*) AS BIGINT) AS c
+      FROM melt GROUP BY 1, 2, 3
+    ),
+    marg AS (
+      SELECT pair, x, y, c,
+             sum(c) OVER (PARTITION BY pair, x) AS cx,
+             sum(c) OVER (PARTITION BY pair, y) AS cy,
+             sum(c) OVER (PARTITION BY pair) AS n
+      FROM cells
+    ),
+    acc AS (
+      SELECT pair,
+             sum((c * 1.0 / n) * ln(c * 1.0 * n / (cx * cy)))
+               OVER (PARTITION BY pair ORDER BY x, y
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY pair
+                                ORDER BY x DESC, y DESC) AS rdesc
+      FROM marg
+    ),
+    mis AS MATERIALIZED (
+      SELECT pair, cum AS mi FROM acc WHERE rdesc = 1
+    ),
+    rel AS (
+      SELECT replace(pair, '|ret', '') AS f, mi FROM mis
+      WHERE pair LIKE '%|ret'
+    ),
+    red AS (
+      SELECT string_split(pair, '|')[1] AS fa,
+             string_split(pair, '|')[2] AS fb, mi
+      FROM mis WHERE pair NOT LIKE '%|ret'
+      UNION ALL
+      SELECT string_split(pair, '|')[2], string_split(pair, '|')[1], mi
+      FROM mis WHERE pair NOT LIKE '%|ret'
+    ),
+    s1 AS MATERIALIZED (
+      SELECT f, mi AS score, mi FROM rel ORDER BY mi DESC, f LIMIT 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT r.f, r.mi - rd.mi AS score, r.mi
+      FROM rel r
+      JOIN red rd ON rd.fa = r.f AND rd.fb = (SELECT f FROM s1)
+      WHERE r.f <> (SELECT f FROM s1)
+      ORDER BY score DESC, r.f LIMIT 1
+    ),
+    s3 AS MATERIALIZED (
+      SELECT r.f, r.mi - (r1.mi + r2.mi) / 2.0 AS score, r.mi
+      FROM rel r
+      JOIN red r1 ON r1.fa = r.f AND r1.fb = (SELECT f FROM s1)
+      JOIN red r2 ON r2.fa = r.f AND r2.fb = (SELECT f FROM s2)
+      WHERE r.f NOT IN ((SELECT f FROM s1), (SELECT f FROM s2))
+      ORDER BY score DESC, r.f LIMIT 1
+    )
+    SELECT CAST(rk AS INT) AS sel_rank, f AS feature,
+           round(score - 1e-9, 4) + 0.0 AS mrmr_score,
+           round(mi - 1e-9, 4) + 0.0 AS relevance_mi
+    FROM (
+      SELECT 1 AS rk, * FROM s1
+      UNION ALL SELECT 2, * FROM s2
+      UNION ALL SELECT 3, * FROM s3
+    )
+    ORDER BY sel_rank
+    """
+
+
+@query("mrmr_feature_select", _mrmr_oracle())
+def mrmr_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mRMR feature selection (Peng et al. 2005): greedily pick
+    {MRMR_K} of the 4 lineitem features (discount bucket, quantity
+    decade, line status, tax bucket) maximizing mutual information with
+    the returnflag target MINUS the mean MI against already-selected
+    features — the tabular-ML screen that kills redundant columns a
+    pure-relevance ranking keeps.  All 10 MIs (4 relevance + 6
+    redundancy) come from ONE melted scan: each row fans to 10
+    (pair, x, y) tuples, cells reduce on tiny keys, marginals are
+    window sums over the cell frame, and each MI accumulates its
+    Σ p·ln(p/(px·py)) through an (x, y)-ORDERED window — exact integer
+    counts in, order-deterministic doubles out (the registry float
+    convention).  The greedy runs on the bounded 10-row MI frame
+    (driver-side here, unrolled CTE stages in the oracle — the
+    k-center idiom), argmax ties broken by feature name.
+
+    Scale shape at 100 TB: the melt is one scan with constant fan-out
+    and map-side-combinable cell counts (cells are |X|·|Y|-bounded,
+    never data-sized); everything after is O(cells)."""
+    import math
+
+    lt = load_table(spark, sf_dir, "lineitem")
+    base = lt.selectExpr(
+        *[
+            f"CAST({e} AS STRING) AS {f}"
+            for f, e in _MRMR_EXPRS.items()
+        ],
+        "l_returnflag AS ret",
+    )
+    melt = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(key).alias("pair"),
+                        F.col(x).alias("x"),
+                        F.col(y).alias("y"),
+                    )
+                    for key, x, y in _mrmr_pairs()
+                ]
+            )
+        ).alias("m")
+    ).select("m.pair", "m.x", "m.y")
+    cells = melt.groupBy("pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wx = Window.partitionBy("pair", "x")
+    wy = Window.partitionBy("pair", "y")
+    wp = Window.partitionBy("pair")
+    wo = (
+        Window.partitionBy("pair")
+        .orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marg = cells.select(
+        "pair", "x", "y", "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wp).alias("n"),
+    )
+    acc = marg.select(
+        "pair",
+        F.sum(
+            (F.col("c") * 1.0 / F.col("n"))
+            * F.log(
+                F.col("c") * 1.0 * F.col("n")
+                / (F.col("cx") * F.col("cy"))
+            )
+        )
+        .over(wo)
+        .alias("cum"),
+        F.row_number()
+        .over(
+            Window.partitionBy("pair").orderBy(
+                F.desc("x"), F.desc("y")
+            )
+        )
+        .alias("rdesc"),
+    )
+    mis = {
+        r.pair: float(r.cum)
+        for r in acc.filter(F.col("rdesc") == 1).collect()
+    }  # bounded: exactly 10 rows by construction
+    rel = {f: mis[f"{f}|ret"] for f in MRMR_FEATURES}
+
+    def red(a: str, b: str) -> float:
+        return mis.get(f"{a}|{b}", mis.get(f"{b}|{a}"))
+
+    picked: list[tuple[int, str, float, float]] = []
+    chosen: list[str] = []
+    for rk in range(1, MRMR_K + 1):
+        best = None
+        for f in sorted(MRMR_FEATURES):
+            if f in chosen:
+                continue
+            if rk == 1:
+                score = rel[f]
+            elif rk == 2:
+                score = rel[f] - red(f, chosen[0])
+            else:
+                score = rel[f] - (
+                    red(f, chosen[0]) + red(f, chosen[1])
+                ) / 2.0
+            if best is None or score > best[1]:
+                best = (f, score)
+        chosen.append(best[0])
+        picked.append((rk, best[0], best[1], rel[best[0]]))
+    return spark.createDataFrame(
+        [
+            (
+                rk,
+                f,
+                round(s - 1e-9, 4) + 0.0,
+                round(m - 1e-9, 4) + 0.0,
+            )
+            for rk, f, s, m in picked
+        ],
+        "sel_rank int, feature string, mrmr_score double,"
+        " relevance_mi double",
+    )

@@ -330,3 +330,52 @@ def test_als_rank2_matches_python_replay_and_separates_groups(spark, tmp_path):
             assert r.best_item in ("click", "view")
         else:
             assert r.best_item in ("error", "signup")
+
+
+def test_mrmr_redundancy_penalty_planted(spark, tmp_path):
+    """Target = (U, V) with independent uniform bits; tax and status
+    both encode U (duplicates), disc encodes V, qty is constant.
+    Greedy: rank 1 ties at ln 2 → 'disc' alphabetically; rank 2
+    'status' at full ln 2 (independent of disc); rank 3 'tax' at
+    ln 2 − (0 + ln 2)/2 = ln 2 / 2 — the redundancy penalty in the
+    flesh (pure relevance would score it ln 2)."""
+    import math
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    rows = []
+    for i in range(300):
+        u, v = i % 2, (i // 2) % 2
+        rows.append(
+            (
+                i, i, i, 1,          # keys
+                5.0,                 # l_quantity -> bucket 0 (constant)
+                100.0,               # l_extendedprice
+                0.01 * v,            # l_discount -> bucket = V
+                0.01 * u,            # l_tax -> bucket = U
+                f"{u}{v}",           # l_returnflag = the 4-way target
+                "X" if u else "Y",   # l_linestatus = U
+                "1995-01-01",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "*",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = sorted(
+        QUERIES["mrmr_feature_select"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    ln2 = round(math.log(2) - 1e-9, 4)
+    assert [r.feature for r in out] == ["disc", "status", "tax"]
+    assert out[0].mrmr_score == ln2 and out[0].relevance_mi == ln2
+    assert out[1].mrmr_score == ln2
+    assert out[2].mrmr_score == round(math.log(2) / 2 - 1e-9, 4)
+    assert out[2].relevance_mi == ln2  # full relevance, halved score
