@@ -1581,3 +1581,149 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm string, n_plays long, n_wins long, win_rate double,"
         " matched_rounds long, steps long",
     ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# Theta method (M3 winner): trend line + SES on the theta-2 line
+# --------------------------------------------------------------------------
+THETA_ALPHA = 0.5
+THETA_HORIZONS = 6
+
+_THETA_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT * FROM (
+    SELECT CAST(row_number() OVER (ORDER BY mth) AS BIGINT) - 1 AS t,
+           cents
+    FROM (
+      SELECT {{month_expr}} AS mth,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM {{orders}} GROUP BY 1
+    )
+  ) WHERE t < {KALMAN_MAX_STEPS}
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(t * cents) AS BIGINT) AS sty
+  FROM series
+),
+coefs AS (
+  SELECT n,
+         (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+         / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b,
+         (CAST(sy AS DOUBLE) - (n * CAST(sty AS DOUBLE)
+            - CAST(st AS DOUBLE) * sy)
+           / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) * st)
+         / n AS a
+  FROM ols
+),
+th AS (
+  SELECT s.t,
+         2.0 * (s.cents / CAST(100.0 AS DOUBLE))
+         - (c.a + c.b * s.t) / CAST(100.0 AS DOUBLE) AS y2
+  FROM series s CROSS JOIN coefs c
+),
+ses (t, s) AS (
+  SELECT t, y2 FROM th WHERE t = 0
+  UNION ALL
+  SELECT n.t,
+         CAST({THETA_ALPHA!r} AS DOUBLE) * n.y2
+         + (1 - CAST({THETA_ALPHA!r} AS DOUBLE)) * p.s
+  FROM ses p JOIN th n ON n.t = p.t + 1
+),
+last_s AS (
+  SELECT s FROM ses WHERE t = (SELECT max(t) FROM series)
+),
+hs AS (SELECT * FROM (VALUES {", ".join(f"({h})" for h in range(1, THETA_HORIZONS + 1))}) v(h))
+SELECT CAST(h.h AS INT) AS horizon,
+       round((c.a + c.b * (c.n - 1 + h.h)) / CAST(100.0 AS DOUBLE)
+             - 1e-9, 4) + 0.0 AS trend_usd,
+       round(l.s - 1e-9, 4) + 0.0 AS ses_theta2_usd,
+       round(0.5 * ((c.a + c.b * (c.n - 1 + h.h))
+                    / CAST(100.0 AS DOUBLE)) + 0.5 * l.s - 1e-9, 4)
+         + 0.0 AS forecast_usd
+FROM hs h CROSS JOIN coefs c CROSS JOIN last_s l
+"""
+
+
+@query(
+    "theta_method_forecast",
+    _THETA_SQL.format(
+        orders="orders",
+        month_expr="date_trunc('month', CAST(o_orderdate AS DATE))",
+    ),
+)
+def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theta method (Assimakopoulos & Nikolopoulos 2000 — winner of
+    the M3 forecasting competition and still the to-beat classical
+    baseline): decompose the monthly revenue series into the θ=0 line
+    (the OLS linear trend, carrying long-run direction) and the θ=2
+    line (2y − trend, doubling local curvature), smooth the θ=2 line
+    with SES (α=0.5), and forecast each horizon as the 50/50 combination
+    of extrapolated trend and the flat SES level.  Sits beside
+    ``holt_smoothing_monthly`` / ``kalman_local_level`` as the third
+    classical-forecasting recursion.
+
+    Determinism: the OLS coefficients come from exact int64 sums
+    (t ≤ 96, cents ~1e9 — t·y sums stay < 2^63); the SES recursion is
+    the Croston/Kalman recursive-CTE idiom (identical IEEE tree,
+    driver-side on the bounded month frame here); every float literal
+    is CAST AS DOUBLE (the round-10 dialect rule)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "theta_orders"
+    )
+    series = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT CAST(row_number() OVER (ORDER BY mth) AS BIGINT) - 1
+                   AS t, cents
+          FROM (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mth,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM theta_orders GROUP BY 1
+          )
+        ) WHERE t < {KALMAN_MAX_STEPS}
+        """
+    ).collect()  # bounded by KALMAN_MAX_STEPS months
+    rows = sorted(series, key=lambda r: r.t)
+    n = len(rows)
+    st = sum(int(r.t) for r in rows)
+    stt = sum(int(r.t) * int(r.t) for r in rows)
+    sy = sum(int(r.cents) for r in rows)
+    sty = sum(int(r.t) * int(r.cents) for r in rows)
+    b = (n * float(sty) - float(st) * sy) / (
+        n * float(stt) - float(st) * st
+    )
+    a = (
+        float(sy)
+        - (n * float(sty) - float(st) * sy)
+        / (n * float(stt) - float(st) * st)
+        * st
+    ) / n
+    s = None
+    for r in rows:
+        y2 = 2.0 * (int(r.cents) / 100.0) - (a + b * int(r.t)) / 100.0
+        if r.t == 0:
+            s = y2
+        else:
+            s = THETA_ALPHA * y2 + (1 - THETA_ALPHA) * s
+    out = []
+    for h in range(1, THETA_HORIZONS + 1):
+        trend = (a + b * (n - 1 + h)) / 100.0
+        out.append(
+            (
+                h,
+                round(trend - 1e-9, 4) + 0.0,
+                round(s - 1e-9, 4) + 0.0,
+                round(0.5 * trend + 0.5 * s - 1e-9, 4) + 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "horizon int, trend_usd double, ses_theta2_usd double,"
+        " forecast_usd double",
+    )

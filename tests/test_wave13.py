@@ -440,3 +440,33 @@ def test_ucb1_replay_planted_hand_trace(spark, tmp_path):
     for a in ("error", "purchase", "signup", "view"):
         assert (got[a].n_plays, got[a].n_wins) == (1, 0)
     assert all(r.matched_rounds == 7 and r.steps == 8 for r in got.values())
+
+
+def test_theta_constant_series_is_fixed_point(spark, tmp_path):
+    """A constant monthly series is a fixed point of the whole Theta
+    pipeline: OLS slope 0, theta-2 line == the series, SES == the
+    level, every horizon's forecast == the level exactly."""
+    import datetime
+
+    from stream_processing_with_flink_study_spark.plans import QUERIES
+
+    rows = [
+        (m, m, 100.0, datetime.datetime(1995, 1 + m, 15))
+        for m in range(12)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_custkey long, o_orderkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = sorted(
+        QUERIES["theta_method_forecast"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.horizon,
+    )
+    assert [r.horizon for r in out] == [1, 2, 3, 4, 5, 6]
+    for r in out:
+        assert r.trend_usd == 100.0
+        assert r.ses_theta2_usd == 100.0
+        assert r.forecast_usd == 100.0
