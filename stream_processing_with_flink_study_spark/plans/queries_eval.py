@@ -2741,6 +2741,12 @@ def huber_irls_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kernel MMD two-sample test
 # --------------------------------------------------------------------------
 MMD_BANDWIDTH = 4.0  # RBF 2*sigma^2, sized to the unit-ish embeddings
+# Absolute per-side sample cap: the MMD estimator needs only hundreds of
+# points per side (the standard protocol) — without the cap the %7 sides
+# are corpus FRACTIONS and the three pair blocks grow as (N/7)² (measured
+# 44x wall at the 10x universe).  2000 covers every vec_id at both test
+# SFs, so oracle hashes are unchanged.
+MMD_CAP = 2000
 
 
 @query(
@@ -2750,13 +2756,13 @@ MMD_BANDWIDTH = 4.0  # RBF 2*sigma^2, sized to the unit-ish embeddings
       SELECT vec_id, embedding::DOUBLE[] AS v,
              list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
                AS nn
-      FROM embeddings WHERE vec_id % 7 = 0
+      FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {MMD_CAP}
     ),
     b AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
                AS nn
-      FROM embeddings WHERE vec_id % 7 = 1
+      FROM embeddings WHERE vec_id % 7 = 1 AND vec_id < {MMD_CAP}
     ),
     kaa AS (
       SELECT avg(exp(-(x.nn + y.nn
@@ -2800,9 +2806,10 @@ def mmd_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise kernels expand via the dot-product identity
     ‖x−y‖² = ⟨x,x⟩+⟨y,y⟩−2⟨x,y⟩ (per-vector norms computed once);
     both engines sum identical doubles, and the pair means are rounded
-    once.  Scale shape: bounded samples (the standard MMD protocol —
-    the estimator needs only hundreds of points per side), so the pair
-    blocks are sample²; norms ride the scan."""
+    once.  Scale shape: each side is ABSOLUTELY capped at ``MMD_CAP``
+    (the standard MMD protocol — the estimator needs only hundreds of
+    points per side), so the three pair blocks are O(cap²) regardless
+    of corpus size; norms ride the scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     dot = lambda u, w: F.aggregate(  # noqa: E731
         F.zip_with(u, w, lambda p, q: p * q),
@@ -2812,9 +2819,9 @@ def mmd_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(mod_val: int) -> DataFrame:
         v = F.col("embedding").cast("array<double>")
-        return emb.filter(F.col("vec_id") % 7 == mod_val).select(
-            "vec_id", v.alias("v"), dot(v, v).alias("nn")
-        )
+        return emb.filter(
+            (F.col("vec_id") % 7 == mod_val) & (F.col("vec_id") < MMD_CAP)
+        ).select("vec_id", v.alias("v"), dot(v, v).alias("nn"))
 
     a, b = side(0).localCheckpoint(), side(1).localCheckpoint()
 

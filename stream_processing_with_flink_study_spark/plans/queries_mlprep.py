@@ -1659,6 +1659,13 @@ def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 JL_K = 16  # projection target dimension
 JL_DIM = 64
 JL_SAMPLE_MOD = 7
+# Absolute cap on the sampled vector set (the MATRYOSHKA_QCAP / MMR_QCAP
+# pattern): the JL concentration estimate needs a few thousand pairs, not
+# corpus-proportional pairs — without this the %MOD fraction feeds a
+# self-join and total work grows quadratically with the corpus (measured
+# 51x wall at the 10x universe).  2000 covers every vec_id at both test
+# SFs (sf0.1 max = 1999), so oracle hashes are unchanged.
+JL_QCAP = 2000
 
 
 @query(
@@ -1674,7 +1681,7 @@ JL_SAMPLE_MOD = 7
     ),
     smp AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE vec_id % {JL_SAMPLE_MOD} = 0
+      WHERE vec_id % {JL_SAMPLE_MOD} = 0 AND vec_id < {JL_QCAP}
     ),
     diffs AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.i,
@@ -1726,12 +1733,15 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The projection is LINEAR, so distortion is measured on difference
     vectors directly — no projected-vector storage.  Scale shape: the
-    ±1 matrix is a 1024-row broadcast table; the pair×dim explode
-    shuffles once per rollup level; the sign entries are md5-derived on
-    both engines, so every term is bit-identical before the rounded
-    ratio."""
+    ±1 matrix is a 1024-row broadcast table; the sampled vector set is
+    ABSOLUTELY capped at ``JL_QCAP`` (not a corpus fraction), so the
+    pair stage is O(cap²) regardless of corpus size — the JL estimate
+    needs a few thousand pairs, never corpus-proportional pairs; the
+    sign entries are md5-derived on both engines, so every term is
+    bit-identical before the rounded ratio."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % JL_SAMPLE_MOD == 0
+        (F.col("vec_id") % JL_SAMPLE_MOD == 0)
+        & (F.col("vec_id") < JL_QCAP)
     )
     # tiny sampled frame, referenced by both join sides and the count —
     # checkpoint once so embeddings parquet is scanned exactly once
@@ -1823,6 +1833,12 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic decontamination
 # --------------------------------------------------------------------------
 SEMDECON_EVAL_MOD = 101
+# Absolute cap on the eval slice: real eval sets are FIXED-size, not a
+# corpus fraction — without the cap the broadcast side grows with N and
+# the cross-score is N²/101 (measured 69x wall at the 10x universe).
+# 2000 covers every vec_id at both test SFs, so oracle hashes are
+# unchanged.
+SEMDECON_EVAL_CAP = 2000
 SEMDECON_THRESHOLD = 0.35  # sized to the synthetic corpus (max cos 0.44
 # vs the eval slice); a production eval-leak sweep runs at ~0.95+
 
@@ -1833,10 +1849,12 @@ SEMDECON_THRESHOLD = 0.35  # sized to the synthetic corpus (max cos 0.44
     WITH ev AS MATERIALIZED (
       SELECT vec_id AS eval_id, embedding FROM embeddings
       WHERE vec_id % {SEMDECON_EVAL_MOD} = 0
+        AND vec_id < {SEMDECON_EVAL_CAP}
     ),
     tr AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {SEMDECON_EVAL_MOD} <> 0
+      WHERE NOT (vec_id % {SEMDECON_EVAL_MOD} = 0
+                 AND vec_id < {SEMDECON_EVAL_CAP})
     ),
     scored AS (
       SELECT t.vec_id, e.eval_id,
@@ -1868,22 +1886,147 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: similarities are rounded to 4 BEFORE both the argmax
     tiebreak (larger eval_id wins exact ties, pinned on both engines)
-    and the threshold call.  Scale shape: the eval side is tiny and
-    broadcast (train×eval, never train²); at retrieval scale the
-    cross-score swaps for the IVF/LSH candidate path
-    (`ivf_ann_topk` / `ann_lsh_topk`) with this exact scorer as the
-    verify stage."""
+    and the threshold call.  Scale shape: the eval side is an
+    ABSOLUTELY-capped fixed set (``SEMDECON_EVAL_CAP`` — real eval sets
+    are fixed-size, not a corpus fraction) and broadcast, so total work
+    is train×|eval| = O(N), never train²; at retrieval scale the
+    cross-score swaps for the IVF candidate path — registered as the
+    hash-checked twin ``semantic_decontaminate_ivf`` — with this exact
+    scorer as the verify stage."""
     from ..functions.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD == 0).select(
+    ev = emb.filter(
+        (F.col("vec_id") % SEMDECON_EVAL_MOD == 0)
+        & (F.col("vec_id") < SEMDECON_EVAL_CAP)
+    ).select(
         F.col("vec_id").alias("eval_id"),
         F.col("embedding").cast("array<double>").alias("ve"),
     )
-    tr = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD != 0).select(
+    tr = emb.filter(
+        ~(
+            (F.col("vec_id") % SEMDECON_EVAL_MOD == 0)
+            & (F.col("vec_id") < SEMDECON_EVAL_CAP)
+        )
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vt")
     )
     scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine(F.col("vt"), F.col("ve")), 4).alias("cosine_sim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "eval_id",
+                F.floor(F.col("cosine_sim") * 10000 + 0.5).cast("long")
+                * 100000000
+                - F.col("eval_id"),
+            ).alias("eval_id"),
+            F.max("cosine_sim").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= SEMDECON_THRESHOLD)
+        .orderBy("vec_id")
+    )
+
+
+def _semdecon_ivf_oracle() -> str:
+    from ..functions import similarity
+
+    cents = similarity.ivf_centroids_values_sql(16, 64)
+    qv = similarity.QUANT_VEC_SQL.format(col="embedding")
+    is_eval = (
+        f"vec_id % {SEMDECON_EVAL_MOD} = 0"
+        f" AND vec_id < {SEMDECON_EVAL_CAP}"
+    )
+    return f"""
+    WITH ei AS MATERIALIZED (
+      SELECT vec_id, {qv} AS v FROM embeddings
+    ),
+    cent(cell, w) AS (VALUES {cents}),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(ei.v, c.w) DESC, cell) AS r
+      FROM ei CROSS JOIN cent c
+    ),
+    evp AS (
+      SELECT vec_id AS eval_id, cell FROM ranked
+      WHERE {is_eval} AND r <= 4
+    ),
+    trh AS (
+      SELECT vec_id, cell FROM ranked
+      WHERE NOT ({is_eval}) AND r = 1
+    ),
+    scored AS (
+      SELECT t.vec_id, e.eval_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4)
+               AS cosine_sim
+      FROM trh t JOIN evp e USING (cell)
+      JOIN embeddings a ON a.vec_id = t.vec_id
+      JOIN embeddings b ON b.vec_id = e.eval_id
+    ),
+    best AS (
+      SELECT vec_id,
+             max_by(eval_id,
+                    CAST(floor(cosine_sim * 10000 + 0.5) AS BIGINT)
+                    * 100000000 - eval_id) AS eval_id,
+             max(cosine_sim) AS cosine_sim
+      FROM scored GROUP BY vec_id
+    )
+    SELECT vec_id, eval_id, cosine_sim
+    FROM best WHERE cosine_sim >= {SEMDECON_THRESHOLD}
+    ORDER BY vec_id
+    """
+
+
+@query("semantic_decontaminate_ivf", _semdecon_ivf_oracle())
+def semantic_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination on the SCALE tier — the fourth
+    registered index-tier twin (after ``knn_label_noise_ivf``,
+    ``knn_hubness_stats_ivf``, ``smote_oversample_plan_ivf``) and the
+    one the exact form's docstring has promised since round 8:
+    identical best-eval-match / threshold / tie-break semantics to
+    ``semantic_decontaminate``, but candidate pairs come from the IVF
+    index — each eval vector probes its nprobe=4 nearest centroid
+    cells, each training vector sits in exactly ONE home cell, and only
+    (train, eval) pairs that share a cell get scored.  A train vector
+    has one home cell and an eval vector's probe list is distinct, so
+    every candidate pair arises at most once — no dedup stage.
+
+    Scale shape: candidate work is |eval| × (cells probed × cell size)
+    instead of |eval| × N, and the probe side (the exploded capped eval
+    slice) is the broadcast side, so training vectors never shuffle.
+    Exact-integer cell assignment (int64 fixed-point vectors vs
+    literal-baked centroids, ties to the lowest cell id) keeps the
+    candidate SET itself — not just the scores — bit-identical across
+    engines, so the twin is fully hash-checked like the exact form."""
+    from ..functions import similarity
+    from ..functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % SEMDECON_EVAL_MOD == 0) & (
+        F.col("vec_id") < SEMDECON_EVAL_CAP
+    )
+    centroids = similarity.quantized_centroids(16, 64)
+    evc = similarity.ivf_cells(
+        emb.filter(is_eval), centroids, "embedding", nprobe=4
+    ).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").cast("array<double>").alias("ve"),
+        F.explode("cells").alias("cell"),
+    )
+    trc = similarity.ivf_cells(
+        emb.filter(~is_eval), centroids, "embedding", nprobe=1
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vt"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    scored = trc.join(F.broadcast(evc), "cell").select(
         "vec_id",
         "eval_id",
         F.round(cosine(F.col("vt"), F.col("ve")), 4).alias("cosine_sim"),

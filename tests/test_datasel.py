@@ -345,3 +345,28 @@ def test_count_min_portable_laws_and_hashlib_replay(spark, tmp_path):
     for t, r in got.items():
         assert r.exact_cnt == exact[t]
         assert r.cms_est == want[t]
+
+
+def test_semantic_decontaminate_ivf_consistent_with_exact(spark):
+    """The 4th index-tier twin: the IVF candidate path must (a) flag a
+    SUBSET of the exact form's flagged training vectors (cells only
+    prune candidates, never invent similarity), (b) agree bit-exactly
+    on (eval_id, cosine_sim) wherever the winning eval vector survived
+    the probe (same scorer, same tie-break), and (c) retain the large
+    majority of the exact flags — the recall property of the index."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.vec_id: r
+        for r in QUERIES["semantic_decontaminate"](spark, sf).collect()
+    }
+    ivf = {
+        r.vec_id: r
+        for r in QUERIES["semantic_decontaminate_ivf"](spark, sf).collect()
+    }
+    assert set(ivf) <= set(exact)
+    assert len(ivf) >= int(0.5 * len(exact))
+    for vid, r in ivf.items():
+        e = exact[vid]
+        assert r.cosine_sim <= e.cosine_sim
+        if r.eval_id == e.eval_id:
+            assert r.cosine_sim == e.cosine_sim

@@ -17,13 +17,17 @@
 #                                   row-path Python UDFs, pruning)
 #   5. tools/overflow_sweep.py    — top-20 heaviest bench queries PLUS
 #                                   every %MOD-fraction-sampled query
-#                                   on a 10x-salted universe (catches
-#                                   overflows/quadratic blowups one
-#                                   order of magnitude past the bench;
-#                                   standing since round 10 — it caught
-#                                   matryoshka in r8 and would have
-#                                   caught mmr in r9).  Skip with
-#                                   OVERFLOW_SWEEP=0.
+#                                   on a 10x-salted universe.  Since
+#                                   round 11 it FAILS on superlinearity
+#                                   too, not just errors: each query is
+#                                   timed at 1x in-session and the run
+#                                   goes red when the 10x wall exceeds
+#                                   15x the 1x wall (designed-quadratic
+#                                   brute tier allowlisted with written
+#                                   reasons).  It caught matryoshka in
+#                                   r8 and would have caught mmr in r9
+#                                   and the jl/semdecon/mmd trio in
+#                                   r10.  Skip with OVERFLOW_SWEEP=0.
 #
 # Keep the host quiet (no concurrent Spark/pytest) — contention slows
 # the gate ~2x and pollutes any timing you take afterwards.  The bench
