@@ -232,9 +232,18 @@ def train_wordpiece_merges_driver(
     their parts predict.  Returns [(left, right, pair_count, score)].
 
     Cross-engine determinism: pair and symbol counts are exact int64;
-    the score is ONE double division of exact ints (products stay
-    under 2^53), so the argmax ordering (score desc, a, b) is
-    bit-identical to the SQL oracle's ORDER BY."""
+    the score is ONE double division of exact ints, so the argmax
+    ordering (score desc, a, b) is bit-identical to the SQL oracle's
+    ORDER BY — PROVIDED every count product stays under 2^53.  Above
+    that, DuckDB rounds the BIGINT product to double BEFORE dividing
+    while Python's int/int true division is correctly rounded over the
+    exact integers, so the two score doubles can differ by 1 ulp and
+    flip the argmax.  The bound is ENFORCED each round (max symbol
+    count squared < 2^53, i.e. every symbol count < ~9.5e7 — far above
+    any vocab_cap'd corpus): a violation raises instead of silently
+    diverging.  Corpora past it rescale both counts by a common power
+    of two (score order is scale-invariant) or move the score to exact
+    rational compare."""
     wc = (
         tokens.groupBy(F.col(token_col).alias("word"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -257,6 +266,14 @@ def train_wordpiece_merges_driver(
                 pair_counts[p] = pair_counts.get(p, 0) + cnt
         if not pair_counts:
             break
+        mx = max(sym_counts.values())
+        if mx * mx >= 2 ** 53:
+            raise ValueError(
+                "train_wordpiece_merges_driver: symbol count product "
+                f"{mx}^2 >= 2^53 — the likelihood-score doubles are no "
+                "longer bit-identical across engines (see docstring); "
+                "rescale counts or lower vocab_cap"
+            )
         (a, b), c = min(
             pair_counts.items(),
             key=lambda kv: (

@@ -3104,9 +3104,19 @@ def als_implicit_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag sum anywhere), and the ITEM step — the one aggregation over
     users, where a naive Σ c·p·pᵀ would be order-dependent double
     accumulation — runs on 1e6 fixed-point QUANTIZED user factors, so
-    all 25 sums are exact int64 (≤ ~2e13 per user-row, well inside
-    2^63) and the de-scaled 2x2 solves are bit-identical in both
-    engines.  Scale shape: one user-keyed pivot aggregate (map-side
+    all 25 sums are exact int64 — PER USER-ROW each term is ≤ ~2e13,
+    which bounds the AGGREGATE at ~2e13·|users|: exactness holds while
+    |users| ≲ 4.6e5 (2^63/2e13).  Past that, Spark (non-ANSI) would
+    wrap silently while DuckDB's HUGEINT sum errors on the BIGINT cast
+    — divergent failure modes — so the Spark side ENFORCES the bound
+    with an assert_true guard on the single-row item aggregate (|sum| <
+    2^62 for every cell, a no-op filter on valid data), turning a
+    silent wrap into a loud error; the 10x overflow sweep exercises the
+    guard's green path.  Corpora past the bound drop ALS_SCALE (1e4
+    buys 1e4x more users at 2 fewer digits) or swap the int64 sums for
+    DECIMAL(38) — same expression tree.  The de-scaled 2x2 solves are
+    bit-identical in both engines.
+    Scale shape: one user-keyed pivot aggregate (map-side
     combinable), the item step is a SINGLE-ROW exact-integer aggregate
     (map-side partials, no shuffle pressure), broadcast back for the
     final pass — at 100 TB this is 2 scans + 1 broadcast; rank-k
@@ -3141,6 +3151,22 @@ def als_implicit_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
             for e in _als_item_sums()
         ]
+    )
+    # int64-exactness guard (see docstring): every quantized item-step
+    # sum must sit well inside 2^63 or the cross-engine determinism
+    # claim is void — fail loudly instead of wrapping silently
+    sum_cols = [e.rsplit(" AS ", 1)[1] for e in _als_item_sums()]
+    in_bounds = F.lit(True)
+    for c in sum_cols:
+        in_bounds = in_bounds & (F.abs(F.col(c)) < F.lit(2 ** 62))
+    isums = isums.filter(
+        F.assert_true(
+            in_bounds,
+            F.lit(
+                "als_implicit_rank2: item-step int64 sum exceeds 2^62 — "
+                "user count past the exactness bound; lower ALS_SCALE"
+            ),
+        ).isNull()
     )
     q2 = isums.selectExpr(*_als_item_solve())
     u2 = (

@@ -1489,8 +1489,12 @@ def _ucb_oracle() -> str:
       ) x
     ),
     fin AS (
+      -- coalesce to the base row (i = -1) when ev is EMPTY: a universe
+      -- with no qualifying bandit events must yield the 5 zero-state
+      -- arm rows (matching the driver's init state), not 0 rows
       SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM ev) AS steps
-      FROM rep r WHERE r.i = (SELECT max(i) FROM ev)
+      FROM rep r
+      WHERE r.i = coalesce((SELECT max(i) FROM ev), CAST(-1 AS BIGINT))
     )
     SELECT * FROM (
       {outs}
