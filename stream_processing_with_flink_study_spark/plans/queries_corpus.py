@@ -1696,13 +1696,21 @@ def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``lang_id_pred``) because it needs no hand lists, and the eval
     makes it a measured model, not a feature.
 
-    Scale shape: ONE trigram explode feeds both profile builds
-    (map-side combined counts; profiles are lang×20 and doc×20 sized);
-    the scoring join runs doc-profile rows × |langs| with the tiny
-    language profile BROADCAST, so the corpus-sized stream shuffles
-    only for the per-doc count.  Every distance is an exact integer
-    sum; prediction and accuracy are engine-stable by construction
-    ((dist, lang) and (count, trigram) total orders)."""
+    Scale shape: ONE trigram explode, aggregated ONCE to per-(doc, g)
+    exact counts — the explode stream flows straight into a map-side
+    combinable groupBy and is never materialized (round-11 rework: the
+    previous plan PERSISTED the raw corpus×~600 explode, and the
+    persist itself — not any join — was the superlinear term at the
+    10x universe: 13x wall from cache memory pressure; persisting the
+    ~30x-smaller aggregated frame brought 10x back to ~linear).  The
+    language profile derives from the SAME per-doc counts (Σ over docs
+    of exact ints ≡ counting raw trigrams, so the oracle is unchanged);
+    profiles are lang×20 and doc×20 sized; the scoring join runs
+    doc-profile rows × |langs| with the tiny language profile
+    BROADCAST, so the corpus-sized stream shuffles only for the per-doc
+    count.  Every distance is an exact integer sum; prediction and
+    accuracy are engine-stable by construction ((dist, lang) and
+    (count, trigram) total orders)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("_t")
     )
@@ -1717,24 +1725,29 @@ def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.col("_t").substr(i, F.lit(3)),
             )
         ).alias("g"),
-    ).persist()
-    tri.count()  # one explode feeds both profile builds
+    )
+    # one shuffle aggregates the explode to (doc, g) exact counts; both
+    # profile builds read THIS frame (doc-count-sized, not explode-sized)
+    dg = (
+        tri.groupBy("doc_id", "g")
+        .agg(
+            F.min("lang").alias("true_lang"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .persist()
+    )
+    dg.count()
     wl = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
     lang_prof = (
-        tri.groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        dg.groupBy(F.col("true_lang").alias("lang"), "g")
+        .agg(F.sum("cnt").alias("cnt"))
         .withColumn("r", F.row_number().over(wl))
         .filter(F.col("r") <= 20)
         .select(F.col("lang").alias("p_lang"), "g", "r")
     )
     wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
     doc_prof = (
-        tri.groupBy("doc_id", "g")
-        .agg(
-            F.min("lang").alias("true_lang"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .withColumn("dr", F.row_number().over(wd))
+        dg.withColumn("dr", F.row_number().over(wd))
         .filter(F.col("dr") <= 20)
         .select("doc_id", "true_lang", "g", "dr")
     )
