@@ -1731,3 +1731,186 @@ def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "horizon int, trend_usd double, ses_theta2_usd double,"
         " forecast_usd double",
     )
+
+
+# --------------------------------------------------------------------------
+# Elo rating replay over paired logged events
+# --------------------------------------------------------------------------
+ELO_PLAYERS = ["click", "error", "purchase", "signup", "view"]
+ELO_MAX_MATCHES = 30  # bounded replay (60 events paired, recursion depth)
+ELO_K = 32.0
+ELO_INIT = 1000.0
+_ELO_LN10_400 = "0.005756462732485614"  # ln(10)/400 as an exact double
+
+
+def _elo_oracle() -> str:
+    st = ", ".join(f"r_{p[0]}" for p in ELO_PLAYERS)
+    cnt = ", ".join(
+        [f"m_{p[0]}" for p in ELO_PLAYERS]
+        + [f"w_{p[0]}" for p in ELO_PLAYERS]
+    )
+    init_r = ", ".join(
+        [f"CAST({ELO_INIT!r} AS DOUBLE)"] * len(ELO_PLAYERS)
+    )
+    init_c = ", ".join(["CAST(0 AS BIGINT)"] * (2 * len(ELO_PLAYERS)))
+    r_of = lambda side: (  # noqa: E731
+        "CASE x.arm_" + side + " "
+        + " ".join(
+            f"WHEN '{p[0]}' THEN x.r_{p[0]}" for p in ELO_PLAYERS
+        )
+        + " END"
+    )
+    upd_r = ", ".join(
+        f"x.r_{p[0]} + CASE WHEN x.arm_a = x.arm_b THEN CAST(0 AS DOUBLE)"
+        f" WHEN x.arm_a = '{p[0]}' THEN CAST({ELO_K!r} AS DOUBLE)"
+        f" * (x.s_a - x.e_a)"
+        f" WHEN x.arm_b = '{p[0]}' THEN CAST({ELO_K!r} AS DOUBLE)"
+        f" * (x.e_a - x.s_a)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for p in ELO_PLAYERS
+    )
+    upd_m = ", ".join(
+        f"x.m_{p[0]} + CASE WHEN x.arm_a <> x.arm_b AND"
+        f" (x.arm_a = '{p[0]}' OR x.arm_b = '{p[0]}')"
+        f" THEN 1 ELSE 0 END"
+        for p in ELO_PLAYERS
+    )
+    upd_w = ", ".join(
+        f"x.w_{p[0]} + CASE WHEN x.arm_a <> x.arm_b AND"
+        f" ((x.arm_a = '{p[0]}' AND x.s_a = 1.0)"
+        f"  OR (x.arm_b = '{p[0]}' AND x.s_a = 0.0))"
+        f" THEN 1 ELSE 0 END"
+        for p in ELO_PLAYERS
+    )
+    carry = ", ".join(
+        [f"r.r_{p[0]}" for p in ELO_PLAYERS]
+        + [f"r.m_{p[0]}" for p in ELO_PLAYERS]
+        + [f"r.w_{p[0]}" for p in ELO_PLAYERS]
+    )
+    outs = "\n      UNION ALL ".join(
+        f"SELECT '{p}' AS player,"
+        f" round(r_{p[0]} - 1e-9, 4) + 0.0 AS rating,"
+        f" m_{p[0]} AS n_matches, w_{p[0]} AS n_wins, steps FROM fin"
+        for p in ELO_PLAYERS
+    )
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+               - 1 AS j,
+             substr(event_type, 1, 1) AS arm,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IN ({", ".join(f"'{p}'" for p in ELO_PLAYERS)})
+    ),
+    mt AS (
+      SELECT a.j / 2 AS i, a.arm AS arm_a, b.arm AS arm_b,
+             CASE WHEN a.cents > b.cents THEN CAST(1.0 AS DOUBLE)
+                  WHEN a.cents < b.cents THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(0.5 AS DOUBLE) END AS s_a
+      FROM ev a JOIN ev b ON b.j = a.j + 1
+      WHERE a.j % 2 = 0 AND a.j / 2 < {ELO_MAX_MATCHES}
+    ),
+    rep (i, {st}, {cnt}) AS (
+      SELECT CAST(-1 AS BIGINT), {init_r}, {init_c}
+      UNION ALL
+      SELECT x.i, {upd_r}, {upd_m}, {upd_w}
+      FROM (
+        SELECT y.*,
+               CAST(1.0 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + exp(({r_of("b").replace("x.", "y.")}
+                         - {r_of("a").replace("x.", "y.")})
+                        * CAST({_ELO_LN10_400} AS DOUBLE))) AS e_a
+        FROM (
+          SELECT e.i, e.arm_a, e.arm_b, e.s_a, {carry}
+          FROM rep r JOIN mt e ON e.i = r.i + 1
+        ) y
+      ) x
+    ),
+    fin AS (
+      SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM mt) AS steps
+      FROM rep r
+      WHERE r.i = coalesce((SELECT max(i) FROM mt), CAST(-1 AS BIGINT))
+    )
+    SELECT * FROM (
+      {outs}
+    ) ORDER BY player
+    """
+
+
+@query("elo_ratings_replay", _elo_oracle())
+def elo_ratings_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elo ratings replayed over logged event pairs: consecutive
+    qualifying events (event-time order) form a match between their
+    two event types, the higher exact-cents value wins (tie = draw),
+    and ratings update sequentially with the classic K=32 rule
+    ``R' = R + K(S − E)``, ``E = 1/(1 + 10^((R_b − R_a)/400))`` — the
+    pairwise-comparison rating engine behind matchmaking, LLM arena
+    leaderboards, and preference-data curation.  Self-matches (same
+    type on both sides) consume the pair but move nothing.
+
+    The state-feeds-next-match recurrence rides the rate-limiter /
+    UCB1 replay class: depth-bounded WITH RECURSIVE oracle (expected
+    score computed in a subquery so both arms' updates reference ONE
+    double, symmetry exact by construction: Δ_b = −Δ_a), identical
+    float steps driver-side on the bounded collected frame.
+    10^(x/400) is evaluated as ``exp(x · LN10/400)`` with the
+    ln(10)/400 constant pinned as the same decimal literal in both
+    engines (the mmd/kalman exp-trust precedent).  Emits each
+    player's final rating, matches, wins, and the replayed step
+    count."""
+    import math
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "elo_events"
+    )
+    ev = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+                   - 1 AS j,
+                 substr(event_type, 1, 1) AS arm,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM elo_events
+          WHERE event_type IN (
+            {", ".join(f"'{p}'" for p in ELO_PLAYERS)})
+        ) WHERE j < {2 * ELO_MAX_MATCHES}
+        """
+    ).collect()  # bounded by 2*ELO_MAX_MATCHES, never by row count
+    ev = sorted(ev, key=lambda r: r.j)
+    ln10_400 = float(_ELO_LN10_400)
+    initials = [p[0] for p in ELO_PLAYERS]
+    r = {c: ELO_INIT for c in initials}
+    m = {c: 0 for c in initials}
+    w = {c: 0 for c in initials}
+    steps = 0
+    for i in range(0, len(ev) - 1, 2):
+        a, b = ev[i], ev[i + 1]
+        steps += 1
+        if a.arm == b.arm:
+            continue
+        s_a = 1.0 if a.cents > b.cents else (0.0 if a.cents < b.cents else 0.5)
+        e_a = 1.0 / (1.0 + math.exp((r[b.arm] - r[a.arm]) * ln10_400))
+        r[a.arm] = r[a.arm] + ELO_K * (s_a - e_a)
+        r[b.arm] = r[b.arm] + ELO_K * (e_a - s_a)
+        m[a.arm] += 1
+        m[b.arm] += 1
+        if s_a == 1.0:
+            w[a.arm] += 1
+        elif s_a == 0.0:
+            w[b.arm] += 1
+    rows = [
+        (
+            p,
+            round(r[p[0]] - 1e-9, 4) + 0.0,
+            m[p[0]],
+            w[p[0]],
+            steps,
+        )
+        for p in ELO_PLAYERS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "player string, rating double, n_matches long, n_wins long,"
+        " steps long",
+    ).orderBy("player")

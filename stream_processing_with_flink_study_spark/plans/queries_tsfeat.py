@@ -3308,3 +3308,185 @@ def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r
         """
     )
+
+
+# --------------------------------------------------------------------------
+# two-level binary segmentation: recursive changepoint on daily revenue
+# --------------------------------------------------------------------------
+@query(
+    "binseg_two_level",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cum AS MATERIALIZED (
+      SELECT d, CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(sum(cents) OVER w AS BIGINT) AS cs,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ),
+    s1 AS (
+      SELECT k, d,
+             abs(cs * 1.0 / k - (total - cs) * 1.0 / (n - k))
+               * sqrt(k * (n - k) * 1.0 / n) AS score,
+             (total - cs) * 1.0 / (n - k) - cs * 1.0 / k AS shift
+      FROM cum WHERE k < n
+    ),
+    b1 AS (
+      SELECT k, d, score, shift FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, k) AS r FROM s1
+      ) WHERE r = 1
+    ),
+    bounds AS (SELECT c.k AS k1, c.cs AS cs1 FROM cum c JOIN b1 ON c.k = b1.k),
+    s2 AS (
+      SELECT 'left' AS segment, c.k, c.d,
+             abs(c.cs * 1.0 / c.k
+                 - (bo.cs1 - c.cs) * 1.0 / (bo.k1 - c.k))
+               * sqrt(c.k * (bo.k1 - c.k) * 1.0 / bo.k1) AS score,
+             (bo.cs1 - c.cs) * 1.0 / (bo.k1 - c.k)
+               - c.cs * 1.0 / c.k AS shift
+      FROM cum c CROSS JOIN bounds bo WHERE c.k < bo.k1
+      UNION ALL
+      SELECT 'right' AS segment, c.k, c.d,
+             abs((c.cs - bo.cs1) * 1.0 / (c.k - bo.k1)
+                 - (c.total - c.cs) * 1.0 / (c.n - c.k))
+               * sqrt((c.k - bo.k1) * (c.n - c.k) * 1.0
+                      / (c.n - bo.k1)) AS score,
+             (c.total - c.cs) * 1.0 / (c.n - c.k)
+               - (c.cs - bo.cs1) * 1.0 / (c.k - bo.k1) AS shift
+      FROM cum c CROSS JOIN bounds bo WHERE c.k > bo.k1 AND c.k < c.n
+    ),
+    b2 AS (
+      SELECT segment, k, d, score, shift FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY segment ORDER BY score DESC, k) AS r
+        FROM s2
+      ) WHERE r = 1
+    )
+    SELECT segment, CAST(k AS BIGINT) AS split_k,
+           CAST(epoch_ms(CAST(d AS TIMESTAMP)) AS BIGINT) AS split_day_ms,
+           round(score / 100.0 - 1e-9, 4) + 0.0 AS score_usd,
+           round(shift / 100.0 - 1e-9, 4) + 0.0 AS mean_shift_usd
+    FROM (
+      SELECT 'full' AS segment, k, d, score, shift FROM b1
+      UNION ALL
+      SELECT segment, k, d, score, shift FROM b2
+    ) ORDER BY segment
+    """,
+)
+def binseg_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation on daily order revenue — the
+    recursive step ``changepoint_single_split`` stops short of: find
+    the best CUSUM split of the full series, then the best split of
+    EACH resulting half, emitting the (full, left, right) changepoint
+    triple that a PELT/BinSeg segmentation loop would keep recursing
+    on.  This is the multi-changepoint primitive behind regime tables
+    and drift post-mortems ("revenue stepped twice: here and here").
+
+    The recursion needs NO second scan: every sub-segment statistic is
+    a difference of the SAME cumulative frame (segment mean over
+    (a, b] = (cs_b − cs_a)/(b − a)), so level 2 reuses the level-1
+    window — one day-grain rollup, one global-order cumsum, then two
+    1-row broadcasts.  Determinism: cumulative cents are exact int64;
+    every mean/score is divisions+sqrt over those ints, bit-identical
+    cross-engine; argmaxes tie-break (score DESC, k).  Scale shape:
+    the series is day-grain (bounded rows), the corpus-sized scan is
+    only the one map-side-combinable day rollup — the
+    ``changepoint_plan`` class, one level deeper."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+        F.sum("cents").over(w).cast("long").alias("cs"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("cents").over(wall).cast("long").alias("total"),
+    ).localCheckpoint()
+    mean_l = F.col("cs") * 1.0 / F.col("k")
+    mean_r = (F.col("total") - F.col("cs")) * 1.0 / (F.col("n") - F.col("k"))
+    s1 = cum.filter(F.col("k") < F.col("n")).select(
+        "k",
+        "d",
+        (
+            F.abs(mean_l - mean_r)
+            * F.sqrt(
+                F.col("k") * (F.col("n") - F.col("k")) * 1.0 / F.col("n")
+            )
+        ).alias("score"),
+        (mean_r - mean_l).alias("shift"),
+    )
+    wbest = Window.orderBy(F.desc("score"), F.asc("k"))
+    b1 = (
+        s1.withColumn("r", F.row_number().over(wbest))
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    bounds = cum.join(
+        b1.select(F.col("k").alias("k1")), F.col("k") == F.col("k1")
+    ).select("k1", F.col("cs").alias("cs1"))
+    cb = cum.crossJoin(F.broadcast(bounds))
+    lm_l = F.col("cs") * 1.0 / F.col("k")
+    lm_r = (F.col("cs1") - F.col("cs")) * 1.0 / (F.col("k1") - F.col("k"))
+    left = cb.filter(F.col("k") < F.col("k1")).select(
+        F.lit("left").alias("segment"),
+        "k",
+        "d",
+        (
+            F.abs(lm_l - lm_r)
+            * F.sqrt(
+                F.col("k") * (F.col("k1") - F.col("k")) * 1.0 / F.col("k1")
+            )
+        ).alias("score"),
+        (lm_r - lm_l).alias("shift"),
+    )
+    rm_l = (F.col("cs") - F.col("cs1")) * 1.0 / (F.col("k") - F.col("k1"))
+    rm_r = (F.col("total") - F.col("cs")) * 1.0 / (F.col("n") - F.col("k"))
+    right = cb.filter(
+        (F.col("k") > F.col("k1")) & (F.col("k") < F.col("n"))
+    ).select(
+        F.lit("right").alias("segment"),
+        "k",
+        "d",
+        (
+            F.abs(rm_l - rm_r)
+            * F.sqrt(
+                (F.col("k") - F.col("k1"))
+                * (F.col("n") - F.col("k"))
+                * 1.0
+                / (F.col("n") - F.col("k1"))
+            )
+        ).alias("score"),
+        (rm_r - rm_l).alias("shift"),
+    )
+    wseg = Window.partitionBy("segment").orderBy(F.desc("score"), F.asc("k"))
+    b2 = (
+        left.unionByName(right)
+        .withColumn("r", F.row_number().over(wseg))
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    out = b1.select(
+        F.lit("full").alias("segment"), "k", "d", "score", "shift"
+    ).unionByName(b2.select("segment", "k", "d", "score", "shift"))
+    return out.select(
+        "segment",
+        F.col("k").alias("split_k"),
+        F.unix_millis(F.col("d").cast("timestamp")).alias("split_day_ms"),
+        (F.round(F.col("score") / 100.0 - 1e-9, 4) + 0.0).alias("score_usd"),
+        (F.round(F.col("shift") / 100.0 - 1e-9, 4) + 0.0).alias(
+            "mean_shift_usd"
+        ),
+    ).orderBy("segment")
