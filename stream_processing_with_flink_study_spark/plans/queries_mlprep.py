@@ -3409,3 +3409,179 @@ def mrmr_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_rank int, feature string, mrmr_score double,"
         " relevance_mi double",
     )
+
+
+# --------------------------------------------------------------------------
+# successive halving (the Hyperband inner loop) over nation "configs"
+# --------------------------------------------------------------------------
+SH_BUDGET_MONTHS = [12, 24, 48, 96]  # nested rung budgets (months of data)
+
+
+def _sh_oracle() -> str:
+    vals = ", ".join(
+        f"({r}, {m})" for r, m in enumerate(SH_BUDGET_MONTHS)
+    )
+    metric = "g.cents * 1.0 / g.n_orders"
+    stages = []
+    prev = None
+    for r in range(len(SH_BUDGET_MONTHS)):
+        src = (
+            f"FROM rungs g WHERE g.rung = {r}"
+            if prev is None
+            else f"FROM rungs g JOIN {prev} p ON p.nation = g.nation"
+            f" WHERE g.rung = {r} AND p.rk <= (p.np + 1) // 2"
+        )
+        stages.append(
+            f"""r{r} AS MATERIALIZED (
+      SELECT g.nation, g.n_orders, g.cents,
+             CAST(row_number() OVER (
+               ORDER BY {metric} DESC, g.nation) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS np
+      {src}
+    )"""
+        )
+        prev = f"r{r}"
+    last = len(SH_BUDGET_MONTHS) - 1
+    elim = "\n      UNION ALL ".join(
+        f"SELECT nation, CAST({r} AS BIGINT) AS last_rung, rk, n_orders,"
+        f" cents FROM r{r} WHERE rk > (np + 1) // 2"
+        for r in range(last)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation,
+             (year(o.o_orderdate) - 1995) * 12
+               + month(o.o_orderdate) - 1 AS mi,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    rungs AS MATERIALIZED (
+      SELECT nation, r.rung,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM base
+      JOIN (VALUES {vals}) AS r(rung, months) ON base.mi < r.months
+      GROUP BY nation, r.rung
+    ),
+    {",".join(stages)}
+    SELECT CAST(nation AS BIGINT) AS nation_key, last_rung,
+           rk AS rank_at_exit, n_orders,
+           round(cents / 100.0 / n_orders - 1e-9, 4) + 0.0
+             AS avg_value_usd
+    FROM (
+      {elim}
+      UNION ALL
+      SELECT nation, CAST({last} AS BIGINT) AS last_rung, rk, n_orders,
+             cents FROM r{last}
+    ) ORDER BY last_rung DESC, rank_at_exit, nation_key
+    """
+
+
+@query("successive_halving_schedule", _sh_oracle())
+def successive_halving_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Successive halving — the Hyperband inner loop (Li et al. JMLR
+    '18) — replayed over nation "configs": every nation starts at rung
+    0 scored on its first 12 months of average order value, the top
+    half (ceil, ties to the lower nation key) advances to the
+    24-month rung, then 48, then 96 — the canonical
+    evaluate-cheaply-first scheduler for hyperparameter search and
+    data-mixture selection.  Emits each config's exit rung, its rank
+    among that rung's participants, and the metric it was judged on.
+
+    The budgets are NESTED, so all four rung metrics come from ONE
+    corpus-sized rollup: each order fans out to the ≤4 rungs whose
+    window contains it (constant fan-out, map-side-combinable
+    (nation, rung) cells), and the survivor cascade is 4 unrolled
+    window stages over the ≤|configs|-row frame — the k-center/mRMR
+    unrolled-stage idiom, never a second scan.  Metrics are one double
+    division of exact int64 cents/counts, rank ties break by nation:
+    every stage is bit-deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    base = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        (
+            (F.year("o_orderdate") - 1995) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("mi"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    rung_tbl = spark.createDataFrame(
+        list(enumerate(SH_BUDGET_MONTHS)), "rung int, months int"
+    )
+    rungs = (
+        base.join(F.broadcast(rung_tbl), F.col("mi") < F.col("months"))
+        .groupBy("nation", "rung")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    metric = F.col("cents") * 1.0 / F.col("n_orders")
+    w = Window.orderBy(metric.desc(), F.asc("nation"))
+    wall = Window.partitionBy()
+    stage = None
+    exits = []
+    last = len(SH_BUDGET_MONTHS) - 1
+    for r in range(len(SH_BUDGET_MONTHS)):
+        cur = rungs.filter(F.col("rung") == r).select(
+            "nation", "n_orders", "cents"
+        )
+        if stage is not None:
+            keep = stage.filter(
+                F.col("rk") <= F.expr("(np + 1) DIV 2")
+            ).select("nation")
+            cur = cur.join(F.broadcast(keep), "nation")
+        cur = cur.select(
+            "*",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("np"),
+        ).localCheckpoint()
+        if r < last:
+            exits.append(
+                cur.filter(F.col("rk") > F.expr("(np + 1) DIV 2")).select(
+                    "nation",
+                    F.lit(r).cast("long").alias("last_rung"),
+                    F.col("rk").alias("rank_at_exit"),
+                    "n_orders",
+                    "cents",
+                )
+            )
+        else:
+            exits.append(
+                cur.select(
+                    "nation",
+                    F.lit(r).cast("long").alias("last_rung"),
+                    F.col("rk").alias("rank_at_exit"),
+                    "n_orders",
+                    "cents",
+                )
+            )
+        stage = cur
+    out = exits[0]
+    for e in exits[1:]:
+        out = out.unionByName(e)
+    return out.select(
+        F.col("nation").cast("long").alias("nation_key"),
+        "last_rung",
+        "rank_at_exit",
+        "n_orders",
+        (
+            F.round(
+                F.col("cents") / 100.0 / F.col("n_orders") - 1e-9, 4
+            )
+            + 0.0
+        ).alias("avg_value_usd"),
+    ).orderBy(
+        F.desc("last_rung"), F.asc("rank_at_exit"), F.asc("nation_key")
+    )

@@ -612,3 +612,116 @@ def knapsack_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.unpersist()
     ranked.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# DPO preference-pair construction
+# --------------------------------------------------------------------------
+DPO_PAIRS_PER_GROUP = 10  # absolute per-group output cap (scale knob)
+
+
+@query(
+    "dpo_pair_margins",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    scored AS MATERIALIZED (
+      SELECT doc_id, lang,
+             count(DISTINCT t) * 1000000 // count(*) AS score_ppm
+      FROM toks WHERE t <> '' GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY score_ppm DESC, doc_id
+             ) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS m
+      FROM scored
+    ),
+    pairs AS (
+      SELECT c.lang, c.rn AS pair_rank,
+             c.doc_id AS chosen_doc_id, r.doc_id AS rejected_doc_id,
+             CAST(c.score_ppm AS BIGINT) AS chosen_score_ppm,
+             CAST(r.score_ppm AS BIGINT) AS rejected_score_ppm,
+             CAST(c.score_ppm - r.score_ppm AS BIGINT) AS margin_ppm
+      FROM ranked c JOIN ranked r
+        ON r.lang = c.lang AND r.rn = c.rn + c.m // 2
+      WHERE c.rn <= c.m // 2
+    )
+    SELECT * FROM pairs
+    WHERE pair_rank <= {DPO_PAIRS_PER_GROUP}
+    ORDER BY lang, pair_rank
+    """,
+)
+def dpo_pair_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction from a scored corpus: the
+    standard recipe that turns a pointwise quality signal into the
+    (chosen, rejected) pairs a direct-preference-optimization run
+    consumes.  Within each group (lang — the "same prompt" bucket),
+    documents rank by a lexical-diversity score (distinct/total tokens
+    in exact parts-per-million — integer DIV, no float rank keys) and
+    rank i pairs with rank i + m/2: the classic half-split pairing that
+    maximizes the minimum margin across pairs (any other perfect
+    matching has a smaller worst margin).  Emits the top
+    {DPO_PAIRS_PER_GROUP} pairs per group with both scores and the
+    margin — margin distribution is the health check (near-zero
+    margins = noisy labels) every preference-data pipeline reads.
+
+    Determinism: scores are exact integers (count·1e6 DIV count), so
+    ranks, pairing, and margins are integer-exact cross-engine; ties
+    break by doc_id.  Scale shape: one token-explode rollup
+    (map-side combinable), two window passes over the same lang
+    partitioning, a self-join on (lang, rank) = one co-partitioned
+    exchange, and an ABSOLUTE per-group output cap."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(text.tokens("text")).alias("t")
+    )
+    scored = (
+        toks.filter(F.col("t") != "")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "CAST(count(DISTINCT t) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("score_ppm")
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("m"),
+    )
+    c = ranked.alias("c")
+    r = ranked.alias("r")
+    half = F.expr("c.m DIV 2")
+    return (
+        c.join(
+            r,
+            (F.col("r.lang") == F.col("c.lang"))
+            & (F.col("r.rn") == F.col("c.rn") + half),
+        )
+        .filter(
+            (F.col("c.rn") <= half)
+            & (F.col("c.rn") <= DPO_PAIRS_PER_GROUP)
+        )
+        .select(
+            F.col("c.lang").alias("lang"),
+            F.col("c.rn").alias("pair_rank"),
+            F.col("c.doc_id").alias("chosen_doc_id"),
+            F.col("r.doc_id").alias("rejected_doc_id"),
+            F.col("c.score_ppm").alias("chosen_score_ppm"),
+            F.col("r.score_ppm").alias("rejected_score_ppm"),
+            (F.col("c.score_ppm") - F.col("r.score_ppm")).alias(
+                "margin_ppm"
+            ),
+        )
+        .orderBy("lang", "pair_rank")
+    )

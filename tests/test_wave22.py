@@ -83,3 +83,70 @@ def test_elo_replay_planted_hand_trace(spark, tmp_path):
     for p in ("click", "error", "signup"):
         assert got[p].rating == 1000.0 and got[p].n_matches == 0
     assert got["view"].steps == 2  # the self-match still consumed a step
+
+
+def test_dpo_pairs_planted_half_split(spark, tmp_path):
+    """4 docs in one lang with hand-computed diversity scores 1e6 /
+    750k / 500k / 250k: ranks pair 1<->3 and 2<->4, so both pairs carry
+    margin 500000 and the chosen side is exactly the top half."""
+    docs = [
+        (0, "xx", "a b c d"),   # 4/4 -> 1000000
+        (1, "xx", "a a b b"),   # 2/4 -> 500000
+        (2, "xx", "a b c c"),   # 3/4 -> 750000
+        (3, "xx", "a a a a"),   # 1/4 -> 250000
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = sorted(
+        QUERIES["dpo_pair_margins"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.pair_rank,
+    )
+    assert [(r.chosen_doc_id, r.rejected_doc_id) for r in rows] == [
+        (0, 1),
+        (2, 3),
+    ]
+    assert all(r.margin_ppm == 500000 for r in rows)
+    assert rows[0].chosen_score_ppm == 1000000
+    assert rows[1].rejected_score_ppm == 250000
+
+
+def test_successive_halving_planted_cascade(spark, tmp_path):
+    """6 nation configs with hand-built rung metrics: rung 0 keeps
+    {5,4,3} (values 600/500/400 beat 300/200/100); a month-12 order
+    then flips rung 1 to 3(700) > 5(600) > 4(300), keeping {3,5};
+    a month-24 order makes 5(1300) beat 3(700) at rung 2; 5 wins
+    rung 3.  Exit rungs and ranks are all pinned."""
+    import datetime
+
+    cust = [(n, n) for n in range(6)]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    d0 = datetime.datetime(1995, 1, 1)
+    m12 = datetime.datetime(1996, 1, 1)
+    m24 = datetime.datetime(1997, 1, 1)
+    orders = [(n, (n + 1) * 100.0, d0) for n in range(6)]
+    orders += [(3, 1000.0, m12), (4, 100.0, m12), (5, 2000.0, m24)]
+    spark.createDataFrame(
+        orders, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r.nation_key: r
+        for r in QUERIES["successive_halving_schedule"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[5].last_rung, got[5].rank_at_exit) == (3, 1)
+    assert got[5].avg_value_usd == 1300.0
+    assert (got[3].last_rung, got[3].rank_at_exit) == (2, 2)
+    assert (got[4].last_rung, got[4].rank_at_exit) == (1, 3)
+    assert (got[2].last_rung, got[2].rank_at_exit) == (0, 4)
+    assert (got[1].last_rung, got[1].rank_at_exit) == (0, 5)
+    assert (got[0].last_rung, got[0].rank_at_exit) == (0, 6)
