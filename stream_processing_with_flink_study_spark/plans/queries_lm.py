@@ -860,3 +860,281 @@ def nb_lang_eval_frame(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# scaling-law fit: held-out xent vs nested train-subset size
+# --------------------------------------------------------------------------
+SL_EVAL_MOD = 17  # held-out eval split
+SL_LEVELS = 6  # nested subsets: 1/32, 1/16, 1/8, 1/4, 1/2, 1 of train
+
+# md5-prefix thresholds for the nested subset levels (hex-string
+# compares: '07' = 8/256 = 1/32 of the hash space, '0' = 1/16, ...)
+_SL_LEVEL_CASE = (
+    "CASE WHEN substr(md5('sl_' || CAST(doc_id AS {V})), 1, 2) <= '07'"
+    " THEN 1"
+    " WHEN substr(md5('sl_' || CAST(doc_id AS {V})), 1, 1) = '0' THEN 2"
+    " WHEN substr(md5('sl_' || CAST(doc_id AS {V})), 1, 1) <= '1' THEN 3"
+    " WHEN substr(md5('sl_' || CAST(doc_id AS {V})), 1, 1) <= '3' THEN 4"
+    " WHEN substr(md5('sl_' || CAST(doc_id AS {V})), 1, 1) <= '7' THEN 5"
+    " ELSE 6 END"
+)
+
+
+def _sl_oracle() -> str:
+    lvl = _SL_LEVEL_CASE.format(V="VARCHAR")
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return f"""
+    WITH docs_t AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % {SL_EVAL_MOD} = 0 THEN 0
+                  ELSE {lvl} END AS lvl,
+             text
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT lvl,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM docs_t
+    ),
+    tc AS MATERIALIZED (
+      SELECT t, lvl, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE lvl > 0 AND t <> '' GROUP BY t, lvl
+    ),
+    ec AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS w
+      FROM toks WHERE lvl = 0 AND t <> '' GROUP BY t
+    ),
+    lvls AS (SELECT unnest(range(1, {SL_LEVELS} + 1)) AS k),
+    nk AS MATERIALIZED (
+      SELECT k.k, CAST(coalesce(sum(d.c), 0) AS BIGINT) AS n_tokens
+      FROM lvls k LEFT JOIN tc d ON d.lvl <= k.k GROUP BY k.k
+    ),
+    docs_k AS (
+      SELECT k.k, CAST(count(*) AS BIGINT) AS n_docs
+      FROM lvls k JOIN docs_t d ON d.lvl > 0 AND d.lvl <= k.k
+      GROUP BY k.k
+    ),
+    vk AS MATERIALIZED (
+      SELECT k.k, CAST(count(*) AS BIGINT) AS vocab
+      FROM lvls k
+      JOIN (SELECT t, min(lvl) AS f FROM tc GROUP BY t) f ON f.f <= k.k
+      GROUP BY k.k
+    ),
+    cek AS (
+      SELECT e.t, k.k, e.w, CAST(coalesce(sum(d.c), 0) AS BIGINT) AS c
+      FROM ec e CROSS JOIN lvls k
+      LEFT JOIN tc d ON d.t = e.t AND d.lvl <= k.k
+      GROUP BY e.t, k.k, e.w
+    ),
+    lp AS (
+      SELECT c.k, c.t, c.w,
+             c.w * ln((c.c + 1) * 1.0
+                      / (n.n_tokens + v.vocab + 1)) AS term
+      FROM cek c JOIN nk n ON n.k = c.k JOIN vk v ON v.k = c.k
+    ),
+    acc AS (
+      SELECT k, sum(term) OVER w AS s, sum(w) OVER w AS wsum,
+             row_number() OVER (PARTITION BY k ORDER BY t DESC) AS rd
+      FROM lp
+      WINDOW w AS (PARTITION BY k ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ),
+    xent AS MATERIALIZED (
+      SELECT k, -s / wsum AS xent FROM acc WHERE rd = 1
+    ),
+    pts AS MATERIALIZED (
+      SELECT x.k, ln(n.n_tokens * 1.0) AS lx, ln(x.xent) AS ly,
+             n.n_tokens, v.vocab, d.n_docs, x.xent
+      FROM xent x JOIN nk n ON n.k = x.k JOIN vk v ON v.k = x.k
+      JOIN docs_k d ON d.k = x.k
+    ),
+    facc AS (
+      SELECT sum(lx) OVER w AS sx, sum(ly) OVER w AS sy,
+             sum(lx * ly) OVER w AS sxy, sum(lx * lx) OVER w AS sxx,
+             sum(ly * ly) OVER w AS syy,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             row_number() OVER (ORDER BY k DESC) AS rd
+      FROM pts
+      WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)
+    ),
+    fit AS (
+      SELECT {slope} AS slope,
+             (sy - ({slope}) * sx) / n AS icept,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM facc WHERE rd = 1
+    )
+    SELECT CAST(p.k AS BIGINT) AS level, p.n_docs, p.n_tokens, p.vocab,
+           round(p.xent - 1e-9, 4) + 0.0 AS heldout_xent,
+           round(f.slope - 1e-9, 4) + 0.0 AS fit_exponent,
+           round(exp(f.icept) - 1e-9, 4) + 0.0 AS fit_coef,
+           round(f.r2 - 1e-9, 4) + 0.0 AS fit_r2
+    FROM pts p CROSS JOIN fit f
+    ORDER BY level
+    """
+
+
+@query("scaling_law_fit", _sl_oracle())
+def scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data scaling-law measurement — the curve a pretraining team
+    draws before buying more data: add-one-smoothed unigram LM
+    cross-entropy on a HELD-OUT split (doc_id % {SL_EVAL_MOD}),
+    measured at 6 NESTED train subsets (1/32 … 1/1 of the corpus,
+    md5-prefix membership so the subsets are deterministic and truly
+    nested), then the power-law fit ``xent ≈ coef · N^exponent`` via
+    OLS on (ln N, ln xent) — emitting the per-level curve AND the
+    fitted exponent/coefficient/R² (Kaplan/Chinchilla-style, the
+    2-parameter form without the irreducible-loss term).
+
+    The nesting is the scale trick: level(doc) = the SMALLEST subset
+    containing it, so ONE token rollup keyed by (token, level) yields
+    every subset's counts as a ≤6-row suffix sum — 6 curve points, one
+    corpus scan, constant fan-out.  Determinism: all counts exact
+    int64; each log-prob is one ln of a ratio of exact ints; per-level
+    xent accumulates through a token-ORDERED window (the mRMR idiom)
+    and the 6-point OLS through a level-ORDERED window, so both
+    engines sum identical doubles in identical order.  Scale shape:
+    eval×level join fans out ≤6 per eval-vocab row; everything else is
+    map-side-combinable rollups and ≤6-row frames."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % {SL_EVAL_MOD} = 0 THEN 0 ELSE "
+        + _SL_LEVEL_CASE.format(V="STRING")
+        + " END AS lvl",
+        "text",
+    )
+    toks = docs.select(
+        "lvl", F.explode(text.tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    tc = (
+        toks.filter(F.col("lvl") > 0)
+        .groupBy("t", "lvl")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    ec = (
+        toks.filter(F.col("lvl") == 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    lvls = spark.range(1, SL_LEVELS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    nk = (
+        lvls.join(F.broadcast(tc), tc["lvl"] <= lvls["k"], "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens")
+        )
+    )
+    docs_k = (
+        lvls.join(
+            docs.select("lvl"),
+            (docs["lvl"] > 0) & (docs["lvl"] <= lvls["k"]),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    first_lvl = tc.groupBy("t").agg(F.min("lvl").alias("f"))
+    vk = (
+        lvls.join(F.broadcast(first_lvl), first_lvl["f"] <= lvls["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    cek = (
+        ec.crossJoin(F.broadcast(lvls))
+        .join(
+            tc.select(
+                F.col("t").alias("tt"), F.col("lvl").alias("tl"), "c"
+            ),
+            (F.col("tt") == F.col("t")) & (F.col("tl") <= F.col("k")),
+            "left",
+        )
+        .groupBy("t", "k", "w")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    lp = cek.join(F.broadcast(nk), "k").join(F.broadcast(vk), "k").select(
+        "k",
+        "t",
+        "w",
+        (
+            F.col("w")
+            * F.log(
+                (F.col("c") + 1)
+                * 1.0
+                / (F.col("n_tokens") + F.col("vocab") + 1)
+            )
+        ).alias("term"),
+    )
+    wacc = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    acc = lp.select(
+        "k",
+        F.sum("term").over(wacc).alias("s"),
+        F.sum("w").over(wacc).alias("wsum"),
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy(F.desc("t")))
+        .alias("rd"),
+    )
+    xent = acc.filter(F.col("rd") == 1).select(
+        "k", (-F.col("s") / F.col("wsum")).alias("xent")
+    )
+    pts = (
+        xent.join(F.broadcast(nk), "k")
+        .join(F.broadcast(vk), "k")
+        .join(F.broadcast(docs_k), "k")
+        .select(
+            "k",
+            F.log(F.col("n_tokens") * 1.0).alias("lx"),
+            F.log("xent").alias("ly"),
+            "n_tokens",
+            "vocab",
+            "n_docs",
+            "xent",
+        )
+        .localCheckpoint()
+    )
+    wfit = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    facc = pts.select(
+        F.sum("lx").over(wfit).alias("sx"),
+        F.sum("ly").over(wfit).alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).over(wfit).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).over(wfit).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).over(wfit).alias("syy"),
+        F.count(F.lit(1)).over(wfit).cast("double").alias("n"),
+        F.row_number().over(Window.orderBy(F.desc("k"))).alias("rd"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    fit = facc.filter(F.col("rd") == 1).select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("icept"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("long").alias("level"),
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            (F.round(F.col("xent") - 1e-9, 4) + 0.0).alias("heldout_xent"),
+            (F.round(F.col("slope") - 1e-9, 4) + 0.0).alias("fit_exponent"),
+            (F.round(F.exp("icept") - 1e-9, 4) + 0.0).alias("fit_coef"),
+            (F.round(F.col("r2") - 1e-9, 4) + 0.0).alias("fit_r2"),
+        )
+        .orderBy("level")
+    )

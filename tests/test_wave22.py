@@ -150,3 +150,121 @@ def test_successive_halving_planted_cascade(spark, tmp_path):
     assert (got[2].last_rung, got[2].rank_at_exit) == (0, 4)
     assert (got[1].last_rung, got[1].rank_at_exit) == (0, 5)
     assert (got[0].last_rung, got[0].rank_at_exit) == (0, 6)
+
+
+def test_scaling_law_fit_matches_python_replica(spark, tmp_path):
+    """Independent pure-Python reimplementation on a 120-doc corpus
+    over a FIXED 25-token vocabulary (mixed deterministically across
+    docs): small subsets miss part of the eval vocabulary and carry
+    add-one bias, so held-out xent genuinely falls as the nested
+    subsets grow.  Every output cell must match the replica after the
+    same ordered accumulation and rounding."""
+    import hashlib
+    import math
+
+    from stream_processing_with_flink_study_spark.plans.queries_lm import (
+        SL_EVAL_MOD,
+        SL_LEVELS,
+    )
+
+    def level(doc_id: int) -> int:
+        h = hashlib.md5(f"sl_{doc_id}".encode()).hexdigest()
+        if h[:2] <= "07":
+            return 1
+        if h[0] == "0":
+            return 2
+        if h[0] <= "1":
+            return 3
+        if h[0] <= "3":
+            return 4
+        if h[0] <= "7":
+            return 5
+        return 6
+
+    docs = []
+    for i in range(120):
+        toks = [f"t{(i * j + j * j) % 25}" for j in range(8)]
+        docs.append((i, "xx", " ".join(toks)))
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    # --- replica ---
+    tc: dict[tuple[str, int], int] = {}
+    ec: dict[str, int] = {}
+    n_docs_lvl: dict[int, int] = {}
+    for i, _, txt in docs:
+        toks = txt.lower().strip().split()
+        if i % SL_EVAL_MOD == 0:
+            for t in toks:
+                ec[t] = ec.get(t, 0) + 1
+        else:
+            lv = level(i)
+            n_docs_lvl[lv] = n_docs_lvl.get(lv, 0) + 1
+            for t in toks:
+                tc[(t, lv)] = tc.get((t, lv), 0) + 1
+    pts = []
+    for k in range(1, SL_LEVELS + 1):
+        n_tok = sum(c for (t, lv), c in tc.items() if lv <= k)
+        vocab = len({t for (t, lv) in tc if lv <= k})
+        nd = sum(v for lv, v in n_docs_lvl.items() if lv <= k)
+        s = 0.0
+        wsum = 0
+        for t in sorted(ec):  # the token-ORDERED accumulation
+            c = sum(tc.get((t, lv), 0) for lv in range(1, k + 1))
+            s += ec[t] * math.log((c + 1) * 1.0 / (n_tok + vocab + 1))
+            wsum += ec[t]
+        pts.append((k, nd, n_tok, vocab, -s / wsum))
+    sx = sy = sxy = sxx = syy = 0.0
+    for k, _, n_tok, _, xent in pts:  # level-ORDERED accumulation
+        lx, ly = math.log(n_tok * 1.0), math.log(xent)
+        sx += lx
+        sy += ly
+        sxy += lx * ly
+        sxx += lx * lx
+        syy += ly * ly
+    n = float(len(pts))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    r4 = lambda v: round(v - 1e-9, 4) + 0.0  # noqa: E731
+
+    got = (
+        QUERIES["scaling_law_fit"](spark, str(tmp_path))
+        .orderBy("level")
+        .collect()
+    )
+    assert len(got) == SL_LEVELS
+    for row, (k, nd, n_tok, vocab, xent) in zip(got, pts):
+        assert row.level == k
+        assert row.n_docs == nd
+        assert row.n_tokens == n_tok
+        assert row.vocab == vocab
+        assert row.heldout_xent == r4(xent)
+        assert row.fit_exponent == r4(slope)
+        assert row.fit_coef == r4(math.exp(icept))
+        assert row.fit_r2 == r4(r2)
+    # sanity on the fit shape (direction on a 120-doc toy corpus is
+    # data-luck — add-one smoothing mass can outweigh coverage gains —
+    # so the LAW direction is asserted on the real corpus below)
+    assert 0.0 <= r2 <= 1.0
+    assert all(p[4] > 0 for p in pts)
+
+
+def test_scaling_law_direction_on_real_corpus(spark):
+    """On the synthetic sf0.001 corpus the held-out xent falls as the
+    nested train subsets grow (3.4274 at 1/32 -> 3.4079 at 1/1) and
+    the fitted power-law exponent is negative — the direction every
+    scaling-law measurement exists to show."""
+    rows = (
+        QUERIES["scaling_law_fit"](spark, "/root/testdata/sf0.001")
+        .orderBy("level")
+        .collect()
+    )
+    assert rows[0].heldout_xent > rows[-1].heldout_xent
+    assert rows[0].fit_exponent < 0
+    assert rows[0].n_tokens < rows[-1].n_tokens // 10
