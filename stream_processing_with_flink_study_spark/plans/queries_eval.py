@@ -3708,3 +3708,222 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("snew", 2).alias("seasonal"),
         F.round("fit", 2).alias("fitted"),
     ).orderBy("idx")
+
+
+# --------------------------------------------------------------------------
+# grid-bucketed Local Outlier Factor
+# --------------------------------------------------------------------------
+LOF_K = 5
+LOF_CELL_Q = 125_000  # grid side in 1e-6 quantized units (0.125)
+
+
+@query(
+    "lof_grid_outliers",
+    f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(floor(embedding[1] * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(embedding[2] * 1000000 + 0.5) AS BIGINT) AS y
+      FROM embeddings
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, x, y,
+             CAST(floor(x * 1.0 / {LOF_CELL_Q}) AS BIGINT) AS cx,
+             CAST(floor(y * 1.0 / {LOF_CELL_Q}) AS BIGINT) AS cy
+      FROM q
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.vec_id AS p, b.vec_id AS o,
+             (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.vec_id <> b.vec_id
+    ),
+    knn AS MATERIALIZED (
+      SELECT p, o, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY p ORDER BY d2, o) AS r
+        FROM cand
+      ) WHERE r <= {LOF_K}
+    ),
+    kd AS MATERIALIZED (
+      SELECT p, CAST(max(d2) AS BIGINT) AS kd2,
+             CAST(count(*) AS BIGINT) AS n_knn
+      FROM knn GROUP BY p
+    ),
+    reach AS (
+      SELECT k.p, k.o,
+             sqrt(CAST(greatest(kdo.kd2, k.d2, 1) AS DOUBLE)) AS rdist
+      FROM knn k JOIN kd kdo ON kdo.p = k.o
+    ),
+    lrd AS MATERIALIZED (
+      SELECT p, n / s AS lrd FROM (
+        SELECT p, sum(rdist) OVER w AS s,
+               CAST(count(*) OVER (PARTITION BY p) AS DOUBLE) AS n,
+               row_number() OVER (PARTITION BY p ORDER BY o DESC) AS rd
+        FROM reach
+        WINDOW w AS (PARTITION BY p ORDER BY o ROWS UNBOUNDED PRECEDING)
+      ) WHERE rd = 1
+    ),
+    nsum AS (
+      SELECT p, s, n FROM (
+        SELECT k.p, sum(l.lrd) OVER w AS s,
+               CAST(count(*) OVER (PARTITION BY k.p) AS DOUBLE) AS n,
+               row_number() OVER (
+                 PARTITION BY k.p ORDER BY k.o DESC) AS rd
+        FROM knn k JOIN lrd l ON l.p = k.o
+        WINDOW w AS (PARTITION BY k.p ORDER BY k.o
+                     ROWS UNBOUNDED PRECEDING)
+      ) WHERE rd = 1
+    )
+    SELECT ns.p AS vec_id, kd.n_knn AS n_considered,
+           round(sqrt(CAST(kd.kd2 AS DOUBLE)) / 1000000.0 - 1e-9, 4)
+             + 0.0 AS k_distance,
+           round(ns.s / ns.n / l.lrd - 1e-9, 4) + 0.0 AS lof
+    FROM nsum ns JOIN lrd l ON l.p = ns.p JOIN kd ON kd.p = ns.p
+    ORDER BY ns.s / ns.n / l.lrd DESC, ns.p
+    LIMIT 20
+    """,
+)
+def lof_grid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. SIGMOD'00) over the first
+    two embedding components, grid-bucketed: per point, the k=5
+    nearest neighbors among its 3x3 grid-cell neighborhood, then the
+    classic LOF cascade — k-distance, reachability distance
+    ``max(kdist(o), d(p,o))``, local reachability density, and the
+    LOF ratio ``avg(lrd(o))/lrd(p)`` — reporting the top-20 most
+    outlying points.  The density-RELATIVE detector the z-score /
+    Mahalanobis / MAD family can't replicate: a point at the edge of
+    a tight cluster outranks a point deep inside a sparse one.
+
+    Determinism: coordinates quantize to 1e-6 int units, so every
+    candidate distance, kNN rank, and the max() inside reachability
+    compare EXACT int64 squared distances (sqrt-monotone, so ranking
+    in squared space is exact; the greatest(...,1) floor guards the
+    duplicate-point lrd singularity identically in both engines); the
+    two per-point averages accumulate through neighbor-ORDERED
+    windows.  Scale shape: the 3x3 grid join is the dbscan-grid
+    candidate generator — never all-pairs — but the CELL SIDE is a
+    baked literal (the oracle needs integer-exact cell ids), so
+    per-cell population grows with the corpus: the IVF-twin
+    fixed-index caveat, documented in the overflow sweep's exemption
+    table; production shrinks the side with density (the parameter
+    exists) exactly like scaling n_cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1) * 1000000 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2) * 1000000 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    cells = q.select(
+        "*",
+        F.floor(F.col("x") * 1.0 / LOF_CELL_Q).cast("long").alias("cx"),
+        F.floor(F.col("y") * 1.0 / LOF_CELL_Q).cast("long").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("p"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    cand = probe.join(
+        cells.select(
+            F.col("vec_id").alias("o"),
+            F.col("x").alias("ox"),
+            F.col("y").alias("oy"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        ),
+        ["jx", "jy"],
+    ).filter(F.col("p") != F.col("o")).select(
+        "p",
+        "o",
+        (
+            (F.col("px") - F.col("ox")) * (F.col("px") - F.col("ox"))
+            + (F.col("py") - F.col("oy")) * (F.col("py") - F.col("oy"))
+        ).alias("d2"),
+    )
+    wk = Window.partitionBy("p").orderBy(F.asc("d2"), F.asc("o"))
+    knn = (
+        cand.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= LOF_K)
+        .select("p", "o", "d2")
+        .localCheckpoint()
+    )
+    kd = knn.groupBy("p").agg(
+        F.max("d2").cast("long").alias("kd2"),
+        F.count(F.lit(1)).cast("long").alias("n_knn"),
+    )
+    reach = knn.join(
+        kd.select(F.col("p").alias("o"), F.col("kd2").alias("okd2")), "o"
+    ).select(
+        "p",
+        "o",
+        F.sqrt(
+            F.greatest("okd2", "d2", F.lit(1)).cast("double")
+        ).alias("rdist"),
+    )
+    wacc = (
+        Window.partitionBy("p")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlast = Window.partitionBy("p").orderBy(F.desc("o"))
+    wn = Window.partitionBy("p")
+    lrd = (
+        reach.select(
+            "p",
+            F.sum("rdist").over(wacc).alias("s"),
+            F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+            F.row_number().over(wlast).alias("rd"),
+        )
+        .filter(F.col("rd") == 1)
+        .select("p", (F.col("n") / F.col("s")).alias("lrd"))
+    )
+    nsum = (
+        knn.join(
+            lrd.select(F.col("p").alias("o"), F.col("lrd").alias("lrd_o")),
+            "o",
+        )
+        .select(
+            "p",
+            F.sum("lrd_o").over(wacc.orderBy("o")).alias("s"),
+            F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+            F.row_number().over(wlast).alias("rd"),
+        )
+        .filter(F.col("rd") == 1)
+        .select("p", "s", "n")
+    )
+    lof = F.col("s") / F.col("n") / F.col("lrd")
+    return (
+        nsum.join(lrd, "p")
+        .join(kd, "p")
+        .select(
+            F.col("p").alias("vec_id"),
+            F.col("n_knn").alias("n_considered"),
+            (
+                F.round(
+                    F.sqrt(F.col("kd2").cast("double")) / 1000000.0
+                    - 1e-9,
+                    4,
+                )
+                + 0.0
+            ).alias("k_distance"),
+            (F.round(lof - 1e-9, 4) + 0.0).alias("lof"),
+            lof.alias("_lof_raw"),
+        )
+        .orderBy(F.desc("_lof_raw"), F.asc("vec_id"))
+        .limit(20)
+        .drop("_lof_raw")
+    )

@@ -268,3 +268,25 @@ def test_scaling_law_direction_on_real_corpus(spark):
     assert rows[0].heldout_xent > rows[-1].heldout_xent
     assert rows[0].fit_exponent < 0
     assert rows[0].n_tokens < rows[-1].n_tokens // 10
+
+
+def test_lof_planted_density_outlier(spark, tmp_path):
+    """20 tightly packed points (spacing 0.001 along x) plus one point
+    0.04 beyond the cluster edge, all inside one grid cell.  The lone
+    point's neighbors are dense while it is not, so its LOF must rank
+    first and sit well above 1; cluster-interior points score ~1 (the
+    LOF normalization property)."""
+    rows = [(i, [0.001 * i, 0.0, 0.0], 0) for i in range(20)]
+    rows.append((99, [0.059, 0.0, 0.0], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = QUERIES["lof_grid_outliers"](spark, str(tmp_path)).collect()
+    assert got[0].vec_id == 99
+    assert got[0].lof > 2.0
+    assert got[0].n_considered == 5
+    # density-normalized interior: the bulk of the cluster scores ~1
+    interior = [r.lof for r in got if r.vec_id not in (99, 0, 19)]
+    assert all(0.7 <= v <= 1.5 for v in interior)

@@ -77,6 +77,7 @@ MOD_SAMPLED = [
     "embedding_dedup_clusters",
     "croston_intermittent",
     "als_implicit_rank2",
+    "lof_grid_outliers",
 ]
 
 # Queries EXEMPT from the superlinearity gate, each with the written
@@ -107,6 +108,12 @@ DESIGNED_QUADRATIC = {
     "configuration proven ~linear in tools/ann_scale_smoke.py",
     "semantic_decontaminate_ivf": "fixed 16-cell literal index; scaled-cell "
     "configuration proven ~linear in tools/ann_scale_smoke.py",
+    # Same fixed-index caveat, 2-D form: the LOF grid's cell side is a
+    # baked literal (oracle needs integer-exact cell ids), so per-cell
+    # population grows with the corpus; production shrinks the side
+    # with density — the parameter exists (LOF_CELL_Q).
+    "lof_grid_outliers": "fixed grid-side literal; production scales the "
+    "cell side with density (same class as the IVF twins)",
 }
 
 #: mult-x wall must stay under FACTOR * (mult/10) * 1x wall …
