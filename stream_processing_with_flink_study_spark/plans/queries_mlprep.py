@@ -3585,3 +3585,171 @@ def successive_halving_schedule(
     ).orderBy(
         F.desc("last_rung"), F.asc("rank_at_exit"), F.asc("nation_key")
     )
+
+
+# --------------------------------------------------------------------------
+# exact logistic regression via sufficient statistics on feature cells
+# --------------------------------------------------------------------------
+LOGIT_NEWTON_ROUNDS = 4
+
+
+def _logit_stage(i: int) -> str:
+    """One Newton-Raphson stage as a nested-SELECT scalar pipeline over
+    the 1-row cell-count state (carries n/k cells + b0,b1,b2)."""
+    one = "CAST(1.0 AS DOUBLE)"
+    p = {
+        (a, b): f"{one} / ({one} + exp(-(b0 + b1 * {a} + b2 * {b})))"
+        for a in (0, 1)
+        for b in (0, 1)
+    }
+    pcols = ", ".join(
+        f"{p[(a, b)]} AS p{a}{b}" for a in (0, 1) for b in (0, 1)
+    )
+    wr = ", ".join(
+        f"n{a}{b} * p{a}{b} * ({one} - p{a}{b}) AS w{a}{b},"
+        f" k{a}{b} - n{a}{b} * p{a}{b} AS r{a}{b}"
+        for a in (0, 1)
+        for b in (0, 1)
+    )
+    carry = "n00, k00, n01, k01, n10, k10, n11, k11"
+    return f"""it{i} AS (
+      SELECT {carry},
+             b0 + (inv00 * g0 + inv01 * g1 + inv02 * g2) AS b0,
+             b1 + (inv01 * g0 + inv11 * g1 + inv12 * g2) AS b1,
+             b2 + (inv02 * g0 + inv12 * g1 + inv22 * g2) AS b2
+      FROM (
+        SELECT *,
+               (h11 * h22 - h12 * h12) / det AS inv00,
+               (h02 * h12 - h01 * h22) / det AS inv01,
+               (h01 * h12 - h11 * h02) / det AS inv02,
+               (h00 * h22 - h02 * h02) / det AS inv11,
+               (h02 * h01 - h00 * h12) / det AS inv12,
+               (h00 * h11 - h01 * h01) / det AS inv22
+        FROM (
+          SELECT *,
+                 h00 * (h11 * h22 - h12 * h12)
+                   - h01 * (h01 * h22 - h12 * h02)
+                   + h02 * (h01 * h12 - h11 * h02) AS det
+          FROM (
+            SELECT *,
+                   w00 + w01 + w10 + w11 AS h00,
+                   w10 + w11 AS h01,
+                   w01 + w11 AS h02,
+                   w10 + w11 AS h11,
+                   w11 AS h12,
+                   w01 + w11 AS h22,
+                   r00 + r01 + r10 + r11 AS g0,
+                   r10 + r11 AS g1,
+                   r01 + r11 AS g2
+            FROM (
+              SELECT *, {wr}
+              FROM (SELECT *, {pcols} FROM it{i - 1})
+            )
+          )
+        )
+      )
+    )"""
+
+
+def _logit_sql() -> str:
+    one = "CAST(1.0 AS DOUBLE)"
+    stages = ",\n    ".join(
+        _logit_stage(i) for i in range(1, LOGIT_NEWTON_ROUNDS + 1)
+    )
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN x1 = {a} AND x2 = {b} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n{a}{b},"
+        f" CAST(sum(CASE WHEN x1 = {a} AND x2 = {b} THEN y ELSE 0 END)"
+        f" AS BIGINT) AS k{a}{b}"
+        for a in (0, 1)
+        for b in (0, 1)
+    )
+    outs = "\n      UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS x_urgent,"
+        f" CAST({b} AS BIGINT) AS x_bigticket,"
+        f" n{a}{b} AS n, k{a}{b} AS n_pos,"
+        f" round(k{a}{b} * 1.0 / n{a}{b} - 1e-9, 4) + 0.0 AS emp_rate,"
+        f" round({one} / ({one} + exp(-(b0 + b1 * {a} + b2 * {b})))"
+        f" - 1e-9, 4) + 0.0 AS p_hat,"
+        f" round(b0 - 1e-9, 4) + 0.0 AS beta0,"
+        f" round(b1 - 1e-9, 4) + 0.0 AS beta_urgent,"
+        f" round(b2 - 1e-9, 4) + 0.0 AS beta_bigticket"
+        f" FROM it{LOGIT_NEWTON_ROUNDS}"
+        for a in (0, 1)
+        for b in (0, 1)
+    )
+    return f"""
+    WITH base AS {{MAT}}(
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS x1,
+             CASE WHEN o.o_totalprice >= 150000 THEN 1 ELSE 0 END AS x2,
+             CASE WHEN {{DD}} > 60 THEN 1 ELSE 0 END AS y
+      FROM {{orders}} o
+      JOIN (SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+            FROM {{lineitem}} GROUP BY l_orderkey) li
+        ON li.l_orderkey = o.o_orderkey
+    ),
+    piv AS {{MAT}}(
+      SELECT {cells} FROM base
+    ),
+    it0 AS (
+      SELECT *, CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+             CAST(0.0 AS DOUBLE) AS b2
+      FROM piv
+    ),
+    {stages}
+    SELECT * FROM (
+      {outs}
+    ) ORDER BY x_urgent, x_bigticket
+    """
+
+
+@query(
+    "logistic_newton_cells",
+    _logit_sql()
+    .replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem")
+    .replace(
+        "{DD}",
+        "date_diff('day', CAST(o.o_orderdate AS DATE), li.first_ship)",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def logistic_newton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained EXACTLY at any scale — the
+    sufficient-statistics trick every 100 TB ML pipeline should use
+    for discrete features: with binary features the design matrix has
+    only 4 distinct rows, so ONE map-side-combinable groupBy reduces
+    the whole corpus to 4 (n, positives) cells and Newton-Raphson runs
+    on that 1-row state — zero further data passes, no SGD, no
+    convergence tuning.  Fits P(late first shipment) ~ sigmoid(b0 +
+    b1·urgent + b2·bigticket) with {LOGIT_NEWTON_ROUNDS} unrolled
+    Newton steps (3x3 Hessian inverted by explicit adjugate; binary
+    features make H01 = H11 and H02 = H22, which the generated
+    expressions exploit), emitting per-cell empirical rate vs fitted
+    probability plus the coefficients — the calibration-by-cell view.
+
+    Determinism is total: BOTH engines execute the IDENTICAL generated
+    SQL expression tree (the decision-stump shared-template pattern)
+    over exact integer cells, so every intermediate double is
+    bit-identical; rounding only at output.
+
+    Reference scope: supervised screen over the same late-shipment
+    target as ``decision_stump_gini`` (정리/3주차.md operator surface —
+    keyed aggregate + scalar pipeline)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "logit_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "logit_lineitem"
+    )
+    return spark.sql(
+        _logit_sql()
+        .replace("{orders}", "logit_orders")
+        .replace("{lineitem}", "logit_lineitem")
+        .replace(
+            "{DD}",
+            "datediff(li.first_ship, CAST(o.o_orderdate AS DATE))",
+        )
+        .replace("{MAT}", "")
+    )

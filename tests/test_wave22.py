@@ -290,3 +290,99 @@ def test_lof_planted_density_outlier(spark, tmp_path):
     # density-normalized interior: the bulk of the cluster scores ~1
     interior = [r.lof for r in got if r.vec_id not in (99, 0, 19)]
     assert all(0.7 <= v <= 1.5 for v in interior)
+
+
+def test_logistic_newton_planted_rational_model(spark, tmp_path):
+    """Cells built so the empirical rates EXACTLY match the logistic
+    model b0=-ln4, b1=ln4, b2=ln2 (p = 1/5, 1/3, 1/2, 2/3 with integer
+    positives), so Newton must recover the generating coefficients and
+    fit each cell's rate; a pure-Python replica of the generated
+    4-iteration expression tree must match every output bit."""
+    import datetime
+    import math
+
+    d0 = datetime.datetime(1995, 1, 1)
+    cells = {  # (x1, x2): (n, k)
+        (0, 0): (100, 20),
+        (0, 1): (99, 33),
+        (1, 0): (100, 50),
+        (1, 1): (99, 66),
+    }
+    orders, lines = [], []
+    okey = 0
+    for (x1, x2), (n, k) in cells.items():
+        for s in range(n):
+            okey += 1
+            pri = "1-URGENT" if x1 else "3-MEDIUM"
+            price = 200000.0 if x2 else 1000.0
+            orders.append((okey, pri, price, d0))
+            ship = d0 + datetime.timedelta(days=90 if s < k else 10)
+            lines.append((okey, ship))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+    # --- replica of the generated expression tree ---
+    b0 = b1 = b2 = 0.0
+    for _ in range(4):
+        p = {
+            (a, b): 1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b)))
+            for a in (0, 1)
+            for b in (0, 1)
+        }
+        w = {ab: cells[ab][0] * p[ab] * (1.0 - p[ab]) for ab in cells}
+        r = {ab: cells[ab][1] - cells[ab][0] * p[ab] for ab in cells}
+        h00 = w[(0, 0)] + w[(0, 1)] + w[(1, 0)] + w[(1, 1)]
+        h01 = w[(1, 0)] + w[(1, 1)]
+        h02 = w[(0, 1)] + w[(1, 1)]
+        h11, h12, h22 = h01, w[(1, 1)], h02
+        g0 = r[(0, 0)] + r[(0, 1)] + r[(1, 0)] + r[(1, 1)]
+        g1 = r[(1, 0)] + r[(1, 1)]
+        g2 = r[(0, 1)] + r[(1, 1)]
+        det = (
+            h00 * (h11 * h22 - h12 * h12)
+            - h01 * (h01 * h22 - h12 * h02)
+            + h02 * (h01 * h12 - h11 * h02)
+        )
+        inv00 = (h11 * h22 - h12 * h12) / det
+        inv01 = (h02 * h12 - h01 * h22) / det
+        inv02 = (h01 * h12 - h11 * h02) / det
+        inv11 = (h00 * h22 - h02 * h02) / det
+        inv12 = (h02 * h01 - h00 * h12) / det
+        inv22 = (h00 * h11 - h01 * h01) / det
+        b0 = b0 + (inv00 * g0 + inv01 * g1 + inv02 * g2)
+        b1 = b1 + (inv01 * g0 + inv11 * g1 + inv12 * g2)
+        b2 = b2 + (inv02 * g0 + inv12 * g1 + inv22 * g2)
+    r4 = lambda v: round(v - 1e-9, 4) + 0.0  # noqa: E731
+
+    got = (
+        QUERIES["logistic_newton_cells"](spark, str(tmp_path))
+        .orderBy("x_urgent", "x_bigticket")
+        .collect()
+    )
+    for row in got:
+        n, k = cells[(row.x_urgent, row.x_bigticket)]
+        assert (row.n, row.n_pos) == (n, k)
+        assert row.beta0 == r4(b0)
+        assert row.beta_urgent == r4(b1)
+        assert row.beta_bigticket == r4(b2)
+        ph = 1.0 / (
+            1.0
+            + math.exp(-(b0 + b1 * row.x_urgent + b2 * row.x_bigticket))
+        )
+        assert row.p_hat == r4(ph)
+    # model recovery: the planted rates ARE logistic(-ln4, ln4, ln2)
+    assert abs(b0 + math.log(4)) < 1e-3
+    assert abs(b1 - math.log(4)) < 1e-3
+    assert abs(b2 - math.log(2)) < 1e-3
+    for row in got:
+        assert abs(row.p_hat - row.emp_rate) < 2e-3
