@@ -1130,3 +1130,87 @@ def effect_size_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("{MAT}", "")
         .replace("{WD}", "weekday(ts)")
     )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired, normal approximation with ties)
+# --------------------------------------------------------------------------
+_WILCOXON_SQL = """
+WITH daily AS {MAT}(
+  SELECT year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS m,
+         CASE WHEN day(CAST(o_orderdate AS DATE)) <= 15
+              THEN 1 ELSE 0 END AS h,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM {orders} GROUP BY 1, 2
+),
+pairs AS {MAT}(
+  SELECT m,
+         CAST(sum(CASE WHEN h = 1 THEN cents ELSE 0 END)
+              - sum(CASE WHEN h = 0 THEN cents ELSE 0 END) AS BIGINT) AS d
+  FROM daily GROUP BY m
+  HAVING sum(CASE WHEN h = 1 THEN cents ELSE 0 END)
+         <> sum(CASE WHEN h = 0 THEN cents ELSE 0 END)
+),
+ranked AS {MAT}(
+  SELECT m, d,
+         CAST(rank() OVER (ORDER BY abs(d)) AS BIGINT) AS rmin,
+         CAST(count(*) OVER (PARTITION BY abs(d)) AS BIGINT) AS t
+  FROM pairs
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CASE WHEN d > 0
+                  THEN rmin + (t - 1) / CAST(2.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) AS w_plus,
+         sum(CAST(t * t - 1 AS DOUBLE)) AS tie3
+  FROM ranked
+),
+z AS (
+  SELECT n, w_plus,
+         (w_plus - n * (n + 1) / CAST(4.0 AS DOUBLE))
+           / sqrt(n * (n + 1) * (2 * n + 1) / CAST(24.0 AS DOUBLE)
+                  - tie3 / CAST(48.0 AS DOUBLE)) AS zval
+  FROM agg
+)
+SELECT n AS n_pairs,
+       round(w_plus - 1e-9, 4) + 0.0 AS w_plus,
+       round(zval - 1e-9, 4) + 0.0 AS z_stat,
+       abs(zval) > 1.96 AS reject_5pct
+FROM z
+"""
+
+
+@query(
+    "wilcoxon_signed_rank",
+    _WILCOXON_SQL.replace("{orders}", "orders").replace(
+        "{MAT}", "MATERIALIZED "
+    ),
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired monthly revenue halves
+    (days 1-15 vs 16+): does the first half of the month earn
+    systematically more, WITHOUT assuming normality — the
+    distribution-free complement of the paired t-test, ranking
+    |differences| (average ranks on ties, zero pairs dropped) and
+    z-scoring W+ with the tie-corrected variance
+    ``n(n+1)(2n+1)/24 − Σ(t³−t)/48``.
+
+    Determinism: paired differences are EXACT int64 cents (half-month
+    totals, no averaging), so rank order, tie groups, and the
+    per-member tie term t²−1 are integer-exact; every W+ contribution
+    is an integer or half-integer (min-rank + (t−1)/2), so the
+    unordered double sum is exact regardless of accumulation order —
+    no ordered-window scaffolding needed.  Both engines run the
+    IDENTICAL SQL (shared template, dialect-free year/month/day).
+    Scale shape: one day-grain rollup (map-side combinable), then a
+    bounded month-count frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wilcoxon_orders"
+    )
+    return spark.sql(
+        _WILCOXON_SQL.replace("{orders}", "wilcoxon_orders").replace(
+            "{MAT}", ""
+        )
+    )

@@ -386,3 +386,21 @@ def test_logistic_newton_planted_rational_model(spark, tmp_path):
     assert abs(b2 - math.log(2)) < 1e-3
     for row in got:
         assert abs(row.p_hat - row.emp_rate) < 2e-3
+
+
+def test_wilcoxon_planted_hand_ranks(spark, tmp_path):
+    """4 months with half-month diffs +10, -20, +30, +40 cents: |d|
+    ranks 1..4 with no ties, W+ = 1+3+4 = 8, mu = 5, sigma =
+    sqrt(4*5*9/24) = sqrt(7.5), z = 3/2.73861... = 1.0954, no
+    rejection at 5%."""
+    diffs = [(1.10, 1.00), (1.00, 1.20), (1.30, 1.00), (1.40, 1.00)]
+    rows = []
+    for mth, (a, b) in enumerate(diffs, start=1):
+        rows.append((a, datetime.datetime(1995, mth, 5)))
+        rows.append((b, datetime.datetime(1995, mth, 20)))
+    sf = _write_orders(spark, tmp_path, rows)
+    r = QUERIES["wilcoxon_signed_rank"](spark, sf).collect()[0]
+    assert r.n_pairs == 4
+    assert r.w_plus == 8.0
+    assert r.z_stat == 1.0954
+    assert bool(r.reject_5pct) is False
