@@ -1914,3 +1914,112 @@ def elo_ratings_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "player string, rating double, n_matches long, n_wins long,"
         " steps long",
     ).orderBy("player")
+
+
+@query("streaming_elo_ratings", _elo_oracle())
+def streaming_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Elo replay run THROUGH Structured Streaming under the SAME
+    recursive-CTE oracle as ``elo_ratings_replay``: the bounded match
+    log feeds as two event-order micro-batches;
+    :func:`..streaming.stateful.elo_partials` carries the 5 ratings +
+    counters as ValueState across the boundary and applies the
+    identical IEEE update tree (one expected-score double per match,
+    Δ_b = −Δ_a exact), so the final standings are bit-equal to the
+    batch recursion.  The point — the croston/kalman twin argument —
+    is that sequential rating updates ARE keyed streaming state: a
+    live leaderboard is this query with a sink on every snapshot,
+    and the depth-bounded WITH RECURSIVE form is only the batch
+    replay of it."""
+    from ..streaming import memory_batches_stream, run_available_now
+    from ..streaming.stateful import elo_partials
+    from .registry import scratch_dir
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "selo_events"
+    )
+    mt = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT a.j DIV 2 AS i, a.arm AS arm_a, b.arm AS arm_b,
+                 CASE WHEN a.cents > b.cents THEN CAST(1.0 AS DOUBLE)
+                      WHEN a.cents < b.cents THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(0.5 AS DOUBLE) END AS s_a
+          FROM (
+            SELECT CAST(row_number() OVER (ORDER BY ts, event_id)
+                        AS BIGINT) - 1 AS j,
+                   substr(event_type, 1, 1) AS arm,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM selo_events
+            WHERE event_type IN (
+              {", ".join(f"'{p}'" for p in ELO_PLAYERS)})
+          ) a JOIN (
+            SELECT CAST(row_number() OVER (ORDER BY ts, event_id)
+                        AS BIGINT) - 1 AS j,
+                   substr(event_type, 1, 1) AS arm,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM selo_events
+            WHERE event_type IN (
+              {", ".join(f"'{p}'" for p in ELO_PLAYERS)})
+          ) b ON b.j = a.j + 1
+          WHERE a.j % 2 = 0
+        ) WHERE i < {ELO_MAX_MATCHES}
+        """
+    ).select(F.lit(0).cast("long").alias("k"), "i", "arm_a", "arm_b", "s_a")
+    half = ELO_MAX_MATCHES // 2
+    batches = [
+        mt.filter(F.col("i") < half),
+        mt.filter(F.col("i") >= half),
+    ]
+    src_dir = scratch_dir("src_elo_stream_")
+    sdf = memory_batches_stream(
+        spark, batches, src_dir.path, files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with scratch_dir("ck_elo_stream_") as ck:
+            got = run_available_now(
+                elo_partials(
+                    sdf,
+                    k_factor=ELO_K,
+                    init_rating=ELO_INIT,
+                    ln10_400=float(_ELO_LN10_400),
+                ),
+                ck,
+                "update",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        src_dir.__exit__()
+    final = got.groupBy("player_c").agg(
+        F.max_by(
+            F.struct("rating", "n_matches", "n_wins", "steps"), F.col("i")
+        ).alias("st")
+    )
+    names = spark.createDataFrame(
+        [(p[0], p) for p in ELO_PLAYERS], "player_c string, player string"
+    )
+    return (
+        names.join(final, "player_c", "left")
+        .select(
+            "player",
+            (
+                F.round(
+                    F.coalesce(F.col("st.rating"), F.lit(ELO_INIT))
+                    - 1e-9,
+                    4,
+                )
+                + 0.0
+            ).alias("rating"),
+            F.coalesce(F.col("st.n_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+            F.coalesce(F.col("st.n_wins"), F.lit(0))
+            .cast("long")
+            .alias("n_wins"),
+            F.coalesce(F.col("st.steps"), F.lit(0))
+            .cast("long")
+            .alias("steps"),
+        )
+        .orderBy("player")
+    )

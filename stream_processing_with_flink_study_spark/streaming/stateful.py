@@ -1385,3 +1385,94 @@ def token_bucket_partials(
     return df.groupBy(key).applyInPandasWithState(
         handle, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+ELO_STATE_PLAYERS = ["c", "e", "p", "s", "v"]  # arm initials, fixed order
+
+
+def elo_partials(
+    df: DataFrame,
+    k_factor: float,
+    init_rating: float,
+    ln10_400: float,
+    key: str = "k",
+) -> DataFrame:
+    """Streaming Elo rating engine — the ValueState twin of
+    ``plans.queries_queueing.elo_ratings_replay``: state per key is
+    (last match idx, 5 ratings, 5 match counts, 5 win counts); each
+    (i, arm_a, arm_b, s_a) match row applies the identical IEEE
+    update ``R += K·(S − E)``, ``E = 1/(1 + exp((R_b − R_a)·ln10/400))``
+    as the batch recursive CTE — Δ_b = −Δ_a exactly because E is
+    computed once per match.  After each micro-batch the CURRENT
+    5-player snapshot emits stamped with the last consumed idx, so the
+    final standings are the max-idx rows and every intermediate
+    snapshot is a consistent leaderboard."""
+    ps = ELO_STATE_PLAYERS
+    out_schema = (
+        f"{key} long, i long, player_c string, rating double,"
+        " n_matches long, n_wins long, steps long"
+    )
+    state_schema = (
+        "i long, "
+        + ", ".join(f"r_{p} double" for p in ps)
+        + ", "
+        + ", ".join(f"m_{p} long" for p in ps)
+        + ", "
+        + ", ".join(f"w_{p} long" for p in ps)
+    )
+
+    def handle(
+        kk: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("i")
+        if state.exists:
+            vals = list(state.get)
+            i = vals[0]
+            r = dict(zip(ps, vals[1:6]))
+            m = dict(zip(ps, vals[6:11]))
+            w = dict(zip(ps, vals[11:16]))
+        else:
+            i = -1
+            r = {p: init_rating for p in ps}
+            m = {p: 0 for p in ps}
+            w = {p: 0 for p in ps}
+        pdf = pdf[pdf["i"] > i]
+        if not len(pdf):
+            return
+        for _, row in pdf.iterrows():
+            i = int(row["i"])
+            a, b, s_a = row["arm_a"], row["arm_b"], float(row["s_a"])
+            if a == b:
+                continue
+            e_a = 1.0 / (1.0 + math.exp((r[b] - r[a]) * ln10_400))
+            r[a] = r[a] + k_factor * (s_a - e_a)
+            r[b] = r[b] + k_factor * (e_a - s_a)
+            m[a] += 1
+            m[b] += 1
+            if s_a == 1.0:
+                w[a] += 1
+            elif s_a == 0.0:
+                w[b] += 1
+        state.update(
+            (int(i),)
+            + tuple(float(r[p]) for p in ps)
+            + tuple(int(m[p]) for p in ps)
+            + tuple(int(w[p]) for p in ps)
+        )
+        yield pd.DataFrame(
+            [
+                (kk[0], i, p, r[p], m[p], w[p], i + 1)
+                for p in ps
+            ],
+            columns=[
+                key, "i", "player_c", "rating", "n_matches", "n_wins",
+                "steps",
+            ],
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        handle, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

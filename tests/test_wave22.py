@@ -404,3 +404,48 @@ def test_wilcoxon_planted_hand_ranks(spark, tmp_path):
     assert r.w_plus == 8.0
     assert r.z_stat == 1.0954
     assert bool(r.reject_5pct) is False
+
+
+def test_streaming_elo_bit_equal_to_batch(spark, tmp_path):
+    """The ValueState twin must reproduce the batch replay bit-for-bit
+    on the planted 2-match fixture (both matches land in micro-batch 1;
+    batch 2 is empty — the snapshot must still be the final one)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    log = [
+        ("purchase", 100.0),
+        ("view", 10.0),
+        ("view", 90.0),
+        ("view", 20.0),
+        ("click", 80.0),
+        ("error", 30.0),
+    ]
+    rows = [
+        (i, 7, t, base + datetime.timedelta(minutes=i), v)
+        for i, (t, v) in enumerate(log)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    batch = {
+        r.player: r
+        for r in QUERIES["elo_ratings_replay"](spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r.player: r
+        for r in QUERIES["streaming_elo_ratings"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(batch) == set(stream)
+    for p in batch:
+        assert batch[p].rating == stream[p].rating
+        assert batch[p].n_matches == stream[p].n_matches
+        assert batch[p].n_wins == stream[p].n_wins
+        assert batch[p].steps == stream[p].steps
+    assert batch["click"].rating == 1016.0  # click(80) beat error(30)
