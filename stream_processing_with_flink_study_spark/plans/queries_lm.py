@@ -883,7 +883,14 @@ _SL_LEVEL_CASE = (
 
 def _sl_oracle() -> str:
     lvl = _SL_LEVEL_CASE.format(V="VARCHAR")
-    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    # nullif guards: a degenerate corpus where every level has the
+    # same token count (or xent) zeroes an OLS denominator — ANSI
+    # Spark errors on x/0.0 where DuckDB silently NULLs; nullif makes
+    # both engines propagate NULL fit columns identically
+    slope = (
+        "(n * sxy - sx * sy)"
+        " / nullif(n * sxx - sx * sx, CAST(0.0 AS DOUBLE))"
+    )
     return f"""
     WITH docs_t AS MATERIALIZED (
       SELECT doc_id,
@@ -961,7 +968,8 @@ def _sl_oracle() -> str:
       SELECT {slope} AS slope,
              (sy - ({slope}) * sx) / n AS icept,
              (n * sxy - sx * sy) * (n * sxy - sx * sy)
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+               / nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
+                        CAST(0.0 AS DOUBLE)) AS r2
       FROM facc WHERE rd = 1
     )
     SELECT CAST(p.k AS BIGINT) AS level, p.n_docs, p.n_tokens, p.vocab,
@@ -1109,18 +1117,25 @@ def scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wfit).cast("double").alias("n"),
         F.row_number().over(Window.orderBy(F.desc("k"))).alias("rd"),
     )
+    # nullif guards mirror the oracle: degenerate all-equal levels
+    # zero an OLS denominator — NULL fit, never an ANSI divide error
+    sxx_den = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        F.lit(0.0),
+    )
     slope = (
         F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ) / sxx_den
     fit = facc.filter(F.col("rd") == 1).select(
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("icept"),
         (
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
             * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
+            / F.nullif(
                 (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
             )
         ).alias("r2"),
     )

@@ -3619,13 +3619,21 @@ def _logit_stage(i: int) -> str:
              b2 + (inv02 * g0 + inv12 * g1 + inv22 * g2) AS b2
       FROM (
         SELECT *,
-               (h11 * h22 - h12 * h12) / det AS inv00,
-               (h02 * h12 - h01 * h22) / det AS inv01,
-               (h01 * h12 - h11 * h02) / det AS inv02,
-               (h00 * h22 - h02 * h02) / det AS inv11,
-               (h02 * h01 - h00 * h12) / det AS inv12,
-               (h00 * h11 - h01 * h01) / det AS inv22
+               (h11 * h22 - h12 * h12) / dets AS inv00,
+               (h02 * h12 - h01 * h22) / dets AS inv01,
+               (h01 * h12 - h11 * h02) / dets AS inv02,
+               (h00 * h22 - h02 * h02) / dets AS inv11,
+               (h02 * h01 - h00 * h12) / dets AS inv12,
+               (h00 * h11 - h01 * h01) / dets AS inv22
         FROM (
+          SELECT *,
+                 -- singular-Hessian guard (a corpus-wide-constant
+                 -- feature): NULL the determinant so BOTH engines
+                 -- propagate NULL coefficients identically — ANSI
+                 -- Spark otherwise ERRORS on x/0.0 while DuckDB
+                 -- silently returns NULL (divergent failure modes)
+                 nullif(det, CAST(0.0 AS DOUBLE)) AS dets
+          FROM (
           SELECT *,
                  h00 * (h11 * h22 - h12 * h12)
                    - h01 * (h01 * h22 - h12 * h02)
@@ -3648,6 +3656,7 @@ def _logit_stage(i: int) -> str:
           )
         )
       )
+      )
     )"""
 
 
@@ -3668,7 +3677,10 @@ def _logit_sql() -> str:
         f"SELECT CAST({a} AS BIGINT) AS x_urgent,"
         f" CAST({b} AS BIGINT) AS x_bigticket,"
         f" n{a}{b} AS n, k{a}{b} AS n_pos,"
-        f" round(k{a}{b} * 1.0 / n{a}{b} - 1e-9, 4) + 0.0 AS emp_rate,"
+        # nullif: an EMPTY cell emits NULL rate in both engines (ANSI
+        # Spark would error on x/0 where DuckDB silently NULLs)
+        f" round(k{a}{b} * 1.0 / nullif(n{a}{b}, 0) - 1e-9, 4) + 0.0"
+        f" AS emp_rate,"
         f" round({one} / ({one} + exp(-(b0 + b1 * {a} + b2 * {b})))"
         f" - 1e-9, 4) + 0.0 AS p_hat,"
         f" round(b0 - 1e-9, 4) + 0.0 AS beta0,"

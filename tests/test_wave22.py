@@ -449,3 +449,42 @@ def test_streaming_elo_bit_equal_to_batch(spark, tmp_path):
         assert batch[p].n_wins == stream[p].n_wins
         assert batch[p].steps == stream[p].steps
     assert batch["click"].rating == 1016.0  # click(80) beat error(30)
+
+
+def test_logistic_newton_degenerate_singular_hessian(spark, tmp_path):
+    """All orders URGENT makes x1 corpus-wide constant -> singular
+    Hessian.  The nullif determinant guard must make BOTH engines
+    propagate NULL coefficients (ANSI Spark would otherwise ERROR on
+    x/0.0 while DuckDB silently NULLs — divergent failure modes); the
+    exact integer cell counts still come through."""
+    import datetime
+
+    d0 = datetime.datetime(1995, 1, 1)
+    orders = [
+        (i, "1-URGENT", 200000.0 if i % 2 else 1000.0, d0)
+        for i in range(40)
+    ]
+    lines = [
+        (i, d0 + datetime.timedelta(days=90 if i % 3 == 0 else 10))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = QUERIES["logistic_newton_cells"](spark, str(tmp_path)).collect()
+    assert len(got) == 4  # all 4 cells emit; the x1=0 pair is empty
+    for r in got:
+        assert r.beta0 is None and r.beta_urgent is None
+        if r.x_urgent == 1:
+            assert r.n > 0 and r.emp_rate is not None
+        else:
+            assert r.n == 0 and r.emp_rate is None
