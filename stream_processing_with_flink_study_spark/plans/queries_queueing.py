@@ -1695,6 +1695,24 @@ def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()  # bounded by KALMAN_MAX_STEPS months
     rows = sorted(series, key=lambda r: r.t)
     n = len(rows)
+    schema = (
+        "horizon int, trend_usd double, ses_theta2_usd double,"
+        " forecast_usd double"
+    )
+    # degenerate-universe parity with the oracle (empty-view checked):
+    # no months -> the oracle's ses anchor selects nothing -> 0 rows;
+    # one month -> the OLS denominator is 0 -> DuckDB NULLs every
+    # derived column; mirror both instead of dividing by zero
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    den = n * sum(int(r.t) * int(r.t) for r in rows) - sum(
+        int(r.t) for r in rows
+    ) * sum(int(r.t) for r in rows)
+    if den == 0:
+        return spark.createDataFrame(
+            [(h, None, None, None) for h in range(1, THETA_HORIZONS + 1)],
+            schema,
+        )
     st = sum(int(r.t) for r in rows)
     stt = sum(int(r.t) * int(r.t) for r in rows)
     sy = sum(int(r.cents) for r in rows)
@@ -1726,11 +1744,7 @@ def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(0.5 * trend + 0.5 * s - 1e-9, 4) + 0.0,
             )
         )
-    return spark.createDataFrame(
-        out,
-        "horizon int, trend_usd double, ses_theta2_usd double,"
-        " forecast_usd double",
-    )
+    return spark.createDataFrame(out, schema)
 
 
 # --------------------------------------------------------------------------

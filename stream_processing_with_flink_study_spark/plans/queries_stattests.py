@@ -1177,7 +1177,10 @@ z AS (
 SELECT n AS n_pairs,
        round(w_plus - 1e-9, 4) + 0.0 AS w_plus,
        round(zval - 1e-9, 4) + 0.0 AS z_stat,
-       abs(zval) > 1.96 AS reject_5pct
+       -- coalesce: an EMPTY pair set yields NULL z on both engines,
+       -- but the comparator stringifies a NULL bool differently per
+       -- engine; "no evidence" is a non-rejection, so pin false
+       coalesce(abs(zval) > 1.96, false) AS reject_5pct
 FROM z
 """
 

@@ -1,0 +1,73 @@
+"""Empty-universe parity: the round-10 UCB1 finding, institutionalized.
+
+A query can be hash-green at every real SF and still DIVERGE on a
+degenerate universe — the oracle emits 0 rows where the driver emits
+init-state rows (UCB1, fixed r10), the driver divides by zero where
+DuckDB silently NULLs (theta/logistic/scaling-law OLS, fixed r11), or
+the comparator stringifies a NULL bool differently per engine
+(wilcoxon, fixed r11).  This suite runs the replay / fit / eval-slice
+family — every query whose shape involves bounded collects, recursive
+state, or fitted denominators — against a FULLY EMPTY universe (all 10
+tables schema-preserved via pyarrow slice(0, 0)) and requires the same
+row-count/schema/value parity the driver's gate checks at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from stream_processing_with_flink_study_spark import plans
+from stream_processing_with_flink_study_spark.schemas import TABLES
+
+# The degenerate-risk family: bounded-collect replays, recursive state,
+# fitted denominators, %MOD eval slices.  Queries outside this list are
+# plain scans/rollups whose empty behavior is trivially engine-equal.
+DEGENERATE_FAMILY = [
+    "ucb1_bandit_replay",
+    "elo_ratings_replay",
+    "streaming_elo_ratings",
+    "croston_intermittent",
+    "kalman_local_level",
+    "streaming_kalman_level",
+    "theta_method_forecast",
+    "logistic_newton_cells",
+    "scaling_law_fit",
+    "wilcoxon_signed_rank",
+    "binseg_two_level",
+    "dpo_pair_margins",
+    "successive_halving_schedule",
+    "lof_grid_outliers",
+    "semantic_decontaminate",
+    "semantic_decontaminate_ivf",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_universe(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_universe"))
+    for t in TABLES:
+        tbl = pq.read_table(
+            f"/root/testdata/sf0.001/{t}.parquet"
+        ).slice(0, 0)
+        pq.write_table(tbl, os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", DEGENERATE_FAMILY)
+def test_empty_universe_parity(spark, empty_universe, name):
+    from tools.check_oracle import compare, duck_connection
+
+    con = duck_connection(empty_universe)
+    try:
+        ok, msg = compare(
+            name,
+            plans.QUERIES[name](spark, empty_universe),
+            con,
+            plans.ORACLES.get(name),
+        )
+    finally:
+        con.close()
+    assert ok, f"{name} diverges on the empty universe: {msg}"
