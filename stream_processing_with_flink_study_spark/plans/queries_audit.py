@@ -567,6 +567,15 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     prepdf.createOrReplaceTempView("ipf_prep_mat")
     rows = prepdf.collect()
+    if not rows:
+        # degenerate universe: no cells -> the oracle emits 0 rows; an
+        # empty VALUES body would not even parse
+        return spark.createDataFrame(
+            [],
+            "region string, segment string, n_customers bigint,"
+            " base_share double, raked_share double,"
+            " weight_factor double, max_margin_err double",
+        )
     w = {(r["rg"], r["seg"]): int(r["wq"]) for r in rows}
     rt = {r["rg"]: int(r["rtq"]) for r in rows}
     st = {r["seg"]: int(r["stq"]) for r in rows}

@@ -490,7 +490,13 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    seed = s.orderBy("vec_id").limit(1).collect()[0]
+    seeds = s.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        # degenerate universe: no sampled vectors -> 0 rows (oracle)
+        return spark.createDataFrame(
+            [], "sel_rank int, vec_id long, label int, radius long"
+        )
+    seed = seeds[0]
     cur = s.withColumn("dmin", sqdist(seed.v)).localCheckpoint()
     selected = [(1, int(seed.vec_id), int(seed.label), 0)]
     for r in range(2, KCENTER_ROUNDS + 1):

@@ -3695,7 +3695,8 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).collect()  # bounded by the calendar, not by row count
     rows = sorted((r.idx, r.month, r.y) for r in monthly)
-    out = hw_seasonal_loop(rows)
+    # degenerate universe: no months -> 0 rows, matching the oracle
+    out = hw_seasonal_loop(rows) if rows else []
     df = spark.createDataFrame(
         out,
         "idx BIGINT, month STRING, y DOUBLE, lvl DOUBLE, trend DOUBLE, "

@@ -3371,7 +3371,14 @@ def mrmr_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis = {
         r.pair: float(r.cum)
         for r in acc.filter(F.col("rdesc") == 1).collect()
-    }  # bounded: exactly 10 rows by construction
+    }  # bounded: exactly 10 rows by construction (0 on an empty
+    # universe -> return 0 rows, matching the oracle)
+    if not mis:
+        return spark.createDataFrame(
+            [],
+            "sel_rank int, feature string, mrmr_score double,"
+            " relevance_mi double",
+        )
     rel = {f: mis[f"{f}|ret"] for f in MRMR_FEATURES}
 
     def red(a: str, b: str) -> float:

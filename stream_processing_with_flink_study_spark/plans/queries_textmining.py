@@ -415,6 +415,16 @@ def bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     strengths = {
         r.bk: 1.0 / stats.count() for r in stats.select("bk").collect()
     }
+    if not strengths:
+        # degenerate universe: no games -> the oracle emits 0 rows; an
+        # empty create_map would not even type-check, so select over
+        # the (empty) stats frame directly
+        return stats.select(
+            F.col("bk").alias("brand_key"),
+            "wins",
+            "games",
+            F.lit(None).cast("double").alias("strength_rel"),
+        )
     k = len(strengths)
     for _ in range(BT_ROUNDS):
         pmap = F.create_map(

@@ -42,6 +42,21 @@ DEGENERATE_FAMILY = [
     "lof_grid_outliers",
     "semantic_decontaminate",
     "semantic_decontaminate_ivf",
+    # empty-collect crashes found and fixed by this suite's r11 probe:
+    "bradley_terry_brands",
+    "holt_winters_seasonal",
+    "ipf_raking_weights",
+    "kcenter_coreset_select",
+    "mrmr_feature_select",
+    # passed the probe from the start — pinned so they stay that way:
+    "rate_limiter_replay",
+    "streaming_rate_limiter",
+    "holt_smoothing_monthly",
+    "cusum_control_chart",
+    "page_hinkley_drift",
+    "sprt_conversion_monitor",
+    "matryoshka_recall_eval",
+    "mmr_diverse_topk",
 ]
 
 
