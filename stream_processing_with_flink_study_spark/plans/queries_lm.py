@@ -950,7 +950,13 @@ def _sl_oracle() -> str:
       SELECT k, -s / wsum AS xent FROM acc WHERE rd = 1
     ),
     pts AS MATERIALIZED (
-      SELECT x.k, ln(n.n_tokens * 1.0) AS lx, ln(x.xent) AS ly,
+      -- nullif: a level with n_docs > 0 but n_tokens = 0 (every doc at
+      -- levels <= k tokenizes to nothing) would hit ln(0) — DuckDB
+      -- ERRORS where Spark's log returns NULL (divergent failure
+      -- modes); nullif makes both engines carry NULL lx/ly instead
+      SELECT x.k,
+             ln(nullif(n.n_tokens * 1.0, CAST(0.0 AS DOUBLE))) AS lx,
+             ln(nullif(x.xent, CAST(0.0 AS DOUBLE))) AS ly,
              n.n_tokens, v.vocab, d.n_docs, x.xent
       FROM xent x JOIN nk n ON n.k = x.k JOIN vk v ON v.k = x.k
       JOIN docs_k d ON d.k = x.k
@@ -1098,8 +1104,12 @@ def scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(docs_k), "k")
         .select(
             "k",
-            F.log(F.col("n_tokens") * 1.0).alias("lx"),
-            F.log("xent").alias("ly"),
+            # nullif mirrors the oracle: ln(0) on a zero-token level
+            # NULLs identically in both engines (DuckDB would error)
+            F.log(F.nullif(F.col("n_tokens") * 1.0, F.lit(0.0))).alias(
+                "lx"
+            ),
+            F.log(F.nullif(F.col("xent"), F.lit(0.0))).alias("ly"),
             "n_tokens",
             "vocab",
             "n_docs",

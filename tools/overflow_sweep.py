@@ -194,20 +194,26 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # 1x reference walls, same session (same JVM warmth as the big run)
-    walls_1x = {}
+    # 1x reference walls, same session (same JVM warmth as the big run).
+    # A 1x exception is a FAILURE in its own right (round-11 ADVICE): a
+    # query that errors at 1x but happens to complete under MIN_FAIL_WALL
+    # at 10x would otherwise slip through green with no superlinearity
+    # reference at all.
+    walls_1x: dict[str, float] = {}
+    failed_1x: list[str] = []
     for name in names:
         try:
             walls_1x[name] = round(run_once(name, args.sf), 2)
             print(f"1x   {name:34s} {walls_1x[name]:6.1f}s")
         except Exception:
-            print(f"1x FAIL {name:31s} — counted against the big run")
+            print(f"1x FAIL {name:31s} — red regardless of the big run")
             traceback.print_exc(limit=6)
+            failed_1x.append(name)
         finally:
             spark.catalog.clearCache()
 
     bound_factor = SUPERLINEAR_FACTOR * args.mult / 10.0
-    failures, superlinear, walls = 0, [], {}
+    failures, superlinear, walls = len(failed_1x), [], {}
     for name in names:
         t0 = time.time()
         try:
@@ -215,7 +221,8 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name:34s} {time.time() - t0:6.1f}s")
             traceback.print_exc(limit=6)
-            failures += 1
+            if name not in failed_1x:  # already counted once
+                failures += 1
             continue
         finally:
             spark.catalog.clearCache()
@@ -244,6 +251,7 @@ def main() -> int:
                 "mult": args.mult,
                 "n": len(names),
                 "failures": failures,
+                "failed_1x": failed_1x,
                 "superlinear": superlinear,
                 "walls_1x_s": walls_1x,
                 "walls_s": walls,
