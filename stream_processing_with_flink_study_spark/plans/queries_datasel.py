@@ -512,12 +512,12 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_cell_ctes() -> str:
+def _ivf_cell_ctes(n_cells: int = 16) -> str:
     """Shared IVF cell-assignment stage of every index-tier oracle:
     integer-quantized vectors (``ei``), the literal-baked centroid
     table (``cent``), and the exact-integer cell ranking (``ranked``)
     — r = 1 is a vector's HOME cell, r <= nprobe its probe set."""
-    cents = similarity.ivf_centroids_values_sql(16, 64)
+    cents = similarity.ivf_centroids_values_sql(n_cells, 64)
     qv = similarity.QUANT_VEC_SQL.format(col="embedding")
     return f"""ei AS MATERIALIZED (
       SELECT vec_id, label, {qv} AS v FROM embeddings
@@ -557,9 +557,9 @@ def _ivf_knn_ctes() -> str:
     )"""
 
 
-def _knn_ivf_oracle() -> str:
+def _knn_ivf_oracle(n_cells: int = 16) -> str:
     return f"""
-    WITH {_ivf_cell_ctes()},
+    WITH {_ivf_cell_ctes(n_cells)},
     {_ivf_knn_ctes()},
     lab AS (
       SELECT k.q_id, eq.label AS q_label, en.label AS n_label
@@ -604,9 +604,32 @@ def knn_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along (a probe can see fewer than k neighbors) and the
     agreement fraction divides by it.  Exact-integer cell assignment +
     (sim DESC, id) ranks keep every column hash-checked."""
+    return _knn_ivf_impl(spark, sf_dir, n_cells=16)
+
+
+@query("knn_label_noise_ivf64", _knn_ivf_oracle(n_cells=64))
+def knn_label_noise_ivf64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-noise screen at PRODUCTION index sizing (round-11
+    verdict item 4): identical semantics to ``knn_label_noise_ivf``
+    but on a 64-cell literal centroid bank — n_cells scaled with the
+    corpus, the sizing ``tools/ann_scale_smoke.py`` demonstrates holds
+    candidates flat.  Registering it under the full hash gate puts the
+    scaled configuration inside the correctness surface (both engines
+    rank the identical 64x64 int64 centroid bank), and it carries NO
+    overflow-sweep exemption: with 4x the cells the candidate stage is
+    a 16x smaller fraction of all-pairs, so its 10x wall must — and
+    does — pass the superlinearity gate on merit."""
+    return _knn_ivf_impl(spark, sf_dir, n_cells=64)
+
+
+def _knn_ivf_impl(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0)
-    knn = similarity.ivf_topk(emb, queries, dim=64, k=KNN_K)
+    knn = similarity.ivf_topk(
+        emb, queries, dim=64, k=KNN_K, n_cells=n_cells
+    )
     q_labels = queries.select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
     )

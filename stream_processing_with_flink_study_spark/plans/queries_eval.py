@@ -3716,11 +3716,15 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 LOF_K = 5
 LOF_CELL_Q = 125_000  # grid side in 1e-6 quantized units (0.125)
+#: density-scaled grid side (round-11 verdict item 4): 1/4 the side =
+#: 16x the cells = 1/16 the per-cell population — the production sizing
+#: move (shrink the side as density grows) REGISTERED under the hash
+#: gate instead of living only in the exemption table's prose
+LOF_CELL_Q_DENSE = 31_250
 
 
-@query(
-    "lof_grid_outliers",
-    f"""
+def _lof_oracle(cell_q: int) -> str:
+    return f"""
     WITH q AS MATERIALIZED (
       SELECT vec_id,
              CAST(floor(embedding[1] * 1000000 + 0.5) AS BIGINT) AS x,
@@ -3729,8 +3733,8 @@ LOF_CELL_Q = 125_000  # grid side in 1e-6 quantized units (0.125)
     ),
     cells AS MATERIALIZED (
       SELECT vec_id, x, y,
-             CAST(floor(x * 1.0 / {LOF_CELL_Q}) AS BIGINT) AS cx,
-             CAST(floor(y * 1.0 / {LOF_CELL_Q}) AS BIGINT) AS cy
+             CAST(floor(x * 1.0 / {cell_q}) AS BIGINT) AS cx,
+             CAST(floor(y * 1.0 / {cell_q}) AS BIGINT) AS cy
       FROM q
     ),
     cand AS MATERIALIZED (
@@ -3786,8 +3790,10 @@ LOF_CELL_Q = 125_000  # grid side in 1e-6 quantized units (0.125)
     FROM nsum ns JOIN lrd l ON l.p = ns.p JOIN kd ON kd.p = ns.p
     ORDER BY ns.s / ns.n / l.lrd DESC, ns.p
     LIMIT 20
-    """,
-)
+    """
+
+
+@query("lof_grid_outliers", _lof_oracle(LOF_CELL_Q))
 def lof_grid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Outlier Factor (Breunig et al. SIGMOD'00) over the first
     two embedding components, grid-bucketed: per point, the k=5
@@ -3810,8 +3816,32 @@ def lof_grid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     baked literal (the oracle needs integer-exact cell ids), so
     per-cell population grows with the corpus: the IVF-twin
     fixed-index caveat, documented in the overflow sweep's exemption
-    table; production shrinks the side with density (the parameter
-    exists) exactly like scaling n_cells."""
+    table; production shrinks the side with density exactly like
+    scaling n_cells — and ``lof_grid_outliers_dense`` registers that
+    production sizing under the same hash gate."""
+    return _lof_impl(spark, sf_dir, LOF_CELL_Q)
+
+
+@query("lof_grid_outliers_dense", _lof_oracle(LOF_CELL_Q_DENSE))
+def lof_grid_outliers_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The density-scaled LOF twin (round-11 verdict item 4): identical
+    cascade to ``lof_grid_outliers`` but on the PRODUCTION grid sizing
+    — cell side {LOF_CELL_Q_DENSE} (1/4 the base side, 16x the cells,
+    1/16 the per-cell population), which is what an operator deploys
+    as the corpus densifies.  Registering it under the full hash gate
+    means the scaled configuration is correctness-checked cross-engine
+    — not just timed in a smoke — and it carries NO overflow-sweep
+    exemption: its 10x wall must pass the superlinearity gate on
+    merit.  Results legitimately differ from the base twin where a
+    sparser 3x3 neighborhood sees fewer than k candidates
+    (``n_considered`` reports it) — grid-LOF semantics are defined BY
+    the grid, so each sizing is its own well-defined query."""
+    return _lof_impl(spark, sf_dir, LOF_CELL_Q_DENSE)
+
+
+def _lof_impl(
+    spark: SparkSession, sf_dir: str, cell_q: int
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -3824,8 +3854,8 @@ def lof_grid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = q.select(
         "*",
-        F.floor(F.col("x") * 1.0 / LOF_CELL_Q).cast("long").alias("cx"),
-        F.floor(F.col("y") * 1.0 / LOF_CELL_Q).cast("long").alias("cy"),
+        F.floor(F.col("x") * 1.0 / cell_q).cast("long").alias("cx"),
+        F.floor(F.col("y") * 1.0 / cell_q).cast("long").alias("cy"),
     )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],

