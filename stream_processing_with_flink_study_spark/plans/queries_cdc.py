@@ -311,8 +311,9 @@ def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (pow(va / na, 2) / (na - 1)
                     + pow(vb / nb, 2) / (nb - 1)) - 1e-9, 1)
              AS welch_df,
-           abs(round((ma - mb) / sqrt(va / na + vb / nb) - 1e-9, 4))
-             > {T_CRIT_95!r} AS significant
+           coalesce(abs(round((ma - mb) / sqrt(va / na + vb / nb)
+                           - 1e-9, 4))
+                    > {T_CRIT_95!r}, false) AS significant
     FROM p
     """,
 )
@@ -383,7 +384,11 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1e-9,
             1,
         ).alias("welch_df"),
-        (F.abs(t_r) > T_CRIT_95).alias("significant"),
+        # coalesce: "no evidence" on an empty segment is a
+        # NON-rejection, not a NULL (the wilcoxon r11 precedent)
+        F.coalesce(F.abs(t_r) > T_CRIT_95, F.lit(False)).alias(
+            "significant"
+        ),
     )
 
 

@@ -312,17 +312,31 @@ def cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping_id disambiguating the subtotal levels (K-family
     completeness next to rollup_order_stats).  One pass: Spark expands
     the grouping sets BEFORE the exchange, so the shuffle still carries
-    only partial aggregates per (set, group)."""
+    only partial aggregates per (set, group).  The () grain comes from
+    a separate groupless agg (always exactly 1 row) unioned in, because
+    Spark's cube — unlike the SQL standard and DuckDB — emits nothing
+    over empty input (round-12 degenerate-sweep finding)."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    ]
+    grouped = (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        .agg(F.grouping_id().alias("gid"), *aggs)
+        .filter(F.col("gid") < 3)
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
         )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
+    total = o.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(3).cast("bigint").alias("gid"),
+        "n_orders",
+        "total_price",
+    )
+    return grouped.unionByName(total)
 
 
 @query(

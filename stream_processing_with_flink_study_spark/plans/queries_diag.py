@@ -97,8 +97,9 @@ CHI2_95_DF1 = 3.8415  # chi-square 95th percentile, 1 degree of freedom
            round(e1 - 1e-9, 4) AS expected_events,
            round((observed_events - e1) * (observed_events - e1) / v1
                  - 1e-9, 4) AS chi2,
-           round((observed_events - e1) * (observed_events - e1) / v1
-                 - 1e-9, 4) > {CHI2_95_DF1!r} AS reject_null
+           coalesce(round((observed_events - e1) * (observed_events - e1)
+                          / v1 - 1e-9, 4)
+                    > {CHI2_95_DF1!r}, false) AS reject_null
     FROM agg
     """,
 )
@@ -215,7 +216,8 @@ def log_rank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed_events",
         F.round(F.col("e1") - 1e-9, 4).alias("expected_events"),
         chi2.alias("chi2"),
-        (chi2 > CHI2_95_DF1).alias("reject_null"),
+        # no evidence on an empty cohort = non-rejection (r11 wilcoxon)
+        F.coalesce(chi2 > CHI2_95_DF1, F.lit(False)).alias("reject_null"),
     )
 
 
@@ -1103,10 +1105,11 @@ def g_test_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
                     * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
                  - 1e-9, 4) AS chi2_trend,
-           round(pow((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * r / n), 2)
+           coalesce(
+             round(pow((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * r / n), 2)
                  / ((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
                     * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
-                 - 1e-9, 4) > {CHI2_95_DF1!r} AS reject_no_trend
+                 - 1e-9, 4) > {CHI2_95_DF1!r}, false) AS reject_no_trend
     FROM tot
     """,
 )
@@ -1157,7 +1160,10 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_loyal"),
         F.round(t_num / F.sqrt(denom) - 1e-9, 4).alias("z_trend"),
         chi2_r.alias("chi2_trend"),
-        (chi2_r > CHI2_95_DF1).alias("reject_no_trend"),
+        # no evidence on an empty cohort = non-rejection (r11 wilcoxon)
+        F.coalesce(chi2_r > CHI2_95_DF1, F.lit(False)).alias(
+            "reject_no_trend"
+        ),
     )
 
 

@@ -78,7 +78,10 @@ SESSION_GAP_MS = 43_200_000  # 12 h — matches event_sessions_batch
     )
     SELECT n_sessions, total_session_ms, busy_integral_ms,
            peak_concurrency,
-           busy_integral_ms = total_session_ms AS little_exact,
+           -- coalesce: Little's law holds VACUOUSLY on zero sessions
+           -- (empty-universe parity; both engines otherwise NULL here)
+           coalesce(busy_integral_ms = total_session_ms, true)
+             AS little_exact,
            round(n_sessions * 3600000.0 / span_ms - 1e-9, 4)
              AS lambda_per_hour,
            round(total_session_ms / 60000.0 / n_sessions - 1e-9, 4)
@@ -173,9 +176,11 @@ def concurrency_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_session_ms",
         "busy_integral_ms",
         "peak_concurrency",
-        (F.col("busy_integral_ms") == F.col("total_session_ms")).alias(
-            "little_exact"
-        ),
+        # vacuous truth on zero sessions — mirrors the oracle coalesce
+        F.coalesce(
+            F.col("busy_integral_ms") == F.col("total_session_ms"),
+            F.lit(True),
+        ).alias("little_exact"),
         F.round(
             F.col("n_sessions") * 3600000.0 / F.col("span_ms") - 1e-9, 4
         ).alias("lambda_per_hour"),

@@ -146,9 +146,14 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form of the K+ cube/rollup
-    family): four aggregation grains in ONE pass — Spark expands the
-    sets via a single Expand node feeding one hash aggregate, so the
-    input is scanned once no matter how many grains are requested."""
+    family): four aggregation grains in ONE pass over the grouped sets
+    — Spark expands the sets via a single Expand node feeding one hash
+    aggregate, so the input is scanned once no matter how many grains
+    are requested.  The () grain is a separate groupless aggregate
+    UNION ALL-ed in: the SQL standard (and DuckDB) emit the global row
+    even over empty input, Spark's grouping sets do not, and a
+    groupless aggregate is the construct both engines agree always
+    yields one row (round-12 degenerate-sweep finding)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
     return spark.sql(
         """
@@ -161,7 +166,11 @@ def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           round(sum(o_totalprice), 2) AS total
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                                (o_orderpriority), (o_orderstatus), ())
+                                (o_orderpriority), (o_orderstatus))
+        UNION ALL
+        SELECT '__all__' AS priority, '__all__' AS status,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM gs_orders
         """
     )
 

@@ -853,8 +853,17 @@ def _anova_pivot_tail(src: str, stat_name: str, reject_name: str) -> str:
     CAST(coalesce(max(CASE WHEN grp = '{g}' THEN ss END), 0) AS BIGINT) AS ss{i}"""
         for i, g in enumerate(_PRIORITIES, 1)
     )
+    # nullif on every divisor (empty-universe parity, round-12): an
+    # absent group (n_i = 0) or empty corpus NULLs identically in both
+    # engines where ANSI Spark would error and DuckDB silently NULLs —
+    # non-degenerate results unchanged (divisors strictly positive)
     sgs = " + ".join(
-        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
+        f"CAST(s{i} AS DOUBLE) * s{i} / nullif(n{i}, 0)"
+        for i in range(1, 6)
+    )
+    fexpr = (
+        "round((ssb / 4.0) / nullif(ssw / nullif(n - 5, 0),"
+        " CAST(0.0 AS DOUBLE)) - 1e-9, 6)"
     )
     return f"""
 piv AS {{MAT}}(
@@ -871,7 +880,7 @@ mo AS {{MAT}}(
 ),
 fstat AS {{MAT}}(
   SELECT n,
-         sgs - CAST(s AS DOUBLE) * s / n AS ssb,
+         sgs - CAST(s AS DOUBLE) * s / nullif(n, 0) AS ssb,
          CAST(ss AS DOUBLE) - sgs AS ssw
   FROM mo
 )
@@ -880,8 +889,8 @@ SELECT n AS n_obs,
        n - 5 AS df_within,
        round(ssb - 1e-9, 2) + 0.0 AS ss_between,
        round(ssw - 1e-9, 2) + 0.0 AS ss_within,
-       round((ssb / 4.0) / (ssw / (n - 5)) - 1e-9, 6) + 0.0 AS {stat_name},
-       CASE WHEN round((ssb / 4.0) / (ssw / (n - 5)) - 1e-9, 6)
+       {fexpr} + 0.0 AS {stat_name},
+       CASE WHEN {fexpr}
                  > {_F_CRIT_4_INF}
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
          AS {reject_name}
@@ -956,15 +965,19 @@ _TUKEY_Q_CRIT = 3.858  # studentized range q(5 groups, inf df) at 5%
 
 
 def _tukey_sql() -> str:
+    # nullif on every divisor: empty/absent groups NULL identically in
+    # both engines (ANSI Spark errors on x/0 where DuckDB NULLs); the
+    # pair verdict's ELSE 0 then matches the oracle's empty output
     pairs = []
     for i in range(1, 6):
         for j in range(i + 1, 6):
-            mi = f"CAST(s{i} AS DOUBLE) / n{i}"
-            mj = f"CAST(s{j} AS DOUBLE) / n{j}"
+            mi = f"CAST(s{i} AS DOUBLE) / nullif(n{i}, 0)"
+            mj = f"CAST(s{j} AS DOUBLE) / nullif(n{j}, 0)"
             se = (
-                f"sqrt((CAST(ss1+ss2+ss3+ss4+ss5 AS DOUBLE) - sgs)"
-                f" / (n1+n2+n3+n4+n5 - 5) / 2.0"
-                f" * (1.0 / n{i} + 1.0 / n{j}))"
+                f"nullif(sqrt((CAST(ss1+ss2+ss3+ss4+ss5 AS DOUBLE) - sgs)"
+                f" / nullif(n1+n2+n3+n4+n5 - 5, 0) / 2.0"
+                f" * (1.0 / nullif(n{i}, 0) + 1.0 / nullif(n{j}, 0))),"
+                f" CAST(0.0 AS DOUBLE))"
             )
             pairs.append(f"""
   SELECT '{_PRIORITIES[i - 1]}' AS grp_a, '{_PRIORITIES[j - 1]}' AS grp_b,
@@ -981,7 +994,8 @@ def _tukey_sql() -> str:
         for i, g in enumerate(_PRIORITIES, 1)
     )
     sgs = " + ".join(
-        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
+        f"CAST(s{i} AS DOUBLE) * s{i} / nullif(n{i}, 0)"
+        for i in range(1, 6)
     )
     return f"""
 WITH base AS {{MAT}}(

@@ -550,14 +550,24 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup hierarchy totals (status → priority → grand total) in one
     pass; NULL grouping placeholders coalesced to 'ALL' so the hash
-    compare is null-safe."""
+    compare is null-safe.
+
+    The grand-total grain is computed as a separate groupless aggregate
+    and unioned in (the rollup side drops its () set via grouping_id):
+    SQL's GROUPING SETS emit the () row even over EMPTY input — DuckDB
+    conforms, Spark's rollup emits nothing — and a groupless ``agg``
+    is the one Spark construct that always yields exactly one row, so
+    both engines now agree on the empty universe too (round-12
+    degenerate-sweep finding)."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    ]
+    grouped = (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
-        )
+        .agg(F.grouping_id().alias("_gid"), *aggs)
+        .filter(F.col("_gid") < 3)
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
@@ -565,6 +575,13 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+    total = o.agg(*aggs).select(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.lit("ALL").alias("o_orderpriority"),
+        "n",
+        "sum_price",
+    )
+    return grouped.unionByName(total)
 
 
 @query(
