@@ -179,6 +179,11 @@ def pagerank(
     )
     nodes = fedges.select(F.col("src").alias("id")).distinct()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: zero nodes rank (mirrors the oracle's 0 rows);
+        # guard the 1/n_nodes init below (round-12 degenerate sweep)
+        fedges.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     use_broadcast = n_nodes <= broadcast_threshold
     if seeds is None:
         ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
@@ -792,6 +797,13 @@ def katz_centrality(
         .agg(F.max("wdeg"))
         .first()[0]
     )
+    if dmax is None:
+        # empty edge set: no spectral bound to derive and no nodes to
+        # score — 0 rows, schema preserved (round-12 degenerate sweep)
+        fedges.unpersist()
+        return fedges.select(
+            F.col("src").alias("id"), F.lit(0.0).alias("score")
+        )
     alpha = 0.5 / float(dmax)
     nodes = fedges.select(F.col("src").alias("id")).distinct()
     n_nodes = nodes.count()

@@ -2469,6 +2469,12 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # PAV: merge adjacent pools while the left pool's rate exceeds the
     # right's; each pool carries (sum_pos, n, members)
+    if not per:
+        # empty universe: no bins to pool, the oracle emits 0 rows and
+        # an argless create_map would not type-check (round-12 sweep)
+        return spark.createDataFrame(
+            [], "bin int, n long, raw_rate double, calibrated_rate double"
+        )
     pools: list[list[float]] = []  # [sum_pos, n, first_bin, last_bin]
     for r in per:
         pools.append([float(r.n_pos), float(r.n), r.bin, r.bin])
@@ -2640,6 +2646,16 @@ def huber_irls_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b": rnd(b),
             "a": rnd(a),
         }
+    if not params:
+        # empty universe: no per-flag OLS seeds, the oracle emits 0
+        # rows — and an argless create_map would not even type-check
+        # (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [],
+            "returnflag string, n long, ols_slope double, "
+            "huber_slope double, huber_intercept double, "
+            "scale_mad double, n_downweighted long",
+        )
     amap = F.create_map(
         *[F.lit(v) for rf, p in sorted(params.items()) for v in (rf, p["a"])]
     )
@@ -3180,6 +3196,15 @@ def sinkhorn_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     ra = [nmap[("a", i)] for i in range(1, 11)]
     rb = [nmap[("b", i)] for i in range(1, 11)]
     na, nb = float(sum(ra)), float(sum(rb))
+    if na == 0 or nb == 0:
+        # an empty marginal: the oracle's single output row carries
+        # zero masses and NULL transport stats — mirror, never run the
+        # scaling loop against a zero denominator (round-12 sweep)
+        return spark.createDataFrame(
+            [(int(na), int(nb), None, None, None)],
+            "n_a long, n_b long, sinkhorn_cost double, w1_exact double, "
+            "max_marginal_err double",
+        )
     pw = [
         [int(_OT_SCALE / 4 ** abs(i - j)) for j in range(10)]
         for i in range(10)
@@ -3403,6 +3428,15 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).collect()[0]
     n = float(mom["n"])
+    if n == 0:
+        # empty universe: the oracle's groupless rollup emits one row
+        # with n_vectors = 0 and NULL spectrum — mirror it instead of
+        # dividing by the vector count (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [tuple([0] + [None] * (PI_DIMS + 1))],
+            "n_vectors long, top_eigenvalue double, "
+            + ", ".join(f"loading_{i} double" for i in range(1, PI_DIMS + 1)),
+        )
     cq = {}
     for i in range(1, PI_DIMS + 1):
         for j in range(1, PI_DIMS + 1):

@@ -349,6 +349,14 @@ def sssp_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     source = edges.agg(F.min("src")).first()[0]
+    if source is None:
+        # empty graph: the unrolled oracle still emits its source seed
+        # row — (NULL key, dist 0) — because min(src) over nothing is
+        # NULL and the seed distance is the literal 0; mirror it
+        # exactly (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [(None, 0.0)], "s_suppkey long, dist double"
+        )
     dist = sssp(sym, source=int(source), rounds=SSSP_ROUNDS)
     return dist.select(
         F.col("id").alias("s_suppkey"), F.round("dist", 6).alias("dist")
@@ -842,7 +850,11 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_edges).cast("long").alias("n_edges"),
-        F.round(F.lit(sum_d / n_nodes), 4).alias("avg_degree"),
+        # NULL avg degree on an empty graph mirrors the oracle's
+        # sum/count-over-nothing (round-12 degenerate sweep)
+        F.round(
+            F.lit(sum_d / n_nodes if n_nodes else None).cast("double"), 4
+        ).alias("avg_degree"),
         F.round(r, 4).alias("assortativity"),
     )
 
@@ -1337,9 +1349,12 @@ def _mst_oracle() -> str:
     SELECT CAST(len((SELECT ids FROM nl)) AS BIGINT) AS n_nodes,
            n_e AS n_mst_edges,
            CAST(len((SELECT ids FROM nl)) AS BIGINT) - n_e AS n_components,
-           round(CAST(tot AS DOUBLE) / 1000000.0 - 1e-9, 4) AS total_cost,
-           round(CAST(mn AS DOUBLE) / 1000000.0 - 1e-9, 4) AS min_edge,
-           round(CAST(mx AS DOUBLE) / 1000000.0 - 1e-9, 4) AS max_edge
+           round(CAST(tot AS DOUBLE) / 1000000.0 - 1e-9, 4) + 0.0
+             AS total_cost,
+           round(CAST(mn AS DOUBLE) / 1000000.0 - 1e-9, 4) + 0.0
+             AS min_edge,
+           round(CAST(mx AS DOUBLE) / 1000000.0 - 1e-9, 4) + 0.0
+             AS max_edge
     FROM kr WHERE i = (SELECT max(i) FROM kr)
     """
 
@@ -1384,21 +1399,34 @@ def mst_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    # empty-graph mirrors (round-12 degenerate sweep): the oracle's
+    # list() over zero nodes is NULL, so n_nodes/n_components go NULL
+    # (not 0), while its recursion base carries tot = 0, so total_cost
+    # is round(-1e-9, 4) = -0.0 (signed!), not NULL
+    nn = F.lit(n_nodes if n_nodes else None).cast("long")
     return mst.agg(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        nn.alias("n_nodes"),
         F.count(F.lit(1)).cast("long").alias("n_mst_edges"),
-        (F.lit(n_nodes) - F.count(F.lit(1))).cast("long").alias(
+        (nn - F.count(F.lit(1))).cast("long").alias(
             "n_components"
         ),
-        F.round(F.sum("ew").cast("double") / 1_000_000.0 - 1e-9, 4).alias(
-            "total_cost"
-        ),
-        F.round(F.min("ew").cast("double") / 1_000_000.0 - 1e-9, 4).alias(
-            "min_edge"
-        ),
-        F.round(F.max("ew").cast("double") / 1_000_000.0 - 1e-9, 4).alias(
-            "max_edge"
-        ),
+        (
+            F.round(
+                F.coalesce(F.sum("ew"), F.lit(0)).cast("double")
+                / 1_000_000.0
+                - 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("total_cost"),
+        (
+            F.round(F.min("ew").cast("double") / 1_000_000.0 - 1e-9, 4)
+            + 0.0
+        ).alias("min_edge"),
+        (
+            F.round(F.max("ew").cast("double") / 1_000_000.0 - 1e-9, 4)
+            + 0.0
+        ).alias("max_edge"),
     )
 
 

@@ -622,6 +622,11 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes = comps.groupBy("comp").count()
         lcc = sizes.agg(F.max("count")).first()[0] or 0
         n_left = n - n_rm
+        if n_left == 0:
+            # empty scenario: the oracle's max-over-nothing and x/0
+            # both yield NULL — mirror, never divide (round-12 sweep)
+            rows.append((pct, n_rm, n_left, se.count(), None, None))
+            continue
         rows.append(
             (
                 pct,
