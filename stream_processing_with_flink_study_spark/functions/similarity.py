@@ -876,6 +876,11 @@ def embedding_moments(
 
     rows = df.select(vec_col).mapInPandas(partials, schema).collect()
     n = sum(r["n"] for r in rows)
+    if n == 0:
+        # empty corpus: no partials to merge (np.sum over an empty
+        # list is a 0-d scalar — .shape[0] would crash); callers guard
+        # on n == 0 (round-12 degenerate sweep)
+        return 0, np.zeros(0), np.zeros((0, 0))
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.array(r["ss"]) for r in rows], axis=0)
     d = s.shape[0]

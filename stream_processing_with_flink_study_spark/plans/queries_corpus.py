@@ -1211,8 +1211,13 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        # nullif: 0/0 on an empty corpus NULLs in both engines instead
+        # of ANSI-erroring in Spark (round-12 degenerate sweep)
         F.round(
-            1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 4
+            1.0
+            - F.countDistinct("fp")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            4,
         ).alias("exact_dup_rate"),
     )
     return card.crossJoin(F.broadcast(ent))

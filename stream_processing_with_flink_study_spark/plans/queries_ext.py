@@ -607,6 +607,14 @@ def streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     far = keyed.selectExpr("max(ts) AS m").first().m
+    if far is None:
+        # empty key slice: nothing to sessionize, no watermark spacer
+        # to anchor — 0 rows, schema preserved (round-12 sweep)
+        return spark.createDataFrame(
+            [],
+            "id string, start_ms long, end_ms long, win_sum double, "
+            "n long",
+        )
     spacer = lambda d: spark.createDataFrame(
         [("_flush", far + dt.timedelta(days=d), 0.0)],
         "id string, ts timestamp, v double",

@@ -295,9 +295,11 @@ def zone_map_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = zones.agg(
             F.lit(layout).alias("layout"),
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
-            F.sum(F.col("hit").cast("long")).cast("long").alias(
-                "blocks_scanned"
-            ),
+            # coalesce: the oracle's count(*) FILTER (hit) is 0 over
+            # zero blocks where a bare sum is NULL (round-12 sweep)
+            F.coalesce(F.sum(F.col("hit").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("blocks_scanned"),
             F.sum("n").cast("long").alias("rows_total"),
             F.coalesce(
                 F.sum(F.when(F.col("hit"), F.col("n"))), F.lit(0)

@@ -254,6 +254,15 @@ def trigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     t_total = c1.agg(F.sum("c1")).first()[0]
+    if t_total is None:
+        # empty corpus: no unigram mass to back off to, the oracle
+        # emits 0 rows (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [],
+            "source string, n_trigrams long, xent_bits double, "
+            "hits_trigram long, hits_bigram long, hits_unigram long, "
+            "oov long, trigram_hit_rate double",
+        )
     q = tri.filter(~F.col("is_train"))
     b23 = c2.select(
         F.col("w1").alias("w2"),

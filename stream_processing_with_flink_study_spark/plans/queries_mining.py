@@ -1268,7 +1268,15 @@ def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = [int(r["d"]) for r in buckets]
     K = len(d)
-    assert 0 < VOPT_BINS <= K < VOPT_PACK, (K, VOPT_PACK)
+    if K == 0:
+        # empty stream: nothing to bucket, the oracle emits 0 rows
+        # (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [],
+            "bin int, lo long, hi long, n_rows long, "
+            "mean_value double, sse double",
+        )
+    assert VOPT_BINS <= K < VOPT_PACK, (K, VOPT_PACK)
     cn, cs, css = [0], [0], [0]
     for r in buckets:
         cn.append(cn[-1] + int(r["n"]))
@@ -1456,10 +1464,15 @@ def good_turing_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms
       GROUP BY prev_t
     )
+    -- nullif: zero observed states would hit log2(0), which DuckDB
+    -- ERRORS on while Spark's log2 returns NULL — NULL both engines
+    -- (round-12 degenerate sweep)
     SELECT CAST(sum(row_n) AS BIGINT) AS n_transitions,
            round(sum(weighted_h_part) - 1e-9, 4) AS entropy_rate_bits,
-           round(log2(count(*) * 1.0) - 1e-9, 4) AS max_entropy_bits,
-           round(1.0 - sum(weighted_h_part) / log2(count(*) * 1.0)
+           round(log2(nullif(count(*) * 1.0, 0.0)) - 1e-9, 4)
+             AS max_entropy_bits,
+           round(1.0 - sum(weighted_h_part)
+                       / log2(nullif(count(*) * 1.0, 0.0))
                  - 1e-9, 4) AS predictability
     FROM rows_h
     """,
@@ -1597,6 +1610,17 @@ def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x.persist()
     x.createOrReplaceTempView("gmm_x")
+    if x.limit(1).count() == 0:
+        # empty corpus: EM responsibilities are 0/0, the oracle's one
+        # output row carries n = 0 and NULL parameters — mirror it
+        # instead of float(None)-crashing (round-12 degenerate sweep)
+        x.unpersist()
+        return spark.createDataFrame(
+            [(0,) + (None,) * 7],
+            "n long, w1 double, mean1_kusd double, sigma1_kusd double, "
+            "w2 double, mean2_kusd double, sigma2_kusd double, "
+            "avg_loglik double",
+        )
     params = GMM_INIT
     for _ in range(GMM_ROUNDS):
         p_sql = (

@@ -455,6 +455,17 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     ).first()
     n, sx, sy, sxy, sxx, syy = mom
+    if not n:
+        # empty cohort: the oracle's groupless rollup emits one row —
+        # n_customers 0, every arm count/mean/θ NULL (its sums are
+        # NULL); mirror instead of None-arithmetic (round-12 sweep)
+        xy.unpersist()
+        return spark.createDataFrame(
+            [(0,) + (None,) * 8],
+            "n_customers long, n_a long, n_b long, theta double, "
+            "mean_y_a double, mean_y_b double, mean_adj_a double, "
+            "mean_adj_b double, var_reduction double",
+        )
     cxy = sxy - sx * sy / n
     vx = sxx - sx * sx / n
     vy = syy - sy * sy / n

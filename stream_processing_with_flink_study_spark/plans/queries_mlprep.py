@@ -1170,6 +1170,14 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n, s, ss = embedding_moments(emb)
+    if n == 0:
+        # empty corpus: no covariance to eigensolve — 0 rows, schema
+        # preserved (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [],
+            "vec_id long, label int, w0 double, w1 double, w2 double, "
+            "w3 double, wnorm double",
+        )
     mu, w = zca_whitening_matrix(n, s, ss)
     z = whiten(emb, mu, w, id_cols=["vec_id", "label"])
     return z.select(
@@ -3159,6 +3167,10 @@ def als_implicit_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_bounds = F.lit(True)
     for c in sum_cols:
         in_bounds = in_bounds & (F.abs(F.col(c)) < F.lit(2 ** 62))
+    # empty corpus: the sums are NULL, which is not an overflow —
+    # assert_true(NULL) would raise; the NULL solve chain then yields
+    # the oracle's 0 rows via the empty user side (round-12 sweep)
+    in_bounds = F.coalesce(in_bounds, F.lit(True))
     isums = isums.filter(
         F.assert_true(
             in_bounds,

@@ -1058,6 +1058,17 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT date_trunc('hour', ts) AS h, count(*) AS c "
         "FROM erl_events GROUP BY 1)"
     ).collect()[0]["lam"]
+    if lam is None:
+        # empty event stream: the oracle's staffing scan still emits
+        # its single row — NULL load/probability columns and the
+        # sentinel agents_needed = -1 (no staffing level evaluated) —
+        # mirror it exactly (round-12 degenerate sweep)
+        return spark.createDataFrame(
+            [(None, None, -1, None, None)],
+            "peak_arrivals_per_hr double, offered_load_erlangs double, "
+            "agents_needed long, p_wait_at_staffing double, "
+            "utilization double",
+        )
     bq, vals = 1_000_000_000_000, []
     for c in range(1, ERLANG_C_MAX + 1):
         bq = math.floor(

@@ -590,8 +590,13 @@ def negative_sampling_contrastive(
             F.sum(F.when(F.col("j") >= NEG_K, 1).otherwise(0))
             .cast("long")
             .alias("n_resampled"),
+            # nullif: zero users NULLs in both engines instead of
+            # ANSI-erroring in Spark (round-12 degenerate sweep)
             F.round(
-                F.count(F.lit(1)) / F.count_distinct("custkey") - 1e-9, 4
+                F.count(F.lit(1))
+                / F.nullif(F.count_distinct("custkey"), F.lit(0))
+                - 1e-9,
+                4,
             ).alias("negs_per_user"),
         )
         .crossJoin(F.broadcast(shortest))

@@ -105,11 +105,13 @@ def theil_sen_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = m.crossJoin(F.broadcast(sl)).select(
         (F.col("cents") - F.col("slope") * F.col("t")).alias("r"), "slope"
     )
-    ic = resid.groupBy("slope").agg(
-        F.expr("percentile(r, 0.5)").alias("icept")
-    )
+    # groupless agg (not groupBy("slope")): over an empty series a
+    # groupBy emits 0 rows where the oracle's scalar subqueries still
+    # emit the single NULL-fit row — a groupless agg always yields
+    # exactly 1 row in both engines (round-12 degenerate sweep)
+    ic = resid.agg(F.expr("percentile(r, 0.5)").alias("icept"))
     n = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
-    return n.crossJoin(F.broadcast(ic)).select(
+    return n.crossJoin(F.broadcast(sl)).crossJoin(F.broadcast(ic)).select(
         "n_months",
         F.round(F.col("slope") / 100.0, 4).alias("slope_usd_per_month"),
         F.round(F.col("icept") / 100.0, 4).alias("intercept_usd"),

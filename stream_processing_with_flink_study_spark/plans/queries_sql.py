@@ -190,9 +190,9 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT i, j,
            round(covar_samp(CAST(embedding[i] AS DOUBLE),
-                            CAST(embedding[j] AS DOUBLE)), 4) AS cov,
+                            CAST(embedding[j] AS DOUBLE)), 4) + 0.0 AS cov,
            round(corr(CAST(embedding[i] AS DOUBLE),
-                      CAST(embedding[j] AS DOUBLE)), 4) AS pearson
+                      CAST(embedding[j] AS DOUBLE)), 4) + 0.0 AS pearson
     FROM embeddings,
          unnest(range(1, 9)) AS a(i),
          unnest(range(1, 9)) AS b(j)
@@ -216,16 +216,25 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = [(i, j) for i in range(1, 9) for j in range(i, 9)]
     cols = []
+    # + 0.0 both sides: a near-zero covariance cell can round to -0.0
+    # in DuckDB (tiny-negative accumulation) while Spark's HALF_UP
+    # round lands on +0.0 — found by the round-12 sf0.1 re-check of
+    # this query (latent: the signbit sweep covers sf0.001/sf0.01)
     for i, j in pairs:
         a = F.element_at("embedding", i).cast("double")
         b = F.element_at("embedding", j).cast("double")
-        cols.append(F.round(F.covar_samp(a, b), 4).alias(f"cov_{i}_{j}"))
-        cols.append(F.round(F.corr(a, b), 4).alias(f"cor_{i}_{j}"))
-    wide = emb.agg(*cols)
+        cols.append(
+            (F.round(F.covar_samp(a, b), 4) + 0.0).alias(f"cov_{i}_{j}")
+        )
+        cols.append((F.round(F.corr(a, b), 4) + 0.0).alias(f"cor_{i}_{j}"))
+    # the row-count rides along so the empty corpus yields 0 rows like
+    # the oracle's GROUP BY over its empty fan-out (a groupless agg
+    # alone would stack 36 NULL cells) — round-12 degenerate sweep
+    wide = emb.agg(F.count(F.lit(1)).alias("_n"), *cols)
     stack_args = ", ".join(
         f"{i}L, {j}L, cov_{i}_{j}, cor_{i}_{j}" for i, j in pairs
     )
-    return wide.selectExpr(
+    return wide.filter(F.col("_n") > 0).selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (i, j, cov, pearson)"
     )
 

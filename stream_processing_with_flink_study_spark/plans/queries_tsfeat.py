@@ -580,6 +580,20 @@ def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "y", F.row_number().over(widx).alias("rn")
     ).persist()
     n = idx.count()
+    if n == 0:
+        # empty event stream: the oracle still emits its three model
+        # labels with NULL mae/mase (the VALUES model list survives the
+        # empty join); mirror instead of subscripting first()=None
+        # (round-12 degenerate sweep)
+        idx.unpersist()
+        return spark.createDataFrame(
+            [
+                ("naive", None, None),
+                ("seasonal_naive", None, None),
+                ("dow_mean", None, None),
+            ],
+            "model string, mae double, mase double",
+        )
     ntr = n - 6
     train = idx.filter(F.col("rn") <= ntr)
     test = idx.filter(F.col("rn") > ntr)
@@ -2402,6 +2416,15 @@ def _bass_spark(spark: SparkSession, adopt_cte: str) -> DataFrame:
         + _BASS_PRE.replace("{MAT}", "").strip()
         + "\nSELECT * FROM qm"
     ).collect()[0]
+    if not qm["n"]:
+        # empty adoption series: the oracle's groupless moment rollup
+        # emits one row with n_months = 0 and a NULL fit (its sums are
+        # NULL); mirror instead of int(None)-crashing (round-12 sweep)
+        return spark.createDataFrame(
+            [(0, None, None, None, None)],
+            "n_months long, p_innovation double, q_imitation double, "
+            "m_saturation_frac double, peak_month double",
+        )
     n, sx, sxx, sxxx, sxxxx = (
         int(qm["n"]), int(qm["sx"]), int(qm["sxx"]),
         int(qm["sxxx"]), int(qm["sxxxx"]),

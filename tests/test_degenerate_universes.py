@@ -57,6 +57,50 @@ DEGENERATE_FAMILY = [
     "sprt_conversion_monitor",
     "matryoshka_recall_eval",
     "mmr_diverse_topk",
+    # the 40 divergences the round-12 FULL-registry sweep
+    # (tools/degenerate_sweep.py) found beyond the curated family —
+    # every one fixed and pinned here; the full sweep itself runs in
+    # ci.sh, this keeps `pytest tests/` self-contained:
+    "als_implicit_rank2",
+    "anova_oneway_priority",
+    "bass_diffusion_fit",
+    "cochran_armitage_trend",
+    "concurrency_littles_law",
+    "cube_order_priorities",
+    "cuped_variance_reduction",
+    "dataset_card_summary",
+    "degree_assortativity",
+    "dq_constraint_report",
+    "embedding_covariance_block",
+    "erlang_c_staffing",
+    "forecast_baseline_eval",
+    "gmm_em_order_values",
+    "graph_robustness_attack",
+    "grouping_sets_priority",
+    "huber_irls_price_model",
+    "isotonic_calibration",
+    "katz_centrality_cosupplier",
+    "ks_test_doc_length",
+    "log_rank_survival",
+    "markov_entropy_rate",
+    "mondrian_k_anonymize",
+    "mst_cosupplier",
+    "negative_sampling_contrastive",
+    "pagerank_cosupplier",
+    "pca_whiten_embeddings",
+    "personalized_pagerank",
+    "power_iteration_top_pc",
+    "rollup_order_stats",
+    "sinkhorn_ot_segments",
+    "sssp_cosupplier",
+    "streaming_session_timers",
+    "textrank_keywords",
+    "theil_sen_monthly_trend",
+    "trigram_backoff_xent",
+    "tukey_hsd_priority",
+    "v_optimal_histogram",
+    "welch_ttest_segments",
+    "zone_map_pruning_eval",
 ]
 
 

@@ -15,7 +15,16 @@
 #   4. tools/explain_audit.py     — static plan audit over every
 #                                   registered query (scan blowups,
 #                                   row-path Python UDFs, pruning)
-#   5. tools/overflow_sweep.py    — top-20 heaviest bench queries PLUS
+#   5. tools/degenerate_sweep.py  — ALL registered queries + oracles on
+#                                   a fully-empty schema-preserved
+#                                   universe (row/schema/value parity).
+#                                   Found 40 real divergences when first
+#                                   run in round 12 — empty-collect
+#                                   crashes, ANSI-divide asymmetries,
+#                                   NULL-bool stringification, and the
+#                                   Spark-vs-SQL-standard empty-rollup
+#                                   gap.  Skip with DEGENERATE_SWEEP=0.
+#   6. tools/overflow_sweep.py    — top-20 heaviest bench queries PLUS
 #                                   every %MOD-fraction-sampled query
 #                                   on a 10x-salted universe.  Since
 #                                   round 11 it FAILS on superlinearity
@@ -50,6 +59,9 @@ run tools/run_gate.sh "${1:-4}"
 run python tools/signbit_sweep.py
 run python tools/sf01_sweep.py
 run python tools/explain_audit.py
+if [ "${DEGENERATE_SWEEP:-1}" = "1" ]; then
+  run python tools/degenerate_sweep.py
+fi
 if [ "${OVERFLOW_SWEEP:-1}" = "1" ]; then
   run python tools/overflow_sweep.py
 fi
