@@ -3992,3 +3992,81 @@ def _lof_impl(
         .limit(20)
         .drop("_lof_raw")
     )
+
+
+# --------------------------------------------------------------------------
+# pass@k estimation from repeated trials
+# --------------------------------------------------------------------------
+PASS_K_LIST = (1, 5, 10)
+PASS_TASK_MOD = 10  # deterministic task sample (user_id stride)
+
+
+def _pass_at_k_terms(k: int) -> str:
+    """The unbiased pass@k estimator 1 − C(n−c, k)/C(n, k) (Chen et
+    al., "Evaluating Large Language Models Trained on Code", 2021 —
+    public method) with the binomial ratio expanded as the exact
+    telescoping product Π_{i<k} (n−c−i)/(n−i): every factor is one
+    IEEE division of exact integers, so the k ≤ 10 product is the
+    identical expression tree in both engines."""
+    prod = " * ".join(
+        f"(CAST(greatest(n - c - {i}, 0) AS DOUBLE) / (n - {i}))"
+        for i in range(k)
+    )
+    return (
+        f"CASE WHEN n >= {k}"
+        f" THEN round(1.0 - ({prod}) - 1e-9, 4) + 0.0"
+        f" END AS pass_at_{k}"
+    )
+
+
+@query(
+    "pass_at_k_estimator",
+    f"""
+    WITH trials AS (
+      SELECT user_id AS task_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events
+      WHERE user_id % {PASS_TASK_MOD} = 0
+      GROUP BY user_id
+    )
+    SELECT task_id, n AS n_trials, c AS n_pass,
+           {", ".join(_pass_at_k_terms(k) for k in PASS_K_LIST)}
+    FROM trials
+    ORDER BY task_id
+    """,
+)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k from repeated trials — the estimator every code/eval
+    harness reports (Chen et al. 2021): with n trials and c successes
+    per task, pass@k = 1 − C(n−c, k)/C(n, k), the probability that at
+    least one of k drawn trials succeeds — computed with the
+    numerically-stable telescoping product, never factorials.  Tasks
+    are the stride-sampled users, trials their events, success =
+    purchase; k ∈ {PASS_K_LIST}.  Tasks with n < k leave that column
+    NULL (the estimator is undefined), matching the reference
+    implementation's skip.
+
+    Determinism: n and c are exact BIGINTs; each pass@k is a ≤10-term
+    product of exact-integer ratios evaluated by the identical tree in
+    both engines; rounding only at output.  Scale shape: one map-side
+    combinable per-task rollup, then a per-row projection — linear,
+    no window, no pairwise stage (the %MOD sample feeds no quadratic
+    work, but it rides in the overflow sweep's MOD_SAMPLED list per
+    the standing policy)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % PASS_TASK_MOD == 0
+    )
+    trials = ev.groupBy(F.col("user_id").alias("task_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    return trials.selectExpr(
+        "task_id",
+        "n AS n_trials",
+        "c AS n_pass",
+        *[_pass_at_k_terms(k) for k in PASS_K_LIST],
+    ).orderBy("task_id")

@@ -3830,3 +3830,227 @@ def logistic_newton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     piv.createOrReplaceTempView("logit_piv")
     return spark.sql(_logit_newton_sql("logit_piv"))
+
+
+# --------------------------------------------------------------------------
+# AdaBoost over decision stumps on the binary-feature cells
+# --------------------------------------------------------------------------
+ADA_ROUNDS = 3
+
+
+def _ada_pred_set(a: int, b: int) -> tuple[int, int]:
+    """Stump ids that predict POSITIVE for cell (x1=a, x2=b): stump 1 =
+    "late iff urgent", 2 = "late iff not urgent", 3 = "late iff big
+    ticket", 4 = "late iff not big ticket"."""
+    return (1 if a == 1 else 2, 3 if b == 1 else 4)
+
+
+def _ada_cells_select() -> str:
+    """ONE groupless map-side-combinable rollup: corpus → the 1-row
+    8-column (x1, x2, label) cell counts — AdaBoost's sufficient
+    statistics when the weak learners are stumps over binary features
+    (every example in a cell shares every stump's verdict, so weights
+    stay uniform within a cell-by-label group forever)."""
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN x1 = {a} AND x2 = {b} AND y = {1 if s == 'p' else 0}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n{a}{b}{s}"
+        for a in (0, 1)
+        for b in (0, 1)
+        for s in ("p", "n")
+    )
+    return f"SELECT {cells} FROM base"
+
+
+def _ada_cells_sql() -> str:
+    return f"""
+    WITH {_logit_base_cte()}
+    {_ada_cells_select()}
+    """
+
+
+def _ada_round(t: int) -> str:
+    """One boosting round over the 1-row cell-weight state: normalized
+    weighted error of each of the 4 stumps, argmin with lowest-id
+    tie-break, alpha = half the log odds of the chosen error, and the
+    exponential reweighting — all one scalar expression tree."""
+    dbl = "CAST(0.0 AS DOUBLE)"
+    eps = {
+        1: "w10n + w11n + w00p + w01p",
+        2: "w00n + w01n + w10p + w11p",
+        3: "w01n + w11n + w00p + w10p",
+        4: "w00n + w10n + w01p + w11p",
+    }
+    carry_n = ", ".join(
+        f"n{a}{b}{s}" for a in (0, 1) for b in (0, 1) for s in "pn"
+    )
+    carry_prev = ", ".join(f"s{i}, e{i}, al{i}" for i in range(1, t))
+    carry_prev = (carry_prev + ", ") if carry_prev else ""
+    upd = []
+    for a in (0, 1):
+        for b in (0, 1):
+            p1, p2 = _ada_pred_set(a, b)
+            inset = f"s{t} IN ({p1}, {p2})"
+            upd.append(
+                f"w{a}{b}p * exp(CASE WHEN {inset} THEN -al{t}"
+                f" ELSE al{t} END) AS w{a}{b}p"
+            )
+            upd.append(
+                f"w{a}{b}n * exp(CASE WHEN {inset} THEN al{t}"
+                f" ELSE -al{t} END) AS w{a}{b}n"
+            )
+    return f"""ad{t} AS (
+      SELECT {carry_n}, {carry_prev}s{t}, e{t}, al{t},
+             {", ".join(upd)}
+      FROM (
+        SELECT *,
+               -- nullif ladder: a perfect (e=0) or hopeless (e=1)
+               -- stump NULLs alpha identically in both engines
+               -- instead of DuckDB erroring on ln(0)/x/0
+               0.5 * ln(nullif((1.0 - e{t}) / nullif(e{t}, {dbl}),
+                        {dbl})) AS al{t}
+        FROM (
+          SELECT *,
+                 CASE s{t} WHEN 1 THEN r1 WHEN 2 THEN r2
+                           WHEN 3 THEN r3 ELSE r4 END AS e{t}
+          FROM (
+            SELECT *,
+                   CASE WHEN r1 <= r2 AND r1 <= r3 AND r1 <= r4 THEN 1
+                        WHEN r2 <= r3 AND r2 <= r4 THEN 2
+                        WHEN r3 <= r4 THEN 3
+                        ELSE 4 END AS s{t}
+            FROM (
+              SELECT *,
+                     ({eps[1]}) / wt AS r1, ({eps[2]}) / wt AS r2,
+                     ({eps[3]}) / wt AS r3, ({eps[4]}) / wt AS r4
+              FROM (
+                SELECT *,
+                       nullif(w00p + w00n + w01p + w01n + w10p + w10n
+                              + w11p + w11n, {dbl}) AS wt
+                FROM ad{t - 1}
+              )
+            )
+          )
+        )
+      )
+    )"""
+
+
+def _ada_outs() -> str:
+    rows = []
+    for a in (0, 1):
+        for b in (0, 1):
+            p1, p2 = _ada_pred_set(a, b)
+            margin = " + ".join(
+                f"CASE WHEN s{t} IN ({p1}, {p2}) THEN al{t}"
+                f" ELSE -al{t} END"
+                for t in range(1, ADA_ROUNDS + 1)
+            )
+            round_cols = ", ".join(
+                f"CAST(s{t} AS BIGINT) AS stump_r{t},"
+                f" round(e{t} - 1e-9, 4) + 0.0 AS err_r{t},"
+                f" round(al{t} - 1e-9, 4) + 0.0 AS alpha_r{t}"
+                for t in range(1, ADA_ROUNDS + 1)
+            )
+            rows.append(
+                f"SELECT CAST({a} AS BIGINT) AS x_urgent,"
+                f" CAST({b} AS BIGINT) AS x_bigticket,"
+                f" n{a}{b}p + n{a}{b}n AS n, n{a}{b}p AS n_late,"
+                f" round(({margin}) - 1e-9, 4) + 0.0 AS margin,"
+                f" CAST(CASE WHEN ({margin}) > 0 THEN 1"
+                f"           WHEN ({margin}) <= 0 THEN 0 END AS INT)"
+                f" AS pred_late,"
+                f" {round_cols}"
+                f" FROM ad{ADA_ROUNDS}"
+            )
+    return "\n      UNION ALL ".join(rows)
+
+
+def _ada_tail_sql(src: str) -> str:
+    inits = ", ".join(
+        f"CAST(n{a}{b}{s} AS DOUBLE) AS w{a}{b}{s}"
+        for a in (0, 1)
+        for b in (0, 1)
+        for s in "pn"
+    )
+    stages = ",\n    ".join(_ada_round(t) for t in range(1, ADA_ROUNDS + 1))
+    return f"""
+    WITH ad0 AS (
+      SELECT *, {inits}
+      FROM {src}
+    ),
+    {stages}
+    SELECT * FROM (
+      {_ada_outs()}
+    ) ORDER BY x_urgent, x_bigticket
+    """
+
+
+def _ada_sql() -> str:
+    tail = _ada_tail_sql("cells8").strip()[len("WITH") :]
+    return f"""
+    WITH {_logit_base_cte()},
+    cells8 AS {{MAT}}(
+      {_ada_cells_select()}
+    ),
+    {tail}
+    """
+
+
+@query(
+    "adaboost_stumps_cells",
+    _ada_sql()
+    .replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem")
+    .replace(
+        "{DD}",
+        "date_diff('day', CAST(o.o_orderdate AS DATE), li.first_ship)",
+    )
+    .replace("{MAT}", "MATERIALIZED "),
+)
+def adaboost_stumps_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost.M1 (Freund & Schapire '97) trained EXACTLY at any
+    scale, round 12's second member of the sufficient-statistics fit
+    family: with decision-stump weak learners over binary features,
+    every example in an (x1, x2, label) cell receives the identical
+    verdict from every stump, so example weights stay uniform within
+    the 8 cells forever — ONE map-side-combinable rollup reduces the
+    corpus to 8 counts and the {ADA_ROUNDS} boosting rounds run as a
+    scalar expression pipeline over that 1-row state (the
+    ``logistic_newton_cells`` template: cells localCheckpointed once,
+    zero further corpus passes, the 4-branch output reads one
+    in-memory row).  Per round: normalized weighted error of all 4
+    stumps ("late iff urgent/not-urgent/big-ticket/not-big-ticket"),
+    argmin with lowest-id tie-break, alpha = ½·ln((1−e)/e),
+    exponential reweighting.  Emits each cell's ensemble margin
+    Σ αₜ·hₜ and prediction plus every round's (stump, error, alpha) —
+    the boosting trace a feature-screen reads to see WHICH signal the
+    ensemble leans on and how fast it saturates.
+
+    Determinism is total: both engines execute the IDENTICAL generated
+    expression tree over exact integer cells (stump choice compares
+    the same doubles, ln/exp chains are bit-identical); rounding only
+    at output.  The nullif ladder NULLs alpha on a perfect/hopeless
+    stump identically in both engines (DuckDB would error on ln(0)).
+
+    Reference scope: supervised screen over the same late-shipment
+    target as ``decision_stump_gini`` / ``logistic_newton_cells``
+    (정리/3주차.md operator surface — keyed aggregate + scalar
+    pipeline)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ada_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ada_lineitem"
+    )
+    cells = spark.sql(
+        _ada_cells_sql()
+        .replace("{orders}", "ada_orders")
+        .replace("{lineitem}", "ada_lineitem")
+        .replace(
+            "{DD}",
+            "datediff(li.first_ship, CAST(o.o_orderdate AS DATE))",
+        )
+        .replace("{MAT}", "")
+    ).localCheckpoint()
+    cells.createOrReplaceTempView("ada_cells")
+    return spark.sql(_ada_tail_sql("ada_cells"))

@@ -36,6 +36,8 @@ DEGENERATE_FAMILY = [
     "logistic_newton_cells",
     "scaling_law_fit",
     "wilcoxon_signed_rank",
+    "adaboost_stumps_cells",
+    "pass_at_k_estimator",
     "binseg_two_level",
     "dpo_pair_margins",
     "successive_halving_schedule",

@@ -515,3 +515,110 @@ def test_lof_dense_grid_sizing_laws(spark):
         for r in rows.values():
             assert r.lof > 0.0
             assert 1 <= r.n_considered <= 5
+
+
+def test_adaboost_planted_dominant_stump(spark, tmp_path):
+    """Cells with an 80/20 urgent-late split and no big-ticket signal:
+    round 1 MUST pick stump 1 ("late iff urgent") with error exactly
+    0.2 and alpha = ln(4)/2; the exponential reweighting then
+    equalizes every cell weight, so rounds 2 and 3 face a four-way
+    0.5 tie, break to stump 1, and contribute alpha = 0 — the
+    closed-form boosting trace, margins ±ln(4)/2, urgent cells
+    predicted late."""
+    import datetime
+    import math
+
+    d0 = datetime.datetime(1995, 1, 1)
+    cells = {(0, 0): (10, 2), (0, 1): (10, 2), (1, 0): (10, 8), (1, 1): (10, 8)}
+    orders, lines = [], []
+    okey = 0
+    for (x1, x2), (n, k) in cells.items():
+        for s in range(n):
+            okey += 1
+            pri = "1-URGENT" if x1 else "3-MEDIUM"
+            price = 200000.0 if x2 else 1000.0
+            orders.append((okey, pri, price, d0))
+            ship = d0 + datetime.timedelta(days=90 if s < k else 10)
+            lines.append((okey, ship))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        (r.x_urgent, r.x_bigticket): r
+        for r in QUERIES["adaboost_stumps_cells"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a1 = 0.5 * math.log(4.0)
+    r4 = lambda v: round(v - 1e-9, 4) + 0.0  # noqa: E731
+    for (a, b), r in got.items():
+        assert (r.stump_r1, r.stump_r2, r.stump_r3) == (1, 1, 1)
+        assert r.err_r1 == r4(0.2)
+        assert r.alpha_r1 == r4(a1)
+        assert r.err_r2 == r4(0.5) and r.alpha_r2 == 0.0
+        assert r.err_r3 == r4(0.5) and r.alpha_r3 == 0.0
+        assert r.n == 10 and r.n_late == (8 if a else 2)
+        assert r.margin == r4(a1 if a else -a1)
+        assert r.pred_late == (1 if a else 0)
+
+
+def test_pass_at_k_planted_combinatorics(spark, tmp_path):
+    """One task with n=10 trials, c=3 passes: pass@1 = 3/10, pass@5 =
+    1 − C(7,5)/C(10,5) = 11/12, pass@10 = 1 (can't draw 10 all-fail
+    trials from 7 failures); a second task with n=4 < 5 leaves
+    pass@5/pass@10 NULL (estimator undefined)."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append((i, 10, "purchase" if i < 3 else "view",
+                     d0 + datetime.timedelta(minutes=i), 1.0))
+    for i in range(4):
+        rows.append((100 + i, 20, "purchase" if i < 2 else "view",
+                     d0 + datetime.timedelta(minutes=i), 1.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.task_id: r
+        for r in QUERIES["pass_at_k_estimator"](spark, str(tmp_path)).collect()
+    }
+    r4 = lambda v: round(v - 1e-9, 4) + 0.0  # noqa: E731
+    t10 = got[10]
+    assert (t10.n_trials, t10.n_pass) == (10, 3)
+    assert t10.pass_at_1 == r4(0.3)
+    assert t10.pass_at_5 == r4(1.0 - (7 * 6 * 5 * 4 * 3) / (10 * 9 * 8 * 7 * 6))
+    assert t10.pass_at_10 == r4(1.0)
+    t20 = got[20]
+    assert (t20.n_trials, t20.n_pass) == (4, 2)
+    assert t20.pass_at_1 == r4(0.5)
+    assert t20.pass_at_5 is None and t20.pass_at_10 is None
+
+
+def test_pass_at_k_monotone_on_real_corpus(spark):
+    """pass@k is non-decreasing in k on every task (drawing more
+    trials can only help), and equals c/n exactly at k=1."""
+    rows = QUERIES["pass_at_k_estimator"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert abs(r.pass_at_1 - round(r.n_pass / r.n_trials - 1e-9, 4)) < 1e-12
+        if r.pass_at_5 is not None:
+            assert r.pass_at_5 >= r.pass_at_1
+        if r.pass_at_10 is not None and r.pass_at_5 is not None:
+            assert r.pass_at_10 >= r.pass_at_5

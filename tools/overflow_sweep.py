@@ -92,6 +92,9 @@ MOD_SAMPLED = [
     # is the whole point of registering the scaled configurations
     "knn_label_noise_ivf64",
     "lof_grid_outliers_dense",
+    # %MOD task sample feeding a LINEAR per-task rollup (no pairwise
+    # stage) — listed per the blanket "every %MOD-sampled query" policy
+    "pass_at_k_estimator",
 ]
 
 # Queries EXEMPT from the superlinearity gate, each with the written

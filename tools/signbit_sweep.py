@@ -52,8 +52,14 @@ def main() -> int:
         "--sf",
         action="append",
         default=None,
-        help="scale dirs to sweep (default: sf0.001 AND sf0.01 — short-doc "
-        "edge cases only surface at sf0.001, see memory notes)",
+        help="scale dirs to sweep (default: sf0.001 AND sf0.01 — "
+        "short-doc edge cases only surface at sf0.001).  Run the "
+        "sf0.1 dir ONCE PER ROUND as the deep pass "
+        "(`--sf /root/testdata/sf0.1`, ~30 min of DuckDB oracle "
+        "evaluation): round 12 found a bench-scale-only -0.0 "
+        "covariance cell (embedding_covariance_block) that the two "
+        "smaller dirs never produce; the 3-dir sweep is clean as of "
+        "that fix.",
     )
     args = ap.parse_args()
     sf_dirs = args.sf or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
