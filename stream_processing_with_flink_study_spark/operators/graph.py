@@ -196,8 +196,15 @@ def pagerank(
         )
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    prev_ranks: DataFrame | None = None
     try:
+        # the rank vector is referenced exactly ONCE per round (the
+        # join), so the whole iteration chains lazily — one linear
+        # plan, no per-round recompute risk — and materializes ONCE at
+        # the end (round-12 rework: the previous per-round
+        # persist+count drove 2 driver round trips per round; same
+        # per-round shuffle/broadcast volume either way at any scale,
+        # but one job with k sequential stages has k-1 fewer
+        # driver-side barriers)
         for _ in range(iters):
             rhs = F.broadcast(ranks) if use_broadcast else ranks.hint(
                 "shuffle_hash"
@@ -217,11 +224,10 @@ def pagerank(
             ranks = acc.select(
                 F.col("dst").alias("id"),
                 (tele + F.lit(damping) * F.col("acc")).alias("rank"),
-            ).persist()
-            ranks.count()
-            if prev_ranks is not None:
-                prev_ranks.unpersist()
-            prev_ranks = ranks
+            )
+        # one materialization pins the result so multi-action callers
+        # never re-run the chain (and lineage is truncated, as before)
+        ranks = ranks.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         fedges.unpersist()
@@ -496,9 +502,11 @@ def label_propagation(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("community"))
-        .localCheckpoint()
     )
-    prev: DataFrame | None = labels
+    # the label frame is referenced exactly ONCE per round (the join),
+    # so the rounds chain lazily over the checkpointed edge list and
+    # materialize ONCE — same per-round shuffles, one driver barrier
+    # instead of `rounds` (the pagerank round-12 rework)
     for _ in range(rounds):
         msgs = sym.join(
             labels.withColumnRenamed("id", "b"), "b"
@@ -514,11 +522,8 @@ def label_propagation(
                 ),
             ).alias("community")
         )
-        labels = best.localCheckpoint()
-        if prev is not None:
-            prev.unpersist()
-        prev = labels
-    return labels
+        labels = best
+    return labels.localCheckpoint()
 
 
 def connected_components_star(
@@ -610,7 +615,7 @@ def boruvka_mst(
     dst: str = "dst",
     weight: str = "w",
     max_rounds: int = 16,
-    tail_threshold: int = 100_000,
+    tail_threshold: int = 500_000,
 ) -> DataFrame:
     """Minimum spanning forest via PARALLEL BORŮVKA — the MST
     algorithm that survives distribution (Kruskal's sorted-edge scan
@@ -634,6 +639,13 @@ def boruvka_mst(
     a sequential Kruskal union-find keyed on component ids — bounded
     by the threshold, never by |V| or |E|, and gated by an explicit
     count so a graph that is still big keeps iterating distributed.
+    The default gate is 500k one-cross-edge-per-component-pair rows
+    (~25 MB collected — comfortably inside the 1 GB
+    ``spark.driver.maxResultSize`` and a sub-second driver sort);
+    raised from 100k in round 12 because the log-depth distributed
+    tail it replaces costs ~5 jobs per round, which at bench scale IS
+    the MST wall, while the output is invariant to which regime picks
+    the edges.
 
     Returns the chosen edges ``(src, dst, w)``; Σw and the edge
     multiset are MST-invariants (identical for every valid MST even
@@ -691,8 +703,18 @@ def boruvka_mst(
         if n_cross == 0:
             break
         if n_cross <= tail_threshold:
-            # bounded driver tail: Kruskal union-find on COMPONENT ids
-            rows = lab.collect()
+            # bounded driver tail: Kruskal union-find on COMPONENT ids.
+            # Kruskal's total order is computed by SPARK (a distributed
+            # sort beats a driver sort of Row objects ~5x at the 500k
+            # gate) and the rows land as Arrow-backed pandas columns —
+            # plain int arrays, not Row objects, for the tight loop.
+            pdf = (
+                lab.orderBy(
+                    "ew", F.least("a", "b"), F.greatest("a", "b")
+                )
+                .select("a", "b", "ew", "ca", "cb")
+                .toPandas()
+            )
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
@@ -702,13 +724,17 @@ def boruvka_mst(
                 return x
 
             picked_rows = []
-            for r in sorted(
-                rows, key=lambda r: (r.ew, min(r.a, r.b), max(r.a, r.b))
+            for a_, b_, ew_, ca_, cb_ in zip(
+                pdf["a"].tolist(),
+                pdf["b"].tolist(),
+                pdf["ew"].tolist(),
+                pdf["ca"].tolist(),
+                pdf["cb"].tolist(),
             ):
-                ra, rb = find(r.ca), find(r.cb)
+                ra, rb = find(ca_), find(cb_)
                 if ra != rb:
                     parent[ra] = rb
-                    picked_rows.append((r.a, r.b, r.ew))
+                    picked_rows.append((a_, b_, ew_))
             tail_df = spark.createDataFrame(
                 picked_rows, schema=lab.select("a", "b", "ew").schema
             )
@@ -811,8 +837,11 @@ def katz_centrality(
     scores = nodes.select("id", F.lit(0.0).alias("score"))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    prev_scores: DataFrame | None = None
     try:
+        # score vector referenced once per round → lazy-chain the
+        # rounds and materialize ONCE (the pagerank round-12 rework:
+        # same shuffle/broadcast volume, one driver barrier instead of
+        # 2·iters)
         for _ in range(iters):
             rhs = (
                 F.broadcast(scores)
@@ -827,11 +856,8 @@ def katz_centrality(
             scores = acc.select(
                 F.col("dst").alias("id"),
                 (F.lit(beta) + F.lit(alpha) * F.col("acc")).alias("score"),
-            ).persist()
-            scores.count()
-            if prev_scores is not None:
-                prev_scores.unpersist()
-            prev_scores = scores
+            )
+        scores = scores.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         fedges.unpersist()

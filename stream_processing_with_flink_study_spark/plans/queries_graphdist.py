@@ -608,8 +608,13 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("d"), F.col("src")))
         .alias("rk"),
     ).localCheckpoint()
-    rows = []
-    for pct in _ATTACK_SHARES:
+    def scenario(pct: int):
+        """One percolation scenario — independent of the others, so the
+        four run as OVERLAPPED driver-thread jobs (guide §2.6): each
+        scenario's iterative-CC tail leaves most executors idle, and
+        the next scenario's rounds back-fill them.  Wall drops from the
+        sum of the four CC walls to roughly the slowest one; per-job
+        shuffle volume is unchanged at any scale."""
         n_rm = n * pct // 100
         removed = ranked.filter(F.col("rk") <= n_rm).select("u")
         survivors = ranked.filter(F.col("rk") > n_rm).select("u")
@@ -625,18 +630,20 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_left == 0:
             # empty scenario: the oracle's max-over-nothing and x/0
             # both yield NULL — mirror, never divide (round-12 sweep)
-            rows.append((pct, n_rm, n_left, se.count(), None, None))
-            continue
-        rows.append(
-            (
-                pct,
-                n_rm,
-                n_left,
-                se.count(),
-                int(lcc),
-                round(lcc * 1.0 / n_left - 1e-9, 4) + 0.0,
-            )
+            return (pct, n_rm, n_left, se.count(), None, None)
+        return (
+            pct,
+            n_rm,
+            n_left,
+            se.count(),
+            int(lcc),
+            round(lcc * 1.0 / n_left - 1e-9, 4) + 0.0,
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_ATTACK_SHARES)) as pool:
+        rows = list(pool.map(scenario, _ATTACK_SHARES))
     return spark.createDataFrame(
         rows,
         "remove_pct long, n_removed long, n_nodes long, n_edges long, "

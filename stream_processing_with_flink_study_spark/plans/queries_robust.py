@@ -1037,23 +1037,34 @@ def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-stage codegen with map-side partial aggregation into |grid|
     # groups (measured fastest vs BroadcastNestedLoop crossJoin and a
     # dummy-key BroadcastHashJoin; the floor is the rows × |grid| exact
-    # integer work itself, which is the point of an exact grid fit)
-    grid_arr = F.array(
-        *[
-            F.struct(
-                F.lit(t10).alias("t10"),
-                F.lit(a).cast("long").alias("a"),
-                F.lit(b).cast("long").alias("b"),
-            )
+    # integer work itself, which is the point of an exact grid fit).
+    # The 252 literal structs are ONE parsed SQL expression: building
+    # them as nested F.struct(F.lit(...)) objects cost ~2000 py4j round
+    # trips (~6 s of pure driver time per run, round-12 profile); the
+    # single expr string is one parse in the JVM for the same plan.
+    grid_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({t10} AS t10, CAST({a} AS BIGINT) AS a,"
+            f" CAST({b} AS BIGINT) AS b)"
             for t10 in QR_TAUS10
             for a in QR_INTERCEPTS
             for b in QR_SLOPES
-        ]
+        )
+        + ")"
     )
     r = F.col("yc") - (F.col("a") + F.col("b") * F.col("x"))
     pin = F.when(r >= 0, F.col("t10") * r).otherwise(
         (10 - F.col("t10")) * (-r)
     )
+    # the driver parquet is one row group (unsplittable — guide §2.5),
+    # so without an explicit repartition the rows × |grid| inline
+    # explode and its partial aggregation run in ONE task; spreading
+    # the 16-byte (yc, x) rows first costs a tiny shuffle and
+    # parallelizes the 288-way explode (2.4 s -> 0.3 s map side at
+    # sf0.1, and the same balance argument holds wherever scans are
+    # coarser than the explode amplification)
+    pts = pts.repartition(spark.sparkContext.defaultParallelism)
     losses = (
         pts.select("yc", "x", F.inline(grid_arr))
         .groupBy("t10", "a", "b")
