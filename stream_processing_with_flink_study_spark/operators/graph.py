@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Size gate for the sequential union-find tail: symmetrized edge lists
+# at or under this row count (≈500k undirected edges, ~16 MB as two
+# int64 pandas columns) are collected and solved on the driver —
+# min-label propagation needs diameter/2 rounds of ~8 scheduled jobs
+# each, which at small-graph sizes is pure scheduling wall, while a
+# driver union-find is O(E α(E)).  Graphs over the gate (the 100 TB
+# regime) keep the distributed loop unchanged; the gate itself is one
+# count over an already-checkpointed frame.  Same hybrid-tail pattern
+# (and a similar bound) as ``boruvka_mst``.
+LOCAL_CC_SYM_LIMIT = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -32,6 +44,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     vertex_col: str = "id",
     max_iter: int = 25,
+    local_threshold: int = LOCAL_CC_SYM_LIMIT,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -59,15 +72,58 @@ def connected_components(
             F.col(dst).cast("long").alias("id"), F.col(src).cast("long").alias("nbr")
         )
     )
-    verts = sym.select("id")
-    if vertices is not None:
-        verts = verts.unionByName(
-            vertices.select(F.col(vertex_col).cast("long").alias("id"))
-        )
-    labels = (
-        verts.distinct().select("id", F.col("id").alias("comp")).localCheckpoint()
-    )
     sym = sym.localCheckpoint()  # pin the edge list; reused every round
+    spark = edges.sparkSession
+    if sym.count() <= local_threshold:
+        # sequential tail: exact same (id, min-reachable-id) output —
+        # union-by-min-root keeps every root the minimum of its tree,
+        # so find(x) IS the min label the propagation converges to
+        pdf = sym.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["id"].tolist(), pdf["nbr"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_rows = sorted((x, find(x)) for x in parent)
+        import pandas as pd
+
+        labels = spark.createDataFrame(
+            pd.DataFrame(comp_rows, columns=["id", "comp"]).astype("int64")
+            if comp_rows
+            else pd.DataFrame({"id": pd.Series(dtype="int64"),
+                               "comp": pd.Series(dtype="int64")}),
+            "id long, comp long",
+        )
+        if vertices is not None:
+            isolated = (
+                vertices.select(
+                    F.col(vertex_col).cast("long").alias("id")
+                )
+                .distinct()
+                .join(labels.select("id"), "id", "left_anti")
+                .select("id", F.col("id").alias("comp"))
+            )
+            labels = labels.unionByName(isolated)
+        return labels
+    # only EDGE-ENDPOINT vertices ride the iteration: an isolated
+    # vertex is a singleton component by definition, so it joins the
+    # result afterwards as (id, id) instead of being shuffled through
+    # every round — on dedup/stitch graphs the overwhelming majority of
+    # vertices are isolated, so this shrinks every per-round shuffle
+    # from |V| + 2|E| to touched-vertices + 2|E| (round-12 rework)
+    labels = (
+        sym.select("id")
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
 
     def step(lbl: DataFrame) -> DataFrame:
         msgs = sym.join(
@@ -95,6 +151,14 @@ def connected_components(
                 labels = new_labels
                 break
         labels = new_labels
+    if vertices is not None:
+        isolated = (
+            vertices.select(F.col(vertex_col).cast("long").alias("id"))
+            .distinct()
+            .join(labels.select("id"), "id", "left_anti")
+            .select("id", F.col("id").alias("comp"))
+        )
+        labels = labels.unionByName(isolated)
     return labels
 
 

@@ -1719,6 +1719,11 @@ def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("_t")
     )
+    # single-row-group input (guide §2.5): spread the docs BEFORE the
+    # ~600x trigram explode + partial agg, which otherwise runs in one
+    # scan task (6.7 s -> <1 s at sf0.1; the tiny doc shuffle is noise
+    # against the explode amplification at any scale)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # bind _t as an attribute BEFORE the lambda (word_shingles perf
     # note: outer non-attribute expressions re-evaluate per element)
     tri = docs.select(

@@ -83,9 +83,33 @@ def _bfs_prefix(k: int = BFS_SEEDS, rounds: int = BFS_ROUNDS) -> str:
 def _bfs_sigma(
     spark: SparkSession, sf_dir: str, rounds: int = BFS_ROUNDS
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(sym_edges, seeds, levels) over the co-purchase snapshot."""
-    sym = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    return bfs_sigma_from(sym, rounds=rounds)
+    """(sym_edges, seeds, levels) over the co-purchase snapshot.
+
+    The (seed, node, dist, sigma) level frame is deterministic derived
+    data consumed identically by three queries (closeness,
+    eccentricity, betweenness), so like the edge lists it is
+    materialized once per process via the fingerprinted
+    :func:`..queries_graph._edge_snapshot` mechanism — each consumer
+    pays one parquet read instead of re-running the ``rounds``-deep
+    sequential BFS (3 checkpointed join+anti-join rounds)."""
+    from .queries_graph import _edge_snapshot
+
+    # the co-purchase snapshot is itself a parquet scratch file — cheap
+    # to re-scan per reference, no checkpoint job needed here (the BFS
+    # build lambda checkpoints its own copy for the round loop)
+    sym = _copurchase_edges(spark, sf_dir)
+    b = _edge_snapshot(
+        spark,
+        sf_dir,
+        f"bfs_sigma_r{rounds}",
+        lambda sp, sd: bfs_sigma_from(
+            _copurchase_edges(sp, sd).localCheckpoint(), rounds=rounds
+        )[2],
+    )
+    seeds = b.filter(F.col("dist") == 0).select(
+        F.col("node").alias("seed")
+    )
+    return sym, seeds, b
 
 
 def bfs_sigma_from(

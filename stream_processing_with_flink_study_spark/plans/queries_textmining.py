@@ -385,87 +385,72 @@ def bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("d.x.bk")).alias("li"),
         )
     )
-    n = duel.groupBy("wi", "li").agg(F.count(F.lit(1)).alias("c")).persist()
-    games = (
-        n.select(F.col("wi").alias("bi"), F.col("li").alias("bj"), "c")
-        .unionAll(n.select(F.col("li").alias("bi"), F.col("wi").alias("bj"), "c"))
-        .groupBy("bi", "bj")
-        .agg(F.sum("c").cast("long").alias("games"))
-        .persist()
+    import math
+
+    # the duel matrix is ALPHABET-bounded (25 brands → ≤600 (wi, li)
+    # rows), so the ENTIRE iterative half lives on the driver: ONE job
+    # collects the duel counts, and games/wins totals plus all
+    # {BT_ROUNDS} MM rounds are exact-int / double scalar arithmetic
+    # over that dict (round-12 rework: the previous per-round
+    # Spark job over the cached games frame cost 2 driver round trips
+    # and a fresh 600-row plan per round — ~2 s of pure scheduling at
+    # bench scale, and nothing the cluster could parallelize anyway).
+    # Fractions are summed in sorted-key order, so the per-round praw
+    # values are run-stable; the per-round 6-decimal re-round with the
+    # −1e-9 guard (identical on the SQL side) keeps the two engines'
+    # ulp-level summation differences from ever reaching a boundary.
+    n_rows = (
+        duel.groupBy("wi", "li").agg(F.count(F.lit(1)).alias("c")).collect()
     )
-    wins = n.groupBy(F.col("wi").alias("bk")).agg(
-        F.sum("c").cast("long").alias("wins")
-    )
-    stats = (
-        games.groupBy(F.col("bi").alias("bk"))
-        .agg(F.sum("games").cast("long").alias("games"))
-        .join(wins, "bk", "left")
-        .select(
-            "bk", F.coalesce("wins", F.lit(0)).cast("long").alias("wins"), "games"
+    games: dict[tuple[int, int], int] = {}
+    wins: dict[int, int] = {}
+    for r in n_rows:
+        games[(r.wi, r.li)] = games.get((r.wi, r.li), 0) + r.c
+        games[(r.li, r.wi)] = games.get((r.li, r.wi), 0) + r.c
+        wins[r.wi] = wins.get(r.wi, 0) + r.c
+    stats = {
+        bk: (
+            wins.get(bk, 0),
+            sum(c for (bi, _), c in games.items() if bi == bk),
         )
-        .persist()
-    )
-    # the strength vector is ALPHABET-bounded (25 brands) — like the
-    # k-means centroid rounds, it lives on the driver and re-enters
-    # each round as a map literal: no per-round broadcast joins, no
-    # eager checkpoints, and each MM round is one shallow job over the
-    # cached games frame (7.2 s -> ~2 s at sf0.1 vs the join form,
-    # whose double p-reference otherwise demands a checkpoint per
-    # round to avoid 2^rounds recompute)
-    strengths = {
-        r.bk: 1.0 / stats.count() for r in stats.select("bk").collect()
+        for bk in {b for pair in games for b in pair}
     }
-    if not strengths:
-        # degenerate universe: no games -> the oracle emits 0 rows; an
-        # empty create_map would not even type-check, so select over
-        # the (empty) stats frame directly
-        return stats.select(
-            F.col("bk").alias("brand_key"),
-            "wins",
-            "games",
-            F.lit(None).cast("double").alias("strength_rel"),
-        )
-    k = len(strengths)
+    schema = (
+        "brand_key int, wins long, games long, strength_rel double"
+    )
+    if not stats:
+        # degenerate universe: no games -> the oracle emits 0 rows
+        return spark.createDataFrame([], schema)
+    k = len(stats)
+    strengths = {bk: 1.0 / k for bk in stats}
     for _ in range(BT_ROUNDS):
-        pmap = F.create_map(
-            *[F.lit(x) for bk, pv in sorted(strengths.items()) for x in (bk, pv)]
-        )
-        praw_rows = (
-            games.select(
-                "bi",
-                "bj",
-                "games",
-                pmap[F.col("bi")].alias("pi"),
-                pmap[F.col("bj")].alias("pj"),
+        praw = {}
+        for bk in sorted(stats):
+            den = sum(
+                c / (strengths[bi] + strengths[bj])
+                for (bi, bj), c in sorted(games.items())
+                if bi == bk
             )
-            .groupBy(F.col("bi").alias("bk"))
-            .agg(F.sum(F.col("games") / (F.col("pi") + F.col("pj"))).alias("den"))
-            .join(stats, "bk")
-            .select("bk", (F.col("wins") * 1.0 / F.col("den")).alias("praw"))
-            .collect()
-        )
-        tot = sum(r.praw for r in sorted(praw_rows, key=lambda r: r.bk))
+            praw[bk] = stats[bk][0] * 1.0 / den
+        tot = sum(praw[bk] for bk in sorted(praw))
         strengths = {
             # floor(x*1e6+0.5)/1e6 == SQL round-half-up on positives
             # (pure-Python round() is half-even and would fork from
             # the oracle); the -1e-9 guard matches the SQL side
-            r.bk: __import__("math").floor(
-                (r.praw / tot - 1e-9) * 1e6 + 0.5
-            )
-            / 1e6
-            for r in praw_rows
+            bk: math.floor((praw[bk] / tot - 1e-9) * 1e6 + 0.5) / 1e6
+            for bk in praw
         }
-    smap = F.create_map(
-        *[F.lit(x) for bk, pv in sorted(strengths.items()) for x in (bk, pv)]
-    )
-    return (
-        stats.select(
-            F.col("bk").alias("brand_key"),
-            "wins",
-            "games",
-            F.round(smap[F.col("bk")] * k - 1e-9, 4).alias("strength_rel"),
+    rows = [
+        (
+            bk,
+            stats[bk][0],
+            stats[bk][1],
+            math.floor((strengths[bk] * k - 1e-9) * 1e4 + 0.5) / 1e4,
         )
-        .orderBy(F.col("strength_rel").desc(), "brand_key")
+        for bk in sorted(stats)
+    ]
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.col("strength_rel").desc(), "brand_key"
     )
 
 

@@ -38,13 +38,40 @@ def test_cycle_and_cross_links(spark):
 
 def test_max_iter_caps_rounds(spark):
     # one materialized round = TWO propagation hops: with max_iter=1 the
-    # far end of a 5-chain moves exactly two hops, not to convergence
+    # far end of a 5-chain moves exactly two hops, not to convergence.
+    # local_threshold=0 forces the DISTRIBUTED loop (the sequential
+    # union-find tail always converges fully; round capping is a
+    # distributed-path contract).
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
     )
-    out = _comps(connected_components(edges, max_iter=1))
+    out = _comps(
+        connected_components(edges, max_iter=1, local_threshold=0)
+    )
     assert out[1] == 1 and out[2] == 1 and out[3] == 1
     assert out[5] == 3  # two hops reached 3's initial label, not 1
+
+
+def test_local_tail_matches_distributed(spark):
+    # the size-gated union-find tail must emit the identical
+    # (id, min-reachable-id) labels as the distributed propagation,
+    # isolated vertices included
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "id_a long, id_b long",
+    )
+    verts = spark.createDataFrame([(99,), (1,), (10,)], "doc_id long")
+    local = _comps(
+        connected_components(edges, vertices=verts, vertex_col="doc_id")
+    )
+    dist = _comps(
+        connected_components(
+            edges, vertices=verts, vertex_col="doc_id", local_threshold=0
+        )
+    )
+    assert local == dist == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99
+    }
 
 
 def _sym(spark, undirected):
