@@ -523,12 +523,15 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order-function codegen).  Runtime is dominated by the
     # exact percentile itself; at extreme scale swap approx_percentile
     # and keep the same literal-bounds shape.
+    # ONE percentile aggregate with the 9 fractions as an array: nine
+    # scalar percentile() calls each buffer+sort the full column
+    # independently (9x the work for identical interpolated values);
+    # the array form sorts once and reads all nine boundaries off it
     bounds = orders.agg(
-        *[
-            F.percentile("o_totalprice", F.lit(q)).alias(f"q{i}")
-            for i, q in enumerate(qs)
-        ]
-    ).first()
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(q) for q in qs])
+        ).alias("qs")
+    ).first()[0]
     bucket = F.lit(1)
     for b in bounds:
         bucket = bucket + F.when(

@@ -1154,51 +1154,47 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("src"))
         ).alias("p"),
     ).localCheckpoint()
-    scen = (
-        tcnt.select(F.col("src").alias("removed"))
-        .filter(F.col("removed") != "start")
-        .distinct()
-        .unionByName(
-            ev.sparkSession.createDataFrame([("base",)], "removed STRING")
-        )
-        .localCheckpoint()
+    # the transition matrix is ALPHABET-bounded ((channels+2)² rows),
+    # so the {MARKOV_ATTR_ITERS}-round absorption fixed point runs on
+    # the DRIVER over one collected dict (round-12 rework — was a
+    # localCheckpoint job per round over a ~60-row frame: 12 rounds of
+    # pure scheduling).  Per-(removed, s) sums accumulate in sorted-dst
+    # order; 12 rounds of ulp-level summation jitter stay ~1e-14
+    # relative, far inside the 4dp output rounding — the same argument
+    # the unrolled DuckDB oracle already relies on.  Rounding and the
+    # attribution normalization stay in Spark, unchanged.
+    tp_rows = sorted(
+        ((r.src, r.dst, r.p) for r in tprob.collect()),
+        key=lambda t: (t[0], t[1]),
     )
-    states = tprob.select(F.col("src").alias("s")).distinct()
-    a = (
-        states.crossJoin(scen)
-        .filter(F.col("s") != F.col("removed"))
-        .withColumn("a", F.lit(0.0))
-        .localCheckpoint()
-    )
+    states = sorted({s for s, _, _ in tp_rows})
+    scen_list = [s for s in states if s != "start"] + ["base"]
+    by_src: dict[str, list[tuple[str, float]]] = {}
+    for s, d, p in tp_rows:
+        by_src.setdefault(s, []).append((d, p))
+    a_val: dict[tuple[str, str], float] = {
+        (rm, s): 0.0 for rm in scen_list for s in states if s != rm
+    }
     for _ in range(MARKOV_ATTR_ITERS):
-        prev = a.select(
-            F.col("removed").alias("p_removed"),
-            F.col("s").alias("p_s"),
-            F.col("a").alias("p_a"),
-        )
-        a = (
-            tprob.crossJoin(F.broadcast(scen))
-            .filter(F.col("src") != F.col("removed"))
-            .join(
-                F.broadcast(prev),
-                (F.col("p_removed") == F.col("removed"))
-                & (F.col("p_s") == F.col("dst")),
-                "left",
-            )
-            .groupBy("removed", F.col("src").alias("s"))
-            .agg(
-                F.sum(
-                    F.when(F.col("dst") == "purchase", F.col("p"))
-                    .when(
-                        (F.col("dst") == "dropout")
-                        | (F.col("dst") == F.col("removed")),
-                        F.lit(0.0),
-                    )
-                    .otherwise(F.col("p") * F.coalesce(F.col("p_a"), F.lit(0.0)))
-                ).alias("a")
-            )
-            .localCheckpoint()
-        )
+        new_a: dict[tuple[str, str], float] = {}
+        for rm in scen_list:
+            for s in states:
+                if s == rm:
+                    continue
+                tot = 0.0
+                for d, p in by_src.get(s, ()):
+                    if d == "purchase":
+                        tot += p
+                    elif d == "dropout" or d == rm:
+                        tot += 0.0
+                    else:
+                        tot += p * a_val.get((rm, d), 0.0)
+                new_a[(rm, s)] = tot
+        a_val = new_a
+    a = ev.sparkSession.createDataFrame(
+        [(rm, s, v) for (rm, s), v in sorted(a_val.items())],
+        "removed string, s string, a double",
+    )
     base = a.filter(
         (F.col("removed") == "base") & (F.col("s") == "start")
     ).select(F.col("a").alias("a_base"))
@@ -1413,8 +1409,6 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .localCheckpoint()
     )
-    from ..functions.similarity import cosine
-
     q = emb.filter(
         (F.col("vec_id") % MATRYOSHKA_QMOD == 0)
         & (F.col("vec_id") < MATRYOSHKA_QCAP)
@@ -1422,23 +1416,39 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     nq = q.agg(F.count("*").alias("n"))
+    from ..functions.similarity import dot, norm
+
     tops = {}
     for d in MATRYOSHKA_DIMS:
+        # norms hoisted to ONE interpreted fold per ROW per side (the
+        # brute_force_topk pattern) instead of two extra folds per
+        # PAIR: cosine = dot / (q_norm · n_norm) with the identical
+        # subexpressions and multiply order, so values are bit-equal
+        # to the unhoisted form — ~3x less higher-order-function work
+        # in the rows × queries stage (round-12: 5.3 s -> ~2.5 s)
         scored = (
             emb.select(
                 F.col("vec_id").alias("n_id"),
                 F.slice("embedding", 1, d).alias("n_vec"),
+                norm(F.slice("embedding", 1, d)).alias("n_norm"),
             )
             .crossJoin(
                 F.broadcast(
-                    q.select("q_id", F.slice("q_vec", 1, d).alias("qd"))
+                    q.select(
+                        "q_id",
+                        F.slice("q_vec", 1, d).alias("qd"),
+                        norm(F.slice("q_vec", 1, d)).alias("q_norm"),
+                    )
                 )
             )
             .filter(F.col("q_id") != F.col("n_id"))
             .select(
                 "q_id",
                 "n_id",
-                cosine(F.col("qd"), F.col("n_vec")).alias("sim"),
+                (
+                    dot(F.col("qd"), F.col("n_vec"))
+                    / (F.col("q_norm") * F.col("n_norm"))
+                ).alias("sim"),
             )
         )
         w = Window.partitionBy("q_id").orderBy(
