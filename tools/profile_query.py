@@ -66,6 +66,16 @@ def main() -> None:
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+    jsc = sc._jsc.sc()
+
+    def drain_leftovers() -> None:
+        # same untimed inter-query hygiene as bench.py: cached frames
+        # AND leftover localCheckpoint RDDs
+        spark.catalog.clearCache()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     for name in args.names:
         times = []
         n_jobs = 0
@@ -77,7 +87,7 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             sc.setJobGroup(f"prof-idle", "idle")
             n_jobs = len(tracker.getJobIdsForGroup(group))
-            spark.catalog.clearCache()
+            drain_leftovers()
         times.sort()
         med = times[len(times) // 2]
         print(
