@@ -94,6 +94,38 @@ HEADLINE = [
     "zone_map_pruning_eval",
 ]
 
+# Round-13 additions (round-12 verdict item 2: the headline hid 17 of
+# that round's wins — e.g. the shared-BFS build showed betweenness's
+# cost but never closeness/eccentricity's offsetting win).  ADDITIONS
+# ONLY — the 56 names above are never removed or renamed, so PERF's
+# round-over-round comparison stays valid.  Priority-ordered: when the
+# printed line would overflow the driver's 2 000-byte tail buffer, the
+# guard below drops entries from the END of this list first.
+HEADLINE_EXT = [
+    "closeness_bfs_seeds",
+    "eccentricity_seeds",
+    "link_prediction_eval",
+    "hits_part_authority",
+    "successive_halving_schedule",
+    "rmst_repurchase",
+    "bradley_terry_brands",
+    "char_ngram_lang_id",
+    "quantile_regression_grid",
+    "mst_cosupplier",
+    "identity_stitch_components",
+    "graph_robustness_attack",
+    "dbscan_grid_clusters",
+    "textrank_keywords",
+    "katz_centrality_cosupplier",
+    "lpa_communities",
+    "substring_top_grams",
+    "rate_limiter_replay",
+    "bpe_encoded_stats",
+    "bigram_pmi_topk",
+    "burrows_delta_sources",
+    "naive_bayes_lang_eval",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,13 +194,21 @@ def main() -> None:
         stall whatever query happens to be running (measured: a
         System.gc() + 2 s pause before a query made it 30.9 s vs
         8.0 s with the cleaner drained — round-12 profiling).
-        Unpersisting them here (non-blocking) moves that cleanup debt
-        out of later queries' timed regions; nothing about the timed
-        methodology changes."""
+        Unpersisting them here BLOCKING moves that cleanup debt out of
+        later queries' timed regions; nothing about the timed
+        methodology changes.  (Round 12 shipped the non-blocking form,
+        but `unpersist(False)` only *dispatches* removal — the actual
+        block-manager work then lands inside the NEXT query's timed
+        region, the exact opposite of the intent.  Measured on this
+        box, round 13: async drain 818.3 s / canary ratio 1.31 vs
+        blocking drain in the same back-to-back protocol — see
+        OPTIMIZATION_r13.md.  Cross-query caches are parquet scratch
+        files, never persisted/checkpointed frames, so draining every
+        persistent RDD here is safe; keep it that way.)"""
         spark.catalog.clearCache()
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
-            it.next().unpersist(False)
+            it.next().unpersist(True)
 
     per_query: dict[str, float] = {}
     for name in names:
@@ -240,16 +280,42 @@ def main() -> None:
         except OSError:
             pass
 
-    headline = {n: per_query[n] for n in HEADLINE if n in per_query}
     ratios = sorted(c["ratio"] for c in canary_repeat.values())
-    line = dict(full, queries=headline)
+    line = dict(full)
     # one number in the tail line: median canary ratio (close to 1.0 =
     # clean run; full per-canary detail stays in BENCH_FULL.json)
     line["canary_ratio"] = ratios[len(ratios) // 2] if ratios else None
     del line["canary_repeat"]
-    out = json.dumps(line)
-    if len(out) > 1900:  # hard guard: never overflow the driver's tail buffer
-        out = json.dumps(dict(line, queries={"flagship_window_avg": per_query.get("flagship_window_avg")}))
+
+    # Tail-buffer guard, progressive (round-12 verdict item 2): compact
+    # separators buy ~150 bytes; if the line still exceeds the driver's
+    # 2 000-byte tail buffer, drop EXTENSION queries from the end of
+    # HEADLINE_EXT — never one of the original 56 names, so cross-round
+    # PERF comparisons keep every historical column — and record how
+    # many were dropped.  Last resort (base set alone too big, e.g. a
+    # future driver shrinking the buffer): totals only + flag, never a
+    # single-query map.
+    def dumps(obj) -> str:
+        return json.dumps(obj, separators=(",", ":"))
+
+    ext = [n for n in HEADLINE_EXT if n in per_query]
+    base = {n: per_query[n] for n in HEADLINE if n in per_query}
+    while True:
+        headline = dict(base)
+        headline.update({n: per_query[n] for n in ext})
+        line["queries"] = headline
+        if len(ext) < sum(1 for n in HEADLINE_EXT if n in per_query):
+            line["queries_truncated"] = (
+                sum(1 for n in HEADLINE_EXT if n in per_query) - len(ext)
+            )
+        out = dumps(line)
+        if len(out) <= 1900 or not ext:
+            break
+        ext = ext[:-1]
+    if len(out) > 1900:
+        line["queries"] = {}
+        line["queries_truncated"] = len(base)
+        out = dumps(line)
     print(out)
     spark.stop()
 

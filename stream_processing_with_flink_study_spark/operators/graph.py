@@ -64,6 +64,13 @@ def connected_components(
     sequential job launches (checkpoint + convergence probe), which at
     small scale ARE the wall clock, without changing per-round shuffle
     volume at 100 TB (2×|E| messages per round either way).
+
+    Note on ``max_iter``: the sequential union-find tail (edge lists at
+    or under ``local_threshold``) always converges FULLY — it ignores
+    ``max_iter`` because full closure is the operator's contract and
+    every registered caller wants it.  A caller that genuinely needs
+    round-capped propagation must pass ``local_threshold=0`` to stay on
+    the distributed loop, where ``max_iter`` bounds the rounds.
     """
     sym = edges.select(
         F.col(src).cast("long").alias("id"), F.col(dst).cast("long").alias("nbr")
@@ -214,15 +221,18 @@ def pagerank(
 
     Both paths share the same edge cache and aggregation expression, so
     per-partition partial sums combine in the same order — results are
-    bit-identical (asserted in tests/test_graph.py).  Rounds
-    materialize eagerly under a temporarily-disabled AQE (these are
-    small cached jobs + a |nodes|-row aggregate; per-stage re-planning
-    costs more latency than it saves), and each round's rank vector is
-    persisted because broadcast/shuffle exchanges are not cached — a
-    lazy chain would recompute all previous rounds at every round.  The
-    previous round's cache is dropped as soon as its successor is
-    materialized, and the edge cache before returning, so repeated
-    calls never accumulate cached blocks."""
+    bit-identical (asserted in tests/test_graph.py).  The rank vector
+    is referenced exactly once per round (the join), so all rounds
+    chain into ONE lazy plan that materializes once via a final
+    ``localCheckpoint`` — no per-round persist+count barriers, same
+    per-round shuffle/broadcast volume (round-12 rework).  AQE is
+    temporarily disabled (small cached jobs; per-stage re-planning
+    costs more latency than it saves) and ``spark.sql.broadcastTimeout``
+    is lifted for the chained execution: on the broadcast path each
+    round's broadcast build runs its whole multi-round prefix inside
+    one broadcast-exchange future, which the default 300 s timeout was
+    never sized for.  The edge cache is dropped before returning, so
+    repeated calls never accumulate cached blocks."""
     from pyspark.sql.window import Window
 
     spark = edges.sparkSession
@@ -259,7 +269,12 @@ def pagerank(
             .alias("rank"),
         )
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bt = spark.conf.get("spark.sql.broadcastTimeout")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # chained execution builds each round's broadcast from its whole
+    # multi-round prefix — lift the 300 s broadcast-future timeout the
+    # old per-round materialization never strained (round-12 advice)
+    spark.conf.set("spark.sql.broadcastTimeout", "-1")
     try:
         # the rank vector is referenced exactly ONCE per round (the
         # join), so the whole iteration chains lazily — one linear
@@ -294,6 +309,7 @@ def pagerank(
         ranks = ranks.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.broadcastTimeout", prev_bt)
         fedges.unpersist()
     return ranks
 
@@ -899,7 +915,10 @@ def katz_centrality(
     use_broadcast = n_nodes <= broadcast_threshold
     scores = nodes.select("id", F.lit(0.0).alias("score"))
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bt = spark.conf.get("spark.sql.broadcastTimeout")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # same chained-broadcast timeout lift as pagerank (round-12 advice)
+    spark.conf.set("spark.sql.broadcastTimeout", "-1")
     try:
         # score vector referenced once per round → lazy-chain the
         # rounds and materialize ONCE (the pagerank round-12 rework:
@@ -923,5 +942,6 @@ def katz_centrality(
         scores = scores.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.broadcastTimeout", prev_bt)
         fedges.unpersist()
     return scores

@@ -1389,32 +1389,43 @@ def rmst_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k"),
         F.to_date("o_orderdate").alias("d"),
         F.row_number().over(wq).alias("rn"),
-    ).persist()
-    horizon = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
-    firsts = seq.filter(F.col("rn") == 1).select("k", F.col("d").alias("d1"))
-    seconds = seq.filter(F.col("rn") == 2).select("k", F.col("d").alias("d2"))
-    obs = firsts.join(seconds, "k", "left").select(
-        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
-        .otherwise(F.datediff(F.lit(horizon), F.col("d1")))
-        .alias("t"),
-        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
-    ).persist()
-    total = obs.count()
+    )
+    # first/second order dates in ONE pass: the groupBy(k) reuses the
+    # window's hash partitioning (no second exchange, no self-join),
+    # and the horizon max rides in as a broadcast scalar instead of an
+    # eager .first() — the whole query is now a single lazy action
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    obs = (
+        seq.filter(F.col("rn") <= 2)
+        .groupBy("k")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff(F.col("h"), F.col("d1")))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
     grp = obs.groupBy("t").agg(
         F.sum("ev").cast("long").alias("d_i"),
         F.count(F.lit(1)).alias("c_all"),
     )
     wt = Window.orderBy("t")
-    prev = F.coalesce(
-        F.sum("c_all").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
+    # at-risk count = suffix sum of the per-gap totals (exact ints,
+    # identical to the old total-minus-prefix form, minus the count())
+    n_at_risk = F.sum("c_all").over(
+        wt.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     term = (F.col("n_i") - F.col("d_i")) * 1.0 / F.col("n_i")
     wcum = wt.rowsBetween(Window.unboundedPreceding, 0)
     hit_zero = F.sum(F.when(term == 0, 1).otherwise(0)).over(wcum)
     lnsum = F.sum(F.when(term > 0, F.log(term)).otherwise(0.0)).over(wcum)
     km = (
-        grp.withColumn("n_i", F.lit(total) - prev)
+        grp.withColumn("n_i", n_at_risk)
         .filter(F.col("d_i") > 0)
         .withColumn(
             "surv",

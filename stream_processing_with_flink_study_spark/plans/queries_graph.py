@@ -1089,10 +1089,9 @@ def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     split = F.lit(LP_SPLIT_DATE).cast("date")
     trp = pairs_of(lo.filter(F.col("d") < split), 2).persist()
-    n_train = trp.count()
+    n_train = trp.count()  # materialize: 4 downstream references
     tep = pairs_of(lo.filter(F.col("d") >= split), 1)
-    newp = tep.join(trp, ["src", "dst"], "left_anti").persist()
-    n_new = newp.count()
+    newp = tep.join(trp, ["src", "dst"], "left_anti")
     scored = link_scores_from_pairs(trp)
     w = Window.orderBy(F.desc("aa_r"), F.asc("a"), F.asc("b"))
     top = (
@@ -1100,13 +1099,30 @@ def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    n_hits = top.join(F.broadcast(newp), ["src", "dst"]).count()
-    lo.unpersist()
-    return spark.createDataFrame(
-        [(n_train, n_new, n_hits, round(n_hits / 50.0, 4))],
-        "n_train_edges long, n_new_edges long, n_hits_at_50 long,"
-        " precision_at_50 double",
+    # one pass over the new-edge frame scores BOTH metrics (count +
+    # hits@50): the 50-row top list broadcasts as a left-join flag, so
+    # newp is referenced once and never needs its own persist+count —
+    # two driver barriers fewer than counting each metric separately
+    stats = (
+        newp.join(
+            F.broadcast(top.withColumn("_hit", F.lit(1))),
+            ["src", "dst"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_edges"),
+            F.count("_hit").cast("long").alias("n_hits_at_50"),
+        )
+        .select(
+            F.lit(n_train).cast("long").alias("n_train_edges"),
+            "n_new_edges",
+            "n_hits_at_50",
+            F.round(F.col("n_hits_at_50") / 50.0, 4).alias(
+                "precision_at_50"
+            ),
+        )
     )
+    return stats
 
 
 @query(

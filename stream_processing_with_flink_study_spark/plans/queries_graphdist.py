@@ -95,15 +95,16 @@ def _bfs_sigma(
     from .queries_graph import _edge_snapshot
 
     # the co-purchase snapshot is itself a parquet scratch file — cheap
-    # to re-scan per reference, no checkpoint job needed here (the BFS
-    # build lambda checkpoints its own copy for the round loop)
+    # to re-scan per reference, no checkpoint job needed here (below
+    # the local gate the build is one Arrow collect; the distributed
+    # fallback re-scans the snapshot parquet once per round)
     sym = _copurchase_edges(spark, sf_dir)
     b = _edge_snapshot(
         spark,
         sf_dir,
         f"bfs_sigma_r{rounds}",
         lambda sp, sd: bfs_sigma_from(
-            _copurchase_edges(sp, sd).localCheckpoint(), rounds=rounds
+            _copurchase_edges(sp, sd), rounds=rounds
         )[2],
     )
     seeds = b.filter(F.col("dist") == 0).select(
@@ -112,11 +113,65 @@ def _bfs_sigma(
     return sym, seeds, b
 
 
+BFS_LOCAL_EDGE_GATE = 4_000_000  # sym rows; ~64 MB of (src, dst) via Arrow
+
+
+def _bfs_sigma_local(
+    spark: SparkSession, src, dst, seed_ids: list[int], rounds: int
+) -> DataFrame:
+    """Driver-side BFS-σ over an Arrow-collected edge array — the
+    connected-components hybrid-tail pattern (guide §5 bounded driver
+    state): per seed and round, one masked int64 scatter-add replaces a
+    join + groupBy + anti-join + localCheckpoint Spark round (~13
+    scheduled jobs for the 4-seed/3-round build).  σ sums are exact
+    int64 in both forms, so the labels are identical by construction
+    (pinned by tests/test_graphdist.py::test_bfs_local_matches_distributed)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "seed long, node long, dist long, sigma long"
+    if not seed_ids:
+        return spark.createDataFrame([], schema)
+    nodes = np.unique(
+        np.concatenate([src, dst, np.asarray(seed_ids, dtype=np.int64)])
+    )
+    s_idx = np.searchsorted(nodes, src)
+    d_idx = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    parts: list[pd.DataFrame] = []
+    for sd in seed_ids:
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.int64)
+        si = int(np.searchsorted(nodes, sd))
+        dist[si] = 0
+        sigma[si] = 1
+        for r in range(1, rounds + 1):
+            mask = dist[s_idx] == r - 1
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, d_idx[mask], sigma[s_idx[mask]])
+            new = (dist == -1) & (contrib > 0)
+            dist[new] = r
+            sigma[new] = contrib[new]
+        reached = dist >= 0
+        parts.append(
+            pd.DataFrame(
+                {
+                    "seed": np.full(int(reached.sum()), sd, dtype=np.int64),
+                    "node": nodes[reached],
+                    "dist": dist[reached],
+                    "sigma": sigma[reached],
+                }
+            )
+        )
+    return spark.createDataFrame(pd.concat(parts, ignore_index=True), schema)
+
+
 def bfs_sigma_from(
     sym: DataFrame,
     rounds: int = BFS_ROUNDS,
     n_seeds: int = BFS_SEEDS,
     seeds: DataFrame | None = None,
+    local_threshold: int = BFS_LOCAL_EDGE_GATE,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(sym, seeds, levels) where levels = (seed, node, dist, sigma)
     for every node reached within ``rounds`` hops of the ``n_seeds``
@@ -124,7 +179,34 @@ def bfs_sigma_from(
     column — the scale smoke seeds every replicated universe) — σ is
     the exact shortest-path count (sum of dist-(r-1) predecessor σs).
     ``sym`` must be symmetric (src, dst) and is assumed
-    checkpointed/cheap to rescan."""
+    checkpointed/cheap to rescan.
+
+    Graphs at or under ``local_threshold`` sym rows run the driver-side
+    scatter-add form (:func:`_bfs_sigma_local`, identical exact-int
+    labels); larger graphs — the 100 TB regime, and the 10x overflow
+    sweep — keep the distributed join-per-round loop.  Pass
+    ``local_threshold=0`` to force the distributed path."""
+    if local_threshold and sym.count() <= local_threshold:
+        import numpy as np
+
+        spark = sym.sparkSession
+        pdf = sym.select("src", "dst").toPandas()
+        e_src = pdf["src"].to_numpy(dtype=np.int64)
+        e_dst = pdf["dst"].to_numpy(dtype=np.int64)
+        if seeds is None:
+            # smallest-id seeds straight off the collected array — no
+            # distinct+sort+limit Spark job (~1 s at bench scale)
+            seed_ids = [int(x) for x in np.unique(e_src)[:n_seeds]]
+            seeds = spark.createDataFrame(
+                [(s,) for s in seed_ids], "seed long"
+            )
+        else:
+            seed_ids = sorted(
+                int(r[0]) for r in seeds.select("seed").collect()
+            )
+        return sym, seeds, _bfs_sigma_local(
+            spark, e_src, e_dst, seed_ids, rounds
+        )
     if seeds is None:
         seeds = (
             sym.select("src")
@@ -316,10 +398,93 @@ def betweenness_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brandes_fixed_point_from(sym, b).limit(20)
 
 
-def brandes_fixed_point_from(sym: DataFrame, b: DataFrame) -> DataFrame:
+def _brandes_local(sym: DataFrame, b: DataFrame) -> DataFrame:
+    """Driver-side mirror of the distributed backward pass: per seed
+    and level, one vectorized exact-int64 ``(σ_v·(10⁶+δint_w)) // σ_w``
+    scatter-add over the Arrow-collected edge/level arrays.  Emits
+    (node, dint) rows for EXACTLY the (seed, node) groups the
+    distributed join emits (v nodes with ≥1 one-level-deeper
+    neighbor — membership matters when 0-score rows reach the top-20
+    cut), so the downstream aggregate is identical bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    spark = sym.sparkSession
+    pdf_e = sym.select("src", "dst").toPandas()
+    e_src = pdf_e["src"].to_numpy(dtype=np.int64)
+    e_dst = pdf_e["dst"].to_numpy(dtype=np.int64)
+    pdf_b = b.select("seed", "node", "dist", "sigma").toPandas()
+    schema = "node long, dint long"
+    if not len(pdf_b):
+        return spark.createDataFrame([], schema)
+    nodes = np.unique(
+        np.concatenate(
+            [e_src, e_dst, pdf_b["node"].to_numpy(dtype=np.int64)]
+        )
+    )
+    s_idx = np.searchsorted(nodes, e_src)
+    d_idx = np.searchsorted(nodes, e_dst)
+    n = len(nodes)
+    out: list[pd.DataFrame] = []
+    for sd, sub in pdf_b.groupby("seed"):
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.int64)
+        bi = np.searchsorted(nodes, sub["node"].to_numpy(dtype=np.int64))
+        dist[bi] = sub["dist"].to_numpy(dtype=np.int64)
+        sigma[bi] = sub["sigma"].to_numpy(dtype=np.int64)
+        dint = np.zeros(n, dtype=np.int64)
+        for r in (2, 1):
+            m = (dist[s_idx] == r) & (dist[d_idx] == r + 1)
+            sv = sigma[s_idx[m]]
+            sw = sigma[d_idx[m]]
+            dw = dint[d_idx[m]]
+            terms = (sv * (DELTA_SCALE + dw)) // sw
+            acc = np.zeros(n, dtype=np.int64)
+            cnt = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, s_idx[m], terms)
+            np.add.at(cnt, s_idx[m], 1)
+            emit = cnt > 0
+            out.append(
+                pd.DataFrame({"node": nodes[emit], "dint": acc[emit]})
+            )
+            dint = acc  # nonzero only at dist==r nodes; coalesce ≡ 0
+    allp = pd.concat(out, ignore_index=True)
+    if not len(allp):
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(allp, schema)
+
+
+def brandes_fixed_point_from(
+    sym: DataFrame,
+    b: DataFrame,
+    local_threshold: int = BFS_LOCAL_EDGE_GATE,
+) -> DataFrame:
     """Backward dependency accumulation in micro-unit integers over the
     (seed, node, dist, sigma) BFS levels; returns every scored node
-    ordered by (bet_int desc, part_id)."""
+    ordered by (bet_int desc, part_id).  Same hybrid gate as
+    :func:`bfs_sigma_from`: at or under ``local_threshold`` sym rows
+    the two level-joins run as driver-side scatter-adds
+    (:func:`_brandes_local`); above it — 100 TB, 10x overflow sweep —
+    the distributed join+checkpoint rounds are unchanged."""
+    if local_threshold and sym.count() <= local_threshold:
+        allints = _brandes_local(sym, b)
+        return (
+            allints.groupBy("node")
+            .agg(F.sum("dint").cast("long").alias("bet_int"))
+            .select(
+                F.col("node").alias("part_id"),
+                "bet_int",
+                (
+                    F.round(
+                        F.col("bet_int").cast("double") / DELTA_SCALE
+                        - 1e-9,
+                        4,
+                    )
+                    + 0.0
+                ).alias("betweenness"),
+            )
+            .orderBy(F.desc("bet_int"), "part_id")
+        )
     lvl = {
         d: b.filter(F.col("dist") == d).select(
             "seed", "node", "sigma"
@@ -666,6 +831,13 @@ def graph_robustness_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # INVARIANT (round-12 advice): every operator `scenario` routes
+    # through must not mutate session conf — the threads share one
+    # SparkSession, so a try/finally conf toggle (pagerank, sssp, katz,
+    # boruvka all do this) would race across scenarios.  Today only
+    # connected_components runs here, and it toggles nothing; route any
+    # conf-toggling operator through per-thread spark.newSession()
+    # clones instead.
     with ThreadPoolExecutor(max_workers=len(_ATTACK_SHARES)) as pool:
         rows = list(pool.map(scenario, _ATTACK_SHARES))
     return spark.createDataFrame(

@@ -3512,11 +3512,14 @@ def successive_halving_schedule(
     The budgets are NESTED, so all four rung metrics come from ONE
     corpus-sized rollup: each order fans out to the ≤4 rungs whose
     window contains it (constant fan-out, map-side-combinable
-    (nation, rung) cells), and the survivor cascade is 4 unrolled
-    window stages over the ≤|configs|-row frame — the k-center/mRMR
-    unrolled-stage idiom, never a second scan.  Metrics are one double
-    division of exact int64 cents/counts, rank ties break by nation:
-    every stage is bit-deterministic cross-engine."""
+    (nation, rung) cells), and the survivor cascade runs DRIVER-SIDE
+    over the collected ≤|configs|×4 cell table (the bradley_terry /
+    markov alphabet-bounded-state pattern: nation keys are a ≤25-value
+    alphabet, so the cascade state is ~100 exact-int rows at ANY corpus
+    size — never worth 4 sequential Spark window stages).  Metrics are
+    one double division of exact int64 cents/counts (long→double is
+    correctly rounded in BOTH engines, so the Python sort cannot fork
+    from the SQL rank), rank ties break by nation."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -3537,59 +3540,48 @@ def successive_halving_schedule(
     rung_tbl = spark.createDataFrame(
         list(enumerate(SH_BUDGET_MONTHS)), "rung int, months int"
     )
-    rungs = (
+    cells = (
         base.join(F.broadcast(rung_tbl), F.col("mi") < F.col("months"))
         .groupBy("nation", "rung")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum("cents").cast("long").alias("cents"),
         )
-        .localCheckpoint()
+        .collect()  # alphabet-bounded: ≤25 nations × 4 rungs
     )
-    metric = F.col("cents") * 1.0 / F.col("n_orders")
-    w = Window.orderBy(metric.desc(), F.asc("nation"))
-    wall = Window.partitionBy()
-    stage = None
-    exits = []
+    by_rung: dict[int, list[tuple[int, int, int]]] = {}
+    for row in cells:
+        by_rung.setdefault(row["rung"], []).append(
+            (row["nation"], row["n_orders"], row["cents"])
+        )
+    exits: list[tuple[int, int, int, int, int]] = []
+    survivors: set[int] | None = None
     last = len(SH_BUDGET_MONTHS) - 1
     for r in range(len(SH_BUDGET_MONTHS)):
-        cur = rungs.filter(F.col("rung") == r).select(
-            "nation", "n_orders", "cents"
-        )
-        if stage is not None:
-            keep = stage.filter(
-                F.col("rk") <= F.expr("(np + 1) DIV 2")
-            ).select("nation")
-            cur = cur.join(F.broadcast(keep), "nation")
-        cur = cur.select(
-            "*",
-            F.row_number().over(w).cast("long").alias("rk"),
-            F.count(F.lit(1)).over(wall).cast("long").alias("np"),
-        ).localCheckpoint()
+        cur = by_rung.get(r, [])
+        if survivors is not None:
+            cur = [t for t in cur if t[0] in survivors]
+        # rank by (metric desc, nation asc) — cents/n_orders is the
+        # identical long→double division Spark's window rank compared
+        ranked = sorted(cur, key=lambda t: (-(t[2] / t[1]), t[0]))
+        half = (len(ranked) + 1) // 2
         if r < last:
-            exits.append(
-                cur.filter(F.col("rk") > F.expr("(np + 1) DIV 2")).select(
-                    "nation",
-                    F.lit(r).cast("long").alias("last_rung"),
-                    F.col("rk").alias("rank_at_exit"),
-                    "n_orders",
-                    "cents",
-                )
+            survivors = {t[0] for t in ranked[:half]}
+            exits.extend(
+                (t[0], r, i + 1, t[1], t[2])
+                for i, t in enumerate(ranked)
+                if i + 1 > half
             )
         else:
-            exits.append(
-                cur.select(
-                    "nation",
-                    F.lit(r).cast("long").alias("last_rung"),
-                    F.col("rk").alias("rank_at_exit"),
-                    "n_orders",
-                    "cents",
-                )
+            exits.extend(
+                (t[0], r, i + 1, t[1], t[2])
+                for i, t in enumerate(ranked)
             )
-        stage = cur
-    out = exits[0]
-    for e in exits[1:]:
-        out = out.unionByName(e)
+    out = spark.createDataFrame(
+        exits,
+        "nation int, last_rung long, rank_at_exit long,"
+        " n_orders long, cents long",
+    )
     return out.select(
         F.col("nation").cast("long").alias("nation_key"),
         "last_rung",

@@ -161,3 +161,51 @@ def test_bfs_sigma_counts_paths(spark):
     assert rows[1] == (0, 1)
     assert rows[10] == rows[11] == rows[12] == (1, 1)
     assert rows[2] == (2, 3)  # three shortest paths via 10/11/12
+
+
+def test_bfs_local_matches_distributed(spark):
+    """The driver-side scatter-add BFS (under BFS_LOCAL_EDGE_GATE) must
+    emit the IDENTICAL (seed, node, dist, sigma) set as the distributed
+    join-per-round loop — the connected-components hybrid-tail pin,
+    applied to the σ-levels build.  Graph mixes a diamond (σ > 1), a
+    tail past the radius, and a disconnected component so reachability,
+    path counts and the horizon cut are all exercised."""
+    pairs = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7),
+        (2, 3),  # triangle edge: odd/even distance interplay
+        (100, 101), (101, 102),  # disconnected component
+    ]
+    sym = _sym(spark, pairs)
+    _, _, b_local = bfs_sigma_from(sym)  # ≤ gate → driver path
+    _, _, b_dist = bfs_sigma_from(sym, local_threshold=0)  # forced loop
+    got_local = {
+        (r["seed"], r["node"]): (r["dist"], r["sigma"])
+        for r in b_local.collect()
+    }
+    got_dist = {
+        (r["seed"], r["node"]): (r["dist"], r["sigma"])
+        for r in b_dist.collect()
+    }
+    assert got_local == got_dist
+    assert got_local  # non-vacuous
+
+
+def test_brandes_local_matches_distributed(spark):
+    """Same pin for the backward pass: the driver-side scatter-add
+    Brandes must emit the identical (part_id, bet_int, betweenness)
+    rows — including WHICH zero-score nodes appear (the distributed
+    join only emits v nodes with a one-level-deeper neighbor, and
+    membership decides tie-broken top-20 cuts on tiny graphs)."""
+    pairs = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7),
+        (2, 3), (100, 101), (101, 102),
+    ]
+    sym = _sym(spark, pairs)
+    _, _, b = bfs_sigma_from(sym, local_threshold=0)
+    rows_local = brandes_fixed_point_from(sym, b).collect()
+    rows_dist = brandes_fixed_point_from(sym, b, local_threshold=0).collect()
+    as_tuples = lambda rows: [  # noqa: E731
+        (r["part_id"], r["bet_int"], r["betweenness"]) for r in rows
+    ]
+    assert as_tuples(rows_local) == as_tuples(rows_dist)
+    assert rows_local  # non-vacuous
