@@ -1038,7 +1038,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab rows, not corpus rows), so the gram-equi-join fans out only
     on truly shared grams; source sizes are a tiny broadcast side.
     Sources are a bounded dimension — output is |S|² rows at most."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group input (guide §2.5): spread docs before the
+    # shingle explode + distinct, otherwise ONE scan task does it
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     g = (
         docs.select("source", text.tokens("text").alias("_t"))
         .select("source", F.explode(text.word_shingles(F.col("_t"), 3)).alias("gram"))
@@ -1445,7 +1449,11 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference scope: same corpus-profile family as
     ``source_overlap_matrix`` (정리/4주차.md)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # single-row-group input (guide §2.5): spread docs before the
+    # shingle explode, otherwise ONE scan task does it
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", "source", text.tokens("text").alias("_t")
     )
     grams = docs.select(

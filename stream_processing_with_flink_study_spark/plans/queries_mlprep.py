@@ -2896,6 +2896,9 @@ def count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows regardless of corpus size) broadcasts to the probe side."""
     toks = (
         load_table(spark, sf_dir, "documents")
+        # single-row-group input (guide §2.5): spread docs before the
+        # token explode, otherwise ONE scan task does it
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(text.tokens("text")).alias("t"))
         .filter(F.col("t") != "")
     )
