@@ -630,17 +630,35 @@ def rate_limiter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``streaming_rate_limiter``), whose keyed ValueState replays the
     identical recurrence forever — the pairing demonstrates when
     batch SQL recursion stops scaling and keyed stream state takes
-    over."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "rate_limiter_events"
-    )
+    over.
+
+    The request frame feeding the recursion is MATERIALIZED once
+    (localCheckpoint): the recursive execution otherwise re-inlines
+    the non-recursive ``req`` CTE — a full events scan plus the
+    user-keyed window — into every recursion level (≤{RL_MAX_REPLAY}
+    re-scans).  The recursion itself, the demonstration, is
+    unchanged."""
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).createOrReplaceTempView("rate_limiter_clicks")
+    req = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT user_id,
+                 CAST(row_number() OVER w AS BIGINT) AS idx,
+                 unix_millis(ts) AS ts_ms,
+                 CAST(coalesce((unix_millis(ts) - lag(unix_millis(ts))
+                                OVER w) DIV 1000, 0) AS BIGINT) AS gap_s
+          FROM rate_limiter_clicks
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE idx <= {RL_MAX_REPLAY}
+        """
+    ).localCheckpoint()
+    req.createOrReplaceTempView("rate_limiter_req_mat")
+    rec_tail = _RATE_LIMITER_SQL[_RATE_LIMITER_SQL.index("rl (user_id") :]
     return spark.sql(
-        _RATE_LIMITER_SQL.format(
-            events="rate_limiter_events",
-            epoch="unix_millis(ts)",
-            idiv="DIV",
-            max_idx=RL_MAX_REPLAY,
-        )
+        "WITH RECURSIVE req AS (SELECT user_id, idx, ts_ms, gap_s"
+        " FROM rate_limiter_req_mat),\n" + rec_tail
     )
 
 

@@ -11,7 +11,10 @@ set -u
 n=${1:-4}
 pids=()
 for i in $(seq 1 "$n"); do
-  GATE_SHARD="$i/$n" python -m pytest tests/ -q \
+  # FULL_GATE=1: run the opt-in soak suites (state soak, chaos restart)
+  # and keep every oracle in play; GATE_SHARD still splits the oracle
+  # parametrization across the n processes.
+  FULL_GATE=1 GATE_SHARD="$i/$n" python -m pytest tests/ -q \
     > "/tmp/gate_shard_${i}_of_${n}.log" 2>&1 &
   pids+=($!)
 done
