@@ -70,11 +70,12 @@ def main() -> None:
 
     def drain_leftovers() -> None:
         # same untimed inter-query hygiene as bench.py: cached frames
-        # AND leftover localCheckpoint RDDs
+        # AND leftover localCheckpoint RDDs, removed BLOCKING so the
+        # cleanup provably completes outside the next timed region
         spark.catalog.clearCache()
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
-            it.next().unpersist(False)
+            it.next().unpersist(True)
 
     for name in args.names:
         times = []
