@@ -1572,17 +1572,29 @@ def kmeans_lloyd_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")),
             6,
         )
+        # argmin by (rounded dist, cid) as ONE min_by aggregate instead
+        # of a per-round window: the k-fanned crossJoin rows combine
+        # MAP-SIDE (partial agg), so the per-round shuffle carries
+        # ~|pts| rows instead of k·|pts| rows plus a sort (guide §2.3
+        # aggregate-before-shuffle).  (dist_r, cid) is unique per
+        # candidate row, so the struct-ordered min is the identical
+        # deterministic pick the rn=1 window made.
         assigned = (
             pts.crossJoin(F.broadcast(c))
             .withColumn("dist_r", dist_r)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy("dist_r", "cid")
-                ),
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("x", "y", "cid"),
+                    F.struct("dist_r", "cid"),
+                ).alias("_s")
             )
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "x", "y", "cid")
+            .select(
+                "vec_id",
+                F.col("_s.x").alias("x"),
+                F.col("_s.y").alias("y"),
+                F.col("_s.cid").alias("cid"),
+            )
         ).localCheckpoint()
         c = (
             assigned.groupBy("cid")
